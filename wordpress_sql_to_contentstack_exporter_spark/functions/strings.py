@@ -1,0 +1,84 @@
+"""Scalar string transforms (SURVEY.md §2.f) as native Column expressions.
+
+Every function here compiles to JVM-side Catalyst expressions inside
+whole-stage codegen — no Python UDFs in the hot path. Each docstring cites
+the reference behavior it reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Matches the reference's host-strip regex ``/^(?:\/\/|[^\/]+)*\//``
+#: (posts.js:149): strips scheme+host from an absolute URL, keeping the path.
+_HOST_STRIP_RE = r"^(?:\/\/|[^\/]+)*\/"
+
+
+def host_strip(url: Column | str) -> Column:
+    """``"/" + guid.replace(/^(?:\\/\\/|[^\\/]+)*\\//, "")`` — posts.js:149.
+
+    ``http://example.com/a/b`` -> ``/a/b``; a URL with no path collapses
+    to ``/<rest>`` exactly as the JS regex does.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    return F.concat(F.lit("/"), F.regexp_replace(c, _HOST_STRIP_RE, ""))
+
+
+def slugify(text: Column | str, prefix: str = "") -> Column:
+    """``text.toLowerCase().replace(/[^a-z0-9_-]+/g, '-')`` with an optional
+    path prefix — authors.js:45,50 (``/author/``), categories.js:44,66
+    (``/category/``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    slug = F.regexp_replace(F.lower(c), "[^a-z0-9_-]+", "-")
+    if prefix:
+        return F.concat(F.lit(prefix), slug)
+    return slug
+
+
+def decode_entities(text: Column | str) -> Column:
+    """HTML-entity decode as performed by the reference: only ``&amp;`` is
+    decoded (categories.js:50-56). Kept deliberately narrow to preserve
+    observable behavior."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def split_to_array(text: Column | str, sep: str = ",") -> Column:
+    """``s.split(",")`` — posts.js:150,153,254."""
+    c = F.col(text) if isinstance(text, str) else text
+    # JS split uses a literal separator; escape for Java regex.
+    import re
+
+    return F.split(c, re.escape(sep))
+
+
+def null_default_array(arr: Column) -> Column:
+    """``if (x) {...split(",")} else {[]}`` — posts.js:152-156: NULL/missing
+    input becomes an empty string array."""
+    return F.coalesce(arr, F.array().cast("array<string>"))
+
+
+def conditional_array_wrap(cond: Column, value: Column) -> Column:
+    """``parent != 0 ? [parentslug] : [""]`` — categories.js:60-65."""
+    return F.when(cond, F.array(value)).otherwise(F.array(F.lit("")))
+
+
+def url_basename(url: Column | str) -> Column:
+    """``url.split("/")[len-1]`` — assets.js:74-76 (asset filename)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.element_at(F.split(c, "/"), -1)
+
+
+def url_encode(url: Column | str) -> Column:
+    """JS ``encodeURI`` approximation (assets.js:77): percent-encode spaces
+    and double quotes, the characters that actually occur in WP media GUIDs.
+
+    Full ``encodeURI`` semantics (UTF-8 percent-encoding of every
+    non-reserved codepoint) live in the Python downloader
+    (sources/http.py) where the URL is consumed — per SURVEY.md §2 row 39
+    that is the one place a non-expression implementation is acceptable.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    out = F.replace(c, F.lit(" "), F.lit("%20"))
+    return F.replace(out, F.lit('"'), F.lit("%22"))

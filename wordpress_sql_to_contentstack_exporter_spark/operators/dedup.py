@@ -1,0 +1,243 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of this module):
+
+- Exact dedup is a single hash aggregation on a 256-bit content hash —
+  shuffle keys are 32 bytes, not document bodies.
+- MinHash+LSH is the shuffle-frugal near-dup path: documents never pair
+  all-vs-all; only rows sharing an LSH band bucket join. At 100 TB the
+  band join is a shuffle on (band_id, band_hash) — short keys with
+  tunable bucket sizes (more bands/rows per band trade recall vs cost).
+- All signature math is built-in expressions over arrays (xxhash64,
+  transform/aggregate) — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + whitespace-collapse canonical form shared by the dedup family."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate grouping by content hash.
+
+    Returns one row per distinct content: keeper id (min id), duplicate
+    count. Group key is sha2(normalized text) so the shuffle moves 32-byte
+    keys instead of document bodies.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-char shingles of normalized text (shorter texts yield the
+    whole text as a single shingle)."""
+    norm = normalize_text(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (n-grams) of normalized text."""
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+
+    xxhash64 is Spark-native (JVM, codegen); one pass over the shingle
+    array per seed. Returns array<bigint> of length ``num_hashes``.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    signature -> split into ``bands`` bands of ``num_hashes/bands`` rows ->
+    hash each band -> self-join documents sharing any (band, band_hash)
+    bucket. Output: (id_a, id_b, est_jaccard) with id_a < id_b, deduped
+    across bands, filtered by the estimated Jaccard from full signatures.
+
+    The only shuffles are the exploded band bucket join (short keys) and
+    the pair dedup — no quadratic blow-up. Skewed buckets (boilerplate
+    docs) are bounded by AQE skew handling; callers can also pre-filter
+    giant buckets. ``shingle_mode='word'`` (default) is far more
+    selective than char shingles on small-vocabulary corpora — fewer
+    bucket collisions, smaller candidate sets.
+    """
+    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
+    sig = minhash_signature(shingle_fn(F.col(text_col), shingle_k), num_hashes)
+    rows_per_band = num_hashes // bands
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = with_sig.select("id", "sig", F.explode(band_struct).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= min_est_jaccard
+    )
+
+
+#: SimHash width. 63 (not 64) so the MSB-first fold below stays within a
+#: signed long under ANSI mode (Spark 4 default) — no overflow, same
+#: near-dup power.
+SIMHASH_BITS = 63
+
+
+def simhash64(text: Column, token_sep: str = " ") -> Column:
+    """63-bit SimHash over whitespace tokens.
+
+    Per token: xxhash64; per bit: sum of +1/-1 contributions (sign of the
+    count becomes the bit). One pass over the token array via
+    ``aggregate`` with an array accumulator — JVM-side, no Python.
+    """
+    toks = F.split(normalize_text(text), token_sep)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda c, i: c
+            + F.when(F.getbit(h, i) == 1, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
+    )
+    bits = F.transform(
+        counts,
+        lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    # MSB-first fold: acc*2 + bit, 63 bits -> fits in signed long.
+    return F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
+def simhash_neardups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the top ``prefix_bits`` bits (a
+    cheap LSH — identical prefixes required), then exact Hamming filter.
+
+    Blocking keeps the join linear-ish; rotating the blocked prefix
+    (running this with several bit rotations) recovers recall at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    ).withColumn("block", F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    *,
+    text_col: str = "text",
+    k: int = 3,
+    out_col: str = "jaccard",
+) -> DataFrame:
+    """Exact n-gram (word k-shingle) Jaccard similarity for paired rows.
+
+    ``left``/``right`` are pre-paired (e.g. LSH candidates) — this is the
+    exact-verification stage of the candidate→verify dedup pipeline, so
+    the quadratic part never materializes.
+    """
+    lsh = word_shingles(F.col(f"l.{text_col}"), k)
+    rsh = word_shingles(F.col(f"r.{text_col}"), k)
+    inter = F.size(F.array_intersect(lsh, rsh))
+    union = F.size(F.array_union(lsh, rsh))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return left.alias("l").join(right.alias("r"), on).withColumn(out_col, F.round(jac, 4))

@@ -1,0 +1,146 @@
+"""Relational operators beyond bare DataFrame method calls (SURVEY.md §2.c-d).
+
+Plain projections/filters/joins/sorts need no wrapper — the engine's public
+surface for those IS the DataFrame API, and Catalyst owns pushdown/pruning/
+join selection. This module holds the composite shapes the reference
+implements by hand (in SQL strings + JS dict probes) that deserve named,
+scale-aware implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def eav_pivot(
+    eav: DataFrame,
+    entity_key: str,
+    keys: list[str],
+    *,
+    key_col: str = "meta_key",
+    value_col: str = "meta_value",
+    require_all: bool = True,
+    agg: str = "first",
+) -> DataFrame:
+    """Pivot an EAV (entity/attribute/value) table into fixed columns.
+
+    Reproduces the reference's triple INNER self-join on ``wp_usermeta``
+    (authors.js:22-24) — meta_key in {first_name,last_name,description}
+    pivoted to columns. ``require_all=True`` preserves the observable
+    inner-join semantics: an entity missing ANY key is dropped
+    (README.md:77 — "author count ... different"; SURVEY.md §2 row 17).
+
+    Scale: a single hash aggregation (one shuffle on ``entity_key``) with
+    an explicit pivot value list — no second pass to discover keys, and no
+    N-way self-join (the naive translation would shuffle the fact table N
+    times). Map-side partial aggregation applies; skewed entities are
+    handled by AQE.
+    """
+    filtered = eav.filter(F.col(key_col).isin(keys))
+    agg_fn = getattr(F, agg)
+    pivoted = (
+        filtered.groupBy(entity_key)
+        .pivot(key_col, keys)
+        .agg(agg_fn(F.col(value_col)))
+    )
+    if require_all:
+        cond = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            cond = c if cond is None else cond & c
+        pivoted = pivoted.filter(cond)
+    return pivoted
+
+
+def decorrelated_group_concat(
+    outer: DataFrame,
+    inner: DataFrame,
+    outer_key: str,
+    inner_key: str,
+    value: Column,
+    *,
+    alias: str = "group_concat",
+    sep: str = ",",
+    sort: bool = True,
+    as_array: bool = False,
+) -> DataFrame:
+    """Per-outer-row aggregate of an inner relation — the decorrelated form
+    of the reference's correlated ``group_concat`` scalar subquery
+    (posts.js:25; SURVEY.md §2 rows 20, 25).
+
+    Instead of evaluating a 3-table subquery per outer row (what MySQL
+    does), aggregate the inner side ONCE by its key, then left-join. The
+    aggregation is a single shuffle of the inner table pre-shrunk by
+    map-side combine; the join shuffles on the same key so AQE can reuse
+    the partitioning. Rows with no inner matches get NULL (MySQL
+    group_concat semantics), preserved here.
+
+    ``sort=True`` makes the concat deterministic (MySQL's order is not —
+    SURVEY.md §7 risk register), which both our tests and the DuckDB
+    oracle rely on.
+    """
+    grouped = inner.groupBy(F.col(inner_key).alias(outer_key)).agg(
+        F.collect_list(value).alias("__vals")
+    )
+    vals = F.col("__vals")
+    if sort:
+        vals = F.array_sort(vals)
+    out_col = vals if as_array else F.array_join(vals, sep)
+    grouped = grouped.select(outer_key, out_col.alias(alias))
+    return outer.join(grouped, on=outer_key, how="left")
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    lookup: DataFrame,
+    on: str | list[str] | Column,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Small-dimension lookup join — the reference's in-memory dict probes
+    (``featuredImage[data["ID"]]`` posts.js:147,157-158;
+    ``catslugmapping[parent]`` categories.js:58-61).
+
+    Explicit ``F.broadcast`` hint: the lookup side is known-small by
+    construction (config maps, featured-image mapping), so even when
+    statistics are missing/stale at 100 TB fact-table scale, the join is
+    guaranteed shuffle-free on the fact side.
+    """
+    return fact.join(F.broadcast(lookup), on=on, how=how)
+
+
+def hierarchy_parent_join(
+    nodes: DataFrame,
+    *,
+    id_col: str,
+    parent_col: str,
+    slug_col: str,
+    root_value: int = 0,
+    out_col: str = "parent_slug",
+) -> DataFrame:
+    """Depth-1 parent resolution for a self-referencing hierarchy
+    (categories.js:22-24,47,57-65; cycle flag contenttypes/__master.json:13-19).
+
+    The reference resolves parents via a per-page dict — a real bug: a
+    child on a later page than its parent resolves to ``undefined``
+    (SURVEY.md §2 row 22). This is the fixed semantics: a proper self
+    left-join, with the reference's root convention ``[""]`` preserved via
+    ``conditional_array_wrap`` at the call site.
+
+    Scale: hierarchy dimensions (categories) are tiny relative to facts —
+    broadcast the parent side; for a genuinely huge hierarchy drop the
+    hint and let sort-merge handle it.
+    """
+    parent = nodes.select(
+        F.col(id_col).alias("__pid"), F.col(slug_col).alias("__pslug")
+    )
+    joined = nodes.join(
+        F.broadcast(parent), nodes[parent_col] == F.col("__pid"), "left"
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col(parent_col) != root_value, F.col("__pslug")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    ).drop("__pid", "__pslug")

@@ -1,0 +1,109 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Column expressions (whole-stage codegen);
+nothing here touches Python per row. Designed for the ``documents`` table
+shape (doc_id, text, lang, source, n_chars) but parameterized by column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer regex: runs of alphanumerics OR single non-space symbols.
+#: Compatible between Java regex (Spark) and RE2 (DuckDB oracle).
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+#: Small distinctive-marker profiles for the n-gram/stopword language
+#: heuristic. Public-knowledge marker words; intentionally tiny — this is
+#: the classic fast heuristic (cf. fastText/langid baselines), not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty input -> empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual symbols (TOKEN_RE)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    """Number of whitespace tokens that are in ``stopwords`` (lowercased)."""
+    toks = tokens(F.lower(text))
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token counts, punctuation /
+    stopword / uppercase ratios, mean token length.
+
+    One narrow projection — no shuffle; at 100 TB this is a pure map stage
+    that pipelines with the parquet scan.
+    """
+    t = F.col(text_col)
+    n_tok = token_count_ws(t)
+    n_char = F.length(t)
+    stop = stopword_hits(t, LANG_MARKERS["en"])
+    return df.select(
+        "*",
+        n_char.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        token_count_bpe(t).alias("q_bpe_tokens"),
+        F.round(
+            F.when(n_char > 0, F.regexp_count(t, F.lit(r"[.,;:!?]")) / n_char).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("q_punct_ratio"),
+        F.round(
+            F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("q_stopword_ratio"),
+        F.round(
+            F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("q_mean_token_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language heuristic: argmax of per-language marker-token
+    hit counts; ties and all-zero fall back to 'und'.
+
+    Deterministic tie-break: higher count wins, then lexicographic language
+    code. Pure expressions — a map-only stage at any scale.
+    """
+    t = F.lower(F.col(text_col))
+    langs = sorted(LANG_MARKERS)
+    hit_cols = {lang: stopword_hits(t, LANG_MARKERS[lang]) for lang in langs}
+    # struct(-count, lang) and array_min gives (max count, lexicographically
+    # smallest lang) — deterministic argmax.
+    candidates = F.array(
+        *[F.struct((-hit_cols[lang]).alias("neg"), F.lit(lang).alias("lang")) for lang in langs]
+    )
+    best = F.array_min(candidates)
+    pred = F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Document fingerprint: sha2-256 over whitespace-normalized lowercase
+    text. Stable across engines (the DuckDB oracle computes the same hash)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.sha2(norm, 256))

@@ -1,0 +1,940 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle SQL string over the same parquet tables.
+
+This is the engine's conformance suite (SURVEY.md §2 inventory — each
+entry cites its row) and the driver's correctness gate
+(``__spark_entry__.py``). Aliases are chosen identically in the Spark
+plan and the oracle SQL because the driver's compare hashes values with
+columns sorted by name.
+
+Float discipline: any aggregated/derived double is ``round()``-ed on both
+sides so partition-order summation differences (Spark) vs sequential
+summation (DuckDB) cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    compile_permalink,
+    conditional_array_wrap,
+    decode_entities,
+    host_strip,
+    iso8601,
+    null_default_array,
+    padded_day,
+    padded_month,
+    slugify,
+    split_to_array,
+    year_str,
+)
+from ..operators import (
+    broadcast_lookup,
+    decorrelated_group_concat,
+    eav_pivot,
+    hierarchy_parent_join,
+)
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+
+
+from ..sources.catalog import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2.a-e)
+# ---------------------------------------------------------------------------
+
+
+def q_flagship_posts_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship posts-pipeline analog (SURVEY.md §7 stage 0): published
+    filter -> left join author dim -> decorrelated per-row group-concat ->
+    ISO date + compiled permalink. Mirrors posts.js:24-26,58-141,145-163."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    with_flags = decorrelated_group_concat(
+        orders, lineitem, "o_orderkey", "l_orderkey", F.col("l_returnflag"), alias="flags"
+    )
+    url = compile_permalink(
+        "/%year%/%monthnum%/%post_id%/",
+        "https://example.com/blog",
+        post_id=F.col("o_orderkey"),
+        date_gmt=F.col("o_orderdate"),
+        post_name=F.lit(""),
+        guid=F.lit(""),
+    )
+    joined = with_flags.join(
+        F.broadcast(customer), with_flags.o_custkey == customer.c_custkey, "left"
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("c_name").alias("author"),
+        iso8601(F.col("o_orderdate")).alias("date_iso"),
+        url.alias("url"),
+        F.col("flags").alias("flags"),
+    )
+
+
+SQL_FLAGSHIP = """
+SELECT o.o_orderkey AS order_id,
+       c.c_name AS author,
+       strftime(o.o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS date_iso,
+       '/' || strftime(o.o_orderdate, '%Y') || '/' || strftime(o.o_orderdate, '%m')
+           || '/' || o.o_orderkey || '/' AS url,
+       g.flags AS flags
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN (
+    SELECT l_orderkey, string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags
+    FROM lineitem GROUP BY l_orderkey
+) g ON g.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 12-13: projection + equality/range filter (pushed to scan)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("price"))
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT o_orderkey, o_custkey, o_totalprice AS price
+FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+"""
+
+_IN_IDS = [1, 2, 3, 7, 32, 64, 128, 999, 4242, 11111]
+
+
+def q_in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 14: IN-list filter (the resume-by-ID path, posts.js:176-177)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isin(_IN_IDS))
+        .select("o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price"))
+    )
+
+
+SQL_IN_LIST = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+FROM orders WHERE o_orderkey IN ({", ".join(map(str, _IN_IDS))})
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 23: left-semi join (large ID-set variant of resume-by-ID)."""
+    orders = _t(spark, sf_dir, "orders")
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return orders.join(
+        building, orders.o_custkey == building.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 23/46: left-anti join (idempotent skip, assets.js:78-80)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 16: left outer equi-join (posts LEFT JOIN users, posts.js:25-26)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left"
+    ).select("o_orderkey", "c_name", "c_mktsegment")
+
+
+SQL_LEFT_OUTER = """
+SELECT o_orderkey, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 15, 17: EAV pivot with inner-join (require-all) semantics
+    (authors.js:22-24). Single shuffle instead of the reference's N-way
+    self-join."""
+    events = _t(spark, sf_dir, "events")
+    piv = eav_pivot(
+        events,
+        "user_id",
+        ["click", "view", "purchase"],
+        key_col="event_type",
+        value_col="value",
+        agg="sum",
+    )
+    return piv.select(
+        "user_id",
+        F.round("click", 2).alias("click"),
+        F.round("view", 2).alias("view"),
+        F.round("purchase", 2).alias("purchase"),
+    )
+
+
+SQL_EAV_PIVOT = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase
+FROM events
+GROUP BY user_id
+HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+   AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+   AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+"""
+
+
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 18: inner equi-join (terms JOIN term_taxonomy, categories.js:22-24)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        region, nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+SQL_INNER_JOIN = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 19: broadcast small-dimension lookup (featuredImage dict probe,
+    posts.js:147,157-158)."""
+    orders = _t(spark, sf_dir, "orders")
+    lookup = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    joined = broadcast_lookup(
+        orders, lookup, orders.o_custkey == lookup.c_custkey, how="inner"
+    )
+    return joined.select("o_orderkey", "c_name")
+
+
+SQL_BROADCAST_LOOKUP = """
+SELECT o_orderkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 20, 25: decorrelated correlated-aggregate subquery with
+    group-concat (the posts.js:25 category subquery)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = decorrelated_group_concat(
+        orders, lineitem, "o_orderkey", "l_orderkey", F.col("l_returnflag"), alias="flags"
+    )
+    return out.select("o_orderkey", "flags")
+
+
+SQL_GROUP_CONCAT = """
+SELECT o.o_orderkey, g.flags AS flags
+FROM orders o
+LEFT JOIN (
+    SELECT l_orderkey, string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags
+    FROM lineitem GROUP BY l_orderkey
+) g ON g.l_orderkey = o.o_orderkey
+"""
+
+
+def q_hierarchy_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 22: hierarchical self-join parent resolution (fixes the
+    reference's per-page dict bug, categories.js:47)."""
+    nation = _t(spark, sf_dir, "nation")
+    resolved = hierarchy_parent_join(
+        nation,
+        id_col="n_nationkey",
+        parent_col="n_regionkey",
+        slug_col="n_name",
+        root_value=0,
+    )
+    return resolved.select(
+        "n_nationkey", F.col("n_name").alias("name"), "parent_slug"
+    )
+
+
+SQL_HIERARCHY = """
+SELECT c.n_nationkey, c.n_name AS name,
+       CASE WHEN c.n_regionkey <> 0 THEN p.n_name END AS parent_slug
+FROM nation c LEFT JOIN nation p ON c.n_regionkey = p.n_nationkey
+"""
+
+
+def q_count_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 24, 26: COUNT + GROUP BY aggregations."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+SQL_COUNT_GROUP_BY = """
+SELECT o_custkey, count(*) AS order_count, round(sum(o_totalprice), 2) AS total_spend
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 27-28: ORDER BY + LIMIT with a total order (deterministic,
+    unlike the reference's OFFSET paging)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_orderdate
+FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar transforms (§2.f)
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 29-30, 38: slugify, host-strip regex, URL basename."""
+    c = _t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop.example.com/seg/"),
+        F.col("c_mktsegment"),
+        F.lit("/"),
+        F.col("c_custkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        slugify(F.col("c_name"), "/author/").alias("slug"),
+        host_strip(url).alias("path"),
+        F.element_at(F.split(F.col("c_name"), "#"), -1).alias("basename"),
+    )
+
+
+SQL_SCALAR_STRINGS = r"""
+SELECT c_custkey,
+       '/author/' || regexp_replace(lower(c_name), '[^a-z0-9_-]+', '-', 'g') AS slug,
+       '/' || regexp_replace('https://shop.example.com/seg/' || c_mktsegment || '/' || c_custkey,
+                             '^(?:\/\/|[^\/]+)*\/', '') AS path,
+       string_split(c_name, '#')[-1] AS basename
+FROM customer
+"""
+
+
+def q_entity_decode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 31-32: HTML-entity decode + split-to-array."""
+    p = _t(spark, sf_dir, "part")
+    title = F.concat(F.lit("Tools &amp; Parts: "), F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        decode_entities(title).alias("decoded"),
+        F.array_join(split_to_array(F.col("p_type"), " "), "-").alias("dashed"),
+    )
+
+
+SQL_ENTITY_DECODE = """
+SELECT p_partkey,
+       replace('Tools &amp; Parts: ' || p_name, '&amp;', '&') AS decoded,
+       replace(p_type, ' ', '-') AS dashed
+FROM part
+"""
+
+
+def q_null_default_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 33-34: null-default-to-empty-array + conditional array wrap
+    (posts.js:152-156, categories.js:60-65). Arrays joined to strings so
+    the oracle hash is representation-independent."""
+    e = _t(spark, sf_dir, "events")
+    maybe_null = F.when(F.col("value") > 50, F.lit(None).cast("string")).otherwise(
+        F.col("event_type")
+    )
+    arr = null_default_array(F.split(maybe_null, ","))
+    wrapped = conditional_array_wrap(F.col("user_id") % 10 != 0, F.col("event_type"))
+    return e.select(
+        "event_id",
+        F.array_join(arr, ",").alias("joined"),
+        F.array_join(wrapped, ",").alias("wrapped"),
+    )
+
+
+SQL_NULL_DEFAULT = """
+SELECT event_id,
+       CASE WHEN value > 50 THEN '' ELSE event_type END AS joined,
+       CASE WHEN user_id % 10 <> 0 THEN event_type ELSE '' END AS wrapped
+FROM events
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 35-36: ISO-8601 format + zero-padded date parts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        iso8601(F.col("o_orderdate")).alias("iso"),
+        year_str(F.col("o_orderdate")).alias("y"),
+        padded_month(F.col("o_orderdate")).alias("m"),
+        padded_day(F.col("o_orderdate")).alias("d"),
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso,
+       strftime(o_orderdate, '%Y') AS y,
+       strftime(o_orderdate, '%m') AS m,
+       strftime(o_orderdate, '%d') AS d
+FROM orders
+"""
+
+
+def q_permalink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 37: plan-time permalink template compiler, both branches
+    (template expansion + empty-structure guid fallback, posts.js:58-141)."""
+    o = _t(spark, sf_dir, "orders")
+    post_name = slugify(F.col("o_orderpriority"))
+    url = compile_permalink(
+        "/%year%/%monthnum%/%day%/%postname%/",
+        "https://example.com/blog",
+        post_id=F.col("o_orderkey"),
+        date_gmt=F.col("o_orderdate"),
+        post_name=post_name,
+        guid=F.lit(""),
+    )
+    guid = F.concat(F.lit("https://example.com/blog/?p="), F.col("o_orderkey").cast("string"))
+    fallback = compile_permalink(
+        "",
+        "https://example.com/blog",
+        post_id=F.col("o_orderkey"),
+        date_gmt=F.col("o_orderdate"),
+        post_name=post_name,
+        guid=guid,
+    )
+    return o.select("o_orderkey", url.alias("url"), fallback.alias("guid_path"))
+
+
+SQL_PERMALINK = """
+SELECT o_orderkey,
+       '/' || strftime(o_orderdate, '%Y') || '/' || strftime(o_orderdate, '%m')
+           || '/' || strftime(o_orderdate, '%d') || '/'
+           || regexp_replace(lower(o_orderpriority), '[^a-z0-9_-]+', '-', 'g') || '/' AS url,
+       string_split('https://example.com/blog/?p=' || o_orderkey, 'blog')[2] AS guid_path
+FROM orders
+"""
+
+
+def q_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 row 40: struct/document construction serialized with to_json
+    (the keyed-JSON entry shape, posts.js:150-158)."""
+    o = _t(spark, sf_dir, "orders")
+    doc = F.struct(
+        F.col("o_orderkey").alias("uid"),
+        F.col("o_orderstatus").alias("status"),
+        iso8601(F.col("o_orderdate")).alias("date"),
+    )
+    return o.select("o_orderkey", F.to_json(doc).alias("doc"))
+
+
+SQL_STRUCT_JSON = """
+SELECT o_orderkey,
+       to_json(struct_pack(uid := o_orderkey, status := o_orderstatus,
+                           date := strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ')))::VARCHAR AS doc
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine-completeness: windows, sessions, set ops (absent in reference —
+# SURVEY.md §2.h — but first-class engine surface)
+# ---------------------------------------------------------------------------
+
+
+def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per key: latest event per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"))
+    )
+
+
+SQL_WINDOW_LATEST = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch form of the streaming session operator."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
+def q_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION (distinct) of two key sets."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+SQL_UNION_NATIONS = """
+SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the multi-aggregate scan benchmark
+    headline (map-side partial agg, 2-key groupBy)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_AGG_STATS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-k: the shuffle-join benchmark
+    headline (broadcast dim, co-keyed agg)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: dedup / text / similarity / multimodal (§2.h north star)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on deterministic pairs (doc i vs doc i+1) —
+    the verify stage of candidate->verify near-dup."""
+    d = _t(spark, sf_dir, "documents")
+    l = d.select(F.col("doc_id").alias("id_a"), F.col("text"))
+    r = d.select((F.col("doc_id")).alias("id_b"), F.col("text"))
+    out = dd.ngram_jaccard(
+        l, r, F.col("l.id_a") + 1 == F.col("r.id_b"), text_col="text", k=3
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)
+           ]) AS shingles
+    FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+    )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+                  THEN len(list_intersect(a.shingles, b.shingles))
+                       / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  ELSE 0.0 END, 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates. Run over documents plus perturbed
+    copies (id+1_000_000, text with a suffix token) so the fixture —
+    which has no natural dups — exercises the full candidate path.
+    Rows-only check: xxhash64 signatures are not reproducible in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near-dup-suffix")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(perturbed)
+    return dd.minhash_lsh_candidates(both, num_hashes=16, bands=4, shingle_k=3)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over documents + perturbed copies.
+    Rows-only check (xxhash64-based)."""
+    d = _t(spark, sf_dir, "documents")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(perturbed)
+    return dd.simhash_neardups(both, max_hamming=8, prefix_bits=16)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features over documents."""
+    d = _t(spark, sf_dir, "documents")
+    out = tx.quality_features(d)
+    return out.select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_tokens").cast("long").alias("q_tokens"),
+        F.col("q_bpe_tokens").cast("long").alias("q_bpe_tokens"),
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_mean_token_len",
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+') AS toks,
+           string_split_regex(trim(lower(text)), '\s+') AS ltoks
+    FROM documents
+)
+SELECT doc_id,
+       length(text) AS q_chars,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS q_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS q_bpe_tokens,
+       round(CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
+                  ELSE 0.0 END, 6) AS q_punct_ratio,
+       round(CASE WHEN len(toks) > 0 AND trim(text) <> ''
+                  THEN len(list_filter(ltoks, x -> x IN ('the', 'and', 'of', 'to', 'in'))) / len(toks)
+                  ELSE 0.0 END, 6) AS q_stopword_ratio,
+       round(CASE WHEN len(toks) > 0 AND trim(text) <> ''
+                  THEN length(text) / len(toks) ELSE 0.0 END, 6) AS q_mean_token_len
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.lang_id(d).select("doc_id", "lang", "lang_pred")
+
+
+_LANG_HIT = (
+    "len(list_filter(ltoks, x -> x IN ({words})))"
+)
+
+
+def _lang_hits_sql(lang_words: list[str]) -> str:
+    words = ", ".join(f"'{w}'" for w in lang_words)
+    return _LANG_HIT.format(words=words)
+
+
+SQL_LANG_ID = r"""
+WITH t AS (
+    SELECT doc_id, lang,
+           string_split_regex(trim(lower(text)), '\s+') AS ltoks
+    FROM documents
+), h AS (
+    SELECT doc_id, lang,
+           {de} AS h_de, {en} AS h_en, {es} AS h_es, {fr} AS h_fr, {zh} AS h_zh
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM h
+""".format(
+    de=_lang_hits_sql(tx.LANG_MARKERS["de"]),
+    en=_lang_hits_sql(tx.LANG_MARKERS["en"]),
+    es=_lang_hits_sql(tx.LANG_MARKERS["es"]),
+    fr=_lang_hits_sql(tx.LANG_MARKERS["fr"]),
+    zh=_lang_hits_sql(tx.LANG_MARKERS["zh"]),
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha2-256 document fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.fingerprint(d).select("doc_id", "fp")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (k=5) for query vectors vec_id<5."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.cosine_topk(q, e, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+    SELECT query_id, neighbor_id,
+           list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+    FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cos_sim FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM s
+) WHERE rank <= 5
+"""
+
+
+def _lsh_planes(num_tables: int = 2, num_planes: int = 8, dim: int = 16, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [[float(x) for x in rng.standard_normal(dim)] for _ in range(num_planes)]
+        for _ in range(num_tables)
+    ]
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (rows-only: plane literals make the
+    SQL oracle impractical; recall vs the exact path is unit-tested)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.lsh_topk(q, e, _lsh_planes(dim=dim), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched decode/featurize stage (decode
+    stubbed; Spark plumbing real). Oracle covers the deterministic columns."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media_from_documents(d)
+    feats = mm.decode_stub(media)
+    return feats.select("media_id", "n_bytes", "content_sha256")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "flagship_posts_export": q_flagship_posts_export,
+    "filter_project": q_filter_project,
+    "in_list_filter": q_in_list_filter,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "left_outer_join": q_left_outer_join,
+    "eav_pivot": q_eav_pivot,
+    "inner_join": q_inner_join,
+    "broadcast_lookup": q_broadcast_lookup,
+    "group_concat": q_group_concat,
+    "hierarchy_parent": q_hierarchy_parent,
+    "count_group_by": q_count_group_by,
+    "sort_limit": q_sort_limit,
+    "scalar_strings": q_scalar_strings,
+    "entity_decode_split": q_entity_decode_split,
+    "null_default_conditional": q_null_default_conditional,
+    "date_parts": q_date_parts,
+    "permalink": q_permalink,
+    "struct_json": q_struct_json,
+    "window_latest_event": q_window_latest_event,
+    "sessionize": q_sessionize,
+    "union_nations": q_union_nations,
+    "agg_stats": q_agg_stats,
+    "top_revenue": q_top_revenue,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLE_SQL = {
+    "flagship_posts_export": SQL_FLAGSHIP,
+    "filter_project": SQL_FILTER_PROJECT,
+    "in_list_filter": SQL_IN_LIST,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "left_outer_join": SQL_LEFT_OUTER,
+    "eav_pivot": SQL_EAV_PIVOT,
+    "inner_join": SQL_INNER_JOIN,
+    "broadcast_lookup": SQL_BROADCAST_LOOKUP,
+    "group_concat": SQL_GROUP_CONCAT,
+    "hierarchy_parent": SQL_HIERARCHY,
+    "count_group_by": SQL_COUNT_GROUP_BY,
+    "sort_limit": SQL_SORT_LIMIT,
+    "scalar_strings": SQL_SCALAR_STRINGS,
+    "entity_decode_split": SQL_ENTITY_DECODE,
+    "null_default_conditional": SQL_NULL_DEFAULT,
+    "date_parts": SQL_DATE_PARTS,
+    "permalink": SQL_PERMALINK,
+    "struct_json": SQL_STRUCT_JSON,
+    "window_latest_event": SQL_WINDOW_LATEST,
+    "sessionize": SQL_SESSIONIZE,
+    "union_nations": SQL_UNION_NATIONS,
+    "agg_stats": SQL_AGG_STATS,
+    "top_revenue": SQL_TOP_REVENUE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE,
+    "multimodal_decode": SQL_MULTIMODAL,
+}
+
+
+def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return q_flagship_posts_export(spark, sf_dir)

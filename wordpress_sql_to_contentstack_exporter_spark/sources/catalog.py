@@ -1,0 +1,161 @@
+"""Source catalog: logical table name -> DataFrame.
+
+Replaces the reference's textual ``<<tableprefix>>`` SQL splicing
+(helper.js:43-51, posts.js:179, authors.js:69, categories.js:88,
+assets.js:159) with a registry that resolves logical names to physical
+tables at plan time — never string-spliced SQL.
+
+Two physical backends:
+
+- ``parquet_table``: directory-of-parquet (tests, lakehouse).
+- ``jdbc_table``: partitioned JDBC read. This replaces the reference's
+  ``COUNT(*)`` + ``LIMIT skip,100`` page loop (posts.js:180,197-207 and
+  clones) which is both serial and unsound (OFFSET pages lack a total
+  order). A partitioned JDBC scan on a numeric column is parallel and
+  exact, and Spark pushes filters/column pruning into the remote SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parquet_table(path: str) -> Callable[[SparkSession], DataFrame]:
+    def load(spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(path)
+
+    return load
+
+
+def jdbc_table(
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    fetch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> Callable[[SparkSession], DataFrame]:
+    """Partitioned JDBC scan.
+
+    At 100 TB-ish source scale the partition column should be the PK
+    (``ID`` for every WordPress table the reference reads); bounds can be
+    fetched once via ``SELECT min(ID), max(ID)`` rather than a COUNT —
+    O(1) on an indexed PK, and unlike OFFSET paging each partition's
+    predicate is a disjoint range, so rows are never skipped/duplicated
+    when the table mutates between pages.
+    """
+
+    def load(spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("fetchsize", str(fetch_size))
+        )
+        if properties:
+            for k, v in properties.items():
+                reader = reader.option(k, v)
+        if partition_column is not None:
+            lo, hi = lower_bound, upper_bound
+            if lo is None or hi is None:
+                bounds = (
+                    spark.read.format("jdbc")
+                    .option("url", url)
+                    .option(
+                        "dbtable",
+                        f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}) b",
+                    )
+                    .load()
+                    .first()
+                )
+                lo = bounds["lo"] if lo is None else lo
+                hi = bounds["hi"] if hi is None else hi
+            if lo is not None and hi is not None:
+                reader = (
+                    reader.option("partitionColumn", partition_column)
+                    .option("lowerBound", str(lo))
+                    .option("upperBound", str(hi))
+                    .option("numPartitions", str(num_partitions))
+                )
+        return reader.load()
+
+    return load
+
+
+@dataclass
+class Catalog:
+    """Logical-name -> loader registry with prefix handling.
+
+    ``prefix`` mirrors the reference's ``table_prefix`` config
+    (config/index.json:4): logical ``posts`` resolves to physical
+    ``wp_posts`` — but as a registry key, not a regex splice into SQL.
+    """
+
+    spark: SparkSession
+    prefix: str = ""
+    _loaders: dict[str, Callable[[SparkSession], DataFrame]] = field(default_factory=dict)
+
+    def register(self, name: str, loader: Callable[[SparkSession], DataFrame]) -> None:
+        self._loaders[name] = loader
+
+    def register_parquet_dir(self, directory: str, names: list[str]) -> None:
+        for n in names:
+            self.register(n, parquet_table(f"{directory}/{self.prefix}{n}.parquet"))
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._loaders:
+            raise KeyError(f"table {name!r} not registered (have {sorted(self._loaders)})")
+        return self._loaders[name](self.spark)
+
+    def register_views(self) -> None:
+        """Expose every registered table as a temp view for spark.sql()."""
+        for name in self._loaders:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, normalizing nanosecond timestamps.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark rejects by default. Read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds — the same truncation DuckDB applies, so oracle parity
+    holds.
+    """
+    df_path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(df_path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(df_path)
+
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def testdata_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Catalog over the driver-generated synthetic tables (TESTDATA.md)."""
+    cat = Catalog(spark)
+    for n in TPCH_TABLES:
+        cat.register(n, lambda s, _n=n: load_table(s, sf_dir, _n))
+    return cat
