@@ -63,16 +63,44 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
-
-    xxhash64 is Spark-native (JVM, codegen); one pass over the shingle
-    array per seed. Returns array<bigint> of length ``num_hashes``.
+    """MinHash signature as a single array expression (for small inputs /
+    expression contexts). Prefer ``minhash_signatures_df`` in pipelines:
+    nested higher-order functions are interpreted, not codegen'd, and this
+    form re-evaluates the shingle expression per seed.
     """
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(seed))))
             for seed in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """MinHash signatures via explode + hash-aggregate — the scale path.
+
+    Shingles are exploded to (id, shingle) rows; each seed's hash is a
+    plain codegen'd ``xxhash64`` column; ``groupBy(id).min(...)`` is a
+    single hash aggregation with map-side partial combine. This keeps the
+    whole signature computation inside whole-stage codegen (the
+    all-in-one-expression form is ~50x slower: interpreted HOF lambdas,
+    shingling re-evaluated per seed). Output: (id, h0..h{n-1}).
+    """
+    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_fn(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    return exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
     )
 
 
@@ -94,17 +122,26 @@ def minhash_lsh_candidates(
     bucket. Output: (id_a, id_b, est_jaccard) with id_a < id_b, deduped
     across bands, filtered by the estimated Jaccard from full signatures.
 
-    The only shuffles are the exploded band bucket join (short keys) and
-    the pair dedup — no quadratic blow-up. Skewed buckets (boilerplate
-    docs) are bounded by AQE skew handling; callers can also pre-filter
-    giant buckets. ``shingle_mode='word'`` (default) is far more
-    selective than char shingles on small-vocabulary corpora — fewer
-    bucket collisions, smaller candidate sets.
+    The only shuffles are the signature aggregation, the exploded band
+    bucket join (short keys) and the pair dedup — no quadratic blow-up.
+    Skewed buckets (boilerplate docs) are bounded by AQE skew handling;
+    callers can also pre-filter giant buckets. ``shingle_mode='word'``
+    (default) is far more selective than char shingles on
+    small-vocabulary corpora — fewer bucket collisions, smaller
+    candidate sets.
     """
-    shingle_fn = word_shingles if shingle_mode == "word" else char_shingles
-    sig = minhash_signature(shingle_fn(F.col(text_col), shingle_k), num_hashes)
+    sigs = minhash_signatures_df(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+    )
     rows_per_band = num_hashes // bands
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    with_sig = sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
     band_struct = F.array(
         *[
@@ -190,6 +227,40 @@ def simhash64(text: Column, token_sep: str = " ") -> Column:
     )
 
 
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    out_col: str = "sh",
+) -> DataFrame:
+    """SimHash via explode + hash-aggregate — the scale path (same
+    reasoning as ``minhash_signatures_df``: keep everything in codegen).
+
+    (id, token) rows -> per-bit +1/-1 sums as 63 aggregate columns ->
+    fold the sign bits into one long.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("th"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.getbit("th", F.lit(b)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    value = None
+    for b in range(SIMHASH_BITS):
+        piece = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        value = piece if value is None else value + piece
+    return bit_sums.select("id", value.alias(out_col))
+
+
 def simhash_neardups(
     df: DataFrame,
     text_col: str = "text",
@@ -204,9 +275,9 @@ def simhash_neardups(
     Blocking keeps the join linear-ish; rotating the blocked prefix
     (running this with several bit rotations) recovers recall at scale.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    ).withColumn("block", F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits))
+    sh = simhash_df(df, text_col, id_col).withColumn(
+        "block", F.shiftrightunsigned(F.col("sh"), SIMHASH_BITS - prefix_bits)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

@@ -683,7 +683,11 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" near-dup-suffix")).alias("text"),
     )
     both = d.select("doc_id", "text").unionByName(perturbed)
-    return dd.minhash_lsh_candidates(both, num_hashes=16, bands=4, shingle_k=3)
+    # bands=2 (8 rows/band): near-identical pairs (J≈0.97) still match with
+    # p ≈ 1-(1-0.97^8)^2 ≈ 0.96, but moderate-similarity noise pairs
+    # (J≈0.5, common in this small-vocabulary corpus) drop to p ≈ 0.008 —
+    # keeps candidate buckets near-linear.
+    return dd.minhash_lsh_candidates(both, num_hashes=16, bands=2, shingle_k=3)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
