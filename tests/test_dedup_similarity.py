@@ -1,0 +1,102 @@
+"""Dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard) and
+similarity search (exact + LSH cosine top-k)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today!"),  # near-dup of 1
+    (3, "completely different text about database query engines and shuffles"),
+    (4, "THE  quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1 (normalized)
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_dups(docs):
+    out = dd.exact_dedup(docs)
+    rows = {r["keeper_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 2  # 1 and 4 collapse (case/whitespace normalized)
+    assert rows[2] == 1 and rows[3] == 1 and rows[5] == 1
+
+
+def test_minhash_finds_neardups_not_distinct(docs):
+    pairs = dd.minhash_lsh_candidates(docs, num_hashes=16, bands=4, min_est_jaccard=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got or (1, 4) in got  # near/exact dups surface
+    assert (1, 4) in got
+    for a, b in got:
+        assert {a, b} != {1, 3} and {a, b} != {2, 3}  # dissimilar never pairs
+
+
+def test_simhash_identical_zero_hamming(docs):
+    sh = dd.simhash_df(docs)
+    rows = {r["id"]: r["sh"] for r in sh.collect()}
+    assert rows[1] == rows[4]  # normalized-identical -> same simhash
+    pairs = dd.simhash_neardups(docs, max_hamming=10, prefix_bits=12)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 4)) == 0
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    left = docs.select(F.col("doc_id").alias("id_a"), "text")
+    right = docs.select(F.col("doc_id").alias("id_b"), "text")
+    out = dd.ngram_jaccard(
+        left, right, F.col("l.id_a") == F.col("r.id_b"), k=3
+    ).select("id_a", "id_b", "jaccard")
+    for r in out.collect():
+        assert r["jaccard"] == 1.0  # self-pairs are exactly 1
+
+
+def test_cosine_topk_exact_neighbor(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = sim.cosine_topk(q, vecs, k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1 and ranked[-1] == 3
+
+
+def test_lsh_topk_recall_at_least_half(spark):
+    """LSH top-1 should agree with exact top-1 for most queries on the
+    real embeddings fixture."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    dim = len(e.select("embedding").first()[0])
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sim.cosine_topk(q, e, k=1).collect()
+    }
+    import numpy as np
+
+    # Random (unclustered) embeddings are LSH's worst case: use short
+    # signatures x many tables. p(top-1 in same bucket, cos~0.5) ≈
+    # 1-(1-(2/3)^4)^8 ≈ 0.83.
+    rng = np.random.default_rng(42)
+    planes = [
+        [[float(x) for x in rng.standard_normal(dim)] for _ in range(4)]
+        for _ in range(8)
+    ]
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sim.lsh_topk(q, e, planes, k=1).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits >= len(exact) // 2

