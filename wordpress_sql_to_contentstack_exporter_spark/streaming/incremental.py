@@ -1,0 +1,77 @@
+"""Incremental export via Structured Streaming (SURVEY.md §1.1 "batch, not
+streaming" / §7 stage note).
+
+The reference's incremental story is manual: resume files, skip-if-exists,
+DLQ re-drive (assets.js:78-80, README.md:57-62). The Spark-native form is
+``Trigger.AvailableNow`` over a file (or CDC) source: each run processes
+exactly the files that arrived since the last checkpoint, then stops —
+the batch pipeline becomes incremental with zero bespoke state tracking
+(the checkpoint IS the manifest). At scale the same topology runs
+continuously by swapping the trigger.
+
+``foreachBatch`` bridges to the engine's batch sinks (keyed-JSON,
+downloader): each micro-batch is a plain DataFrame, so every operator in
+this package composes unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def incremental_export(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    *,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Process all not-yet-seen files under ``input_dir`` and stop.
+
+    ``batch_fn(batch_df, batch_id)`` receives each micro-batch (already
+    ``transform``-ed) — attach any batch sink there. Re-running with the
+    same ``checkpoint_dir`` is the resume path: only new files are read.
+    """
+    stream = spark.readStream.schema(schema).format(fmt).load(input_dir)
+    if transform is not None:
+        stream = transform(stream)
+    query = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the standard late-data-tolerant
+    streaming aggregate. Works identically on a batch DataFrame (the
+    watermark is a no-op there), so correctness is testable in batch and
+    the same plan deploys streaming.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
