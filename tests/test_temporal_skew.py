@@ -1,0 +1,93 @@
+"""As-of join, range join, and salted aggregation operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators.skew import salted_agg
+from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+    asof_join,
+    range_join_count,
+)
+
+T = dt.datetime
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", T(2024, 1, 1, 10, 0, 30)), (2, "A", T(2024, 1, 1, 10, 2, 0)),
+         (3, "B", T(2024, 1, 1, 10, 1, 0)), (4, "C", T(2024, 1, 1, 10, 0, 0))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(10, "A", T(2024, 1, 1, 10, 0, 0)), (11, "A", T(2024, 1, 1, 10, 1, 0)),
+         (12, "B", T(2024, 1, 1, 10, 0, 50))],
+        "quote_id long, sym string, ts timestamp",
+    )
+    out = asof_join(
+        trades, quotes, keys=["sym"], left_ts="ts", right_ts="ts",
+        payload=["quote_id", "ts"],
+    )
+    rows = {r["trade_id"]: r["asof_quote_id"] for r in out.collect()}
+    assert rows == {1: 10, 2: 11, 3: 12, 4: None}
+
+
+def test_asof_join_tie_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "A", T(2024, 1, 1, 10, 0, 0)), (2, "A", T(2024, 1, 1, 12, 0, 0))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(9, "A", T(2024, 1, 1, 10, 0, 0))], "rid long, k string, ts timestamp"
+    )
+    # non-strict: simultaneous right row is visible
+    out = asof_join(left, right, keys=["k"], left_ts="ts", right_ts="ts", payload=["rid"])
+    rows = {r["id"]: r["asof_rid"] for r in out.collect()}
+    assert rows[1] == 9 and rows[2] == 9
+    # strict: simultaneous right row is NOT visible
+    out_s = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts", payload=["rid"], strict=True
+    )
+    rows_s = {r["id"]: r["asof_rid"] for r in out_s.collect()}
+    assert rows_s[1] is None and rows_s[2] == 9
+    # tolerance: match older than 1h is dropped
+    out_t = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts", payload=["rid"],
+        tolerance_seconds=3600,
+    )
+    rows_t = {r["id"]: r["asof_rid"] for r in out_t.collect()}
+    assert rows_t[1] == 9 and rows_t[2] is None
+
+
+def test_range_join_count(spark):
+    clicks = spark.createDataFrame(
+        [(1, 7, T(2024, 1, 1, 10, 0, 0))], "event_id long, user_id long, ts timestamp"
+    )
+    purchases = spark.createDataFrame(
+        [(2, 7, T(2024, 1, 1, 10, 5, 0)),   # within 10 min
+         (3, 7, T(2024, 1, 1, 10, 20, 0)),  # outside
+         (4, 8, T(2024, 1, 1, 10, 1, 0))],  # other user
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = range_join_count(
+        clicks, purchases, keys=["user_id"],
+        left_ts=F.col("l.ts"), right_ts=F.col("r.ts"),
+        lower=F.lit(0), upper=F.lit(600),
+    )
+    assert out.first()["n_in_range"] == 1
+
+
+def test_salted_agg_matches_plain(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    salted = salted_agg(
+        o, ["o_custkey"],
+        {"n": ("sum", F.count(F.lit(1))), "spend": ("sum", F.sum("o_totalprice"))},
+        salt=8,
+    ).select("o_custkey", "n", F.round("spend", 2).alias("spend"))
+    plain = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    assert salted.subtract(plain).count() == 0
+    assert plain.subtract(salted).count() == 0

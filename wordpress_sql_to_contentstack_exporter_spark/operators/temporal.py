@@ -1,0 +1,130 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+key-bounded range join.
+
+As-of join (the "most recent matching row at or before t" join of
+time-series/feature-store workloads) has no built-in DataFrame form. The
+naive translation — per-left-row correlated subquery, or join + filter +
+row_number — shuffles the full pair blow-up. The implementation here is
+the single-shuffle union trick:
+
+    union(tag left rows, tag right rows)
+      -> window over (keys, ORDER BY ts, right-before-left at ties)
+      -> last(right payload, ignorenulls) carried forward
+      -> keep left rows
+
+One shuffle on the join keys, no pair explosion, O(n log n) within each
+key partition — the same shape Flink/kdb as-of joins use. Skewed keys are
+handled by AQE; a per-key hot tail can additionally be range-bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tolerance_seconds: int | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (or ``<`` when ``strict``) on the same keys.
+
+    Output: all left columns + ``asof_<payload-col>`` columns (NULL when
+    no prior right row exists, or the match is older than
+    ``tolerance_seconds``). ``right_ts`` must be in ``payload`` callers
+    want returned; it is always carried internally for tolerance checks.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(
+            right.select(F.struct(F.col(right_ts).alias("__rts"), *payload).alias("s"))
+            .schema["s"]
+            .dataType.simpleString()
+        ).alias("__payload"),
+    )
+    tagged_right = right.select(
+        # Join keys must survive tagging (they drive the window partition);
+        # every other left column rides along as NULL.
+        *[
+            (F.col(c).alias(c) if c in keys else F.lit(None).cast(dict(left.dtypes)[c]).alias(c))
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(F.col(right_ts).alias("__rts"), *payload).alias("__payload"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    # Ties: with strict=False the right row at the same ts must be visible
+    # to the left row -> right sorts first (__is_left asc). With strict=True
+    # the left row sorts first and cannot see the simultaneous right row.
+    order = [F.col("__ts").asc()] + (
+        [F.col("__is_left").asc()] if not strict else [F.col("__is_left").desc()]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned.withColumn(
+        "__match",
+        F.last(F.when(F.col("__is_left") == 0, F.col("__payload")), ignorenulls=True).over(w),
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match.__rts"))
+                <= tolerance_seconds * 1_000_000,
+                F.col("__match"),
+            ),
+        )
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__match.{p}").alias(f"asof_{p}") for p in payload],
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: Column,
+    right_ts: Column,
+    lower: Column,
+    upper: Column,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Per left row: count of right rows on the same keys with
+    ``lower <= right_ts - left_ts < upper`` (both Columns in seconds
+    converted by the caller). Equi-keys bound the join fan-out; the range
+    predicate is applied post-join, which is the right plan when keys are
+    selective. For key-free or hot-key range joins, bucketize time into
+    the key instead.
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    key_cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        key_cond = c if key_cond is None else key_cond & c
+    delta = F.unix_micros(right_ts) - F.unix_micros(left_ts)
+    cond = key_cond & (delta >= lower * 1_000_000) & (delta < upper * 1_000_000)
+    joined = l.join(r, cond, "left")
+    group_cols = [F.col(f"l.{c}") for c in left.columns]
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.col(f"r.{keys[0]}")).alias(count_alias)
+    )

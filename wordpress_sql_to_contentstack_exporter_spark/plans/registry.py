@@ -41,6 +41,8 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators.skew import salted_agg
+from ..operators.temporal import asof_join, range_join_count
 
 
 from ..sources.catalog import load_table as _t
@@ -621,6 +623,169 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): latest prior click per purchase,
+    single-shuffle union+window implementation; oracle is DuckDB's native
+    ASOF JOIN."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("last_click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.event_id AS last_click_id,
+       CASE WHEN c.event_id IS NOT NULL
+            THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-bounded range join: purchases within 10 min after each click."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_count(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts=F.col("l.ts"),
+        right_ts=F.col("r.ts"),
+        lower=F.lit(0),
+        upper=F.lit(600),
+    )
+    return out.select("event_id", "user_id", "n_in_range")
+
+
+SQL_RANGE_JOIN = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, count(p.event_id) AS n_in_range
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+   AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
+   AND epoch_us(p.ts) - epoch_us(c.ts) < 600000000
+GROUP BY c.event_id, c.user_id
+"""
+
+
+def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+SQL_INTERSECT = """
+SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier
+"""
+
+
+def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)  # set EXCEPT (exceptAll would be bag difference)
+
+
+SQL_EXCEPT = """
+SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (windowed top-k)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice AS price,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — must equal the plain groupBy
+    (oracle = same SQL as count_group_by)."""
+    o = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        o,
+        ["o_custkey"],
+        {
+            "order_count": ("sum", F.count(F.lit(1))),
+            "total_spend": ("sum", F.sum("o_totalprice")),
+        },
+    )
+    return out.select(
+        "o_custkey", "order_count", F.round("total_spend", 2).alias("total_spend")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: dedup / text / similarity / multimodal (§2.h north star)
 # ---------------------------------------------------------------------------
@@ -892,6 +1057,14 @@ SPARK_QUERIES = {
     "union_nations": q_union_nations,
     "agg_stats": q_agg_stats,
     "top_revenue": q_top_revenue,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "rollup_stats": q_rollup_stats,
+    "intersect_nations": q_intersect_nations,
+    "except_nations": q_except_nations,
+    "topk_per_group": q_topk_per_group,
+    "distinct_count": q_distinct_count,
+    "salted_agg": q_salted_agg,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
@@ -929,6 +1102,14 @@ ORACLE_SQL = {
     "union_nations": SQL_UNION_NATIONS,
     "agg_stats": SQL_AGG_STATS,
     "top_revenue": SQL_TOP_REVENUE,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "rollup_stats": SQL_ROLLUP,
+    "intersect_nations": SQL_INTERSECT,
+    "except_nations": SQL_EXCEPT,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "distinct_count": SQL_DISTINCT_COUNT,
+    "salted_agg": SQL_COUNT_GROUP_BY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
