@@ -1,0 +1,51 @@
+"""CLI — the ``npm run export [module] [ids-file]`` surface (app.js:11-23,
+SURVEY.md §2 row 43).
+
+    python -m wordpress_sql_to_contentstack_exporter_spark export [--config cfg.json]
+        [--module assets|authors|categories|posts] [--ids-file ids.txt]
+
+Module selection and the resume-by-ID file behave like the reference CLI;
+with no module, all four run in the reference's fixed order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="wordpress_sql_to_contentstack_exporter_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    exp = sub.add_parser("export", help="run the WordPress export pipeline")
+    exp.add_argument("--config", default=None, help="path to config JSON")
+    exp.add_argument(
+        "--module",
+        choices=["assets", "authors", "categories", "posts"],
+        default=None,
+        help="run a single module (default: all, in reference order)",
+    )
+    exp.add_argument("--ids-file", default=None, help="comma/newline-separated IDs to (re-)export")
+    args = parser.parse_args(argv)
+
+    from .config import ExportConfig, build_catalog
+    from .logging_utils import get_logger
+    from .plans.pipeline import run_export
+    from .session import get_spark
+    from .sources.idlist import read_id_list
+
+    logger = get_logger()
+    cfg = ExportConfig.from_json(args.config) if args.config else ExportConfig()
+    spark = get_spark("wp-export")
+    cat = build_catalog(spark, cfg)
+    ids = read_id_list(spark, args.ids_file) if args.ids_file else None
+    modules = [args.module] if args.module else None
+    results = run_export(cat, cfg.data_dir, modules=modules, ids=ids)
+    for mod, df in results.items():
+        logger.info("exported module %s", mod, extra={"metrics": {"rows": df.count()}})
+    logger.info("Data exporting has been completed")  # app.js:40-43
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
