@@ -18,6 +18,9 @@ the DuckDB oracle reproduces bit-for-bit).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,6 +44,79 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     ad, bd = _as_double(a), _as_double(b)
     return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def cosine_pandas(vec_col_a: str, vec_col_b: str) -> Column:
+    """Arrow-batched Pandas-UDF cosine — the vectorized Python path.
+
+    The expression form (``cosine``) stays JVM-side and is the default;
+    this exists for cases where the math outgrows Catalyst expressions
+    (e.g. swapping in a real model's scoring fn). numpy over Arrow
+    batches: one Python roundtrip per batch, not per row.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack(a.to_numpy()).astype(np.float64)
+        bv = np.stack(b.to_numpy()).astype(np.float64)
+        dots = (av * bv).sum(axis=1)
+        return pd.Series(
+            dots / (np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1))
+        )
+
+    return _cos(F.col(vec_col_a), F.col(vec_col_b))
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    planes_tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    ``exact=True`` is the all-pairs baseline — correct at fixture scale,
+    quadratic cost. For 100 TB use ``exact=False`` with LSH tables: only
+    bucket-colliding pairs are scored (same machinery as ``lsh_topk``).
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        paired = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        assert planes_tables is not None
+        a_sig = a.select(
+            "id_a", "va",
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"), hyperplane_signature(F.col("va"), p).alias("sig"))
+                for t, p in enumerate(planes_tables)
+            ])).alias("s"),
+        )
+        b_sig = b.select(
+            "id_b", "vb",
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"), hyperplane_signature(F.col("vb"), p).alias("sig"))
+                for t, p in enumerate(planes_tables)
+            ])).alias("s"),
+        )
+        paired = (
+            a_sig.join(
+                b_sig,
+                (a_sig["s.t"] == b_sig["s.t"])
+                & (a_sig["s.sig"] == b_sig["s.sig"])
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "va", "id_b", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    scored = paired.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def cosine_topk(

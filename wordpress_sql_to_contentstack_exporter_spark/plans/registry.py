@@ -989,6 +989,26 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cos_sim FROM (
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline at fixture scale;
+    the LSH-bucketed variant is the scale path — see
+    operators/similarity.embedding_neardup_pairs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(e, threshold=0.35)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.35
+"""
+
+
 def _lsh_planes(num_tables: int = 2, num_planes: int = 8, dim: int = 16, seed: int = 42):
     import numpy as np
 
@@ -1074,6 +1094,7 @@ SPARK_QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -1117,6 +1138,7 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "multimodal_decode": SQL_MULTIMODAL,
 }
 

@@ -75,8 +75,9 @@ def jdbc_table(
                     .load()
                     .first()
                 )
-                lo = bounds["lo"] if lo is None else lo
-                hi = bounds["hi"] if hi is None else hi
+                # positional: databases differ in identifier case folding
+                lo = bounds[0] if lo is None else lo
+                hi = bounds[1] if hi is None else hi
             if lo is not None and hi is not None:
                 reader = (
                     reader.option("partitionColumn", partition_column)
