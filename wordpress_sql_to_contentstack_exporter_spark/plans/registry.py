@@ -769,6 +769,19 @@ SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders
 """
 
 
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (HLL distinct, quantile sketch) — the
+    constant-memory path for 100 TB cardinality/quantile questions.
+    Rows-only: sketch internals differ engine-to-engine; accuracy vs exact
+    is asserted in tests/test_approx.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation — must equal the plain groupBy
     (oracle = same SQL as count_group_by)."""
@@ -1085,6 +1098,7 @@ SPARK_QUERIES = {
     "topk_per_group": q_topk_per_group,
     "distinct_count": q_distinct_count,
     "salted_agg": q_salted_agg,
+    "approx_aggs": q_approx_aggs,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
