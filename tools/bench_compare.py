@@ -1,0 +1,61 @@
+"""Per-query Spark vs DuckDB timing comparison on the same parquet data.
+
+DuckDB is the single-node columnar reference point (the actual reference
+delegates its relational work to MySQL, which has no comparable columnar
+path). Spark on tiny local data pays fixed JVM/scheduling overhead per
+action — the interesting number at sf0.1 is the *marginal* gap on the
+heavier queries, and whether it shrinks as data grows. Usage:
+
+    python tools/bench_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import duckdb
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import ORACLE_SQL, SPARK_QUERIES
+    from wordpress_sql_to_contentstack_exporter_spark.session import get_spark
+    from bench import HEADLINE
+
+    spark = get_spark("bench_compare")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()  # warm up
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    out = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark_s = time.perf_counter() - t0
+        duck_s = None
+        if name in ORACLE_SQL:
+            t0 = time.perf_counter()
+            con.execute(ORACLE_SQL[name]).fetchall()
+            duck_s = time.perf_counter() - t0
+        out[name] = {
+            "spark_s": round(spark_s, 3),
+            "duckdb_s": round(duck_s, 3) if duck_s is not None else None,
+            "ratio": round(spark_s / duck_s, 1) if duck_s else None,
+        }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

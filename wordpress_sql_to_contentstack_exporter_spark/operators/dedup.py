@@ -157,6 +157,11 @@ def minhash_lsh_candidates(
     banded = with_sig.select("id", "sig", F.explode(band_struct).alias("bb")).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # Self-join below would otherwise recompute the whole signature
+    # pipeline twice (no exchange reuse across the join sides). The
+    # persisted set is tiny — id + signature per doc — and spills to disk
+    # if not; this is the intended pattern at scale too.
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -278,6 +283,7 @@ def simhash_neardups(
     sh = simhash_df(df, text_col, id_col).withColumn(
         "block", F.shiftrightunsigned(F.col("sh"), SIMHASH_BITS - prefix_bits)
     )
+    sh = sh.persist()  # reused on both sides of the self-join below
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

@@ -489,6 +489,31 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (the reference round-trips JSON documents,
+    helper.js:20,26): parse events.props, extract + aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-1 per key: latest event per user."""
     e = _t(spark, sf_dir, "events")
@@ -1085,6 +1110,7 @@ SPARK_QUERIES = {
     "date_parts": q_date_parts,
     "permalink": q_permalink,
     "struct_json": q_struct_json,
+    "json_extract": q_json_extract,
     "window_latest_event": q_window_latest_event,
     "sessionize": q_sessionize,
     "union_nations": q_union_nations,
@@ -1132,6 +1158,7 @@ ORACLE_SQL = {
     "date_parts": SQL_DATE_PARTS,
     "permalink": SQL_PERMALINK,
     "struct_json": SQL_STRUCT_JSON,
+    "json_extract": SQL_JSON_EXTRACT,
     "window_latest_event": SQL_WINDOW_LATEST,
     "sessionize": SQL_SESSIONIZE,
     "union_nations": SQL_UNION_NATIONS,
