@@ -1,0 +1,71 @@
+"""Incremental keyed-JSON export: streaming micro-batches merge into the
+document (reference read-modify-write semantics) + contenttype JSON parsing."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.plans.validate import from_contenttype_json
+from wordpress_sql_to_contentstack_exporter_spark.sinks import merge_keyed_json
+from wordpress_sql_to_contentstack_exporter_spark.streaming import incremental_export
+
+
+def test_merge_keyed_json_overwrites_and_keeps(spark, tmp_path):
+    path = str(tmp_path / "en-us.json")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    merge_keyed_json(df1, F.col("id"), F.struct(F.col("v")), path)
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    merge_keyed_json(df2, F.col("id"), F.struct(F.col("v")), path)
+    doc = json.loads(open(path).read())
+    assert doc == {"1": {"v": "a"}, "2": {"v": "B"}, "3": {"v": "c"}}
+
+
+def test_streaming_incremental_posts_merge(spark, tmp_path):
+    """New post files arrive -> AvailableNow run merges only the new
+    entries into the keyed document."""
+    inp = tmp_path / "posts_in"
+    ckpt = str(tmp_path / "ckpt")
+    out_path = str(tmp_path / "en-us.json")
+
+    schema = "ID long, post_title string"
+
+    def batch_fn(df, batch_id):
+        entry = F.struct(F.col("post_title").alias("title"), F.col("ID").alias("uid"))
+        merge_keyed_json(df, F.col("ID"), entry, out_path)
+
+    spark.createDataFrame([(1, "first")], schema).write.parquet(str(inp / "f1"))
+    incremental_export(spark, f"{inp}/*", spark.createDataFrame([], schema).schema,
+                       batch_fn, ckpt)
+    assert json.loads(open(out_path).read()) == {"1": {"title": "first", "uid": 1}}
+
+    spark.createDataFrame([(2, "second")], schema).write.parquet(str(inp / "f2"))
+    incremental_export(spark, f"{inp}/*", spark.createDataFrame([], schema).schema,
+                       batch_fn, ckpt)
+    doc = json.loads(open(out_path).read())
+    assert set(doc) == {"1", "2"}  # run 2 merged, not rewrote
+
+
+def test_from_contenttype_json():
+    doc = {
+        "title": "Posts",
+        "uid": "posts",
+        "schema": [
+            {"uid": "title", "data_type": "text", "mandatory": True, "unique": True},
+            {"uid": "url", "data_type": "text", "mandatory": True},
+            {"uid": "author", "data_type": "reference", "multiple": True},
+            {
+                "uid": "seo",
+                "data_type": "group",
+                "schema": [
+                    {"uid": "meta_title", "data_type": "text", "mandatory": False}
+                ],
+            },
+        ],
+    }
+    ct = from_contenttype_json(doc)
+    by_name = {f.name: f for f in ct.fields}
+    assert by_name["title"].mandatory and by_name["title"].unique
+    assert by_name["author"].multiple
+    assert "seo.meta_title" in by_name  # group flattened to dotted names

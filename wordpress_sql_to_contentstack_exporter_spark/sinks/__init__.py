@@ -1,4 +1,10 @@
-from .keyed_json import write_keyed_json, write_master_mapping
+from .keyed_json import merge_keyed_json, write_keyed_json, write_master_mapping
 from .dlq import read_dlq_ids, write_dlq
 
-__all__ = ["write_keyed_json", "write_master_mapping", "write_dlq", "read_dlq_ids"]
+__all__ = [
+    "merge_keyed_json",
+    "write_keyed_json",
+    "write_master_mapping",
+    "write_dlq",
+    "read_dlq_ids",
+]

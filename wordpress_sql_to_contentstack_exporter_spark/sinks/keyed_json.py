@@ -51,6 +51,30 @@ def write_keyed_json(
         f.write(keyed_json_string(df, key, value, sort_keys=sort_keys))
 
 
+def merge_keyed_json(
+    df: DataFrame, key: Column, value: Column, path: str
+) -> None:
+    """Read-modify-write merge into an existing keyed-JSON file — the
+    reference's page-merge semantics (helper.js:15-28, posts.js:145-163):
+    existing entries are kept, incoming keys overwrite. This is the
+    incremental-export sink: each micro-batch merges its entries instead
+    of rewriting the document from scratch."""
+    existing: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            content = f.read().strip()
+            if content:
+                existing = json.loads(content)
+    rendered = df.select(
+        key.cast("string").alias("__k"), F.to_json(value).alias("__v")
+    ).collect()
+    for r in rendered:
+        existing[r["__k"]] = json.loads(r["__v"])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(json.dumps(dict(sorted(existing.items())), indent=4))
+
+
 def write_master_mapping(
     df: DataFrame, key: Column, path: str, *, locale: str | None = "en-us"
 ) -> None:
