@@ -576,6 +576,101 @@ FROM sessioned GROUP BY user_id, session_id
 """
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag/lead/rank/dense_rank/ntile/cume_dist
+    over per-customer order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+SQL_WINDOW_SUITE = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate over a
+    tokenized column (the expression-level array algebra the dedup family
+    builds on)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    longs = F.filter(toks, lambda t: F.length(t) > 4)
+    upper3 = F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return d.select(
+        "doc_id",
+        F.size(longs).cast("long").alias("n_long_tokens"),
+        F.array_join(upper3, " ").alias("first3_upper"),
+        total_len.alias("total_token_chars"),
+    )
+
+
+SQL_ARRAY_HOF = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, x -> length(x) > 4)) AS n_long_tokens,
+       array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ') AS first3_upper,
+       list_sum(list_transform(toks, x -> length(x)))::BIGINT AS total_token_chars
+FROM t
+"""
+
+
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity on deterministic pairs (doc i vs i+1,
+    first 40 chars) — the char-level member of the dedup toolbox."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("tb"))
+    return (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("ta", "tb").cast("long").alias("edit_dist"))
+    )
+
+
+SQL_LEVENSHTEIN = """
+WITH t AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.s, b.s) AS edit_dist
+FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: UNION (distinct) of two key sets."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
@@ -1112,6 +1207,10 @@ SPARK_QUERIES = {
     "struct_json": q_struct_json,
     "json_extract": q_json_extract,
     "window_latest_event": q_window_latest_event,
+    "window_suite": q_window_suite,
+    "array_hof": q_array_hof,
+    "levenshtein": q_levenshtein,
+    "cube_stats": q_cube_stats,
     "sessionize": q_sessionize,
     "union_nations": q_union_nations,
     "agg_stats": q_agg_stats,
@@ -1160,6 +1259,10 @@ ORACLE_SQL = {
     "struct_json": SQL_STRUCT_JSON,
     "json_extract": SQL_JSON_EXTRACT,
     "window_latest_event": SQL_WINDOW_LATEST,
+    "window_suite": SQL_WINDOW_SUITE,
+    "array_hof": SQL_ARRAY_HOF,
+    "levenshtein": SQL_LEVENSHTEIN,
+    "cube_stats": SQL_CUBE,
     "sessionize": SQL_SESSIONIZE,
     "union_nations": SQL_UNION_NATIONS,
     "agg_stats": SQL_AGG_STATS,
