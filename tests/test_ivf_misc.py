@@ -1,0 +1,48 @@
+"""IVF ANN recall, frequent items, topological load order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+from wordpress_sql_to_contentstack_exporter_spark.plans.pipeline import topo_order
+
+
+def test_ivf_topk_recall(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        r["query_id"]: r["neighbor_id"] for r in sim.cosine_topk(q, e, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sim.ivf_topk(q, e, k=1, n_cells=8, n_probe=4).collect()
+    }
+    hits = sum(1 for k_, v in exact.items() if approx.get(k_) == v)
+    # probing half the cells should recover most true top-1s
+    assert hits >= len(exact) * 0.6
+
+
+def test_freq_items_contains_true_heavy_hitters(spark):
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    freq = l.freqItems(["l_returnflag"], support=0.2).first()["l_returnflag_freqItems"]
+    true_counts = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(true_counts.values())
+    for flag, n in true_counts.items():
+        if n / total >= 0.2:
+            assert flag in freq
+
+
+def test_topo_order_matches_reference_priority():
+    # contenttypes/__priority.json == ["authors", "categories", "posts"]
+    assert topo_order() == ["authors", "categories", "posts"]
+
+
+def test_topo_order_detects_cycles():
+    import pytest
+
+    with pytest.raises(ValueError, match="cycle"):
+        topo_order({"a": ["b"], "b": ["a"]})

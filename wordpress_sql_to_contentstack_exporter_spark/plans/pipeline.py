@@ -35,6 +35,35 @@ from . import wordpress as wp
 
 MODULES = ["assets", "authors", "categories", "posts"]  # app.js:9 order
 
+#: Reference graph between content types (contenttypes/__master.json:13-40):
+#: posts reference authors and categories; categories self-reference (cycle).
+REFERENCE_GRAPH: dict[str, list[str]] = {
+    "authors": [],
+    "categories": ["categories"],  # parent self-reference, isCycle=true
+    "posts": ["authors", "categories"],
+}
+
+
+def topo_order(graph: dict[str, list[str]] | None = None) -> list[str]:
+    """Topological load order of content types — recomputes the
+    reference's hand-written ``__priority.json`` (["authors",
+    "categories", "posts"]) from the reference graph. Self-cycles
+    (categories.parent) are ignored: a type may depend on already-loaded
+    rows of itself. Deterministic: ties resolve alphabetically."""
+    g = graph if graph is not None else REFERENCE_GRAPH
+    deps = {n: {d for d in ds if d != n and d in g} for n, ds in g.items()}
+    out: list[str] = []
+    while deps:
+        ready = sorted(n for n, ds in deps.items() if not ds)
+        if not ready:
+            raise ValueError(f"cycle among {sorted(deps)}")
+        out.extend(ready)
+        for n in ready:
+            del deps[n]
+        for ds in deps.values():
+            ds.difference_update(ready)
+    return out
+
 
 def export_posts(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
     site = wp.read_site_options(cat)

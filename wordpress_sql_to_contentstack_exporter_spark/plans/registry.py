@@ -1164,6 +1164,33 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + multi-probe) approximate top-k. Rows-only:
+    k-means is iterative/non-SQL-expressible; recall vs the exact path is
+    unit-tested (tests/test_dedup_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.ivf_topk(q, e, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: approximate frequent items (Karp et al. via
+    DataFrame.freqItems). Rows-only: sketch output is support-dependent;
+    containment of true heavy hitters is unit-tested."""
+    l = _t(spark, sf_dir, "lineitem")
+    freq = l.freqItems(["l_returnflag", "l_linestatus"], support=0.2)
+    row = freq.first()
+    flags = sorted(row["l_returnflag_freqItems"])
+    statuses = sorted(row["l_linestatus_freqItems"])
+    return spark.createDataFrame(
+        [(",".join(flags), ",".join(statuses))],
+        "frequent_returnflags string, frequent_linestatuses string",
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched decode/featurize stage (decode
     stubbed; Spark plumbing real). Oracle covers the deterministic columns."""
@@ -1233,6 +1260,8 @@ SPARK_QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "freq_items": q_freq_items,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
 }
