@@ -38,7 +38,7 @@ from ..functions import (
     slugify,
 )
 from ..functions.permalink import compile_permalink
-from ..operators.relational import broadcast_lookup, eav_pivot
+from ..operators.relational import eav_pivot
 from ..sources.catalog import Catalog
 from ..sources.idlist import filter_by_ids
 
