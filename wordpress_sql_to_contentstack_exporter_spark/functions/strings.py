@@ -10,19 +10,53 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Matches the reference's host-strip regex ``/^(?:\/\/|[^\/]+)*\//``
-#: (posts.js:149): strips scheme+host from an absolute URL, keeping the path.
+#: The reference's host-strip regex ``/^(?:\/\/|[^\/]+)*\//`` (posts.js:149).
+#: NOT used directly: the pattern has catastrophic backtracking (ReDoS) —
+#: a slash-free input of n chars costs O(2^n) in both Java and JS regex
+#: engines, which at scale means one malformed guid hangs an executor
+#: task. The implementation below reproduces its exact semantics in
+#: linear time.
 _HOST_STRIP_RE = r"^(?:\/\/|[^\/]+)*\/"
+
+#: First MAXIMAL odd-length slash run (not preceded/followed by '/').
+_ODD_RUN_RE = r"(?<![/])(?:(?:[/]{2})*[/])(?![/])"
+#: The LAST '/' of the string (and everything after it).
+_LAST_RUN_RE = r"/[^/]*$"
 
 
 def host_strip(url: Column | str) -> Column:
     """``"/" + guid.replace(/^(?:\\/\\/|[^\\/]+)*\\//, "")`` — posts.js:149.
 
-    ``http://example.com/a/b`` -> ``/a/b``; a URL with no path collapses
-    to ``/<rest>`` exactly as the JS regex does.
+    ``http://example.com/a/b`` -> ``/a/b`` (leftmost-first: strips
+    scheme+host through the first unpaired slash only).
+
+    Semantics of the JS regex, derived from its greedy+backtracking
+    behavior and reproduced here without backtracking:
+
+    1. If the string has a maximal odd-length slash run, the match ends
+       at the end of the FIRST such run (the greedy scan consumes '//'
+       pairs and non-slash runs, then the lone '/' satisfies the final
+       ``\\/``).
+    2. Else, if any slash exists (all runs even-length), backtracking
+       surrenders the final consumed '//' pair, so the remainder starts
+       at the LAST '/' of the string (inclusive).
+    3. Else (no '/'), no match — the input passes through unchanged.
+
+    Each branch is a fixed-length-lookbehind regex returning the captured
+    remainder directly (regexp_extract, not regexp_instr — instr yields
+    UTF-16 code-unit positions that disagree with codepoint-based substr
+    on astral characters): near-linear time, identical output
+    (property-tested against the original regex), no ReDoS.
     """
     c = F.col(url) if isinstance(url, str) else url
-    return F.concat(F.lit("/"), F.regexp_replace(c, _HOST_STRIP_RE, ""))
+    after_odd = F.regexp_extract(c, _ODD_RUN_RE + r"([\s\S]*)", 1)
+    after_last = F.regexp_extract(c, r"(/[^/]*)$", 1)
+    stripped = (
+        F.when(c.rlike(_ODD_RUN_RE), after_odd)
+        .when(c.contains("/"), after_last)
+        .otherwise(c)
+    )
+    return F.concat(F.lit("/"), stripped)
 
 
 def slugify(text: Column | str, prefix: str = "") -> Column:
