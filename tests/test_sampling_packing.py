@@ -1,0 +1,66 @@
+"""Stratified sampling, deterministic splits, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
+    deterministic_split,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    d = docs(spark)
+    fractions = {"en": 0.5, "de": 1.0}
+    s1 = stratified_sample(d, "lang", fractions, key_col="doc_id")
+    s2 = stratified_sample(d, "lang", fractions, key_col="doc_id")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2  # hash-based: identical across runs
+
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"en", "de"}  # other strata dropped
+    assert counts["de"] == totals["de"]  # fraction 1.0 keeps all
+    assert 0.3 < counts["en"] / totals["en"] < 0.7  # ~0.5 within tolerance
+
+
+def test_deterministic_split_partitions_everything(spark):
+    d = docs(spark)
+    out = deterministic_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id")
+    n = d.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # exactly one split per row
+    assert counts["train"] / n > 0.7
+    # stability: same assignment on re-run
+    out2 = deterministic_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id")
+    assert out.select("doc_id", "split").subtract(out2.select("doc_id", "split")).count() == 0
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    d = docs(spark)
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import token_count_ws
+
+    with_toks = d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(
+        with_toks, token_col="n_tokens", max_tokens=256, key_col="doc_id", n_shards=8
+    )
+    # every doc appears exactly once
+    assert packed.count() == with_toks.count()
+    assert packed.select("doc_id").distinct().count() == with_toks.count()
+    # next-fit approximation bound: per-pack sum of capped tokens < 2*budget
+    sums = (
+        packed.withColumn("capped", F.least(F.col("n_tokens"), F.lit(256)))
+        .groupBy("pack_id")
+        .agg(F.sum("capped").alias("s"))
+    )
+    assert sums.filter(F.col("s") >= 2 * 256).count() == 0
+    # packs are reasonably full on average (not one doc per pack)
+    avg_fill = sums.agg(F.avg("s")).first()[0]
+    assert avg_fill > 256 * 0.5

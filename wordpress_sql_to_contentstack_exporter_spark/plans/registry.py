@@ -41,6 +41,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators.sampling import deterministic_split, pack_sequences, stratified_sample
 from ..operators.skew import salted_agg
 from ..operators.temporal import asof_join, range_join_count
 
@@ -1164,6 +1165,60 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing of documents into 512-token packs
+    (LLM pretraining batch shaping); modulo sharding here so the DuckDB
+    oracle can mirror the window exactly (production default shards by
+    xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tx.token_count_ws(F.col("text")).alias("n_tokens")
+    with_toks = d.select("doc_id", toks)
+    packed = pack_sequences(
+        with_toks,
+        token_col="n_tokens",
+        max_tokens=512,
+        key_col="doc_id",
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return packed.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id")
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           doc_id % 8 AS shard
+    FROM documents
+), s AS (
+    SELECT doc_id, n_tokens, shard,
+           coalesce(sum(least(n_tokens, 512)) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       shard || '-' || CAST(floor(run_before / 512) AS BIGINT) AS pack_id
+FROM s
+"""
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based stratified sampling + deterministic train/val/test split
+    (rows-only: xxhash64 selection is engine-specific; proportions and
+    stability are unit-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
+        key_col="doc_id",
+    )
+    return deterministic_split(
+        sampled, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    ).select("doc_id", "lang", "split")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + multi-probe) approximate top-k. Rows-only:
     k-means is iterative/non-SQL-expressible; recall vs the exact path is
@@ -1262,6 +1317,8 @@ SPARK_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "freq_items": q_freq_items,
+    "sequence_packing": q_sequence_packing,
+    "stratified_split": q_stratified_split,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -1312,6 +1369,7 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
     "multimodal_decode": SQL_MULTIMODAL,
 }
 
