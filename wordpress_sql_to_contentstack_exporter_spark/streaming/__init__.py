@@ -1,3 +1,10 @@
 from .incremental import incremental_export, windowed_event_counts
+from .rollup import continuous_rollup
+from .stateful import sessionize_stream
 
-__all__ = ["incremental_export", "windowed_event_counts"]
+__all__ = [
+    "incremental_export",
+    "windowed_event_counts",
+    "continuous_rollup",
+    "sessionize_stream",
+]
