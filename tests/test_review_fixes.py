@@ -1,0 +1,118 @@
+"""Regression tests for defects found in the adversarial review pass."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+from wordpress_sql_to_contentstack_exporter_spark.operators.relational import eav_pivot
+from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
+    deterministic_split,
+    pack_sequences,
+    stratified_sample,
+)
+from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import range_join_count
+
+
+def test_cosine_zero_vector_does_not_crash(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter(F.col("vec_id") == 0)
+    rows = {r["neighbor_id"]: r["cos_sim"] for r in sim.cosine_topk(q, vecs, k=2).collect()}
+    assert rows[1] == 0.0  # zero vector scores 0, job completes
+
+
+def test_sample_then_split_is_independent(spark):
+    df = spark.createDataFrame([(i, "en") for i in range(2000)], "doc_id long, lang string")
+    sampled = stratified_sample(df, "lang", {"en": 0.5}, key_col="doc_id")
+    out = deterministic_split(sampled, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # all splits populated
+    n = sum(counts.values())
+    assert 0.05 < counts["val"] / n < 0.2 and 0.05 < counts["test"] / n < 0.2
+
+
+def test_pack_sequences_strict_respects_budget(spark):
+    df = spark.createDataFrame([(i, 60) for i in range(4)], "doc_id long, n_tokens int")
+    packed = pack_sequences(
+        df, token_col="n_tokens", max_tokens=100, key_col="doc_id",
+        shard_expr=F.lit(0), strict=True,
+    )
+    sums = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    assert all(r["s"] <= 100 for r in sums)  # strict: never exceeds budget
+    assert len(sums) == 4  # 60+60 = 120 > 100, so no two docs share a pack
+
+
+def test_pack_sequences_strict_oversized_doc_alone(spark):
+    df = spark.createDataFrame(
+        [(1, 30), (2, 500), (3, 30), (4, 30)], "doc_id long, n_tokens int"
+    )
+    packed = pack_sequences(
+        df, token_col="n_tokens", max_tokens=100, key_col="doc_id",
+        shard_expr=F.lit(0), strict=True,
+    )
+    rows = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    assert rows[1] != rows[2]  # oversized doc opens its own pack
+    assert rows[3] == rows[4]  # small docs share
+
+
+def test_range_join_count_duplicate_left_rows(spark):
+    T = dt.datetime
+    clicks = spark.createDataFrame(
+        [(1, 7, T(2024, 1, 1, 10, 0)), (1, 7, T(2024, 1, 1, 10, 0))],  # exact dup
+        "event_id long, user_id long, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(9, 7, T(2024, 1, 1, 10, 5))], "event_id long, user_id long, ts timestamp"
+    )
+    out = range_join_count(
+        clicks, purchases, keys=["user_id"],
+        left_ts=F.col("l.ts"), right_ts=F.col("r.ts"),
+        lower=F.lit(0), upper=F.lit(600),
+    )
+    rows = out.collect()
+    assert len(rows) == 2  # one output row per input row, not collapsed
+    assert all(r["n_in_range"] == 1 for r in rows)
+
+
+def test_eav_pivot_keeps_present_key_with_null_value(spark):
+    meta = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", None), (2, "a", "y")],  # user 2 lacks key b
+        "user_id long, meta_key string, meta_value string",
+    )
+    out = eav_pivot(meta, "user_id", ["a", "b"])
+    rows = {r["user_id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: ("x", None)}  # key-present-value-NULL kept; absent key dropped
+
+
+def test_lang_id_unsegmented_chinese(spark):
+    df = spark.createDataFrame(
+        [(1, "我是中国人，这是我的书"), (2, "the cat and the dog of note")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id(df).collect()}
+    assert rows[1] == "zh"
+    assert rows[2] == "en"
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    df = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dd.minhash_lsh_candidates(df, num_hashes=16, bands=5)
+
+
+def test_hyperplane_signature_32_planes_no_overflow(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    planes = [[float(x) for x in rng.standard_normal(4)] for _ in range(34)]
+    df = spark.createDataFrame([([1.0, 0.5, -0.5, 2.0],)], "v array<float>")
+    val = df.select(sim.hyperplane_signature(F.col("v"), planes).alias("s")).first()["s"]
+    assert isinstance(val, int)  # completes without ARITHMETIC_OVERFLOW

@@ -130,6 +130,12 @@ def minhash_lsh_candidates(
     small-vocabulary corpora — fewer bucket collisions, smaller
     candidate sets.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "otherwise trailing signature values are silently ignored "
+            "(and bands > num_hashes would make every doc collide)"
+        )
     sigs = minhash_signatures_df(
         df,
         text_col,

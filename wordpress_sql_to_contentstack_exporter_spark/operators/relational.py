@@ -36,21 +36,30 @@ def eav_pivot(
     N-way self-join (the naive translation would shuffle the fact table N
     times). Map-side partial aggregation applies; skewed entities are
     handled by AQE.
+
+    ``require_all`` tracks KEY PRESENCE, not value non-nullness: the
+    reference's inner joins match on meta_key alone, so an entity with a
+    present key whose meta_value is NULL is kept (with a NULL column) —
+    conflating the two would drop entities MySQL returns.
     """
     filtered = eav.filter(F.col(key_col).isin(keys))
-    agg_fn = getattr(F, agg)
-    pivoted = (
-        filtered.groupBy(entity_key)
-        .pivot(key_col, keys)
-        .agg(agg_fn(F.col(value_col)))
-    )
+    agg_exprs = []
+    for i, k in enumerate(keys):
+        match = F.col(key_col) == k
+        if agg == "first":
+            value_agg = F.first(F.when(match, F.col(value_col)), ignorenulls=True)
+        else:
+            value_agg = getattr(F, agg)(F.when(match, F.col(value_col)))
+        agg_exprs.append(value_agg.alias(k))
+        agg_exprs.append(F.max(match).alias(f"__has_{i}"))
+    pivoted = filtered.groupBy(entity_key).agg(*agg_exprs)
     if require_all:
         cond = None
-        for k in keys:
-            c = F.col(k).isNotNull()
+        for i in range(len(keys)):
+            c = F.col(f"__has_{i}")
             cond = c if cond is None else cond & c
         pivoted = pivoted.filter(cond)
-    return pivoted
+    return pivoted.drop(*[f"__has_{i}" for i in range(len(keys))])
 
 
 def decorrelated_group_concat(

@@ -16,10 +16,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _unit_hash(col: Column, seed: int) -> Column:
-    """Deterministic uniform [0,1) from a key column (xxhash64-based)."""
-    h = F.xxhash64(col, F.lit(seed))
-    # map signed 64-bit to [0,1): shift to unsigned range via /2 trick
+def _unit_hash(col: Column, seed: int, purpose: str) -> Column:
+    """Deterministic uniform [0,1) from a key column (xxhash64-based).
+
+    ``purpose`` salts the hash so different operators (sample vs split)
+    draw INDEPENDENT uniforms even with the same seed and key — without
+    it, composing sample(0.5) then split(0.8/0.1/0.1) on one key column
+    puts every sampled row in the first split (fully correlated u's).
+    """
+    h = F.xxhash64(col, F.lit(purpose), F.lit(seed))
     return (F.abs(h) % F.lit(1_000_000_007)) / F.lit(1_000_000_007.0)
 
 
@@ -43,7 +48,7 @@ def stratified_sample(
         branch = F.when(F.col(strata_col) == value, F.lit(float(p)))
         frac = branch if frac is None else frac.when(F.col(strata_col) == value, F.lit(float(p)))
     frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
-    return df.filter(_unit_hash(F.col(key_col), seed) < frac)
+    return df.filter(_unit_hash(F.col(key_col), seed, "stratified_sample") < frac)
 
 
 def deterministic_split(
@@ -58,7 +63,7 @@ def deterministic_split(
     (train/val/test). Weights are normalized; assignment is stable under
     reprocessing, which keeps eval contamination impossible across runs."""
     total = sum(weights.values())
-    u = _unit_hash(F.col(key_col), seed)
+    u = _unit_hash(F.col(key_col), seed, "deterministic_split")
     expr = None
     acc = 0.0
     items = list(weights.items())
@@ -80,29 +85,54 @@ def pack_sequences(
     n_shards: int = 32,
     out_pack_col: str = "pack_id",
     shard_expr: Column | None = None,
+    strict: bool = False,
 ) -> DataFrame:
-    """Greedy next-fit sequence packing: assign docs to packs whose token
-    sum stays <= max_tokens (docs longer than the budget get their own
-    pack).
+    """Greedy next-fit sequence packing into ``max_tokens`` budgets.
 
-    Shard by key hash, order deterministically within shard, then a
-    running-sum window computes the pack boundary: pack = number of
-    budget overflows seen so far (next-fit discipline, the standard
-    streaming-packing approximation of bin packing). One shuffle;
-    ``n_shards`` bounds window-partition size so state never exceeds a
-    shard. Pack ids are globally unique: (shard, local pack index).
+    Shard by key hash, order deterministically within shard, assign packs
+    by the next-fit discipline. Pack ids are globally unique:
+    (shard, local pack index). ``n_shards`` bounds per-shard state so the
+    operation stays embarrassingly parallel at any scale.
+
+    - ``strict=False`` (default): window approximation — pack index =
+      floor(exclusive running sum / budget). One shuffle, pure codegen,
+      SQL-mirrorable; a pack may EXCEED the budget by up to one document
+      (bounded by < 2x budget for docs <= budget).
+    - ``strict=True``: exact next-fit via per-shard ``applyInPandas``
+      (sequential greedy with reset). Guarantee: a pack's token sum never
+      exceeds the budget, except a single oversized doc alone in its own
+      pack. Same shuffle shape; the per-shard loop is the Arrow batch.
     """
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
     sharded = df.withColumn("__shard", shard_expr)
+
+    if strict:
+        import pandas as pd
+
+        out_fields = df.schema.fields
+        schema_str = (
+            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+            + f", {out_pack_col} string"
+        )
+
+        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(key_col).reset_index(drop=True)
+            shard_id = pdf["__shard"].iloc[0]
+            packs, pack_idx, acc = [], 0, 0
+            for t in pdf[token_col]:
+                t = min(int(t), max_tokens)
+                if acc + t > max_tokens and acc > 0:
+                    pack_idx, acc = pack_idx + 1, 0
+                acc += t
+                packs.append(f"{shard_id}-{pack_idx}")
+            pdf[out_pack_col] = packs
+            return pdf.drop(columns=["__shard"])
+
+        return sharded.groupBy("__shard").applyInPandas(pack_group, schema_str)
+
     w = Window.partitionBy("__shard").orderBy(F.col(key_col))
     capped = F.least(F.col(token_col), F.lit(max_tokens))
-    # next-fit: running sum resets are equivalent to floor boundaries over
-    # the sequence of cumulative sums with overflow carries; computed via
-    # an aggregate over the collected per-shard prefix is not scalable, so
-    # we use the standard approximation: pack index = floor of the
-    # *exclusive* running sum / budget. This can split at most one doc's
-    # worth of slack per boundary vs true next-fit.
     running_before = F.coalesce(
         F.sum(capped).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0.0),

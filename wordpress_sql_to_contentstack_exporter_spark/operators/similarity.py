@@ -42,8 +42,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm (a bare
+    division would abort the whole job under Spark 4's default ANSI mode
+    the moment one padding/failed-encoder zero vector appears)."""
     ad, bd = _as_double(a), _as_double(b)
-    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    denom = l2_norm(ad) * l2_norm(bd)
+    return F.when(denom > 0, dot(ad, bd) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_pandas(vec_col_a: str, vec_col_b: str) -> Column:
@@ -251,7 +255,8 @@ def hyperplane_signature(
         ).otherwise(F.lit(0))
         for plane in planes
     ]
-    sig = bits[0]
+    # long accumulator: an int fold overflows (ANSI abort) at >= 32 planes
+    sig = bits[0].cast("long")
     for b in bits[1:]:
         sig = sig * 2 + b
     return sig

@@ -123,8 +123,13 @@ def range_join_count(
         key_cond = c if key_cond is None else key_cond & c
     delta = F.unix_micros(right_ts) - F.unix_micros(left_ts)
     cond = key_cond & (delta >= lower * 1_000_000) & (delta < upper * 1_000_000)
+    # per-ROW grouping id: grouping by left columns alone would collapse
+    # fully-duplicate left rows into one output row with merged counts
+    l = left.withColumn("__rowid", F.monotonically_increasing_id()).alias("l")
     joined = l.join(r, cond, "left")
-    group_cols = [F.col(f"l.{c}") for c in left.columns]
-    return joined.groupBy(*group_cols).agg(
-        F.count(F.col(f"r.{keys[0]}")).alias(count_alias)
+    group_cols = [F.col("l.__rowid")] + [F.col(f"l.{c}") for c in left.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.count(F.col(f"r.{keys[0]}")).alias(count_alias))
+        .drop("__rowid")
     )

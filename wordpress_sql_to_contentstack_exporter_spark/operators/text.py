@@ -51,6 +51,19 @@ def stopword_hits(text: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def substring_hits(text: Column, markers: list[str]) -> Column:
+    """Total occurrence count of each marker as a SUBSTRING — required for
+    unsegmented scripts (Chinese has no whitespace tokens, so token-equality
+    matching can never fire)."""
+    import re as _re
+
+    total = None
+    for m in markers:
+        c = F.regexp_count(F.lower(text), F.lit(_re.escape(m)))
+        total = c if total is None else total + c
+    return total if total is not None else F.lit(0)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: lengths, token counts, punctuation /
     stopword / uppercase ratios, mean token length.
@@ -87,11 +100,20 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     hit counts; ties and all-zero fall back to 'und'.
 
     Deterministic tie-break: higher count wins, then lexicographic language
-    code. Pure expressions — a map-only stage at any scale.
+    code. Pure expressions — a map-only stage at any scale. Space-delimited
+    languages match markers as whole tokens; unsegmented scripts (zh) count
+    marker substrings, since Chinese text has no whitespace tokens.
     """
     t = F.lower(F.col(text_col))
     langs = sorted(LANG_MARKERS)
-    hit_cols = {lang: stopword_hits(t, LANG_MARKERS[lang]) for lang in langs}
+    hit_cols = {
+        lang: (
+            substring_hits(t, LANG_MARKERS[lang])
+            if lang == "zh"
+            else stopword_hits(t, LANG_MARKERS[lang])
+        )
+        for lang in langs
+    }
     # struct(-count, lang) and array_min gives (max count, lexicographically
     # smallest lang) — deterministic argmax.
     candidates = F.array(
@@ -103,7 +125,9 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
-    """Document fingerprint: sha2-256 over whitespace-normalized lowercase
-    text. Stable across engines (the DuckDB oracle computes the same hash)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.withColumn(out_col, F.sha2(norm, 256))
+    """Document fingerprint: sha2-256 over the dedup family's canonical
+    normalized form (shared with exact_dedup so the two hash definitions
+    can never silently fork)."""
+    from .dedup import normalize_text
+
+    return df.withColumn(out_col, F.sha2(normalize_text(F.col(text_col)), 256))

@@ -1057,7 +1057,7 @@ def _lang_hits_sql(lang_words: list[str]) -> str:
 
 SQL_LANG_ID = r"""
 WITH t AS (
-    SELECT doc_id, lang,
+    SELECT doc_id, lang, text,
            string_split_regex(trim(lower(text)), '\s+') AS ltoks
     FROM documents
 ), h AS (
@@ -1078,7 +1078,11 @@ FROM h
     en=_lang_hits_sql(tx.LANG_MARKERS["en"]),
     es=_lang_hits_sql(tx.LANG_MARKERS["es"]),
     fr=_lang_hits_sql(tx.LANG_MARKERS["fr"]),
-    zh=_lang_hits_sql(tx.LANG_MARKERS["zh"]),
+    # zh: unsegmented script -> substring occurrence counts, mirroring
+    # operators/text.substring_hits
+    zh=" + ".join(
+        f"len(regexp_extract_all(lower(text), '{m}'))" for m in tx.LANG_MARKERS["zh"]
+    ),
 )
 
 
