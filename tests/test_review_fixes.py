@@ -108,6 +108,59 @@ def test_minhash_rejects_bad_band_config(spark):
         dd.minhash_lsh_candidates(df, num_hashes=16, bands=5)
 
 
+def test_subset_rerun_preserves_other_entries(spark, wp_catalog, tmp_path):
+    """An ids-subset posts run must merge, not clobber, the entries file."""
+    import json
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans import pipeline as pl
+
+    data = str(tmp_path / "data")
+    pl.run_export(wp_catalog, data, modules=["posts"])
+    ids = spark.createDataFrame([(10,)], "id long")
+    pl.run_export(wp_catalog, data, modules=["posts"], ids=ids)
+    entries = json.loads(open(f"{data}/entries/posts/en-us.json").read())
+    assert set(entries) == {"10", "11"}  # 11 survived the subset re-run
+    master = json.loads(open(f"{data}/master/entries/posts.json").read())
+    assert set(master["en-us"]) == {"10", "11"}
+
+
+def test_dlq_merge_semantics(spark, tmp_path):
+    from wordpress_sql_to_contentstack_exporter_spark.sinks.dlq import write_dlq
+
+    path = str(tmp_path / "wp_failed.json")
+    f1 = spark.createDataFrame([(21, "err-a"), (30, "err-b")], "id long, error string")
+    write_dlq(f1, path)
+    # next run: 21 untouched, 30 succeeds, 31 newly fails
+    f2 = spark.createDataFrame([(31, "err-c")], "id long, error string")
+    ok = spark.createDataFrame([(30,)], "id long")
+    write_dlq(f2, path, succeeded=ok)
+    import json
+
+    doc = json.loads(open(path).read())
+    assert set(doc) == {"21", "31"}  # 21 kept, 30 cleared, 31 added
+
+
+def test_unique_validation_ignores_nulls(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.validate import ContentType, FieldRule
+
+    ct = ContentType("t", [FieldRule("url", unique=True)])
+    df = spark.createDataFrame([(None,), (None,), ("a",), ("a",)], "url string")
+    rows = ct.unique_violations(df).collect()
+    assert len(rows) == 1 and rows[0]["value"] == "a"  # NULLs never collide
+
+
+def test_permalink_fallback_foreign_guid_is_null(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.functions import compile_permalink
+
+    col = compile_permalink(
+        "", "http://example.com/blog",
+        post_id=F.lit(1), date_gmt=F.current_timestamp(),
+        post_name=F.lit(""), guid=F.col("g"),
+    )
+    df = spark.createDataFrame([("http://other-domain.net/?p=7",)], "g string")
+    assert df.select(col.alias("u")).first()["u"] is None  # no ANSI job abort
+
+
 def test_hyperplane_signature_32_planes_no_overflow(spark):
     import numpy as np
 

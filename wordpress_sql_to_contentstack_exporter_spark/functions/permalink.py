@@ -79,7 +79,9 @@ def compile_permalink(
         blogname = blogname_of(siteurl)
         # JS url.split(blogname)[1]: the piece after the FIRST occurrence
         # (and before any second occurrence) of blogname in guid.
-        return F.element_at(F.split(guid, re.escape(blogname)), 2)
+        # try_element_at: a guid NOT containing the blogname yields NULL
+        # (JS: undefined), instead of an ANSI array-index job abort.
+        return F.try_element_at(F.split(guid, re.escape(blogname)), F.lit(2))
 
     segments = permalink_structure.split("/")
     if segments and segments[0] == "":

@@ -127,6 +127,7 @@ def hierarchy_parent_join(
     slug_col: str,
     root_value: int = 0,
     out_col: str = "parent_slug",
+    parent_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Depth-1 parent resolution for a self-referencing hierarchy
     (categories.js:22-24,47,57-65; cycle flag contenttypes/__master.json:13-19).
@@ -140,8 +141,12 @@ def hierarchy_parent_join(
     Scale: hierarchy dimensions (categories) are tiny relative to facts —
     broadcast the parent side; for a genuinely huge hierarchy drop the
     hint and let sort-merge handle it.
+
+    ``parent_nodes``: resolve parents against a different (typically
+    UNFILTERED) node set — a subset re-export must still find parents
+    outside the subset.
     """
-    parent = nodes.select(
+    parent = (parent_nodes if parent_nodes is not None else nodes).select(
         F.col(id_col).alias("__pid"), F.col(slug_col).alias("__pslug")
     )
     joined = nodes.join(

@@ -28,7 +28,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sinks.dlq import write_dlq
-from ..sinks.keyed_json import write_keyed_json, write_master_mapping
+from ..sinks.keyed_json import merge_keyed_json, write_keyed_json, write_master_mapping
+
+
+def _write_entries(df, key, value, path: str, *, partial: bool) -> None:
+    """Full runs rewrite the document; ids-subset runs merge into it
+    (the reference read-modify-writes every page — clobbering on a
+    resume/DLQ re-drive would destroy all other entries)."""
+    if partial:
+        merge_keyed_json(df, key, value, path)
+    else:
+        write_keyed_json(df, key, value, path)
 from ..sources.catalog import Catalog
 from ..sources.http import download_assets
 from . import wordpress as wp
@@ -68,24 +78,38 @@ def topo_order(graph: dict[str, list[str]] | None = None) -> list[str]:
 def export_posts(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
     site = wp.read_site_options(cat)
     df = wp.build_posts(cat, site, ids)
-    write_keyed_json(df, F.col("key"), F.col("entry"), f"{data_dir}/entries/posts/en-us.json")
-    write_master_mapping(df, F.col("key"), f"{data_dir}/master/entries/posts.json")
+    partial = ids is not None
+    _write_entries(
+        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/posts/en-us.json", partial=partial
+    )
+    write_master_mapping(
+        df, F.col("key"), f"{data_dir}/master/entries/posts.json", merge=partial
+    )
     return df
 
 
 def export_authors(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
     df = wp.build_authors(cat, ids)
-    write_keyed_json(df, F.col("key"), F.col("entry"), f"{data_dir}/entries/authors/en-us.json")
-    write_master_mapping(df, F.col("key"), f"{data_dir}/master/entries/authors.json")
+    partial = ids is not None
+    _write_entries(
+        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/authors/en-us.json", partial=partial
+    )
+    write_master_mapping(
+        df, F.col("key"), f"{data_dir}/master/entries/authors.json", merge=partial
+    )
     return df
 
 
 def export_categories(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
     df = wp.build_categories(cat, ids)
-    write_keyed_json(
-        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/categories/en-us.json"
+    partial = ids is not None
+    _write_entries(
+        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/categories/en-us.json",
+        partial=partial,
     )
-    write_master_mapping(df, F.col("key"), f"{data_dir}/master/entries/categories.json")
+    write_master_mapping(
+        df, F.col("key"), f"{data_dir}/master/entries/categories.json", merge=partial
+    )
     return df
 
 
@@ -110,6 +134,7 @@ def export_assets(
         parallelism=parallelism,
     ).localCheckpoint(eager=True)
 
+    partial = ids is not None
     ok = results.filter(F.col("status") != "failed")
     entry = F.struct(
         F.col("id").alias("uid"),
@@ -117,11 +142,17 @@ def export_assets(
         F.col("url"),
         F.lit(True).alias("status"),
     )
-    write_keyed_json(ok, F.col("id"), entry, f"{data_dir}/assets/wp_assets.json")
-    write_master_mapping(ok, F.col("id"), f"{data_dir}/master/wp_assets.json", locale=None)
-    write_master_mapping(ok, F.col("url"), f"{data_dir}/master/wp_urls.json", locale=None)
+    _write_entries(ok, F.col("id"), entry, f"{data_dir}/assets/wp_assets.json", partial=partial)
+    write_master_mapping(
+        ok, F.col("id"), f"{data_dir}/master/wp_assets.json", locale=None, merge=partial
+    )
+    write_master_mapping(
+        ok, F.col("url"), f"{data_dir}/master/wp_urls.json", locale=None, merge=partial
+    )
     failures = results.filter(F.col("status") == "failed")
-    write_dlq(failures, f"{data_dir}/master/wp_failed.json")
+    # DLQ always merges (reference preloads wp_failed.json): successes
+    # clear their entries, untouched prior failures survive
+    write_dlq(failures, f"{data_dir}/master/wp_failed.json", succeeded=ok)
 
     os.makedirs(f"{data_dir}/assets", exist_ok=True)
     return results

@@ -49,7 +49,9 @@ class ContentType:
             if not f_.unique:
                 continue
             dupes = (
-                df.groupBy(f_.name)
+                # SQL UNIQUE semantics: NULLs never collide with each other
+                df.filter(F.col(f_.name).isNotNull())
+                .groupBy(f_.name)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .filter(F.col("n") > 1)
                 .select(

@@ -38,7 +38,7 @@ from ..functions import (
     slugify,
 )
 from ..functions.permalink import compile_permalink
-from ..operators.relational import eav_pivot
+from ..operators.relational import eav_pivot, hierarchy_parent_join
 from ..sources.catalog import Catalog
 from ..sources.idlist import filter_by_ids
 
@@ -113,13 +113,16 @@ def build_posts(cat: Catalog, site: SiteOptions, ids: DataFrame | None = None) -
         )
     )
     guid_path = host_strip(F.col("guid"))
+    # The reference passes the HOST-STRIPPED guid into getURL
+    # (posts.js:149-150) — the empty-structure fallback splits that, not
+    # the raw guid.
     url = compile_permalink(
         site.permalink_structure,
         site.siteurl,
         post_id=F.col("ID"),
         date_gmt=F.col("post_date_gmt"),
         post_name=F.col("post_name"),
-        guid=F.col("guid"),
+        guid=guid_path,
     )
     entry = F.struct(
         F.col("post_title").alias("title"),
@@ -132,9 +135,10 @@ def build_posts(cat: Catalog, site: SiteOptions, ids: DataFrame | None = None) -
         F.coalesce(F.col("category"), F.array().cast("array<string>")).alias("category"),
         F.col("featured_image").alias("featured_image"),
     )
-    return joined.select(
-        F.col("ID").alias("key"), entry.alias("entry"), F.col("post_date").alias("_order")
-    ).orderBy("_order", "key").drop("_order")
+    # No global orderBy: the keyed-JSON sink sorts by key anyway, so the
+    # reference's ORDER BY post_date (a paging artifact) would only add a
+    # full range-partition shuffle with no observable effect.
+    return joined.select(F.col("ID").alias("key"), entry.alias("entry"))
 
 
 def build_authors(cat: Catalog, ids: DataFrame | None = None) -> DataFrame:
@@ -170,23 +174,31 @@ def build_categories(cat: Catalog, ids: DataFrame | None = None) -> DataFrame:
     ``[""]`` for roots."""
     terms = cat.table("terms")
     tt = cat.table("term_taxonomy").filter(F.col("taxonomy") == "category")
-    nodes = terms.join(tt, "term_id").select(
+    all_nodes = terms.join(tt, "term_id").select(
         F.col("term_id").alias("id"),
         F.col("name"),
         F.col("slug"),
         F.col("description"),
         F.col("parent"),
     )
-    if ids is not None:
-        nodes = filter_by_ids(nodes, ids, "id")
-    parents = nodes.select(F.col("id").alias("__pid"), F.col("slug").alias("__pslug"))
-    resolved = nodes.join(F.broadcast(parents), nodes.parent == F.col("__pid"), "left")
+    nodes = filter_by_ids(all_nodes, ids, "id") if ids is not None else all_nodes
+    # parents resolve against the UNFILTERED node set: a subset re-export
+    # must still find parents outside the subset (via the shared
+    # hierarchy operator, so the semantics cannot drift from
+    # q_hierarchy_parent's conformance-tested implementation)
+    resolved = hierarchy_parent_join(
+        nodes,
+        id_col="id",
+        parent_col="parent",
+        slug_col="slug",
+        parent_nodes=all_nodes,
+    )
     entry = F.struct(
         F.col("id"),
         decode_entities(F.col("name")).alias("title"),
         slugify(F.lower(F.col("slug")), "/category/").alias("url"),
         decode_entities(F.col("description")).alias("description"),
-        conditional_array_wrap(F.col("parent") != 0, F.col("__pslug")).alias("parent"),
+        conditional_array_wrap(F.col("parent") != 0, F.col("parent_slug")).alias("parent"),
         F.col("slug").alias("uid"),
     )
     return resolved.select(F.col("slug").alias("key"), entry.alias("entry"))

@@ -18,14 +18,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_dlq(failures: DataFrame, path: str, *, id_col: str = "id", error_col: str = "error") -> None:
+def write_dlq(
+    failures: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    error_col: str = "error",
+    succeeded: DataFrame | None = None,
+) -> None:
+    """Merge this run's failures into the DLQ file, mirroring the
+    reference's behavior exactly (assets.js:24,133-137): existing entries
+    are PRELOADED and kept, an id that succeeded this run is cleared, a
+    failure (re)writes its entry. Untouched failures from prior runs
+    survive — overwriting would silently orphan them."""
+    doc: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            content = f.read().strip()
+            if content:
+                doc = json.loads(content)
+    if succeeded is not None:
+        for r in succeeded.select(F.col(id_col).cast("string").alias("k")).collect():
+            doc.pop(r["k"], None)
     rows = failures.select(
         F.col(id_col).cast("string").alias("k"), F.col(error_col).cast("string").alias("v")
     ).collect()
-    doc = {r["k"]: r["v"] for r in sorted(rows, key=lambda r: r["k"])}
+    for r in rows:
+        doc[r["k"]] = r["v"]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        f.write(json.dumps(doc, indent=4))
+        f.write(json.dumps(dict(sorted(doc.items())), indent=4))
 
 
 def read_dlq_ids(spark: SparkSession, path: str, *, col_name: str = "id") -> DataFrame:

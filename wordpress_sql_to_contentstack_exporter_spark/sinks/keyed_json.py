@@ -45,8 +45,10 @@ def keyed_json_string(df: DataFrame, key: Column, value: Column, *, sort_keys: b
 def write_keyed_json(
     df: DataFrame, key: Column, value: Column, path: str, *, sort_keys: bool = True
 ) -> None:
-    """Write the keyed-JSON entries file (e.g. ``entries/posts/en-us.json``)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    """Write the keyed-JSON entries file (e.g. ``entries/posts/en-us.json``),
+    replacing any existing document. For partial (ids-subset) runs use
+    ``merge_keyed_json`` — overwrite would destroy prior entries."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write(keyed_json_string(df, key, value, sort_keys=sort_keys))
 
@@ -76,13 +78,28 @@ def merge_keyed_json(
 
 
 def write_master_mapping(
-    df: DataFrame, key: Column, path: str, *, locale: str | None = "en-us"
+    df: DataFrame,
+    key: Column,
+    path: str,
+    *,
+    locale: str | None = "en-us",
+    merge: bool = False,
 ) -> None:
     """Write a master/mapping file: ``{locale: {uid: ""}}`` (posts.js:159)
-    or, with ``locale=None``, the flat ``{uid: ""}`` shape (assets.js:133)."""
+    or, with ``locale=None``, the flat ``{uid: ""}`` shape (assets.js:133).
+    ``merge=True`` keeps existing keys (the reference read-modify-writes
+    its master files) — required for ids-subset runs."""
     keys = sorted(r["__k"] for r in df.select(key.cast("string").alias("__k")).collect())
-    mapping: dict = {k: "" for k in keys}
+    mapping: dict = {}
+    if merge and os.path.exists(path):
+        with open(path) as f:
+            content = f.read().strip()
+            if content:
+                existing = json.loads(content)
+                mapping = existing.get(locale, {}) if locale is not None else existing
+    mapping.update({k: "" for k in keys})
+    mapping = dict(sorted(mapping.items()))
     doc = {locale: mapping} if locale is not None else mapping
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write(json.dumps(doc, indent=4))
