@@ -138,3 +138,35 @@ def test_unknown_module_rejected(wp_catalog, tmp_path):
 
     with pytest.raises(ValueError, match="unknown modules"):
         pl.run_export(wp_catalog, str(tmp_path), modules=["nope"])
+
+
+def test_posts_plan_no_forced_broadcast_on_fact_sides(spark, wp_catalog):
+    """Scale regression (VERDICT r1 #2): build_post_categories and
+    build_featured_image_map are post-cardinality — the plan must NOT force
+    a broadcast on them. With autoBroadcastJoinThreshold=-1 (so Catalyst
+    can't pick broadcast on size), only the hinted users dim may broadcast;
+    the two fact-side joins must fall back to a shuffle join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans import wordpress as wp
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        site = wp.read_site_options(wp_catalog)
+        df = wp.build_posts(wp_catalog, site)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    import re
+
+    # exactly one broadcast node: the hinted users dimension
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
+    # the two unhinted post-cardinality LEFT joins go shuffle (SMJ or SHJ)
+    fact_joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin) LeftOuter", plan)
+    assert len(fact_joins) == 2, plan

@@ -101,13 +101,16 @@ def build_posts(cat: Catalog, site: SiteOptions, ids: DataFrame | None = None) -
     users = cat.table("users").select(
         F.col("ID").alias("__uid"), F.col("user_login")
     )
+    # Broadcast ONLY the users dimension (genuinely small, O(authors)).
+    # build_post_categories / build_featured_image_map are post-cardinality
+    # (one row per post) — they grow with the fact table, so a forced
+    # broadcast would OOM at scale. Left unhinted, AQE broadcasts them
+    # while small and falls back to a shuffle join when not.
     joined = (
         posts.join(F.broadcast(users), posts.post_author == F.col("__uid"), "left")
-        .join(F.broadcast(build_post_categories(cat)), posts.ID == F.col("post_id"), "left")
+        .join(build_post_categories(cat), posts.ID == F.col("post_id"), "left")
         .join(
-            F.broadcast(build_featured_image_map(cat)).withColumnRenamed(
-                "post_id", "__fpid"
-            ),
+            build_featured_image_map(cat).withColumnRenamed("post_id", "__fpid"),
             posts.ID == F.col("__fpid"),
             "left",
         )
