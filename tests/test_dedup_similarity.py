@@ -100,3 +100,32 @@ def test_lsh_topk_recall_at_least_half(spark):
     }
     hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
     assert hits >= len(exact) // 2
+
+
+def test_embedding_neardup_lsh_recall_and_plan(spark):
+    """The gated embedding_neardup query runs the LSH-bucketed path — it
+    must (a) never produce a pair the exact path wouldn't (precision 1.0:
+    every candidate is exact-rescored), (b) recover >=60% of true pairs on
+    the fixture, (c) contain no all-pairs/nested-loop join in its plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans import registry as reg
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in reg.q_embedding_neardup_exact(spark, sf).collect()
+    }
+    approx_df = reg.q_embedding_neardup(spark, sf)
+    approx = {(r["id_a"], r["id_b"]) for r in approx_df.collect()}
+
+    assert approx <= exact  # exact rescoring => no false positives
+    assert len(approx) >= 0.6 * len(exact), (len(approx), len(exact))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        approx_df.explain("formatted")
+    plan = buf.getvalue()
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan), plan

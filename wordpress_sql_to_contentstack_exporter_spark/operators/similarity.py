@@ -93,25 +93,29 @@ def embedding_neardup_pairs(
         paired = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         assert planes_tables is not None
-        a_sig = a.select(
-            "id_a", "va",
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("t"), hyperplane_signature(F.col("va"), p).alias("sig"))
-                for t, p in enumerate(planes_tables)
-            ])).alias("s"),
+        # One Arrow pass computes every table's signature; posexplode makes
+        # (table, sig) the bucket key. Signatures are computed ONCE on the
+        # shared frame and persisted so the self-join doesn't recompute the
+        # UDF per side (Spark does not reuse exchanges across self-joins).
+        sigs = vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vv"),
+            F.posexplode(
+                hyperplane_signatures_pandas(vec_col, planes_tables)
+            ).alias("t", "sig"),
+        ).persist()
+        a_sig = sigs.select(
+            F.col("vid").alias("id_a"), F.col("vv").alias("va"), "t", "sig"
         )
-        b_sig = b.select(
-            "id_b", "vb",
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("t"), hyperplane_signature(F.col("vb"), p).alias("sig"))
-                for t, p in enumerate(planes_tables)
-            ])).alias("s"),
+        b_sig = sigs.select(
+            F.col("vid").alias("id_b"), F.col("vv").alias("vb"),
+            F.col("t").alias("tb"), F.col("sig").alias("sigb"),
         )
         paired = (
             a_sig.join(
                 b_sig,
-                (a_sig["s.t"] == b_sig["s.t"])
-                & (a_sig["s.sig"] == b_sig["s.sig"])
+                (F.col("t") == F.col("tb"))
+                & (F.col("sig") == F.col("sigb"))
                 & (F.col("id_a") < F.col("id_b")),
             )
             .select("id_a", "va", "id_b", "vb")
@@ -238,6 +242,42 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def hyperplane_signatures_pandas(
+    vec_col: str, planes_tables: list[list[list[float]]]
+) -> Column:
+    """All-tables LSH signatures in one Arrow batch (array<long>, length T).
+
+    The per-plane expression form (``hyperplane_signature``) builds T*b
+    interpreted higher-order-function dots per row — measured ~2x slower
+    than this single numpy matmul of the (batch x dim) block against the
+    (dim x T*b) plane matrix even at 500 rows, and the gap widens with
+    table count. Bit semantics match the expression form exactly:
+    bit_i = 1 iff dot(vec, plane_i) >= 0, MSB-first fold per table.
+    """
+    plane_mat = np.concatenate(
+        [np.asarray(t, dtype=np.float64).T for t in planes_tables], axis=1
+    )  # dim x (T*b)
+    sizes = [len(t) for t in planes_tables]
+    offsets = np.cumsum([0] + sizes)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ plane_mat) >= 0
+        sigs = np.zeros((mat.shape[0], len(sizes)), dtype=np.int64)
+        for t in range(len(sizes)):
+            block = bits[:, offsets[t] : offsets[t + 1]]
+            acc = np.zeros(mat.shape[0], dtype=np.int64)
+            for j in range(block.shape[1]):
+                acc = acc * 2 + block[:, j]
+            sigs[:, t] = acc
+        return pd.Series(list(sigs))
+
+    return _sigs(F.col(vec_col))
 
 
 def hyperplane_signature(

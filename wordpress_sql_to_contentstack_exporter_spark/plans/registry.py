@@ -1127,12 +1127,28 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS cos_sim FROM (
 """
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact baseline at fixture scale;
-    the LSH-bucketed variant is the scale path — see
-    operators/similarity.embedding_neardup_pairs)."""
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline — the
+    DuckDB-checkable correctness oracle (quadratic; fixture scale only)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.embedding_neardup_pairs(e, threshold=0.35)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucketing — the
+    scale path (candidates only from colliding buckets, never all-pairs).
+    Rows-only at the driver gate: LSH is approximate by design, so the
+    check is the recall floor vs ``q_embedding_neardup_exact`` in
+    tests/test_dedup_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    # 5 planes/table keeps per-table collision prob at cos=0.35 around
+    # 0.61^5≈9%; 16 tables lift pair recall to ~0.75 at the threshold
+    # boundary (higher for stronger pairs).
+    planes = _lsh_planes(num_tables=16, num_planes=5, dim=dim, seed=7)
+    return sim.embedding_neardup_pairs(
+        e, threshold=0.35, exact=False, planes_tables=planes
+    )
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -1324,6 +1340,7 @@ SPARK_QUERIES = {
     "sequence_packing": q_sequence_packing,
     "stratified_split": q_stratified_split,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -1372,7 +1389,8 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE,
-    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
+    "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "multimodal_decode": SQL_MULTIMODAL,
 }
