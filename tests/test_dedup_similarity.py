@@ -129,3 +129,63 @@ def test_embedding_neardup_lsh_recall_and_plan(spark):
         approx_df.explain("formatted")
     plan = buf.getvalue()
     assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan), plan
+
+
+def test_simhash_rotation_sweep_recovers_prefix_blind_pairs(spark):
+    """A pair differing only inside the top-16-bit block is invisible to
+    single-prefix blocking but found once a rotation moves those bits out
+    of the window (round-1 review fix). Uses precomputed signatures so the
+    differing bit positions are exact."""
+    sig1 = 1 << 62 | 1 << 40 | 1  # arbitrary 63-bit signature
+    sig2 = sig1 ^ (1 << 62) ^ (1 << 58)  # differs at bits 62 and 58: both in top-16
+    sigs = spark.createDataFrame([(1, sig1), (2, sig2)], "id long, sh long")
+
+    blind = dd.simhash_pairs_from_sigs(sigs, max_hamming=4, n_rotations=1)
+    assert blind.count() == 0  # prefixes differ -> never paired
+
+    swept = dd.simhash_pairs_from_sigs(sigs, max_hamming=4, n_rotations=4)
+    rows = swept.collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 2)]
+
+
+def test_simhash_rotation_default_matches_legacy_blocking(docs):
+    """n_rotations=1 must reproduce the original single-prefix behavior."""
+    legacy = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_neardups(docs, max_hamming=10).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_neardups(docs, max_hamming=10, n_rotations=1).collect()
+    }
+    assert legacy == explicit
+
+
+def test_minhash_bucket_cap_bounds_pathological_corpus(spark):
+    """An all-identical corpus puts every doc in one bucket per band ->
+    C(n,2) pairs without a cap. max_bucket_size drops the giant buckets
+    entirely (exact_dedup handles identical docs linearly), bounding the
+    join output."""
+    n = 60
+    rows = [(i, "same boilerplate text repeated across the entire corpus here") for i in range(n)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dd.minhash_lsh_candidates(corpus, min_est_jaccard=0.0)
+    assert uncapped.count() == n * (n - 1) // 2
+
+    capped = dd.minhash_lsh_candidates(corpus, min_est_jaccard=0.0, max_bucket_size=10)
+    assert capped.count() == 0
+
+    # a cap far above any real bucket is a no-op on a mixed corpus
+    mixed = spark.createDataFrame(DOCS, "doc_id long, text string")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates(mixed, min_est_jaccard=0.0).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates(
+            mixed, min_est_jaccard=0.0, max_bucket_size=1000
+        ).collect()
+    }
+    assert base == wide

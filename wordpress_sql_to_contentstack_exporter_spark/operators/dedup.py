@@ -114,6 +114,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     shingle_mode: str = "word",
     min_est_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -125,7 +126,13 @@ def minhash_lsh_candidates(
     The only shuffles are the signature aggregation, the exploded band
     bucket join (short keys) and the pair dedup — no quadratic blow-up.
     Skewed buckets (boilerplate docs) are bounded by AQE skew handling;
-    callers can also pre-filter giant buckets. ``shingle_mode='word'``
+    ``max_bucket_size`` additionally drops whole buckets larger than the
+    cap before the self-join — a bucket of n identical boilerplate docs
+    would otherwise contribute C(n,2) pairs, the classic quadratic
+    blow-up at web scale. Capped-away *identical* documents are still
+    collapsed by the (linear) ``exact_dedup`` pass, which is why dropping
+    giant buckets is safe in the standard exact-then-near dedup pipeline.
+    ``shingle_mode='word'``
     (default) is far more selective than char shingles on
     small-vocabulary corpora — fewer bucket collisions, smaller
     candidate sets.
@@ -163,6 +170,15 @@ def minhash_lsh_candidates(
     banded = with_sig.select("id", "sig", F.explode(band_struct).alias("bb")).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        banded = (
+            banded.withColumn("__bucket_n", bucket_n)
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     # Self-join below would otherwise recompute the whole signature
     # pipeline twice (no exchange reuse across the join sides). The
     # persisted set is tiny — id + signature per doc — and spills to disk
@@ -272,6 +288,72 @@ def simhash_df(
     return bit_sums.select("id", value.alias(out_col))
 
 
+def _rotl63(v: Column, s: int) -> Column:
+    """Rotate a 63-bit value left by ``s`` bits (bit 63 stays clear, so
+    the result remains a non-negative long — ANSI-safe)."""
+    if s == 0:
+        return v
+    mask = F.lit((1 << SIMHASH_BITS) - 1)
+    return F.shiftleft(v, s).bitwiseAND(mask).bitwiseOR(
+        F.shiftrightunsigned(v, SIMHASH_BITS - s)
+    )
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    n_rotations: int = 1,
+) -> DataFrame:
+    """Near-dup pairs from precomputed (id, sh) SimHash rows: block on the
+    top ``prefix_bits`` bits, exact Hamming filter within blocks.
+
+    A single fixed prefix is blind to near-dups whose few differing bits
+    happen to fall inside it. ``n_rotations > 1`` runs the blocking over
+    evenly-spaced bit rotations of the signature and unions the results:
+    a pair with ``d`` differing bits survives whenever SOME rotation moves
+    all ``d`` bits outside the prefix window, which for small ``d`` is
+    almost always (the standard Manku et al. permuted-table trick, done
+    here as one exploded join instead of N sequential jobs). Cost grows
+    linearly with ``n_rotations`` (more exploded rows), never
+    quadratically — each rotation's join is still bucket-local.
+    """
+    stride = SIMHASH_BITS // n_rotations
+    rot_blocks = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rot"),
+                F.shiftrightunsigned(
+                    _rotl63(F.col("sh"), r * stride), SIMHASH_BITS - prefix_bits
+                ).alias("block"),
+            )
+            for r in range(n_rotations)
+        ]
+    )
+    sh = sigs.select("id", "sh", F.explode(rot_blocks).alias("rb")).select(
+        "id", "sh", F.col("rb.rot").alias("rot"), F.col("rb.block").alias("block")
+    )
+    sh = sh.persist()  # reused on both sides of the self-join below
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_neardups(
     df: DataFrame,
     text_col: str = "text",
@@ -279,27 +361,17 @@ def simhash_neardups(
     *,
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    n_rotations: int = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on the top ``prefix_bits`` bits (a
     cheap LSH — identical prefixes required), then exact Hamming filter.
-
-    Blocking keeps the join linear-ish; rotating the blocked prefix
-    (running this with several bit rotations) recovers recall at scale.
+    See ``simhash_pairs_from_sigs`` for the rotation-sweep recall knob.
     """
-    sh = simhash_df(df, text_col, id_col).withColumn(
-        "block", F.shiftrightunsigned(F.col("sh"), SIMHASH_BITS - prefix_bits)
-    )
-    sh = sh.persist()  # reused on both sides of the self-join below
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    return simhash_pairs_from_sigs(
+        simhash_df(df, text_col, id_col),
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        n_rotations=n_rotations,
     )
 
 

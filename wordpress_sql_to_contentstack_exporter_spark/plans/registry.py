@@ -998,7 +998,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
     both = d.select("doc_id", "text").unionByName(perturbed)
-    return dd.simhash_neardups(both, max_hamming=8, prefix_bits=16)
+    # n_rotations=4: pairs whose few differing bits land inside one
+    # 16-bit prefix are recovered by a rotated blocking (recall fix from
+    # round-1 review; cost is linear in rotations).
+    return dd.simhash_neardups(both, max_hamming=8, prefix_bits=16, n_rotations=4)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
