@@ -94,3 +94,113 @@ def test_cosine_pandas_matches_expression(spark):
     )
     mismatches = both.filter(F.col("expr_cos") != F.col("pandas_cos")).count()
     assert mismatches == 0
+
+
+def test_mysql_jdbc_option_map():
+    """MySQL dialect knobs (encoded from helper.js:43-51 semantics; only
+    Derby can execute in-container, so the generated options ARE the
+    coverage)."""
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import mysql_jdbc_options
+
+    url, props = mysql_jdbc_options(
+        host="db.example.com", database="wp", user="u", password="p"
+    )
+    assert url == "jdbc:mysql://db.example.com:3306/wp"
+    assert props["driver"] == "com.mysql.cj.jdbc.Driver"
+    assert props["zeroDateTimeBehavior"] == "convertToNull"  # 0000-00-00 dates
+    assert props["tinyInt1isBit"] == "false"
+    assert props["useCursorFetch"] == "true"  # stream, don't materialize
+    assert props["fetchsize"] == "10000"
+    assert props["pushDownPredicate"] == "true"
+
+
+def test_partition_column_per_table_and_overrides():
+    from wordpress_sql_to_contentstack_exporter_spark import config as cfgmod
+
+    src = cfgmod.SourceConfig()
+    assert cfgmod.partition_column_for("posts", src) == "ID"
+    assert cfgmod.partition_column_for("users", src) == "ID"
+    assert cfgmod.partition_column_for("usermeta", src) == "umeta_id"
+    assert cfgmod.partition_column_for("postmeta", src) == "meta_id"
+    assert cfgmod.partition_column_for("terms", src) == "term_id"
+    assert cfgmod.partition_column_for("term_taxonomy", src) == "term_taxonomy_id"
+    assert cfgmod.partition_column_for("options", src) == "option_id"
+    assert cfgmod.partition_column_for("term_relationships", src) is None  # composite PK
+
+    over = cfgmod.SourceConfig(
+        partition_overrides={"posts": "post_id", "postmeta": None}
+    )
+    assert cfgmod.partition_column_for("posts", over) == "post_id"
+    assert cfgmod.partition_column_for("postmeta", over) is None
+
+
+def test_from_json_rejects_global_partition_column(tmp_path):
+    import json
+
+    from wordpress_sql_to_contentstack_exporter_spark.config import ExportConfig
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"source": {"kind": "jdbc", "partition_column": "ID"}}))
+    with pytest.raises(ValueError, match="partition_overrides"):
+        ExportConfig.from_json(str(p))
+
+
+def test_from_json_mysql_block_builds_dialect_options(tmp_path):
+    import json
+
+    from wordpress_sql_to_contentstack_exporter_spark.config import ExportConfig
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "source": {
+            "kind": "jdbc",
+            "mysql": {"host": "h", "database": "wp", "user": "u", "password": "p"},
+            "jdbc_properties": {"fetchsize": "500"},  # user override wins
+        }
+    }))
+    cfg = ExportConfig.from_json(str(p))
+    assert cfg.source.jdbc_url == "jdbc:mysql://h:3306/wp"
+    assert cfg.source.jdbc_properties["zeroDateTimeBehavior"] == "convertToNull"
+    assert cfg.source.jdbc_properties["fetchsize"] == "500"
+
+
+def test_build_catalog_jdbc_multi_pk_tables(spark, tmp_path):
+    """The round-1 bug: a catalog over JDBC tables whose PKs are NOT all
+    named ID. Auto-bounds must query each table's own PK, and the
+    composite-PK term_relationships reads unpartitioned."""
+    from wordpress_sql_to_contentstack_exporter_spark.config import (
+        ExportConfig,
+        SourceConfig,
+        build_catalog,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/wpdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def write(name, df):
+        df.write.format("jdbc").option("url", url).option("dbtable", name).option(
+            "driver", props["driver"]
+        ).save()
+
+    write("wp_posts", spark.range(0, 200).select(F.col("id").alias("ID"), F.lit("t").alias("post_title")))
+    write("wp_postmeta", spark.range(0, 300).select(
+        F.col("id").alias("meta_id"), (F.col("id") % 200).alias("post_id"), F.lit("k").alias("meta_key")
+    ))
+    write("wp_term_relationships", spark.range(0, 50).select(
+        F.col("id").alias("object_id"), (F.col("id") % 5).alias("term_taxonomy_id")
+    ))
+
+    cfg = ExportConfig(source=SourceConfig(
+        kind="jdbc", jdbc_url=url, jdbc_properties=props, num_partitions=4
+    ))
+    cat = build_catalog(spark, cfg)
+
+    posts = cat.table("posts")
+    assert posts.rdd.getNumPartitions() == 4  # partitioned on ID
+    assert posts.count() == 200
+    meta = cat.table("postmeta")
+    assert meta.rdd.getNumPartitions() == 4  # partitioned on meta_id (not ID)
+    assert meta.count() == 300
+    rel = cat.table("term_relationships")
+    assert rel.rdd.getNumPartitions() == 1  # composite PK -> unpartitioned
+    assert rel.count() == 50

@@ -14,13 +14,21 @@ from dataclasses import dataclass, field
 
 @dataclass
 class SourceConfig:
-    """JDBC source (production) or parquet directory (tests/lakehouse)."""
+    """JDBC source (production) or parquet directory (tests/lakehouse).
+
+    Partition columns are resolved per table (``WP_PARTITION_COLUMNS``) —
+    WordPress tables do NOT share a PK name (posts/users: ``ID``,
+    postmeta: ``meta_id``, usermeta: ``umeta_id``, ...), and
+    ``term_relationships`` has a composite PK so it reads unpartitioned.
+    ``partition_overrides`` maps logical table name -> column (or None to
+    force an unpartitioned read) for schema variants.
+    """
 
     kind: str = "parquet"  # "parquet" | "jdbc"
     path: str = ""  # parquet dir
     jdbc_url: str = ""  # e.g. jdbc:mysql://host:3306/db
     jdbc_properties: dict[str, str] = field(default_factory=dict)
-    partition_column: str = "ID"
+    partition_overrides: dict[str, str | None] = field(default_factory=dict)
     num_partitions: int = 32
 
 
@@ -39,6 +47,31 @@ class ExportConfig:
         with open(path) as f:
             doc = json.load(f)
         src = doc.get("source", {})
+        if "partition_column" in src:
+            # A single global column was the round-1 bug: only posts/users
+            # have an ID column. Reject loudly rather than crash later on
+            # SELECT MIN(ID) FROM wp_usermeta.
+            raise ValueError(
+                "source.partition_column is not supported: WordPress tables "
+                "have different PK names. Use source.partition_overrides "
+                '({"<logical table>": "<column>"}) to override the built-in '
+                "per-table map."
+            )
+        mysql = src.get("mysql")
+        jdbc_url = src.get("jdbc_url", "")
+        jdbc_properties = dict(src.get("jdbc_properties", {}))
+        if mysql:
+            from .sources.catalog import mysql_jdbc_options
+
+            jdbc_url, mysql_props = mysql_jdbc_options(
+                host=mysql.get("host", "localhost"),
+                port=int(mysql.get("port", 3306)),
+                database=mysql["database"],
+                user=mysql.get("user", ""),
+                password=mysql.get("password", ""),
+            )
+            # explicit jdbc_properties win over dialect defaults
+            jdbc_properties = {**mysql_props, **jdbc_properties}
         return cls(
             data_dir=doc.get("data_dir", "./wp_data"),
             table_prefix=doc.get("table_prefix", "wp_"),
@@ -49,9 +82,9 @@ class ExportConfig:
             source=SourceConfig(
                 kind=src.get("kind", "parquet"),
                 path=src.get("path", ""),
-                jdbc_url=src.get("jdbc_url", ""),
-                jdbc_properties=src.get("jdbc_properties", {}),
-                partition_column=src.get("partition_column", "ID"),
+                jdbc_url=jdbc_url,
+                jdbc_properties=jdbc_properties,
+                partition_overrides=src.get("partition_overrides", {}),
                 num_partitions=int(src.get("num_partitions", 32)),
             ),
         )
@@ -68,6 +101,29 @@ WP_TABLES = [
     "options",
 ]
 
+#: Numeric PK per WordPress core table (the JDBC partition column).
+#: ``term_relationships`` has a composite PK (object_id,
+#: term_taxonomy_id) — no single numeric column partitions it evenly, so
+#: it reads unpartitioned (it is also the narrowest table by far).
+WP_PARTITION_COLUMNS: dict[str, str | None] = {
+    "posts": "ID",
+    "users": "ID",
+    "usermeta": "umeta_id",
+    "postmeta": "meta_id",
+    "terms": "term_id",
+    "term_taxonomy": "term_taxonomy_id",
+    "term_relationships": None,
+    "options": "option_id",
+}
+
+
+def partition_column_for(name: str, source: SourceConfig) -> str | None:
+    """Partition column for a logical table: explicit override wins, then
+    the built-in WP map, else unpartitioned."""
+    if name in source.partition_overrides:
+        return source.partition_overrides[name]
+    return WP_PARTITION_COLUMNS.get(name)
+
 
 def build_catalog(spark, cfg: ExportConfig):
     """Resolve the configured source into a Catalog of logical WP tables."""
@@ -82,7 +138,7 @@ def build_catalog(spark, cfg: ExportConfig):
                 jdbc_table(
                     cfg.source.jdbc_url,
                     physical,
-                    partition_column=cfg.source.partition_column,
+                    partition_column=partition_column_for(name, cfg.source),
                     num_partitions=cfg.source.num_partitions,
                     properties=cfg.source.jdbc_properties,
                 ),

@@ -31,6 +31,17 @@ def parquet_table(path: str) -> Callable[[SparkSession], DataFrame]:
     return load
 
 
+def quote_ident(url: str, name: str) -> str:
+    """Quote an identifier for the database behind a JDBC URL (backticks
+    for MySQL/MariaDB, ANSI double quotes otherwise). Needed because the
+    auto-bounds query below is raw SQL: unquoted identifiers case-fold
+    (Derby/Postgres fold ``meta_id`` -> ``META_ID``/``meta_id``
+    differently), while Spark's own generated scans quote via its dialect.
+    """
+    q = "`" if url.startswith(("jdbc:mysql:", "jdbc:mariadb:")) else '"'
+    return f"{q}{name.replace(q, q * 2)}{q}"
+
+
 def jdbc_table(
     url: str,
     table: str,
@@ -44,12 +55,14 @@ def jdbc_table(
 ) -> Callable[[SparkSession], DataFrame]:
     """Partitioned JDBC scan.
 
-    At 100 TB-ish source scale the partition column should be the PK
-    (``ID`` for every WordPress table the reference reads); bounds can be
-    fetched once via ``SELECT min(ID), max(ID)`` rather than a COUNT —
-    O(1) on an indexed PK, and unlike OFFSET paging each partition's
-    predicate is a disjoint range, so rows are never skipped/duplicated
-    when the table mutates between pages.
+    At 100 TB-ish source scale the partition column should be the table's
+    numeric PK — which in WordPress differs per table (``ID`` for
+    posts/users, ``meta_id`` for postmeta, ...; see
+    ``config.WP_PARTITION_COLUMNS``). Bounds can be fetched once via
+    ``SELECT min(pk), max(pk)`` rather than a COUNT — O(1) on an indexed
+    PK, and unlike OFFSET paging each partition's predicate is a disjoint
+    range, so rows are never skipped/duplicated when the table mutates
+    between pages.
     """
 
     def load(spark: SparkSession) -> DataFrame:
@@ -70,7 +83,8 @@ def jdbc_table(
                     .option("url", url)
                     .option(
                         "dbtable",
-                        f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}) b",
+                        f"(SELECT MIN({quote_ident(url, partition_column)}) lo, "
+                        f"MAX({quote_ident(url, partition_column)}) hi FROM {table}) b",
                     )
                     .load()
                     .first()
@@ -88,6 +102,53 @@ def jdbc_table(
         return reader.load()
 
     return load
+
+
+def mysql_jdbc_options(
+    *,
+    host: str,
+    database: str,
+    user: str = "",
+    password: str = "",
+    port: int = 3306,
+    fetch_size: int = 10_000,
+) -> tuple[str, dict[str, str]]:
+    """MySQL dialect option set for ``jdbc_table`` — (url, properties).
+
+    Mirrors the reference's connection block (helper.js:43-51,
+    config/index.json:28-33: host/user/password/database) onto Spark's
+    JDBC source with the knobs a real WordPress MySQL needs:
+
+    - ``zeroDateTimeBehavior=convertToNull``: WP tables are full of
+      ``0000-00-00 00:00:00`` sentinel dates, which Connector/J otherwise
+      throws on.
+    - ``tinyInt1isBit=false``: WP uses TINYINT(1) as small ints, not
+      booleans.
+    - ``useCursorFetch=true`` + ``fetchsize``: without cursor fetch,
+      Connector/J materializes each partition's ENTIRE result set in
+      executor memory before the first row is consumed — the difference
+      between streaming a 1e9-row partition range and OOMing on it.
+    - ``pushDownPredicate=true`` (Spark-side): filters travel into the
+      remote WHERE clause; MySQL resolves them on the PK/index instead of
+      shipping rows. (Spark's MySQLDialect quotes identifiers with
+      backticks, so mixed-case WP column names like ``ID`` survive.)
+
+    Only Derby is installed in this container, so MySQL coverage is the
+    generated option map itself (unit-tested), with Derby as the live
+    integration path.
+    """
+    url = f"jdbc:mysql://{host}:{port}/{database}"
+    props = {
+        "driver": "com.mysql.cj.jdbc.Driver",
+        "user": user,
+        "password": password,
+        "zeroDateTimeBehavior": "convertToNull",
+        "tinyInt1isBit": "false",
+        "useCursorFetch": "true",
+        "fetchsize": str(fetch_size),
+        "pushDownPredicate": "true",
+    }
+    return url, props
 
 
 @dataclass
