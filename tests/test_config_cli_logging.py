@@ -90,3 +90,62 @@ def test_observe_stage_metrics(spark):
     observed, obs = observe_stage(df, "mystage", F.sum("x").alias("sum_x"))
     observed.write.format("noop").mode("overwrite").save()
     assert obs.get == {"rows": 3, "sum_x": 6}
+
+
+def test_cli_locale_threads_into_paths_and_master(spark, tmp_path):
+    """A configured locale must reach the entries path AND the master
+    mapping shape (round-1 advice: config was silently ignored)."""
+    tables_dir = tmp_path / "tables"
+    spark.createDataFrame(
+        [(1, "ann", "a@x.io")], "ID long, user_login string, user_email string"
+    ).write.parquet(str(tables_dir / "wp_users.parquet"))
+    spark.createDataFrame(
+        [(1, "first_name", "A"), (1, "last_name", "B"), (1, "description", "C")],
+        "user_id long, meta_key string, meta_value string",
+    ).write.parquet(str(tables_dir / "wp_usermeta.parquet"))
+
+    cfg = {
+        "data_dir": str(tmp_path / "out"),
+        "locale": "fr-fr",
+        "source": {"kind": "parquet", "path": str(tables_dir)},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from wordpress_sql_to_contentstack_exporter_spark.__main__ import main
+
+    rc = main(["export", "--config", str(cfg_path), "--module", "authors"])
+    assert rc == 0
+    entries = json.loads((tmp_path / "out/entries/authors/fr-fr.json").read_text())
+    assert entries["ann"]["first_name"] == "A"
+    master = json.loads((tmp_path / "out/master/entries/authors.json").read_text())
+    assert master == {"fr-fr": {"ann": ""}}
+
+
+def test_http_knobs_thread_into_download(spark, wp_catalog, tmp_path):
+    """asset_parallelism / http_timeout_s / http_retries reach
+    download_assets: the injected fetch observes the configured timeout,
+    and a failing URL is attempted 1 + retries times."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans.pipeline import run_export
+
+    def make_fetch():
+        def fetch(url, timeout):
+            assert timeout == 7.5, f"configured timeout lost (got {timeout})"
+            raise RuntimeError("always down")
+
+        return fetch
+
+    out = run_export(
+        wp_catalog,
+        str(tmp_path / "data"),
+        modules=["assets"],
+        fetch=make_fetch(),
+        asset_parallelism=3,
+        http_timeout_s=7.5,
+        http_retries=2,
+    )
+    res = out["assets"]
+    assert res.rdd.getNumPartitions() == 3  # parallelism honored
+    rows = res.collect()
+    assert rows and all(r["status"] == "failed" for r in rows)
+    assert all(r["attempts"] == 3 for r in rows)  # 1 + 2 retries

@@ -75,40 +75,51 @@ def topo_order(graph: dict[str, list[str]] | None = None) -> list[str]:
     return out
 
 
-def export_posts(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
+def export_posts(
+    cat: Catalog, data_dir: str, ids: DataFrame | None = None, *, locale: str = "en-us"
+) -> DataFrame:
     site = wp.read_site_options(cat)
     df = wp.build_posts(cat, site, ids)
     partial = ids is not None
     _write_entries(
-        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/posts/en-us.json", partial=partial
+        df, F.col("key"), F.col("entry"),
+        f"{data_dir}/entries/posts/{locale}.json", partial=partial,
     )
     write_master_mapping(
-        df, F.col("key"), f"{data_dir}/master/entries/posts.json", merge=partial
+        df, F.col("key"), f"{data_dir}/master/entries/posts.json",
+        locale=locale, merge=partial,
     )
     return df
 
 
-def export_authors(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
+def export_authors(
+    cat: Catalog, data_dir: str, ids: DataFrame | None = None, *, locale: str = "en-us"
+) -> DataFrame:
     df = wp.build_authors(cat, ids)
     partial = ids is not None
     _write_entries(
-        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/authors/en-us.json", partial=partial
+        df, F.col("key"), F.col("entry"),
+        f"{data_dir}/entries/authors/{locale}.json", partial=partial,
     )
     write_master_mapping(
-        df, F.col("key"), f"{data_dir}/master/entries/authors.json", merge=partial
+        df, F.col("key"), f"{data_dir}/master/entries/authors.json",
+        locale=locale, merge=partial,
     )
     return df
 
 
-def export_categories(cat: Catalog, data_dir: str, ids: DataFrame | None = None) -> DataFrame:
+def export_categories(
+    cat: Catalog, data_dir: str, ids: DataFrame | None = None, *, locale: str = "en-us"
+) -> DataFrame:
     df = wp.build_categories(cat, ids)
     partial = ids is not None
     _write_entries(
-        df, F.col("key"), F.col("entry"), f"{data_dir}/entries/categories/en-us.json",
-        partial=partial,
+        df, F.col("key"), F.col("entry"),
+        f"{data_dir}/entries/categories/{locale}.json", partial=partial,
     )
     write_master_mapping(
-        df, F.col("key"), f"{data_dir}/master/entries/categories.json", merge=partial
+        df, F.col("key"), f"{data_dir}/master/entries/categories.json",
+        locale=locale, merge=partial,
     )
     return df
 
@@ -120,6 +131,8 @@ def export_assets(
     *,
     fetch: Optional[Callable] = None,
     parallelism: int = 2,
+    timeout: float = 60.0,
+    retries: int = 1,
 ) -> DataFrame:
     """Download attachments, write asset entries + mappings + DLQ
     (assets.js:70-140,214). Returns the download-result DataFrame."""
@@ -132,6 +145,8 @@ def export_assets(
         f"{data_dir}/assets",
         fetch=fetch,
         parallelism=parallelism,
+        timeout=timeout,
+        retries=retries,
     ).localCheckpoint(eager=True)
 
     partial = ids is not None
@@ -165,12 +180,19 @@ def run_export(
     modules: list[str] | None = None,
     ids: DataFrame | None = None,
     fetch: Optional[Callable] = None,
+    locale: str = "en-us",
+    asset_parallelism: int = 2,
+    http_timeout_s: float = 60.0,
+    http_retries: int = 1,
 ) -> dict[str, DataFrame]:
     """The ``npm run export [module] [ids-file]`` surface (app.js:11-39).
 
     ``modules=None`` runs all four in the reference's order; a subset runs
     just those (upstream deps are computed on demand, not read from prior
     runs). ``ids`` narrows every selected module — the resume path.
+    The locale / HTTP knobs mirror ExportConfig (the reference's
+    ``guard.n(2)`` / 60 s / 1-retry constants) and are threaded through
+    here — config values must never be silently ignored.
     """
     selected = modules or MODULES
     unknown = set(selected) - set(MODULES)
@@ -181,11 +203,15 @@ def run_export(
         if m not in selected:
             continue
         if m == "assets":
-            out[m] = export_assets(cat, data_dir, ids, fetch=fetch)
+            out[m] = export_assets(
+                cat, data_dir, ids, fetch=fetch,
+                parallelism=asset_parallelism,
+                timeout=http_timeout_s, retries=http_retries,
+            )
         elif m == "authors":
-            out[m] = export_authors(cat, data_dir, ids)
+            out[m] = export_authors(cat, data_dir, ids, locale=locale)
         elif m == "categories":
-            out[m] = export_categories(cat, data_dir, ids)
+            out[m] = export_categories(cat, data_dir, ids, locale=locale)
         elif m == "posts":
-            out[m] = export_posts(cat, data_dir, ids)
+            out[m] = export_posts(cat, data_dir, ids, locale=locale)
     return out

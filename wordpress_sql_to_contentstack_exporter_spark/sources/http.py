@@ -41,6 +41,7 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("path", T.StringType(), True),
         T.StructField("status", T.StringType(), False),  # downloaded|skipped|failed
         T.StructField("error", T.StringType(), True),
+        T.StructField("attempts", T.IntegerType(), False),  # fetch calls made (0 if skipped)
     ]
 )
 
@@ -62,17 +63,29 @@ def default_fetch(url: str, timeout: float) -> bytes:
         return resp.read()
 
 
+#: Follow at most this many 3xx hops (loop guard; WP media URLs commonly
+#: 301 to https or to a CDN host).
+_MAX_REDIRECTS = 5
+
+
 def pooled_fetch_factory():
     """Build a per-partition fetch with keep-alive connection reuse: one
     ``http.client`` connection per (scheme, host), reused across that
     partition's downloads — 100k same-host media files perform a handful
     of TCP/TLS handshakes instead of 100k. Called once per partition
-    inside the downloader."""
+    inside the downloader.
+
+    3xx responses follow ``Location`` (up to ``_MAX_REDIRECTS`` hops,
+    relative or absolute) — matching ``default_fetch``'s urllib behavior,
+    which follows redirects transparently; without this, every
+    http->https upgrade or CDN move would dead-letter under the pooled
+    path only."""
     import http.client
 
     conns: dict = {}
 
-    def fetch(url: str, timeout: float) -> bytes:
+    def fetch_one(url: str, timeout: float):
+        """Single GET on the pooled connection; returns (status, headers, body)."""
         parts = urllib.parse.urlsplit(url)
         key = (parts.scheme, parts.netloc)
         conn = conns.get(key)
@@ -90,14 +103,27 @@ def pooled_fetch_factory():
         try:
             conn.request("GET", path)
             resp = conn.getresponse()
-            body = resp.read()
+            body = resp.read()  # must drain even on redirect to reuse the conn
         except Exception:
             conn.close()
             conns.pop(key, None)
             raise
-        if resp.status != 200:
-            raise RuntimeError(f"status code: {resp.status}")
-        return body
+        return resp.status, dict(resp.getheaders()), body
+
+    def fetch(url: str, timeout: float) -> bytes:
+        current = url
+        for _ in range(_MAX_REDIRECTS + 1):
+            status, headers, body = fetch_one(current, timeout)
+            if status in (301, 302, 303, 307, 308):
+                location = headers.get("Location") or headers.get("location")
+                if not location:
+                    raise RuntimeError(f"status code: {status} (no Location)")
+                current = urllib.parse.urljoin(current, location)
+                continue
+            if status != 200:
+                raise RuntimeError(f"status code: {status}")
+            return body
+        raise RuntimeError(f"too many redirects (> {_MAX_REDIRECTS}): {url}")
 
     return fetch
 
@@ -130,18 +156,19 @@ def download_assets(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch_fn = injected or pooled_fetch_factory()
         for pdf in batches:
-            out = {k: [] for k in ("id", "url", "filename", "path", "status", "error")}
+            out = {k: [] for k in ("id", "url", "filename", "path", "status", "error", "attempts")}
             for rid, raw_url in zip(pdf["id"], pdf["url"]):
                 name = (raw_url or "").split("/")[-1]
                 url = encode_uri(raw_url or "")
                 target_dir = os.path.join(dest_dir, str(rid))
                 target = os.path.join(target_dir, name)
-                status, error = "downloaded", None
+                status, error, tries = "downloaded", None, 0
                 if skip_existing and os.path.exists(target):
                     status = "skipped"
                 else:
-                    attempt, last_err = 0, None
-                    while attempt <= retries:
+                    last_err = None
+                    while tries <= retries:
+                        tries += 1
                         try:
                             body = fetch_fn(url, timeout)
                             os.makedirs(target_dir, exist_ok=True)
@@ -151,7 +178,6 @@ def download_assets(
                             break
                         except Exception as e:  # noqa: BLE001 — any failure dead-letters
                             last_err = f"{type(e).__name__}: {e}"
-                            attempt += 1
                     if last_err is not None:
                         status, error, target = "failed", last_err, None
                 out["id"].append(rid)
@@ -160,6 +186,7 @@ def download_assets(
                 out["path"].append(target)
                 out["status"].append(status)
                 out["error"].append(error)
+                out["attempts"].append(tries)
             yield pd.DataFrame(out)
 
     return rows.mapInPandas(run, RESULT_SCHEMA)
