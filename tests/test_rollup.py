@@ -86,3 +86,47 @@ def test_bucket_aggregate_drops_null_ts(spark):
     )
     rows = bucket_aggregate(batch).collect()
     assert len(rows) == 1 and rows[0]["n"] == 1
+
+
+def test_compact_rollup_folds_batches_and_accepts_new_appends(spark, tmp_path):
+    roll = str(tmp_path / "roll")
+    b1 = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 5), "click", 1.0), (2, T(2024, 1, 1, 11, 0), "view", 5.0)],
+        SCHEMA,
+    )
+    b2 = spark.createDataFrame([(3, T(2024, 1, 1, 10, 30), "click", 4.0)], SCHEMA)
+    merge_rollup(spark, bucket_aggregate(b1), roll, batch_id=1)
+    merge_rollup(spark, bucket_aggregate(b2), roll, batch_id=2)
+    before = read_rollup(spark, roll)
+
+    compacted = str(tmp_path / "roll_gen2")
+    rollup_mod.compact_rollup(spark, roll, compacted)
+    assert read_rollup(spark, compacted) == before
+    # one generation row per (bucket, key) after compaction
+    raw = spark.read.parquet(compacted)
+    assert raw.count() == raw.select("bucket_start", "key").distinct().count()
+
+    # the compacted table keeps accepting incremental batches
+    b3 = spark.createDataFrame([(4, T(2024, 1, 1, 10, 45), "click", 2.0)], SCHEMA)
+    merge_rollup(spark, bucket_aggregate(b3), compacted, batch_id=3)
+    assert read_rollup(spark, compacted)[(T(2024, 1, 1, 10), "click")] == (3, 7.0)
+
+
+def test_merge_rollup_never_rewrites_committed_files(spark, tmp_path):
+    """Crash-safety invariant of the append-only design: files that exist
+    before a merge still exist, byte-identical, after it."""
+    import glob
+
+    roll = str(tmp_path / "roll")
+    b1 = spark.createDataFrame([(1, T(2024, 1, 1, 10, 5), "click", 1.0)], SCHEMA)
+    merge_rollup(spark, bucket_aggregate(b1), roll, batch_id=1)
+    before = {
+        p: open(p, "rb").read() for p in glob.glob(f"{roll}/**/*.parquet", recursive=True)
+    }
+    assert before
+    # same bucket again: old design rewrote this partition, new one appends
+    b2 = spark.createDataFrame([(2, T(2024, 1, 1, 10, 30), "click", 4.0)], SCHEMA)
+    merge_rollup(spark, bucket_aggregate(b2), roll, batch_id=2)
+    for p, content in before.items():
+        assert open(p, "rb").read() == content, f"committed file rewritten: {p}"
+    assert read_rollup(spark, roll)[(T(2024, 1, 1, 10), "click")] == (2, 5.0)

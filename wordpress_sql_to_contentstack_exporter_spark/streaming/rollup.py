@@ -8,20 +8,30 @@ table, overwriting ONLY the partitions the batch touched (dynamic
 partition overwrite) — late data re-opens exactly its bucket, untouched
 history is never rewritten.
 
-Idempotency: foreachBatch is at-least-once — a crash between the parquet
-commit and the checkpoint commit replays the batch. The stored rollup
-therefore keeps one row per (bucket, key, batch_id); a replayed batch
-first drops its own previous contribution from the touched partitions,
-so re-merging is a no-op. ``read_rollup`` folds the per-batch partials
-into final aggregates (the usual decomposable count/sum contract; avg is
-derived at read time).
+Idempotency + crash safety: foreachBatch is at-least-once — a crash
+between the parquet commit and the checkpoint commit replays the batch.
+The stored rollup keeps one row per (bucket, key, batch_id) and merges
+are APPEND-ONLY (log-structured, merge-on-read — the Hudi-MOR / Druid
+segment shape): an append either commits (files move out of
+``_temporary`` at job commit) or leaves nothing visible, and prior
+batches' files are never deleted or rewritten, so there is no window in
+which a crash can lose already-committed history. (The previous design
+read-modify-overwrote the touched partitions; plain-parquet dynamic
+overwrite deletes old files before the new commit is durable, so a
+crash mid-commit lost prior batches' rows in those partitions — round-1
+advice.) A replayed batch re-appends the same (bucket, key, batch_id)
+partials; ``read_rollup`` keeps one contribution per batch
+(deterministic — a batch's partial is a groupBy aggregate, so per
+(bucket, key, batch_id) there is exactly one logical row) and folds the
+partials into final aggregates (decomposable count/sum contract; avg is
+derived at read time). ``compact_rollup`` is the offline maintenance op
+that bounds the per-batch file/row growth.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from .incremental import incremental_export
 
@@ -59,45 +69,67 @@ def bucket_aggregate(
 def merge_rollup(
     spark: SparkSession, partial: DataFrame, rollup_path: str, batch_id: int
 ) -> None:
-    """Merge one batch's partial rollup into the persistent rollup table.
+    """Append one batch's partial rollup to the persistent rollup table.
 
-    Reads only the touched bucket partitions (partition pruning keeps the
-    read proportional to the batch's time spread), drops any rows this
-    batch_id wrote before (replay safety), appends the new partials, and
-    rewrites just those partitions.
+    Append-only: never reads or rewrites prior batches' files, so a crash
+    at any point either leaves the table untouched (job uncommitted —
+    only ``_temporary`` garbage, which parquet readers ignore) or fully
+    appended. Replay safety is read-side: ``read_rollup`` keeps one
+    contribution per (bucket, key, batch_id). Writes stay partitioned by
+    ``bucket_part`` so reads of a time range prune to its buckets.
     """
-    partial = partial.withColumn("batch_id", F.lit(batch_id)).persist()
-    parts = [r["bucket_part"] for r in partial.select("bucket_part").distinct().collect()]
-    if not parts:
-        partial.unpersist()
-        return
-    combined = partial
-    try:
-        existing = (
-            spark.read.parquet(rollup_path)
-            .filter(F.col("bucket_part").isin(parts))
-            .filter(F.col("batch_id") != batch_id)
-        )
-        combined = partial.unionByName(existing)
-    except AnalysisException:
-        pass  # first write: rollup table does not exist yet (any filesystem)
     (
-        combined.write.partitionBy("bucket_part")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
+        partial.withColumn("batch_id", F.lit(batch_id))
+        .write.partitionBy("bucket_part")
+        .mode("append")
         .parquet(rollup_path)
     )
-    partial.unpersist()
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """Final aggregates: fold per-batch partials into one row per
-    (bucket_start, key)."""
-    return (
+    (bucket_start, key).
+
+    The inner ``first()`` aggregate collapses at-least-once replays —
+    identical logical rows re-appended under the same (bucket, key,
+    batch_id) — before the outer fold sums across batches. ``first`` is
+    exact here, not arbitrary: a batch's partial has exactly one row per
+    (bucket, key), so duplicates only ever differ by replay.
+    """
+    per_batch = (
         spark.read.parquet(rollup_path)
-        .groupBy("bucket_start", "key")
-        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+        .groupBy("bucket_start", "key", "batch_id")
+        .agg(F.first("n").alias("n"), F.first("sum_value").alias("sum_value"))
     )
+    return per_batch.groupBy("bucket_start", "key").agg(
+        F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
+    )
+
+
+def compact_rollup(
+    spark: SparkSession, rollup_path: str, dest_path: str
+) -> None:
+    """Offline maintenance: fold all per-batch partials into a single
+    ``batch_id = -1`` generation at ``dest_path`` (same schema/layout, so
+    ``read_rollup``/``merge_rollup`` keep working and later batches can
+    append on top).
+
+    Writes to a NEW path — never in place — so the live table stays
+    readable and crash-consistent throughout; the caller swaps paths
+    (config/symlink) and deletes the old generation once the new one is
+    verified. Run only while the stream is stopped with its checkpoint
+    committed: compaction collapses batch identities, so a replay of a
+    pre-compaction batch into the compacted table would double-count.
+    """
+    folded = (
+        read_rollup(spark, rollup_path)
+        .withColumn(
+            "bucket_part", F.unix_timestamp(F.col("bucket_start")).cast("string")
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .select("bucket_start", "key", "n", "sum_value", "batch_id", "bucket_part")
+    )
+    folded.write.partitionBy("bucket_part").mode("errorifexists").parquet(dest_path)
 
 
 def continuous_rollup(
