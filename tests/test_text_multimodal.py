@@ -80,3 +80,62 @@ def test_multimodal_decode_stub(spark):
     assert rows[1]["content_sha256"] == hashlib.sha256(b"alpha").hexdigest()
     assert len(rows[1]["feature"]) == 8
     assert all(0.0 <= x <= 1.0 for x in rows[1]["feature"])
+
+
+def test_decoder_dispatch_auto_falls_back_to_stub(spark):
+    """No codec libs in this container: auto must equal the pinned stub
+    path bit-for-bit, and available_decoders() must say why."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = mm.synthesize_media_from_documents(docs)
+    assert mm.available_decoders() == []
+    stub = {r["media_id"]: r for r in mm.decode_features(media, decoder="stub").collect()}
+    auto = {r["media_id"]: r for r in mm.decode_features(media, decoder="auto").collect()}
+    assert stub.keys() == auto.keys()
+    for mid in stub:
+        assert stub[mid]["feature"] == auto[mid]["feature"]
+        assert stub[mid]["content_sha256"] == auto[mid]["content_sha256"]
+
+
+def test_decoder_dispatch_pil_required_raises_without_pil(spark):
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; the strict path would succeed")
+    except ImportError:
+        pass
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(2)
+    media = mm.synthesize_media_from_documents(docs)
+    with pytest.raises(Exception, match="PIL is not installed"):
+        mm.decode_features(media, decoder="pil").collect()
+
+
+def test_decoder_dispatch_rejects_unknown_name(spark):
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(2)
+    media = mm.synthesize_media_from_documents(docs)
+    with pytest.raises(ValueError, match="unknown decoder"):
+        mm.decode_features(media, decoder="jpeg2000")
+
+
+def test_decoder_real_pil_path_if_available(spark):
+    """Exercised only when a codec lib lands in the container: a 1x1 PNG
+    decodes to the resolution-aware feature, a non-image payload falls
+    back to the stub feature without failing the batch."""
+    import pytest
+
+    pil = pytest.importorskip("PIL")  # noqa: F841
+    import base64
+
+    # 1x1 red pixel PNG
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP8z8BQ"
+        "DwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    rows = [(1, png), (2, b"definitely not an image")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in mm.decode_features(media, decoder="auto").collect()}
+    assert out[1]["feature"][4] == pytest.approx(1 / 65535.0)  # width=1
+    assert out[2]["feature"] == [b / 255.0 for b in __import__("hashlib").sha256(rows[1][1]).digest()[:8]]
