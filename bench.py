@@ -41,6 +41,46 @@ HEADLINE = [
 ]
 
 
+def dedup_tier(spark, sf_dir: str, target_docs: int) -> dict:
+    """The SCALE.md 200k-doc probe, made repeatable: expand the documents
+    fixture (which does NOT grow with sf) to ``target_docs`` near-identical
+    variants — the worst case for LSH bucket skew — and time the dedup
+    family end-to-end. Regressions in the candidate-generation plans show
+    up here, not at fixture scale."""
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    variants = max(1, -(-target_docs // n))
+    corpus = (
+        docs.crossJoin(spark.range(variants).select(F.col("id").alias("v")))
+        .select(
+            (F.col("doc_id") * variants + F.col("v")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" variant "), F.col("v").cast("string")).alias("text"),
+        )
+        # the fixture is one parquet file -> the synthesized corpus would
+        # inherit ONE partition and single-thread the whole dedup family;
+        # real corpora arrive multi-partition, so spread it explicitly
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    out: dict[str, float] = {"docs": n * variants}
+
+    def timed(key: str, df) -> None:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[key] = round(time.perf_counter() - t0, 3)
+
+    # same shapes as the SCALE.md probe (16 hashes / 2 bands; hamming<=3
+    # at a 20-bit block)
+    timed("exact_dedup", dd.exact_dedup(corpus))
+    timed("minhash_neardup", dd.minhash_lsh_candidates(corpus, num_hashes=16, bands=2))
+    timed("simhash_neardup", dd.simhash_neardups(corpus, max_hamming=3, prefix_bits=20))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -57,17 +97,22 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Large-corpus dedup tier (SPARK_GRAFT_DEDUP_DOCS=0 disables). Reported
+    # separately from "queries" so the headline total stays comparable
+    # across rounds.
+    tier_docs = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "200000"))
+    if tier_docs > 0:
+        result["dedup_tier"] = dedup_tier(spark, sf_dir, tier_docs)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
