@@ -189,3 +189,63 @@ def test_minhash_bucket_cap_bounds_pathological_corpus(spark):
         ).collect()
     }
     assert base == wide
+
+
+def test_rotl63_properties(spark):
+    """Rotation invariants, checked in one Spark action over random
+    63-bit values: popcount-preserving, full-cycle identity, and
+    composition (rot(rot(v, a), b) == rot(v, a+b mod 63))."""
+    import random
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import (
+        SIMHASH_BITS,
+        _rotl63,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.getrandbits(SIMHASH_BITS) for _ in range(200)] + [
+        0, 1, (1 << SIMHASH_BITS) - 1, 1 << (SIMHASH_BITS - 1)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    a, b = 13, 37
+    checked = df.select(
+        (F.bit_count(_rotl63(F.col("v"), a)) == F.bit_count(F.col("v"))).alias("pop_ok"),
+        (_rotl63(_rotl63(F.col("v"), a), SIMHASH_BITS - a) == F.col("v")).alias("cycle_ok"),
+        (
+            _rotl63(_rotl63(F.col("v"), a), b)
+            == _rotl63(F.col("v"), (a + b) % SIMHASH_BITS)
+        ).alias("compose_ok"),
+        (_rotl63(F.col("v"), a) >= 0).alias("nonneg_ok"),  # ANSI-safety: bit 63 clear
+    )
+    bad = checked.filter(
+        ~F.col("pop_ok") | ~F.col("cycle_ok") | ~F.col("compose_ok") | ~F.col("nonneg_ok")
+    ).count()
+    assert bad == 0
+
+
+def test_rotation_sweep_is_monotone_in_recall(spark):
+    """Pairs found with fewer rotations are a subset of pairs found with
+    more (the sweep only ever adds blockings)."""
+    import random
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import SIMHASH_BITS
+
+    rng = random.Random(11)
+    base = [rng.getrandbits(SIMHASH_BITS) for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # add near-dups: flip 1-3 random bits of each
+    for i, v in enumerate(base):
+        flipped = v
+        for _ in range(rng.randint(1, 3)):
+            flipped ^= 1 << rng.randrange(SIMHASH_BITS)
+        rows.append((1000 + i, flipped))
+    sigs = spark.createDataFrame(rows, "id long, sh long")
+
+    found = {}
+    for n in (1, 3, 7):
+        found[n] = {
+            (r["id_a"], r["id_b"])
+            for r in dd.simhash_pairs_from_sigs(sigs, max_hamming=3, n_rotations=n).collect()
+        }
+    assert found[1] <= found[3] <= found[7]
+    assert len(found[7]) > len(found[1])  # the sweep actually recovers pairs
