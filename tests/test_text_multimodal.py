@@ -139,3 +139,82 @@ def test_decoder_real_pil_path_if_available(spark):
     out = {r["media_id"]: r for r in mm.decode_features(media, decoder="auto").collect()}
     assert out[1]["feature"][4] == pytest.approx(1 / 65535.0)  # width=1
     assert out[2]["feature"] == [b / 255.0 for b in __import__("hashlib").sha256(rows[1][1]).digest()[:8]]
+
+
+def test_pii_redact_masks_and_counts(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@ex-corp.io or bob@b.co today"),
+        (2, "server 192.168.001.1 and 10.0.0.7 rebooted"),
+        (3, "call +1 at 555-867-5309 or 555.867.5309"),
+        (4, "no pii here at all"),
+        (5, "mixed: c@d.org from 8.8.8.8 call 123-456-7890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import pii_redact
+
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (2, 0, 0)
+    assert out[1]["redacted"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out[2]["n_ip"] == 2 and "<IP>" in out[2]["redacted"]
+    assert out[3]["n_phone"] == 2
+    assert out[3]["redacted"] == "call +1 at <PHONE> or <PHONE>"
+    assert out[4]["redacted"] == rows[3][1]  # untouched
+    assert (out[5]["n_email"], out[5]["n_ip"], out[5]["n_phone"]) == (1, 1, 1)
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),      # shares 'the quick brown' etc
+            (2, "completely unrelated database text"),  # clean
+            (3, "quick brown fox is fast"),             # shares 'quick brown fox'
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sat down")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, k=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == 2  # 'the quick brown', 'quick brown fox'
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["contaminated"] and out[3]["n_overlap"] == 1
+
+
+def test_domain_mixture_deterministic_and_proportional(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
+        domain_mixture,
+    )
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    weights = {"dom0": 0.8, "dom1": 0.2}
+    kept1 = domain_mixture(df, weights, domain_col="source", key_col="doc_id")
+    kept2 = domain_mixture(df, weights, domain_col="source", key_col="doc_id")
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    assert ids1 == {r["doc_id"] for r in kept2.collect()}  # retry-stable
+
+    by_dom = {
+        r["source"]: r["n"]
+        for r in kept1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(by_dom["dom0"] / 1000 - 0.8) < 0.06
+    assert abs(by_dom["dom1"] / 1000 - 0.2) < 0.06
+
+    # monotone: lowering a weight only removes rows, never swaps them
+    smaller = domain_mixture(
+        df, {"dom0": 0.4, "dom1": 0.2}, domain_col="source", key_col="doc_id"
+    )
+    ids_small = {r["doc_id"] for r in smaller.collect()}
+    assert ids_small <= ids1
+
+    # mix_key is a deterministic function of the key
+    mk = {r["doc_id"]: r["mix_key"] for r in kept1.collect()}
+    mk2 = {r["doc_id"]: r["mix_key"] for r in kept2.collect()}
+    assert mk == mk2

@@ -76,6 +76,54 @@ def deterministic_split(
     return df.withColumn(out_col, assigned)
 
 
+def domain_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    domain_col: str,
+    key_col: str,
+    default_weight: float = 0.0,
+    salt: str = "mix",
+    out_key_col: str = "mix_key",
+) -> DataFrame:
+    """Deterministic domain mixing for pretraining corpora: subsample each
+    domain to its mixture weight and emit a stable global interleaving key.
+
+    ``weights`` maps domain value -> keep probability (the per-domain
+    sampling rate that realizes a target mixture); unlisted domains get
+    ``default_weight``. Selection compares the first 8 hex chars of
+    ``md5(salt:domain:key)`` against the weight's hex threshold — md5 is
+    available with identical output in Spark, DuckDB, and most engines,
+    so the EXACT sample is reproducible outside Spark (the property that
+    makes a mixture auditable). ``mix_key`` = md5 over a different salt:
+    ordering by it is a uniform, deterministic shuffle of the kept rows —
+    consumers ``ORDER BY mix_key`` (or range-partition on it) to read a
+    stable training order that interleaves domains proportionally, with
+    no global sort inside this operator.
+    """
+    key_str = F.col(key_col).cast("string")
+    sel_hex = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(domain_col), F.lit(":"), key_str)), 1, 8
+    )
+
+    def hex_threshold(p: float) -> str:
+        p = min(max(float(p), 0.0), 1.0)
+        return format(int(p * 0xFFFFFFFF), "08x")
+
+    thr = None
+    for value, p in weights.items():
+        branch = (F.col(domain_col) == value, F.lit(hex_threshold(p)))
+        thr = F.when(*branch) if thr is None else thr.when(*branch)
+    thr = (
+        thr.otherwise(F.lit(hex_threshold(default_weight)))
+        if thr is not None
+        else F.lit(hex_threshold(default_weight))
+    )
+    kept = df.filter(sel_hex < thr)
+    order_key = F.md5(F.concat(F.lit(f"{salt}#order:"), key_str))
+    return kept.withColumn(out_key_col, order_key)
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -124,6 +124,84 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(out_col, pred)
 
 
+#: PII patterns, deliberately restricted to syntax with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+#: classes, bounded repetition, non-capturing groups, \b. Order matters:
+#: emails first (they contain dots and digits), then IPv4, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora (the C4/Dolma-style hygiene
+    pass): mask emails, IPv4 addresses and phone numbers with typed
+    placeholder tokens and report per-category match counts.
+
+    Map-only codegen stage — counts come from ``regexp_count`` on the
+    original text, masks from chained ``regexp_replace``; nothing
+    shuffles and nothing leaves the JVM, so this pipelines with the scan
+    at any scale.
+    """
+    t = F.col(text_col)
+    out_cols = [F.col(c) for c in df.columns]
+    redacted = t
+    for name, pattern, token in PII_PATTERNS:
+        out_cols.append(F.regexp_count(t, F.lit(pattern)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pattern, token)
+    out_cols.append(redacted.alias("redacted"))
+    return df.select(*out_cols)
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: count distinct word ``k``-grams each
+    document shares with a benchmark/eval corpus (the standard
+    train-test-overlap guard in LLM pipelines; production uses k=8-13,
+    fixture tests use smaller k).
+
+    Plan shape for 100 TB: explode each side to distinct (id, gram) /
+    (gram) rows, inner-join on the gram, count per document. Benchmark
+    corpora are small (eval sets), so the gram side broadcasts by default
+    — the 100 TB document stream never shuffles; with
+    ``broadcast_benchmark=False`` AQE decides. Gram normalization is the
+    dedup family's canonical form (shared ``word_shingles``), so
+    decontamination and near-dup can't disagree on tokenization.
+    """
+    from .dedup import word_shingles
+
+    doc_grams = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("g"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), k)).alias("g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    overlap = (
+        doc_grams.join(bench_grams, "g")
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))  # doc grams are distinct per doc
+    )
+    return (
+        docs.join(overlap, docs[id_col] == F.col("__did"), "left")
+        .drop("__did")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Document fingerprint: sha2-256 over the dedup family's canonical
     normalized form (shared with exact_dedup so the two hash definitions

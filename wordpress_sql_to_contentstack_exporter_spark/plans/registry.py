@@ -41,6 +41,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators import sampling
 from ..operators.sampling import deterministic_split, pack_sequences, stratified_sample
 from ..operators.skew import salted_agg
 from ..operators.temporal import asof_join, range_join_count
@@ -1101,6 +1102,140 @@ FROM documents
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone masked, per-category counts).
+    The fixture has no organic PII, so the query plants deterministic
+    doc_id-derived PII first — the SQL oracle plants identically, so the
+    redaction itself is what's compared."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@ex.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" call 555-867-530"), (F.col("doc_id") % 10).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = tx.pii_redact(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH planted AS (
+    SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' call 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                        ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+       len(regexp_extract_all(text, '\+?\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\+?\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS redacted
+FROM planted
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct shared word 3-grams between
+    each document and a 'benchmark' corpus (the first 10 docs stand in
+    for an eval set; production k is 8-13)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    out = tx.ngram_decontaminate(d, bench, k=3)
+    return out.select(
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS g
+    FROM w
+), b AS (
+    SELECT DISTINCT g FROM g WHERE doc_id < 10
+), o AS (
+    SELECT g.doc_id, count(*) AS n_overlap
+    FROM g JOIN b USING (g)
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       COALESCE(o.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: per-source keep rates + stable global
+    interleave key (md5-based, so the exact sample is reproducible in any
+    engine — the DuckDB oracle recomputes it bit-for-bit)."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.domain_mixture(
+        d,
+        {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+        domain_col="source",
+        key_col="doc_id",
+        default_weight=0.1,
+    )
+    w = Window.orderBy("mix_key", "doc_id")
+    return out.select(
+        "doc_id", "source", "mix_key",
+        F.row_number().over(w).cast("long").alias("train_order"),
+    )
+
+
+SQL_DOMAIN_MIXTURE = r"""
+WITH kept AS (
+    SELECT doc_id, source,
+           md5('mix#order:' || CAST(doc_id AS VARCHAR)) AS mix_key
+    FROM documents
+    WHERE substring(md5('mix:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE source
+              WHEN 'src0' THEN 'ffffffff'
+              WHEN 'src1' THEN 'bfffffff'
+              WHEN 'src2' THEN '7fffffff'
+              WHEN 'src3' THEN '3fffffff'
+              ELSE '19999999'
+            END
+)
+SELECT doc_id, source, mix_key,
+       row_number() OVER (ORDER BY mix_key, doc_id) AS train_order
+FROM kept
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (k=5) for query vectors vec_id<5."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1336,6 +1471,9 @@ SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "domain_mixture": q_domain_mixture,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1391,6 +1529,9 @@ ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "pii_redact": SQL_PII_REDACT,
+    "decontaminate": SQL_DECONTAMINATE,
+    "domain_mixture": SQL_DOMAIN_MIXTURE,
     "ann_cosine_topk": SQL_ANN_COSINE,
     # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
