@@ -79,6 +79,23 @@ def main() -> int:
         ("hash aggregate", r"HashAggregate"),
         ("text not in shuffle output", r"Arguments: hashpartitioning\(content_hash"),
     )
+    # Decontamination: the benchmark gram side broadcasts — the document
+    # stream must not shuffle for the overlap join.
+    check(
+        "decontaminate",
+        ("benchmark grams broadcast", r"BroadcastHashJoin"),
+    )
+    # PII redaction: pure map stage — no exchange anywhere in the plan.
+    check(
+        "pii_redact",
+        ("no shuffle in redaction", r"\A(?s:(?!.*Exchange).*)\Z"),
+        ("whole-stage codegen", r"\[codegen id : \d+\]"),
+    )
+    # Embedding near-dup gate: bucketed LSH join, never a nested loop.
+    check(
+        "embedding_neardup",
+        ("no all-pairs join", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
