@@ -81,6 +81,80 @@ def dedup_tier(spark, sf_dir: str, target_docs: int) -> dict:
     return out
 
 
+def posts_tier(spark, n_posts: int) -> dict:
+    """The SCALE.md 100k-post WordPress pipeline probe, made repeatable:
+    synthetic WP tables at ``n_posts`` through the full build_posts plan
+    (publish filter -> author broadcast -> decorrelated category agg ->
+    featured-image join -> permalink/ISO/struct). Guards the flagship
+    ETL path — including the round-2 fix that lets AQE choose the join
+    strategy for the post-cardinality sides."""
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans import wordpress as wp
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import Catalog
+
+    n_authors, n_cats = max(n_posts // 100, 1), 500
+    ids = spark.range(n_posts)
+    posts = ids.select(
+        F.col("id").alias("ID"),
+        (F.col("id") % n_authors + 1).alias("post_author"),
+        F.timestamp_seconds(F.lit(1500000000) + F.col("id") % 100_000_000).alias("post_date"),
+        F.timestamp_seconds(F.lit(1500000000) + F.col("id") % 100_000_000).alias("post_date_gmt"),
+        F.concat(F.lit("Post Title "), F.col("id").cast("string")).alias("post_title"),
+        F.concat(F.lit("post-"), F.col("id").cast("string")).alias("post_name"),
+        F.concat(F.lit("<p>body of "), F.col("id").cast("string"), F.lit("</p>")).alias("post_content"),
+        F.when(F.col("id") % 20 == 0, "draft").otherwise("publish").alias("post_status"),
+        F.when(F.col("id") % 10 == 0, "page").otherwise("post").alias("post_type"),
+        F.concat(F.lit("http://blog.example.com/?p="), F.col("id").cast("string")).alias("guid"),
+    )
+    users = spark.range(1, n_authors + 1).select(
+        F.col("id").alias("ID"),
+        F.concat(F.lit("author"), F.col("id").cast("string")).alias("user_login"),
+    )
+    terms = spark.range(1, n_cats + 1).select(
+        F.col("id").alias("term_id"),
+        F.concat(F.lit("Cat "), F.col("id").cast("string")).alias("name"),
+        F.concat(F.lit("cat-"), F.col("id").cast("string")).alias("slug"),
+    )
+    tt = terms.select(
+        F.col("term_id").alias("term_taxonomy_id"), "term_id",
+        F.lit("category").alias("taxonomy"),
+    )
+    rel = (
+        ids.select(F.col("id").alias("object_id"), (F.col("id") % n_cats + 1).alias("term_taxonomy_id"))
+        .unionByName(
+            ids.select(
+                F.col("id").alias("object_id"),
+                ((F.col("id") + 7) % n_cats + 1).alias("term_taxonomy_id"),
+            )
+        )
+    )
+    postmeta = (
+        ids.filter(F.col("id") % 2 == 0)
+        .select(
+            F.col("id").alias("post_id"),
+            F.lit("_thumbnail_id").alias("meta_key"),
+            (F.col("id") + 1_000_000).cast("string").alias("meta_value"),
+        )
+    )
+
+    cat = Catalog(spark)
+    for name, df in [
+        ("posts", posts), ("users", users), ("terms", terms),
+        ("term_taxonomy", tt), ("term_relationships", rel), ("postmeta", postmeta),
+    ]:
+        cat.register(name, lambda s, _df=df: _df)
+
+    site = wp.SiteOptions(
+        permalink_structure="/%year%/%monthnum%/%postname%/",
+        siteurl="http://blog.example.com",
+    )
+    t0 = time.perf_counter()
+    wp.build_posts(cat, site).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 3)
+    return {"posts": n_posts, "wall": wall, "entries_per_s": round(n_posts / wall)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -111,6 +185,11 @@ def main() -> None:
     tier_docs = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "200000"))
     if tier_docs > 0:
         result["dedup_tier"] = dedup_tier(spark, sf_dir, tier_docs)
+
+    # Flagship-pipeline scale tier (SPARK_GRAFT_POSTS=0 disables).
+    tier_posts = int(os.environ.get("SPARK_GRAFT_POSTS", "100000"))
+    if tier_posts > 0:
+        result["posts_tier"] = posts_tier(spark, tier_posts)
 
     print(json.dumps(result))
 
