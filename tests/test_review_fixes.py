@@ -169,3 +169,94 @@ def test_hyperplane_signature_32_planes_no_overflow(spark):
     df = spark.createDataFrame([([1.0, 0.5, -0.5, 2.0],)], "v array<float>")
     val = df.select(sim.hyperplane_signature(F.col("v"), planes).alias("s")).first()["s"]
     assert isinstance(val, int)  # completes without ARITHMETIC_OVERFLOW
+
+# --- round-2 adversarial-review fixes ---
+
+
+def test_master_merge_preserves_other_locales(spark, tmp_path):
+    """A locale-B subset merge must not clobber locale A's mapping (the
+    clobber became reachable once locale was configurable)."""
+    import json
+
+    from wordpress_sql_to_contentstack_exporter_spark.sinks.keyed_json import (
+        write_master_mapping,
+    )
+
+    path = str(tmp_path / "posts.json")
+    en = spark.createDataFrame([("10",), ("11",)], "k string")
+    write_master_mapping(en, F.col("k"), path, locale="en-us")
+    fr = spark.createDataFrame([("10",)], "k string")
+    write_master_mapping(fr, F.col("k"), path, locale="fr-fr", merge=True)
+    doc = json.loads(open(path).read())
+    assert doc == {"en-us": {"10": "", "11": ""}, "fr-fr": {"10": ""}}
+
+
+def test_domain_mixture_null_domain_and_full_weight(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
+        domain_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else None) for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = domain_mixture(
+        df, {"keep": 1.0}, domain_col="source", key_col="doc_id", default_weight=0.5
+    )
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by.get("keep") == 200  # weight 1.0 keeps EVERY row (inclusive)
+    # NULL domains sample at default_weight, not silently dropped
+    assert 60 <= by.get(None, 0) <= 140
+
+
+def test_mysql_block_implies_jdbc_kind(tmp_path):
+    import json
+
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.config import ExportConfig
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"source": {"mysql": {"host": "h", "database": "wp"}}}))
+    cfg = ExportConfig.from_json(str(p))
+    assert cfg.source.kind == "jdbc"  # mysql block implies jdbc
+    assert cfg.source.jdbc_url == "jdbc:mysql://h:3306/wp"
+
+    p.write_text(json.dumps({"source": {"kind": "parquet", "mysql": {"host": "h", "database": "wp"}}}))
+    with pytest.raises(ValueError, match="mysql"):
+        ExportConfig.from_json(str(p))
+
+
+def test_pii_counts_match_placeholders(spark):
+    """Counts are computed on the progressively-redacted text: an email
+    that swallows an IP-looking substring must not report a phantom <IP>."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame([(1, "mail x@192.168.1.1.com now")], "doc_id long, text string")
+    r = pii_redact(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_ip"] == 0
+    assert r["redacted"] == "mail <EMAIL> now"
+    assert r["redacted"].count("<IP>") == r["n_ip"]
+
+
+def test_simhash_rotation_count_validated(spark):
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+
+    sigs = spark.createDataFrame([(1, 5)], "id long, sh long")
+    for bad in (0, -1, 64):
+        with pytest.raises(ValueError, match="n_rotations"):
+            dd.simhash_pairs_from_sigs(sigs, n_rotations=bad)
+
+
+def test_lsh_queries_empty_embeddings_table(spark, tmp_path):
+    """Empty embeddings must yield empty results, not a TypeError from the
+    dimension probe."""
+    import wordpress_sql_to_contentstack_exporter_spark.plans.registry as reg
+
+    spark.createDataFrame([], "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    assert reg.q_embedding_neardup(spark, str(tmp_path)).count() == 0
+    assert reg.q_ann_lsh_topk(spark, str(tmp_path)).count() == 0

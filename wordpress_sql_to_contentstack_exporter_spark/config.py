@@ -60,6 +60,14 @@ class ExportConfig:
         mysql = src.get("mysql")
         jdbc_url = src.get("jdbc_url", "")
         jdbc_properties = dict(src.get("jdbc_properties", {}))
+        kind = src.get("kind", "jdbc" if mysql else "parquet")
+        if mysql and kind != "jdbc":
+            # a mysql block with kind='parquet' would be silently ignored —
+            # the defect class this parser exists to reject
+            raise ValueError(
+                f"source.mysql given but source.kind={kind!r}; remove the "
+                "mysql block or set kind to 'jdbc'"
+            )
         if mysql:
             from .sources.catalog import mysql_jdbc_options
 
@@ -80,7 +88,7 @@ class ExportConfig:
             http_timeout_s=float(doc.get("http_timeout_s", 60.0)),
             http_retries=int(doc.get("http_retries", 1)),
             source=SourceConfig(
-                kind=src.get("kind", "parquet"),
+                kind=kind,
                 path=src.get("path", ""),
                 jdbc_url=jdbc_url,
                 jdbc_properties=jdbc_properties,

@@ -171,14 +171,19 @@ def minhash_lsh_candidates(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        banded = (
-            banded.withColumn("__bucket_n", bucket_n)
-            .filter(F.col("__bucket_n") <= max_bucket_size)
-            .drop("__bucket_n")
+        # Aggregate + semi-join, NOT a window over (band, bucket): a window
+        # would hash the pathological giant bucket — the exact thing the
+        # cap exists to defuse — into ONE un-splittable partition. The
+        # aggregate partial-combines the giant bucket map-side (its
+        # reducer sees one row per bucket), and the filtering join is an
+        # ordinary AQE-managed equi-join.
+        small_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
         )
+        banded = banded.join(small_buckets, ["band", "bucket"], "left_semi")
     # Self-join below would otherwise recompute the whole signature
     # pipeline twice (no exchange reuse across the join sides). The
     # persisted set is tiny — id + signature per doc — and spills to disk
@@ -316,21 +321,32 @@ def simhash_pairs_from_sigs(
 
     A single fixed prefix is blind to near-dups whose few differing bits
     happen to fall inside it. ``n_rotations > 1`` runs the blocking over
-    evenly-spaced bit rotations of the signature and unions the results:
-    a pair with ``d`` differing bits survives whenever SOME rotation moves
+    additional bit rotations of the signature and unions the results: a
+    pair with ``d`` differing bits survives whenever SOME rotation moves
     all ``d`` bits outside the prefix window, which for small ``d`` is
     almost always (the standard Manku et al. permuted-table trick, done
-    here as one exploded join instead of N sequential jobs). Cost grows
-    linearly with ``n_rotations`` (more exploded rows), never
-    quadratically — each rotation's join is still bucket-local.
+    here as one exploded join instead of N sequential jobs). Rotation
+    offsets come from a FIXED stride sequence (r * 29 mod 63, 29 coprime
+    to 63 so offsets never repeat), independent of ``n_rotations`` — so
+    the blockings used at n rotations are a strict prefix of those at
+    n+1, making recall structurally monotone in ``n_rotations`` (more
+    rotations can only add pairs). Cost grows linearly with
+    ``n_rotations`` (more exploded rows), never quadratically — each
+    rotation's join is still bucket-local.
     """
-    stride = SIMHASH_BITS // n_rotations
+    if not 1 <= n_rotations <= SIMHASH_BITS:
+        raise ValueError(
+            f"n_rotations must be in [1, {SIMHASH_BITS}], got {n_rotations} "
+            "(offsets repeat beyond the signature width)"
+        )
+    _ROT_STRIDE = 29  # coprime to 63: 63 distinct offsets before repeating
     rot_blocks = F.array(
         *[
             F.struct(
                 F.lit(r).alias("rot"),
                 F.shiftrightunsigned(
-                    _rotl63(F.col("sh"), r * stride), SIMHASH_BITS - prefix_bits
+                    _rotl63(F.col("sh"), (r * _ROT_STRIDE) % SIMHASH_BITS),
+                    SIMHASH_BITS - prefix_bits,
                 ).alias("block"),
             )
             for r in range(n_rotations)

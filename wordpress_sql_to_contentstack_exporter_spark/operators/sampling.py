@@ -102,17 +102,26 @@ def domain_mixture(
     no global sort inside this operator.
     """
     key_str = F.col(key_col).cast("string")
+    # NULL domains hash as '' so they are sampled at default_weight rather
+    # than silently dropped (concat with NULL would null the hash and the
+    # filter would discard every NULL-domain row).
+    domain_str = F.coalesce(F.col(domain_col).cast("string"), F.lit(""))
     sel_hex = F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:"), F.col(domain_col), F.lit(":"), key_str)), 1, 8
+        F.md5(F.concat(F.lit(f"{salt}:"), domain_str, F.lit(":"), key_str)), 1, 8
     )
 
     def hex_threshold(p: float) -> str:
         p = min(max(float(p), 0.0), 1.0)
+        if p >= 1.0:
+            # 'z' sorts after every hex char: weight 1.0 keeps ALL rows,
+            # including the 1-in-2^32 'ffffffff' prefix a strict '<'
+            # against 'ffffffff' would drop.
+            return "zzzzzzzz"
         return format(int(p * 0xFFFFFFFF), "08x")
 
     thr = None
     for value, p in weights.items():
-        branch = (F.col(domain_col) == value, F.lit(hex_threshold(p)))
+        branch = (domain_str == value, F.lit(hex_threshold(p)))
         thr = F.when(*branch) if thr is None else thr.when(*branch)
     thr = (
         thr.otherwise(F.lit(hex_threshold(default_weight)))

@@ -140,16 +140,19 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     pass): mask emails, IPv4 addresses and phone numbers with typed
     placeholder tokens and report per-category match counts.
 
-    Map-only codegen stage — counts come from ``regexp_count`` on the
-    original text, masks from chained ``regexp_replace``; nothing
-    shuffles and nothing leaves the JVM, so this pipelines with the scan
-    at any scale.
+    Map-only codegen stage — counts and masks are both chained in
+    ``PII_PATTERNS`` order, so each category's count is computed on the
+    text AFTER earlier categories were masked and therefore equals the
+    number of its placeholder tokens in ``redacted`` (counting every
+    category on the original text would let an email swallow an
+    IP-looking substring and report an ``<IP>`` that never appears).
+    Nothing shuffles and nothing leaves the JVM, so this pipelines with
+    the scan at any scale.
     """
-    t = F.col(text_col)
     out_cols = [F.col(c) for c in df.columns]
-    redacted = t
+    redacted = F.col(text_col)
     for name, pattern, token in PII_PATTERNS:
-        out_cols.append(F.regexp_count(t, F.lit(pattern)).alias(f"n_{name}"))
+        out_cols.append(F.regexp_count(redacted, F.lit(pattern)).alias(f"n_{name}"))
         redacted = F.regexp_replace(redacted, pattern, token)
     out_cols.append(redacted.alias("redacted"))
     return df.select(*out_cols)

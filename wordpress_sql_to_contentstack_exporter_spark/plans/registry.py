@@ -1145,16 +1145,21 @@ WITH planted AS (
                         ELSE '' END AS text
     FROM documents
 )
-SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
-       len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
-       len(regexp_extract_all(text, '\+?\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phone,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-         '\+?\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS redacted
-FROM planted
+, r1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+           regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+    FROM planted
+), r2 AS (
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+           regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+    FROM r1
+)
+SELECT doc_id, n_email, n_ip,
+       len(regexp_extract_all(t, '\+?\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phone,
+       regexp_replace(t, '\+?\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS redacted
+FROM r2
 """
 
 
@@ -1221,9 +1226,9 @@ WITH kept AS (
     SELECT doc_id, source,
            md5('mix#order:' || CAST(doc_id AS VARCHAR)) AS mix_key
     FROM documents
-    WHERE substring(md5('mix:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
-          < CASE source
-              WHEN 'src0' THEN 'ffffffff'
+    WHERE substring(md5('mix:' || COALESCE(source, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE COALESCE(source, '')
+              WHEN 'src0' THEN 'zzzzzzzz'
               WHEN 'src1' THEN 'bfffffff'
               WHEN 'src2' THEN '7fffffff'
               WHEN 'src3' THEN '3fffffff'
@@ -1279,7 +1284,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is the recall floor vs ``q_embedding_neardup_exact`` in
     tests/test_dedup_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    dim = _embedding_dim(e)
+    if dim == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
     # 5 planes/table keeps per-table collision prob at cos=0.35 around
     # 0.61^5≈9%; 16 tables lift pair recall to ~0.75 at the threshold
     # boundary (higher for stronger pairs).
@@ -1301,6 +1308,14 @@ SELECT * FROM (
 """
 
 
+def _embedding_dim(e: DataFrame) -> int:
+    """Vector width of an embeddings frame (array<float> carries no width
+    in its schema, so one row is sampled); 0 for an empty/all-null table —
+    callers short-circuit to an empty result instead of crashing."""
+    row = e.select("embedding").first()
+    return len(row[0]) if row is not None and row[0] is not None else 0
+
+
 def _lsh_planes(num_tables: int = 2, num_planes: int = 8, dim: int = 16, seed: int = 42):
     import numpy as np
 
@@ -1315,7 +1330,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (rows-only: plane literals make the
     SQL oracle impractical; recall vs the exact path is unit-tested)."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    dim = _embedding_dim(e)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos_sim double"
+        )
     q = e.filter(F.col("vec_id") < 5)
     out = sim.lsh_topk(q, e, _lsh_planes(dim=dim), k=5)
     return out.select(

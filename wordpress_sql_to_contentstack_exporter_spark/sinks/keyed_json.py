@@ -88,18 +88,25 @@ def write_master_mapping(
     """Write a master/mapping file: ``{locale: {uid: ""}}`` (posts.js:159)
     or, with ``locale=None``, the flat ``{uid: ""}`` shape (assets.js:133).
     ``merge=True`` keeps existing keys (the reference read-modify-writes
-    its master files) — required for ids-subset runs."""
+    its master files) — required for ids-subset runs. A locale-shaped
+    merge preserves OTHER locales' mappings in the document: with the
+    locale now configurable, a resume under locale B must not clobber
+    locale A's section (the clobber-on-resume data loss this merge path
+    exists to prevent)."""
     keys = sorted(r["__k"] for r in df.select(key.cast("string").alias("__k")).collect())
-    mapping: dict = {}
+    existing: dict = {}
     if merge and os.path.exists(path):
         with open(path) as f:
             content = f.read().strip()
             if content:
                 existing = json.loads(content)
-                mapping = existing.get(locale, {}) if locale is not None else existing
+    mapping = existing.get(locale, {}) if locale is not None else existing
     mapping.update({k: "" for k in keys})
     mapping = dict(sorted(mapping.items()))
-    doc = {locale: mapping} if locale is not None else mapping
+    if locale is not None:
+        doc = {**existing, locale: mapping}
+    else:
+        doc = mapping
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write(json.dumps(doc, indent=4))

@@ -85,7 +85,7 @@ def pooled_fetch_factory():
     conns: dict = {}
 
     def fetch_one(url: str, timeout: float):
-        """Single GET on the pooled connection; returns (status, headers, body)."""
+        """Single GET on the pooled connection; returns (status, location, body)."""
         parts = urllib.parse.urlsplit(url)
         key = (parts.scheme, parts.netloc)
         conn = conns.get(key)
@@ -108,14 +108,14 @@ def pooled_fetch_factory():
             conn.close()
             conns.pop(key, None)
             raise
-        return resp.status, dict(resp.getheaders()), body
+        # getheader is case-insensitive (header casing is sender-defined)
+        return resp.status, resp.getheader("Location"), body
 
     def fetch(url: str, timeout: float) -> bytes:
         current = url
         for _ in range(_MAX_REDIRECTS + 1):
-            status, headers, body = fetch_one(current, timeout)
+            status, location, body = fetch_one(current, timeout)
             if status in (301, 302, 303, 307, 308):
-                location = headers.get("Location") or headers.get("location")
                 if not location:
                     raise RuntimeError(f"status code: {status} (no Location)")
                 current = urllib.parse.urljoin(current, location)
