@@ -16,16 +16,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _unit_hash(col: Column, seed: int, purpose: str) -> Column:
-    """Deterministic uniform [0,1) from a key column (xxhash64-based).
+def _hash_hex8(col: Column, seed: int, purpose: str) -> Column:
+    """Deterministic uniform draw as an 8-hex-char string (md5 prefix).
 
     ``purpose`` salts the hash so different operators (sample vs split)
     draw INDEPENDENT uniforms even with the same seed and key — without
     it, composing sample(0.5) then split(0.8/0.1/0.1) on one key column
     puts every sampled row in the first split (fully correlated u's).
+
+    md5 rather than xxhash64 (the round-1 choice): identical output in
+    Spark, DuckDB and most engines, so the EXACT selection — not just
+    its proportions — is reproducible and auditable outside Spark (and
+    DuckDB-oracle-checkable). Comparing hex prefixes lexicographically
+    against ``_hex_threshold`` replaces float division: 8 hex chars =
+    32 uniform bits, plenty for sampling decisions.
     """
-    h = F.xxhash64(col, F.lit(purpose), F.lit(seed))
-    return (F.abs(h) % F.lit(1_000_000_007)) / F.lit(1_000_000_007.0)
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{purpose}:{seed}:"), col.cast("string"))), 1, 8
+    )
+
+
+def _hex_threshold(p: float) -> str:
+    """Hex cutoff such that P(hex8 < cutoff) = p; inclusive at p >= 1
+    ('z' sorts after all hex, so every row passes)."""
+    p = min(max(float(p), 0.0), 1.0)
+    if p >= 1.0:
+        return "zzzzzzzz"
+    return format(int(p * 0xFFFFFFFF), "08x")
 
 
 def stratified_sample(
@@ -41,14 +58,15 @@ def stratified_sample(
     ``fractions`` maps stratum value -> keep fraction (missing strata are
     dropped, like ``sampleBy``). Selection depends only on (key, seed):
     re-running, adding executors, or retrying tasks yields the same
-    sample — unlike rand()-based sampling.
+    sample — unlike rand()-based sampling — and the md5 selection is
+    bit-reproducible in any engine.
     """
-    frac = None
+    thr = None
     for value, p in fractions.items():
-        branch = F.when(F.col(strata_col) == value, F.lit(float(p)))
-        frac = branch if frac is None else frac.when(F.col(strata_col) == value, F.lit(float(p)))
-    frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
-    return df.filter(_unit_hash(F.col(key_col), seed, "stratified_sample") < frac)
+        branch = (F.col(strata_col) == value, F.lit(_hex_threshold(p)))
+        thr = F.when(*branch) if thr is None else thr.when(*branch)
+    thr = thr.otherwise(F.lit("")) if thr is not None else F.lit("")
+    return df.filter(_hash_hex8(F.col(key_col), seed, "stratified_sample") < thr)
 
 
 def deterministic_split(
@@ -61,15 +79,16 @@ def deterministic_split(
 ) -> DataFrame:
     """Assign every row to exactly one named split by hash bucket
     (train/val/test). Weights are normalized; assignment is stable under
-    reprocessing, which keeps eval contamination impossible across runs."""
+    reprocessing, which keeps eval contamination impossible across runs,
+    and md5-based, so any engine recomputes the same assignment."""
     total = sum(weights.values())
-    u = _unit_hash(F.col(key_col), seed, "deterministic_split")
+    u = _hash_hex8(F.col(key_col), seed, "deterministic_split")
     expr = None
     acc = 0.0
     items = list(weights.items())
     for name, w in items[:-1]:
         acc += w / total
-        branch = (u < F.lit(acc), F.lit(name))
+        branch = (u < F.lit(_hex_threshold(acc)), F.lit(name))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     last = F.lit(items[-1][0])
     assigned = last if expr is None else expr.otherwise(last)
@@ -109,24 +128,14 @@ def domain_mixture(
     sel_hex = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), domain_str, F.lit(":"), key_str)), 1, 8
     )
-
-    def hex_threshold(p: float) -> str:
-        p = min(max(float(p), 0.0), 1.0)
-        if p >= 1.0:
-            # 'z' sorts after every hex char: weight 1.0 keeps ALL rows,
-            # including the 1-in-2^32 'ffffffff' prefix a strict '<'
-            # against 'ffffffff' would drop.
-            return "zzzzzzzz"
-        return format(int(p * 0xFFFFFFFF), "08x")
-
     thr = None
     for value, p in weights.items():
-        branch = (domain_str == value, F.lit(hex_threshold(p)))
+        branch = (domain_str == value, F.lit(_hex_threshold(p)))
         thr = F.when(*branch) if thr is None else thr.when(*branch)
     thr = (
-        thr.otherwise(F.lit(hex_threshold(default_weight)))
+        thr.otherwise(F.lit(_hex_threshold(default_weight)))
         if thr is not None
-        else F.lit(hex_threshold(default_weight))
+        else F.lit(_hex_threshold(default_weight))
     )
     kept = df.filter(sel_hex < thr)
     order_key = F.md5(F.concat(F.lit(f"{salt}#order:"), key_str))

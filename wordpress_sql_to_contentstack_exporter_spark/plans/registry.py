@@ -1381,9 +1381,10 @@ FROM s
 
 
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-based stratified sampling + deterministic train/val/test split
-    (rows-only: xxhash64 selection is engine-specific; proportions and
-    stability are unit-tested)."""
+    """Hash-based stratified sampling + deterministic train/val/test split.
+    Oracle-checkable since round 2: selection moved from xxhash64
+    (Spark-only) to md5 hex-prefix thresholds, so DuckDB recomputes the
+    EXACT row selection and split assignment, not just proportions."""
     d = _t(spark, sf_dir, "documents")
     sampled = stratified_sample(
         d,
@@ -1394,6 +1395,30 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(
         sampled, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
     ).select("doc_id", "lang", "split")
+
+
+SQL_STRATIFIED_SPLIT = r"""
+WITH sampled AS (
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5('stratified_sample:42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang
+              WHEN 'en' THEN '7fffffff'
+              WHEN 'de' THEN 'zzzzzzzz'
+              WHEN 'fr' THEN 'zzzzzzzz'
+              WHEN 'es' THEN 'zzzzzzzz'
+              WHEN 'zh' THEN 'zzzzzzzz'
+              ELSE ''
+            END
+)
+SELECT doc_id, lang,
+       CASE WHEN substring(md5('deterministic_split:42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'cccccccc' THEN 'train'
+            WHEN substring(md5('deterministic_split:42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666665' THEN 'val'
+            ELSE 'test'
+       END AS split
+FROM sampled
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,6 +1580,7 @@ ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "decontaminate": SQL_DECONTAMINATE,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
     "ann_cosine_topk": SQL_ANN_COSINE,
     # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
