@@ -204,3 +204,24 @@ def test_build_catalog_jdbc_multi_pk_tables(spark, tmp_path):
     rel = cat.table("term_relationships")
     assert rel.rdd.getNumPartitions() == 1  # composite PK -> unpartitioned
     assert rel.count() == 50
+
+
+def test_jdbc_bounds_query_carries_connection_properties(spark, tmp_path):
+    """The auto-bounds MIN/MAX reader must pass the same connection
+    properties (driver/user/password) as the data reader: here the table
+    lives in a non-default Derby schema reachable only because the ``user``
+    property sets the default schema — if the bounds query dropped the
+    properties it would resolve against APP and fail with table-not-found."""
+    url = f"jdbc:derby:{tmp_path}/schemadb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver", "user": "WPUSER"}
+    src = spark.range(0, 100).select(F.col("id").alias("ID"))
+    w = src.write.format("jdbc").option("url", url).option("dbtable", "scoped")
+    for k, v in props.items():
+        w = w.option(k, v)
+    w.save()  # created as WPUSER.scoped (user prop sets default schema)
+
+    df = jdbc_table(
+        url, "scoped", partition_column="ID", num_partitions=4, properties=props
+    )(spark)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100

@@ -208,6 +208,16 @@ def test_domain_mixture_null_domain_and_full_weight(spark):
     # NULL domains sample at default_weight, not silently dropped
     assert 60 <= by.get(None, 0) <= 140
 
+    # NULL keys likewise are not silently dropped: they share one hash so
+    # under weight 1.0 all survive, each with a (shared) non-null mix_key
+    nk = spark.createDataFrame(
+        [(None, "keep"), (None, "keep")], "doc_id long, source string"
+    )
+    kept = domain_mixture(
+        nk, {"keep": 1.0}, domain_col="source", key_col="doc_id"
+    ).collect()
+    assert len(kept) == 2 and all(r["mix_key"] is not None for r in kept)
+
 
 def test_mysql_block_implies_jdbc_kind(tmp_path):
     import json

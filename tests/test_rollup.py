@@ -130,3 +130,19 @@ def test_merge_rollup_never_rewrites_committed_files(spark, tmp_path):
     for p, content in before.items():
         assert open(p, "rb").read() == content, f"committed file rewritten: {p}"
     assert read_rollup(spark, roll)[(T(2024, 1, 1, 10), "click")] == (2, 5.0)
+
+
+def test_merge_rollup_skips_empty_partial(spark, tmp_path):
+    """An all-late/empty micro-batch must not create a row-less rollup dir
+    (read_rollup would then fail schema inference until a real batch lands)."""
+    import os
+
+    roll = str(tmp_path / "rollup_empty")
+    empty = bucket_aggregate(spark.createDataFrame([], SCHEMA))
+    merge_rollup(spark, empty, roll, batch_id=1)
+    assert not os.path.exists(roll)  # skipped outright, not an empty append
+
+    b = spark.createDataFrame([(1, T(2024, 1, 1, 10, 5), "click", 1.0)], SCHEMA)
+    merge_rollup(spark, bucket_aggregate(b), roll, batch_id=2)
+    merge_rollup(spark, empty, roll, batch_id=3)  # empty after real data: no-op
+    assert read_rollup(spark, roll)[(T(2024, 1, 1, 10), "click")] == (1, 1.0)

@@ -186,9 +186,11 @@ def minhash_lsh_candidates(
         banded = banded.join(small_buckets, ["band", "bucket"], "left_semi")
     # Self-join below would otherwise recompute the whole signature
     # pipeline twice (no exchange reuse across the join sides). The
-    # persisted set is tiny — id + signature per doc — and spills to disk
-    # if not; this is the intended pattern at scale too.
-    banded = banded.persist()
+    # materialized set is tiny — id + signature per doc. Eager
+    # localCheckpoint (not persist) so the blocks are released by the
+    # ContextCleaner once the result is consumed; persist() entries stay
+    # pinned in the cache registry across repeated operator invocations.
+    banded = banded.localCheckpoint(eager=True)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -355,7 +357,9 @@ def simhash_pairs_from_sigs(
     sh = sigs.select("id", "sh", F.explode(rot_blocks).alias("rb")).select(
         "id", "sh", F.col("rb.rot").alias("rot"), F.col("rb.block").alias("block")
     )
-    sh = sh.persist()  # reused on both sides of the self-join below
+    # Reused on both sides of the self-join below; eager localCheckpoint
+    # (vs persist) so storage is auto-released after consumption.
+    sh = sh.localCheckpoint(eager=True)
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

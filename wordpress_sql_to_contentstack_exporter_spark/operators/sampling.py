@@ -120,10 +120,12 @@ def domain_mixture(
     stable training order that interleaves domains proportionally, with
     no global sort inside this operator.
     """
-    key_str = F.col(key_col).cast("string")
-    # NULL domains hash as '' so they are sampled at default_weight rather
-    # than silently dropped (concat with NULL would null the hash and the
-    # filter would discard every NULL-domain row).
+    # NULL domains/keys hash as '' so rows are sampled at their weight
+    # rather than silently dropped (concat with NULL would null the hash
+    # and the filter would discard the row). All NULL-key rows share one
+    # hash and therefore one keep/drop decision and one mix_key — callers
+    # wanting per-row behavior must supply a non-null key.
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
     domain_str = F.coalesce(F.col(domain_col).cast("string"), F.lit(""))
     sel_hex = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), domain_str, F.lit(":"), key_str)), 1, 8

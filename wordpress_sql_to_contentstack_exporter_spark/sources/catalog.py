@@ -78,7 +78,7 @@ def jdbc_table(
         if partition_column is not None:
             lo, hi = lower_bound, upper_bound
             if lo is None or hi is None:
-                bounds = (
+                bounds_reader = (
                     spark.read.format("jdbc")
                     .option("url", url)
                     .option(
@@ -86,9 +86,13 @@ def jdbc_table(
                         f"(SELECT MIN({quote_ident(url, partition_column)}) lo, "
                         f"MAX({quote_ident(url, partition_column)}) hi FROM {table}) b",
                     )
-                    .load()
-                    .first()
                 )
+                if properties:
+                    # same driver/user/password as the data read — an
+                    # authenticated server rejects the bounds query otherwise
+                    for k, v in properties.items():
+                        bounds_reader = bounds_reader.option(k, v)
+                bounds = bounds_reader.load().first()
                 # positional: databases differ in identifier case folding
                 lo = bounds[0] if lo is None else lo
                 hi = bounds[1] if hi is None else hi

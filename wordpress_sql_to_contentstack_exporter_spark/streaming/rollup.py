@@ -77,7 +77,14 @@ def merge_rollup(
     appended. Replay safety is read-side: ``read_rollup`` keeps one
     contribution per (bucket, key, batch_id). Writes stay partitioned by
     ``bucket_part`` so reads of a time range prune to its buckets.
+
+    An empty partial (all-late or empty micro-batch) is skipped outright:
+    appending zero rows would still create the directory with only a
+    ``_SUCCESS`` marker, and ``read_rollup``'s schema inference throws on
+    a row-less parquet dir until a real batch lands.
     """
+    if partial.isEmpty():
+        return
     (
         partial.withColumn("batch_id", F.lit(batch_id))
         .write.partitionBy("bucket_part")
