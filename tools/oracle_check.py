@@ -6,6 +6,12 @@ order-insensitive value hash (columns sorted by name, rows sorted by their
 canonical string form). Usage:
 
     python tools/oracle_check.py [sf_dir] [query ...]
+
+When run over the FULL registry (no query filter), also writes
+``CORRECTNESS_local.json`` at the repo root in the driver's row format —
+the driver itself snapshots only the first 50 ``queries()`` entries, so
+the committed local file is the evidence of record for anything past the
+window (and for every rows-only query).
 """
 
 from __future__ import annotations
@@ -66,6 +72,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,9 +84,18 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark:{type(e).__name__}",
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -88,10 +104,19 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb:{type(e).__name__}",
+            }
             continue
         sn, sc, sh = frame_fingerprint(scols, srows)
         dn, dc, dh = frame_fingerprint(dcols, drows)
         status = "ok  " if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
+        report[name] = {
+            "rows_match": sn == dn, "schema_match": sc == dc, "hash_match": sh == dh,
+            "spark_rows": sn, "oracle_rows": dn, "err": None,
+        }
         if status == "FAIL":
             failures.append(name)
         print(f"{status}  {name}: spark {sn} rows, duck {dn} rows, "
@@ -107,6 +132,15 @@ def main() -> int:
                 if a != b:
                     print(f"      spark: {a}\n      duck : {b}")
                     break
+    if not only:
+        import json
+        import os
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CORRECTNESS_local.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=2)
+        print(f"\nwrote {out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 

@@ -408,31 +408,12 @@ FROM events
 """
 
 
-def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2 rows 35-36: ISO-8601 format + zero-padded date parts."""
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        iso8601(F.col("o_orderdate")).alias("iso"),
-        year_str(F.col("o_orderdate")).alias("y"),
-        padded_month(F.col("o_orderdate")).alias("m"),
-        padded_day(F.col("o_orderdate")).alias("d"),
-    )
-
-
-SQL_DATE_PARTS = """
-SELECT o_orderkey,
-       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso,
-       strftime(o_orderdate, '%Y') AS y,
-       strftime(o_orderdate, '%m') AS m,
-       strftime(o_orderdate, '%d') AS d
-FROM orders
-"""
-
-
-def q_permalink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2 row 37: plan-time permalink template compiler, both branches
-    (template expansion + empty-structure guid fallback, posts.js:58-141)."""
+def q_date_permalink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 rows 35-37: ISO-8601 format, zero-padded date parts, and the
+    plan-time permalink template compiler, both branches (template
+    expansion + empty-structure guid fallback, posts.js:58-141). One
+    map-only scan of ``orders`` covers all three — consolidated so the
+    driver's 50-entry snapshot window holds every oracle-backed query."""
     o = _t(spark, sf_dir, "orders")
     post_name = slugify(F.col("o_orderpriority"))
     url = compile_permalink(
@@ -452,11 +433,23 @@ def q_permalink(spark: SparkSession, sf_dir: str) -> DataFrame:
         post_name=post_name,
         guid=guid,
     )
-    return o.select("o_orderkey", url.alias("url"), fallback.alias("guid_path"))
+    return o.select(
+        "o_orderkey",
+        iso8601(F.col("o_orderdate")).alias("iso"),
+        year_str(F.col("o_orderdate")).alias("y"),
+        padded_month(F.col("o_orderdate")).alias("m"),
+        padded_day(F.col("o_orderdate")).alias("d"),
+        url.alias("url"),
+        fallback.alias("guid_path"),
+    )
 
 
-SQL_PERMALINK = """
+SQL_DATE_PERMALINK = """
 SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso,
+       strftime(o_orderdate, '%Y') AS y,
+       strftime(o_orderdate, '%m') AS m,
+       strftime(o_orderdate, '%d') AS d,
        '/' || strftime(o_orderdate, '%Y') || '/' || strftime(o_orderdate, '%m')
            || '/' || strftime(o_orderdate, '%d') || '/'
            || regexp_replace(lower(o_orderpriority), '[^a-z0-9_-]+', '-', 'g') || '/' AS url,
@@ -673,15 +666,29 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
-def q_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: UNION (distinct) of two key sets."""
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops over two key sets — UNION (distinct), INTERSECT, and set
+    EXCEPT (``subtract``; ``exceptAll`` would be bag difference) — tagged
+    and stacked into one result. Consolidated from three separate registry
+    entries so the driver's 50-entry snapshot window holds every
+    oracle-backed query."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.union(s).distinct()
+    u = c.union(s).distinct().select(F.lit("union").alias("op"), "nk")
+    i = c.intersect(s).select(F.lit("intersect").alias("op"), "nk")
+    e = c.subtract(s).select(F.lit("except").alias("op"), "nk")
+    return u.unionByName(i).unionByName(e)
 
 
-SQL_UNION_NATIONS = """
-SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier
+SQL_SET_OPS = """
+SELECT 'union' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
 """
 
 
@@ -826,28 +833,6 @@ def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLUP = """
 SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
-
-
-SQL_INTERSECT = """
-SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier
-"""
-
-
-def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s)  # set EXCEPT (exceptAll would be bag difference)
-
-
-SQL_EXCEPT = """
-SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier
 """
 
 
@@ -1473,6 +1458,11 @@ FROM documents
 # Registry
 # ---------------------------------------------------------------------------
 
+# Ordering contract: every ORACLE_SQL-backed query comes FIRST, rows-only
+# (hash/recall-tested) queries LAST. The correctness driver snapshots the
+# first 50 entries; keeping oracle-able queries inside that window is what
+# turns local green into recorded evidence. tests/test_registry_contract.py
+# pins this invariant.
 SPARK_QUERIES = {
     "flagship_posts_export": q_flagship_posts_export,
     "filter_project": q_filter_project,
@@ -1490,8 +1480,7 @@ SPARK_QUERIES = {
     "scalar_strings": q_scalar_strings,
     "entity_decode_split": q_entity_decode_split,
     "null_default_conditional": q_null_default_conditional,
-    "date_parts": q_date_parts,
-    "permalink": q_permalink,
+    "date_permalink": q_date_permalink,
     "struct_json": q_struct_json,
     "json_extract": q_json_extract,
     "window_latest_event": q_window_latest_event,
@@ -1500,37 +1489,36 @@ SPARK_QUERIES = {
     "levenshtein": q_levenshtein,
     "cube_stats": q_cube_stats,
     "sessionize": q_sessionize,
-    "union_nations": q_union_nations,
+    "set_ops": q_set_ops,
     "agg_stats": q_agg_stats,
     "top_revenue": q_top_revenue,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "rollup_stats": q_rollup_stats,
-    "intersect_nations": q_intersect_nations,
-    "except_nations": q_except_nations,
     "topk_per_group": q_topk_per_group,
     "distinct_count": q_distinct_count,
     "salted_agg": q_salted_agg,
-    "approx_aggs": q_approx_aggs,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
-    "minhash_neardup": q_minhash_neardup,
-    "simhash_neardup": q_simhash_neardup,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "domain_mixture": q_domain_mixture,
+    "stratified_split": q_stratified_split,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "sequence_packing": q_sequence_packing,
+    "multimodal_decode": q_multimodal_decode,
+    # --- rows-only queries (no SQL oracle possible) below this line ---
+    "approx_aggs": q_approx_aggs,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "freq_items": q_freq_items,
-    "sequence_packing": q_sequence_packing,
-    "stratified_split": q_stratified_split,
     "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_exact": q_embedding_neardup_exact,
-    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLE_SQL = {
@@ -1550,8 +1538,7 @@ ORACLE_SQL = {
     "scalar_strings": SQL_SCALAR_STRINGS,
     "entity_decode_split": SQL_ENTITY_DECODE,
     "null_default_conditional": SQL_NULL_DEFAULT,
-    "date_parts": SQL_DATE_PARTS,
-    "permalink": SQL_PERMALINK,
+    "date_permalink": SQL_DATE_PERMALINK,
     "struct_json": SQL_STRUCT_JSON,
     "json_extract": SQL_JSON_EXTRACT,
     "window_latest_event": SQL_WINDOW_LATEST,
@@ -1560,14 +1547,12 @@ ORACLE_SQL = {
     "levenshtein": SQL_LEVENSHTEIN,
     "cube_stats": SQL_CUBE,
     "sessionize": SQL_SESSIONIZE,
-    "union_nations": SQL_UNION_NATIONS,
+    "set_ops": SQL_SET_OPS,
     "agg_stats": SQL_AGG_STATS,
     "top_revenue": SQL_TOP_REVENUE,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "rollup_stats": SQL_ROLLUP,
-    "intersect_nations": SQL_INTERSECT,
-    "except_nations": SQL_EXCEPT,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct_count": SQL_DISTINCT_COUNT,
     "salted_agg": SQL_COUNT_GROUP_BY,
