@@ -46,3 +46,30 @@ def test_topo_order_detects_cycles():
 
     with pytest.raises(ValueError, match="cycle"):
         topo_order({"a": ["b"], "b": ["a"]})
+
+
+def test_embedding_dim_metadata_probe(tmp_path, monkeypatch):
+    """Width comes from driver-local parquet metadata (no Spark job), with
+    env override and a 0 result for all-null columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import embedding_dim
+
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({"vec_id": [1, 2], "embedding": [None, [1.0, 2.0, 3.0]]}), p
+    )
+    assert embedding_dim(p) == 3
+
+    nulls = str(tmp_path / "nulls.parquet")
+    pq.write_table(
+        pa.table(
+            {"vec_id": [1], "embedding": pa.array([None], pa.list_(pa.float32()))}
+        ),
+        nulls,
+    )
+    assert embedding_dim(nulls) == 0
+
+    monkeypatch.setenv("SPARK_GRAFT_EMBEDDING_DIM", "128")
+    assert embedding_dim(nulls) == 128  # env override wins, no file read

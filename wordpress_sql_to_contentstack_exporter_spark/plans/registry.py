@@ -1269,7 +1269,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is the recall floor vs ``q_embedding_neardup_exact`` in
     tests/test_dedup_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = _embedding_dim(e)
+    dim = _embedding_dim(sf_dir)
     if dim == 0:
         return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
     # 5 planes/table keeps per-table collision prob at cos=0.35 around
@@ -1293,12 +1293,14 @@ SELECT * FROM (
 """
 
 
-def _embedding_dim(e: DataFrame) -> int:
-    """Vector width of an embeddings frame (array<float> carries no width
-    in its schema, so one row is sampled); 0 for an empty/all-null table —
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector width of the embeddings fixture via driver-local parquet
+    metadata (``catalog.embedding_dim``) — env override or a footer/one-
+    batch pyarrow read, never a Spark job; 0 for an empty/all-null table —
     callers short-circuit to an empty result instead of crashing."""
-    row = e.select("embedding").first()
-    return len(row[0]) if row is not None and row[0] is not None else 0
+    from ..sources.catalog import embedding_dim
+
+    return embedding_dim(f"{sf_dir}/embeddings.parquet")
 
 
 def _lsh_planes(num_tables: int = 2, num_planes: int = 8, dim: int = 16, seed: int = 42):
@@ -1315,7 +1317,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (rows-only: plane literals make the
     SQL oracle impractical; recall vs the exact path is unit-tested)."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = _embedding_dim(e)
+    dim = _embedding_dim(sf_dir)
     if dim == 0:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cos_sim double"

@@ -205,6 +205,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(df_path)
 
 
+_EMBEDDING_DIM_CACHE: dict[tuple[str, str], int] = {}
+
+
+def embedding_dim(path: str, column: str = "embedding") -> int:
+    """Vector width of a parquet embedding column, WITHOUT a Spark job.
+
+    ``array<float>`` carries no width in its schema, so at query-build
+    time the width must come from metadata, not a cluster-wide read.
+    Resolution order:
+
+    1. ``SPARK_GRAFT_EMBEDDING_DIM`` env override (cluster deployments
+       pin the model's dimension here — zero I/O).
+    2. A driver-local pyarrow read of the first record batches of ONE
+       parquet file — footer + one column chunk, no Spark job scheduled.
+       Cached per (path, column) for the process lifetime.
+
+    Returns 0 for an empty/all-null table; callers short-circuit to an
+    empty result instead of crashing.
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_EMBEDDING_DIM")
+    if env:
+        return int(env)
+    key = (path, column)
+    if key not in _EMBEDDING_DIM_CACHE:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(
+            path
+        ) else [path]
+        dim = 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            for batch in pf.iter_batches(batch_size=64, columns=[column]):
+                vals = batch.column(0)
+                for v in vals:
+                    if v.is_valid:
+                        dim = len(v)
+                        break
+                if dim:
+                    break
+            if dim:
+                break
+        _EMBEDDING_DIM_CACHE[key] = dim
+    return _EMBEDDING_DIM_CACHE[key]
+
+
 TPCH_TABLES = [
     "region",
     "nation",
