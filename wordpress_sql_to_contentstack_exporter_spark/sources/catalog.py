@@ -66,6 +66,15 @@ def jdbc_table(
     """
 
     def load(spark: SparkSession) -> DataFrame:
+        if url.startswith("jdbc:derby:"):
+            # Spark's stock Derby dialect maps strings to CLOB, which kills
+            # pushed string predicates and NULL-string writes; swap in the
+            # VARCHAR mapping before the first Derby scan (idempotent).
+            from wordpress_sql_to_contentstack_exporter_spark.sources.derby import (
+                ensure_derby_varchar_dialect,
+            )
+
+            ensure_derby_varchar_dialect(spark)
         reader = (
             spark.read.format("jdbc")
             .option("url", url)
