@@ -186,11 +186,18 @@ def minhash_lsh_candidates(
         banded = banded.join(small_buckets, ["band", "bucket"], "left_semi")
     # Self-join below would otherwise recompute the whole signature
     # pipeline twice (no exchange reuse across the join sides). The
-    # materialized set is tiny — id + signature per doc. Eager
-    # localCheckpoint (not persist) so the blocks are released by the
-    # ContextCleaner once the result is consumed; persist() entries stay
-    # pinned in the cache registry across repeated operator invocations.
-    banded = banded.localCheckpoint(eager=True)
+    # materialized set is tiny — id + signature per doc. LAZY
+    # localCheckpoint (not persist): blocks are released by the
+    # ContextCleaner once the result is consumed (persist() entries stay
+    # pinned in the cache registry across repeated operator invocations),
+    # and eager=False keeps query construction job-free — materialization
+    # happens at the first action, not at build time (ADVICE r3).
+    # Tradeoff, deliberate: localCheckpoint truncates lineage, so losing
+    # an executor (decommission/preemption) after materialization fails
+    # the job instead of recomputing. For clusters with aggressive
+    # dynamic allocation, a reliable df.checkpoint() into the configured
+    # checkpoint dir is the drop-in safer (slower) swap.
+    banded = banded.localCheckpoint(eager=False)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -357,9 +364,11 @@ def simhash_pairs_from_sigs(
     sh = sigs.select("id", "sh", F.explode(rot_blocks).alias("rb")).select(
         "id", "sh", F.col("rb.rot").alias("rot"), F.col("rb.block").alias("block")
     )
-    # Reused on both sides of the self-join below; eager localCheckpoint
-    # (vs persist) so storage is auto-released after consumption.
-    sh = sh.localCheckpoint(eager=True)
+    # Reused on both sides of the self-join below; lazy localCheckpoint
+    # (vs persist) so storage is auto-released after consumption and no
+    # job runs at build time. Lineage-truncation/executor-loss tradeoff
+    # documented at minhash_lsh_candidates (same reasoning).
+    sh = sh.localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

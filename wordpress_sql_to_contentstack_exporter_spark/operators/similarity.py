@@ -95,17 +95,20 @@ def embedding_neardup_pairs(
         assert planes_tables is not None
         # One Arrow pass computes every table's signature; posexplode makes
         # (table, sig) the bucket key. Signatures are computed ONCE on the
-        # shared frame and materialized (eager localCheckpoint) so the
-        # self-join doesn't recompute the UDF per side (Spark does not
-        # reuse exchanges across self-joins); unlike persist(), the blocks
-        # are auto-released once the result goes out of scope.
+        # shared frame and materialized (lazy localCheckpoint, at first
+        # action) so the self-join doesn't recompute the UDF per side
+        # (Spark does not reuse exchanges across self-joins); unlike
+        # persist(), the blocks are auto-released once the result goes out
+        # of scope, and unlike eager=True, query construction stays
+        # job-free. Executor-loss tradeoff documented at
+        # minhash_lsh_candidates (dedup.py).
         sigs = vectors.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vv"),
             F.posexplode(
                 hyperplane_signatures_pandas(vec_col, planes_tables)
             ).alias("t", "sig"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         a_sig = sigs.select(
             F.col("vid").alias("id_a"), F.col("vv").alias("va"), "t", "sig"
         )

@@ -225,7 +225,11 @@ def embedding_dim(path: str, column: str = "embedding") -> int:
     Resolution order:
 
     1. ``SPARK_GRAFT_EMBEDDING_DIM`` env override (cluster deployments
-       pin the model's dimension here — zero I/O).
+       pin the model's dimension here — zero I/O). NOTE: the override is
+       global — it applies to EVERY (path, column) in the process, so it
+       is only valid for single-embedding-source deployments (one model,
+       one width). Jobs mixing embedding widths must leave it unset and
+       rely on the per-source metadata probe below.
     2. A driver-local pyarrow read of the first record batches of ONE
        parquet file — footer + one column chunk, no Spark job scheduled.
        Cached per (path, column) for the process lifetime.
@@ -237,7 +241,19 @@ def embedding_dim(path: str, column: str = "embedding") -> int:
 
     env = os.environ.get("SPARK_GRAFT_EMBEDDING_DIM")
     if env:
-        return int(env)
+        try:
+            dim = int(env)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_EMBEDDING_DIM must be a positive integer, "
+                f"got {env!r}"
+            ) from None
+        if dim <= 0:
+            raise ValueError(
+                f"SPARK_GRAFT_EMBEDDING_DIM must be a positive integer, "
+                f"got {env!r}"
+            )
+        return dim
     key = (path, column)
     if key not in _EMBEDDING_DIM_CACHE:
         import glob

@@ -83,14 +83,23 @@ def merge_rollup(
     ``_SUCCESS`` marker, and ``read_rollup``'s schema inference throws on
     a row-less parquet dir until a real batch lands.
     """
-    if partial.isEmpty():
-        return
-    (
-        partial.withColumn("batch_id", F.lit(batch_id))
-        .write.partitionBy("bucket_part")
-        .mode("append")
-        .parquet(rollup_path)
-    )
+    # Cache across the two actions (emptiness probe + write) so the
+    # bucket aggregation runs once per micro-batch, not twice (ADVICE
+    # r3). persist/unpersist is safe here — unlike the operator-internal
+    # checkpoints, consumption is synchronous within this function, so
+    # the unpersist cannot strand a lazy consumer.
+    partial = partial.persist()
+    try:
+        if partial.isEmpty():
+            return
+        (
+            partial.withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("bucket_part")
+            .mode("append")
+            .parquet(rollup_path)
+        )
+    finally:
+        partial.unpersist(blocking=False)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
