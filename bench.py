@@ -78,6 +78,16 @@ def dedup_tier(spark, sf_dir: str, target_docs: int) -> dict:
     timed("exact_dedup", dd.exact_dedup(corpus))
     timed("minhash_neardup", dd.minhash_lsh_candidates(corpus, num_hashes=16, bands=2))
     timed("simhash_neardup", dd.simhash_neardups(corpus, max_hamming=3, prefix_bits=20))
+
+    # Bucket-skew telemetry (VERDICT r2 ask #8): the variant corpus is
+    # deliberately boilerplate-heavy, so max_bucket records how hot the
+    # hottest LSH bucket ran and capped_buckets how many a production
+    # max_bucket_size=1000 cap would drop. A silent regression toward
+    # giant buckets (quadratic candidate blow-up) moves these numbers
+    # even when wall time still looks fine at this corpus size.
+    out.update(
+        dd.minhash_bucket_stats(corpus, num_hashes=16, bands=2, max_bucket_size=1000)
+    )
     return out
 
 

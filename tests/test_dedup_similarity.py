@@ -249,3 +249,22 @@ def test_rotation_sweep_is_monotone_in_recall(spark):
         }
     assert found[1] <= found[3] <= found[7]
     assert len(found[7]) > len(found[1])  # the sweep actually recovers pairs
+
+
+def test_minhash_bucket_stats_reports_skew(spark):
+    """Skew telemetry (VERDICT r2 ask #8): an all-identical corpus lands
+    every doc in one bucket per band — max_bucket == corpus size and,
+    with a cap below it, every such bucket counts as capped. A diverse
+    corpus under a generous cap reports zero capped buckets."""
+    n = 40
+    rows = [(i, "same boilerplate text repeated across the entire corpus here") for i in range(n)]
+    boiler = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = dd.minhash_bucket_stats(boiler, num_hashes=16, bands=2, max_bucket_size=10)
+    assert stats["max_bucket"] == n
+    assert stats["capped_buckets"] == 2  # one giant bucket per band
+    assert stats["buckets"] == 2
+
+    mixed = spark.createDataFrame(DOCS, "doc_id long, text string")
+    wide = dd.minhash_bucket_stats(mixed, num_hashes=16, bands=2, max_bucket_size=1000)
+    assert wide["capped_buckets"] == 0
+    assert 1 <= wide["max_bucket"] <= len(DOCS)

@@ -223,3 +223,49 @@ def test_domain_mixture_deterministic_and_proportional(spark):
     mk2 = {r["doc_id"]: r["mix_key"] for r in kept2.collect()}
     assert mk == mk2
 
+
+
+def test_pil_decoder_math_with_fake_module(monkeypatch):
+    """Execute the real-codec branch deterministically WITHOUT PIL in the
+    container: inject a minimal fake PIL into sys.modules and call the
+    decoder closure directly (driver-side — no Spark worker involved, so
+    the injection is reliable). Pins the feature layout the PIL path
+    promises: 2x2 grayscale thumbnail + normalized w/h + aspect + pad."""
+    import sys
+    import types
+
+    class FakeThumb:
+        def getdata(self):
+            return [0, 85, 170, 255]
+
+    class FakeImg:
+        size = (4, 2)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (2, 2)
+            return FakeThumb()
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    decode = mm._make_pil_decoder()
+    assert decode is not None  # the fake import satisfied the guard
+    feat = decode(b"any-bytes")
+    assert feat == [
+        0.0,
+        85 / 255.0,
+        170 / 255.0,
+        1.0,
+        4 / 65535.0,
+        2 / 65535.0,
+        2.0,
+        0.0,
+    ]
+    assert len(feat) == 8  # stub-compatible shape: schemas don't care which ran

@@ -104,6 +104,102 @@ def minhash_signatures_df(
     )
 
 
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """(id, sig, band, bucket) — the banded MinHash bucket assignment
+    shared by ``minhash_lsh_candidates`` (candidate self-join) and
+    ``minhash_bucket_stats`` (skew telemetry). One row per (doc, band);
+    ``bucket`` is the xxhash64 of the band's signature slice."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "otherwise trailing signature values are silently ignored "
+            "(and bands > num_hashes would make every doc collide)"
+        )
+    sigs = minhash_signatures_df(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+    )
+    rows_per_band = num_hashes // bands
+    with_sig = sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select("id", "sig", F.explode(band_struct).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    max_bucket_size: int = 1000,
+) -> dict:
+    """Skew telemetry for the LSH bucket distribution (VERDICT r2 ask #8).
+
+    Returns ``{"buckets": total distinct (band, bucket) groups,
+    "max_bucket": largest group's doc count, "capped_buckets": groups
+    over max_bucket_size}``. A boilerplate-heavy corpus shows up as
+    ``max_bucket`` exploding — the C(n,2) quadratic hazard the
+    ``max_bucket_size`` cap in ``minhash_lsh_candidates`` defuses — so
+    the bench tier records these alongside wall time to make bucket-skew
+    regressions visible, not inferred. One aggregation job over the
+    banded frame; never materializes pairs.
+    """
+    counts = (
+        minhash_banded(
+            df,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            shingle_mode=shingle_mode,
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = counts.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum((F.col("n") > max_bucket_size).cast("long")).alias("capped_buckets"),
+    ).first()
+    return {
+        "buckets": row["buckets"],
+        "max_bucket": row["max_bucket"] or 0,
+        "capped_buckets": row["capped_buckets"] or 0,
+    }
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -137,38 +233,14 @@ def minhash_lsh_candidates(
     small-vocabulary corpora — fewer bucket collisions, smaller
     candidate sets.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
-            "otherwise trailing signature values are silently ignored "
-            "(and bands > num_hashes would make every doc collide)"
-        )
-    sigs = minhash_signatures_df(
+    banded = minhash_banded(
         df,
         text_col,
         id_col,
         num_hashes=num_hashes,
+        bands=bands,
         shingle_k=shingle_k,
         shingle_mode=shingle_mode,
-    )
-    rows_per_band = num_hashes // bands
-    with_sig = sigs.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
-
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = with_sig.select("id", "sig", F.explode(band_struct).alias("bb")).select(
-        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     if max_bucket_size is not None:
         # Aggregate + semi-join, NOT a window over (band, bucket): a window
