@@ -33,14 +33,16 @@ def main() -> int:
     spark = get_spark("explain_audit")
     failures = []
 
-    def check(name: str, *preds: tuple[str, str]):
-        plan = plan_of(SPARK_QUERIES[name](spark, sf_dir))
+    def check_plan(name: str, plan: str, *preds: tuple[str, str]):
         for desc, pattern in preds:
             ok = re.search(pattern, plan) is not None
             print(f"{'ok  ' if ok else 'FAIL'}  {name}: {desc}")
             if not ok:
                 failures.append((name, desc))
                 print(plan[:4000])
+
+    def check(name: str, *preds: tuple[str, str]):
+        check_plan(name, plan_of(SPARK_QUERIES[name](spark, sf_dir)), *preds)
 
     # Filter + projection push down to the parquet scan.
     check(
@@ -95,6 +97,48 @@ def main() -> int:
     check(
         "embedding_neardup",
         ("no all-pairs join", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
+    )
+
+    # Dedup family (VERDICT r3 ask #6) — audited on the un-checkpointed
+    # plans (materialize=False; the localCheckpoint otherwise truncates
+    # everything upstream into a Scan ExistingRDD). Two hand-verified
+    # properties most likely to silently regress:
+    #   1. Document text never rides a shuffle: every (Broadcast)Exchange's
+    #      input column list must be free of the raw text column.
+    #   2. The bucket cap compiles to aggregate + semi-join — NOT a window
+    #      over (band, bucket), which would hash the pathological giant
+    #      bucket into one un-splittable partition.
+    from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+
+    no_text_in_exchange = (
+        r"\A(?s:(?!.*\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: \[[^\]]*text#).*)\Z"
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    minhash_plan = plan_of(
+        dd.minhash_lsh_candidates(
+            docs, num_hashes=16, bands=2, max_bucket_size=1000, materialize=False
+        )
+    )
+    check_plan(
+        "minhash_neardup[full-lineage]",
+        minhash_plan,
+        ("text never enters a shuffle", no_text_in_exchange),
+        ("bucket cap is a semi-join", r"LeftSemi"),
+        ("bucket cap is not a window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+        ("signature agg partial-combines", r"HashAggregate"),
+    )
+    simhash_plan = plan_of(
+        dd.simhash_neardups(
+            docs, max_hamming=3, prefix_bits=20, n_rotations=4, materialize=False
+        )
+    )
+    check_plan(
+        "simhash_neardup[full-lineage]",
+        simhash_plan,
+        ("text never enters a shuffle", no_text_in_exchange),
+        ("blocked join, not all-pairs", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
     )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")

@@ -211,6 +211,7 @@ def minhash_lsh_candidates(
     shingle_mode: str = "word",
     min_est_jaccard: float = 0.5,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -269,7 +270,11 @@ def minhash_lsh_candidates(
     # the job instead of recomputing. For clusters with aggressive
     # dynamic allocation, a reliable df.checkpoint() into the configured
     # checkpoint dir is the drop-in safer (slower) swap.
-    banded = banded.localCheckpoint(eager=False)
+    # ``materialize=False`` skips the checkpoint so explain tooling sees
+    # the FULL lineage (a checkpoint truncates the visible plan at a
+    # Scan ExistingRDD) — audit/explain only; execution should keep it.
+    if materialize:
+        banded = banded.localCheckpoint(eager=False)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -396,6 +401,7 @@ def simhash_pairs_from_sigs(
     max_hamming: int = 8,
     prefix_bits: int = 16,
     n_rotations: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs from precomputed (id, sh) SimHash rows: block on the
     top ``prefix_bits`` bits, exact Hamming filter within blocks.
@@ -439,8 +445,10 @@ def simhash_pairs_from_sigs(
     # Reused on both sides of the self-join below; lazy localCheckpoint
     # (vs persist) so storage is auto-released after consumption and no
     # job runs at build time. Lineage-truncation/executor-loss tradeoff
-    # documented at minhash_lsh_candidates (same reasoning).
-    sh = sh.localCheckpoint(eager=False)
+    # documented at minhash_lsh_candidates (same reasoning);
+    # materialize=False exposes full lineage to explain tooling.
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
@@ -468,6 +476,7 @@ def simhash_neardups(
     max_hamming: int = 8,
     prefix_bits: int = 16,
     n_rotations: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on the top ``prefix_bits`` bits (a
     cheap LSH — identical prefixes required), then exact Hamming filter.
@@ -478,6 +487,7 @@ def simhash_neardups(
         max_hamming=max_hamming,
         prefix_bits=prefix_bits,
         n_rotations=n_rotations,
+        materialize=materialize,
     )
 
 
