@@ -159,10 +159,25 @@ def posts_tier(spark, n_posts: int) -> dict:
         permalink_structure="/%year%/%monthnum%/%postname%/",
         siteurl="http://blog.example.com",
     )
+    # Two runs: the first pays this plan's one-time codegen/compile cost
+    # (profiled at ~1.5-2 s — it dominated the single-shot tier and made
+    # r02->r03 look like a 12% regression that a 4-run rerun showed to be
+    # noise: 29k cold vs 58-66k warm). entries_per_s reports the steady
+    # state — the figure that scales to an hours-long 100 TB run, where
+    # JIT cost amortizes to zero — with the cold wall kept alongside so
+    # startup regressions stay visible too.
     t0 = time.perf_counter()
     wp.build_posts(cat, site).write.format("noop").mode("overwrite").save()
-    wall = round(time.perf_counter() - t0, 3)
-    return {"posts": n_posts, "wall": wall, "entries_per_s": round(n_posts / wall)}
+    cold_wall = round(time.perf_counter() - t0, 3)
+    t1 = time.perf_counter()
+    wp.build_posts(cat, site).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t1, 3)
+    return {
+        "posts": n_posts,
+        "cold_wall": cold_wall,
+        "wall": wall,
+        "entries_per_s": round(n_posts / wall),
+    }
 
 
 def main() -> None:
