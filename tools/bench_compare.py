@@ -39,18 +39,27 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # Steady-state comparison: both engines run each query twice and the
+    # second (warm) run is timed — Spark's first run pays ~1 s of
+    # whole-stage-codegen compile per plan, a fixed cost that amortizes
+    # to zero on a long production job (cold timings reported alongside).
     out = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        spark_s = time.perf_counter() - t0
+        spark_cold = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark_s = time.perf_counter() - t1
         duck_s = None
         if name in ORACLE_SQL:
+            con.execute(ORACLE_SQL[name]).fetchall()
             t0 = time.perf_counter()
             con.execute(ORACLE_SQL[name]).fetchall()
             duck_s = time.perf_counter() - t0
         out[name] = {
             "spark_s": round(spark_s, 3),
+            "spark_cold_s": round(spark_cold, 3),
             "duckdb_s": round(duck_s, 3) if duck_s is not None else None,
             "ratio": round(spark_s / duck_s, 1) if duck_s else None,
         }

@@ -14,6 +14,15 @@ Two paths:
 Vector math uses built-in higher-order functions (zip_with/aggregate) in
 double precision — JVM-side, deterministic left-to-right summation (which
 the DuckDB oracle reproduces bit-for-bit).
+
+Measured dead end (round 4, don't re-attempt): unrolling the cosine into
+``dim`` fixed ``a[i]*b[i]`` expressions to get whole-stage codegen was
+reliably ~25% SLOWER than the interpreted HOF fold at dim=64 (median
+0.59 s vs 0.47 s on the sf0.1 brute-force top-k, 6 interleaved reps) —
+the JIT's tight loop over the array beats 384 inlined GetArrayItem+null
+checks. The Arrow/numpy pandas UDF was ~30% faster than the HOF but
+risks bit-parity with the DuckDB oracle fold (pairwise vs left-to-right
+summation) on ranks with near-tied cosines, so the HOF stays.
 """
 
 from __future__ import annotations
