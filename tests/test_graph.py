@@ -1,0 +1,107 @@
+"""Connected components / duplicate clustering (operators/graph.py):
+ground truth via a driver-side union-find, plus shape and convergence
+properties."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import graph as gr
+
+
+def union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def cc_of(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["id"]: r["cluster_id"]
+        for r in gr.connected_components(df).collect()
+    }
+
+
+def test_chain_star_and_disjoint_components(spark):
+    edges = (
+        [(i, i + 1) for i in range(5)]           # chain 0-5 (diameter 5)
+        + [(100, n) for n in (101, 102, 103)]    # star at 100
+        + [(200, 201)]                           # separate pair
+    )
+    got = cc_of(spark, edges)
+    assert {k: v for k, v in got.items() if k < 100} == {i: 0 for i in range(6)}
+    assert {k: v for k, v in got.items() if 100 <= k < 200} == {
+        n: 100 for n in (100, 101, 102, 103)
+    }
+    assert got[200] == 200 and got[201] == 200
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = cc_of(spark, edges)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    want = union_find(edges, touched)
+    assert got == want  # nodes without edges are absent by contract
+
+
+def test_nonconvergence_raises_with_pointer(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="large-star/small-star"):
+        gr.connected_components(df, max_iter=2)
+
+
+def test_dedup_clusters_keeper_and_singletons(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    out = {r["id"]: (r["cluster_id"], r["is_keeper"]) for r in
+           gr.dedup_clusters(pairs, ids).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        99: (99, True),  # singleton: its own keeper
+    }
+    # exactly one keeper per cluster
+    keepers = [k for k, (c, keep) in out.items() if keep]
+    assert sorted(keepers) == [1, 10, 99]
+
+
+def test_cc_plan_shuffles_only_long_pairs(spark):
+    """Scale property: each round's shuffle carries (long, long) label
+    rows — no text, no arrays. Probe the first propagation join's plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    prop = (
+        sym.join(labels, sym["dst"] == labels["id"])
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_min"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        prop.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" in plan  # partial min combine before the shuffle

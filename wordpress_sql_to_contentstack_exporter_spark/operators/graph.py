@@ -1,0 +1,127 @@
+"""Distributed connected components — duplicate-cluster resolution.
+
+The dedup family (``operators/dedup.py``, ``operators/similarity.py``)
+emits PAIRS (id_a, id_b). A production dedup pipeline needs one more
+step: transitive closure of those pairs into clusters, so each group of
+mutual near-duplicates keeps exactly one canonical representative
+(A~B, B~C => {A,B,C} keep min id). That closure is connected
+components over the pair graph.
+
+Algorithm: iterative min-label propagation over the symmetrized edge
+list. Each round is ONE shuffle (hash join edges->labels + min
+aggregate) and each node adopts the smallest label among itself and its
+neighbors; rounds needed = graph diameter. Near-dup clusters are small
+and dense (diameter rarely exceeds a handful of hops), which makes this
+the right cost/complexity point at 100 TB: the shuffles carry only
+(long, long) rows, lineage is truncated every round so plans stay flat,
+and convergence is detected with a single count per round. For
+adversarially long chains (diameter in the hundreds) the published
+fix is alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond"), which converges in O(log^2 n)
+rounds; ``max_iter`` fails fast with that pointer rather than silently
+emitting partial clusters.
+
+This is an inherently ITERATIVE operator: building the result runs
+Spark jobs (one per round), like ``ivf_topk``'s k-means fit — the
+registry's laziness contract exempts iterative algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``edges``; ``cluster_id`` is the
+    minimum node id of the component (stable, deterministic).
+
+    Nodes with no edges are absent from the output by construction —
+    callers wanting singletons join the result back to the full id set
+    and coalesce (see ``dedup_clusters``).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    # Symmetrize; duplicate edges are harmless (min is idempotent), so no
+    # distinct — that would be an extra full shuffle per build.
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        # eager: the loop below compares successive label frames, so the
+        # base must be materialized once, not recomputed per round.
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            # eager localCheckpoint per round: truncates the otherwise
+            # exponentially nesting join lineage AND materializes the
+            # round so the convergence count below doesn't recompute it.
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — the "
+        "pair graph has a longer diameter than near-dup clusters should; "
+        "raise max_iter, or switch to large-star/small-star (Kiveris et "
+        "al.) for O(log^2 n) convergence on high-diameter graphs"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    id_col: str = "doc_id",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs -> one row per document: (id, cluster_id, is_keeper).
+
+    ``cluster_id`` is the canonical (minimum) id of the duplicate
+    cluster; documents with no near-dup edges are singleton clusters of
+    themselves. ``is_keeper`` marks the one row per cluster to retain —
+    the standard artifact a training-data pipeline feeds to the filter
+    stage (keep keepers, drop the rest).
+    """
+    comp = connected_components(pairs, pair_a, pair_b, max_iter=max_iter)
+    ids = all_ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            F.col("id"),
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
+    )

@@ -38,6 +38,7 @@ from ..operators import (
     hierarchy_parent_join,
 )
 from ..operators import dedup as dd
+from ..operators import graph as gr
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -957,6 +958,51 @@ FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS -> transitive-closure
+    clusters with one keeper each (operators/graph.py connected
+    components — the stage the reference pipeline and the pair-emitting
+    dedup operators both stop short of). The edge source here is a
+    deterministic chain relation (doc i ~ doc i+1 within blocks of 5) so
+    DuckDB can mirror it with a recursive CTE; production feeds
+    minhash/simhash/embedding pair outputs instead. Iterative operator:
+    builds in O(diameter) label-propagation rounds (4 here)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") % 5 != 4)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    out = gr.dedup_clusters(pairs, d)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.col("is_keeper").cast("boolean").alias("is_keeper"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+e0 AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+    WHERE a.doc_id % 5 != 4
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach(id, r) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(comp.cluster_id, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+"""
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates. Run over documents plus perturbed
     copies (id+1_000_000, text with a suffix token) so the fixture —
@@ -1526,6 +1572,7 @@ SPARK_QUERIES = {
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "sequence_packing": q_sequence_packing,
     "multimodal_decode": q_multimodal_decode,
+    "dedup_clusters": q_dedup_clusters,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "minhash_neardup": q_minhash_neardup,
@@ -1573,6 +1620,7 @@ ORACLE_SQL = {
     "salted_agg": SQL_COUNT_GROUP_BY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
