@@ -1,8 +1,10 @@
+from .dedup import streaming_exact_dedup
 from .incremental import incremental_export, windowed_event_counts
 from .rollup import continuous_rollup
 from .stateful import sessionize_stream
 
 __all__ = [
+    "streaming_exact_dedup",
     "incremental_export",
     "windowed_event_counts",
     "continuous_rollup",
