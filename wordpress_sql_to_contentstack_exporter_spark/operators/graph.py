@@ -69,10 +69,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the pre-round label through the select so convergence is a
+        # filter on THIS frame — no extra old-vs-new join per round.
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
             # eager localCheckpoint per round: truncates the otherwise
@@ -80,13 +83,8 @@ def connected_components(
             # round so the convergence count below doesn't recompute it.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") < F.col("old")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             return labels.select("id", F.col("label").alias("cluster_id"))
 
