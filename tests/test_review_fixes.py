@@ -270,3 +270,38 @@ def test_lsh_queries_empty_embeddings_table(spark, tmp_path):
     )
     assert reg.q_embedding_neardup(spark, str(tmp_path)).count() == 0
     assert reg.q_ann_lsh_topk(spark, str(tmp_path)).count() == 0
+
+
+def test_pack_sequences_length_sorted_reduces_fragmentation(spark):
+    """order_by_length=True (first-fit-decreasing idea under next-fit):
+    on a heterogeneous corpus the length-sorted order needs no more packs
+    than key order — and fewer on the alternating worst case, where key
+    order wastes nearly half of every budget."""
+    # alternating 90/30: key order packs (90+30..) pairs -> one pack per
+    # pair at 120/200 fill; sorted order groups 90s (2/pack) and 30s (6/pack)
+    rows = [(i, 90 if i % 2 == 0 else 30) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+
+    def n_packs(strict, sort):
+        packed = pack_sequences(
+            df, token_col="n_tokens", max_tokens=200, key_col="doc_id",
+            shard_expr=F.lit(0), strict=strict, order_by_length=sort,
+        )
+        return packed.select("pack_id").distinct().count()
+
+    # strict next-fit: sorted order drops 12 packs (one per 90/30 pair at
+    # 120/200 fill) to 8 (90s two-per-pack, 30s six-per-pack)
+    assert n_packs(True, False) == 12
+    assert n_packs(True, True) == 8
+    # window mode's floor(running_sum/budget) pack COUNT is order-
+    # insensitive by construction (it never resets at a boundary); the
+    # sorted order changes pack composition, not count
+    assert n_packs(False, True) == n_packs(False, False)
+
+    # strict + sorted: budget still never exceeded
+    packed = pack_sequences(
+        df, token_col="n_tokens", max_tokens=200, key_col="doc_id",
+        shard_expr=F.lit(0), strict=True, order_by_length=True,
+    )
+    sums = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    assert all(r["s"] <= 200 for r in sums)

@@ -269,3 +269,36 @@ def test_pil_decoder_math_with_fake_module(monkeypatch):
         0.0,
     ]
     assert len(feat) == 8  # stub-compatible shape: schemas don't care which ran
+
+
+def test_repetition_features_flags_loops_and_boilerplate(spark):
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),        # clean prose
+        (2, "spam ham " * 12 + "end"),                     # looping bigram, long
+        (3, "menu item\nmenu item\nmenu item\nfooter"),    # duplicate lines
+        (4, ""),                                           # empty
+        (5, "single"),                                     # one token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+
+    assert out[1]["dup_line_frac"] == 0.0
+    # 5 all-distinct bigrams give frac 0.2 — the >=20-bigram guard keeps
+    # short docs from tripping the ratio rule
+    assert out[1]["top_bigram_frac"] == pytest.approx(0.2)
+    assert not out[1]["rep_flagged"]
+
+    # "spam ham" appears 12 of 24 bigrams -> 0.5; 24 bigrams >= 20
+    assert out[2]["top_bigram_frac"] == pytest.approx(0.5)
+    assert out[2]["rep_flagged"]
+
+    assert out[3]["n_lines"] == 4
+    assert out[3]["dup_line_frac"] == 0.5  # 2 distinct / 4 lines
+    assert out[3]["rep_flagged"]
+
+    assert out[4] and out[4]["top_bigram_frac"] == 0.0 and not out[4]["rep_flagged"]
+    assert out[5]["top_bigram_frac"] == 0.0 and not out[5]["rep_flagged"]

@@ -154,6 +154,7 @@ def pack_sequences(
     out_pack_col: str = "pack_id",
     shard_expr: Column | None = None,
     strict: bool = False,
+    order_by_length: bool = False,
 ) -> DataFrame:
     """Greedy next-fit sequence packing into ``max_tokens`` budgets.
 
@@ -161,6 +162,17 @@ def pack_sequences(
     by the next-fit discipline. Pack ids are globally unique:
     (shard, local pack index). ``n_shards`` bounds per-shard state so the
     operation stays embarrassingly parallel at any scale.
+
+    ``order_by_length=True`` orders each shard by descending (capped)
+    token count before packing — the first-fit-decreasing idea adapted to
+    next-fit: grouping like-sized documents reduces fragmentation on
+    heterogeneous corpora (measured: 12 -> 8 packs on an alternating
+    90/30 corpus at budget 200), at the price of breaking key-order
+    locality inside packs. The win applies to ``strict=True``; the
+    window approximation's pack COUNT is order-insensitive by
+    construction (a continuous running sum never resets at a boundary),
+    sorting there only changes pack composition. Same shuffle shape
+    either way.
 
     - ``strict=False`` (default): window approximation — pack index =
       floor(exclusive running sum / budget). One shuffle, pure codegen,
@@ -185,7 +197,14 @@ def pack_sequences(
         )
 
         def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(key_col).reset_index(drop=True)
+            if order_by_length:
+                pdf = pdf.assign(
+                    __cap=pdf[token_col].clip(upper=max_tokens)
+                ).sort_values(
+                    ["__cap", key_col], ascending=[False, True]
+                ).drop(columns="__cap").reset_index(drop=True)
+            else:
+                pdf = pdf.sort_values(key_col).reset_index(drop=True)
             shard_id = pdf["__shard"].iloc[0]
             packs, pack_idx, acc = [], 0, 0
             for t in pdf[token_col]:
@@ -199,8 +218,11 @@ def pack_sequences(
 
         return sharded.groupBy("__shard").applyInPandas(pack_group, schema_str)
 
-    w = Window.partitionBy("__shard").orderBy(F.col(key_col))
     capped = F.least(F.col(token_col), F.lit(max_tokens))
+    order = (
+        [capped.desc(), F.col(key_col)] if order_by_length else [F.col(key_col)]
+    )
+    w = Window.partitionBy("__shard").orderBy(*order)
     running_before = F.coalesce(
         F.sum(capped).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0.0),

@@ -212,3 +212,101 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     from .dedup import normalize_text
 
     return df.withColumn(out_col, F.sha2(normalize_text(F.col(text_col)), 256))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText family
+    of curation rules: Rae et al. 2021 §A1.1, carried into RefinedWeb and
+    friends): boilerplate-heavy and looping documents show duplicate
+    lines and a dominant repeated n-gram long before dedup sees them.
+
+    Output per doc: ``n_lines``, ``dup_line_frac`` (1 - distinct/total
+    lines, whitespace-trimmed), ``top_bigram_frac`` (occurrences of the
+    most frequent word 2-gram / total 2-grams), and ``rep_flagged``
+    under the published-style thresholds (dup_line_frac > 0.30 or
+    top_bigram_frac > 0.18).
+
+    Plan shape: line metrics are per-row array expressions (no shuffle);
+    the bigram mode needs a (doc, gram) count, done explode -> two hash
+    aggregations — the shuffle carries (id, 8-byte xxhash64(gram)) rather
+    than gram text. Docs with < 2 tokens have no bigrams: frac 0.0.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.when(
+                F.size(lines) > 0,
+                1 - F.size(F.array_distinct(lines)) / F.size(lines),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_frac"),
+    )
+
+    toks = tokens(normalize_for_rep(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.transform(grams, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+        ).alias("gram"),
+    )
+    gram_stats = (
+        # null-preserving hash: xxhash64 SKIPS null inputs (returning the
+        # seed's hash), which would turn the explode_outer placeholder of
+        # a <2-token doc into a phantom gram
+        exploded.select(
+            "id",
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("g"),
+        )
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("g").isNotNull(), F.col("c"))).alias("top_c"),
+            F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias(
+                "total_c"
+            ),
+        )
+        .select(
+            "id",
+            F.col("total_c").alias("n_bigrams"),
+            F.round(
+                F.when(F.col("total_c") > 0, F.col("top_c") / F.col("total_c"))
+                .otherwise(F.lit(0.0)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        base.join(gram_stats, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            "dup_line_frac",
+            "n_bigrams",
+            "top_bigram_frac",
+            (
+                (F.col("dup_line_frac") > 0.30)
+                | (
+                    (F.col("top_bigram_frac") > 0.18)
+                    & (F.col("n_bigrams") >= 20)
+                )
+            ).alias("rep_flagged"),
+        )
+    )
+
+
+def normalize_for_rep(text: Column) -> Column:
+    """Lowercase + whitespace-collapse — the same canonical form the dedup
+    family uses, so repetition and dedup agree on what a token is."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

@@ -1074,6 +1074,72 @@ FROM t
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-family curation rules)
+    over documents plus synthesized repetitive variants (the fixture's
+    random text has no natural repetition, so exercise both branches:
+    doc_id+1_000_000 copies get their first line tripled)."""
+    d = _t(spark, sf_dir, "documents")
+    rep = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            "\n", F.col("text"), F.col("text"), F.col("text")
+        ).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(rep)
+    return tx.repetition_features(both)
+
+
+SQL_REPETITION = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || chr(10) || text || chr(10) || text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           list_filter([trim(l) for l in string_split(text, chr(10))],
+                       l -> l != '') AS ls
+    FROM corpus
+),
+base AS (
+    SELECT doc_id, len(ls) AS n_lines,
+           round(CASE WHEN len(ls) > 0
+                      THEN 1 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE)
+                      ELSE 0.0 END, 4) AS dup_line_frac
+    FROM lines
+),
+toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []
+                ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           END AS t
+    FROM corpus
+),
+grams AS (
+    SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                           for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS gram
+    FROM toks
+),
+gram_counts AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+),
+gram_stats AS (
+    SELECT doc_id, sum(c) AS n_bigrams,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+    FROM gram_counts GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+       coalesce(g.n_bigrams, 0) AS n_bigrams,
+       coalesce(g.top_bigram_frac, 0.0) AS top_bigram_frac,
+       (b.dup_line_frac > 0.30
+        OR (coalesce(g.top_bigram_frac, 0.0) > 0.18
+            AND coalesce(g.n_bigrams, 0) >= 20)) AS rep_flagged
+FROM base b LEFT JOIN gram_stats g ON b.doc_id = g.doc_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic."""
     d = _t(spark, sf_dir, "documents")
@@ -1393,6 +1459,47 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id")
 
 
+def q_sequence_packing_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted next-fit packing (first-fit-decreasing idea): shards
+    order by descending capped token count, reducing fragmentation on
+    heterogeneous corpora. Same shuffle shape as sequence_packing."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tx.token_count_ws(F.col("text")).alias("n_tokens")
+    with_toks = d.select("doc_id", toks)
+    packed = pack_sequences(
+        with_toks,
+        token_col="n_tokens",
+        max_tokens=512,
+        key_col="doc_id",
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+        order_by_length=True,
+    )
+    return packed.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id"
+    )
+
+
+SQL_SEQUENCE_PACKING_SORTED = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           doc_id % 8 AS shard
+    FROM documents
+), s AS (
+    SELECT doc_id, n_tokens, shard,
+           coalesce(sum(least(n_tokens, 512)) OVER (
+               PARTITION BY shard
+               ORDER BY least(n_tokens, 512) DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       shard || '-' || CAST(floor(run_before / 512) AS BIGINT) AS pack_id
+FROM s
+"""
+
+
 SQL_SEQUENCE_PACKING = r"""
 WITH t AS (
     SELECT doc_id,
@@ -1562,6 +1669,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
+    "repetition": q_repetition,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "pii_redact": q_pii_redact,
@@ -1571,6 +1679,7 @@ SPARK_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "sequence_packing": q_sequence_packing,
+    "sequence_packing_sorted": q_sequence_packing_sorted,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
     # --- rows-only queries (no SQL oracle possible) below this line ---
@@ -1623,6 +1732,7 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
     "text_quality": SQL_TEXT_QUALITY,
+    "repetition": SQL_REPETITION,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "pii_redact": SQL_PII_REDACT,
@@ -1633,6 +1743,7 @@ ORACLE_SQL = {
     # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "sequence_packing_sorted": SQL_SEQUENCE_PACKING_SORTED,
     "multimodal_decode": SQL_MULTIMODAL,
 }
 
