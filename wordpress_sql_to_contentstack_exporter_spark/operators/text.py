@@ -232,6 +232,13 @@ def repetition_features(
     the bigram mode needs a (doc, gram) count, done explode -> two hash
     aggregations — the shuffle carries (id, 8-byte xxhash64(gram)) rather
     than gram text. Docs with < 2 tokens have no bigrams: frac 0.0.
+
+    The token array is materialized as a projected column BEFORE the
+    gram construction, and grams come from ONE zip_with over two slices
+    — not transform(i -> slice(toks, i, 2)) over an index sequence,
+    whose interpreted lambda re-evaluates the whole tokenize expression
+    per gram (measured 5.0 s -> 0.1 s on the 1000-doc gate corpus; the
+    same trap minhash_signatures_df documents).
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
@@ -249,17 +256,21 @@ def repetition_features(
         ).alias("dup_line_frac"),
     )
 
-    toks = tokens(normalize_for_rep(F.col(text_col)))
-    n = F.size(toks)
-    grams = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    exploded = df.select(
+    tok_df = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(
-            F.transform(grams, lambda i: F.array_join(F.slice(toks, i, 2), " "))
-        ).alias("gram"),
+        tokens(normalize_for_rep(F.col(text_col))).alias("__toks"),
     )
+    n = F.size(F.col("__toks"))
+    empty = F.array().cast("array<string>")
+    gram_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("__toks"), F.lit(1), n - 1),
+            F.slice(F.col("__toks"), F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(empty)
+    exploded = tok_df.select("id", F.explode_outer(gram_arr).alias("gram"))
     gram_stats = (
         # null-preserving hash: xxhash64 SKIPS null inputs (returning the
         # seed's hash), which would turn the explode_outer placeholder of
