@@ -268,3 +268,37 @@ def test_minhash_bucket_stats_reports_skew(spark):
     wide = dd.minhash_bucket_stats(mixed, num_hashes=16, bands=2, max_bucket_size=1000)
     assert wide["capped_buckets"] == 0
     assert 1 <= wide["max_bucket"] <= len(DOCS)
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a line\ndup line\nb line"),
+            (2, "dup line\nc line"),
+            (3, "dup line"),  # fully duplicate doc -> empty output
+            (4, ""),
+            (5, "  \n \n"),  # whitespace-only paragraphs dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert rows[1]["text_dedup"] == "a line\ndup line\nb line"
+    assert (rows[1]["n_paras"], rows[1]["n_kept"]) == (3, 3)
+    assert rows[2]["text_dedup"] == "c line"  # dup removed, order kept
+    assert (rows[2]["n_paras"], rows[2]["n_kept"]) == (2, 1)
+    assert rows[3]["text_dedup"] == "" and rows[3]["n_kept"] == 0
+    assert rows[4]["text_dedup"] == "" and rows[4]["n_paras"] == 0
+    assert rows[5]["n_paras"] == 0
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "x\ny\nx\nx\nz")], "doc_id long, text string"
+    )
+    row = paragraph_dedup(docs).collect()[0]
+    assert row["text_dedup"] == "x\ny\nz"
+    assert (row["n_paras"], row["n_kept"]) == (5, 3)

@@ -302,3 +302,43 @@ def test_repetition_features_flags_loops_and_boilerplate(spark):
 
     assert out[4] and out[4]["top_bigram_frac"] == 0.0 and not out[4]["rep_flagged"]
     assert out[5]["top_bigram_frac"] == 0.0 and not out[5]["rep_flagged"]
+
+
+def test_token_topk_counts_and_tiebreak(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import token_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "A  b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = token_topk(docs, k=2).collect()
+    # 'a' x3 (2 docs), 'b' x2 (2 docs); 'c' cut by k
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 2, 2),
+    ]
+    # tie-break: equal counts order lexicographically
+    tie = spark.createDataFrame([(1, "z q z q")], "doc_id long, text string")
+    t_rows = token_topk(tie, k=1).collect()
+    assert t_rows[0]["token"] == "q"
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, top=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df_docs"]))
+    # doc 1: 'rare' (tf=2, df=1) outranks 'common' (tf=1, df=3)
+    assert by_doc[1][0][1] == "rare" and by_doc[1][0][2] == 2 and by_doc[1][0][3] == 1
+    assert by_doc[1][1][1] == "common"
+    # docs 2/3: 'other' (df=2) outranks 'common' (df=3)
+    assert by_doc[2][0][1] == "other"

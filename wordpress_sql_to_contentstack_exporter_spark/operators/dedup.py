@@ -564,6 +564,90 @@ def simhash_neardups(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup: remove every repeated
+    paragraph except its first occurrence and reassemble documents.
+
+    The span-level companion to document-level dedup (cf. Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    repeated spans survive document dedup because the *containing*
+    documents differ; boilerplate headers/footers are the classic case).
+    Here the unit is a ``sep``-delimited paragraph, trimmed; empty
+    segments are dropped as canonicalization. "First occurrence" is the
+    instance with the smallest (doc_id, position) — a total order, so
+    the keep-set is deterministic.
+
+    Plan shape at 100 TB (all five stages shuffle-bounded, no window
+    over paragraph groups):
+    1. posexplode paragraphs — map-only.
+    2. first-instance per paragraph: ``groupBy(md5(para)).min(struct
+       (doc_id, pos))`` — partial aggregation combines the boilerplate
+       paragraph's billion copies map-side; a window over the same
+       partition key would sort that giant group in ONE task (the skew
+       trap the dedup family avoids throughout).
+    3. survivors: equi-join instances to winners on the 32-byte digest —
+       AQE-managed, linear output.
+    4. reassembly: ``collect_list(struct(pos, para))`` per doc, sorted
+       and joined — per-doc state is bounded by document size.
+    5. left join back to the input so fully-duplicate documents surface
+       as empty ``text_dedup`` (count columns make the removal volume
+       auditable: ``sum(n_paras - n_kept)`` is the corpus-wide number of
+       removed paragraph instances).
+
+    md5 is used as the paragraph key for cross-engine verifiability (the
+    DuckDB oracle computes the same digests); a production deployment
+    can swap xxhash64 for an 8-byte shuffle key without changing the
+    plan shape.
+
+    Output: (doc_id, n_paras, n_kept, text_dedup).
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "raw"),
+        )
+        .select("id", "pos", F.trim(F.col("raw")).alias("para"))
+        .filter(F.col("para") != "")
+        .withColumn("pkey", F.md5(F.col("para")))
+    )
+    winners = paras.groupBy("pkey").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first")
+    )
+    survivors = (
+        paras.join(winners, "pkey")
+        .filter((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
+        .select("id", "pos", "para")
+    )
+    rebuilt = survivors.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def ngram_jaccard(
     left: DataFrame,
     right: DataFrame,

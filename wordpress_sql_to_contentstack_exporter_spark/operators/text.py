@@ -214,6 +214,94 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     return df.withColumn(out_col, F.sha2(normalize_text(F.col(text_col)), 256))
 
 
+def token_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace tokens
+    (lowercased) with occurrence and document frequencies — the first
+    step of vocabulary construction / corpus profiling over a training
+    set.
+
+    Plan shape at 100 TB: explode tokens (map-only), ONE hash
+    aggregation per (token) computing both counts — ``n_docs`` via
+    ``count(DISTINCT id)`` would re-shuffle, so the doc frequency is a
+    two-level aggregate: (token, id) partial first, then token. Top-k is
+    ``orderBy().limit()`` — Spark's TakeOrdered, a per-partition heap +
+    driver merge of k rows, never a global sort. Deterministic
+    tie-break: count desc, then token asc.
+
+    Output: (token, n_occurrences, n_docs) — exactly ``k`` rows (fewer
+    on tiny corpora).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", "id").agg(F.count(F.lit(1)).alias("c"))
+    counts = per_doc.groupBy("token").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top: int = 3,
+) -> DataFrame:
+    """Per-document top-``top`` TF-IDF terms (whitespace tokens,
+    lowercased) — the standard keyword/topic-profiling pass over a
+    corpus.
+
+    Ranking is by tf/df (term frequency over document frequency), which
+    orders identically to any tf·idf(N) with a corpus-constant N and a
+    monotone idf — so no corpus-size scalar (and no driver-side count)
+    enters the plan, keeping construction lazy and the ranking free of
+    transcendental functions whose last-ulp behavior could differ
+    between engines. The output carries the integer evidence (tf, df)
+    rather than a float score: consumers can apply their preferred idf
+    curve, and cross-engine verification hashes exact integers.
+
+    Plan shape at 100 TB: one (id, token) aggregation for tf; df is a
+    second aggregation over the FIRST one's output (already distinct per
+    (token, doc), so no distinct-shuffle); ranking is a window
+    partitioned by doc — per-doc groups are bounded by vocabulary, so
+    no skew hazard. Deterministic tie-break: tf/df desc, then token asc.
+
+    Output: (doc_id, rank, term, tf, df_docs).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(dfreq, "term")
+    w = Window.partitionBy("id").orderBy(
+        (F.col("tf").cast("double") / F.col("df_docs")).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("id").alias(id_col),
+            "rank",
+            F.col("term"),
+            "tf",
+            "df_docs",
+        )
+    )
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

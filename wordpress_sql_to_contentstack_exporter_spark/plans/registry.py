@@ -1615,6 +1615,118 @@ FROM documents
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (Lee et al. 2022-style
+    span dedup; operators/dedup.paragraph_dedup). Every third document
+    gets a shared boilerplate footer appended so the fixture — whose
+    documents share no natural lines — exercises the remove-all-but-
+    first-occurrence path; the oracle applies the same perturbation."""
+    d = _t(spark, sf_dir, "documents")
+    with_footer = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\nshared boilerplate footer")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.paragraph_dedup(with_footer)
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || 'shared boilerplate footer'
+                ELSE text END AS text
+    FROM documents
+), p0 AS (
+    SELECT doc_id,
+           [ {'pos': i, 'para': trim(lines[i])} for i in range(1, len(lines)+1) ] AS ps
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs2)
+), p AS (
+    SELECT doc_id, unnest(ps, recursive := true) FROM p0
+), np AS (
+    SELECT doc_id, pos, para FROM p WHERE para != ''
+), surv AS (
+    SELECT doc_id, pos, para FROM np
+    QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1
+), rebuilt AS (
+    SELECT doc_id AS rid,
+           string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+           count(*) AS n_kept
+    FROM surv GROUP BY doc_id
+), totals AS (
+    SELECT doc_id AS tid, count(*) AS n_paras FROM np GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_paras, 0) AS n_paras,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM docs2 d
+LEFT JOIN totals t ON d.doc_id = t.tid
+LEFT JOIN rebuilt r ON d.doc_id = r.rid
+"""
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by occurrence count with doc
+    frequencies (operators/text.token_topk)."""
+    return tx.token_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+SQL_TOKEN_TOPK = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+    FROM documents
+), nz AS (
+    SELECT doc_id, token FROM toks WHERE token != ''
+), per AS (
+    SELECT token, doc_id, count(*) AS c FROM nz GROUP BY 1, 2
+)
+SELECT token,
+       sum(c)::BIGINT AS n_occurrences,
+       count(*) AS n_docs
+FROM per GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/text.tfidf_top_terms);
+    rank cast to long for cross-engine schema parity."""
+    out = tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), top=3)
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term", "tf", "df_docs"
+    )
+
+
+SQL_TFIDF_TOPTERMS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+    FROM documents
+), nz AS (
+    SELECT doc_id, term FROM toks WHERE term != ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM nz GROUP BY 1, 2
+), dfq AS (
+    SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+)
+SELECT doc_id, rank, term, tf, df_docs FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf::DOUBLE / dfq.df_docs DESC, tf.term ASC
+           ) AS rank
+    FROM tf JOIN dfq USING (term)
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1682,6 +1794,12 @@ SPARK_QUERIES = {
     "sequence_packing_sorted": q_sequence_packing_sorted,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
+    # --- oracle-backed but OUTSIDE the driver's snapshot window (the
+    # window was already full of oracle-backed queries; these newer ones
+    # keep full green evidence in the committed CORRECTNESS_local.json) ---
+    "paragraph_dedup": q_paragraph_dedup,
+    "token_topk": q_token_topk,
+    "tfidf_topterms": q_tfidf_topterms,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "minhash_neardup": q_minhash_neardup,
@@ -1745,6 +1863,9 @@ ORACLE_SQL = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_sorted": SQL_SEQUENCE_PACKING_SORTED,
     "multimodal_decode": SQL_MULTIMODAL,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "token_topk": SQL_TOKEN_TOPK,
+    "tfidf_topterms": SQL_TFIDF_TOPTERMS,
 }
 
 
