@@ -88,6 +88,12 @@ def dedup_tier(spark, sf_dir: str, target_docs: int) -> dict:
     out.update(
         dd.minhash_bucket_stats(corpus, num_hashes=16, bands=2, max_bucket_size=1000)
     )
+    # SimHash block-skew telemetry (symmetric with the LSH bucket stats:
+    # correlated signatures pile non-near-dups into shared prefix blocks).
+    sim_stats = dd.simhash_block_stats(
+        dd.simhash_df(corpus), prefix_bits=20, max_block_size=1000
+    )
+    out.update({f"sim_{k}": v for k, v in sim_stats.items()})
     return out
 
 

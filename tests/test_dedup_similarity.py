@@ -302,3 +302,44 @@ def test_paragraph_dedup_within_doc_repeats(spark):
     row = paragraph_dedup(docs).collect()[0]
     assert row["text_dedup"] == "x\ny\nz"
     assert (row["n_paras"], row["n_kept"]) == (5, 3)
+
+
+def test_simhash_block_cap_bounds_pathological_corpus(spark):
+    """A corpus of near-identical docs piles everything into shared prefix
+    blocks (correlated per-bit majorities); max_block_size must drop the
+    giant blocks instead of materializing C(n,2) pairs — while a benign
+    corpus is unaffected by a cap far above its block sizes."""
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import (
+        simhash_block_stats,
+        simhash_df,
+        simhash_neardups,
+    )
+
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("identical boilerplate text repeated everywhere variant "),
+            (F.col("id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    stats = simhash_block_stats(simhash_df(docs), prefix_bits=16, n_rotations=4,
+                                max_block_size=50)
+    assert stats["max_block"] >= n // 3  # pathology confirmed
+    assert stats["capped_blocks"] >= 1
+    capped = simhash_neardups(
+        docs, prefix_bits=16, n_rotations=4, max_block_size=50
+    ).count()
+    assert capped == 0  # every giant block dropped, no quadratic pairs
+    # benign corpus: cap far above block sizes changes nothing
+    benign = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string"),
+                 F.lit(" totally unique words "), (F.col("id") * 7).cast("string")).alias("text"),
+    )
+    uncapped = simhash_neardups(benign, prefix_bits=16, n_rotations=2)
+    with_cap = simhash_neardups(benign, prefix_bits=16, n_rotations=2,
+                                max_block_size=10_000)
+    assert sorted(map(tuple, uncapped.collect())) == sorted(map(tuple, with_cap.collect()))

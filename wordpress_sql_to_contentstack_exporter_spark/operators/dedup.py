@@ -390,6 +390,11 @@ def minhash_lsh_candidates(
 #: near-dup power.
 SIMHASH_BITS = 63
 
+#: Rotation stride for the permuted-table blocking sweep. Coprime to 63,
+#: so 63 distinct offsets before repeating; fixed (independent of
+#: n_rotations) so recall is structurally monotone in n_rotations.
+_ROT_STRIDE = 29
+
 
 def simhash64(text: Column, token_sep: str = " ") -> Column:
     """63-bit SimHash over whitespace tokens.
@@ -468,12 +473,78 @@ def _rotl63(v: Column, s: int) -> Column:
     )
 
 
+def simhash_rotated_blocks(
+    sigs: DataFrame,
+    *,
+    prefix_bits: int = 16,
+    n_rotations: int = 1,
+) -> DataFrame:
+    """(id, sh, rot, block) — the rotated prefix-block assignment shared
+    by ``simhash_pairs_from_sigs`` (candidate self-join) and
+    ``simhash_block_stats`` (skew telemetry)."""
+    if not 1 <= n_rotations <= SIMHASH_BITS:
+        raise ValueError(
+            f"n_rotations must be in [1, {SIMHASH_BITS}], got {n_rotations} "
+            "(offsets repeat beyond the signature width)"
+        )
+    rot_blocks = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rot"),
+                F.shiftrightunsigned(
+                    _rotl63(F.col("sh"), (r * _ROT_STRIDE) % SIMHASH_BITS),
+                    SIMHASH_BITS - prefix_bits,
+                ).alias("block"),
+            )
+            for r in range(n_rotations)
+        ]
+    )
+    return sigs.select("id", "sh", F.explode(rot_blocks).alias("rb")).select(
+        "id", "sh", F.col("rb.rot").alias("rot"), F.col("rb.block").alias("block")
+    )
+
+
+def simhash_block_stats(
+    sigs: DataFrame,
+    *,
+    prefix_bits: int = 16,
+    n_rotations: int = 1,
+    max_block_size: int = 1000,
+) -> dict:
+    """Skew telemetry for the SimHash prefix-block distribution —
+    symmetric with ``minhash_bucket_stats``. SimHash signatures of a
+    small-vocabulary / boilerplate-heavy corpus are highly CORRELATED
+    (the per-bit majority votes agree), so many documents share a
+    prefix block even when they are not near-dups — blocks, like LSH
+    buckets, can go quadratic. Returns ``{"blocks", "max_block",
+    "capped_blocks"}`` from one aggregation; never materializes pairs.
+    """
+    counts = (
+        simhash_rotated_blocks(
+            sigs, prefix_bits=prefix_bits, n_rotations=n_rotations
+        )
+        .groupBy("rot", "block")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = counts.agg(
+        F.count(F.lit(1)).alias("blocks"),
+        F.max("n").alias("max_block"),
+        F.sum((F.col("n") > max_block_size).cast("long")).alias("capped_blocks"),
+    ).first()
+    return {
+        "blocks": row["blocks"],
+        "max_block": row["max_block"] or 0,
+        "capped_blocks": row["capped_blocks"] or 0,
+    }
+
+
 def simhash_pairs_from_sigs(
     sigs: DataFrame,
     *,
     max_hamming: int = 8,
     prefix_bits: int = 16,
     n_rotations: int = 1,
+    max_block_size: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs from precomputed (id, sh) SimHash rows: block on the
@@ -491,30 +562,30 @@ def simhash_pairs_from_sigs(
     the blockings used at n rotations are a strict prefix of those at
     n+1, making recall structurally monotone in ``n_rotations`` (more
     rotations can only add pairs). Cost grows linearly with
-    ``n_rotations`` (more exploded rows), never quadratically — each
-    rotation's join is still bucket-local.
+    ``n_rotations`` (more exploded rows), never quadratically PER PAIR —
+    but block sizes themselves are data-dependent: correlated signatures
+    (small-vocabulary or boilerplate-heavy corpora, where per-bit
+    majorities agree across documents) can pile thousands of non-near-dup
+    docs into one prefix block, and a block of n rows contributes C(n,2)
+    join outputs. ``max_block_size`` drops whole (rot, block) groups over
+    the cap before the self-join — the same aggregate+semi-join guard as
+    ``minhash_lsh_candidates`` (and NOT a window, for the same skew
+    reason). Recall note: a capped block never yields pairs in THAT
+    rotation, but other rotations re-block the same docs differently, so
+    genuine near-dups usually survive capping; identical docs are the
+    degenerate case and belong to (linear) exact dedup anyway.
     """
-    if not 1 <= n_rotations <= SIMHASH_BITS:
-        raise ValueError(
-            f"n_rotations must be in [1, {SIMHASH_BITS}], got {n_rotations} "
-            "(offsets repeat beyond the signature width)"
+    sh = simhash_rotated_blocks(
+        sigs, prefix_bits=prefix_bits, n_rotations=n_rotations
+    )
+    if max_block_size is not None:
+        small_blocks = (
+            sh.groupBy("rot", "block")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_block_size)
+            .select("rot", "block")
         )
-    _ROT_STRIDE = 29  # coprime to 63: 63 distinct offsets before repeating
-    rot_blocks = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("rot"),
-                F.shiftrightunsigned(
-                    _rotl63(F.col("sh"), (r * _ROT_STRIDE) % SIMHASH_BITS),
-                    SIMHASH_BITS - prefix_bits,
-                ).alias("block"),
-            )
-            for r in range(n_rotations)
-        ]
-    )
-    sh = sigs.select("id", "sh", F.explode(rot_blocks).alias("rb")).select(
-        "id", "sh", F.col("rb.rot").alias("rot"), F.col("rb.block").alias("block")
-    )
+        sh = sh.join(small_blocks, ["rot", "block"], "left_semi")
     # Reused on both sides of the self-join below; lazy localCheckpoint
     # (vs persist) so storage is auto-released after consumption and no
     # job runs at build time. Lineage-truncation/executor-loss tradeoff
@@ -549,17 +620,20 @@ def simhash_neardups(
     max_hamming: int = 8,
     prefix_bits: int = 16,
     n_rotations: int = 1,
+    max_block_size: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on the top ``prefix_bits`` bits (a
     cheap LSH — identical prefixes required), then exact Hamming filter.
-    See ``simhash_pairs_from_sigs`` for the rotation-sweep recall knob.
+    See ``simhash_pairs_from_sigs`` for the rotation-sweep recall knob
+    and the ``max_block_size`` quadratic-blowup guard.
     """
     return simhash_pairs_from_sigs(
         simhash_df(df, text_col, id_col),
         max_hamming=max_hamming,
         prefix_bits=prefix_bits,
         n_rotations=n_rotations,
+        max_block_size=max_block_size,
         materialize=materialize,
     )
 
