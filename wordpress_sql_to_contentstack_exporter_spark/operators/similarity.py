@@ -223,6 +223,209 @@ def ivf_topk(
     )
 
 
+def _pq_fit_codebooks(
+    sample: np.ndarray, m: int, n_codes: int, *, seed: int, max_iter: int
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a driver-side sample.
+
+    Returns (m, n_codes, d_sub) centroids. Index *construction* is the
+    one legitimately driver-side, sample-driven stage of PQ (exactly
+    like IVF's fit): codebook quality needs a sketch of the coordinate
+    distribution, not the corpus. Deterministic: seeded init (distinct
+    rows where possible), fixed iteration count, ties to lower index.
+    """
+    n, dim = sample.shape
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, d_sub), dtype=np.float64)
+    for s in range(m):
+        x = sample[:, s * d_sub : (s + 1) * d_sub]
+        uniq = np.unique(x, axis=0)
+        if len(uniq) >= n_codes:
+            centers = uniq[rng.choice(len(uniq), n_codes, replace=False)]
+        else:  # degenerate sample: pad with jittered repeats
+            pad = uniq[rng.integers(0, len(uniq), n_codes - len(uniq))]
+            centers = np.concatenate([uniq, pad + rng.normal(0, 1e-6, pad.shape)])
+        for _ in range(max_iter):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                mask = assign == j
+                if mask.any():
+                    centers[j] = x[mask].mean(axis=0)
+        books[s] = centers
+    return books
+
+
+def pq_codes_pandas(vec_col: str, books: np.ndarray) -> Column:
+    """PQ encoding (array<int>, length m) in one Arrow batch per block.
+
+    code_s = argmin_j ||x_s - c_{s,j}||^2, vectorized as one
+    ``||c||^2 - 2 x·c`` matmul per subspace (the ||x||^2 term is
+    constant under the argmin). Ties break to the lower code index
+    (numpy argmin), so encoding is deterministic.
+    """
+    m, n_codes, d_sub = books.shape
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((mat.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            x = mat[:, s * d_sub : (s + 1) * d_sub]
+            scores = (books[s] ** 2).sum(axis=1)[None, :] - 2.0 * (x @ books[s].T)
+            out[:, s] = scores.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return _enc(F.col(vec_col))
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_sample: int = 2048,
+) -> DataFrame:
+    """Product-quantization approximate top-k with exact re-rank — the
+    memory/IO-compression ANN path (Jégou et al. 2011, FAISS ``PQ``).
+
+    Why this exists alongside LSH/IVF: at 100 TB the dominant ANN cost
+    is *reading vectors*. PQ replaces each d×4-byte float vector with m
+    1-byte codes (d=64, m=8 → 32× smaller scan) plus one reconstruction
+    norm; the asymmetric-distance scan then scores a candidate with m
+    table lookups + adds instead of a d-term dot product. The price is
+    a small recall loss, bounded here by an exact re-rank of the top
+    ``rerank`` PQ-scored candidates per query (only those rows touch
+    real vectors again — a k-row-per-query join, not a second scan).
+
+    Stages:
+    1. fit: per-subspace k-means codebooks on a driver-side sample
+       (``fit_sample`` rows — like IVF, index build wants a sketch of
+       the distribution, not the corpus).
+    2. encode: one Arrow pass over candidates → (id, codes[m],
+       recon_norm). At scale this is the materialized index.
+    3. ADC scan: per query, the m×n_codes dot-product table is a plain
+       literal-free columnar computation (query side is broadcast, as
+       in ``cosine_topk``); approx score = Σ_s table[s][code_s] /
+       recon_norm ≈ cos(q, x̂). 8 ``element_at`` + adds per pair — ~8×
+       cheaper than the 64-term HOF dot, on 32× less data.
+    4. re-rank: top-``rerank`` PQ candidates rejoin their true vectors
+       for exact cosine; output exact top-``k`` (scores comparable with
+       the brute-force baseline — recall measured in tests).
+
+    Composes with IVF (route queries to cells, PQ-scan within the cell)
+    for the standard IVF-PQ layout; the two operators share this
+    module's conventions so the composition is a join away.
+    """
+    sample_rows = (
+        candidates.select(_as_double(F.col(vec_col)).alias("v")).limit(fit_sample).collect()
+    )
+    sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim ({dim}) must be divisible by m ({m})")
+    books = _pq_fit_codebooks(sample, m, n_codes, seed=seed, max_iter=max_iter)
+    d_sub = dim // m
+
+    # encode candidates: codes + reconstruction norm (||x̂|| from codebook
+    # entries only — computable FROM the codes, no raw vector needed)
+    books_sq = (books**2).sum(axis=2)  # (m, n_codes) squared norms
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in books[s, j]]) for j in range(n_codes)])
+            for s in range(m)
+        ]
+    )
+    books_sq_lit = F.array(
+        *[F.array(*[F.lit(float(books_sq[s, j])) for j in range(n_codes)]) for s in range(m)]
+    )
+    # The ADC scan sees ONLY (id, codes, recon_norm) — at scale this is
+    # the materialized PQ index; raw vectors are touched again solely by
+    # the rerank join below.
+    cand_enc = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_pandas(vec_col, books).alias("codes"),
+    ).withColumn(
+        "recon_norm",
+        F.sqrt(
+            sum(
+                F.element_at(F.element_at(books_sq_lit, s + 1), F.col("codes")[s] + 1)
+                for s in range(m)
+            )
+        ),
+    )
+
+    # query ADC tables: table[s][j] = dot(q_s, c_{s,j}) — computed as
+    # expression columns over the broadcast (small) query side only.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "qtab",
+        F.array(
+            *[
+                F.array(
+                    *[
+                        dot(
+                            F.slice(F.col("qv"), s * d_sub + 1, d_sub),
+                            F.element_at(F.element_at(books_lit, s + 1), j + 1),
+                        )
+                        for j in range(n_codes)
+                    ]
+                )
+                for s in range(m)
+            ]
+        ),
+    ).withColumn("qnorm", l2_norm(F.col("qv")))
+
+    adc = sum(
+        F.element_at(F.element_at(F.col("qtab"), s + 1), F.col("codes")[s] + 1)
+        for s in range(m)
+    )
+    scored = (
+        cand_enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pq_score",
+            F.when(
+                (F.col("recon_norm") > 0) & (F.col("qnorm") > 0),
+                adc / (F.col("recon_norm") * F.col("qnorm")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        scored.withColumn("prank", F.row_number().over(w_pq))
+        .filter(F.col("prank") <= rerank)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    exact = pool.join(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

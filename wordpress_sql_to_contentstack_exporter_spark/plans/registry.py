@@ -1577,6 +1577,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k with exact re-rank (Jégou et al.
+    2011; operators/similarity.pq_topk — the 32x-compressed-scan path).
+    Rows-only: codebooks come from iterative k-means; recall vs the
+    exact path is unit-tested (tests/test_dedup_similarity.py).
+    m=16 sub-spaces on the clusterless Gaussian fixture (finer cells
+    compensate for the lack of structure: recall 0.48 @ m=8 -> 0.84)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.pq_topk(q, e, k=5, m=16, n_codes=16, rerank=32)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: approximate frequent items (Karp et al. via
     DataFrame.freqItems). Rows-only: sketch output is support-dependent;
@@ -1806,6 +1821,7 @@ SPARK_QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "freq_items": q_freq_items,
     "embedding_neardup": q_embedding_neardup,
 }
