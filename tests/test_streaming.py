@@ -125,3 +125,57 @@ def test_streaming_exact_dedup_bounded_state_across_runs(spark, tmp_path):
     ).coalesce(1).write.parquet(str(inp / "f2"))
     second = run_once()
     assert [(i, t) for i, t in second] == [(5, "fresh doc")]
+
+
+def test_streaming_minhash_neardup_matches_across_batches(spark, tmp_path):
+    """A near-dup arriving in a LATER run must pair with its original from
+    an EARLIER run (the accumulating signature index), and unrelated docs
+    must not pair. Also checks new-vs-new pairs within one batch."""
+    from wordpress_sql_to_contentstack_exporter_spark.streaming import streaming_minhash_neardup
+
+    inp = tmp_path / "in"
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+        "behind distant purple mountains and rivers wind through quiet green valleys "
+        "carrying small wooden boats toward the old stone bridge near the village"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),  # near-dup of 1, same batch
+            (3, "completely different words about spark streaming state stores"),
+        ],
+        "doc_id long, text string",
+    )
+    b1.write.parquet(str(inp / "f1"))
+    schema = b1.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(f"{inp}/*")
+        streaming_minhash_neardup(
+            stream, index_dir, pairs_dir, ckpt,
+            num_hashes=16, bands=2, min_est_jaccard=0.5,
+        )
+
+    run()
+    pairs1 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_dir).collect()}
+    assert (1, 2) in pairs1
+    assert not any(3 in p for p in pairs1)
+
+    # second run: doc 4 is a near-dup of doc 1 (from run 1)
+    spark.createDataFrame(
+        [(4, base + " yesterday evening")], "doc_id long, text string"
+    ).write.parquet(str(inp / "f2"))
+    run()
+    pairs2 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_dir).collect()}
+    assert (1, 4) in pairs2
+    assert pairs1 <= pairs2  # earlier emissions retained
+
+    # third run with nothing new: no growth
+    run()
+    pairs3 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_dir).collect()}
+    assert pairs3 == pairs2

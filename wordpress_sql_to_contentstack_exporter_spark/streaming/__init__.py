@@ -1,10 +1,11 @@
-from .dedup import streaming_exact_dedup
+from .dedup import streaming_exact_dedup, streaming_minhash_neardup
 from .incremental import incremental_export, windowed_event_counts
 from .rollup import continuous_rollup
 from .stateful import sessionize_stream
 
 __all__ = [
     "streaming_exact_dedup",
+    "streaming_minhash_neardup",
     "incremental_export",
     "windowed_event_counts",
     "continuous_rollup",

@@ -44,3 +44,106 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def streaming_minhash_neardup(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Streaming near-duplicate detection: each micro-batch's documents
+    are checked against every PREVIOUSLY ingested document (and each
+    other) via banded MinHash-LSH, then appended to the signature index.
+
+    State is not the engine's state store but a plain parquet signature
+    index — (id, h0..h{n-1}, band, bucket), ~one hundred bytes per
+    (doc, band) regardless of document size — because near-dup state,
+    unlike exact-dedup hashes, must be JOINABLE by bucket rather than
+    looked up by key: arrivals collide with signatures from any earlier
+    batch. Per batch the work is bucket-local (new-side rows only join
+    history rows sharing a band bucket), so a batch of b docs against a
+    history of N costs the bucket-collision volume, never b x N.
+
+    Exactly-once despite plain parquet: both outputs are written to a
+    ``batch_id=<n>`` subdirectory with overwrite — a replayed batch
+    (failure between writes, checkpoint rewind) overwrites its own
+    partition instead of duplicating rows.
+
+    Pairs are emitted with ``id_a < id_b`` normalized ordering and carry
+    ``est_jaccard`` from full-signature agreement, exactly like the
+    batch operator; ``max_bucket_size`` caps combined (band, bucket)
+    groups with the same aggregate+semi-join guard. Old-vs-old pairs
+    are never re-emitted: the join's left side is always the new batch.
+
+    Runs one ``Trigger.AvailableNow`` pass to completion (compose with
+    repeated invocations for incremental ingest, as
+    ``streaming_exact_dedup``'s checkpointed runs do).
+    """
+    from ..operators.dedup import minhash_banded
+
+    h_cols = [f"h{i}" for i in range(num_hashes)]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        banded = minhash_banded(
+            batch,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+        ).localCheckpoint(eager=False)
+        try:
+            history = spark.read.parquet(index_dir).drop("batch_id")
+        except Exception:  # first batch: no index yet
+            history = banded.limit(0)
+        everyone = history.unionByName(banded)
+        if max_bucket_size is not None:
+            small = (
+                everyone.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") <= max_bucket_size)
+                .select("band", "bucket")
+            )
+            everyone = everyone.join(small, ["band", "bucket"], "left_semi")
+
+        l, r = banded.alias("l"), everyone.alias("r")
+        matches = None
+        for c in h_cols:
+            piece = (F.col(f"l.{c}") == F.col(f"r.{c}")).cast("int")
+            matches = piece if matches is None else matches + piece
+        est = matches / F.lit(num_hashes)
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") != F.col("r.id")),
+            )
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+                F.round(est, 4).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        banded.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
