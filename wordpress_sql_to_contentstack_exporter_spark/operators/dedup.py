@@ -653,7 +653,9 @@ def paragraph_dedup(
     repeated spans survive document dedup because the *containing*
     documents differ; boilerplate headers/footers are the classic case).
     Here the unit is a ``sep``-delimited paragraph, trimmed; empty
-    segments are dropped as canonicalization. "First occurrence" is the
+    segments are dropped as canonicalization. ``sep`` is a Java regex
+    (it feeds ``split``) — escape metacharacters when splitting on
+    literal punctuation. "First occurrence" is the
     instance with the smallest (doc_id, position) — a total order, so
     the keep-set is deterministic.
 

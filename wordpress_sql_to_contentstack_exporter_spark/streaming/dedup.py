@@ -19,6 +19,7 @@ a later run (within the watermark) is still dropped.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,7 +105,10 @@ def streaming_minhash_neardup(
         ).localCheckpoint(eager=False)
         try:
             history = spark.read.parquet(index_dir).drop("batch_id")
-        except Exception:  # first batch: no index yet
+        except AnalysisException:  # first batch: no index directory yet
+            # (only PATH_NOT_FOUND lands here; a corrupt index raises a
+            # different error class and must fail the run, not silently
+            # restart the dedup history)
             history = banded.limit(0)
         everyone = history.unionByName(banded)
         if max_bucket_size is not None:
