@@ -342,3 +342,83 @@ def test_tfidf_top_terms_ranks_rare_terms_first(spark):
     assert by_doc[1][1][1] == "common"
     # docs 2/3: 'other' (df=2) outranks 'common' (df=3)
     assert by_doc[2][0][1] == "other"
+
+
+def test_resize_images_stub_contract(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, None)], "doc_id long, text string"
+    )
+    media = mm.synthesize_media_from_documents(docs)
+    out = mm.resize_images(media, width=32, height=16, decoder="stub")
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert out.schema == mm.RESIZED_SCHEMA
+    assert rows[1]["content"].startswith(b"RESIZED:32x16:")
+    assert (rows[1]["width"], rows[1]["height"]) == (32, 16)
+    assert rows[3]["content"] is None  # null payload passes through
+    # deterministic across runs
+    again = {r["media_id"]: r["content"] for r in
+             mm.resize_images(media, width=32, height=16, decoder="stub").collect()}
+    assert {k: v["content"] for k, v in rows.items()} == again
+
+
+def test_resize_images_pil_requires_library(spark):
+    import pytest as _pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = mm.synthesize_media_from_documents(docs)
+    if mm.available_decoders():
+        _pytest.skip("PIL installed: the pil path is covered by the real-codec test")
+    with _pytest.raises(Exception, match="PIL is not installed"):
+        mm.resize_images(media, width=4, height=4, decoder="pil").collect()
+
+
+def test_sample_frames_stub_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "a video"), (2, "short"), (3, "long video")],
+        "doc_id long, text string",
+    )
+    media = mm.synthesize_media_from_documents(docs).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            F.when(F.col("media_id") == 1, F.lit(2500))
+            .when(F.col("media_id") == 3, F.lit(99_000))
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("duration_ms"),
+        ),
+    )
+    out = mm.sample_frames(media, every_ms=1000, max_frames=4)
+    assert out.schema == mm.FRAMES_SCHEMA
+    per = {r["media_id"]: r for r in out.groupBy("media_id").count().collect()}
+    assert per[1]["count"] == 3   # 2500ms // 1000 + 1
+    assert per[2]["count"] == 1   # null duration -> thumbnail grab
+    assert per[3]["count"] == 4   # capped by max_frames
+    f = {(r["media_id"], r["frame_idx"]): (r["ts_ms"], r["frame"]) for r in out.collect()}
+    assert f[(1, 2)][0] == 2000
+    assert f[(1, 0)][1] != f[(1, 1)][1]  # distinct frames
+    # deterministic
+    g = {(r["media_id"], r["frame_idx"]): r["frame"]
+         for r in mm.sample_frames(media, every_ms=1000, max_frames=4).collect()}
+    assert {k: v[1] for k, v in f.items()} == g
+
+
+def test_sample_frames_av_branch_is_marked(spark):
+    import pytest as _pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = mm.synthesize_media_from_documents(docs)
+    with _pytest.raises(NotImplementedError, match="PyAV"):
+        mm.sample_frames(media, decoder="av")

@@ -179,3 +179,148 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+#: Output of the resize stage: same media-row shape, new payload + dims.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+#: Output of the frame-sampling stage: one row per sampled frame.
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, *, width: int, height: int, decoder: str = "auto"
+) -> DataFrame:
+    """Image resize stage over binary media rows (``mapInPandas``).
+
+    ``decoder="auto"`` uses PIL on the executors when present (decode →
+    ``Image.resize`` → PNG re-encode), else the deterministic stub;
+    ``"pil"`` requires PIL; ``"stub"`` forces the stub. The stub payload
+    is sha256-derived and tagged with the target geometry, so the
+    Spark-side contract — binary in, smaller binary out, dims recorded —
+    is exercised end-to-end without a codec library (none ships in this
+    container; see ``available_decoders``).
+
+    Same batch/partition guidance as ``decode_features``: the stage is
+    compute-bound, payload-heavy, and map-only — partitions sized to
+    cores, no shuffle.
+    """
+    if decoder not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r} (auto|pil|stub)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = decoder in ("auto", "pil")
+        pil_resize = None
+        if use_pil:
+            try:
+                import io
+
+                from PIL import Image
+
+                def pil_resize(payload: bytes) -> bytes:
+                    img = Image.open(io.BytesIO(payload)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
+
+            except ImportError:
+                if decoder == "pil":
+                    raise ImportError(
+                        "decoder='pil' requested but PIL is not installed"
+                    )
+
+        def stub_resize(payload: bytes) -> bytes:
+            tag = f"RESIZED:{width}x{height}:".encode()
+            return tag + hashlib.sha256(payload).digest()
+
+        def do(payload):
+            if payload is None:
+                return None
+            if pil_resize is not None:
+                try:
+                    return pil_resize(payload)
+                except Exception:  # non-image payload: stub, not poison
+                    return stub_resize(payload)
+            return stub_resize(payload)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].map(do),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame — the
+    flat-map (1 row in, N rows out) shape of every video stage, done as
+    ``mapInPandas`` so the downstream per-frame pipeline (resize, decode,
+    dedup) is ordinary DataFrame code over FRAMES_SCHEMA.
+
+    Frame count = ``min(max_frames, duration_ms // every_ms + 1)`` from
+    the metadata struct (1 frame when duration is null/0 — a thumbnail
+    grab). No video codec ships in this container, so ``decoder="stub"``
+    derives each frame payload deterministically from
+    ``sha256(content || frame_idx)``; the plumbing (schemas, batch
+    explode, timestamps) is real and tested. ``decoder="av"`` marks
+    where a PyAV/ffmpeg decoder plugs in and raises
+    ``NotImplementedError`` until one is installed.
+    """
+    if decoder == "av":
+        raise NotImplementedError(
+            "no video codec library ships in this container; install PyAV "
+            "and replace the stub branch with av.open(BytesIO(content))"
+        )
+    if decoder != "stub":
+        raise ValueError(f"unknown decoder {decoder!r} (stub|av)")
+    if every_ms <= 0 or max_frames <= 0:
+        raise ValueError("every_ms and max_frames must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for mid, content, duration in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                n = 1
+                if duration is not None and not pd.isna(duration) and duration > 0:
+                    n = min(max_frames, int(duration) // every_ms + 1)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        None
+                        if content is None
+                        else hashlib.sha256(content + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(run, FRAMES_SCHEMA)
