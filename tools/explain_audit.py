@@ -140,6 +140,35 @@ def main() -> int:
         ("text never enters a shuffle", no_text_in_exchange),
         ("blocked join, not all-pairs", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
     )
+    simhash_capped_plan = plan_of(
+        dd.simhash_neardups(
+            docs, max_hamming=3, prefix_bits=20, n_rotations=4,
+            max_block_size=1000, materialize=False,
+        )
+    )
+    check_plan(
+        "simhash_neardup[block-cap]",
+        simhash_capped_plan,
+        ("block cap is a semi-join", r"LeftSemi"),
+        ("block cap is not a window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+
+    # Paragraph dedup: the first-occurrence winner must be an aggregate
+    # (map-side combine eats the giant boilerplate-paragraph group), never
+    # a window over the paragraph key — and paragraph text must not ride
+    # the winner-selection shuffle (the md5 digest is the key).
+    check(
+        "paragraph_dedup",
+        ("winner selection is an aggregate, not a window over pkey",
+         r"\A(?s:(?!.*Window.*pkey).*)\Z"),
+        ("partial aggregation present", r"HashAggregate"),
+    )
+    # Vocabulary top-k: must compile to TakeOrdered (per-partition heap +
+    # driver merge of k rows), never a global sort of the vocabulary.
+    check(
+        "token_topk",
+        ("top-k is TakeOrdered, not a global sort", r"TakeOrderedAndProject"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
