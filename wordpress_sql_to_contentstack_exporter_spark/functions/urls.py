@@ -1,0 +1,95 @@
+"""URL parsing as native Column expressions — no UDFs.
+
+Training-data pipelines slice corpora by URL constantly (domain mixing,
+per-site caps, source filtering, crawl dedup); these helpers turn a raw
+URL string into its components with plain ``regexp_extract`` so the
+whole stage is a map-only codegen projection at any scale.
+
+Patterns deliberately use only the regex subset with identical
+semantics in Java regex (Spark) and RE2 (the DuckDB oracle): character
+classes, ``(?:...)`` groups, bounded repetition — no lookaround, no
+backreferences. No-match behavior is also aligned: both engines return
+``''`` from ``regexp_extract`` on no match, which doubles as the
+"component absent" value (URL components are never the empty string
+when present-with-content; ``has_query``-style flags can be derived
+with ``!= ''``).
+
+``registrable_domain`` is the documented heuristic (last two labels,
+three under common second-level registries like ``co.uk``), NOT the
+full Public Suffix List — a production crawl pipeline should swap in a
+PSL lookup via a broadcast map; the call site stays one expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Second-level labels that commonly sit under a country TLD
+#: (example.co.uk -> registrable is example.co.uk, not co.uk).
+_SECOND_LEVEL = ["co", "com", "net", "org", "ac", "gov", "edu"]
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?([^:/?#]+)"
+_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?[^:/?#]+:([0-9]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+_FRAGMENT_RE = r"#(.*)$"
+
+
+def url_scheme(url: Column) -> Column:
+    return F.regexp_extract(url, _SCHEME_RE, 1)
+
+
+def url_host(url: Column) -> Column:
+    """Hostname without userinfo or port; '' when the input has no
+    ``scheme://`` prefix (protocol-relative and bare paths are not
+    URLs to this parser — normalize upstream)."""
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port digits, or '' when absent (callers wanting defaults
+    coalesce on scheme)."""
+    return F.regexp_extract(url, _PORT_RE, 1)
+
+
+def url_path(url: Column) -> Column:
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def url_query(url: Column) -> Column:
+    return F.regexp_extract(url, _QUERY_RE, 1)
+
+
+def url_fragment(url: Column) -> Column:
+    return F.regexp_extract(url, _FRAGMENT_RE, 1)
+
+
+def query_param(url: Column, name: str) -> Column:
+    """Value of ``name`` in the query string ('' when absent). ``name``
+    is a plan-time literal and is regex-escaped."""
+    import re as _re
+
+    pat = r"[?&]" + _re.escape(name) + r"=([^&#]*)"
+    return F.regexp_extract(url, pat, 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Heuristic eTLD+1: last two host labels, or last three when the
+    second-to-last label is a common second-level registry under a
+    two-letter country TLD (``example.co.uk``). Lowercased. '' in, '' out.
+    """
+    h = F.lower(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last = F.element_at(labels, -1)
+    second = F.element_at(labels, -2)
+    three = F.when(
+        (n >= 3)
+        & (F.length(last) == 2)
+        & second.isin(_SECOND_LEVEL),
+        F.concat_ws(".", F.element_at(labels, -3), second, last),
+    )
+    two = F.when(n >= 2, F.concat_ws(".", second, last))
+    return F.when(h == "", F.lit("")).otherwise(F.coalesce(three, two, h))

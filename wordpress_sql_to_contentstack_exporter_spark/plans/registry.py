@@ -1742,6 +1742,81 @@ SELECT doc_id, rank, term, tf, df_docs FROM (
 """
 
 
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction (functions/urls.py) over URLs synthesized
+    deterministically from documents — five shapes covering userinfo,
+    ports, cc-SLD registrable domains, schemeless junk, and missing
+    components (absent = '' in both engines)."""
+    from wordpress_sql_to_contentstack_exporter_spark.functions import urls as U
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://www.example.co.uk/articles/"), sid,
+                        F.lit("?ref=abc&utm_source=feed#top")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("http://blog.test.com/"), sid))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://user:pw@sub.site.org:8443/p/q/"), sid,
+                       F.lit("?x=1")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("ftp://files.example.net/pub/"), sid, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("not a url "), sid))
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    host = U.url_host(F.col("url"))
+    return with_url.select(
+        "doc_id",
+        U.url_scheme(F.col("url")).alias("scheme"),
+        host.alias("host"),
+        U.url_port(F.col("url")).alias("port"),
+        U.url_path(F.col("url")).alias("path"),
+        U.url_query(F.col("url")).alias("query"),
+        U.url_fragment(F.col("url")).alias("fragment"),
+        U.registrable_domain(host).alias("reg_domain"),
+        U.query_param(F.col("url"), "utm_source").alias("utm_source"),
+    )
+
+
+SQL_URL_PARSE = r"""
+WITH u AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://www.example.co.uk/articles/' || doc_id || '?ref=abc&utm_source=feed#top'
+             WHEN 1 THEN 'http://blog.test.com/' || doc_id
+             WHEN 2 THEN 'https://user:pw@sub.site.org:8443/p/q/' || doc_id || '?x=1'
+             WHEN 3 THEN 'ftp://files.example.net/pub/' || doc_id || '#frag'
+             ELSE 'not a url ' || doc_id
+           END AS url
+    FROM documents
+), parts AS (
+    SELECT doc_id,
+           regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1) AS scheme,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1) AS host,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?[^:/?#]+:([0-9]+)', 1) AS port,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS fragment,
+           regexp_extract(url, '[?&]utm_source=([^&#]*)', 1) AS utm_source
+    FROM u
+), dom AS (
+    SELECT doc_id, scheme, host, port, path, query, fragment, utm_source,
+           string_split(lower(host), '.') AS ls
+    FROM parts
+)
+SELECT doc_id, scheme, host, port, path, query, fragment,
+       CASE WHEN host = '' THEN ''
+            WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
+                 AND ls[len(ls)-1] IN ('co','com','net','org','ac','gov','edu')
+              THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
+            WHEN len(ls) >= 2 THEN ls[len(ls)-1] || '.' || ls[len(ls)]
+            ELSE lower(host) END AS reg_domain,
+       utm_source
+FROM dom
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1815,6 +1890,7 @@ SPARK_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "token_topk": q_token_topk,
     "tfidf_topterms": q_tfidf_topterms,
+    "url_parse": q_url_parse,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "minhash_neardup": q_minhash_neardup,
@@ -1882,6 +1958,7 @@ ORACLE_SQL = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "token_topk": SQL_TOKEN_TOPK,
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
+    "url_parse": SQL_URL_PARSE,
 }
 
 
