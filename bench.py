@@ -78,6 +78,7 @@ def dedup_tier(spark, sf_dir: str, target_docs: int) -> dict:
     timed("exact_dedup", dd.exact_dedup(corpus))
     timed("minhash_neardup", dd.minhash_lsh_candidates(corpus, num_hashes=16, bands=2))
     timed("simhash_neardup", dd.simhash_neardups(corpus, max_hamming=3, prefix_bits=20))
+    timed("paragraph_dedup", dd.paragraph_dedup(corpus))
 
     # Bucket-skew telemetry (VERDICT r2 ask #8): the variant corpus is
     # deliberately boilerplate-heavy, so max_bucket records how hot the
