@@ -371,3 +371,16 @@ def test_pq_topk_rejects_indivisible_dim(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pytest.raises(ValueError, match="divisible"):
         pq_topk(emb.limit(2), emb, m=7)
+
+
+def test_ivfpq_topk_recall(spark):
+    """Composed IVF-PQ: recall vs exact with the gate's configuration;
+    the scan index carries only (cell, codes, recon_norm)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, emb, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in
+           ivfpq_topk(q, emb, k=5, n_cells=16, n_probe=8, m=16, rerank=32).collect()}
+    assert len(exact & got) / len(exact) >= 0.6

@@ -137,6 +137,17 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "exact_neighbors": len(exact_topk),
     }
 
+    # --- ANN IVF-PQ: same recall metric for the composed layout.
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg.SPARK_QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
+    }
+    ev["ann_ivfpq_topk"] = {
+        "metric": "recall_at_k_vs_exact",
+        "recall": round(len(ivfpq & exact_topk) / max(len(exact_topk), 1), 4),
+        "exact_neighbors": len(exact_topk),
+    }
+
     # --- ANN LSH: top-1 agreement with exact, mirroring the committed
     # test claim (tests/test_dedup_similarity.py::
     # test_lsh_topk_recall_at_least_half). The clusterless Gaussian

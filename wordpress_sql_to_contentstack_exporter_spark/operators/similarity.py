@@ -426,6 +426,176 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+    fit_sample: int = 2048,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse k-means routing × PQ-compressed
+    scoring × exact re-rank — the standard billion-scale ANN layout
+    (FAISS ``IVFx,PQy``), composed from this module's IVF and PQ stages.
+
+    Why the composition matters at 100 TB: IVF alone still reads full
+    float vectors inside probed cells (IO-bound); PQ alone still scans
+    the whole corpus (CPU-bound). Together the scan touches
+    ``n_probe/n_cells`` of the corpus at 1/32 the bytes — the index row
+    is (id, cell, codes[m], recon_norm).
+
+    This is the ``by_residual=False`` variant (PQ codebooks quantize raw
+    vectors, not per-cell residuals): one PQ codebook set serves every
+    cell, encode is a single Arrow pass, and accuracy is recovered by
+    the exact re-rank stage — the right trade at moderate ``n_cells``.
+    Residual encoding is the known upgrade when cells become tight
+    (large ``n_cells``) and is deliberately out of scope here.
+
+    Stages: coarse KMeans fit (driver-side model, like ``ivf_topk``) →
+    cell assignment + PQ encode of candidates (one pass) → queries probe
+    ``n_probe`` nearest cells (tiny |Q|×n_cells cross join) → ADC scan
+    joins (query, cell) against the probed cells' codes on the cell key
+    → exact cosine re-rank of the top ``rerank`` pool.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # --- index build: coarse quantizer + PQ codebooks + one encode pass
+    cand_vec = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
+    model = km.fit(cand_vec.select("features"))
+
+    sample_rows = (
+        candidates.select(_as_double(F.col(vec_col)).alias("v")).limit(fit_sample).collect()
+    )
+    sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim ({dim}) must be divisible by m ({m})")
+    books = _pq_fit_codebooks(sample, m, n_codes, seed=seed, max_iter=max_iter)
+    d_sub = dim // m
+    books_sq = (books**2).sum(axis=2)
+    books_sq_lit = F.array(
+        *[F.array(*[F.lit(float(books_sq[s, j])) for j in range(n_codes)]) for s in range(m)]
+    )
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in books[s, j]]) for j in range(n_codes)])
+            for s in range(m)
+        ]
+    )
+    # the PQ index: (neighbor_id, cell, codes, recon_norm) — no raw vectors
+    assigned = (
+        model.transform(cand_vec)
+        .select(
+            "neighbor_id",
+            F.col("prediction").alias("cell"),
+            pq_codes_pandas("cv", books).alias("codes"),
+        )
+        .withColumn(
+            "recon_norm",
+            F.sqrt(
+                sum(
+                    F.element_at(F.element_at(books_sq_lit, s + 1), F.col("codes")[s] + 1)
+                    for s in range(m)
+                )
+            ),
+        )
+    )
+
+    centers_rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = queries.sparkSession.createDataFrame(
+        centers_rows, "cell int, center array<double>"
+    )
+
+    # --- query side: probe cells, carry the ADC table
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "qtab",
+        F.array(
+            *[
+                F.array(
+                    *[
+                        dot(
+                            F.slice(F.col("qv"), s * d_sub + 1, d_sub),
+                            F.element_at(F.element_at(books_lit, s + 1), j + 1),
+                        )
+                        for j in range(n_codes)
+                    ]
+                )
+                for s in range(m)
+            ]
+        ),
+    ).withColumn("qnorm", l2_norm(F.col("qv")))
+    q_cells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("cdist", cosine(F.col("qv"), F.col("center")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "qtab", "qnorm", "cell")
+    )
+
+    # --- ADC scan over probed cells only
+    adc = sum(
+        F.element_at(F.element_at(F.col("qtab"), s + 1), F.col("codes")[s] + 1)
+        for s in range(m)
+    )
+    scored = (
+        q_cells.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pq_score",
+            F.when(
+                (F.col("recon_norm") > 0) & (F.col("qnorm") > 0),
+                adc / (F.col("recon_norm") * F.col("qnorm")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("prank", F.row_number().over(w_pq))
+        .filter(F.col("prank") <= rerank)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    exact = pool.join(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
