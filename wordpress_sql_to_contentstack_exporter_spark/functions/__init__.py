@@ -10,6 +10,7 @@ from .strings import (
 )
 from .dates import iso8601, padded_day, padded_month, year_str
 from .permalink import blogname_of, compile_permalink
+from . import urls
 
 __all__ = [
     "blogname_of",
@@ -26,4 +27,5 @@ __all__ = [
     "padded_month",
     "year_str",
     "compile_permalink",
+    "urls",
 ]
