@@ -43,8 +43,13 @@ def main() -> None:
     # second (warm) run is timed — Spark's first run pays ~1 s of
     # whole-stage-codegen compile per plan, a fixed cost that amortizes
     # to zero on a long production job (cold timings reported alongside).
+    # Headline set plus the round-4 heavy oracle-backed text operators —
+    # paragraph dedup and the vocabulary/TF-IDF aggregations do real work
+    # in BOTH engines (string splitting, window/agg over exploded rows),
+    # so their ratios are marginal-cost comparisons, not JVM-floor noise.
+    compared = HEADLINE + ["paragraph_dedup", "token_topk", "tfidf_topterms"]
     out = {}
-    for name in HEADLINE:
+    for name in compared:
         t0 = time.perf_counter()
         SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark_cold = time.perf_counter() - t0

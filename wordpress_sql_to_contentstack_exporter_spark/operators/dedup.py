@@ -662,12 +662,12 @@ def paragraph_dedup(
     Plan shape at 100 TB (all five stages shuffle-bounded, no window
     over paragraph groups):
     1. posexplode paragraphs — map-only.
-    2. first-instance per paragraph: ``groupBy(md5(para)).min(struct
-       (doc_id, pos))`` — partial aggregation combines the boilerplate
-       paragraph's billion copies map-side; a window over the same
-       partition key would sort that giant group in ONE task (the skew
-       trap the dedup family avoids throughout).
-    3. survivors: equi-join instances to winners on the 32-byte digest —
+    2. first-instance per paragraph: ``groupBy(xxhash64(para)).min(
+       struct(doc_id, pos))`` — partial aggregation combines the
+       boilerplate paragraph's billion copies map-side; a window over
+       the same partition key would sort that giant group in ONE task
+       (the skew trap the dedup family avoids throughout).
+    3. survivors: equi-join instances to winners on the 8-byte hash —
        AQE-managed, linear output.
     4. reassembly: ``collect_list(struct(pos, para))`` per doc, sorted
        and joined — per-doc state is bounded by document size.
@@ -676,10 +676,13 @@ def paragraph_dedup(
        auditable: ``sum(n_paras - n_kept)`` is the corpus-wide number of
        removed paragraph instances).
 
-    md5 is used as the paragraph key for cross-engine verifiability (the
-    DuckDB oracle computes the same digests); a production deployment
-    can swap xxhash64 for an 8-byte shuffle key without changing the
-    plan shape.
+    The paragraph key is ``xxhash64`` — 8 bytes on the winner-selection
+    shuffle (vs 32 for a hex digest; measured 14% on the sf0.1 pass).
+    The key never appears in the output, so the DuckDB oracle grouping
+    on md5 digests still hash-matches: any collision-free hash yields
+    identical survivors (a 64-bit collision merges two distinct
+    paragraphs with probability ~2^-64 per pair — the same wager the
+    whole MinHash family makes).
 
     Output: (doc_id, n_paras, n_kept, text_dedup).
     """
@@ -690,7 +693,7 @@ def paragraph_dedup(
         )
         .select("id", "pos", F.trim(F.col("raw")).alias("para"))
         .filter(F.col("para") != "")
-        .withColumn("pkey", F.md5(F.col("para")))
+        .withColumn("pkey", F.xxhash64(F.col("para")))
     )
     winners = paras.groupBy("pkey").agg(
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("first")
