@@ -440,6 +440,12 @@ def simhash_df(
 
     (id, token) rows -> per-bit +1/-1 sums as 63 aggregate columns ->
     fold the sign bits into one long.
+
+    Measured dead end (round 4, don't re-attempt): packing the 63 bit
+    counters into 16 longs of 4x16-bit lanes (fewer aggregation buffers,
+    shift/or update expressions) was timing-identical at 200k docs
+    (1.84 s vs 1.82 s) — the per-row getbit work dominates, not the
+    aggregation state, and the lane packing only obfuscates.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
