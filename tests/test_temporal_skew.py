@@ -79,6 +79,32 @@ def test_range_join_count(spark):
     assert out.first()["n_in_range"] == 1
 
 
+def test_temporal_ops_accept_timestamp_ntz(spark):
+    # Parquet written without a timezone loads as TIMESTAMP_NTZ, which
+    # unix_micros() rejects; the operators must cast internally (UTC
+    # session, so the cast is offset-free).
+    left = spark.createDataFrame(
+        [(1, "A", T(2024, 1, 1, 12, 0, 0))], "id long, k string, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(9, "A", T(2024, 1, 1, 10, 0, 0)), (8, "A", T(2024, 1, 1, 11, 59, 0))],
+        "rid long, k string, ts timestamp_ntz",
+    )
+    out = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts", payload=["rid"],
+        tolerance_seconds=3600,
+    )
+    assert {r["id"]: r["asof_rid"] for r in out.collect()} == {1: 8}
+    cnt = range_join_count(
+        left.select("id", F.col("k").alias("user_id"), "ts"),
+        right.select(F.col("rid").alias("id"), F.col("k").alias("user_id"), "ts"),
+        keys=["user_id"],
+        left_ts=F.col("l.ts"), right_ts=F.col("r.ts"),
+        lower=F.lit(-7200), upper=F.lit(0),
+    )
+    assert cnt.first()["n_in_range"] == 2
+
+
 def test_salted_agg_matches_plain(spark):
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     salted = salted_agg(

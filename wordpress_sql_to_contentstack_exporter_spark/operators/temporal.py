@@ -23,6 +23,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(c: Column) -> Column:
+    """Epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike.
+
+    Parquet written without a timezone (``timestamp[us]``) arrives as
+    TIMESTAMP_NTZ, which ``unix_micros`` rejects. The session pins
+    ``spark.sql.session.timeZone=UTC`` (session.py:46), so the NTZ->LTZ
+    cast is offset-free and the *difference* of two casts is exact in any
+    fixed-offset zone.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -86,7 +98,7 @@ def asof_join(
         out = out.withColumn(
             "__match",
             F.when(
-                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match.__rts"))
+                _micros(F.col("__ts")) - _micros(F.col("__match.__rts"))
                 <= tolerance_seconds * 1_000_000,
                 F.col("__match"),
             ),
@@ -121,8 +133,14 @@ def range_join_count(
     for k in keys:
         c = F.col(f"l.{k}") == F.col(f"r.{k}")
         key_cond = c if key_cond is None else key_cond & c
-    delta = F.unix_micros(right_ts) - F.unix_micros(left_ts)
-    cond = key_cond & (delta >= lower * 1_000_000) & (delta < upper * 1_000_000)
+    delta = _micros(right_ts) - _micros(left_ts)
+    # long arithmetic: int32 seconds * 1e6 overflows ANSI int beyond +/-2147s
+    us = F.lit(1_000_000).cast("long")
+    cond = (
+        key_cond
+        & (delta >= lower.cast("long") * us)
+        & (delta < upper.cast("long") * us)
+    )
     # per-ROW grouping id: grouping by left columns alone would collapse
     # fully-duplicate left rows into one output row with merged counts
     l = left.withColumn("__rowid", F.monotonically_increasing_id()).alias("l")
