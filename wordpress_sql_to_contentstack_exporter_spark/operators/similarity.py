@@ -141,6 +141,72 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def _lloyd(x: np.ndarray, k: int, rng: np.random.Generator, max_iter: int) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample -> (k, d) centers.
+
+    Seeded init from distinct rows (jitter-padded when the sample is
+    degenerate), fixed iteration count, numpy-argmin ties to the lower
+    index — bit-reproducible across runs.
+    """
+    uniq = np.unique(x, axis=0)
+    if len(uniq) >= k:
+        centers = uniq[rng.choice(len(uniq), k, replace=False)]
+    else:  # degenerate sample: pad with jittered repeats
+        pad = uniq[rng.integers(0, len(uniq), k - len(uniq))]
+        centers = np.concatenate([uniq, pad + rng.normal(0, 1e-6, pad.shape)])
+    for _ in range(max_iter):
+        d2 = (centers**2).sum(axis=1)[None, :] - 2.0 * (x @ centers.T)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = x[mask].mean(axis=0)
+    return centers
+
+
+def _fit_coarse_centers(
+    candidates: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    *,
+    seed: int,
+    max_iter: int,
+    fit_sample: int,
+) -> np.ndarray:
+    """Coarse-quantizer centers from a bounded driver-side sample.
+
+    Index *construction* is the one legitimately driver-side stage of
+    IVF (FAISS trains coarse quantizers on ~100k samples even for
+    billion-vector corpora): centroid quality needs a sketch of the
+    distribution, not the corpus. A distributed k-means here costs
+    multiple scheduler round-trips per iteration for no accuracy gain —
+    measured 8 s of pure MLlib overhead on a 2k-row fixture.
+    """
+    rows = (
+        candidates.select(_as_double(F.col(vec_col)).alias("v")).limit(fit_sample).collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    return _lloyd(x, n_cells, np.random.default_rng(seed), max_iter)
+
+
+def cell_assign_pandas(vec_col: str, centers: np.ndarray) -> Column:
+    """Nearest-center cell id (L2, like FAISS coarse quantizers) in one
+    vectorized Arrow pass; the (n_cells, d) centers ride the UDF closure
+    instead of a literal expression tree (which cost one py4j round-trip
+    per float to build)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c2 = (centers**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        scores = c2[None, :] - 2.0 * (mat @ centers.T)
+        return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    return _assign(F.col(vec_col))
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -152,37 +218,31 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    fit_sample: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means cells + multi-probe.
 
-    Index build: KMeans (pyspark.ml) partitions the corpus into
-    ``n_cells`` cells; each candidate joins its cell id (one ML transform
-    pass). Query: each query probes its ``n_probe`` nearest centroids and
-    exact-reranks only those cells — cost scales with n_probe/n_cells of
-    the corpus instead of all of it. Compared to hyperplane LSH, IVF
-    adapts to the data distribution (cells follow density), which is why
-    it's the standard ANN layout (FAISS IVF*) for real embedding corpora.
+    Index build: driver-side Lloyd k-means on a ``fit_sample`` sketch
+    partitions the corpus into ``n_cells`` cells; each candidate gets its
+    cell id in one vectorized Arrow pass. Query: each query probes its
+    ``n_probe`` nearest centroids and exact-reranks only those cells —
+    cost scales with n_probe/n_cells of the corpus instead of all of it.
+    Compared to hyperplane LSH, IVF adapts to the data distribution
+    (cells follow density), which is why it's the standard ANN layout
+    (FAISS IVF*) for real embedding corpora.
 
-    The fitted centroids are a driver-side model (tiny); assignment and
-    rerank are distributed. For 100 TB corpora, fit on a sample
-    (``candidates.sample``) — centroid quality needs only a sketch of the
-    distribution.
+    The fitted centroids are driver-side (tiny); assignment and rerank
+    are distributed.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    cand_vec = candidates.select(
+    centers = _fit_coarse_centers(
+        candidates, vec_col, n_cells, seed=seed, max_iter=max_iter, fit_sample=fit_sample
+    )
+    assigned = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
-    )
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
-    model = km.fit(cand_vec.select("features"))
-    assigned = model.transform(cand_vec).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
+        cell_assign_pandas(vec_col, centers).alias("cell"),
     )
 
-    centers = model.clusterCenters()
     centers_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
     centers_df = queries.sparkSession.createDataFrame(
         centers_rows, "cell int, center array<double>"
@@ -241,46 +301,63 @@ def _pq_fit_codebooks(
     rng = np.random.default_rng(seed)
     books = np.empty((m, n_codes, d_sub), dtype=np.float64)
     for s in range(m):
-        x = sample[:, s * d_sub : (s + 1) * d_sub]
-        uniq = np.unique(x, axis=0)
-        if len(uniq) >= n_codes:
-            centers = uniq[rng.choice(len(uniq), n_codes, replace=False)]
-        else:  # degenerate sample: pad with jittered repeats
-            pad = uniq[rng.integers(0, len(uniq), n_codes - len(uniq))]
-            centers = np.concatenate([uniq, pad + rng.normal(0, 1e-6, pad.shape)])
-        for _ in range(max_iter):
-            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(n_codes):
-                mask = assign == j
-                if mask.any():
-                    centers[j] = x[mask].mean(axis=0)
-        books[s] = centers
+        books[s] = _lloyd(sample[:, s * d_sub : (s + 1) * d_sub], n_codes, rng, max_iter)
     return books
 
 
-def pq_codes_pandas(vec_col: str, books: np.ndarray) -> Column:
-    """PQ encoding (array<int>, length m) in one Arrow batch per block.
+def pq_encode_pandas(vec_col: str, books: np.ndarray) -> Column:
+    """PQ encoding -> struct<codes: array<int>, recon_norm: double> in
+    one Arrow batch per block.
 
     code_s = argmin_j ||x_s - c_{s,j}||^2, vectorized as one
     ``||c||^2 - 2 x·c`` matmul per subspace (the ||x||^2 term is
     constant under the argmin). Ties break to the lower code index
-    (numpy argmin), so encoding is deterministic.
+    (numpy argmin), so encoding is deterministic. recon_norm = ||x̂|| is
+    computed here from the already-in-hand per-code squared norms — the
+    codebooks never have to be re-materialized as Catalyst literals.
     """
     m, n_codes, d_sub = books.shape
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<int>")
-    def _enc(v: pd.Series) -> pd.Series:
+    c2_all = (books**2).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf("codes array<int>, recon_norm double")
+    def _enc(v: pd.Series) -> pd.DataFrame:
         mat = np.stack(v.to_numpy()).astype(np.float64)
-        out = np.empty((mat.shape[0], m), dtype=np.int32)
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        norm2 = np.zeros(mat.shape[0], dtype=np.float64)
         for s in range(m):
             x = mat[:, s * d_sub : (s + 1) * d_sub]
-            scores = (books[s] ** 2).sum(axis=1)[None, :] - 2.0 * (x @ books[s].T)
-            out[:, s] = scores.argmin(axis=1)
-        return pd.Series(list(out))
+            scores = c2_all[s][None, :] - 2.0 * (x @ books[s].T)
+            cs = scores.argmin(axis=1)
+            codes[:, s] = cs
+            norm2 += c2_all[s][cs]
+        return pd.DataFrame({"codes": list(codes), "recon_norm": np.sqrt(norm2)})
 
     return _enc(F.col(vec_col))
+
+
+def pq_qtab_pandas(vec_col: str, books: np.ndarray) -> Column:
+    """Per-query ADC table: qtab[s][j] = dot(q_s, c_{s,j}), one matmul
+    per subspace in a single Arrow pass.
+
+    Replaces a literal-tree formulation (m*n_codes HOF dot products over
+    an (m, n_codes, d_sub) literal codebook) whose *construction* alone
+    cost ~18 s of py4j round-trips at m=16, n_codes=16 — plan-build cost
+    that would recur on every driver, every run.
+    """
+    m, n_codes, d_sub = books.shape
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def _tab(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        tabs = np.empty((mat.shape[0], m, n_codes), dtype=np.float64)
+        for s in range(m):
+            tabs[:, s, :] = mat[:, s * d_sub : (s + 1) * d_sub] @ books[s].T
+        return pd.Series([t.tolist() for t in tabs])
+
+    return _tab(F.col(vec_col))
 
 
 def pq_topk(
@@ -336,57 +413,22 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"embedding dim ({dim}) must be divisible by m ({m})")
     books = _pq_fit_codebooks(sample, m, n_codes, seed=seed, max_iter=max_iter)
-    d_sub = dim // m
 
-    # encode candidates: codes + reconstruction norm (||x̂|| from codebook
-    # entries only — computable FROM the codes, no raw vector needed)
-    books_sq = (books**2).sum(axis=2)  # (m, n_codes) squared norms
-    books_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in books[s, j]]) for j in range(n_codes)])
-            for s in range(m)
-        ]
-    )
-    books_sq_lit = F.array(
-        *[F.array(*[F.lit(float(books_sq[s, j])) for j in range(n_codes)]) for s in range(m)]
-    )
     # The ADC scan sees ONLY (id, codes, recon_norm) — at scale this is
     # the materialized PQ index; raw vectors are touched again solely by
     # the rerank join below.
     cand_enc = candidates.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_codes_pandas(vec_col, books).alias("codes"),
-    ).withColumn(
-        "recon_norm",
-        F.sqrt(
-            sum(
-                F.element_at(F.element_at(books_sq_lit, s + 1), F.col("codes")[s] + 1)
-                for s in range(m)
-            )
-        ),
-    )
+        pq_encode_pandas(vec_col, books).alias("enc"),
+    ).select("neighbor_id", F.col("enc.codes").alias("codes"), F.col("enc.recon_norm").alias("recon_norm"))
 
-    # query ADC tables: table[s][j] = dot(q_s, c_{s,j}) — computed as
-    # expression columns over the broadcast (small) query side only.
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn(
-        "qtab",
-        F.array(
-            *[
-                F.array(
-                    *[
-                        dot(
-                            F.slice(F.col("qv"), s * d_sub + 1, d_sub),
-                            F.element_at(F.element_at(books_lit, s + 1), j + 1),
-                        )
-                        for j in range(n_codes)
-                    ]
-                )
-                for s in range(m)
-            ]
-        ),
-    ).withColumn("qnorm", l2_norm(F.col("qv")))
+    # query ADC tables: table[s][j] = dot(q_s, c_{s,j}) — one Arrow pass
+    # over the broadcast (small) query side only.
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qtab", pq_qtab_pandas("qv", books))
+        .withColumn("qnorm", l2_norm(F.col("qv")))
+    )
 
     adc = sum(
         F.element_at(F.element_at(F.col("qtab"), s + 1), F.col("codes")[s] + 1)
@@ -459,24 +501,14 @@ def ivfpq_topk(
     Residual encoding is the known upgrade when cells become tight
     (large ``n_cells``) and is deliberately out of scope here.
 
-    Stages: coarse KMeans fit (driver-side model, like ``ivf_topk``) →
+    Stages: coarse k-means fit (driver-side sample, like ``ivf_topk``) →
     cell assignment + PQ encode of candidates (one pass) → queries probe
     ``n_probe`` nearest cells (tiny |Q|×n_cells cross join) → ADC scan
     joins (query, cell) against the probed cells' codes on the cell key
     → exact cosine re-rank of the top ``rerank`` pool.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # --- index build: coarse quantizer + PQ codebooks + one encode pass
-    cand_vec = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
-    )
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
-    model = km.fit(cand_vec.select("features"))
-
+    # --- index build: coarse quantizer + PQ codebooks from ONE collected
+    # sample (one Spark job), one distributed encode pass
     sample_rows = (
         candidates.select(_as_double(F.col(vec_col)).alias("v")).limit(fit_sample).collect()
     )
@@ -484,62 +516,32 @@ def ivfpq_topk(
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"embedding dim ({dim}) must be divisible by m ({m})")
+    centers = _lloyd(sample, n_cells, np.random.default_rng(seed), max_iter)
     books = _pq_fit_codebooks(sample, m, n_codes, seed=seed, max_iter=max_iter)
-    d_sub = dim // m
-    books_sq = (books**2).sum(axis=2)
-    books_sq_lit = F.array(
-        *[F.array(*[F.lit(float(books_sq[s, j])) for j in range(n_codes)]) for s in range(m)]
-    )
-    books_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in books[s, j]]) for j in range(n_codes)])
-            for s in range(m)
-        ]
-    )
+
     # the PQ index: (neighbor_id, cell, codes, recon_norm) — no raw vectors
-    assigned = (
-        model.transform(cand_vec)
-        .select(
-            "neighbor_id",
-            F.col("prediction").alias("cell"),
-            pq_codes_pandas("cv", books).alias("codes"),
-        )
-        .withColumn(
-            "recon_norm",
-            F.sqrt(
-                sum(
-                    F.element_at(F.element_at(books_sq_lit, s + 1), F.col("codes")[s] + 1)
-                    for s in range(m)
-                )
-            ),
-        )
+    assigned = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_assign_pandas(vec_col, centers).alias("cell"),
+        pq_encode_pandas(vec_col, books).alias("enc"),
+    ).select(
+        "neighbor_id",
+        "cell",
+        F.col("enc.codes").alias("codes"),
+        F.col("enc.recon_norm").alias("recon_norm"),
     )
 
-    centers_rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
     centers_df = queries.sparkSession.createDataFrame(
         centers_rows, "cell int, center array<double>"
     )
 
     # --- query side: probe cells, carry the ADC table
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn(
-        "qtab",
-        F.array(
-            *[
-                F.array(
-                    *[
-                        dot(
-                            F.slice(F.col("qv"), s * d_sub + 1, d_sub),
-                            F.element_at(F.element_at(books_lit, s + 1), j + 1),
-                        )
-                        for j in range(n_codes)
-                    ]
-                )
-                for s in range(m)
-            ]
-        ),
-    ).withColumn("qnorm", l2_norm(F.col("qv")))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qtab", pq_qtab_pandas("qv", books))
+        .withColumn("qnorm", l2_norm(F.col("qv")))
+    )
     q_cells = (
         q.crossJoin(F.broadcast(centers_df))
         .withColumn("cdist", cosine(F.col("qv"), F.col("center")))
