@@ -117,3 +117,32 @@ def test_salted_agg_matches_plain(spark):
     )
     assert salted.subtract(plain).count() == 0
     assert plain.subtract(salted).count() == 0
+
+
+def test_gapfill_buckets_spine_and_locf(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import gapfill_buckets
+
+    # key A: buckets 0 and 3 observed -> spine 0..3 with 2 gap rows.
+    # key B: single bucket -> spine of 1, no gaps.
+    rows = [
+        ("A", T(2024, 1, 1, 0, 0, 30), 10.0),
+        ("A", T(2024, 1, 1, 0, 0, 50), 20.0),
+        ("A", T(2024, 1, 1, 0, 3, 10), 40.0),
+        ("B", T(2024, 1, 1, 0, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = gapfill_buckets(
+        df, keys=["k"], ts_col="ts", bucket_seconds=60,
+        aggs={"n": F.count(F.lit(1)), "avg_v": F.avg("value")},
+        locf_cols=["avg_v"],
+    ).collect()
+    a = {r["bucket_epoch"]: r for r in out if r["k"] == "A"}
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    assert sorted(a) == [base, base + 60, base + 120, base + 180]
+    assert a[base]["n"] == 2 and a[base]["avg_v"] == 15.0
+    # gap buckets: NULL aggregates, LOCF carries the last observed avg
+    assert a[base + 60]["n"] is None and a[base + 60]["avg_v_locf"] == 15.0
+    assert a[base + 120]["avg_v_locf"] == 15.0
+    assert a[base + 180]["n"] == 1 and a[base + 180]["avg_v_locf"] == 40.0
+    b = [r for r in out if r["k"] == "B"]
+    assert len(b) == 1 and b[0]["n"] == 1

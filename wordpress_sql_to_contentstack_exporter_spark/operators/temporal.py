@@ -109,6 +109,56 @@ def asof_join(
     )
 
 
+def gapfill_buckets(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    bucket_seconds: int,
+    aggs: dict[str, Column],
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Regular time-bucket spine per key with gap rows present — the
+    hypertable ``time_bucket_gapfill`` shape (TimescaleDB) Spark lacks.
+
+    Rows are bucketed to ``bucket_seconds`` and aggregated per
+    (keys, bucket); every key then gets a dense bucket spine from its
+    first to its last observed bucket (``sequence`` + ``explode``,
+    JVM-side), gap buckets carrying NULL aggregates. Columns named in
+    ``locf_cols`` (must be agg aliases) additionally get a
+    ``<col>_locf`` last-observation-carried-forward variant via a
+    NULL-skipping window.
+
+    Scale shape: one shuffle to aggregate (partial agg map-side), after
+    which everything operates on AGGREGATED rows — the spine is
+    |keys| x |buckets| regardless of input row count, so a 100 TB event
+    stream gap-fills over the same few-million-row spine as a 1 GB one.
+    The spine join broadcasts when small; the LOCF window rides the same
+    (keys, bucket) partitioning AQE already produced.
+    """
+    locf_cols = list(locf_cols or [])
+    idx = F.floor(_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000)).cast("long")
+    bucketed = df.withColumn("__idx", idx).groupBy(*keys, "__idx").agg(
+        *[c.alias(a) for a, c in aggs.items()]
+    )
+    spine = (
+        bucketed.groupBy(*keys)
+        .agg(F.min("__idx").alias("__mn"), F.max("__idx").alias("__mx"))
+        .select(*keys, F.explode(F.sequence("__mn", "__mx")).alias("__idx"))
+    )
+    filled = spine.join(bucketed, [*keys, "__idx"], "left")
+    for c in locf_cols:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = filled.withColumn(f"{c}_locf", F.last(F.col(c), ignorenulls=True).over(w))
+    return filled.withColumn(
+        "bucket_epoch", F.col("__idx") * F.lit(bucket_seconds).cast("long")
+    ).drop("__idx")
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

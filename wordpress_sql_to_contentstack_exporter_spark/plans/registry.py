@@ -45,7 +45,7 @@ from ..operators import text as tx
 from ..operators import sampling
 from ..operators.sampling import deterministic_split, pack_sequences, stratified_sample
 from ..operators.skew import salted_agg
-from ..operators.temporal import asof_join, range_join_count
+from ..operators.temporal import asof_join, gapfill_buckets, range_join_count
 
 
 from ..sources.catalog import load_table as _t
@@ -1834,6 +1834,98 @@ FROM dom
 """
 
 
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket gap-fill with LOCF
+    (operators/temporal.gapfill_buckets): dense 10-minute spine per
+    event_type, gap buckets carry a 0 count and the last observed
+    rounded bucket-average. Oracle: DuckDB range()+unnest spine with an
+    IGNORE NULLS window."""
+    e = _t(spark, sf_dir, "events")
+    out = gapfill_buckets(
+        e.select("event_type", "ts", "value"),
+        keys=["event_type"],
+        ts_col="ts",
+        bucket_seconds=600,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.round(F.avg("value"), 6),
+        },
+        locf_cols=["avg_value"],
+    )
+    return out.select(
+        "event_type",
+        "bucket_epoch",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        F.col("avg_value_locf").alias("value_locf"),
+    )
+
+
+SQL_GAPFILL = """
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 600) AS BIGINT) AS idx,
+           count(*) AS n,
+           round(avg(value), 6) AS av
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, min(idx) AS mn, max(idx) AS mx FROM b GROUP BY 1
+), spine AS (
+    SELECT event_type, unnest(range(mn, mx + 1)) AS idx FROM bounds
+)
+SELECT s.event_type,
+       s.idx * 600 AS bucket_epoch,
+       coalesce(b.n, 0) AS n_events,
+       last_value(b.av IGNORE NULLS)
+           OVER (PARTITION BY s.event_type ORDER BY s.idx) AS value_locf
+FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.idx = b.idx
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``), the distribution-summary
+    aggregate alongside the sketch-based ``approx_aggs``."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.90), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    built into Spark 3.5+): per-type user sketches re-aggregated with
+    ``hll_union_agg`` into an __all__ row — the shape that lets a
+    100 TB job compute per-partition partials once and merge them at
+    any rollup level without rescanning. Rows-only: estimates are
+    engine-specific; the <2% error bound vs exact distinct is pinned
+    by test_approx."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_out = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    union_out = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return per_out.unionByName(union_out).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1908,8 +2000,11 @@ SPARK_QUERIES = {
     "token_topk": q_token_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "url_parse": q_url_parse,
+    "gapfill": q_gapfill,
+    "percentiles": q_percentiles,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
+    "hll_sketches": q_hll_sketches,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1977,6 +2072,9 @@ ORACLE_SQL = {
     "token_topk": SQL_TOKEN_TOPK,
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "url_parse": SQL_URL_PARSE,
+    "gapfill": SQL_GAPFILL,
+    "percentiles": SQL_PERCENTILES,
+    # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
 
