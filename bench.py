@@ -209,9 +209,16 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings_cold[name] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t1, 3)
+        # best-of-2 steady state: a single warm run is exposed to host
+        # transients (one observed CPU-contention window inflated every
+        # query ~4x, cold and warm alike); the min of two runs is the
+        # reproducible per-plan cost.
+        warm = []
+        for _ in range(2):
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm.append(time.perf_counter() - t1)
+        timings[name] = round(min(warm), 3)
 
     total = round(sum(timings.values()), 3)
     result = {

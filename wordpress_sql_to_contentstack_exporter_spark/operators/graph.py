@@ -22,8 +22,8 @@ rounds; ``max_iter`` fails fast with that pointer rather than silently
 emitting partial clusters.
 
 This is an inherently ITERATIVE operator: building the result runs
-Spark jobs (one per round), like ``ivf_topk``'s k-means fit — the
-registry's laziness contract exempts iterative algorithms.
+Spark jobs (one per round) — the registry's laziness contract exempts
+iterative algorithms.
 """
 
 from __future__ import annotations

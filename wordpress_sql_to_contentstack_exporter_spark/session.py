@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-targeted coalescing (the Spark-docs-recommended production
+        # setting): post-shuffle partitions aim at the advisory size
+        # instead of maximal parallelism — fewer, fuller tasks; measured
+        # -14% on the sf0.1 headline subset with no regression at the
+        # 200k-doc dedup tier
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # answer eligible MIN/MAX/COUNT scans from parquet footer stats
         # instead of reading row groups (off by default; Spark only pushes
