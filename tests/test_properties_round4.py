@@ -78,8 +78,9 @@ def test_gapfill_matches_reference_model(spark, obs):
         gapfill_buckets,
     )
 
+    epoch = dt.datetime(1970, 1, 1)
     rows = [
-        (k, dt.datetime.utcfromtimestamp(idx * 60 + 1), float(v))
+        (k, epoch + dt.timedelta(seconds=idx * 60 + 1), float(v))
         for k, pts in obs.items()
         for idx, v in pts
     ]

@@ -47,7 +47,9 @@ def main() -> None:
     # paragraph dedup and the vocabulary/TF-IDF aggregations do real work
     # in BOTH engines (string splitting, window/agg over exploded rows),
     # so their ratios are marginal-cost comparisons, not JVM-floor noise.
-    compared = HEADLINE + ["paragraph_dedup", "token_topk", "tfidf_topterms"]
+    compared = HEADLINE + [
+        "paragraph_dedup", "token_topk", "tfidf_topterms", "gapfill", "percentiles",
+    ]
     out = {}
     for name in compared:
         t0 = time.perf_counter()
