@@ -1834,6 +1834,98 @@ FROM dom
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-family keep/drop verdict per document (Rae et
+    al. 2021 §A1.1 rule shapes, thresholds tuned to the fixture so both
+    outcomes occur): length bounds, mean-token-length band, punctuation
+    density, and within-doc repetition, each surfaced as a named flag so
+    downstream filtering is explainable. Map-only over the quality and
+    repetition feature pipelines joined on doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    q = tx.quality_features(d).select(
+        "doc_id", "q_tokens", "q_mean_token_len", "q_punct_ratio"
+    )
+    r = tx.repetition_features(d.select("doc_id", "text")).select(
+        "doc_id", "rep_flagged"
+    )
+    out = q.join(r, "doc_id")
+    too_short = F.col("q_tokens") < 25
+    too_long = F.col("q_tokens") > 10_000
+    odd_tok = (F.col("q_mean_token_len") < 3.0) | (F.col("q_mean_token_len") > 6.0)
+    punct_heavy = F.col("q_punct_ratio") > 0.10
+    return out.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        too_long.alias("too_long"),
+        odd_tok.alias("odd_token_len"),
+        punct_heavy.alias("punct_heavy"),
+        F.col("rep_flagged").alias("repetitive"),
+        (~(too_short | too_long | odd_tok | punct_heavy | F.col("rep_flagged"))).alias(
+            "keep"
+        ),
+    )
+
+
+SQL_QUALITY_FILTER = r"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+), q AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_toks,
+           round(CASE WHEN len(toks) > 0 AND trim(text) <> ''
+                      THEN length(text) / len(toks) ELSE 0.0 END, 6) AS mtl,
+           round(CASE WHEN length(text) > 0
+                      THEN len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
+                      ELSE 0.0 END, 6) AS pr
+    FROM t
+), lines AS (
+    SELECT doc_id,
+           list_filter([trim(l) for l in string_split(text, chr(10))],
+                       l -> l != '') AS ls
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           round(CASE WHEN len(ls) > 0
+                      THEN 1 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE)
+                      ELSE 0.0 END, 4) AS dup_line_frac
+    FROM lines
+), dtoks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []
+                ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           END AS tk
+    FROM documents
+), grams AS (
+    SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+                           for i in range(1, greatest(len(tk) - 1, 0) + 1)]) AS gram
+    FROM dtoks
+), gram_counts AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), gram_stats AS (
+    SELECT doc_id, sum(c) AS n_bigrams,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+    FROM gram_counts GROUP BY doc_id
+), rep AS (
+    SELECT b.doc_id,
+           (b.dup_line_frac > 0.30
+            OR (coalesce(g.top_bigram_frac, 0.0) > 0.18
+                AND coalesce(g.n_bigrams, 0) >= 20)) AS rep_flagged
+    FROM base b LEFT JOIN gram_stats g ON b.doc_id = g.doc_id
+)
+SELECT q.doc_id,
+       q.n_toks < 25 AS too_short,
+       q.n_toks > 10000 AS too_long,
+       (q.mtl < 3.0 OR q.mtl > 6.0) AS odd_token_len,
+       q.pr > 0.10 AS punct_heavy,
+       rep.rep_flagged AS repetitive,
+       NOT (q.n_toks < 25 OR q.n_toks > 10000 OR q.mtl < 3.0 OR q.mtl > 6.0
+            OR q.pr > 0.10 OR rep.rep_flagged) AS keep
+FROM q JOIN rep ON q.doc_id = rep.doc_id
+"""
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-bucket gap-fill with LOCF
     (operators/temporal.gapfill_buckets): dense 10-minute spine per
@@ -2002,6 +2094,7 @@ SPARK_QUERIES = {
     "url_parse": q_url_parse,
     "gapfill": q_gapfill,
     "percentiles": q_percentiles,
+    "quality_filter": q_quality_filter,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2074,6 +2167,7 @@ ORACLE_SQL = {
     "url_parse": SQL_URL_PARSE,
     "gapfill": SQL_GAPFILL,
     "percentiles": SQL_PERCENTILES,
+    "quality_filter": SQL_QUALITY_FILTER,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
