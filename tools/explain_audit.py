@@ -169,6 +169,25 @@ def main() -> int:
         "token_topk",
         ("top-k is TakeOrdered, not a global sort", r"TakeOrderedAndProject"),
     )
+    # Gap-fill: aggregation happens BEFORE the spine join (partial agg on
+    # raw events; everything downstream operates on aggregated rows) and
+    # the spine join is a real equi-join, never a cartesian product.
+    check(
+        "gapfill",
+        ("partial aggregation present", r"HashAggregate"),
+        ("dense spine generated JVM-side", r"\(\d+\) Generate"),
+        ("spine join is an equi-join, not all-pairs",
+         r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
+        ("events scan pruned to 3 cols", r"ReadSchema: struct<ts:[^,]+,event_type:string,value:double>"),
+    )
+    # Composite quality filter: map-only feature pipelines joined on
+    # doc_id; no Python UDFs anywhere in the verdict path.
+    check(
+        "quality_filter",
+        ("no Python row UDFs", r"\A(?s:(?!.*BatchEvalPython).*)\Z"),
+        ("feature join is an equi-join, not all-pairs",
+         r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
