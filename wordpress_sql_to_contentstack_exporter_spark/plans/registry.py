@@ -1834,6 +1834,81 @@ FROM dom
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel (view -> click within 24 h ->
+    purchase within 24 h) — the event-analytics shape that needs
+    sequential constraints between per-user aggregates.
+
+    Plan: ONE shuffle on user_id; the three "first qualifying event"
+    timestamps are stacked full-partition windows over the same
+    partitioning (Catalyst reuses the exchange), then a tiny distinct +
+    conditional-count aggregate. No self-joins of the event table.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    win = 24 * 3600 * 1_000_000  # conversion window, micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    staged = (
+        e.withColumn(
+            "v_us", F.min(F.when(F.col("event_type") == "view", us)).over(w)
+        )
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (us > F.col("v_us"))
+                    & (us <= F.col("v_us") + win),
+                    us,
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (us > F.col("c_us"))
+                    & (us <= F.col("c_us") + win),
+                    us,
+                )
+            ).over(w),
+        )
+        .select("user_id", "v_us", "c_us", "p_us")
+        .distinct()
+    )
+    return staged.agg(
+        F.count(F.col("v_us")).alias("viewed"),
+        F.count(F.col("c_us")).alias("clicked_24h"),
+        F.count(F.col("p_us")).alias("purchased_24h"),
+    )
+
+
+SQL_FUNNEL = """
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS v_us
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > v.v_us
+      AND epoch_us(e.ts) <= v.v_us + 86400000000
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > c.c_us
+      AND epoch_us(e.ts) <= c.c_us + 86400000000
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS viewed,
+       (SELECT count(*) FROM c) AS clicked_24h,
+       (SELECT count(*) FROM p) AS purchased_24h
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-family keep/drop verdict per document (Rae et
     al. 2021 §A1.1 rule shapes, thresholds tuned to the fixture so both
@@ -2095,6 +2170,7 @@ SPARK_QUERIES = {
     "gapfill": q_gapfill,
     "percentiles": q_percentiles,
     "quality_filter": q_quality_filter,
+    "funnel": q_funnel,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2168,6 +2244,7 @@ ORACLE_SQL = {
     "gapfill": SQL_GAPFILL,
     "percentiles": SQL_PERCENTILES,
     "quality_filter": SQL_QUALITY_FILTER,
+    "funnel": SQL_FUNNEL,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
