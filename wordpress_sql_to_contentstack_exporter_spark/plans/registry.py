@@ -1909,6 +1909,52 @@ SELECT (SELECT count(*) FROM v) AS viewed,
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by signup week,
+    counted distinct in each later activity week. The companion shape to
+    ``funnel`` — cohort dim is tiny (broadcast), activity aggregates to
+    (user, week) BEFORE the join, so the shuffled volume is bounded by
+    users x active-weeks, not raw events."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wk = (
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(7 * 24 * 3600 * 1_000_000)
+        )
+    ).cast("long")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wk).alias("cohort_wk"))
+    )
+    active = e.select("user_id", wk.alias("act_wk")).distinct()
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .filter(F.col("act_wk") >= F.col("cohort_wk"))
+        .groupBy("cohort_wk", (F.col("act_wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+    )
+
+
+SQL_RETENTION = """
+WITH wk AS (
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+    FROM events
+), cohort AS (
+    SELECT user_id, min(w) AS cohort_wk FROM wk
+    WHERE event_type = 'signup' GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, w AS act_wk FROM wk
+)
+SELECT c.cohort_wk, a.act_wk - c.cohort_wk AS weeks_since,
+       count(DISTINCT a.user_id) AS active_users
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+WHERE a.act_wk >= c.cohort_wk
+GROUP BY 1, 2
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-family keep/drop verdict per document (Rae et
     al. 2021 §A1.1 rule shapes, thresholds tuned to the fixture so both
@@ -2171,6 +2217,7 @@ SPARK_QUERIES = {
     "percentiles": q_percentiles,
     "quality_filter": q_quality_filter,
     "funnel": q_funnel,
+    "retention_cohorts": q_retention_cohorts,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2245,6 +2292,7 @@ ORACLE_SQL = {
     "percentiles": SQL_PERCENTILES,
     "quality_filter": SQL_QUALITY_FILTER,
     "funnel": SQL_FUNNEL,
+    "retention_cohorts": SQL_RETENTION,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
