@@ -146,3 +146,18 @@ def test_gapfill_buckets_spine_and_locf(spark):
     assert a[base + 180]["n"] == 1 and a[base + 180]["avg_v_locf"] == 40.0
     b = [r for r in out if r["k"] == "B"]
     assert len(b) == 1 and b[0]["n"] == 1
+
+
+def test_gapfill_buckets_drops_null_timestamps(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import gapfill_buckets
+
+    df = spark.createDataFrame(
+        [("A", T(2024, 1, 1, 0, 0, 30), 1.0), ("A", None, 99.0)],
+        "k string, ts timestamp, value double",
+    )
+    out = gapfill_buckets(
+        df, keys=["k"], ts_col="ts", bucket_seconds=60,
+        aggs={"n": F.count(F.lit(1))},
+    ).collect()
+    # the NULL-ts row is excluded up front, not silently lost mid-plan
+    assert len(out) == 1 and out[0]["n"] == 1

@@ -138,8 +138,14 @@ def gapfill_buckets(
     """
     locf_cols = list(locf_cols or [])
     idx = F.floor(_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000)).cast("long")
-    bucketed = df.withColumn("__idx", idx).groupBy(*keys, "__idx").agg(
-        *[c.alias(a) for a, c in aggs.items()]
+    # NULL-timestamp rows cannot be bucketed; drop them explicitly (they
+    # would otherwise form a NULL bucket that silently falls out of the
+    # spine join) — callers wanting them routed elsewhere filter first.
+    bucketed = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("__idx", idx)
+        .groupBy(*keys, "__idx")
+        .agg(*[c.alias(a) for a, c in aggs.items()])
     )
     spine = (
         bucketed.groupBy(*keys)
