@@ -1909,6 +1909,43 @@ SELECT (SELECT count(*) FROM v) AS viewed,
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (first-order Markov edges,
+    the path-analysis primitive): one lag window over (user_id, ts),
+    then a global (from, to) aggregate with transition probabilities.
+    Ties on ts are broken by event_id so the sequence is deterministic."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    return (
+        steps.groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.round(F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 6),
+        )
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+), pairs AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM steps WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM pairs
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users bucketed by signup week,
     counted distinct in each later activity week. The companion shape to
@@ -2218,6 +2255,7 @@ SPARK_QUERIES = {
     "quality_filter": q_quality_filter,
     "funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2293,6 +2331,7 @@ ORACLE_SQL = {
     "quality_filter": SQL_QUALITY_FILTER,
     "funnel": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
