@@ -73,3 +73,13 @@ def test_embedding_dim_metadata_probe(tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_EMBEDDING_DIM", "128")
     assert embedding_dim(nulls) == 128  # env override wins, no file read
+
+
+def test_ann_index_fit_rejects_empty_candidates(spark):
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty sample"):
+        sim.ivf_topk(empty.limit(1), empty, k=1, n_cells=4)

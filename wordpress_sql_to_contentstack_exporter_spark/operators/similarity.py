@@ -148,6 +148,10 @@ def _lloyd(x: np.ndarray, k: int, rng: np.random.Generator, max_iter: int) -> np
     degenerate), fixed iteration count, numpy-argmin ties to the lower
     index — bit-reproducible across runs.
     """
+    if x.size == 0:
+        raise ValueError(
+            "cannot fit k-means on an empty sample — the candidate set has no rows"
+        )
     uniq = np.unique(x, axis=0)
     if len(uniq) >= k:
         centers = uniq[rng.choice(len(uniq), k, replace=False)]
