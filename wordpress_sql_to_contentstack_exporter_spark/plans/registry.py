@@ -1949,9 +1949,11 @@ FROM pairs
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users bucketed by signup week,
     counted distinct in each later activity week. The companion shape to
-    ``funnel`` — cohort dim is tiny (broadcast), activity aggregates to
-    (user, week) BEFORE the join, so the shuffled volume is bounded by
-    users x active-weeks, not raw events."""
+    ``funnel`` — activity aggregates to (user, week) BEFORE the join, so
+    the shuffled volume is bounded by users x active-weeks, not raw
+    events. The cohort side is one row per user: small enough to
+    broadcast on this fixture but NOT in general (billions of users), so
+    the join strategy is left to AQE rather than hinted."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     wk = (
         F.floor(
@@ -1966,7 +1968,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     active = e.select("user_id", wk.alias("act_wk")).distinct()
     return (
-        active.join(F.broadcast(cohort), "user_id")
+        active.join(cohort, "user_id")
         .filter(F.col("act_wk") >= F.col("cohort_wk"))
         .groupBy("cohort_wk", (F.col("act_wk") - F.col("cohort_wk")).alias("weeks_since"))
         .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
