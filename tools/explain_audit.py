@@ -188,6 +188,33 @@ def main() -> int:
         ("feature join is an equi-join, not all-pairs",
          r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
     )
+    # Funnel: the sequential-step constraints must compile to stacked
+    # windows over ONE events scan — any join operator means the plan
+    # degenerated to per-step self-joins of the event table.
+    funnel_plan = plan_of(SPARK_QUERIES["funnel"](spark, sf_dir))
+    check_plan(
+        "funnel",
+        funnel_plan,
+        ("no self-joins of events", r"\A(?s:(?!.*Join).*)\Z"),
+        ("stacked windows present", r"\(\d+\) Window"),
+    )
+    # one scan NODE: the formatted plan prints each node in the tree AND
+    # in the detail section, so count detail headers "(n) Scan parquet"
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", funnel_plan, re.M))
+    if n_scans != 1:
+        failures.append(("funnel", f"expected exactly one events scan, got {n_scans}"))
+        print(f"FAIL  funnel: expected exactly one events scan, got {n_scans}")
+    else:
+        print("ok    funnel: exactly one events scan")
+    # Cohort retention and transitions: equi-joins/windows only.
+    check(
+        "retention_cohorts",
+        ("no all-pairs join", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
+    )
+    check(
+        "event_transitions",
+        ("single lag window, no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
