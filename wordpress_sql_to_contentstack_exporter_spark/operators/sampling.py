@@ -144,6 +144,55 @@ def domain_mixture(
     return kept.withColumn(out_key_col, order_key)
 
 
+def weighted_sample_wor(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    strata: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006),
+    deterministic and cross-engine reproducible.
+
+    Per row: a uniform u in (0, 1] derived from md5 (not ``rand()`` —
+    stable under task retry, and any engine recomputes the same draw),
+    then score = ln(u)/w, the monotone equivalent of the paper's
+    u^(1/w); the n LARGEST scores per stratum are an exact weighted
+    sample without replacement. Rows with non-positive weight are
+    excluded (the scheme requires w > 0).
+
+    Scale shape: the stratified form is one shuffle + per-stratum top-n
+    window; the global form compiles to TakeOrdered (per-partition heap,
+    driver merges n rows) — no global sort of the corpus either way.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"wsample:{seed}:"), F.col(key_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    out = df.filter(F.col(weight_col) > 0).withColumn("__es", score)
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(F.col("__es").desc(), F.col(key_col))
+        return (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .drop("__es", "__rk")
+        )
+    return out.orderBy(F.col("__es").desc(), F.col(key_col)).limit(n).drop("__es")
+
+
 def pack_sequences(
     df: DataFrame,
     *,

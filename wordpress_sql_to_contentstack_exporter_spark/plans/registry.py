@@ -1909,6 +1909,36 @@ SELECT (SELECT count(*) FROM v) AS viewed,
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.weighted_sample_wor): 50 docs per language,
+    selection probability proportional to n_chars. md5-derived uniforms
+    mean the DuckDB oracle reproduces the EXACT selection, not just its
+    distribution."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_wor(
+        d.select("doc_id", "lang", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        n=50,
+        strata=["lang"],
+        seed=42,
+    )
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH s AS (
+    SELECT doc_id, lang, n_chars,
+           ln((('0x' || substr(md5('wsample:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               + 1.0) / 1152921504606846976.0) / n_chars AS es
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM s
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) <= 50
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts (first-order Markov edges,
     the path-analysis primitive): one lag window over (user_id, ts),
@@ -2258,6 +2288,7 @@ SPARK_QUERIES = {
     "funnel": q_funnel,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
+    "weighted_sample": q_weighted_sample,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2334,6 +2365,7 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
