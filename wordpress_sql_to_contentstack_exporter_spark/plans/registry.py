@@ -1909,6 +1909,45 @@ SELECT (SELECT count(*) FROM v) AS viewed,
 """
 
 
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average per user — the time-based RANGE
+    window frame (``rangeBetween`` over epoch seconds), distinct from the
+    row-count frames in ``window_suite``. Peers at the same second share
+    a frame in both engines, so the oracle is exact."""
+    e = _t(spark, sf_dir, "events")
+    es = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    base = e.select("event_id", "user_id", "value", es.alias("epoch_sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "epoch_sec",
+        F.round(F.avg("value").over(w), 6).alias("ma_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+SQL_MOVING_AVERAGE = """
+WITH base AS (
+    SELECT event_id, user_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
+    FROM events
+)
+SELECT event_id, user_id, epoch_sec,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_sec
+                              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 6) AS ma_1h,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_sec
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h
+FROM base
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (operators/sampling.weighted_sample_wor): 50 docs per language,
@@ -2289,6 +2328,7 @@ SPARK_QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
     "weighted_sample": q_weighted_sample,
+    "moving_average": q_moving_average,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2366,6 +2406,7 @@ ORACLE_SQL = {
     "retention_cohorts": SQL_RETENTION,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "moving_average": SQL_MOVING_AVERAGE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
