@@ -1909,6 +1909,31 @@ SELECT (SELECT count(*) FROM v) AS viewed,
 """
 
 
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot + unpivot roundtrip: events pivot to one count
+    column per event_type (values list pinned for a deterministic
+    schema — required on a real cluster anyway, since value discovery
+    is an extra job), then unpivot back to long form. Zero-count cells
+    exist as columns mid-plan but are dropped on unpivot to match the
+    plain-aggregation oracle."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    long = wide.unpivot("user_id", types, "event_type", "n")
+    return long.filter(F.col("n") > 0)
+
+
+SQL_PIVOT_UNPIVOT = """
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving average per user — the time-based RANGE
     window frame (``rangeBetween`` over epoch seconds), distinct from the
@@ -2329,6 +2354,7 @@ SPARK_QUERIES = {
     "event_transitions": q_event_transitions,
     "weighted_sample": q_weighted_sample,
     "moving_average": q_moving_average,
+    "pivot_unpivot": q_pivot_unpivot,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2407,6 +2433,7 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "moving_average": SQL_MOVING_AVERAGE,
+    "pivot_unpivot": SQL_PIVOT_UNPIVOT,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
