@@ -1909,6 +1909,48 @@ SELECT (SELECT count(*) FROM v) AS viewed,
 """
 
 
+def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine table checksum for migration validation: per status
+    group, row count + order-independent XOR of md5-derived 60-bit row
+    digests. bit_xor is overflow-free and commutative (no sort, full
+    map-side combine), and md5 renders identically everywhere, so
+    source and target engines can verify a copied table's CONTENT with
+    one scan each — the check a user migrating off the reference's
+    MySQL needs. Doubles enter the digest as exact cent integers; dates
+    as ISO strings (both render identically across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("string"),
+    )
+    digest = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(digest).alias("content_xor"),
+        )
+    )
+
+
+SQL_ROW_CHECKSUM = """
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           o_orderstatus || '|' ||
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+           CAST(o_orderdate AS VARCHAR)
+       ), 1, 15))::BIGINT) AS content_xor
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic pivot + unpivot roundtrip: events pivot to one count
     column per event_type (values list pinned for a deterministic
@@ -2355,6 +2397,7 @@ SPARK_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "moving_average": q_moving_average,
     "pivot_unpivot": q_pivot_unpivot,
+    "row_checksum": q_row_checksum,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2434,6 +2477,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "moving_average": SQL_MOVING_AVERAGE,
     "pivot_unpivot": SQL_PIVOT_UNPIVOT,
+    "row_checksum": SQL_ROW_CHECKSUM,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
