@@ -747,10 +747,16 @@ def ngram_jaccard(
     ``left``/``right`` are pre-paired (e.g. LSH candidates) — this is the
     exact-verification stage of the candidate→verify dedup pipeline, so
     the quadratic part never materializes.
+
+    The similarity is emitted UNROUNDED: one int/int IEEE division is
+    bit-identical in any engine, while a decimal re-round (``round(x, 4)``)
+    is the cross-engine 1-ULP hazard the oracle gate documents on
+    ``repetition_features``. Callers wanting display precision can round
+    at the edge.
     """
     lsh = word_shingles(F.col(f"l.{text_col}"), k)
     rsh = word_shingles(F.col(f"r.{text_col}"), k)
     inter = F.size(F.array_intersect(lsh, rsh))
     union = F.size(F.array_union(lsh, rsh))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return left.alias("l").join(right.alias("r"), on).withColumn(out_col, F.round(jac, 4))
+    return left.alias("l").join(right.alias("r"), on).withColumn(out_col, jac)

@@ -135,8 +135,11 @@ def embedding_neardup_pairs(
             .select("id_a", "va", "id_b", "vb")
             .dropDuplicates(["id_a", "id_b"])
         )
+    # unrounded: the HOF fold is bit-identical cross-engine (see module
+    # docstring); a round(x, 6) re-round is the only 1-ULP divergence
+    # hazard, so the raw double IS the stable contract.
     scored = paired.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
@@ -633,7 +636,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
 

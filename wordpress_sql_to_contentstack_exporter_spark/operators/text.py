@@ -70,6 +70,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     One narrow projection — no shuffle; at 100 TB this is a pure map stage
     that pipelines with the parquet scan.
+
+    Ratios are emitted UNROUNDED: each is a single int/int IEEE division,
+    which is correctly rounded and therefore bit-identical in any engine,
+    whereas a decimal re-round (``round(x, 6)``) can diverge by 1 ULP
+    between engines (Spark BigDecimal HALF_UP vs multiply-round-divide) —
+    the hazard that made the ``repetition`` oracle row flaky in round 4.
     """
     t = F.col(text_col)
     n_tok = token_count_ws(t)
@@ -80,18 +86,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_char.alias("q_chars"),
         n_tok.alias("q_tokens"),
         token_count_bpe(t).alias("q_bpe_tokens"),
-        F.round(
-            F.when(n_char > 0, F.regexp_count(t, F.lit(r"[.,;:!?]")) / n_char).otherwise(
-                F.lit(0.0)
-            ),
-            6,
-        ).alias("q_punct_ratio"),
-        F.round(
-            F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0)), 6
-        ).alias("q_stopword_ratio"),
-        F.round(
-            F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0)), 6
-        ).alias("q_mean_token_len"),
+        F.when(n_char > 0, F.regexp_count(t, F.lit(r"[.,;:!?]")) / n_char)
+        .otherwise(F.lit(0.0))
+        .alias("q_punct_ratio"),
+        F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0)).alias("q_stopword_ratio"),
+        F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0)).alias("q_mean_token_len"),
     )
 
 
@@ -310,16 +309,28 @@ def repetition_features(
     friends): boilerplate-heavy and looping documents show duplicate
     lines and a dominant repeated n-gram long before dedup sees them.
 
-    Output per doc: ``n_lines``, ``dup_line_frac`` (1 - distinct/total
-    lines, whitespace-trimmed), ``top_bigram_frac`` (occurrences of the
-    most frequent word 2-gram / total 2-grams), and ``rep_flagged``
-    under the published-style thresholds (dup_line_frac > 0.30 or
-    top_bigram_frac > 0.18).
+    Output per doc: exact integer evidence — ``n_lines``,
+    ``n_distinct_lines`` (whitespace-trimmed, empties dropped),
+    ``n_bigrams`` (total word 2-grams), ``top_c`` (count of the most
+    frequent 2-gram) — plus derived doubles ``dup_line_frac``
+    (1 - distinct/total) and ``top_bigram_frac`` (top_c/total) for
+    in-engine consumers, and ``rep_flagged`` under the published-style
+    thresholds (dup_line_frac > 0.30 or top_bigram_frac > 0.18 with
+    >= 20 bigrams).
+
+    The flag is computed from INTEGER arithmetic only
+    (``10*(n_lines - n_distinct_lines) > 3*n_lines`` and
+    ``100*top_c > 18*n_bigrams``), never from the derived doubles:
+    a rounded float ratio is not a stable cross-engine contract — Spark
+    rounds HALF_UP on the exact binary value via Java BigDecimal while
+    other engines multiply-round-divide, and the two can disagree by one
+    ULP near a boundary. Any cross-engine comparison should likewise
+    hash the integer columns, not the fracs.
 
     Plan shape: line metrics are per-row array expressions (no shuffle);
     the bigram mode needs a (doc, gram) count, done explode -> two hash
     aggregations — the shuffle carries (id, 8-byte xxhash64(gram)) rather
-    than gram text. Docs with < 2 tokens have no bigrams: frac 0.0.
+    than gram text. Docs with < 2 tokens have no bigrams: top_c 0.
 
     The token array is materialized as a projected column BEFORE the
     gram construction, and grams come from ONE zip_with over two slices
@@ -334,14 +345,8 @@ def repetition_features(
     )
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(lines).alias("n_lines"),
-        F.round(
-            F.when(
-                F.size(lines) > 0,
-                1 - F.size(F.array_distinct(lines)) / F.size(lines),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("dup_line_frac"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
     )
 
     tok_df = df.select(
@@ -378,26 +383,32 @@ def repetition_features(
         )
         .select(
             "id",
-            F.col("total_c").alias("n_bigrams"),
-            F.round(
-                F.when(F.col("total_c") > 0, F.col("top_c") / F.col("total_c"))
-                .otherwise(F.lit(0.0)),
-                4,
-            ).alias("top_bigram_frac"),
+            F.col("total_c").cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("top_c"), F.lit(0)).cast("long").alias("top_c"),
         )
     )
+    dup_line_frac = F.when(
+        F.col("n_lines") > 0,
+        1 - F.col("n_distinct_lines") / F.col("n_lines"),
+    ).otherwise(F.lit(0.0))
+    top_bigram_frac = F.when(
+        F.col("n_bigrams") > 0, F.col("top_c") / F.col("n_bigrams")
+    ).otherwise(F.lit(0.0))
     return (
         base.join(gram_stats, "id")
         .select(
             F.col("id").alias(id_col),
             "n_lines",
-            "dup_line_frac",
+            "n_distinct_lines",
             "n_bigrams",
-            "top_bigram_frac",
+            "top_c",
+            dup_line_frac.alias("dup_line_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
             (
-                (F.col("dup_line_frac") > 0.30)
+                # integer-only flag arithmetic: ULP-proof across engines
+                (10 * (F.col("n_lines") - F.col("n_distinct_lines")) > 3 * F.col("n_lines"))
                 | (
-                    (F.col("top_bigram_frac") > 0.18)
+                    (100 * F.col("top_c") > 18 * F.col("n_bigrams"))
                     & (F.col("n_bigrams") >= 20)
                 )
             ).alias("rep_flagged"),

@@ -8,9 +8,28 @@ entry cites its row) and the driver's correctness gate
 plan and the oracle SQL because the driver's compare hashes values with
 columns sorted by name.
 
-Float discipline: any aggregated/derived double is ``round()``-ed on both
-sides so partition-order summation differences (Spark) vs sequential
-summation (DuckDB) cannot flip the value hash.
+Float discipline (round 5, ULP-proof contract — replaces the round-4
+"round() on both sides" rule, which itself diverged by 1 ULP on boundary
+inputs because Spark rounds decimals via BigDecimal HALF_UP on the exact
+binary value while DuckDB multiplies-rounds-divides):
+
+- SUMS of fractional doubles are integer-scaled BEFORE aggregation:
+  ``CAST(round(x * 10^k) AS BIGINT)``. Round-to-INTEGER of a double is
+  the one decimal op both engines implement identically (HALF_UP ==
+  ties-away-from-zero for every sign), long sums are exact and
+  combine-order-free, and the single trailing ``/ 10^k.0`` division is
+  correctly rounded on bit-identical operands — hence bit-identical.
+- RATIOS of exact integers (counts, sizes) are emitted UNROUNDED: one
+  IEEE division is correctly rounded, so it is bit-identical cross-engine;
+  wrapping it in ``round(x, n)`` would reintroduce the divergence.
+- BOOLEAN thresholds on ratios are integer cross-multiplications
+  (``100*top_c > 18*total_c``), never float comparisons of rounded values.
+- ORDER-STATISTICS use the discrete-rank definition (an actual element of
+  the data, integer rank arithmetic), not interpolation.
+- Scalar float expression TREES are mirrored verbatim between the Spark
+  plan and the oracle SQL, so every op sees bit-identical operands.
+
+tests/test_ulp_contract.py pins the primitives near rounding boundaries.
 """
 
 from __future__ import annotations
@@ -189,7 +208,17 @@ def q_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2 rows 15, 17: EAV pivot with inner-join (require-all) semantics
     (authors.js:22-24). Single shuffle instead of the reference's N-way
     self-join."""
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").withColumn(
+        # ULP-proof cross-engine sum contract: scale to integer cents
+        # BEFORE aggregating (round-to-integer of a double is identical
+        # in Spark and DuckDB — HALF_UP == ties-away for every sign —
+        # unlike fractional-scale round(x, n), whose algorithms differ),
+        # sum exact longs, divide back by 100.0 once at the end: every
+        # float op is then a single correctly-rounded IEEE op on
+        # bit-identical operands in both engines.
+        "value",
+        F.round(F.col("value") * 100).cast("long"),
+    )
     piv = eav_pivot(
         events,
         "user_id",
@@ -200,17 +229,17 @@ def q_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return piv.select(
         "user_id",
-        F.round("click", 2).alias("click"),
-        F.round("view", 2).alias("view"),
-        F.round("purchase", 2).alias("purchase"),
+        (F.col("click") / F.lit(100.0)).alias("click"),
+        (F.col("view") / F.lit(100.0)).alias("view"),
+        (F.col("purchase") / F.lit(100.0)).alias("purchase"),
     )
 
 
 SQL_EAV_PIVOT = """
 SELECT user_id,
-       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase
+       sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END) / 100.0 AS click,
+       sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) / 100.0 AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END) / 100.0 AS purchase
 FROM events
 GROUP BY user_id
 HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
@@ -302,16 +331,20 @@ def q_count_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2 rows 24, 26: COUNT + GROUP BY aggregations."""
     return (
         _t(spark, sf_dir, "orders")
+        # integer-cents sum: double sums are combine-order-dependent and
+        # round(x, 2) re-rounding diverges by engine; see q_eav_pivot.
+        .withColumn("price_c", F.round(F.col("o_totalprice") * 100).cast("long"))
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            (F.sum("price_c") / F.lit(100.0)).alias("total_spend"),
         )
     )
 
 
 SQL_COUNT_GROUP_BY = """
-SELECT o_custkey, count(*) AS order_count, round(sum(o_totalprice), 2) AS total_spend
+SELECT o_custkey, count(*) AS order_count,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
 FROM orders GROUP BY o_custkey
 """
 
@@ -494,7 +527,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            # unrounded: integer sums are exact (< 2^53) so avg is ONE
+            # correctly-rounded division — bit-identical in both engines.
+            # A round(x, 6) wrapper would REINTRODUCE divergence (engine
+            # decimal-rounding algorithms differ by up to 1 ULP).
+            F.avg("k").alias("avg_k"),
             F.max("k").alias("max_k"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -503,7 +540,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_EXTRACT = """
 SELECT event_type,
-       round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+       avg(CAST(props->>'$.k' AS BIGINT)) AS avg_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
        count(*) AS n
 FROM events GROUP BY event_type
@@ -587,7 +624,9 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # unrounded: cume_dist is one int/int division — bit-exact cross-
+        # engine; a round(,6) wrapper is the only divergence hazard here.
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 
@@ -598,7 +637,7 @@ SELECT o_custkey, o_orderkey,
        rank() OVER w AS rnk,
        dense_rank() OVER w AS drnk,
        ntile(4) OVER w AS quartile,
-       round(cume_dist() OVER w, 6) AS cdist
+       cume_dist() OVER w AS cdist
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
@@ -654,15 +693,19 @@ FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
 
 def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over two dimensions."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        # integer-cents contract (see q_eav_pivot)
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum("price_c") / F.lit(100.0)).alias("total"),
     )
 
 
 SQL_CUBE = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -696,26 +739,43 @@ SELECT 'except' AS op, nk FROM
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the multi-aggregate scan benchmark
     headline (map-side partial agg, 2-key groupBy)."""
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        # integer-scaled sum contract (see q_eav_pivot): quantities and
+        # prices become exact cents-longs, the discounted price an exact
+        # scale-4 long (cents x integer percent), so every sum is exact
+        # integer arithmetic and the trailing divisions are single
+        # correctly-rounded ops mirrored verbatim in the oracle SQL.
+        .withColumn("qty_c", F.round(F.col("l_quantity") * 100).cast("long"))
+        .withColumn("price_c", F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc_pct", F.round(F.col("l_discount") * 100).cast("long"))
+    )
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        (F.sum("qty_c") / F.lit(100.0)).alias("sum_qty"),
+        (F.sum("price_c") / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(F.col("price_c") * (100 - F.col("disc_pct"))) / F.lit(10000.0)).alias(
             "sum_disc_price"
         ),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        (F.sum("qty_c") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
 
 SQL_AGG_STATS = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
+       sum(qty_c) / 100.0 AS sum_qty,
+       sum(price_c) / 100.0 AS sum_base_price,
+       sum(price_c * (100 - disc_pct)) / 10000.0 AS sum_disc_price,
+       sum(qty_c) / 100.0 / count(*) AS avg_qty,
        count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -731,19 +791,24 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
     )
     return (
-        joined.groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        joined
+        # integer-scaled revenue (see q_agg_stats): exact scale-4 longs
+        .withColumn(
+            "rev_c4",
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long")),
         )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum("rev_c4") / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
 
 
 SQL_TOP_REVENUE = """
-SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT l_orderkey, o_orderdate,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
@@ -827,15 +892,19 @@ GROUP BY c.event_id, c.user_id
 
 def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (subtotals + grand total)."""
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        # integer-cents contract (see q_eav_pivot)
+        "qty_c", F.round(F.col("l_quantity") * 100).cast("long")
+    )
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.sum("qty_c") / F.lit(100.0)).alias("sum_qty"),
     )
 
 
 SQL_ROLLUP = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -896,17 +965,24 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation — must equal the plain groupBy
     (oracle = same SQL as count_group_by)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        # integer-cents contract (see q_eav_pivot); also makes the
+        # two-stage salted recombination itself exact — partial long sums
+        # recombine associatively, partial double sums would not.
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
     out = salted_agg(
         o,
         ["o_custkey"],
         {
             "order_count": ("sum", F.count(F.lit(1))),
-            "total_spend": ("sum", F.sum("o_totalprice")),
+            "total_spend_c": ("sum", F.sum("price_c")),
         },
     )
     return out.select(
-        "o_custkey", "order_count", F.round("total_spend", 2).alias("total_spend")
+        "o_custkey",
+        "order_count",
+        (F.col("total_spend_c") / F.lit(100.0)).alias("total_spend"),
     )
 
 
@@ -953,10 +1029,10 @@ WITH sh AS (
     )
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-                  THEN len(list_intersect(a.shingles, b.shingles))
-                       / len(list_distinct(list_concat(a.shingles, b.shingles)))
-                  ELSE 0.0 END, 4) AS jaccard
+       CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+            THEN len(list_intersect(a.shingles, b.shingles))
+                 / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+            ELSE 0.0 END AS jaccard
 FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
 """
 
@@ -1065,14 +1141,14 @@ SELECT doc_id,
        length(text) AS q_chars,
        CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS q_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS q_bpe_tokens,
-       round(CASE WHEN length(text) > 0
-                  THEN len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
-                  ELSE 0.0 END, 6) AS q_punct_ratio,
-       round(CASE WHEN len(toks) > 0 AND trim(text) <> ''
-                  THEN len(list_filter(ltoks, x -> x IN ('the', 'and', 'of', 'to', 'in'))) / len(toks)
-                  ELSE 0.0 END, 6) AS q_stopword_ratio,
-       round(CASE WHEN len(toks) > 0 AND trim(text) <> ''
-                  THEN length(text) / len(toks) ELSE 0.0 END, 6) AS q_mean_token_len
+       CASE WHEN length(text) > 0
+            THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END AS q_punct_ratio,
+       CASE WHEN len(toks) > 0 AND trim(text) <> ''
+            THEN len(list_filter(ltoks, x -> x IN ('the', 'and', 'of', 'to', 'in'))) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END AS q_stopword_ratio,
+       CASE WHEN len(toks) > 0 AND trim(text) <> ''
+            THEN length(text) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS q_mean_token_len
 FROM t
 """
 
@@ -1081,7 +1157,13 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (Gopher-family curation rules)
     over documents plus synthesized repetitive variants (the fixture's
     random text has no natural repetition, so exercise both branches:
-    doc_id+1_000_000 copies get their first line tripled)."""
+    doc_id+1_000_000 copies get their first line tripled).
+
+    The cross-engine contract is INTEGER-ONLY: exact line/bigram counts
+    and the integer-derived flag. The operator's derived double fracs
+    are deliberately excluded — round(a/b, n) doubles are 1-ULP
+    sensitive across engines (Spark BigDecimal HALF_UP vs DuckDB
+    multiply-round-divide) and made this row flaky in round 4."""
     d = _t(spark, sf_dir, "documents")
     rep = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -1090,7 +1172,10 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     both = d.select("doc_id", "text").unionByName(rep)
-    return tx.repetition_features(both)
+    return tx.repetition_features(both).select(
+        "doc_id", "n_lines", "n_distinct_lines", "n_bigrams", "top_c",
+        "rep_flagged",
+    )
 
 
 SQL_REPETITION = r"""
@@ -1108,9 +1193,7 @@ lines AS (
 ),
 base AS (
     SELECT doc_id, len(ls) AS n_lines,
-           round(CASE WHEN len(ls) > 0
-                      THEN 1 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE)
-                      ELSE 0.0 END, 4) AS dup_line_frac
+           len(list_distinct(ls)) AS n_distinct_lines
     FROM lines
 ),
 toks AS (
@@ -1129,15 +1212,14 @@ gram_counts AS (
     SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
 ),
 gram_stats AS (
-    SELECT doc_id, sum(c) AS n_bigrams,
-           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+    SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c
     FROM gram_counts GROUP BY doc_id
 )
-SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+SELECT b.doc_id, b.n_lines, b.n_distinct_lines,
        coalesce(g.n_bigrams, 0) AS n_bigrams,
-       coalesce(g.top_bigram_frac, 0.0) AS top_bigram_frac,
-       (b.dup_line_frac > 0.30
-        OR (coalesce(g.top_bigram_frac, 0.0) > 0.18
+       coalesce(g.top_c, 0) AS top_c,
+       (10 * (b.n_lines - b.n_distinct_lines) > 3 * b.n_lines
+        OR (100 * coalesce(g.top_c, 0) > 18 * coalesce(g.n_bigrams, 0)
             AND coalesce(g.n_bigrams, 0) >= 20)) AS rep_flagged
 FROM base b LEFT JOIN gram_stats g ON b.doc_id = g.doc_id
 """
@@ -1362,7 +1444,7 @@ WITH q AS (
              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
     FROM q CROSS JOIN c WHERE query_id <> neighbor_id
 )
-SELECT query_id, neighbor_id, rank, round(sim, 6) AS cos_sim FROM (
+SELECT query_id, neighbor_id, rank, sim AS cos_sim FROM (
     SELECT query_id, neighbor_id, sim,
            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
     FROM s
@@ -1400,8 +1482,8 @@ SQL_EMBEDDING_NEARDUP = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT * FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
              AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
 ) WHERE cos_sim >= 0.35
@@ -1985,7 +2067,17 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     es = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)).cast(
         "long"
     )
-    base = e.select("event_id", "user_id", "value", es.alias("epoch_sec"))
+    base = e.select(
+        "event_id",
+        "user_id",
+        # integer-milli contract (see q_eav_pivot): windowed double sums
+        # are frame-walk-order-dependent (sliding add/remove vs segment
+        # tree differ engine to engine); an exact long sum in the frame,
+        # divided back once, is bit-stable. round-to-integer of a double
+        # is the one decimal op both engines agree on.
+        F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+        es.alias("epoch_sec"),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("epoch_sec")
@@ -1995,20 +2087,25 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "epoch_sec",
-        F.round(F.avg("value").over(w), 6).alias("ma_1h"),
+        (F.sum("v_milli").over(w) / F.lit(1000.0) / F.count(F.lit(1)).over(w)).alias(
+            "ma_1h"
+        ),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
 
 
 SQL_MOVING_AVERAGE = """
 WITH base AS (
-    SELECT event_id, user_id, value,
+    SELECT event_id, user_id,
+           CAST(round(value * 1000) AS BIGINT) AS v_milli,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
     FROM events
 )
 SELECT event_id, user_id, epoch_sec,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_sec
-                              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 6) AS ma_1h,
+       sum(v_milli) OVER (PARTITION BY user_id ORDER BY epoch_sec
+                          RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) / 1000.0
+         / count(*) OVER (PARTITION BY user_id ORDER BY epoch_sec
+                          RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS ma_1h,
        count(*) OVER (PARTITION BY user_id ORDER BY epoch_sec
                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h
 FROM base
@@ -2059,8 +2156,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps.groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn(
+            # unrounded long/long division: bit-exact cross-engine
             "p",
-            F.round(F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 6),
+            F.col("n") / F.sum("n").over(Window.partitionBy("from_type")),
         )
     )
 
@@ -2077,7 +2175,7 @@ WITH steps AS (
     GROUP BY 1, 2
 )
 SELECT from_type, to_type, n,
-       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+       n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
 FROM pairs
 """
 
@@ -2170,11 +2268,11 @@ WITH t AS (
 ), q AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_toks,
-           round(CASE WHEN len(toks) > 0 AND trim(text) <> ''
-                      THEN length(text) / len(toks) ELSE 0.0 END, 6) AS mtl,
-           round(CASE WHEN length(text) > 0
-                      THEN len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
-                      ELSE 0.0 END, 6) AS pr
+           CASE WHEN len(toks) > 0 AND trim(text) <> ''
+                THEN length(text) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mtl,
+           CASE WHEN length(text) > 0
+                THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS pr
     FROM t
 ), lines AS (
     SELECT doc_id,
@@ -2182,10 +2280,8 @@ WITH t AS (
                        l -> l != '') AS ls
     FROM documents
 ), base AS (
-    SELECT doc_id,
-           round(CASE WHEN len(ls) > 0
-                      THEN 1 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE)
-                      ELSE 0.0 END, 4) AS dup_line_frac
+    SELECT doc_id, len(ls) AS n_lines,
+           len(list_distinct(ls)) AS n_distinct_lines
     FROM lines
 ), dtoks AS (
     SELECT doc_id,
@@ -2200,13 +2296,12 @@ WITH t AS (
 ), gram_counts AS (
     SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
 ), gram_stats AS (
-    SELECT doc_id, sum(c) AS n_bigrams,
-           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+    SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c
     FROM gram_counts GROUP BY doc_id
 ), rep AS (
     SELECT b.doc_id,
-           (b.dup_line_frac > 0.30
-            OR (coalesce(g.top_bigram_frac, 0.0) > 0.18
+           (10 * (b.n_lines - b.n_distinct_lines) > 3 * b.n_lines
+            OR (100 * coalesce(g.top_c, 0) > 18 * coalesce(g.n_bigrams, 0)
                 AND coalesce(g.n_bigrams, 0) >= 20)) AS rep_flagged
     FROM base b LEFT JOIN gram_stats g ON b.doc_id = g.doc_id
 )
@@ -2228,15 +2323,19 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type, gap buckets carry a 0 count and the last observed
     rounded bucket-average. Oracle: DuckDB range()+unnest spine with an
     IGNORE NULLS window."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn(
+        # integer-milli contract (see q_eav_pivot): per-bucket double avgs
+        # are combine-order-dependent; exact long sum / 1000.0 / n is not.
+        "v_milli", F.round(F.col("value") * 1000).cast("long")
+    )
     out = gapfill_buckets(
-        e.select("event_type", "ts", "value"),
+        e.select("event_type", "ts", "v_milli"),
         keys=["event_type"],
         ts_col="ts",
         bucket_seconds=600,
         aggs={
             "n_events": F.count(F.lit(1)),
-            "avg_value": F.round(F.avg("value"), 6),
+            "avg_value": F.sum("v_milli") / F.lit(1000.0) / F.count(F.lit(1)),
         },
         locf_cols=["avg_value"],
     )
@@ -2253,7 +2352,7 @@ WITH b AS (
     SELECT event_type,
            CAST(floor(epoch(ts) / 600) AS BIGINT) AS idx,
            count(*) AS n,
-           round(avg(value), 6) AS av
+           sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0 / count(*) AS av
     FROM events GROUP BY 1, 2
 ), bounds AS (
     SELECT event_type, min(idx) AS mn, max(idx) AS mx FROM b GROUP BY 1
@@ -2270,27 +2369,44 @@ FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.idx = b.idx
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped percentiles (linear interpolation — Spark
-    ``percentile`` ≡ DuckDB ``quantile_cont``), the distribution-summary
-    aggregate alongside the sketch-based ``approx_aggs``."""
+    """Exact grouped percentiles, DISCRETE lower-rank definition: the
+    value at 0-indexed rank ``floor(q * (n - 1))`` of the sorted group —
+    an actual element of the data, so the cross-engine contract is
+    bit-exact with no interpolation arithmetic. (Linear interpolation —
+    Spark ``percentile`` / DuckDB ``quantile_cont`` — computes
+    ``lo + (hi-lo)*frac`` with engine-private expression order and a
+    non-dyadic 0.9 factor, then the round-4-documented ``round(x, 6)``
+    divergence on top; the discrete rank is pure integer selection.)
+    The rank index is integer arithmetic on both sides:
+    p25=(n-1)//4, p50=(n-1)//2, p75=(3*(n-1))//4, p90=(9*(n-1))//10.
+
+    Scale note: sort_array(collect_list) materializes each group's values
+    on one executor — same memory shape as Spark's own exact
+    ``percentile`` aggregate (it also buffers the group); groups here are
+    event types. For unbounded groups use approx_aggs' KLL/HLL path."""
     e = _t(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list("value"))
+    n1 = F.count(F.lit(1)) - 1
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.element_at(arr, (F.floor(n1 / 4) + 1).cast("int")).alias("p25"),
+        F.element_at(arr, (F.floor(n1 / 2) + 1).cast("int")).alias("p50"),
+        F.element_at(arr, (F.floor(n1 * 3 / 4) + 1).cast("int")).alias("p75"),
+        F.element_at(arr, (F.floor(n1 * 9 / 10) + 1).cast("int")).alias("p90"),
     )
 
 
 SQL_PERCENTILES = """
-SELECT event_type,
-       count(*) AS n,
-       round(quantile_cont(value, 0.25), 6) AS p25,
-       round(quantile_cont(value, 0.50), 6) AS p50,
-       round(quantile_cont(value, 0.75), 6) AS p75,
-       round(quantile_cont(value, 0.90), 6) AS p90
-FROM events GROUP BY event_type
+WITH s AS (
+    SELECT event_type, count(*) AS n, list_sort(list(value)) AS vs
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       vs[CAST((n - 1) // 4 AS BIGINT) + 1] AS p25,
+       vs[CAST((n - 1) // 2 AS BIGINT) + 1] AS p50,
+       vs[CAST((n - 1) * 3 // 4 AS BIGINT) + 1] AS p75,
+       vs[CAST((n - 1) * 9 // 10 AS BIGINT) + 1] AS p90
+FROM s
 """
 
 
