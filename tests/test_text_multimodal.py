@@ -83,15 +83,13 @@ def test_multimodal_decode_stub(spark):
 
 
 def test_decoder_dispatch_auto_falls_back_to_stub(spark):
-    """No codec libs in this container: auto must equal the pinned stub
-    path bit-for-bit, and available_decoders() must say why."""
-    import pytest
-
-    if mm.available_decoders():
-        pytest.skip("a real codec is installed; auto prefers it over the stub")
+    """Non-image payloads (text bytes) fail every real tier — PIL if
+    installed, then the stdlib PNG decoder — so auto must equal the
+    pinned stub path bit-for-bit regardless of installed libraries, and
+    available_decoders() always lists the stdlib "png" tier."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     media = mm.synthesize_media_from_documents(docs)
-    assert mm.available_decoders() == []
+    assert "png" in mm.available_decoders()
     stub = {r["media_id"]: r for r in mm.decode_features(media, decoder="stub").collect()}
     auto = {r["media_id"]: r for r in mm.decode_features(media, decoder="auto").collect()}
     assert stub.keys() == auto.keys()
@@ -370,7 +368,7 @@ def test_resize_images_pil_requires_library(spark):
 
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = mm.synthesize_media_from_documents(docs)
-    if mm.available_decoders():
+    if "pil" in mm.available_decoders():
         _pytest.skip("PIL installed: the pil path is covered by the real-codec test")
     with _pytest.raises(Exception, match="PIL is not installed"):
         mm.resize_images(media, width=4, height=4, decoder="pil").collect()

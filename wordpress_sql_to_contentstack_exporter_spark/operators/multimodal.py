@@ -6,13 +6,16 @@ binary payload column, or a manifest of object-store URIs). The
 Spark-side machinery here is real and tested: schemas, Arrow-batched
 ``mapInPandas`` decode stage, partition sizing.
 
-Codec dispatch: ``decode_features(decoder="auto")`` prefers a real
-image decoder (PIL, imported lazily on each executor) and falls back to
-the deterministic sha256-derived stub when no codec library is present
-(this container ships none — verified by ``available_decoders()``).
-``decoder="stub"`` forces the deterministic path; the driver gate query
-pins it so oracle parity cannot depend on which libraries happen to be
-installed.
+Codec dispatch (three tiers): ``decode_features(decoder="auto")``
+prefers a real image decoder (PIL, imported lazily on each executor),
+then — for PNG payloads — the stdlib-only decoder in ``operators.png``
+(zlib inflate + struct header parse; needs no third-party library, so
+the REAL-pixel-decode path executes even in this codec-less container),
+and finally the deterministic sha256-derived stub. ``decoder="png"``
+forces the stdlib tier, ``decoder="stub"`` the stub; the driver gate
+query pins ``"stub"`` so oracle parity cannot depend on which libraries
+happen to be installed. ``available_decoders()`` reports what THIS
+interpreter can really decode.
 """
 
 from __future__ import annotations
@@ -25,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import png as _png
 
 #: Canonical media-row schema: payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -99,10 +104,12 @@ def _make_pil_decoder():
 
 
 def available_decoders() -> list[str]:
-    """Names of real codec backends importable in THIS interpreter
-    ("pil", ...). Empty in codec-less containers — the honest signal the
-    stub path is in use."""
-    return ["pil"] if _make_pil_decoder() is not None else []
+    """Names of real codec backends usable in THIS interpreter. "png"
+    (the stdlib tier) is always present; "pil" only when importable —
+    so the list is never empty, but a PIL-less container honestly shows
+    the stdlib decoder is the only real-pixel path."""
+    out = ["pil"] if _make_pil_decoder() is not None else []
+    return out + ["png"]
 
 
 def decode_features(
@@ -110,11 +117,13 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature stage over binary media rows.
 
-    ``decoder``: ``"auto"`` prefers a real codec on the executors (PIL
-    today) and falls back to the deterministic stub; ``"pil"`` requires
-    PIL (rows the codec cannot parse fall back to the stub feature
-    rather than poisoning the batch); ``"stub"`` forces the
-    deterministic path (the driver gate pins this so results never
+    ``decoder``: ``"auto"`` cascades pil → stdlib-png → stub per row —
+    PIL when importable, the stdlib PNG decoder (``operators.png``) for
+    PNG payloads, the deterministic stub for everything else; ``"pil"``
+    requires PIL (rows the codec cannot parse fall back to the stub
+    feature rather than poisoning the batch); ``"png"`` forces the
+    stdlib tier (non-PNG rows fall back to the stub); ``"stub"`` forces
+    the deterministic path (the driver gate pins this so results never
     depend on installed libraries).
 
     ``mapInPandas`` so each Python worker sees whole Arrow batches (not
@@ -125,13 +134,14 @@ def decode_features(
     manifest) — the decode stage is compute-bound, so partitions ==
     cluster cores is the target.
     """
-    if decoder not in ("auto", "pil", "stub"):
-        raise ValueError(f"unknown decoder {decoder!r} (auto|pil|stub)")
+    if decoder not in ("auto", "pil", "png", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r} (auto|pil|png|stub)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         real = _make_pil_decoder() if decoder in ("auto", "pil") else None
         if decoder == "pil" and real is None:
             raise ImportError("decoder='pil' requested but PIL is not installed")
+        use_png = decoder in ("auto", "png")
 
         def featurize(payload):
             if payload is None:
@@ -139,8 +149,13 @@ def decode_features(
             if real is not None:
                 try:
                     return real(payload)
-                except Exception:  # non-image payload: stub feature, not poison
-                    return _decode_bytes(payload)
+                except Exception:  # not PIL-decodable: next tier, not poison
+                    pass
+            if use_png:
+                try:
+                    return _png.feature8(payload)
+                except Exception:  # non-PNG payload: stub, not poison
+                    pass
             return _decode_bytes(payload)
 
         for pdf in batches:
@@ -207,25 +222,26 @@ def resize_images(
 ) -> DataFrame:
     """Image resize stage over binary media rows (``mapInPandas``).
 
-    ``decoder="auto"`` uses PIL on the executors when present (decode →
-    ``Image.resize`` → PNG re-encode), else the deterministic stub;
-    ``"pil"`` requires PIL; ``"stub"`` forces the stub. The stub payload
+    ``decoder="auto"`` cascades pil → stdlib-png → stub per row: PIL when
+    present (decode → ``Image.resize`` → PNG re-encode), the stdlib PNG
+    tier for PNG payloads (decode → nearest-neighbor resample → PNG
+    re-encode, ``operators.png`` — real pixels, no third-party library),
+    else the deterministic stub; ``"pil"`` requires PIL; ``"png"``
+    forces the stdlib tier; ``"stub"`` forces the stub. The stub payload
     is sha256-derived and tagged with the target geometry, so the
     Spark-side contract — binary in, smaller binary out, dims recorded —
-    is exercised end-to-end without a codec library (none ships in this
-    container; see ``available_decoders``).
+    is exercised end-to-end even on non-image payloads.
 
     Same batch/partition guidance as ``decode_features``: the stage is
     compute-bound, payload-heavy, and map-only — partitions sized to
     cores, no shuffle.
     """
-    if decoder not in ("auto", "pil", "stub"):
-        raise ValueError(f"unknown decoder {decoder!r} (auto|pil|stub)")
+    if decoder not in ("auto", "pil", "png", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r} (auto|pil|png|stub)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_pil = decoder in ("auto", "pil")
         pil_resize = None
-        if use_pil:
+        if decoder in ("auto", "pil"):
             try:
                 import io
 
@@ -242,6 +258,13 @@ def resize_images(
                     raise ImportError(
                         "decoder='pil' requested but PIL is not installed"
                     )
+        use_png = decoder in ("auto", "png")
+
+        def png_resize(payload: bytes) -> bytes:
+            w, h, nch, px = _png.decode(payload)
+            return _png.encode(
+                width, height, nch, _png.resize_nearest(w, h, nch, px, width, height)
+            )
 
         def stub_resize(payload: bytes) -> bytes:
             tag = f"RESIZED:{width}x{height}:".encode()
@@ -253,8 +276,13 @@ def resize_images(
             if pil_resize is not None:
                 try:
                     return pil_resize(payload)
-                except Exception:  # non-image payload: stub, not poison
-                    return stub_resize(payload)
+                except Exception:  # not PIL-decodable: next tier, not poison
+                    pass
+            if use_png:
+                try:
+                    return png_resize(payload)
+                except Exception:  # non-PNG payload: stub, not poison
+                    pass
             return stub_resize(payload)
 
         for pdf in batches:
