@@ -1678,11 +1678,13 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed ANN (coarse cells x compressed ADC scan x exact
-    re-rank; operators/similarity.ivfpq_topk). Rows-only: k-means.
-    n_probe=8/16 cells — on the clusterless Gaussian fixture the IVF
-    routing is the recall ceiling (0.80 here vs PQ-only 0.84), exactly
-    the contrast the two gate entries document."""
+    """IVF-PQ composed ANN (coarse cells x residual-PQ ADC scan x exact
+    re-rank; operators/similarity.ivfpq_topk, by_residual=True —
+    standard FAISS IVFPQ). Rows-only: k-means. Residual encoding
+    (VERDICT r4 ask #4) lifted recall 0.68 -> 0.80 at unchanged
+    n_probe=8/16 cells; the remaining gap to PQ-only (0.84) is the IVF
+    routing miss on the clusterless Gaussian fixture — exactly the
+    contrast the two gate entries document."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     out = sim.ivfpq_topk(q, e, k=5, n_cells=16, n_probe=8, m=16, rerank=32)
