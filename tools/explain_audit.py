@@ -216,6 +216,61 @@ def main() -> int:
         ("single lag window, no join", r"\A(?s:(?!.*Join).*)\Z"),
     )
 
+    # Round-4 additions (VERDICT r4 ask #6): mechanical plan checks.
+    # moving_average: the trailing-1h frame must compile to a RANGE
+    # window (specrange with a numeric lower bound), over exactly ONE
+    # exchange — one shuffle on user_id serves both window aggregates.
+    ma_plan = plan_of(SPARK_QUERIES["moving_average"](spark, sf_dir))
+    check_plan(
+        "moving_average",
+        ma_plan,
+        ("RANGE frame present", r"specifiedwindowframe\(RangeFrame"),
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", ma_plan, re.M))
+    if n_ex != 1:
+        failures.append(("moving_average", f"expected one window exchange, got {n_ex}"))
+        print(f"FAIL  moving_average: expected one window exchange, got {n_ex}")
+    else:
+        print("ok    moving_average: single window exchange")
+    # pivot_unpivot: the pivot value set is pinned, so the plan must be
+    # ONE aggregate exchange with no second value-discovery job (a
+    # collect-distinct would appear as an extra scan) and no join.
+    pu_plan = plan_of(SPARK_QUERIES["pivot_unpivot"](spark, sf_dir))
+    check_plan(
+        "pivot_unpivot",
+        pu_plan,
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+    n_scans_pu = len(re.findall(r"^\(\d+\) Scan parquet", pu_plan, re.M))
+    n_ex_pu = len(re.findall(r"^\(\d+\) Exchange", pu_plan, re.M))
+    if n_scans_pu != 1 or n_ex_pu > 1:
+        failures.append(
+            ("pivot_unpivot", f"expected 1 scan/<=1 exchange, got {n_scans_pu}/{n_ex_pu}")
+        )
+        print(f"FAIL  pivot_unpivot: expected 1 scan/<=1 exchange, got {n_scans_pu}/{n_ex_pu}")
+    else:
+        print(f"ok    pivot_unpivot: one scan, {n_ex_pu} shuffle, no value-discovery job")
+    # row_checksum: the commutative bit_xor must partial-aggregate
+    # map-side (partial_bit_xor before the exchange) so only 3 running
+    # digests per partition reach the shuffle, never row digests.
+    check(
+        "row_checksum",
+        ("map-side partial bit_xor", r"partial_bit_xor"),
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+    # weighted_sample: per-stratum top-n must be a window over the
+    # stratum partitioning — not a global Sort (which would serialize
+    # the corpus through one ordering) and not a join.
+    ws_plan = plan_of(SPARK_QUERIES["weighted_sample"](spark, sf_dir))
+    check_plan(
+        "weighted_sample",
+        ws_plan,
+        ("per-stratum window", r"\(\d+\) Window"),
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+        ("no global sort", r"\A(?s:(?!.*Sort \[[^\]]*\], true).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -2036,19 +2036,27 @@ FROM orders GROUP BY o_orderstatus
 
 
 def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic pivot + unpivot roundtrip: events pivot to one count
-    column per event_type (values list pinned for a deterministic
-    schema — required on a real cluster anyway, since value discovery
-    is an extra job), then unpivot back to long form. Zero-count cells
-    exist as columns mid-plan but are dropped on unpivot to match the
-    plain-aggregation oracle."""
+    """Pivot + unpivot roundtrip: events pivot to one count column per
+    event_type, then unpivot back to long form. Zero-count cells exist
+    as columns mid-plan but are dropped on unpivot to match the
+    plain-aggregation oracle.
+
+    The pivot is expressed as conditional aggregation over the PINNED
+    value list (one ``count(when(type = t))`` per column) rather than
+    ``DataFrame.pivot``: with explicit values the two are semantically
+    identical, but Spark's pivot operator always compiles to a two-phase
+    plan — partial agg on (group, pivot) then re-agg on group = TWO
+    shuffles of the fact table — while conditional aggregation is ONE
+    map-side-combined shuffle on the group key (explain_audit pins
+    this). Pinning the value list is required on a real cluster anyway:
+    value discovery is an extra collect job over 100 TB."""
     e = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    wide = (
-        e.groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, types)
+    wide = e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in types
+        ]
     )
     long = wide.unpivot("user_id", types, "event_type", "n")
     return long.filter(F.col("n") > 0)
