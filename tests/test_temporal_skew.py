@@ -161,3 +161,141 @@ def test_gapfill_buckets_drops_null_timestamps(spark):
     ).collect()
     # the NULL-ts row is excluded up front, not silently lost mid-plan
     assert len(out) == 1 and out[0]["n"] == 1
+
+
+def test_gapfill_buckets_rejects_reserved_name_collisions(spark):
+    """ADVICE r4: internal (__idx/__mn/__mx), output (bucket_epoch) and
+    generated (<col>_locf) names must fail fast, not silently overwrite."""
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import gapfill_buckets
+
+    df = spark.createDataFrame(
+        [("A", T(2024, 1, 1), 1.0)], "k string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="bucket_epoch"):
+        gapfill_buckets(
+            df, keys=["k"], ts_col="ts", bucket_seconds=60,
+            aggs={"bucket_epoch": F.count(F.lit(1))},
+        )
+    with pytest.raises(ValueError, match="__idx"):
+        gapfill_buckets(
+            df.withColumnRenamed("k", "__idx"), keys=["__idx"], ts_col="ts",
+            bucket_seconds=60, aggs={"n": F.count(F.lit(1))},
+        )
+    with pytest.raises(ValueError, match="n_locf"):
+        gapfill_buckets(
+            df, keys=["k"], ts_col="ts", bucket_seconds=60,
+            aggs={"n": F.count(F.lit(1)), "n_locf": F.avg("value")},
+            locf_cols=["n"],
+        )
+    with pytest.raises(ValueError, match="not in aggs"):
+        gapfill_buckets(
+            df, keys=["k"], ts_col="ts", bucket_seconds=60,
+            aggs={"n": F.count(F.lit(1))}, locf_cols=["avg_v"],
+        )
+
+
+def _duckdb_asof(left_rows, right_rows, *, strict, tolerance_seconds=None):
+    """DuckDB native ASOF JOIN oracle over the same planted rows.
+
+    DuckDB's ASOF inequality is >= (ties visible); the strict variant
+    uses >. Tolerance is applied as a post-predicate on the matched ts,
+    mirroring asof_join's semantics (match found, then aged out)."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(left_rows, columns=["id", "k", "ts"]))
+    con.register("r", pd.DataFrame(right_rows, columns=["rid", "k", "ts"]))
+    op = ">" if strict else ">="
+    rows = con.execute(
+        f"""
+        SELECT l.id,
+               CASE WHEN {'' if tolerance_seconds is None else
+                          f"epoch_us(l.ts) - epoch_us(r.ts) <= CAST({tolerance_seconds} AS BIGINT) * 1000000 AND "}
+                    TRUE THEN r.rid END AS rid
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts {op} r.ts
+        """
+    ).fetchall()
+    return {i: rid for i, rid in rows}
+
+
+def test_asof_tolerance_boundary_vs_duckdb_property(spark):
+    """VERDICT r4 ask #9: planted boundary rows — matches exactly AT the
+    tolerance edge (delta == tolerance must survive the <=), 1 us past
+    it (must be aged out), exact ties (strict vs non-strict), multiple
+    right rows straddling the edge — all compared against DuckDB's
+    native ASOF JOIN over identical data, for both TIMESTAMP and
+    TIMESTAMP_NTZ left/right inputs."""
+    tol = 3600
+    base = T(2024, 6, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    sec = dt.timedelta(seconds=1)
+    # right rows per key: one exactly tol before, one tol+1us before,
+    # one tie, one far-future (invisible), one just after left (invisible)
+    left_rows = [
+        (1, "edge", base),
+        (2, "past_edge", base),
+        (3, "tie", base),
+        (4, "none", base),
+        (5, "straddle", base),
+    ]
+    right_rows = [
+        (10, "edge", base - tol * sec),            # delta == tol -> kept
+        (11, "past_edge", base - tol * sec - us),  # delta == tol + 1us -> aged out
+        (12, "tie", base),                         # tie: non-strict only
+        (13, "none", base + sec),                  # after left: never
+        (14, "straddle", base - tol * sec - us),   # older candidate
+        (15, "straddle", base - tol * sec),        # newer: wins, at edge
+    ]
+    for cast_type in ("timestamp", "timestamp_ntz"):
+        l = spark.createDataFrame(left_rows, "id long, k string, ts timestamp").withColumn(
+            "ts", F.col("ts").cast(cast_type)
+        )
+        r = spark.createDataFrame(right_rows, "rid long, k string, ts timestamp").withColumn(
+            "ts", F.col("ts").cast(cast_type)
+        )
+        for strict in (False, True):
+            got = {
+                row["id"]: row["asof_rid"]
+                for row in asof_join(
+                    l, r, keys=["k"], left_ts="ts", right_ts="ts",
+                    payload=["rid"], tolerance_seconds=tol, strict=strict,
+                ).collect()
+            }
+            want = _duckdb_asof(left_rows, right_rows, strict=strict, tolerance_seconds=tol)
+            assert got == want, (cast_type, strict, got, want)
+            # the planted expectations themselves (defense against an
+            # oracle that is wrong the same way)
+            assert got[1] == 10 and got[2] is None and got[4] is None
+            assert got[5] == 15 and got[3] == (None if strict else 12)
+
+
+def test_asof_no_tolerance_random_property_vs_duckdb(spark):
+    """Seeded pseudo-random ts clouds (dense ties + microsecond
+    neighbors) must match DuckDB ASOF for strict and non-strict."""
+    import random
+
+    rng = random.Random(20260814)
+    base = T(2024, 6, 1)
+    left_rows = [
+        (i, f"k{rng.randrange(3)}", base + dt.timedelta(microseconds=rng.randrange(0, 50) * 500_000))
+        for i in range(40)
+    ]
+    right_rows = [
+        (100 + i, f"k{rng.randrange(3)}", base + dt.timedelta(microseconds=rng.randrange(0, 50) * 500_000))
+        for i in range(40)
+    ]
+    l = spark.createDataFrame(left_rows, "id long, k string, ts timestamp")
+    r = spark.createDataFrame(right_rows, "rid long, k string, ts timestamp")
+    for strict in (False, True):
+        got = {
+            row["id"]: row["asof_rid"]
+            for row in asof_join(
+                l, r, keys=["k"], left_ts="ts", right_ts="ts",
+                payload=["rid"], strict=strict,
+            ).collect()
+        }
+        want = _duckdb_asof(left_rows, right_rows, strict=strict)
+        assert got == want, (strict,)

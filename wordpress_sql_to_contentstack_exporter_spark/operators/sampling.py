@@ -163,6 +163,19 @@ def weighted_sample_wor(
     sample without replacement. Rows with non-positive weight are
     excluded (the scheme requires w > 0).
 
+    Cross-engine caveat (ADVICE r4): the md5-derived u is bit-exact in
+    any engine, but ``ln`` is NOT specified to be correctly rounded —
+    JVM ``Math.log`` and a libm ``ln`` may differ in the last ulp. The
+    selection is therefore exact-by-construction only AWAY from the
+    rank-n boundary: a row whose score ties the boundary row to within
+    1 ulp could flip in or out between engines. With 60-bit uniforms
+    and continuous weights an exact boundary tie has vanishing
+    probability (none observed across 5 rounds of the oracle gate), but
+    the guarantee is "exact selection modulo log-ulp boundary ties",
+    not unconditional. A log-free monotone key (u^(1/w) via exact
+    integer arithmetic) does not exist for general w, so the contract
+    is documented rather than worked around.
+
     Scale shape: the stratified form is one shuffle + per-stratum top-n
     window; the global form compiles to TakeOrdered (per-partition heap,
     driver merges n rows) — no global sort of the corpus either way.

@@ -137,6 +137,24 @@ def gapfill_buckets(
     (keys, bucket) partitioning AQE already produced.
     """
     locf_cols = list(locf_cols or [])
+    # Internal/output name collision guard (ADVICE r4): a caller whose
+    # keys or agg aliases include the plan's internal columns (or the
+    # bucket_epoch output, or a generated <col>_locf name) would get a
+    # silent overwrite or an ambiguous-column error mid-plan — fail fast
+    # instead, matching the NULL-ts defensive style below.
+    reserved = {"__idx", "__mn", "__mx", "bucket_epoch"}
+    names = set(keys) | set(aggs)
+    clashes = sorted(names & reserved)
+    locf_out = {f"{c}_locf" for c in locf_cols}
+    clashes += sorted(names & locf_out)
+    if clashes:
+        raise ValueError(
+            f"gapfill_buckets: reserved/generated column name collision: {clashes} "
+            f"(reserved: {sorted(reserved)}; generated: {sorted(locf_out)})"
+        )
+    missing = [c for c in locf_cols if c not in aggs]
+    if missing:
+        raise ValueError(f"gapfill_buckets: locf_cols not in aggs: {missing}")
     idx = F.floor(_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000)).cast("long")
     # NULL-timestamp rows cannot be bucketed; drop them explicitly (they
     # would otherwise form a NULL bucket that silently falls out of the

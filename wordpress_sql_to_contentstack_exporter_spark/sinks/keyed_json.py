@@ -6,19 +6,29 @@ module keyed by entry uid — ``{"16": {...}, "18": {...}}`` (posts.js:150-162)
 and flat mapping files ``{uid: ""}`` / ``{url: ""}`` (assets.js:133-134).
 
 Distributed-write note (SURVEY.md §7 risk register): a single JSON
-*document* is inherently one file, so the final assembly is a driver-side
-write of an aggregated single row. Everything upstream (the entries
-themselves) is computed distributed; the aggregation ships one
-``to_json``-rendered struct per entry, not raw tables. These files are
-human-scale (content entries, not fact data) — for fact-scale output use
-``df.write.json`` (one JSON object per line) instead; that path is the
-plain DataFrame writer and needs no custom sink.
+*document* is inherently one file, so the DEFAULT assembly
+(``mode="document"``) is a driver-side write of an aggregated single
+row. Everything upstream (the entries themselves) is computed
+distributed; the aggregation ships one ``to_json``-rendered struct per
+entry, not raw tables. These files are human-scale (content entries,
+not fact data).
+
+For fact-scale output ``mode="sharded"`` (VERDICT r4 ask #8) removes
+the driver ``collect()`` entirely: entries are rendered and
+range-sorted on executors, written as ordered text shards, then
+PACKAGED into the same keyed document by streaming the shard files in
+filename order — O(1) driver memory, bounded by disk bandwidth, never
+by entry count. (For line-oriented output ``df.write.json`` remains the
+plain-writer alternative; sharded mode exists when the keyed-document
+FORMAT itself is the contract.)
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,14 +53,78 @@ def keyed_json_string(df: DataFrame, key: Column, value: Column, *, sort_keys: b
 
 
 def write_keyed_json(
-    df: DataFrame, key: Column, value: Column, path: str, *, sort_keys: bool = True
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    path: str,
+    *,
+    sort_keys: bool = True,
+    mode: str = "document",
 ) -> None:
     """Write the keyed-JSON entries file (e.g. ``entries/posts/en-us.json``),
     replacing any existing document. For partial (ids-subset) runs use
-    ``merge_keyed_json`` — overwrite would destroy prior entries."""
+    ``merge_keyed_json`` — overwrite would destroy prior entries.
+
+    ``mode="document"`` (default): driver-side assembly via one
+    ``collect()`` of pre-rendered entries — right for human-scale
+    documents. ``mode="sharded"``: no driver collect; see
+    ``_write_keyed_json_sharded``. Both modes produce the same parsed
+    content (pinned by tests); keys are unique by contract (entry uids) —
+    under duplicate keys, document mode last-wins while sharded mode
+    would emit both, so dedup upstream."""
+    if mode not in ("document", "sharded"):
+        raise ValueError(f"unknown mode {mode!r} (document|sharded)")
+    if mode == "sharded":
+        _write_keyed_json_sharded(df, key, value, path)
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write(keyed_json_string(df, key, value, sort_keys=sort_keys))
+
+
+def _write_keyed_json_sharded(df: DataFrame, key: Column, value: Column, path: str) -> None:
+    """Fact-scale keyed-JSON assembly with NO driver collect.
+
+    Plan: each entry renders to a single-pair JSON fragment on the
+    executors (``to_json`` of a one-entry map — to_json handles the
+    key's JSON escaping), range-repartitioned + sorted by key so the
+    numbered shard files come out in global key order (range partition i
+    holds keys entirely below partition i+1's). The packaging step then
+    streams the shards in filename order into the final ``{...}``
+    document — the driver never holds more than one line in memory, so
+    the ceiling is disk bandwidth, not heap. Output parses identically
+    to ``mode="document"`` (entry order sorted by key)."""
+    shard_dir = path + ".shards"
+    fragment = F.to_json(
+        F.map_from_arrays(F.array(key.cast("string")), F.array(value))
+    )
+    (
+        df.select(key.cast("string").alias("__k"), fragment.alias("__frag"))
+        .repartitionByRange("__k")
+        .sortWithinPartitions("__k")
+        .select("__frag")
+        .write.mode("overwrite")
+        .text(shard_dir)
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        with open(path, "w") as out:
+            out.write("{")
+            first = True
+            for part in sorted(glob.glob(os.path.join(shard_dir, "part-*"))):
+                with open(part) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        out.write("," if not first else "")
+                        out.write("\n    ")
+                        # strip the one-entry map's outer braces -> `"k": {...}`
+                        out.write(line[1:-1])
+                        first = False
+            out.write("\n}" if not first else "}")
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
 
 
 def merge_keyed_json(
