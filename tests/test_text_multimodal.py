@@ -420,3 +420,53 @@ def test_sample_frames_av_branch_is_marked(spark):
     media = mm.synthesize_media_from_documents(docs)
     with _pytest.raises(NotImplementedError, match="PyAV"):
         mm.sample_frames(media, decoder="av")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import chunk_documents
+
+    toks120 = " ".join(f"t{i}" for i in range(120))
+    rows = [
+        (1, "short doc"),                 # <= max_tokens -> 1 chunk
+        (2, toks120),                     # 120 tokens, window 32 stride 24
+        (3, ""),                          # empty -> no chunks
+        (4, "   "),                       # whitespace -> no chunks
+        (5, " ".join(f"x{i}" for i in range(32))),  # exactly max -> 1 chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=32, overlap=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+
+    assert len(by_doc.get(1, [])) == 1 and by_doc[1][0]["chunk_text"] == "short doc"
+    assert 3 not in by_doc and 4 not in by_doc
+    assert len(by_doc[5]) == 1 and by_doc[5][0]["n_chunk_tokens"] == 32
+
+    # 120 tokens: chunks at strides 0,24,48,72,88? no: 1+ceil(88/24)=1+4=5
+    c2 = by_doc[2]
+    assert len(c2) == 5
+    assert [r["n_chunk_tokens"] for r in c2] == [32, 32, 32, 32, 24]
+    # full coverage: last chunk reaches token 119
+    assert c2[-1]["chunk_text"].split()[-1] == "t119"
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = c2[0]["chunk_text"].split(), c2[1]["chunk_text"].split()
+    assert a[-8:] == b[:8]
+    # every token covered in order within each chunk
+    assert a == [f"t{i}" for i in range(32)]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=16, overlap=16)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=16, overlap=-1)

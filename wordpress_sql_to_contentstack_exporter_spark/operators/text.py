@@ -420,3 +420,67 @@ def normalize_for_rep(text: Column) -> Column:
     """Lowercase + whitespace-collapse — the same canonical form the dedup
     family uses, so repetition and dedup agree on what a token is."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the step
+    between cleaning and sequence packing in a training-data pipeline
+    (context-window chunking for pretraining shards, embedding inputs,
+    retrieval corpora).
+
+    Chunk i covers whitespace tokens ``[i*stride, i*stride + max_tokens)``
+    with ``stride = max_tokens - overlap``; the last chunk is the first
+    one whose window reaches the end of the document, so every token is
+    covered, consecutive chunks share exactly ``overlap`` tokens, and a
+    doc with ``<= max_tokens`` tokens yields exactly one chunk. Empty /
+    whitespace-only docs yield NO chunks (nothing to train on).
+
+    Output: ``(id, chunk_idx, n_chunk_tokens, chunk_text)``.
+
+    Plan shape: pure flat-map — tokenize once (projected column), a
+    JVM-side ``sequence``/``explode`` for chunk indices, ``slice`` +
+    ``concat_ws`` per chunk. No shuffle, no Python; at 100 TB this
+    pipelines with the parquet scan exactly like the quality features.
+    The token array is materialized BEFORE the per-chunk slicing for the
+    same interpreted-lambda reason ``repetition_features`` documents.
+    """
+    if max_tokens <= 0 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError("need max_tokens > 0 and 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    tok_df = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    # number of chunks: 1 + ceil(max(n - max_tokens, 0) / stride), via
+    # integer arithmetic; 0 chunks when the doc has no tokens
+    extra = F.greatest(n - F.lit(max_tokens), F.lit(0))
+    n_chunks = F.when(
+        n > 0, F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    ).otherwise(F.lit(0))
+    # sequence(0, -1) would generate a DESCENDING [0, -1] (Spark's
+    # sequence direction follows its bounds) — guard the 0-chunk case
+    # to an explicit empty array instead.
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = tok_df.select(
+        "id",
+        "__toks",
+        F.explode(idxs).alias("chunk_idx"),
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, max_tokens
+    )
+    return exploded.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", window).alias("chunk_text"),
+    )

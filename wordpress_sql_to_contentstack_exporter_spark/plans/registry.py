@@ -2440,6 +2440,100 @@ def q_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_out.unionByName(union_out).orderBy("event_type")
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window document chunking (operators/text.chunk_documents):
+    overlapping token windows (max 32, overlap 8 at gate scale), the
+    cleaning→packing bridge of a pretraining pipeline. Pure flat-map —
+    JVM sequence/explode/slice, no shuffle. Oracle reproduces the
+    stride arithmetic with DuckDB list slicing."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(
+        d.select("doc_id", "text"), max_tokens=32, overlap=8
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []
+                ELSE string_split_regex(trim(text), '\s+') END AS toks
+    FROM documents
+), c AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           CASE WHEN len(toks) > 0
+                THEN 1 + (greatest(len(toks) - 32, 0) + 23) // 24
+                ELSE 0 END AS n_chunks
+    FROM t
+)
+SELECT doc_id,
+       unnest(range(0, n_chunks)) AS chunk_idx,
+       len(toks[unnest(range(0, n_chunks)) * 24 + 1 : unnest(range(0, n_chunks)) * 24 + 32]) AS n_chunk_tokens,
+       array_to_string(toks[unnest(range(0, n_chunks)) * 24 + 1 : unnest(range(0, n_chunks)) * 24 + 32], ' ') AS chunk_text
+FROM c WHERE n_chunks > 0
+"""
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the migration-validation
+    companion to ``row_checksum`` for the reference's MySQL exodus: per
+    FK relation, total child rows and orphans (child keys with no parent
+    row). Plan: one broadcast-able anti-join per relation on the parent
+    key, stacked with unionByName; the child fact tables are each
+    scanned once and never shuffled (anti-join builds on the parent
+    side). NULL FKs count as rows, not orphans (SQL FK semantics)."""
+    rels = [
+        ("orders.o_custkey->customer.c_custkey",
+         _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("fk")),
+         _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("pk"))),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("fk")),
+         _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("pk"))),
+        ("customer.c_nationkey->nation.n_nationkey",
+         _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("fk")),
+         _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("pk"))),
+        ("nation.n_regionkey->region.r_regionkey",
+         _t(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("fk")),
+         _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("pk"))),
+    ]
+    parts = []
+    for name, child, parent in rels:
+        orphans = child.filter(F.col("fk").isNotNull()).join(
+            parent, F.col("fk") == F.col("pk"), "left_anti"
+        )
+        parts.append(
+            child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_FK_INTEGRITY = """
+SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+       (SELECT count(*) FROM orders) AS n_rows,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'nation.n_regionkey->region.r_regionkey',
+       (SELECT count(*) FROM nation),
+       (SELECT count(*) FROM nation na WHERE na.n_regionkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = na.n_regionkey))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2524,6 +2618,8 @@ SPARK_QUERIES = {
     "moving_average": q_moving_average,
     "pivot_unpivot": q_pivot_unpivot,
     "row_checksum": q_row_checksum,
+    "doc_chunks": q_doc_chunks,
+    "fk_integrity": q_fk_integrity,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2604,6 +2700,8 @@ ORACLE_SQL = {
     "moving_average": SQL_MOVING_AVERAGE,
     "pivot_unpivot": SQL_PIVOT_UNPIVOT,
     "row_checksum": SQL_ROW_CHECKSUM,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "fk_integrity": SQL_FK_INTEGRITY,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
