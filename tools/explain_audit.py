@@ -271,6 +271,25 @@ def main() -> int:
         ("no global sort", r"\A(?s:(?!.*Sort \[[^\]]*\], true).*)\Z"),
     )
 
+    # doc_chunks: pure flat-map — tokenize/sequence/explode/slice with
+    # no shuffle, no Python, one documents scan.
+    dc_plan = plan_of(SPARK_QUERIES["doc_chunks"](spark, sf_dir))
+    check_plan(
+        "doc_chunks",
+        dc_plan,
+        ("no shuffle (map-only flat-map)", r"\A(?s:(?!.*Exchange).*)\Z"),
+        ("no Python row UDFs", r"\A(?s:(?!.*BatchEvalPython).*)\Z"),
+        ("2-col pruned scan", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    )
+    # fk_integrity: every relation audits via broadcast anti-join on the
+    # parent key — no sort-merge of fact tables, no cartesian legs.
+    check(
+        "fk_integrity",
+        ("anti-joins present", r"LeftAnti"),
+        ("parent sides broadcast", r"BroadcastHashJoin.*LeftAnti"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 
