@@ -299,3 +299,63 @@ def test_asof_no_tolerance_random_property_vs_duckdb(spark):
         }
         want = _duckdb_asof(left_rows, right_rows, strict=strict)
         assert got == want, (strict,)
+
+
+def test_bucketed_range_join_count_keyfree(spark):
+    """Key-free range join via time-bucket blocking: hand-planted rows
+    straddling bucket boundaries, window edges inclusive/exclusive, and
+    zero-match left rows (must appear with 0, not vanish)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        bucketed_range_join_count,
+    )
+
+    base = T(2024, 3, 1, 0, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [(1, base), (2, base + 1000 * sec), (3, base + 5000 * sec)],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (base,),                # delta 0 for left 1 -> counts (lower inclusive)
+            (base + 599 * sec,),    # in window for left 1
+            (base + 600 * sec,),    # delta == upper -> excluded for left 1
+            (base + 1599 * sec,),   # in window for left 2 (599s later)
+            (base - 1 * sec,),      # before left 1 -> excluded
+        ],
+        "ts timestamp",
+    )
+    out = bucketed_range_join_count(
+        left, right, left_ts="ts", right_ts="ts",
+        lower_seconds=0, upper_seconds=600,
+    )
+    got = {r["id"]: r["n_in_range"] for r in out.collect()}
+    assert got == {1: 2, 2: 1, 3: 0}
+
+    # equivalence with a brute-force cross-join count on a random cloud
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, base + rng.randrange(0, 4000) * sec) for i in range(60)]
+    rrows = [(base + rng.randrange(0, 4000) * sec,) for _ in range(80)]
+    l = spark.createDataFrame(lrows, "id long, ts timestamp")
+    r = spark.createDataFrame(rrows, "ts timestamp")
+    fast = {
+        row["id"]: row["n_in_range"]
+        for row in bucketed_range_join_count(
+            l, r, left_ts="ts", right_ts="ts",
+            lower_seconds=-120, upper_seconds=120, bucket_seconds=90,
+        ).collect()
+    }
+    brute = {
+        i: sum(1 for (rt,) in rrows if -120 <= (rt - lt).total_seconds() < 120)
+        for i, lt in lrows
+    }
+    assert fast == brute
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucketed_range_join_count(
+            l, r, left_ts="ts", right_ts="ts", lower_seconds=5, upper_seconds=5
+        )

@@ -290,6 +290,15 @@ def main() -> int:
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
 
+    # range_join_bucketed: the whole point of time-bucket blocking is
+    # turning a key-free inequality join into an equi-join — any
+    # nested-loop/cartesian node means the blocking fell through.
+    check(
+        "range_join_bucketed",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

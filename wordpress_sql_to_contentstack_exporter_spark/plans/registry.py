@@ -2534,6 +2534,41 @@ SELECT 'nation.n_regionkey->region.r_regionkey',
 """
 
 
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-FREE range join via time-bucket blocking
+    (operators/temporal.bucketed_range_join_count): per purchase event,
+    how many error events ANYWHERE (no shared key) happened in the next
+    10 minutes. No equi-key exists, so a naive plan is a cartesian
+    product; bucketing time into the join key makes it an integer-key
+    shuffle join (explain_audit pins no-nested-loop). Counts are exact
+    integers — ULP-free oracle via DuckDB's inequality join."""
+    from ..operators.temporal import bucketed_range_join_count
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("ts")
+    out = bucketed_range_join_count(
+        purchases,
+        errors,
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=0,
+        upper_seconds=600,
+        count_alias="n_errors_10m",
+    )
+    return out.select("event_id", "n_errors_10m")
+
+
+SQL_RANGE_JOIN_BUCKETED = """
+SELECT p.event_id,
+       (SELECT count(*) FROM events x
+        WHERE x.event_type = 'error'
+          AND epoch_us(x.ts) - epoch_us(p.ts) >= 0
+          AND epoch_us(x.ts) - epoch_us(p.ts) < 600 * 1000000) AS n_errors_10m
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2620,6 +2655,7 @@ SPARK_QUERIES = {
     "row_checksum": q_row_checksum,
     "doc_chunks": q_doc_chunks,
     "fk_integrity": q_fk_integrity,
+    "range_join_bucketed": q_range_join_bucketed,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2702,6 +2738,7 @@ ORACLE_SQL = {
     "row_checksum": SQL_ROW_CHECKSUM,
     "doc_chunks": SQL_DOC_CHUNKS,
     "fk_integrity": SQL_FK_INTEGRITY,
+    "range_join_bucketed": SQL_RANGE_JOIN_BUCKETED,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
