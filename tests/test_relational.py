@@ -70,3 +70,36 @@ def test_id_list_roundtrip(spark, tmp_path):
     assert sorted(r["ID"] for r in kept.collect()) == [10, 11, 12]
     dropped = exclude_ids(df, ids, "ID")
     assert sorted(r["ID"] for r in dropped.collect()) == [9, 13]
+
+
+def test_upsert_latest_merge_semantics(spark):
+    """Latest-wins upsert: updates overwrite, inserts append, unmatched
+    base rows survive, ties on order_col prefer the update side, and
+    mismatched schemas fail fast."""
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.relational import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 5)], "id long, v string, ver long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2),   # overwrite (higher version)
+         (4, "d", 1),   # insert (new key)
+         (3, "TIE", 5)],  # same version as base -> update wins the tie
+        "id long, v string, ver long",
+    )
+    out = {r["id"]: r["v"] for r in upsert_latest(
+        base, updates, keys=["id"], order_col="ver"
+    ).collect()}
+    assert out == {1: "a", 2: "B", 3: "TIE", 4: "d"}
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        upsert_latest(base, updates.drop("ver"), keys=["id"], order_col="ver")
+
+    # stale update (lower version) must NOT overwrite
+    stale = spark.createDataFrame([(3, "old", 1)], "id long, v string, ver long")
+    out2 = {r["id"]: r["v"] for r in upsert_latest(
+        base, stale, keys=["id"], order_col="ver"
+    ).collect()}
+    assert out2[3] == "c"

@@ -158,3 +158,45 @@ def hierarchy_parent_join(
             F.lit(None).cast("string")
         ),
     ).drop("__pid", "__pslug")
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    *,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Latest-wins snapshot upsert (MERGE-on-key): union base and update
+    rows, keep the row with the greatest ``order_col`` per key — the
+    batch primitive behind every incremental migration/CDC snapshot
+    (the reference's read-modify-write document merges are this
+    operation at per-file scale; this is the table-scale form).
+
+    Plan shape: unionByName (schemas must match) then ONE shuffle on the
+    keys for a row_number window — no join, so there is no base-vs-update
+    matching step to skew; at 100 TB the cost is a single co-partitioned
+    sort per key group. Ties on ``order_col`` prefer the UPDATE side
+    (the incoming batch wins, matching MERGE semantics), then any
+    remaining tie is deterministic via the source tag. For true SCD2
+    history, skip the filter and keep all versions ordered by
+    ``order_col`` — this function returns the current snapshot only.
+    """
+    from pyspark.sql import Window
+
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"upsert_latest: schemas differ: {sorted(base.columns)} vs "
+            f"{sorted(updates.columns)}"
+        )
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -2569,6 +2569,57 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot upsert (operators/relational.upsert_latest):
+    a deterministic synthetic update batch (every 10th customer changes
+    segment and account balance at version 2) merged into the customer
+    base (version 1). One shuffle, no join — MERGE semantics with
+    update-wins ties. Oracle: DuckDB union + QUALIFY mirror."""
+    from ..operators.relational import upsert_latest
+
+    c = _t(spark, sf_dir, "customer").withColumn("version", F.lit(1).cast("long"))
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("MIGRATED"))
+        .withColumn(
+            "c_acctbal",
+            # integer-cents arithmetic: ULP-proof (see q_eav_pivot)
+            (F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(100))
+            / F.lit(100.0),
+        )
+        .withColumn("version", F.lit(2).cast("long"))
+    )
+    out = upsert_latest(c, updates, keys=["c_custkey"], order_col="version")
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        # re-express base-side balances identically in both engines
+        (F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(100.0)).alias(
+            "c_acctbal"
+        ),
+        "version",
+    )
+
+
+SQL_UPSERT_SNAPSHOT = """
+WITH base AS (
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c, 1 AS version
+    FROM customer
+), upd AS (
+    SELECT c_custkey, c_name, 'MIGRATED' AS c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) + 100 AS bal_c, 2 AS version
+    FROM customer WHERE c_custkey % 10 = 0
+), u AS (
+    SELECT * FROM base UNION ALL SELECT * FROM upd
+)
+SELECT c_custkey, c_name, c_mktsegment, bal_c / 100.0 AS c_acctbal, version
+FROM u
+QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2656,6 +2707,7 @@ SPARK_QUERIES = {
     "doc_chunks": q_doc_chunks,
     "fk_integrity": q_fk_integrity,
     "range_join_bucketed": q_range_join_bucketed,
+    "upsert_snapshot": q_upsert_snapshot,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2739,6 +2791,7 @@ ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "fk_integrity": SQL_FK_INTEGRITY,
     "range_join_bucketed": SQL_RANGE_JOIN_BUCKETED,
+    "upsert_snapshot": SQL_UPSERT_SNAPSHOT,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
