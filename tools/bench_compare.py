@@ -49,6 +49,10 @@ def main() -> None:
     # so their ratios are marginal-cost comparisons, not JVM-floor noise.
     compared = HEADLINE + [
         "paragraph_dedup", "token_topk", "tfidf_topterms", "gapfill", "percentiles",
+        # round-5 additions doing real two-engine work: flat-map chunking
+        # (string splitting both sides), bucketed inequality join vs
+        # DuckDB's IEJoin, windowed upsert vs QUALIFY
+        "doc_chunks", "range_join_bucketed", "upsert_snapshot",
     ]
     out = {}
     for name in compared:
