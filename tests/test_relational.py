@@ -103,3 +103,31 @@ def test_upsert_latest_merge_semantics(spark):
         base, stale, keys=["id"], order_col="ver"
     ).collect()}
     assert out2[3] == "c"
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.relational import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", None), (2, "y", "s"), (3, "z", "t"), (5, None, None)],
+        "id long, v string, w string",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", None),       # unchanged (null == null must be SAME)
+         (2, "Y", "s"),        # changed
+         (4, "new", "u"),      # added
+         (5, None, "now")],    # changed (null -> value)
+        "id long, v string, w string",
+    )
+    out = {r["id"]: r["diff_status"] for r in table_diff(a, b, keys=["id"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", 5: "changed"}
+
+    # compare_cols restriction: only v considered -> 5 becomes unchanged
+    out2 = {r["id"]: r["diff_status"] for r in
+            table_diff(a, b, keys=["id"], compare_cols=["v"]).collect()}
+    assert out2[5] == "unchanged" and out2[2] == "changed"
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        table_diff(a, b.drop("w"), keys=["id"])

@@ -200,3 +200,57 @@ def upsert_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table versions on a key: per key, status
+    ``added`` (in b only) / ``removed`` (a only) / ``changed`` (both,
+    any compared column differs, null-safe) / ``unchanged``.
+
+    The third leg of the migration-validation toolkit: ``row_checksum``
+    says WHETHER a group diverged, ``fk_integrity`` finds broken
+    references, and this localizes divergence to keys — the primitive
+    behind "which rows did the migration corrupt".
+
+    Plan shape: ONE full outer join co-partitioned on the keys (both
+    sides shuffle once on the same key — no second pass per status);
+    column comparison is a null-safe conjunction evaluated in codegen.
+    Downstream can filter to ``status != 'unchanged'`` (pushed through
+    the join) so only divergent keys ever leave the executors.
+    """
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"table_diff: schemas differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+        )
+    compare = compare_cols if compare_cols is not None else [
+        c for c in a.columns if c not in keys
+    ]
+    la = a.alias("a")
+    lb = b.alias("b")
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = c if cond is None else cond & c
+    joined = la.join(lb, cond, "full_outer")
+    in_a = F.col(f"a.{keys[0]}").isNotNull()
+    in_b = F.col(f"b.{keys[0]}").isNotNull()
+    same = None
+    for c in compare:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        same = eq if same is None else same & eq
+    status = (
+        F.when(in_a & ~in_b, F.lit("removed"))
+        .when(~in_a & in_b, F.lit("added"))
+        .when(same if same is not None else F.lit(True), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key_cols = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ]
+    return joined.select(*key_cols, status.alias("diff_status"))

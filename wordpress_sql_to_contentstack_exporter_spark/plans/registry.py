@@ -2620,6 +2620,61 @@ QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level version diff (operators/relational.table_diff): customer
+    base vs a deterministically perturbed version (every 7th row's
+    segment changed, every 13th dropped, 20 new synthetic keys) —
+    per-status counts. One full-outer join co-keyed on c_custkey;
+    oracle mirrors with a FULL OUTER JOIN + CASE."""
+    from ..operators.relational import table_diff
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    v2 = (
+        c.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(
+            spark.range(1, 21).select(
+                (F.col("id") + 10_000_000).alias("c_custkey"),
+                F.concat(F.lit("new#"), F.col("id").cast("string")).alias("c_name"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    out = table_diff(c, v2, keys=["c_custkey"])
+    return (
+        out.groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("diff_status")
+    )
+
+
+SQL_TABLE_DIFF = """
+WITH a AS (
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+), b AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer WHERE c_custkey % 13 <> 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'new#' || CAST(c_custkey AS VARCHAR), 'NEW'
+    FROM range(1, 21) t(c_custkey)
+), d AS (
+    SELECT CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NULL THEN 'removed'
+                WHEN a.c_custkey IS NULL AND b.c_custkey IS NOT NULL THEN 'added'
+                WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+                 AND a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment THEN 'unchanged'
+                ELSE 'changed' END AS diff_status
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+)
+SELECT diff_status, count(*) AS n FROM d GROUP BY diff_status ORDER BY diff_status
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2708,6 +2763,7 @@ SPARK_QUERIES = {
     "fk_integrity": q_fk_integrity,
     "range_join_bucketed": q_range_join_bucketed,
     "upsert_snapshot": q_upsert_snapshot,
+    "table_diff": q_table_diff,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2792,6 +2848,7 @@ ORACLE_SQL = {
     "fk_integrity": SQL_FK_INTEGRITY,
     "range_join_bucketed": SQL_RANGE_JOIN_BUCKETED,
     "upsert_snapshot": SQL_UPSERT_SNAPSHOT,
+    "table_diff": SQL_TABLE_DIFF,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
