@@ -65,6 +65,26 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
     ranked = docs.select(
         (F.row_number().over(W.orderBy("doc_id")) - 1).alias("k"), "text"
     )
+    # Base texts cycle through the fixture, so when base_docs exceeds the
+    # fixture's row count two bases share the same underlying text. A
+    # suffix salt alone leaves them near-identical — the true near-dup
+    # cluster would then scale with base_docs/n_fixture (quadratic
+    # candidate volume in the reuse factor: measured 10x wall for 3x
+    # docs), which is the fixture-coupling this tier exists to remove.
+    # Salting every 3rd TOKEN with the base id breaks every word 3-gram
+    # of a reused text, collapsing cross-base similarity to ~0 while the
+    # per-base variants (identical salted base + tiny suffix) stay
+    # near-dups: duplicate structure is exactly `variants` siblings per
+    # base, independent of fixture size — pinned by construction.
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t, i: F.when(
+                i % 3 == 0, F.concat(t, F.lit("#"), F.col("bid").cast("string"))
+            ).otherwise(t),
+        ),
+        " ",
+    )
     corpus = (
         spark.range(base_docs)
         .select(F.col("id").alias("bid"))
@@ -73,9 +93,7 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
         .select(
             (F.col("bid") * variants + F.col("v")).alias("doc_id"),
             F.concat(
-                F.col("text"),
-                F.lit(" base "), F.col("bid").cast("string"),
-                F.lit(" variant "), F.col("v").cast("string"),
+                salted, F.lit(" variant "), F.col("v").cast("string")
             ).alias("text"),
         )
         # the fixture is one parquet file -> the synthesized corpus would
