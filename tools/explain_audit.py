@@ -299,6 +299,29 @@ def main() -> int:
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
     )
 
+    # upsert_snapshot: union + ONE key window — a join-based MERGE plan
+    # would reintroduce a matching stage to skew.
+    check(
+        "upsert_snapshot",
+        ("no join (union + window MERGE)", r"\A(?s:(?!.*Join).*)\Z"),
+        ("window keep-latest present", r"\(\d+\) Window"),
+    )
+    # table_diff: one full-outer sort-merge join on the key, nothing
+    # cartesian; the status CASE is pure projection.
+    check(
+        "table_diff",
+        ("full outer join on key", r"FullOuter"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    # session_paths: sessionize window + ordered per-session collect must
+    # reuse one user_id partitioning; the path count is a tiny agg. No
+    # joins anywhere; limit compiles to TakeOrdered, not a global sort.
+    check(
+        "session_paths",
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+        ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

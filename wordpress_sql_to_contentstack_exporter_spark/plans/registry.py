@@ -2675,6 +2675,80 @@ SELECT diff_status, count(*) AS n FROM d GROUP BY diff_status ORDER BY diff_stat
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session navigation paths: gap-sessionize (the same 30-min
+    rule as `sessionize`), render each session's ordered event-type
+    sequence as a path string, count paths globally — the path-mining
+    query behind "how do users actually move through the product".
+
+    Plan: the sessionize window partitioning is REUSED by the ordered
+    per-session collect (same (user) shuffle serves both), then one
+    tiny aggregation over path strings. Ordered collection uses
+    sort_array over (ts, event_id, type) structs — deterministic under
+    parallel collection (collect_list order is otherwise unspecified).
+    Counts are integers; ordering (n desc, path) total — ULP-free."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sessioned = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("event_type")
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sessioned GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2764,6 +2838,7 @@ SPARK_QUERIES = {
     "range_join_bucketed": q_range_join_bucketed,
     "upsert_snapshot": q_upsert_snapshot,
     "table_diff": q_table_diff,
+    "session_paths": q_session_paths,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2849,6 +2924,7 @@ ORACLE_SQL = {
     "range_join_bucketed": SQL_RANGE_JOIN_BUCKETED,
     "upsert_snapshot": SQL_UPSERT_SNAPSHOT,
     "table_diff": SQL_TABLE_DIFF,
+    "session_paths": SQL_SESSION_PATHS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
