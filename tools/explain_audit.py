@@ -322,6 +322,28 @@ def main() -> int:
         ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
     )
 
+    # rolling_anomaly: the three window aggregates must share ONE
+    # (event_type) exchange; the integer decision is pure projection.
+    ra_plan = plan_of(SPARK_QUERIES["rolling_anomaly"](spark, sf_dir))
+    check_plan(
+        "rolling_anomaly",
+        ra_plan,
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+    n_ex_ra = len(re.findall(r"^\(\d+\) Exchange", ra_plan, re.M))
+    if n_ex_ra != 1:
+        failures.append(("rolling_anomaly", f"expected one window exchange, got {n_ex_ra}"))
+        print(f"FAIL  rolling_anomaly: expected one window exchange, got {n_ex_ra}")
+    else:
+        print("ok    rolling_anomaly: single window exchange")
+    # histogram: bounds row must broadcast (no second full-scan join leg
+    # shuffles the values side on a key).
+    check(
+        "histogram",
+        ("bounds joined via broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -1,0 +1,134 @@
+"""Distribution/outlier statistics operators with integer-exact
+cross-engine contracts.
+
+Both operators here follow the registry's ULP-proof float discipline
+(plans/registry.py module docstring) to its logical end: not only the
+aggregates but the DECISIONS (anomaly flags, bin ids) are pure integer
+arithmetic, so two engines — or two runs of the same engine with
+different partition orders — can never disagree on a flag by a last-bit
+float difference. That property is what makes these usable as
+idempotent pipeline gates at 100 TB: re-running the job cannot flip a
+previously published decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    value_col: str,
+    window_rows: int = 100,
+    min_points: int = 30,
+    n_sigma: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Rolling z-score outlier flag with an INTEGER-ONLY decision rule.
+
+    Per key, over the trailing ``window_rows`` rows (ordered by
+    ``order_by``), flag rows where ``|x - mean| > n_sigma * std``
+    (population std of the window INCLUDING the current row). The naive
+    float form — windowed avg/stddev then a float compare — is both
+    cross-engine ULP-fragile and run-to-run order-dependent. Instead the
+    value is scaled to an exact long (``round(x*scale)`` — the one
+    decimal op engines agree on), and the rule is cross-multiplied into
+    integers::
+
+        |x - s/n| > k * sqrt((n*sq - s^2)) / n
+        <=>  (n*x - s)^2  >  k^2 * (n*sq - s^2)
+
+    where ``s``/``sq``/``n`` are the window's exact sum, sum of squares
+    and count. Every quantity is a long; no float exists anywhere in the
+    decision. Overflow budget: |x| <= ~3e6 (scaled) at window 100 keeps
+    ``(n*x - s)^2`` under 2^63; widen ``scale`` down or window up with
+    that bound in mind.
+
+    Output: input columns + ``w_n``, ``w_sum``, ``w_sumsq`` (the integer
+    evidence — auditable, mergeable) and ``is_anomaly`` (false until
+    ``min_points`` rows are in the window: a 3-row "window" flags noise).
+
+    Plan shape: ONE shuffle on the keys; the three window aggregates
+    share a single (keys, order) sort. Map-only afterwards.
+    """
+    if window_rows < 1 or min_points < 2 or n_sigma < 1 or scale < 1:
+        raise ValueError("window_rows>=1, min_points>=2, n_sigma>=1, scale>=1")
+    v = F.round(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    out = (
+        df.withColumn("__v", v)
+        .withColumn("w_n", F.count(F.lit(1)).over(w))
+        .withColumn("w_sum", F.sum("__v").over(w))
+        .withColumn("w_sumsq", F.sum(F.col("__v") * F.col("__v")).over(w))
+    )
+    dev = out["w_n"] * out["__v"] - out["w_sum"]
+    var_n2 = out["w_n"] * out["w_sumsq"] - out["w_sum"] * out["w_sum"]
+    flag = (out["w_n"] >= min_points) & (dev * dev > (n_sigma * n_sigma) * var_n2)
+    return out.withColumn("is_anomaly", flag).drop("__v")
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Equal-width histogram with integer bin arithmetic.
+
+    Bin bounds come from the column's exact scaled-long min/max (one
+    tiny aggregate, broadcast back — no driver round-trip), and the bin
+    id is pure integer math::
+
+        bin = (v - mn) * n_bins // (mx - mn + 1)
+
+    which lands every value in [0, n_bins-1] with the max value in the
+    last bin — no float division, no engine-specific rounding at bin
+    edges (the classic histogram disagreement is a value exactly ON an
+    edge landing left in one engine and right in another).
+
+    Output: ``bin``, ``lo``/``hi`` (the bin's inclusive scaled-long
+    bounds, so the histogram is self-describing), ``n``. Empty bins are
+    absent (join a spine if a dense histogram is needed — gapfill's
+    trick). Plan: one scan, one tiny min/max aggregate joined as a
+    broadcast literal row, one groupBy(bin).
+    """
+    if n_bins < 1 or scale < 1:
+        raise ValueError("n_bins>=1, scale>=1")
+    v = F.round(F.col(value_col) * scale).cast("long")
+    vals = df.select(v.alias("__v")).filter(F.col("__v").isNotNull())
+    bounds = vals.agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    span = F.col("__mx") - F.col("__mn") + 1
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        F.floor(((F.col("__v") - F.col("__mn")) * n_bins) / span)
+        .cast("long")
+        .alias("bin"),
+        "__mn",
+        "__mx",
+    )
+    span_b = F.col("__mx") - F.col("__mn") + 1
+    # exact inverse of the binning rule: bin b holds v-mn in
+    # [ceil(b*span/k), floor(((b+1)*span - 1)/k)] — integer ceil via
+    # floor((a + k - 1)/k); floor of a correctly-rounded long/long
+    # division is exact here (operands < 2^53, quotient never within an
+    # ulp of a wrong integer)
+    lo = F.col("__mn") + F.floor(
+        (F.col("bin") * span_b + F.lit(n_bins - 1)) / n_bins
+    )
+    hi = F.col("__mn") + F.floor(((F.col("bin") + 1) * span_b - 1) / n_bins)
+    return (
+        binned.groupBy("bin", "__mn", "__mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", lo.alias("lo"), hi.alias("hi"), "n")
+        .orderBy("bin")
+    )

@@ -2749,6 +2749,79 @@ ORDER BY n_sessions DESC, path ASC LIMIT 20
 """
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier flags (operators/stats.rolling_anomaly):
+    per event_type over the trailing 100 events, integer-only decision
+    rule ``(n*x - s)^2 > 9*(n*sq - s^2)`` — no float in the flag, so
+    the oracle (and any rerun) agrees bit-for-bit. Emits only anomalous
+    rows plus their integer window evidence."""
+    from ..operators.stats import rolling_anomaly
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = rolling_anomaly(
+        e,
+        keys=["event_type"],
+        order_by=["ts", "event_id"],
+        value_col="value",
+        window_rows=100,
+        min_points=30,
+        n_sigma=3,
+    )
+    return out.filter(F.col("is_anomaly")).select(
+        "event_id", "event_type", "w_n", "w_sum", "w_sumsq"
+    )
+
+
+SQL_ROLLING_ANOMALY = """
+WITH v AS (
+    SELECT event_id, event_type, ts,
+           CAST(round(value * 1000) AS BIGINT) AS x
+    FROM events
+), w AS (
+    SELECT event_id, event_type, x,
+           count(*) OVER win AS w_n,
+           sum(x) OVER win AS w_sum,
+           sum(x * x) OVER win AS w_sumsq
+    FROM v
+    WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, w_n, w_sum, w_sumsq
+FROM w
+WHERE w_n >= 30
+  AND (w_n * x - w_sum) * (w_n * x - w_sum) > 9 * (w_n * w_sumsq - w_sum * w_sum)
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals
+    (operators/stats.equi_width_histogram, 20 bins): integer-cents bin
+    arithmetic — bin edges cannot disagree between engines because no
+    float division decides a bin. One scan + tiny broadcast bounds row."""
+    from ..operators.stats import equi_width_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return equi_width_histogram(o, value_col="o_totalprice", n_bins=20)
+
+
+SQL_HISTOGRAM = """
+WITH v AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+    WHERE o_totalprice IS NOT NULL
+), b AS (
+    SELECT min(x) AS mn, max(x) AS mx FROM v
+), binned AS (
+    SELECT ((x - mn) * 20) // (mx - mn + 1) AS bin, mn, mx
+    FROM v CROSS JOIN b
+)
+SELECT bin,
+       mn + (bin * (mx - mn + 1) + 19) // 20 AS lo,
+       mn + ((bin + 1) * (mx - mn + 1) - 1) // 20 AS hi,
+       count(*) AS n
+FROM binned GROUP BY bin, mn, mx ORDER BY bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2839,6 +2912,8 @@ SPARK_QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "table_diff": q_table_diff,
     "session_paths": q_session_paths,
+    "rolling_anomaly": q_rolling_anomaly,
+    "histogram": q_histogram,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -2925,6 +3000,8 @@ ORACLE_SQL = {
     "upsert_snapshot": SQL_UPSERT_SNAPSHOT,
     "table_diff": SQL_TABLE_DIFF,
     "session_paths": SQL_SESSION_PATHS,
+    "rolling_anomaly": SQL_ROLLING_ANOMALY,
+    "histogram": SQL_HISTOGRAM,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
