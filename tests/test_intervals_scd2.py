@@ -1,0 +1,116 @@
+"""merge_intervals (gaps-and-islands) and scd2_history operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators.relational import scd2_history
+from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import merge_intervals
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k string, s long, e long")
+
+
+def test_merge_intervals_overlap_touch_gap(spark):
+    df = _iv(
+        spark,
+        [
+            ("a", 0, 10),    # overlaps next
+            ("a", 5, 20),    # touches next at 20 -> merges (half-open)
+            ("a", 20, 30),
+            ("a", 40, 50),   # gap -> new island
+            ("b", 0, 5),     # other key unaffected
+        ],
+    )
+    out = merge_intervals(df, keys=["k"], start_col="s", end_col="e")
+    got = {
+        (r["k"], r["interval_start"], r["interval_end"]): r["n_rows"]
+        for r in out.collect()
+    }
+    assert got == {("a", 0, 30): 3, ("a", 40, 50): 1, ("b", 0, 5): 1}
+
+
+def test_merge_intervals_contained_and_duplicate_rows(spark):
+    df = _iv(
+        spark,
+        [
+            ("a", 0, 100),  # swallows everything below
+            ("a", 10, 20),
+            ("a", 10, 20),  # exact duplicate row
+            ("a", 90, 95),
+        ],
+    )
+    out = merge_intervals(df, keys=["k"], start_col="s", end_col="e").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["interval_start"], r["interval_end"], r["n_rows"]) == (0, 100, 4)
+
+
+def test_merge_intervals_single_shuffle(spark):
+    df = _iv(spark, [("a", 0, 10), ("a", 5, 20)])
+    plan = merge_intervals(df, keys=["k"], start_col="s", end_col="e")._jdf.queryExecution().executedPlan().toString()
+    # windows + final groupBy share the keys hash partitioning: exactly
+    # one exchange in the whole plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_collapses_noop_updates_and_builds_intervals(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 10, 100, "bronze"),
+            (1, 11, 200, "bronze"),   # no-op -> collapsed
+            (1, 12, 300, "gold"),
+            (1, 13, 400, "gold"),     # no-op -> collapsed
+            (1, 14, 500, "bronze"),   # back to an old value = a real change
+            (2, 20, 100, "silver"),
+        ],
+        "k long, id long, t long, tier string",
+    )
+    out = scd2_history(log, keys=["k"], ts_col="t", attrs=["tier"], tiebreak=["id"])
+    rows = sorted(
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "bronze", 100, 300, False),
+        (1, "bronze", 500, None, True),
+        (1, "gold", 300, 500, False),
+        (2, "silver", 100, None, True),
+    ]
+
+
+def test_scd2_null_attribute_transitions(spark):
+    log = spark.createDataFrame(
+        [(1, 10, 100, None), (1, 11, 200, None), (1, 12, 300, "x"), (1, 13, 400, None)],
+        "k long, id long, t long, attr string",
+    )
+    out = scd2_history(log, keys=["k"], ts_col="t", attrs=["attr"], tiebreak=["id"])
+    rows = sorted(
+        ((r["attr"], r["valid_from"], r["valid_to"]) for r in out.collect()),
+        key=lambda t: t[1],
+    )
+    # NULL->NULL is a no-op; NULL->x and x->NULL are changes
+    assert rows == [(None, 100, 300), ("x", 300, 400), (None, 400, None)]
+
+
+def test_scd2_same_timestamp_tiebreak(spark):
+    log = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 11, 100, "b"), (1, 12, 100, "c")],
+        "k long, id long, t long, attr string",
+    )
+    out = scd2_history(log, keys=["k"], ts_col="t", attrs=["attr"], tiebreak=["id"])
+    rows = sorted((r["attr"], r["is_current"]) for r in out.collect())
+    # all three survive (all changes) ordered by the id tiebreak; only
+    # the id-max version is current
+    assert rows == [("a", False), ("b", False), ("c", True)]
+
+
+def test_scd2_single_shuffle(spark):
+    log = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 11, 200, "b")], "k long, id long, t long, attr string"
+    )
+    plan = scd2_history(
+        log, keys=["k"], ts_col="t", attrs=["attr"], tiebreak=["id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

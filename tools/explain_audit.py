@@ -344,6 +344,37 @@ def main() -> int:
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
 
+    # merge_intervals: both island windows AND the final (keys, island)
+    # groupBy must ride ONE keys exchange — hash on a subset of the
+    # grouping columns already co-locates every island.
+    mi_plan = plan_of(SPARK_QUERIES["merge_intervals"](spark, sf_dir))
+    check_plan(
+        "merge_intervals",
+        mi_plan,
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+    n_ex_mi = len(re.findall(r"^\(\d+\) Exchange", mi_plan, re.M))
+    if n_ex_mi != 1:
+        failures.append(("merge_intervals", f"expected one exchange, got {n_ex_mi}"))
+        print(f"FAIL  merge_intervals: expected one exchange, got {n_ex_mi}")
+    else:
+        print("ok    merge_intervals: islands + merge share one exchange")
+
+    # scd2_history: lag-collapse and lead-validity windows share one
+    # (keys) exchange; no join anywhere in the history build.
+    scd_plan = plan_of(SPARK_QUERIES["scd2_history"](spark, sf_dir))
+    check_plan(
+        "scd2_history",
+        scd_plan,
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+    n_ex_scd = len(re.findall(r"^\(\d+\) Exchange", scd_plan, re.M))
+    if n_ex_scd != 1:
+        failures.append(("scd2_history", f"expected one exchange, got {n_ex_scd}"))
+        print(f"FAIL  scd2_history: expected one exchange, got {n_ex_scd}")
+    else:
+        print("ok    scd2_history: collapse + validity windows share one exchange")
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -9,7 +9,7 @@ scale-aware implementations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -254,3 +254,53 @@ def table_diff(
         F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
     ]
     return joined.select(*key_cols, status.alias("diff_status"))
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Build a Slowly-Changing-Dimension Type-2 history from a change
+    log: per key, collapse consecutive no-op updates, then assign each
+    surviving version a ``[valid_from, valid_to)`` interval with
+    ``is_current`` on the open-ended last version.
+
+    This is the dimension-table answer to the reference's one-shot
+    MySQL export (a migration replayed incrementally needs to know WHEN
+    each attribute value held, not just its final state). Two window
+    passes over ONE shuffle on the keys:
+
+        1. lag(attrs-struct) over (keys ORDER BY ts, tiebreak):
+           keep a row iff it is the first version or any attribute
+           differs from the previous row (null-safe struct compare) —
+           no-op updates vanish before they can split intervals;
+        2. lead(ts) over the SURVIVING rows -> valid_to.
+
+    Both windows and the final projection share the (keys) partitioning,
+    so Catalyst sorts once and plans a single exchange. The null-safe
+    ``<=>`` struct comparison makes NULL attribute values first-class
+    (NULL -> NULL is a no-op, NULL -> value is a change) — the hazard
+    naive ``!=`` SCD builds get wrong.
+
+    ``tiebreak`` columns (default none) deterministically order
+    same-timestamp changes; pass a unique id when the change log can
+    carry ties, or interval boundaries become run-order-dependent.
+    """
+    tiebreak = list(tiebreak or [])
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cur = F.struct(*[F.col(a) for a in attrs])
+    changed = df.withColumn("__prev", F.lag(cur).over(w)).filter(
+        F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(cur)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__prev")
+    )

@@ -183,6 +183,68 @@ def gapfill_buckets(
     ).drop("__idx")
 
 
+def merge_intervals(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Merge transitively overlapping-or-touching intervals per key into
+    maximal intervals — the gaps-and-islands coalescing every temporal
+    schema eventually needs (uptime stitching, session coverage, validity
+    windows after a merge of sources).
+
+    ``start_col``/``end_col`` are epoch-micros longs (callers with
+    timestamps convert via ``unix_micros``; half-open ``[start, end)``
+    semantics, with touching intervals ``[a,b) + [b,c)`` merged). The
+    classic shape:
+
+        running_max_end = max(end) over (keys ORDER BY start, end,
+                                         ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)
+        new_island      = start > running_max_end (or first row)
+        island_id       = running sum of new_island
+        group by (keys, island_id) -> min(start), max(end), count
+
+    Scale shape: ONE shuffle on the keys — both windows sort once on
+    (keys, start, end), and the final groupBy on (keys, island) is
+    satisfied by the keys hash partitioning (a hash on a subset of the
+    grouping columns co-locates every island), so Catalyst plans no
+    second exchange. All arithmetic is long micros: the island decision
+    is an integer comparison, so two engines can never disagree on a
+    merge by a float last bit. Ties on identical (start, end) rows are
+    order-insensitive: whichever duplicate sorts first yields the same
+    island boundaries.
+    """
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.withColumn("__pmax", F.max(F.col(end_col)).over(w_prev)).withColumn(
+        "__new",
+        F.when(
+            F.col("__pmax").isNull() | (F.col(start_col) > F.col("__pmax")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn("__island", F.sum("__new").over(w_run))
+    return (
+        islands.groupBy(*keys, "__island")
+        .agg(
+            F.min(start_col).alias("interval_start"),
+            F.max(end_col).alias("interval_end"),
+            F.count(F.lit(1)).alias(count_alias),
+        )
+        .drop("__island")
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

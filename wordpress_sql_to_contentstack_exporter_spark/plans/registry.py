@@ -2822,6 +2822,107 @@ FROM binned GROUP BY bin, mn, mx ORDER BY bin
 """
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing
+    (operators/temporal.merge_intervals): each event spans
+    ``[ts, ts+300s)``; overlapping-or-touching spans per user merge into
+    maximal activity intervals. All boundaries are long epoch micros —
+    the island decision is an integer comparison, never a float."""
+    from ..operators.temporal import merge_intervals
+
+    us = F.lit(1_000_000).cast("long")
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) + 300 * us).alias("e"),
+        )
+    )
+    return merge_intervals(
+        e, keys=["user_id"], start_col="s", end_col="e", count_alias="n_events"
+    )
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+    SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+    FROM events WHERE ts IS NOT NULL
+), m AS (
+    SELECT user_id, s, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM iv
+), f AS (
+    SELECT user_id, s, e,
+           CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+    FROM m
+), g AS (
+    SELECT user_id, s, e,
+           sum(flag) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM f
+)
+SELECT user_id, min(s) AS interval_start, max(e) AS interval_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, island
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/relational.scd2_history):
+    per customer, the o_orderpriority change log collapsed to versioned
+    ``[valid_from, valid_to)`` intervals with no-op updates removed.
+    o_orderkey tie-breaks same-date changes deterministically; validity
+    bounds are long epoch micros."""
+    from ..operators.relational import scd2_history
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        "o_orderpriority",
+    )
+    out = scd2_history(
+        o,
+        keys=["o_custkey"],
+        ts_col="t",
+        attrs=["o_orderpriority"],
+        tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current"
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS t, o_orderpriority
+    FROM orders
+), ch AS (
+    SELECT o_custkey, o_orderkey, t, o_orderpriority,
+           lag(o_orderpriority) OVER w AS prev_attr,
+           lag(o_orderkey) OVER w AS prev_key
+    FROM ordered
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)
+), kept AS (
+    -- first-row detection via the never-NULL key, so a NULL previous
+    -- ATTRIBUTE can't masquerade as "no previous row" (mirrors the
+    -- Spark side's lag-of-struct null test)
+    SELECT * FROM ch
+    WHERE prev_key IS NULL OR prev_attr IS DISTINCT FROM o_orderpriority
+), v AS (
+    SELECT o_custkey, o_orderpriority, t AS valid_from,
+           lead(t) OVER (PARTITION BY o_custkey ORDER BY t, o_orderkey) AS valid_to
+    FROM kept
+)
+SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2914,6 +3015,8 @@ SPARK_QUERIES = {
     "session_paths": q_session_paths,
     "rolling_anomaly": q_rolling_anomaly,
     "histogram": q_histogram,
+    "merge_intervals": q_merge_intervals,
+    "scd2_history": q_scd2_history,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3002,6 +3105,8 @@ ORACLE_SQL = {
     "session_paths": SQL_SESSION_PATHS,
     "rolling_anomaly": SQL_ROLLING_ANOMALY,
     "histogram": SQL_HISTOGRAM,
+    "merge_intervals": SQL_MERGE_INTERVALS,
+    "scd2_history": SQL_SCD2_HISTORY,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
