@@ -470,3 +470,60 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, max_tokens=16, overlap=16)
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=16, overlap=-1)
+
+
+def test_boilerplate_removal_drops_all_instances(spark):
+    # footer in 3/4 docs (75% >= 5%): removed everywhere, including the
+    # doc that is nothing but footer (n_kept 0, empty text)
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nFOOTER\nbeta"),
+            (2, "gamma\nFOOTER"),
+            (3, "FOOTER"),
+            (4, "delta only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.remove_boilerplate_lines(df, min_docs=2, max_doc_ratio_pct=5)
+    rows = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"]) for r in out.collect()}
+    assert rows[1] == (3, 2, "alpha\nbeta")
+    assert rows[2] == (2, 1, "gamma")
+    assert rows[3] == (1, 0, "")
+    assert rows[4] == (1, 1, "delta only")
+
+
+def test_boilerplate_removal_repeats_within_one_doc_do_not_count(spark):
+    # a line repeated 10x inside ONE doc has df=1 -> below min_docs=2,
+    # kept; document frequency is distinct-docs, not occurrences
+    df = spark.createDataFrame(
+        [(1, "\n".join(["same line"] * 10)), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = tx.remove_boilerplate_lines(df, min_docs=2, max_doc_ratio_pct=5)
+    rows = {r["doc_id"]: r["n_kept"] for r in out.collect()}
+    assert rows[1] == 10 and rows[2] == 1
+
+
+def test_boilerplate_removal_ratio_threshold_boundary(spark):
+    # df=2 of 40 docs = exactly 5% -> integer rule df*100 >= n_docs*5
+    # fires at equality; at 41 docs the same df=2 is below threshold
+    def corpus(n):
+        rows = [(i, f"unique {i}\ncommon") for i in (1, 2)]
+        rows += [(i, f"unique {i}") for i in range(3, n + 1)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    at = tx.remove_boilerplate_lines(corpus(40), min_docs=2, max_doc_ratio_pct=5)
+    assert at.filter("doc_id = 1").first()["text_clean"] == "unique 1"
+    below = tx.remove_boilerplate_lines(corpus(41), min_docs=2, max_doc_ratio_pct=5)
+    assert below.filter("doc_id = 1").first()["text_clean"] == "unique 1\ncommon"
+
+
+def test_boilerplate_removal_trims_before_matching(spark):
+    # '  FOOTER ' and 'FOOTER' are the same line after trim
+    df = spark.createDataFrame(
+        [(1, "a\n  FOOTER "), (2, "b\nFOOTER"), (3, "c")],
+        "doc_id long, text string",
+    )
+    out = tx.remove_boilerplate_lines(df, min_docs=2, max_doc_ratio_pct=5)
+    rows = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}

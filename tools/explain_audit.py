@@ -375,6 +375,15 @@ def main() -> int:
     else:
         print("ok    scd2_history: collapse + validity windows share one exchange")
 
+    # boilerplate_removal: the boilerplate key set must broadcast into
+    # the anti-join (it is tiny by the >=pct%-of-docs construction) and
+    # the corpus-size bound must ride a broadcast, not a shuffle.
+    check(
+        "boilerplate_removal",
+        ("boilerplate keys anti-join is broadcast", r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -484,3 +484,92 @@ def chunk_documents(
         F.size(window).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", window).alias("chunk_text"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_docs: int = 2,
+    max_doc_ratio_pct: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: drop EVERY instance of any
+    line that appears in too many distinct documents, then reassemble.
+
+    The C4/RefinedWeb-style companion to ``dedup.paragraph_dedup``:
+    span dedup keeps a repeated line's FIRST instance, but navigation
+    chrome / cookie banners / license footers should keep ZERO — a line
+    is boilerplate when its document frequency reaches ``min_docs`` AND
+    ``max_doc_ratio_pct`` percent of the corpus (the ratio test is
+    integer cross-multiplication, ``df * 100 >= n_docs * pct`` — no
+    float decides membership).
+
+    Plan shape at 100 TB:
+    1. posexplode ``sep``-split lines, trim, drop empties — map-only;
+       the shuffle key is ``xxhash64(line)`` (8 bytes, never the text).
+    2. document frequency per line: two-level aggregate
+       (lkey, id)-partial then lkey — map-side combine absorbs the
+       billion-copy footer before it can hot-spot one reducer
+       (``countDistinct`` over a skewed key would do exactly that).
+    3. corpus size joins on as a broadcast 1-row bound (cf. the
+       histogram bounds pattern), so the threshold needs no collect.
+    4. boilerplate keys are few by construction (each needs >= pct% of
+       all docs) -> ``left_anti`` join broadcasts them against the
+       lines; survivors reassemble per doc (sorted-struct array_join,
+       bounded by document size).
+
+    Collision wager: a 64-bit line-hash collision removes an innocent
+    line with the boilerplate one (~2^-64/pair, the MinHash-family
+    trade documented in paragraph_dedup).
+
+    Output: (id_col, n_lines, n_kept, text_clean) — fully-boilerplate
+    documents surface with ``n_kept = 0`` and empty text, auditable via
+    ``sum(n_lines - n_kept)``.
+    """
+    if min_docs < 1 or not (0 < max_doc_ratio_pct <= 100):
+        raise ValueError("min_docs >= 1 and 0 < max_doc_ratio_pct <= 100 required")
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "raw"),
+        )
+        .select("id", "pos", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+        .withColumn("lkey", F.xxhash64(F.col("line")))
+    )
+    per_doc = lines.groupBy("lkey", "id").agg(F.count(F.lit(1)).alias("_c"))
+    line_df = per_doc.groupBy("lkey").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        line_df.join(F.broadcast(n_docs))
+        .filter(
+            (F.col("df_docs") >= F.lit(min_docs))
+            & (F.col("df_docs") * 100 >= F.col("n_docs") * F.lit(max_doc_ratio_pct))
+        )
+        .select("lkey")
+    )
+    kept = lines.join(F.broadcast(boiler), "lkey", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

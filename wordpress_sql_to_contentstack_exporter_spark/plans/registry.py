@@ -2923,6 +2923,69 @@ FROM v
 """
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate line removal
+    (operators/text.remove_boilerplate_lines): every third document gets
+    a shared footer (df ~ 33% of the corpus >= the 5% threshold), which
+    must vanish from ALL documents — the zero-instances-kept complement
+    of paragraph_dedup's keep-first policy. Membership is an integer
+    cross-multiplied ratio; no float decides a removal."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_footer = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", F.col("text"), F.lit("shared boilerplate footer")),
+        ).otherwise(F.col("text")),
+    )
+    return tx.remove_boilerplate_lines(
+        with_footer, min_docs=2, max_doc_ratio_pct=5
+    )
+
+
+SQL_BOILERPLATE = r"""
+WITH docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || 'shared boilerplate footer'
+                ELSE text END AS text
+    FROM documents
+), p0 AS (
+    SELECT doc_id,
+           [ {'pos': i, 'line': trim(lines[i])} for i in range(1, len(lines)+1) ] AS ls
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs2)
+), p AS (
+    SELECT doc_id, unnest(ls, recursive := true) FROM p0
+), nl AS (
+    SELECT doc_id, pos, line FROM p WHERE line != ''
+), dfq AS (
+    SELECT line, count(DISTINCT doc_id) AS df_docs FROM nl GROUP BY line
+), total AS (
+    SELECT count(*) AS n_docs FROM docs2
+), bp AS (
+    SELECT line FROM dfq, total
+    WHERE df_docs >= 2 AND df_docs * 100 >= n_docs * 5
+), kept AS (
+    SELECT doc_id, pos, line FROM nl
+    WHERE line NOT IN (SELECT line FROM bp)
+), rebuilt AS (
+    SELECT doc_id AS rid,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+), totals AS (
+    SELECT doc_id AS tid, count(*) AS n_lines FROM nl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_lines, 0) AS n_lines,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.text_clean, '') AS text_clean
+FROM docs2 d
+LEFT JOIN totals t ON d.doc_id = t.tid
+LEFT JOIN rebuilt r ON d.doc_id = r.rid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3017,6 +3080,7 @@ SPARK_QUERIES = {
     "histogram": q_histogram,
     "merge_intervals": q_merge_intervals,
     "scd2_history": q_scd2_history,
+    "boilerplate_removal": q_boilerplate_removal,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3107,6 +3171,7 @@ ORACLE_SQL = {
     "histogram": SQL_HISTOGRAM,
     "merge_intervals": SQL_MERGE_INTERVALS,
     "scd2_history": SQL_SCD2_HISTORY,
+    "boilerplate_removal": SQL_BOILERPLATE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
