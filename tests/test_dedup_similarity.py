@@ -384,3 +384,68 @@ def test_ivfpq_topk_recall(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in
            ivfpq_topk(q, emb, k=5, n_cells=16, n_probe=8, m=16, rerank=32).collect()}
     assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_fuzzy_pairs_d1_finds_all_edit_kinds(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import fuzzy_pairs_d1
+
+    df = spark.createDataFrame(
+        [
+            ("kitten",),
+            ("mitten",),    # substitution
+            ("kitte",),     # deletion
+            ("kittens",),   # insertion
+            ("sitting",),   # distance 3 -> excluded
+            ("kitten",),    # exact duplicate -> collapsed, no pair
+        ],
+        "s string",
+    )
+    out = fuzzy_pairs_d1(df, text_col="s")
+    pairs = {(r["s_a"], r["s_b"]) for r in out.collect()}
+    assert ("kitten", "mitten") in pairs
+    assert ("kitte", "kitten") in pairs
+    assert ("kitten", "kittens") in pairs
+    # kitte<->kittens is distance 2 (del_i = del_j false positive): the
+    # verify stage must have removed it
+    assert ("kitte", "kittens") not in pairs
+    assert all("sitting" not in p for p in pairs)
+    assert all(r["dist"] == 1 for r in out.collect())
+
+
+def test_fuzzy_pairs_d1_exhaustive_vs_bruteforce(spark):
+    import itertools
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import fuzzy_pairs_d1
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    words = ["abc", "abd", "ab", "abcd", "bcd", "xyz", "xy", "a", "", "b", "ba"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    expect = {
+        tuple(sorted((u, v)))
+        for u, v in itertools.combinations(set(words), 2)
+        if lev(u, v) == 1
+    }
+    got = {(r["s_a"], r["s_b"]) for r in fuzzy_pairs_d1(df, text_col="s").collect()}
+    assert got == expect
+
+
+def test_fuzzy_pairs_d1_bucket_cap_drops_giant_family(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import fuzzy_pairs_d1
+
+    # "page 0".."page 9" all share the deletion variant "page " -> one
+    # bucket of 10; cap below that kills the family, the unrelated pair
+    # survives in its own small bucket
+    rows = [(f"page {i}",) for i in range(10)] + [("alpha",), ("alpho",)]
+    df = spark.createDataFrame(rows, "s string")
+    capped = fuzzy_pairs_d1(df, text_col="s", max_bucket_size=5)
+    pairs = {(r["s_a"], r["s_b"]) for r in capped.collect()}
+    assert pairs == {("alpha", "alpho")}
+    full = fuzzy_pairs_d1(df, text_col="s")
+    assert len(full.collect()) == 45 + 1  # C(10,2) page pairs + alpha/alpho

@@ -384,6 +384,15 @@ def main() -> int:
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
 
+    # fuzzy_pairs: deletion-neighborhood blocking must plan as a hash
+    # equi-join on the variant hash — a nested-loop/cartesian node means
+    # the all-pairs scan the blocking exists to avoid.
+    check(
+        "fuzzy_pairs",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -760,3 +760,83 @@ def ngram_jaccard(
     union = F.size(F.array_union(lsh, rsh))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return left.alias("l").join(right.alias("r"), on).withColumn(out_col, jac)
+
+
+def fuzzy_pairs_d1(
+    df: DataFrame,
+    *,
+    text_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All DISTINCT string pairs within edit distance exactly 1, via
+    deletion-neighborhood blocking (the FastSS / SymSpell family —
+    public algorithms; the d=1 neighborhood is string + all single
+    deletions).
+
+    Pigeonhole guarantee: lev(s, t) <= 1 implies the neighborhoods
+    {s} ∪ deletions(s) and {t} ∪ deletions(t) intersect — a
+    substitution at i gives del_i(s) = del_i(t); an insert/delete makes
+    one string a deletion variant of the other. The converse is loose
+    only up to distance 2 (del_i(s) = del_j(t), i != j), so candidates
+    are verified with a real ``levenshtein`` before emission — the
+    same block-then-verify contract as the MinHash/SimHash family.
+
+    Plan shape at 100 TB:
+    1. ``distinct`` strings first — exact duplicates are exact-dedup's
+       job, and collapsing them first removes the C(m,2) blow-up of a
+       million-copy string meeting itself in every bucket.
+    2. variants by ``explode(sequence(0, len))`` + codegen'd
+       substring/concat (0 = identity) — map-only; the join key is
+       ``xxhash64(variant)``, 8 bytes, never the variant text.
+    3. self-equi-join on the variant hash; ``s_a < s_b`` halves the
+       pairs; ``distinct`` collapses multi-bucket candidates BEFORE the
+       verify so each pair pays one levenshtein.
+    4. verify ``levenshtein = 1`` (distance 0 is impossible after the
+       distinct).
+
+    ``max_bucket_size`` is the boilerplate-bucket guard (aggregate +
+    semi-join, same shape as minhash's cap): a variant shared by m
+    strings yields C(m,2) candidates, and real corpora have degenerate
+    near-families ("page 1", "page 2", ...). None (default) keeps exact
+    recall for oracle parity; set it at scale and count capped buckets
+    as telemetry.
+
+    Output: (s_a, s_b, dist) with s_a < s_b, dist always 1.
+    """
+    s = F.col("s")
+    names = df.select(F.col(text_col).alias("s")).filter(s.isNotNull()).distinct()
+    i = F.col("i")
+    variants = (
+        names.select(s, F.explode(F.sequence(F.lit(0), F.length(s))).alias("i"))
+        .select(
+            "s",
+            F.when(i == 0, s)
+            .otherwise(
+                F.concat(
+                    F.substring(s, F.lit(1), i - 1),
+                    F.substring(s, i + 1, F.length(s)),
+                )
+            )
+            .alias("v"),
+        )
+        .select("s", F.xxhash64("v").alias("vkey"))
+    )
+    if max_bucket_size is not None:
+        small = (
+            variants.groupBy("vkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("vkey")
+        )
+        variants = variants.join(small, "vkey", "left_semi")
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, "vkey")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long")).filter(
+        F.col("dist") == 1
+    )

@@ -2986,6 +2986,27 @@ LEFT JOIN rebuilt r ON d.doc_id = r.rid
 """
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 string pair mining over customer names
+    (operators/dedup.fuzzy_pairs_d1, FastSS/SymSpell deletion
+    neighborhoods): blocking is hash-of-variant equi-joins, never an
+    all-pairs scan; the oracle IS the quadratic form DuckDB can afford
+    at gate scale, so the blocking's exact-recall claim is verified,
+    not asserted."""
+    c = _t(spark, sf_dir, "customer").select("c_name")
+    return dd.fuzzy_pairs_d1(c, text_col="c_name")
+
+
+SQL_FUZZY_PAIRS = """
+WITH d AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL)
+SELECT a.s AS s_a, b.s AS s_b, 1::BIGINT AS dist
+FROM d a, d b
+WHERE a.s < b.s
+  AND abs(length(a.s) - length(b.s)) <= 1
+  AND levenshtein(a.s, b.s) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3081,6 +3102,7 @@ SPARK_QUERIES = {
     "merge_intervals": q_merge_intervals,
     "scd2_history": q_scd2_history,
     "boilerplate_removal": q_boilerplate_removal,
+    "fuzzy_pairs": q_fuzzy_pairs,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3172,6 +3194,7 @@ ORACLE_SQL = {
     "merge_intervals": SQL_MERGE_INTERVALS,
     "scd2_history": SQL_SCD2_HISTORY,
     "boilerplate_removal": SQL_BOILERPLATE,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
