@@ -527,3 +527,29 @@ def test_boilerplate_removal_trims_before_matching(spark):
     out = tx.remove_boilerplate_lines(df, min_docs=2, max_doc_ratio_pct=5)
     rows = {r["doc_id"]: r["text_clean"] for r in out.collect()}
     assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_pmi_collocations_ranks_bound_pairs_first(spark):
+    # "san francisco" always co-occur (PMI ratio = N/c_x/c_y * c_xy high);
+    # "the cat"/"the dog" are frequent but 'the' is promiscuous -> lower
+    docs = [("san francisco is foggy . " * 3 + "the cat sat . the dog sat . " * 5,)] * 4
+    df = spark.createDataFrame(docs, "text string")
+    out = tx.pmi_collocations(df, min_count=5, top=10).collect()
+    assert out, "no collocations found"
+    ranked = [(r["w1"], r["w2"]) for r in out]
+    assert ranked.index(("san", "francisco")) < ranked.index(("the", "cat"))
+    top = out[0]
+    # integer evidence is self-consistent
+    assert top["score"] == top["c_xy"] * top["n_big"] / top["c_x"] / top["c_y"]
+
+
+def test_pmi_collocations_min_count_filters_hapax(spark):
+    df = spark.createDataFrame(
+        [("rare pair appears once . common phrase here . " + "common phrase again . " * 6,)],
+        "text string",
+    )
+    out = tx.pmi_collocations(df, min_count=5, top=50).collect()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("rare", "pair") not in pairs
+    assert ("common", "phrase") in pairs
+    assert all(r["c_xy"] >= 5 for r in out)

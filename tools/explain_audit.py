@@ -393,6 +393,15 @@ def main() -> int:
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
     )
 
+    # pmi_collocations: top-k must compile to TakeOrdered (no global
+    # sort of the pair table); the only nested-loop is the broadcast
+    # 1-row corpus total.
+    check(
+        "pmi_collocations",
+        ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -573,3 +573,74 @@ def remove_boilerplate_lines(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """Corpus-wide collocation mining: the ``top`` word bigrams ranked
+    by pointwise mutual information, PMI = log(P(xy) / (P(x)P(y))).
+
+    Because log is monotone, ranking by the RATIO ``c_xy * N /
+    (c_x * c_y)`` is ranking by PMI — so no transcendental ever runs
+    (the tfidf_top_terms discipline): the score is a product/quotient
+    of exact longs evaluated in a fixed association order, and IEEE
+    multiply/divide are correctly rounded, so two engines produce the
+    BIT-IDENTICAL double. ``min_count`` kills the hapax-pair noise PMI
+    is notorious for (a 1-occurrence pair of 1-occurrence words has
+    maximal PMI and zero value).
+
+    Plan shape at 100 TB: bigrams come from ONE zip_with over two
+    token-array slices (the interpreted-lambda trap repetition_features
+    documents is avoided the same way); unigram and bigram counts are
+    two hash aggregations with map-side combine; the pair->word joins
+    are plain equi-joins on the word key (linear, AQE-planned); the
+    corpus bigram total joins as a broadcast 1-row bound; top-k
+    compiles to TakeOrdered, not a global sort.
+
+    Output: (w1, w2, c_xy, c_x, c_y, n_big, score) — the integer
+    evidence makes every score auditable downstream.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tok_df = df.select(toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    uni = (
+        tok_df.select(F.explode(F.col("__toks")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    empty = F.array().cast("array<struct<w1:string,w2:string>>")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("__toks"), F.lit(1), n - 1),
+            F.slice(F.col("__toks"), F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(empty)
+    big = (
+        tok_df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n_big = big.agg(F.sum("c_xy").alias("n_big"))
+    scored = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .join(F.broadcast(n_big))
+        .withColumn(
+            "score",
+            F.col("c_xy").cast("double") * F.col("n_big") / F.col("c_x") / F.col("c_y"),
+        )
+    )
+    return scored.select("w1", "w2", "c_xy", "c_x", "c_y", "n_big", "score").orderBy(
+        F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top)

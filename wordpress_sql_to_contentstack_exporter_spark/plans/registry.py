@@ -3007,6 +3007,50 @@ WHERE a.s < b.s
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations over the documents corpus
+    (operators/text.pmi_collocations): rank by the exact rational
+    ``c_xy * N / (c_x * c_y)`` — monotone in PMI, no log — with
+    min_count 5. The score double is a fixed-order product/quotient of
+    longs, bit-identical across engines; c-columns are the auditable
+    integer evidence."""
+    return tx.pmi_collocations(
+        _t(spark, sf_dir, "documents").select("text"), min_count=5, top=100
+    )
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH toks AS (
+    SELECT list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               t -> t != '') AS ts
+    FROM documents
+), p0 AS (
+    SELECT [ {'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts)) ] AS bs
+    FROM toks
+), p AS (
+    SELECT unnest(bs, recursive := true) FROM p0
+), big AS (
+    SELECT w1, w2, count(*) AS c_xy FROM p GROUP BY w1, w2
+), uni AS (
+    SELECT unnest(ts) AS w FROM toks
+), uc AS (
+    SELECT w, count(*) AS c FROM uni GROUP BY w
+), nb AS (
+    SELECT sum(c_xy)::BIGINT AS n_big FROM big
+)
+SELECT b.w1, b.w2, b.c_xy, x.c AS c_x, y.c AS c_y, nb.n_big,
+       CAST(b.c_xy AS DOUBLE) * nb.n_big / x.c / y.c AS score
+FROM big b
+JOIN uc x ON b.w1 = x.w
+JOIN uc y ON b.w2 = y.w
+CROSS JOIN nb
+WHERE b.c_xy >= 5
+ORDER BY score DESC, b.w1 ASC, b.w2 ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3103,6 +3147,7 @@ SPARK_QUERIES = {
     "scd2_history": q_scd2_history,
     "boilerplate_removal": q_boilerplate_removal,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "pmi_collocations": q_pmi_collocations,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3195,6 +3240,7 @@ ORACLE_SQL = {
     "scd2_history": SQL_SCD2_HISTORY,
     "boilerplate_removal": SQL_BOILERPLATE,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
