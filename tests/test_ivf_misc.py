@@ -111,3 +111,45 @@ def test_ann_index_fit_rejects_empty_candidates(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty sample"):
         sim.ivf_topk(empty.limit(1), empty, k=1, n_cells=4)
+
+
+def test_embedding_centroids_exact_integer_sums(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0]),
+            (0, [3.0, 0.5]),
+            (1, [0.25, 0.75]),
+        ],
+        "label int, embedding array<float>",
+    )
+    out = embedding_centroids(df, group_col="label", vec_col="embedding")
+    rows = {(r["label"], r["dim"]): (r["sum_scaled"], r["n"], r["centroid"]) for r in out.collect()}
+    s = 1 << 20
+    assert rows[(0, 0)] == (4 * s, 2, 2.0)
+    assert rows[(0, 1)] == (-int(1.5 * s), 2, -0.75)
+    assert rows[(1, 0)] == (int(0.25 * s), 1, 0.25)
+    assert rows[(1, 1)] == (int(0.75 * s), 1, 0.75)
+
+
+def test_embedding_centroids_partition_order_invariant(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.similarity import embedding_centroids
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i % 3, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+    df1 = spark.createDataFrame(rows, "label int, embedding array<float>").repartition(13)
+    df2 = spark.createDataFrame(list(reversed(rows)), "label int, embedding array<float>").repartition(2)
+    a = {
+        (r["label"], r["dim"]): (r["sum_scaled"], r["centroid"])
+        for r in embedding_centroids(df1, group_col="label", vec_col="embedding").collect()
+    }
+    b = {
+        (r["label"], r["dim"]): (r["sum_scaled"], r["centroid"])
+        for r in embedding_centroids(df2, group_col="label", vec_col="embedding").collect()
+    }
+    # exact integer sums make the result bit-identical under any
+    # partitioning / combine order — the whole point of the contract
+    assert a == b

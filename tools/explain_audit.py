@@ -402,6 +402,16 @@ def main() -> int:
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
 
+    # embedding_centroids: one hash aggregation with map-side partial
+    # combine over the exploded (group, dim, long) rows; no joins, no
+    # window, no Python UDF in the plan.
+    check(
+        "embedding_centroids",
+        ("partial aggregation present", r"HashAggregate"),
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+        ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython)).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

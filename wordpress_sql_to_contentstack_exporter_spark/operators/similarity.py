@@ -843,3 +843,58 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    *,
+    group_col: str,
+    vec_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-group, per-dimension embedding centroid with an EXACT
+    integer-sum contract — the class-mean computation of embedding
+    pipelines (cluster centers, label prototypes, drift monitors).
+
+    Naively averaging doubles is combine-order-dependent: floating
+    addition is not associative, so a different partitioning produces a
+    different last bit — unusable as a cross-engine (or even re-run)
+    contract. Instead each float is scaled by ``2**scale_bits`` and
+    floored to a long: float->double is exact, multiplying by a power
+    of two is exact, floor is exact — so the per-dimension SUM is exact
+    integer arithmetic, associative, and engine-independent. The
+    derived ``centroid`` double divides in one fixed order
+    (sum / n / 2^bits), each step correctly rounded, hence
+    bit-identical everywhere. Quantization bias is deterministic and
+    bounded by ``2**-scale_bits`` per element — negligible against
+    float32 inputs for scale_bits >= 20 (float32 has 24 mantissa bits).
+
+    Plan shape at 100 TB: posexplode multiplies rows by the dimension,
+    but the shuffle rows are (group, dim, long) triples and hash
+    aggregation partial-combines map-side, so the exchange carries
+    |groups| x dims rows PER MAPPER, independent of input row count.
+    That is the Spark-native shape; element-wise array aggregation in
+    the driver or a Python UDF loop are the rejected alternatives.
+
+    Output: (group_col, dim [0-based], sum_scaled, n, centroid).
+    """
+    if not (1 <= scale_bits <= 30):
+        raise ValueError("scale_bits in [1, 30] required")
+    scale = F.lit(float(2**scale_bits))
+    e = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    scaled = e.select(
+        group_col,
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * scale).cast("long").alias("sv"),
+    )
+    return (
+        scaled.groupBy(group_col, "dim")
+        .agg(F.sum("sv").alias("sum_scaled"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "centroid",
+            F.col("sum_scaled").cast("double") / F.col("n") / F.lit(float(2**scale_bits)),
+        )
+    )

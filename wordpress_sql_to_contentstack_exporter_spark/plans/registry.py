@@ -3051,6 +3051,34 @@ LIMIT 100
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids
+    (operators/similarity.embedding_centroids): dimension-wise means
+    with exact 2^20-scaled integer sums — float addition is
+    order-dependent, so the SUM contract is integers and the derived
+    centroid divides in one fixed order (bit-identical cross-engine)."""
+    e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return sim.embedding_centroids(e, group_col="label", vec_col="embedding")
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH e AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+), s AS (
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS sum_scaled,
+           count(*) AS n
+    FROM e GROUP BY label, dim
+)
+SELECT label, dim, sum_scaled, n,
+       CAST(sum_scaled AS DOUBLE) / n / 1048576 AS centroid
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3148,6 +3176,7 @@ SPARK_QUERIES = {
     "boilerplate_removal": q_boilerplate_removal,
     "fuzzy_pairs": q_fuzzy_pairs,
     "pmi_collocations": q_pmi_collocations,
+    "embedding_centroids": q_embedding_centroids,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3241,6 +3270,7 @@ ORACLE_SQL = {
     "boilerplate_removal": SQL_BOILERPLATE,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
