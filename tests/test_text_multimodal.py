@@ -553,3 +553,19 @@ def test_pmi_collocations_min_count_filters_hapax(spark):
     assert ("rare", "pair") not in pairs
     assert ("common", "phrase") in pairs
     assert all(r["c_xy"] >= 5 for r in out)
+
+
+def test_inverted_index_postings_and_truncation(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c"), (3, "a"), (4, "c C")],
+        "doc_id long, text string",
+    )
+    out = tx.inverted_index(df, max_postings=2)
+    rows = {r["token"]: r for r in out.collect()}
+    a = rows["a"]
+    # df counts ALL docs even past the truncation cap
+    assert (a["df_docs"], a["total_tf"], a["n_postings"]) == (3, 4, 2)
+    assert a["postings"] == "1:2,2:1"  # lowest doc ids win, tf carried
+    assert rows["b"]["postings"] == "1:1"
+    # lowercase tokenization folds 'C' into 'c'
+    assert rows["c"]["postings"] == "2:1,4:2"

@@ -412,6 +412,16 @@ def main() -> int:
         ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython)).*)\Z"),
     )
 
+    # inverted_index: two-level aggregate, no join, no window — a
+    # window-based posting sort would re-sort the giant stopword groups
+    # in single tasks.
+    check(
+        "inverted_index",
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+        ("partial aggregation present", r"HashAggregate|SortAggregate|ObjectHashAggregate"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

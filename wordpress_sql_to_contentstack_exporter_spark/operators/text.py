@@ -644,3 +644,53 @@ def pmi_collocations(
     return scored.select("w1", "w2", "c_xy", "c_x", "c_y", "n_big", "score").orderBy(
         F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top)
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Build an inverted index: per token, document frequency, total
+    term frequency, and a ``doc:tf`` posting list sorted by doc id —
+    the retrieval-side artifact (BM25 backends, decontamination lookup
+    tables) of a text corpus.
+
+    Plan shape at 100 TB: explode tokens map-only, then the token_topk
+    two-level aggregate — (token, doc) partial first (map-side combine
+    absorbs within-doc repeats), then per-token stats + postings in ONE
+    hash aggregation. Postings are assembled as a sorted-struct array
+    and truncated to ``max_postings`` BEFORE stringification: stopword
+    tokens appear in every document, and an unbounded collect_list on
+    them is the per-group memory hazard — the cap bounds per-token
+    state to ``max_postings`` entries deterministically (lowest doc
+    ids win; ``df_docs``/``total_tf`` still count everything, so the
+    truncation is visible, not silent).
+
+    The posting list is emitted as a STRING (``"7:2,9:1"``): arrays of
+    structs render differently across engines, strings hash
+    identically everywhere.
+
+    Output: (token, df_docs, total_tf, n_postings, postings).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", "id").agg(F.count(F.lit(1)).alias("tf"))
+    sorted_postings = F.slice(
+        F.array_sort(F.collect_list(F.struct("id", "tf"))), 1, max_postings
+    )
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.least(F.count(F.lit(1)), F.lit(max_postings).cast("long")).alias("n_postings"),
+        F.array_join(
+            F.transform(
+                sorted_postings, lambda s: F.concat_ws(":", s["id"], s["tf"])
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -3079,6 +3079,38 @@ FROM s
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents corpus
+    (operators/text.inverted_index): per-token df / total tf / sorted
+    ``doc:tf`` posting string, stopword lists deterministically
+    truncated at 50 postings (df_docs still counts everything, so the
+    cap is auditable)."""
+    return tx.inverted_index(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), max_postings=50
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+    FROM documents
+), nz AS (
+    SELECT doc_id, token FROM toks WHERE token != ''
+), per AS (
+    SELECT token, doc_id, count(*) AS tf FROM nz GROUP BY token, doc_id
+)
+SELECT token,
+       count(*) AS df_docs,
+       sum(tf)::BIGINT AS total_tf,
+       least(count(*), 50)::BIGINT AS n_postings,
+       array_to_string(
+           list_slice(list(doc_id || ':' || tf ORDER BY doc_id), 1, 50), ','
+       ) AS postings
+FROM per GROUP BY token
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3177,6 +3209,7 @@ SPARK_QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "pmi_collocations": q_pmi_collocations,
     "embedding_centroids": q_embedding_centroids,
+    "inverted_index": q_inverted_index,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3271,6 +3304,7 @@ ORACLE_SQL = {
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "inverted_index": SQL_INVERTED_INDEX,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
