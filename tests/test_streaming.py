@@ -179,3 +179,45 @@ def test_streaming_minhash_neardup_matches_across_batches(spark, tmp_path):
     run()
     pairs3 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_dir).collect()}
     assert pairs3 == pairs2
+
+
+def test_session_window_counts_batch_parity_and_streaming(spark, tmp_path):
+    import datetime as dt
+
+    from wordpress_sql_to_contentstack_exporter_spark.streaming.incremental import session_window_counts
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 10, 0), 1),
+        (2, T(2024, 1, 1, 10, 10), 1),   # same session (gap 30m)
+        (3, T(2024, 1, 1, 11, 30), 1),   # > 30m later -> new session
+        (4, T(2024, 1, 1, 10, 5), 2),
+    ]
+    batch = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = session_window_counts(batch, gap="30 minutes")
+    got = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute): r["n_events"]
+        for r in out.collect()
+    }
+    # session end extends gap past the LAST event; counts split on the gap
+    assert got == {(1, 10, 0): 2, (1, 11, 30): 1, (2, 10, 5): 1}
+
+    # the same plan runs as a stream: feed the rows as one file batch
+    src = tmp_path / "in"
+    src.mkdir()
+    batch.write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src / "*.parquet"))
+    q = (
+        session_window_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("svc_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    srows = {
+        (r["user_id"], r["session_start"].hour): r["n_events"]
+        for r in spark.sql("select * from svc_test").collect()
+    }
+    assert srows == {(1, 10): 2, (1, 11): 1, (2, 10): 1}

@@ -75,3 +75,39 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregate via the built-in
+    ``F.session_window`` — the engine-native complement to
+    ``streaming/stateful.sessionize_stream``'s applyInPandasWithState
+    sessionizer: use this when per-session count/sum/bounds suffice
+    (state lives in the JVM state store, merges sessions on arrival,
+    and expires via the watermark — no Python worker in the loop);
+    drop to the stateful Pandas form only for custom per-session logic
+    the built-in cannot express (e.g. emitting mid-session milestones).
+
+    Identical semantics in batch (watermark is a no-op there), so
+    correctness is batch-testable and the same plan deploys streaming —
+    the windowed_event_counts discipline.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
