@@ -96,3 +96,46 @@ def test_weighted_sample_wor_favors_heavy_rows(spark):
         d2, key_col="doc_id", weight_col="n_chars", n=20, strata=["lang"], seed=42
     )
     assert out2.filter(F.col("doc_id") % 2 == 0).count() == 0
+
+
+def test_epoch_upsample_whole_and_fractional_copies(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "wiki") for i in range(200)]
+        + [(i + 1000, "web") for i in range(200)]
+        + [(i + 2000, "code") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = epoch_upsample(
+        df,
+        domain_col="source",
+        id_col="doc_id",
+        epochs={"wiki": 2.5, "web": 0.4, "code": 3.0},
+        seed=7,
+    ).cache()
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # wiki: every row 2 or 3 copies, mean ~2.5
+    assert 200 * 2 <= by_src["wiki"] <= 200 * 3
+    assert abs(by_src["wiki"] / 200 - 2.5) < 0.3
+    # web: 0 or 1 copies, mean ~0.4
+    assert by_src["web"] < 200
+    assert abs(by_src["web"] / 200 - 0.4) < 0.15
+    # code: exactly 3 copies each, copy_idx 0..2
+    assert by_src["code"] == 300
+    idxs = {r["copy_idx"] for r in out.filter("source = 'code'").select("copy_idx").distinct().collect()}
+    assert idxs == {0, 1, 2}
+    out.unpersist()
+
+
+def test_epoch_upsample_deterministic_and_default(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame([(i, f"s{i%3}") for i in range(90)], "doc_id long, source string")
+    kw = dict(domain_col="source", id_col="doc_id", epochs={"s0": 1.5}, seed=3)
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in epoch_upsample(df, **kw).collect())
+    b = sorted((r["doc_id"], r["copy_idx"]) for r in epoch_upsample(df, **kw).collect())
+    assert a == b  # exact multiset reproducibility, not just proportions
+    # unlisted domains get default_epochs=1.0 -> exactly one copy
+    one = epoch_upsample(df, **kw).filter("source != 's0'")
+    assert one.count() == 60 and one.filter("copy_idx != 0").count() == 0

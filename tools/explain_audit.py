@@ -422,6 +422,16 @@ def main() -> int:
         ("partial aggregation present", r"HashAggregate|SortAggregate|ObjectHashAggregate"),
     )
 
+    # epoch_upsample: factor table broadcasts; replication is a
+    # pipelined scan->join->explode with NO exchange anywhere.
+    eu_plan = plan_of(SPARK_QUERIES["epoch_upsample"](spark, sf_dir))
+    check_plan(
+        "epoch_upsample",
+        eu_plan,
+        ("factor table broadcast", r"BroadcastHashJoin"),
+        ("fully pipelined (no exchange)", r"\A(?s:(?!.*\(\d+\) Exchange).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

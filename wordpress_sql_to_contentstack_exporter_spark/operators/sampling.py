@@ -294,3 +294,63 @@ def pack_sequences(
         out_pack_col,
         F.concat_ws("-", F.col("__shard").cast("string"), local_pack.cast("string")),
     ).drop("__shard")
+
+
+def epoch_upsample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    id_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Replicate/downsample rows per domain by a FRACTIONAL epoch
+    factor — the data-mixing step LLM pretraining actually runs ("2.3
+    epochs of wiki, 0.5 of web"): factor f means every row appears
+    ``floor(f)`` times, plus one more copy with probability ``frac(f)``.
+
+    The fractional coin is the md5 draw ``_hash_hex8(id, seed)``
+    compared against a hex threshold (see the module header: exact,
+    engine-portable, retry-stable — ``sample()``'s rand() is none of
+    these), so the EXACT replica multiset is reproducible anywhere,
+    and E[copies] = f per row with zero variance in the integer part.
+
+    Plan shape at 100 TB: the factor table is a handful of rows —
+    broadcast join; replication is ``explode(sequence(0, n-1))``
+    JVM-side (guarded: sequence(0,-1) DESCENDS in Spark — the
+    chunk_documents trap — so the 0-copy case maps to an explicit
+    empty array, which explode drops). No shuffle at all: scan ->
+    broadcast join -> explode, fully pipelined. ``copy_idx`` names
+    each replica so a downstream global shuffle can interleave them.
+
+    Output: input columns + ``copy_idx`` (long, 0-based).
+    """
+    rows = [
+        (str(d), int(f), _hex_threshold(f - int(f))) for d, f in epochs.items()
+    ]
+    if any(f < 0 for _, f in epochs.items()) or default_epochs < 0:
+        raise ValueError("epoch factors must be >= 0")
+    spark = df.sparkSession
+    factors = spark.createDataFrame(
+        rows, f"{domain_col} string, __whole int, __thresh string"
+    )
+    d_whole = F.lit(int(default_epochs))
+    d_thresh = F.lit(_hex_threshold(default_epochs - int(default_epochs)))
+    u = _hash_hex8(F.col(id_col), seed, "epoch_upsample")
+    n_copies = (
+        F.coalesce(F.col("__whole"), d_whole)
+        + F.when(u < F.coalesce(F.col("__thresh"), d_thresh), 1).otherwise(0)
+    ).alias("__n")
+    joined = df.join(F.broadcast(factors), domain_col, "left").select(
+        *[F.col(c) for c in df.columns], n_copies
+    )
+    idxs = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(0), F.col("__n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = joined.select(
+        *[F.col(c) for c in df.columns], F.explode(idxs).alias("__i")
+    )
+    return exploded.select(
+        *[F.col(c) for c in df.columns], F.col("__i").cast("long").alias("copy_idx")
+    )

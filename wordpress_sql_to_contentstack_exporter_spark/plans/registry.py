@@ -3111,6 +3111,39 @@ FROM per GROUP BY token
 """
 
 
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch domain mixing (operators/sampling.epoch_upsample):
+    src0 runs 2.5 epochs (2 copies + md5-coin third), src1 0.4 (md5
+    keep), src2 exactly 3, everything else 1.0. The md5 draw makes the
+    exact replica multiset engine-reproducible — DuckDB regenerates
+    copy-for-copy, not just in expectation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.epoch_upsample(
+        d,
+        domain_col="source",
+        id_col="doc_id",
+        epochs={"src0": 2.5, "src1": 0.4, "src2": 3.0},
+        default_epochs=1.0,
+        seed=7,
+    )
+
+
+SQL_EPOCH_UPSAMPLE = """
+WITH f(source, whole, thresh) AS (
+    VALUES ('src0', 2, '7fffffff'), ('src1', 0, '66666665'), ('src2', 3, '00000000')
+), base AS (
+    SELECT d.doc_id, d.source,
+           coalesce(f.whole, 1)
+           + CASE WHEN substring(md5('epoch_upsample:7:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       < coalesce(f.thresh, '00000000')
+                  THEN 1 ELSE 0 END AS n
+    FROM documents d LEFT JOIN f USING (source)
+)
+SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS copy_idx
+FROM base WHERE n > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3210,6 +3243,7 @@ SPARK_QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "embedding_centroids": q_embedding_centroids,
     "inverted_index": q_inverted_index,
+    "epoch_upsample": q_epoch_upsample,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3305,6 +3339,7 @@ ORACLE_SQL = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "inverted_index": SQL_INVERTED_INDEX,
+    "epoch_upsample": SQL_EPOCH_UPSAMPLE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
