@@ -131,3 +131,20 @@ def test_table_diff_statuses_and_null_safety(spark):
 
     with pytest.raises(ValueError, match="schemas differ"):
         table_diff(a, b.drop("w"), keys=["id"])
+
+
+def test_join_blowup_profile_counts_and_order(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.relational import join_blowup_profile
+
+    left = spark.createDataFrame(
+        [(1,)] * 5 + [(2,)] * 2 + [(3,)] * 1, "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,)] * 4 + [(2,)] * 10 + [(9,)] * 3, "k long"
+    )
+    out = join_blowup_profile(left, right, left_key="k", right_key="k", top=10).collect()
+    rows = [(r["key"], r["c_left"], r["c_right"], r["pairs"]) for r in out]
+    # only common keys appear, ordered by fan-out
+    assert rows == [(1, 5, 4, 20), (2, 2, 10, 20)] or rows == [(2, 2, 10, 20), (1, 5, 4, 20)]
+    # deterministic tie-break: equal pairs -> key asc
+    assert rows[0][0] == 1

@@ -432,6 +432,14 @@ def main() -> int:
         ("fully pipelined (no exchange)", r"\A(?s:(?!.*\(\d+\) Exchange).*)\Z"),
     )
 
+    # join_blowup: both sides must aggregate BEFORE the join (the whole
+    # point — input rows never meet) and the top-k is TakeOrdered.
+    check(
+        "join_blowup",
+        ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -304,3 +304,42 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__prev")
     )
+
+
+def join_blowup_profile(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    top: int = 20,
+) -> DataFrame:
+    """Pre-flight skew profiler for an equi-join: per key, both sides'
+    row counts and the exact pair fan-out ``c_left * c_right`` the join
+    would emit — the diagnostic to run BEFORE a 100 TB fact-fact join,
+    because one hot key (the NULL-surrogate, the default user, the
+    boilerplate doc) turns a linear join into a quadratic one, and
+    finding that out from a straggling reducer at hour three is the
+    expensive way.
+
+    Plan shape: each side collapses to (key, count) via partial-agg'd
+    hash aggregation BEFORE any join — the join operates on aggregated
+    frames (|distinct keys| rows, not input rows), and top-k compiles
+    to TakeOrdered. Total shuffle: two count aggregations + one
+    aggregated-frame join; input row counts never meet each other.
+
+    Output: (key, c_left, c_right, pairs), ``top`` rows by pairs desc
+    (key asc tie-break, deterministic).
+    """
+    cl = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("c_left")
+    )
+    cr = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("c_right")
+    )
+    return (
+        cl.join(cr, "key")
+        .withColumn("pairs", F.col("c_left") * F.col("c_right"))
+        .orderBy(F.col("pairs").desc(), F.col("key").asc())
+        .limit(top)
+    )

@@ -3144,6 +3144,36 @@ FROM base WHERE n > 0
 """
 
 
+def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew pre-flight profile for orders(o_custkey) x
+    events(user_id) (operators/relational.join_blowup_profile): per key
+    both sides' counts and the exact pair fan-out, top-20 by blow-up.
+    Input rows never meet — the join runs on pre-aggregated (key,count)
+    frames."""
+    from ..operators.relational import join_blowup_profile
+
+    return join_blowup_profile(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "events"),
+        left_key="o_custkey",
+        right_key="user_id",
+        top=20,
+    )
+
+
+SQL_JOIN_BLOWUP = """
+WITH cl AS (
+    SELECT o_custkey AS key, count(*) AS c_left FROM orders GROUP BY 1
+), cr AS (
+    SELECT user_id AS key, count(*) AS c_right FROM events GROUP BY 1
+)
+SELECT cl.key, cl.c_left, cr.c_right, cl.c_left * cr.c_right AS pairs
+FROM cl JOIN cr USING (key)
+ORDER BY pairs DESC, key ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3244,6 +3274,7 @@ SPARK_QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "inverted_index": q_inverted_index,
     "epoch_upsample": q_epoch_upsample,
+    "join_blowup": q_join_blowup,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3340,6 +3371,7 @@ ORACLE_SQL = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "inverted_index": SQL_INVERTED_INDEX,
     "epoch_upsample": SQL_EPOCH_UPSAMPLE,
+    "join_blowup": SQL_JOIN_BLOWUP,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
