@@ -449,3 +449,56 @@ def test_fuzzy_pairs_d1_bucket_cap_drops_giant_family(spark):
     assert pairs == {("alpha", "alpho")}
     full = fuzzy_pairs_d1(df, text_col="s")
     assert len(full.collect()) == 45 + 1  # C(10,2) page pairs + alpha/alpho
+
+
+def test_setsim_join_matches_bruteforce(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import setsim_join
+
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base = rng.sample(vocab, 20)
+    docs = []
+    for i in range(12):
+        toks = list(base)
+        for _ in range(rng.randint(0, 8)):  # mutate some tokens
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((i, " ".join(toks)))
+    docs.append((100, " ".join(rng.sample(vocab, 15))))  # unrelated
+
+    def shingles(text):
+        t = text.split()
+        return {f"{a} {b}" for a, b in zip(t, t[1:])}
+
+    expect = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if union and 10 * inter >= 6 * union:
+            expect.add((min(ia, ib), max(ia, ib)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = setsim_join(df, id_col="doc_id", text_col="text", tau_num=6, tau_den=10)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == expect  # exact recall: the prefix filter misses nothing
+
+
+def test_setsim_join_integer_threshold_boundary(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import setsim_join
+
+    # shingle sets: a={ab,bc,cd,de}, b shares exactly 3 of 4 with union 5
+    # -> jaccard 3/5 = 0.6 exactly: the integer rule fires AT equality
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")],
+        "doc_id long, text string",
+    )
+    out = setsim_join(df, id_col="doc_id", text_col="text", tau_num=6, tau_den=10).collect()
+    assert [(r["id_a"], r["id_b"], r["inter_size"], r["union_size"]) for r in out] == [
+        (1, 2, 3, 5)
+    ]
+    # one notch stricter and the same pair must vanish
+    stricter = setsim_join(df, id_col="doc_id", text_col="text", tau_num=61, tau_den=100)
+    assert stricter.count() == 0

@@ -440,6 +440,15 @@ def main() -> int:
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
 
+    # setsim_join: candidates must come from the prefix equi-join — no
+    # cartesian/nested-loop anywhere, and verify joins are hash joins
+    # on ids.
+    check(
+        "setsim_join",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -840,3 +840,100 @@ def fuzzy_pairs_d1(
     return cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long")).filter(
         F.col("dist") == 1
     )
+
+
+def setsim_join(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    tau_num: int = 6,
+    tau_den: int = 10,
+) -> DataFrame:
+    """EXACT-recall set-similarity self-join: all document pairs whose
+    word-bigram shingle SETS have Jaccard >= tau_num/tau_den — the
+    prefix-filtering family (PPJoin / AllPairs, public algorithms), the
+    deterministic companion to MinHash (which trades recall for speed;
+    this trades a verify pass for a guarantee).
+
+    Prefix lemma: order every shingle by a GLOBAL total order (here
+    (corpus df ASC, hash ASC) — rarest first, ties broken by hash) and
+    keep each set's first ``p = k - ceil(tau*k) + 1`` elements; two
+    sets with Jaccard >= tau MUST share a prefix element. Candidates
+    are therefore an equi-join on prefix shingle hashes — never an
+    all-pairs scan — and the verify recomputes exact intersection /
+    union sizes with the integer rule ``tau_den * inter >= tau_num *
+    union`` (no float decides a pair).
+
+    Plan shape at 100 TB:
+    1. shingle-hash SETS per doc (xxhash64, 8 bytes — text never
+       shuffles; the usual 2^-64 collision wager);
+    2. corpus df per shingle: one hash aggregation;
+    3. the rarest-first order needs no global rank — sorting per-doc
+       structs (df, hash) IS the global order, so the vocab frame
+       never funnels through one task;
+    4. prefix explode -> equi-join on hash, ``id_a < id_b``,
+       distinct — work scales with prefix bucket density (rare
+       shingles => tiny buckets), the PPJoin selling point;
+    5. verify joins each candidate to the two full sorted hash arrays
+       (compact long arrays) and applies the integer Jaccard rule.
+
+    Output: (id_a, id_b, inter_size, union_size), exactly the pairs
+    an exhaustive quadratic scan would emit.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("need 0 < tau_num <= tau_den")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tok_df = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    grams = F.when(
+        n >= 2,
+        F.array_distinct(
+            F.zip_with(
+                F.slice(F.col("__toks"), F.lit(1), n - 1),
+                F.slice(F.col("__toks"), F.lit(2), n - 1),
+                lambda a, b: F.xxhash64(F.concat_ws(" ", a, b)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sets = tok_df.select("id", grams.alias("g")).filter(F.size("g") > 0)
+    ex = sets.select("id", F.explode("g").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = ex.join(dfreq, "h")
+    ordered = ranked.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dfc", "h"))), lambda s: s["h"]
+        ).alias("sorted_g")
+    )
+    k = F.size("sorted_g")
+    # p = k - ceil(tau*k) + 1, integer ceil
+    p = k - F.floor((F.lit(tau_num) * k + F.lit(tau_den - 1)) / F.lit(tau_den)).cast(
+        "int"
+    ) + 1
+    prefix = ordered.select(
+        "id", "sorted_g", F.explode(F.slice("sorted_g", 1, p)).alias("h")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), F.col("h"))
+    b = prefix.select(F.col("id").alias("id_b"), F.col("h"))
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = ordered.select("id", "sorted_g")
+    verified = (
+        cand.join(full.select(F.col("id").alias("id_a"), F.col("sorted_g").alias("ga")), "id_a")
+        .join(full.select(F.col("id").alias("id_b"), F.col("sorted_g").alias("gb")), "id_b")
+        .withColumn("inter_size", F.size(F.array_intersect("ga", "gb")).cast("long"))
+        .withColumn(
+            "union_size",
+            (F.size("ga") + F.size("gb")).cast("long") - F.col("inter_size"),
+        )
+        .filter(
+            F.lit(tau_den) * F.col("inter_size") >= F.lit(tau_num) * F.col("union_size")
+        )
+    )
+    return verified.select("id_a", "id_b", "inter_size", "union_size")

@@ -3174,6 +3174,47 @@ LIMIT 20
 """
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall set-similarity self-join at Jaccard >= 0.6 over
+    word-bigram shingle sets (operators/dedup.setsim_join, PPJoin-style
+    prefix filtering): the oracle is the exhaustive quadratic scan, so
+    the prefix filter's zero-miss guarantee is checked, not asserted.
+    Both engines cap to doc_id < 1000 so the ORACLE stays affordable at
+    larger sf (the Spark side needs no cap — its work scales with
+    prefix-bucket density)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    return dd.setsim_join(d, id_col="doc_id", text_col="text", tau_num=6, tau_den=10)
+
+
+SQL_SETSIM_JOIN = r"""
+WITH d AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 1000
+), toks AS (
+    SELECT doc_id,
+           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       t -> t != '') AS ts
+    FROM d
+), sets AS (
+    SELECT doc_id,
+           list_distinct([ ts[i] || ' ' || ts[i+1] for i in range(1, len(ts)) ]) AS s
+    FROM toks
+), nz AS (
+    SELECT * FROM sets WHERE len(s) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))::BIGINT AS inter_size,
+       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT AS union_size
+FROM nz a, nz b
+WHERE a.doc_id < b.doc_id
+  AND 10 * len(list_intersect(a.s, b.s))
+      >= 6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3275,6 +3316,7 @@ SPARK_QUERIES = {
     "inverted_index": q_inverted_index,
     "epoch_upsample": q_epoch_upsample,
     "join_blowup": q_join_blowup,
+    "setsim_join": q_setsim_join,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3372,6 +3414,7 @@ ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "epoch_upsample": SQL_EPOCH_UPSAMPLE,
     "join_blowup": SQL_JOIN_BLOWUP,
+    "setsim_join": SQL_SETSIM_JOIN,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
