@@ -79,3 +79,31 @@ def test_histogram_bins_cover_range_and_count(spark):
 
     with pytest.raises(ValueError):
         equi_width_histogram(df, value_col="v", n_bins=0)
+
+
+def test_fd_profile_detects_violations(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import fd_profile
+
+    t = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 10), (2, "b", 20), (2, "c", 20), (3, "a", 30)],
+        "k long, v string, z long",
+    )
+    out = fd_profile([
+        ("t.k->v", t, "k", "v"),      # k=2 maps to b AND c -> one violation
+        ("t.k->z", t, "k", "z"),      # holds
+    ])
+    rows = {r["relation"]: (r["n_lhs"], r["n_violating_lhs"], r["max_rhs_per_lhs"]) for r in out.collect()}
+    assert rows["t.k->v"] == (3, 1, 2)
+    assert rows["t.k->z"] == (3, 0, 1)
+
+
+def test_fd_profile_null_rhs_counts_as_value(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import fd_profile
+
+    t = spark.createDataFrame(
+        [(1, "a"), (1, None), (2, None), (2, None)], "k long, v string"
+    )
+    out = fd_profile([("t.k->v", t, "k", "v")])
+    r = out.collect()[0]
+    # NULL is one distinct rhs: k=1 -> {a, NULL} violates; k=2 -> {NULL} holds
+    assert (r["n_lhs"], r["n_violating_lhs"], r["max_rhs_per_lhs"]) == (2, 1, 2)

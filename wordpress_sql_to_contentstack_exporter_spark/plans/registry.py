@@ -3215,6 +3215,47 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/stats.fd_profile) over
+    three candidate dependencies a WordPress-style migration would key
+    target tables on: orderkey->custkey (a real key, holds),
+    custkey->mktsegment (holds), custkey->orderpriority across their
+    orders (breaks — customers change priorities). Exact integer
+    verdicts; one two-level aggregation per spec."""
+    from ..operators.stats import fd_profile
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return fd_profile(
+        [
+            ("orders.o_orderkey->o_custkey", o, "o_orderkey", "o_custkey"),
+            ("customer.c_custkey->c_mktsegment", c, "c_custkey", "c_mktsegment"),
+            ("orders.o_custkey->o_orderpriority", o, "o_custkey", "o_orderpriority"),
+        ]
+    )
+
+
+SQL_FD_PROFILE = """
+WITH s1 AS (
+    SELECT 'orders.o_orderkey->o_custkey' AS relation, l, count(*) AS n_rhs
+    FROM (SELECT DISTINCT o_orderkey AS l, o_custkey AS r FROM orders) GROUP BY 1, 2
+), s2 AS (
+    SELECT 'customer.c_custkey->c_mktsegment' AS relation, l, count(*) AS n_rhs
+    FROM (SELECT DISTINCT c_custkey AS l, c_mktsegment AS r FROM customer) GROUP BY 1, 2
+), s3 AS (
+    SELECT 'orders.o_custkey->o_orderpriority' AS relation, l, count(*) AS n_rhs
+    FROM (SELECT DISTINCT o_custkey AS l, o_orderpriority AS r FROM orders) GROUP BY 1, 2
+), u AS (
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+)
+SELECT relation,
+       count(*) AS n_lhs,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_lhs,
+       max(n_rhs) AS max_rhs_per_lhs
+FROM u GROUP BY relation
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3317,6 +3358,7 @@ SPARK_QUERIES = {
     "epoch_upsample": q_epoch_upsample,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
+    "fd_profile": q_fd_profile,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3415,6 +3457,7 @@ ORACLE_SQL = {
     "epoch_upsample": SQL_EPOCH_UPSAMPLE,
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
+    "fd_profile": SQL_FD_PROFILE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
