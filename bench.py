@@ -119,6 +119,18 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
     timed("minhash_neardup", dd.minhash_lsh_candidates(corpus, num_hashes=16, bands=2))
     timed("simhash_neardup", dd.simhash_neardups(corpus, max_hamming=3, prefix_bits=20))
     timed("paragraph_dedup", dd.paragraph_dedup(corpus))
+    # round-5 doc-corpus additions: exact-recall set-similarity join
+    # (the variant corpus is its worst case — every variant family
+    # shares its whole shingle set, so prefix buckets run `variants`
+    # hot) and corpus-DF boilerplate removal (all-distinct lines here:
+    # times the line-DF machinery at zero-removal density).
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as _tx
+
+    timed(
+        "setsim_join",
+        dd.setsim_join(corpus, id_col="doc_id", text_col="text", tau_num=9, tau_den=10),
+    )
+    timed("boilerplate_removal", _tx.remove_boilerplate_lines(corpus))
 
     # Bucket-skew telemetry (VERDICT r2 ask #8): the variant corpus is
     # deliberately boilerplate-heavy, so max_bucket records how hot the
@@ -189,7 +201,16 @@ def events_tier(spark, n_events: int) -> dict:
     synth.write.mode("overwrite").parquet(f"{base_dir}/events.parquet")
 
     out: dict = {"events": n_events}
-    for name in ["funnel", "retention_cohorts", "event_transitions", "gapfill"]:
+    for name in [
+        "funnel",
+        "retention_cohorts",
+        "event_transitions",
+        "gapfill",
+        # round-5 event-family additions (all events-only registry plans)
+        "merge_intervals",
+        "session_paths",
+        "rolling_anomaly",
+    ]:
         df = REG[name](spark, base_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):

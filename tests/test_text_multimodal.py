@@ -569,3 +569,26 @@ def test_inverted_index_postings_and_truncation(spark):
     assert rows["b"]["postings"] == "1:1"
     # lowercase tokenization folds 'C' into 'c'
     assert rows["c"]["postings"] == "2:1,4:2"
+
+
+def test_ngram_lm_counts_kn_evidence(spark):
+    # corpus: "a b c", "a b d", "x b c"
+    df = spark.createDataFrame(
+        [("a b c a b d",), ("x b c",)], "text string"
+    )
+    out = tx.ngram_lm_counts(df, min_count=1, top=50)
+    rows = {(r["w1"], r["w2"], r["w3"]): r for r in out.collect()}
+    abc = rows[("a", "b", "c")]
+    assert abc["c_xyz"] == 1
+    # prefix (a,b) occurs twice with 2 distinct continuations {c, d}
+    assert abc["c_xy"] == 2 and abc["n_right"] == 2
+    # (b,c) has 2 distinct left contexts {a, x}
+    assert abc["n_left"] == 2
+    # (x,b,c): prefix (x,b) unique continuation
+    xbc = rows[("x", "b", "c")]
+    assert xbc["c_xy"] == 1 and xbc["n_right"] == 1 and xbc["n_left"] == 2
+
+
+def test_ngram_lm_counts_short_docs_excluded(spark):
+    df = spark.createDataFrame([("one two",), ("solo",), ("",)], "text string")
+    assert tx.ngram_lm_counts(df, min_count=1).count() == 0

@@ -449,6 +449,24 @@ def main() -> int:
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
     )
 
+    # ngram_lm: exactly ONE parquet scan of the corpus — every derived
+    # quantity must aggregate the aggregated trigram frame, never
+    # re-scan text; top-k is TakeOrdered.
+    lm_plan = plan_of(SPARK_QUERIES["ngram_lm"](spark, sf_dir))
+    check_plan(
+        "ngram_lm",
+        lm_plan,
+        ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    n_scans_lm = len(re.findall(r"Scan parquet", lm_plan))
+    # formatted explain prints each node twice (tree + details)
+    if n_scans_lm > 2:
+        failures.append(("ngram_lm", f"expected one corpus scan, got {n_scans_lm}/2"))
+        print(f"FAIL  ngram_lm: expected one corpus scan, got {n_scans_lm}/2")
+    else:
+        print("ok    ngram_lm: single corpus scan feeds all derived counts")
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -7,7 +7,7 @@ shape (doc_id, text, lang, source, n_chars) but parameterized by column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenizer regex: runs of alphanumerics OR single non-space symbols.
@@ -693,4 +693,83 @@ def inverted_index(
             ),
             ",",
         ).alias("postings"),
+    )
+
+
+def ngram_lm_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+    top: int = 200,
+) -> DataFrame:
+    """Corpus trigram table with the Kneser-Ney continuation evidence a
+    count-based LM (or a contamination/memorization probe) needs: per
+    trigram (w1,w2,w3), its count, the prefix-bigram count, and the two
+    type-diversity counts KN smoothing is built from —
+    ``n_right`` = distinct continuations of (w1,w2) (N1+(xy·)) and
+    ``n_left`` = distinct left contexts of (w2,w3) (N1+(·yz)).
+
+    Every number is an exact integer; ranking/tie-breaks are
+    (count desc, words asc) — no float anywhere, so the table is a
+    stable cross-engine artifact.
+
+    Plan shape at 100 TB: trigrams come from ONE zip_with over three
+    token-array slices (no interpreted per-gram lambda re-evaluation);
+    the trigram count is one hash aggregation, and EVERY derived
+    quantity (prefix counts, both diversity counts) aggregates the
+    already-aggregated trigram frame — the raw corpus is scanned once,
+    shuffled once on the trigram key, and the remaining joins operate
+    on |distinct trigrams|-sized inputs on bigram keys. Top-k is
+    TakeOrdered.
+
+    Output: (w1, w2, w3, c_xyz, c_xy, n_right, n_left).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tok_df = df.select(toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    empty = F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    tris = F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(F.col("__toks"), F.lit(1), n - 2),
+                F.slice(F.col("__toks"), F.lit(2), n - 2),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            F.slice(F.col("__toks"), F.lit(3), n - 2),
+            lambda p, c: F.struct(
+                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+            ),
+        ),
+    ).otherwise(empty)
+    tri = (
+        tok_df.select(F.explode(tris).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c_xyz"))
+    )
+    # Derived quantities as WINDOWS over the aggregated trigram frame,
+    # not as separate groupBy+join branches: a branched plan re-scans
+    # the corpus once per branch unless exchange reuse happens to fire
+    # (observed: it doesn't for the distinct-only branch) — windows
+    # guarantee ONE corpus scan by construction, and they run over
+    # |distinct trigrams| rows, not input rows.
+    w_pre = Window.partitionBy("w1", "w2")
+    w_suf = Window.partitionBy("w2", "w3")
+    return (
+        tri.withColumn("c_xy", F.sum("c_xyz").over(w_pre))
+        .withColumn("n_right", F.count(F.lit(1)).over(w_pre))
+        .withColumn("n_left", F.count(F.lit(1)).over(w_suf))
+        .filter(F.col("c_xyz") >= min_count)
+        .select("w1", "w2", "w3", "c_xyz", "c_xy", "n_right", "n_left")
+        .orderBy(
+            F.col("c_xyz").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+            F.col("w3").asc(),
+        )
+        .limit(top)
     )

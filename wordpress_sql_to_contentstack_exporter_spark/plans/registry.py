@@ -3256,6 +3256,46 @@ FROM u GROUP BY relation
 """
 
 
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus trigrams with Kneser-Ney continuation evidence
+    (operators/text.ngram_lm_counts): exact integer counts only; every
+    derived quantity aggregates the already-aggregated trigram frame
+    (one corpus scan, one trigram shuffle)."""
+    return tx.ngram_lm_counts(
+        _t(spark, sf_dir, "documents").select("text"), min_count=2, top=200
+    )
+
+
+SQL_NGRAM_LM = r"""
+WITH toks AS (
+    SELECT list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               t -> t != '') AS ts
+    FROM documents
+), t0 AS (
+    SELECT [ {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]}
+             for i in range(1, len(ts)-1) ] AS gs
+    FROM toks
+), g AS (
+    SELECT unnest(gs, recursive := true) FROM t0
+), tri AS (
+    SELECT w1, w2, w3, count(*) AS c_xyz FROM g GROUP BY w1, w2, w3
+), prefix AS (
+    SELECT w1, w2, sum(c_xyz)::BIGINT AS c_xy, count(*) AS n_right
+    FROM tri GROUP BY w1, w2
+), lft AS (
+    SELECT w2, w3, count(*) AS n_left FROM tri GROUP BY w2, w3
+)
+SELECT tri.w1, tri.w2, tri.w3, tri.c_xyz, prefix.c_xy, prefix.n_right, lft.n_left
+FROM tri
+JOIN prefix USING (w1, w2)
+JOIN lft USING (w2, w3)
+WHERE tri.c_xyz >= 2
+ORDER BY tri.c_xyz DESC, tri.w1 ASC, tri.w2 ASC, tri.w3 ASC
+LIMIT 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3359,6 +3399,7 @@ SPARK_QUERIES = {
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
+    "ngram_lm": q_ngram_lm,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3458,6 +3499,7 @@ ORACLE_SQL = {
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
+    "ngram_lm": SQL_NGRAM_LM,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
