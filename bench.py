@@ -227,6 +227,27 @@ def events_tier(spark, n_events: int) -> dict:
             "exchanges": plan.count("Exchange"),
             "scans": len(re.findall(r"Scan parquet", plan)),
         }
+
+    # Chunked rolling-window variant (SCALE.md "known boundary" made
+    # code): same decisions as rolling_anomaly on dense chunks, but
+    # (key, week)-partitioned — 5 keys × ~13 weeks ≈ 65 tasks instead
+    # of 5. The wall delta vs out["rolling_anomaly"] IS the measured
+    # cost of low-cardinality keys in the plain form.
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import rolling_anomaly_chunked
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import load_table
+
+    ev = load_table(spark, base_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    ch = rolling_anomaly_chunked(
+        ev, keys=["event_type"], ts_col="ts", tiebreak=["event_id"],
+        value_col="value", window_rows=100, min_points=30, n_sigma=3,
+        chunk_seconds=7 * 86400,
+    ).filter(F.col("is_anomaly")).select("event_id", "event_type", "w_n", "w_sum", "w_sumsq")
+    t2 = time.perf_counter()
+    ch.write.format("noop").mode("overwrite").save()
+    out["rolling_anomaly_chunked"] = {"wall": round(time.perf_counter() - t2, 3)}
+
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
 

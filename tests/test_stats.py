@@ -107,3 +107,54 @@ def test_fd_profile_null_rhs_counts_as_value(spark):
     r = out.collect()[0]
     # NULL is one distinct rhs: k=1 -> {a, NULL} violates; k=2 -> {NULL} holds
     assert (r["n_lhs"], r["n_violating_lhs"], r["max_rhs_per_lhs"]) == (2, 1, 2)
+
+
+def test_rolling_anomaly_chunked_equals_exact_on_dense_data(spark):
+    import datetime as dt
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        rolling_anomaly,
+        rolling_anomaly_chunked,
+    )
+
+    # 400 events per key over 4 days; window 20 << ~100 rows/day-chunk
+    rows = []
+    for k in ("a", "b"):
+        for i in range(400):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=14 * i)
+            val = 100.0 + (i % 7) + (500.0 if i in (123, 300) else 0.0)
+            rows.append((k, i, ts, val))
+    df = spark.createDataFrame(rows, "k string, i long, ts timestamp, value double")
+    kw = dict(value_col="value", window_rows=20, min_points=10, n_sigma=3)
+    exact = rolling_anomaly(df, keys=["k"], order_by=["ts", "i"], **kw)
+    chunked = rolling_anomaly_chunked(
+        df, keys=["k"], ts_col="ts", tiebreak=["i"], chunk_seconds=86400, **kw
+    )
+    cols = ["k", "i", "w_n", "w_sum", "w_sumsq", "is_anomaly"]
+    a = sorted(tuple(r[c] for c in cols) for r in exact.select(cols).collect())
+    b = sorted(tuple(r[c] for c in cols) for r in chunked.select(cols).collect())
+    assert a == b  # dense chunks -> bit-identical decisions
+    assert any(t[-1] for t in a)  # the planted outliers are flagged
+
+
+def test_rolling_anomaly_chunked_sparse_chunk_shortens_window_only(spark):
+    import datetime as dt
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        rolling_anomaly_chunked,
+    )
+
+    # day-1 has 2 rows (< window 5): day-2's early rows see a SHORTER
+    # history (2 carried rows), never wrong sums
+    rows = [("a", 0, dt.datetime(2024, 1, 1, 1), 1.0), ("a", 1, dt.datetime(2024, 1, 1, 2), 2.0)]
+    rows += [("a", 10 + i, dt.datetime(2024, 1, 2, i + 1), 3.0 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, i long, ts timestamp, value double")
+    out = rolling_anomaly_chunked(
+        df, keys=["k"], ts_col="ts", tiebreak=["i"], value_col="value",
+        window_rows=5, min_points=2, n_sigma=3, chunk_seconds=86400,
+    )
+    got = {r["i"]: (r["w_n"], r["w_sum"]) for r in out.collect()}
+    # first day-2 row: 2 carried + itself = 3 rows, sum 1000+2000+3000
+    assert got[10] == (3, 6000)
+    # window caps at 5 as rows accumulate
+    assert got[13] == (5, 2000 + 3000 + 4000 + 5000 + 6000)

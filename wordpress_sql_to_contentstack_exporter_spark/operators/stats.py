@@ -179,3 +179,80 @@ def fd_profile(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def rolling_anomaly_chunked(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: list[str],
+    value_col: str,
+    window_rows: int = 100,
+    min_points: int = 30,
+    n_sigma: int = 3,
+    scale: int = 1000,
+    chunk_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """``rolling_anomaly`` for LOW-CARDINALITY keys: the plain form's
+    single (keys)-partitioned window runs |keys| tasks no matter how
+    many cores exist — 5 event types means 5 tasks against 100 TB. This
+    variant restores parallelism by time-chunking each key and carrying
+    the previous chunk's last ``window_rows - 1`` rows into the next
+    chunk as read-only history:
+
+        chunk = floor(epoch(ts) / chunk_seconds)
+        carry = last W-1 rows of (key, chunk), re-tagged chunk+1
+        window over (keys, chunk) on [carry ∪ own], emit own rows only
+
+    Two windows, both partitioned by (keys, chunk) — parallelism is
+    |keys| × |chunks|, and every task touches one chunk plus a W-1
+    fringe. Results are IDENTICAL to the exact form whenever each
+    (key, chunk) holds >= window_rows - 1 rows (size chunks so expected
+    rows-per-chunk >> W; the equivalence is pinned by test). When a
+    chunk is sparser than the window, rows early in the NEXT chunk see
+    a shortened history — the same bounded-staleness semantics as a
+    stream start, and the ``min_points`` gate keeps a short window from
+    fabricating flags (a missing-history window can only have fewer
+    points, never wrong sums). History never chains across more than
+    one boundary by design: carry rows are sourced from real rows only,
+    so a 2-chunk-old row is visible exactly when it is within the last
+    W-1 real rows of the previous chunk after that chunk received ITS
+    carry — it is not, which is the documented approximation.
+
+    Output: same contract as ``rolling_anomaly``.
+    """
+    if chunk_seconds < 1:
+        raise ValueError("chunk_seconds >= 1 required")
+    us = F.lit(int(chunk_seconds) * 1_000_000).cast("long")
+    chunk = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / us).cast("long")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    order_desc = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    base = df.withColumn("__chunk", chunk)
+    w_tail = Window.partitionBy(*keys, "__chunk").orderBy(*order_desc)
+    carry = (
+        base.withColumn("__rnd", F.row_number().over(w_tail))
+        .filter(F.col("__rnd") <= window_rows - 1)
+        .drop("__rnd")
+        .withColumn("__chunk", F.col("__chunk") + 1)
+        .withColumn("__own", F.lit(0))
+    )
+    own = base.withColumn("__own", F.lit(1))
+    unioned = own.unionByName(carry)
+    v = F.round(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy(*keys, "__chunk")
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    out = (
+        unioned.withColumn("__v", v)
+        .withColumn("w_n", F.count(F.lit(1)).over(w))
+        .withColumn("w_sum", F.sum("__v").over(w))
+        .withColumn("w_sumsq", F.sum(F.col("__v") * F.col("__v")).over(w))
+        .filter(F.col("__own") == 1)
+    )
+    dev = out["w_n"] * out["__v"] - out["w_sum"]
+    var_n2 = out["w_n"] * out["w_sumsq"] - out["w_sum"] * out["w_sum"]
+    flag = (out["w_n"] >= min_points) & (dev * dev > (n_sigma * n_sigma) * var_n2)
+    return out.withColumn("is_anomaly", flag).drop("__v", "__chunk", "__own")
