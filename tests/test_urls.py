@@ -70,3 +70,41 @@ def test_registrable_domain_heuristic(spark):
     )
     got = {r["host"]: r["d"] for r in rows}
     assert got == cases
+
+
+def test_url_normalize_rules(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.functions.urls import url_normalize
+    from pyspark.sql import functions as F
+
+    cases = [
+        # case-fold + default port + tracking drop + query sort + fragment drop
+        ("HTTP://Ex.COM:80/a?utm_source=x&b=2&a=1#f", "http://ex.com/a?a=1&b=2"),
+        ("https://site.org:443/p", "https://site.org/p"),
+        # non-default port kept; userinfo dropped; empty path -> /
+        ("https://u:p@shop.net:8443?z=9&ref=feed", "https://shop.net:8443/?z=9"),
+        # every param tracked -> no query part at all
+        ("http://a.io/x?utm_a=1&utm_b=2", "http://a.io/x"),
+        # ftp default port is NOT stripped (only http/https defaults)
+        ("ftp://files.net:21/pub", "ftp://files.net:21/pub"),
+        ("not a url", ""),
+        # idempotence: normalizing a normal form is a no-op
+        ("http://ex.com/a?a=1&b=2", "http://ex.com/a?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    out = df.select("url", "expect", url_normalize(F.col("url")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expect"], (r["url"], r["got"], r["expect"])
+
+
+def test_url_normalize_collapses_dedup_keys(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.functions.urls import url_normalize
+    from pyspark.sql import functions as F
+
+    variants = [
+        "HTTP://Site.com:80/page?b=2&a=1&utm_campaign=x#top",
+        "http://site.com/page?a=1&b=2",
+        "http://site.com:80/page?utm_source=y&b=2&a=1",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    n = df.select(url_normalize(F.col("url")).alias("u")).distinct().count()
+    assert n == 1  # all three variants collapse to one dedup key

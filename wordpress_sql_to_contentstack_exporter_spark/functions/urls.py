@@ -93,3 +93,55 @@ def registrable_domain(host: Column) -> Column:
     )
     two = F.when(n >= 2, F.concat_ws(".", second, last))
     return F.when(h == "", F.lit("")).otherwise(F.coalesce(three, two, h))
+
+
+#: Query parameters dropped by url_normalize: analytics/click trackers
+#: that never change the resource. Prefix-matched as "<name>=" except
+#: utm_ which covers the whole utm_* family.
+_TRACKING_PREFIXES = ["utm_", "ref=", "fbclid=", "gclid=", "mc_cid=", "mc_eid="]
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form for crawl/link dedup — the normalization pass
+    that runs BEFORE URL-keyed dedup so `HTTP://Site.com:80/a?utm_x=1`
+    and `http://site.com/a` collapse to one key:
+
+    - scheme and host lowercased, userinfo dropped;
+    - default ports stripped (http:80, https:443), others kept;
+    - empty path becomes ``/``;
+    - tracking params (utm_*, ref, fbclid, gclid, mc_*) dropped, the
+      REST sorted byte-wise and rejoined (query order is not semantic;
+      sorting makes the canonical form order-insensitive);
+    - fragment dropped (client-side only).
+
+    Pure native expressions (regex extracts + array ops — map-only
+    codegen at any scale). Inputs the parser rejects (no ``scheme://``)
+    normalize to ``''``, matching the component extractors' absent
+    convention.
+    """
+    scheme = F.lower(url_scheme(url))
+    host = F.lower(url_host(url))
+    port = url_port(url)
+    path = url_path(url)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(url_query(url), "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("ref=")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid=")
+        & ~p.startswith("mc_cid=")
+        & ~p.startswith("mc_eid="),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    q_part = F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit(""))
+    return F.when((scheme == "") | (host == ""), F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    )

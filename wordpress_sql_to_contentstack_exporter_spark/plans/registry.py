@@ -3296,6 +3296,84 @@ LIMIT 200
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL normalization (functions/urls.url_normalize) over
+    six synthesized shapes: case-folded scheme/host, default-port strip
+    (:80/:443 kept for non-defaults), userinfo drop, empty-path -> '/',
+    tracking-param drop + byte-sorted query, fragment drop; non-URLs
+    normalize to ''."""
+    from wordpress_sql_to_contentstack_exporter_spark.functions import urls as U
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("HTTP://Blog.Example.COM:80/a/"), sid,
+                        F.lit("?utm_source=x&b=2&a=1#frag")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("https://site.org:443/p/"), sid))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://user:pw@shop.net:8443"), F.lit("?z=9&ref=feed&y="), sid))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("http://www.example.co.uk/x/"), sid,
+                       F.lit("?gclid=123&q=spark&fbclid=9")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("ftp://Files.net:21/pub/"), sid))
+        .otherwise(F.concat(F.lit("no scheme here "), sid))
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id", "url", U.url_normalize(F.col("url")).alias("url_norm")
+    )
+
+
+SQL_URL_NORMALIZE = r"""
+WITH u AS (
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'HTTP://Blog.Example.COM:80/a/' || doc_id || '?utm_source=x&b=2&a=1#frag'
+             WHEN 1 THEN 'https://site.org:443/p/' || doc_id
+             WHEN 2 THEN 'https://user:pw@shop.net:8443' || '?z=9&ref=feed&y=' || doc_id
+             WHEN 3 THEN 'http://www.example.co.uk/x/' || doc_id || '?gclid=123&q=spark&fbclid=9'
+             WHEN 4 THEN 'ftp://Files.net:21/pub/' || doc_id
+             ELSE 'no scheme here ' || doc_id
+           END AS url
+    FROM documents
+), parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1)) AS host,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?[^:/?#]+:([0-9]+)', 1) AS port,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query
+    FROM u
+), norm AS (
+    SELECT doc_id, url, scheme, host, port,
+           CASE WHEN path = '' THEN '/' ELSE path END AS path,
+           array_to_string(
+               list_sort(
+                   list_filter(string_split(query, '&'),
+                       p -> p != '' AND NOT starts_with(p, 'utm_')
+                            AND NOT starts_with(p, 'ref=')
+                            AND NOT starts_with(p, 'fbclid=')
+                            AND NOT starts_with(p, 'gclid=')
+                            AND NOT starts_with(p, 'mc_cid=')
+                            AND NOT starts_with(p, 'mc_eid='))),
+               '&') AS qnorm,
+           (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') AS defport
+    FROM parts
+)
+SELECT doc_id, url,
+       CASE WHEN scheme = '' OR host = '' THEN ''
+            ELSE scheme || '://' || host
+                 || CASE WHEN port != '' AND NOT defport THEN ':' || port ELSE '' END
+                 || path
+                 || CASE WHEN qnorm != '' THEN '?' || qnorm ELSE '' END
+       END AS url_norm
+FROM norm
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3400,6 +3478,7 @@ SPARK_QUERIES = {
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
     "ngram_lm": q_ngram_lm,
+    "url_normalize": q_url_normalize,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
@@ -3500,6 +3579,7 @@ ORACLE_SQL = {
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
     "ngram_lm": SQL_NGRAM_LM,
+    "url_normalize": SQL_URL_NORMALIZE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
