@@ -592,3 +592,35 @@ def test_ngram_lm_counts_kn_evidence(spark):
 def test_ngram_lm_counts_short_docs_excluded(spark):
     df = spark.createDataFrame([("one two",), ("solo",), ("",)], "text string")
     assert tx.ngram_lm_counts(df, min_count=1).count() == 0
+
+
+def test_compression_signals_repetitive_compresses_lower(spark):
+    rep_text = "repeat this line\n" * 60
+    import random
+
+    rng = random.Random(3)
+    noise = " ".join("".join(rng.choices("abcdefghijklmnop", k=8)) for _ in range(120))
+    df = spark.createDataFrame(
+        [(1, rep_text), (2, noise), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.compression_signals(df).collect()}
+    # repetitive text compresses far below the noise text
+    assert out[1]["ratio_permille"] < out[2]["ratio_permille"]
+    assert out[1]["ratio_permille"] < 200
+    # evidence columns are consistent
+    for r in out.values():
+        if r["n_bytes"] > 0:
+            assert r["ratio_permille"] == r["n_compressed"] * 1000 // r["n_bytes"]
+    # empty / NULL text is well-defined, not a crash
+    assert out[3]["n_bytes"] == 0 and out[4]["n_bytes"] == 0
+
+
+def test_compression_signals_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} " * (i % 5 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted((r["doc_id"], r["n_compressed"]) for r in tx.compression_signals(df).collect())
+    b = sorted((r["doc_id"], r["n_compressed"]) for r in tx.compression_signals(df.repartition(7)).collect())
+    assert a == b

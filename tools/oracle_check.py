@@ -230,6 +230,39 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
             6,
         ),
     }
+    # --- compression_ratio: no oracle exists (no zlib in DuckDB), so
+    # the evidence is SIGNAL VALIDITY: docs the repetition gate flags
+    # (dup-line / dominant-bigram) must compress strictly below the
+    # unflagged population mean — repetitive text is what zlib removes.
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+    rep = reg.SPARK_QUERIES["repetition"](spark, sf_dir)
+    # same union corpus the repetition gate scores (raw docs + tripled
+    # +1M variants), so flagged and unflagged populations both exist
+    tripled = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws("\n", "text", "text", "text").alias("text"),
+    )
+    corpus = docs.unionByName(tripled)
+    comp = tx.compression_signals(corpus)
+    joined = comp.join(rep.select("doc_id", "rep_flagged"), "doc_id")
+    means = {
+        r["rep_flagged"]: r["mean_permille"]
+        for r in joined.groupBy("rep_flagged")
+        .agg(F.avg("ratio_permille").alias("mean_permille"))
+        .collect()
+    }
+    flagged = means.get(True)
+    unflagged = means.get(False)
+    ev["compression_ratio"] = {
+        "metric": "mean_permille_flagged_vs_unflagged",
+        "flagged_mean_permille": round(flagged, 1) if flagged is not None else None,
+        "unflagged_mean_permille": round(unflagged, 1) if unflagged is not None else None,
+        "signal_valid": (
+            flagged is not None and unflagged is not None and flagged < unflagged
+        ),
+    }
+
     return ev
 
 

@@ -773,3 +773,50 @@ def ngram_lm_counts(
         )
         .limit(top)
     )
+
+
+def compression_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the curation signal
+    (used by RefinedWeb-style pipelines) that catches what token
+    statistics miss: highly repetitive or templated text compresses far
+    below prose, and near-random noise barely compresses at all; both
+    tails are removal candidates.
+
+    This is a DESIGNED Python-unavoidable path (no JVM-side zlib
+    expression exists), so it runs as Arrow-batched ``mapInPandas`` —
+    one Python worker pass, zero shuffles, columnar transfer — never a
+    row-at-a-time UDF. Ratio is emitted as integer PERMILLE
+    (``compressed*1000 // raw``) so downstream gates compare longs, in
+    keeping with the engine's integer-contract discipline; raw/compressed
+    byte counts ride along as audit evidence. No cross-engine oracle
+    exists (DuckDB has no zlib) — the registry entry is rows-only, with
+    signal-validity evidence recorded by tools/oracle_check.py
+    (repetition-flagged docs must compress below unflagged ones).
+
+    Output: (id_col, n_bytes, n_compressed, ratio_permille).
+    """
+    import zlib
+
+    out_schema = f"{id_col} long, n_bytes long, n_compressed long, ratio_permille long"
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            nb = raw.map(len)
+            nc = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb.astype("int64"),
+                    "n_compressed": nc.astype("int64"),
+                    "ratio_permille": (
+                        (nc.astype("int64") * 1000) // nb.clip(lower=1).astype("int64")
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

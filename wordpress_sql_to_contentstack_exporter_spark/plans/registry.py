@@ -3374,6 +3374,15 @@ FROM norm
 """
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression permille
+    (operators/text.compression_signals) — rows-only by necessity
+    (DuckDB has no zlib); tools/oracle_check.py records signal-validity
+    evidence: repetition-flagged docs must compress below unflagged
+    ones. Arrow mapInPandas, zero shuffles."""
+    return tx.compression_signals(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3480,6 +3489,7 @@ SPARK_QUERIES = {
     "ngram_lm": q_ngram_lm,
     "url_normalize": q_url_normalize,
     # --- rows-only queries (no SQL oracle possible) below this line ---
+    "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
     "minhash_neardup": q_minhash_neardup,
