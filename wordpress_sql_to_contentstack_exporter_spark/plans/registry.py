@@ -2992,13 +2992,20 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhoods): blocking is hash-of-variant equi-joins, never an
     all-pairs scan; the oracle IS the quadratic form DuckDB can afford
     at gate scale, so the blocking's exact-recall claim is verified,
-    not asserted."""
-    c = _t(spark, sf_dir, "customer").select("c_name")
+    not asserted. Both engines cap to c_custkey < 2000 so the ORACLE's
+    quadratic cost stays bounded at larger sf (the setsim_join
+    precedent; the Spark side needs no cap)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 2000)
+        .select("c_name")
+    )
     return dd.fuzzy_pairs_d1(c, text_col="c_name")
 
 
 SQL_FUZZY_PAIRS = """
-WITH d AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL)
+WITH d AS (SELECT DISTINCT c_name AS s FROM customer
+           WHERE c_name IS NOT NULL AND c_custkey < 2000)
 SELECT a.s AS s_a, b.s AS s_b, 1::BIGINT AS dist
 FROM d a, d b
 WHERE a.s < b.s
