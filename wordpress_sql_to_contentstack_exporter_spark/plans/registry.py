@@ -1454,8 +1454,10 @@ SELECT query_id, neighbor_id, rank, sim AS cos_sim FROM (
 
 def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline — the
-    DuckDB-checkable correctness oracle (quadratic; fixture scale only)."""
-    e = _t(spark, sf_dir, "embeddings")
+    DuckDB-checkable correctness oracle (quadratic; fixture scale only).
+    Both engines cap to vec_id < 1000 so the deliberately-quadratic
+    baseline stays affordable when the fixture grows with sf."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return sim.embedding_neardup_pairs(e, threshold=0.35)
 
 
@@ -1479,7 +1481,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_NEARDUP = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 1000)
 SELECT * FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_dot_product(a.v, b.v)
