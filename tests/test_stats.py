@@ -158,3 +158,38 @@ def test_rolling_anomaly_chunked_sparse_chunk_shortens_window_only(spark):
     assert got[10] == (3, 6000)
     # window caps at 5 as rows accumulate
     assert got[13] == (5, 2000 + 3000 + 4000 + 5000 + 6000)
+
+
+def test_event_pattern_match_semantics(spark):
+    import datetime as dt
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    T = dt.datetime
+    rows = [
+        # user 1: v c p clean -> match
+        (1, T(2024, 1, 1, 1), 1, "view", 0.0, "{}"),
+        (2, T(2024, 1, 1, 2), 1, "click", 0.0, "{}"),
+        (3, T(2024, 1, 1, 3), 1, "purchase", 0.0, "{}"),
+        # user 2: error between click and purchase -> no match
+        (4, T(2024, 1, 1, 1), 2, "view", 0.0, "{}"),
+        (5, T(2024, 1, 1, 2), 2, "click", 0.0, "{}"),
+        (6, T(2024, 1, 1, 3), 2, "error", 0.0, "{}"),
+        (7, T(2024, 1, 1, 4), 2, "purchase", 0.0, "{}"),
+        # user 3: purchase next day -> day cut separates, no match
+        (8, T(2024, 1, 1, 23), 3, "view", 0.0, "{}"),
+        (9, T(2024, 1, 1, 23, 30), 3, "click", 0.0, "{}"),
+        (10, T(2024, 1, 2, 1), 3, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = SPARK_QUERIES["event_pattern"](spark, d)
+        got = {(r["user_id"], r["day"]): (r["matched"], r["first_match"]) for r in out.collect()}
+    assert got[(1, 19723)] == (True, "vcp")
+    assert got[(2, 19723)][0] is False
+    assert got[(3, 19723)][0] is False  # purchase fell into the next day
+    assert got[(3, 19724)][0] is False

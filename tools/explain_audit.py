@@ -467,6 +467,14 @@ def main() -> int:
     else:
         print("ok    ngram_lm: single corpus scan feeds all derived counts")
 
+    # event_pattern: one (user, day) aggregation, no join, no window —
+    # the regex runs as a codegen projection over bounded group strings.
+    check(
+        "event_pattern",
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -3393,6 +3393,78 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.compression_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per (user, day), encode the ordered event
+    stream as a character string (v/c/p/s/e) and pattern-match with a
+    plain regex — view, then click, then purchase, with NO error
+    anywhere between (``v[^e]*c[^e]*p``). The CEP-style sequence
+    pattern engines bolt on as MATCH_RECOGNIZE is, in Spark, a
+    collect-sort-concat plus a codegen'd ``rlike``/``regexp_extract``
+    over bounded per-group strings.
+
+    Plan: ONE shuffle on (user_id, day); the per-group string is
+    deterministic (sort_array over (ts, event_id) structs) and bounded
+    by the day cut + a 1000-event slice (documented cap — a runaway
+    session cannot blow group state). Integer/boolean outputs only.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        / F.lit(86400 * 1_000_000).cast("long")
+    ).cast("long")
+    base = e.select(
+        "user_id",
+        day.alias("day"),
+        F.struct(F.col("ts"), F.col("event_id"), code.alias("c")).alias("s"),
+    )
+    seqs = base.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("s")), 1, 1000),
+                lambda s: s["c"],
+            ),
+        ).alias("seq")
+    )
+    pat = "v[^e]*c[^e]*p"
+    return seqs.select(
+        "user_id",
+        "day",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike(pat).alias("matched"),
+        F.regexp_extract("seq", pat, 0).alias("first_match"),
+    )
+
+
+SQL_EVENT_PATTERN = """
+WITH e AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           ts, event_id,
+           CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                           WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                           ELSE 'e' END AS c
+    FROM events WHERE ts IS NOT NULL
+), seqs AS (
+    SELECT user_id, day,
+           substring(string_agg(c, '' ORDER BY ts, event_id), 1, 1000) AS seq
+    FROM e GROUP BY user_id, day
+)
+SELECT user_id, day,
+       length(seq)::BIGINT AS seq_len,
+       regexp_matches(seq, 'v[^e]*c[^e]*p') AS matched,
+       coalesce(regexp_extract(seq, 'v[^e]*c[^e]*p', 0), '') AS first_match
+FROM seqs
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3498,6 +3570,7 @@ SPARK_QUERIES = {
     "fd_profile": q_fd_profile,
     "ngram_lm": q_ngram_lm,
     "url_normalize": q_url_normalize,
+    "event_pattern": q_event_pattern,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -3600,6 +3673,7 @@ ORACLE_SQL = {
     "fd_profile": SQL_FD_PROFILE,
     "ngram_lm": SQL_NGRAM_LM,
     "url_normalize": SQL_URL_NORMALIZE,
+    "event_pattern": SQL_EVENT_PATTERN,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
