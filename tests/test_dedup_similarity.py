@@ -502,3 +502,39 @@ def test_setsim_join_integer_threshold_boundary(spark):
     # one notch stricter and the same pair must vanish
     stricter = setsim_join(df, id_col="doc_id", text_col="text", tau_num=61, tau_den=100)
     assert stricter.count() == 0
+
+
+def test_fuzzy_join_d1_cross_table_keeps_exact_matches(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import fuzzy_join_d1
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "kitte"), (3, "zzz")], "lid long, s string"
+    )
+    right = spark.createDataFrame(
+        [(10, "kitten"), (11, "mitten"), (12, "abcdef")], "rid long, s string"
+    )
+    out = fuzzy_join_d1(left, right, left_id="lid", right_id="rid", text_col="s")
+    got = {(r["lid"], r["rid"]): r["dist"] for r in out.collect()}
+    # exact match survives with dist 0 (unlike the self-join form)
+    assert got[(1, 10)] == 0
+    assert got[(1, 11)] == 1   # substitution
+    assert got[(2, 10)] == 1   # deletion
+    assert (3, 12) not in got and all(l != 3 for l, _ in got)
+
+
+def test_fuzzy_join_d1_bucket_cap_guards_reference_side(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import fuzzy_join_d1
+
+    left = spark.createDataFrame([(1, "page 3")], "lid long, s string")
+    right = spark.createDataFrame(
+        [(i, f"page {i}") for i in range(10)] + [(99, "other")], "rid long, s string"
+    )
+    full = fuzzy_join_d1(left, right, left_id="lid", right_id="rid", text_col="s")
+    assert full.count() == 10  # "page 3" within dist 1 of all ten "page N"
+    capped = fuzzy_join_d1(
+        left, right, left_id="lid", right_id="rid", text_col="s", max_bucket_size=5
+    )
+    # the shared "page " deletion bucket (10 refs) is dropped; only the
+    # small per-digit buckets survive -> just the exact match remains
+    got = {(r["lid"], r["rid"]) for r in capped.collect()}
+    assert got == {(1, 3)}

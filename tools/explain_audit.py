@@ -475,6 +475,16 @@ def main() -> int:
         ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
     )
 
+    # record_linkage: candidates must come from the deletion-
+    # neighborhood hash join — no cartesian/nested-loop; the winner
+    # pick is one window over candidates.
+    check(
+        "record_linkage",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+        ("winner window present", r"\(\d+\) Window"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

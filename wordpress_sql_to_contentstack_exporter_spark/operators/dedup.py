@@ -937,3 +937,82 @@ def setsim_join(
         )
     )
     return verified.select("id_a", "id_b", "inter_size", "union_size")
+
+
+def fuzzy_join_d1(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    text_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-TABLE edit-distance join (lev <= 1, exact matches
+    included) via the same deletion-neighborhood blocking as
+    ``fuzzy_pairs_d1`` — the candidate generator for record linkage:
+    match a dirty/migrated table against a reference table without an
+    all-pairs scan.
+
+    Each side explodes to its d=1 neighborhood ({s} ∪ deletions(s)),
+    hashed to 8-byte keys; candidates are the hash equi-join of the two
+    variant sets, verified with a real ``levenshtein <= 1`` (distance 0
+    — the exact match — survives, unlike the self-join form which
+    dedups first). Work scales with variant-bucket density; the
+    optional ``max_bucket_size`` cap is the same aggregate+semi-join
+    guard (applied to the RIGHT/reference side, the one a degenerate
+    corpus inflates).
+
+    Output: (left_id, right_id, dist) — one row per matching pair;
+    callers pick winners with their own scoring (see
+    plans/registry.q_record_linkage).
+    """
+
+    def neighborhood(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        s = F.col("__s")
+        i = F.col("i")
+        base = df.select(
+            F.col(id_col).alias(out_id), F.col(text_col).alias("__s")
+        ).filter(s.isNotNull())
+        return base.select(
+            out_id,
+            "__s",
+            F.explode(F.sequence(F.lit(0), F.length(s))).alias("i"),
+        ).select(
+            out_id,
+            "__s",
+            F.xxhash64(
+                F.when(i == 0, s).otherwise(
+                    F.concat(
+                        F.substring(s, F.lit(1), i - 1),
+                        F.substring(s, i + 1, F.length(s)),
+                    )
+                )
+            ).alias("vkey"),
+        )
+
+    lv = neighborhood(left, left_id, "__lid")
+    rv = neighborhood(right, right_id, "__rid")
+    if max_bucket_size is not None:
+        small = (
+            rv.groupBy("vkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("vkey")
+        )
+        rv = rv.join(small, "vkey", "left_semi")
+    cand = (
+        lv.select("__lid", F.col("__s").alias("__sl"), "vkey")
+        .join(rv.select("__rid", F.col("__s").alias("__sr"), "vkey"), "vkey")
+        .select("__lid", "__rid", "__sl", "__sr")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("__sl", "__sr").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "dist",
+        )
+    )

@@ -3465,6 +3465,95 @@ FROM seqs
 """
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution: a synthesized dirty copy of
+    the customer table (every 3rd name gets a one-char typo, every 5th
+    nation drifts) is matched back to the reference via
+    operators/dedup.fuzzy_join_d1 (deletion-neighborhood blocking —
+    never an all-pairs scan), then scored with integer field weights
+    (name distance 20/10, nation +5, segment +3) and resolved to the
+    best reference row per dirty record (score desc, custkey asc).
+    Both engines cap to c_custkey < 2000 to bound the ORACLE's
+    quadratic form."""
+    ref = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 2000)
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )
+    p = (F.col("c_custkey") % 8 + 11).cast("int")
+    mutated = F.concat(
+        F.substring(F.col("c_name"), F.lit(1), p - 1),
+        F.lit("z"),
+        F.substring(F.col("c_name"), p + 1, F.length(F.col("c_name"))),
+    )
+    dirty = ref.select(
+        (F.col("c_custkey") + 100000).alias("dirty_id"),
+        F.when(F.col("c_custkey") % 3 == 0, mutated)
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_nationkey") + 1)
+        .otherwise(F.col("c_nationkey"))
+        .alias("d_nationkey"),
+        F.col("c_mktsegment").alias("d_mktsegment"),
+    )
+    pairs = dd.fuzzy_join_d1(
+        dirty, ref, left_id="dirty_id", right_id="c_custkey", text_col="c_name"
+    )
+    scored = (
+        pairs.join(
+            dirty.select("dirty_id", "d_nationkey", "d_mktsegment"), "dirty_id"
+        )
+        .join(ref.select("c_custkey", "c_nationkey", "c_mktsegment"), "c_custkey")
+        .withColumn(
+            "score",
+            F.when(F.col("dist") == 0, 20).otherwise(10)
+            + F.when(F.col("d_nationkey") == F.col("c_nationkey"), 5).otherwise(0)
+            + F.when(F.col("d_mktsegment") == F.col("c_mktsegment"), 3).otherwise(0),
+        )
+    )
+    w = Window.partitionBy("dirty_id").orderBy(
+        F.col("score").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dirty_id", "c_custkey", "dist", F.col("score").cast("long").alias("score"))
+    )
+
+
+SQL_RECORD_LINKAGE = """
+WITH ref AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey < 2000
+), dirty AS (
+    SELECT c_custkey + 100000 AS dirty_id,
+           CASE WHEN c_custkey % 3 = 0
+                THEN substring(c_name, 1, (c_custkey % 8 + 11) - 1) || 'z'
+                     || substring(c_name, (c_custkey % 8 + 11) + 1, length(c_name))
+                ELSE c_name END AS c_name,
+           CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 1
+                ELSE c_nationkey END AS d_nationkey,
+           c_mktsegment AS d_mktsegment
+    FROM ref
+), pairs AS (
+    SELECT d.dirty_id, r.c_custkey,
+           levenshtein(d.c_name, r.c_name)::BIGINT AS dist,
+           d.d_nationkey, d.d_mktsegment, r.c_nationkey, r.c_mktsegment
+    FROM dirty d, ref r
+    WHERE abs(length(d.c_name) - length(r.c_name)) <= 1
+      AND levenshtein(d.c_name, r.c_name) <= 1
+), scored AS (
+    SELECT dirty_id, c_custkey, dist,
+           (CASE WHEN dist = 0 THEN 20 ELSE 10 END
+            + CASE WHEN d_nationkey = c_nationkey THEN 5 ELSE 0 END
+            + CASE WHEN d_mktsegment = c_mktsegment THEN 3 ELSE 0 END)::BIGINT AS score
+    FROM pairs
+)
+SELECT dirty_id, c_custkey, dist, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY dirty_id ORDER BY score DESC, c_custkey ASC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3571,6 +3660,7 @@ SPARK_QUERIES = {
     "ngram_lm": q_ngram_lm,
     "url_normalize": q_url_normalize,
     "event_pattern": q_event_pattern,
+    "record_linkage": q_record_linkage,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -3674,6 +3764,7 @@ ORACLE_SQL = {
     "ngram_lm": SQL_NGRAM_LM,
     "url_normalize": SQL_URL_NORMALIZE,
     "event_pattern": SQL_EVENT_PATTERN,
+    "record_linkage": SQL_RECORD_LINKAGE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
