@@ -193,3 +193,32 @@ def test_event_pattern_match_semantics(spark):
     assert got[(2, 19723)][0] is False
     assert got[(3, 19723)][0] is False  # purchase fell into the next day
     assert got[(3, 19724)][0] is False
+
+
+def test_winsorize_clip_semantics(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    # 20 orders in one segment, values 1..19 plus an extreme 1000:
+    # p05 = sorted[(19)//20]=sorted[0]=1 (0-idx) -> lo = 100 cents... use cents
+    vals = list(range(1, 20)) + [1000]
+    orders = spark.createDataFrame(
+        [(i, i % 3, "O", float(v), None, "P") for i, v in enumerate(vals)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(0, "C0", 0, 0.0, "SEG"), (1, "C1", 0, 0.0, "SEG"), (2, "C2", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        out = SPARK_QUERIES["winsorize"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # rank formulas: lo = sorted[(20-1)//20] = sorted[0] = 100 cents;
+    # hi = sorted[(19*19)//20] = sorted[18] = 1900 cents
+    assert (r["p05_cents"], r["p95_cents"]) == (100, 1900)
+    assert r["n"] == 20 and r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+    # the 1000.00 order contributes 1900 cents after clipping
+    assert r["sum_winsorized_cents"] == sum(v * 100 for v in range(1, 20)) + 1900

@@ -3554,6 +3554,76 @@ QUALIFY row_number() OVER (PARTITION BY dirty_id ORDER BY score DESC, c_custkey 
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped winsorization: per market segment, order totals (integer
+    cents) are clipped to the segment's exact discrete [p05, p95]
+    (q_percentiles' lower-rank definition — pure integer selection, no
+    interpolation) and re-aggregated. The outlier-taming pass feature
+    pipelines run before scaling; every output is a long.
+
+    Plan: percentile bounds come from ONE per-segment aggregation
+    (sort of the segment's aggregated value list); the clip is the
+    fact scan joined to those few bound rows (broadcast) — map-only on
+    the fact side; the final rollup is a second small aggregation."""
+    o = _t(spark, sf_dir, "orders").join(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = o.select(F.col("c_mktsegment").alias("seg"), cents.alias("v"))
+    arr = F.sort_array(F.collect_list("v"))
+    n1 = F.count(F.lit(1)) - 1
+    bounds = v.groupBy("seg").agg(
+        F.element_at(arr, (F.floor(n1 / 20) + 1).cast("int")).alias("lo"),
+        F.element_at(arr, (F.floor(n1 * 19 / 20) + 1).cast("int")).alias("hi"),
+    )
+    clipped = v.join(F.broadcast(bounds), "seg").select(
+        "seg",
+        "v",
+        "lo",
+        "hi",
+        F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo")).alias("w"),
+    )
+    return clipped.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.sum("w").alias("sum_winsorized_cents"),
+        F.min("lo").alias("p05_cents"),
+        F.min("hi").alias("p95_cents"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH v AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), b AS (
+    SELECT seg,
+           vs[CAST((n - 1) // 20 AS BIGINT) + 1] AS lo,
+           vs[CAST((n - 1) * 19 // 20 AS BIGINT) + 1] AS hi
+    FROM (SELECT seg, count(*) AS n, list_sort(list(v)) AS vs FROM v GROUP BY seg)
+), c AS (
+    SELECT v.seg, v.v, b.lo, b.hi,
+           greatest(least(v.v, b.hi), b.lo) AS w
+    FROM v JOIN b USING (seg)
+)
+SELECT seg,
+       count(*) AS n,
+       sum(CASE WHEN v < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+       sum(CASE WHEN v > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
+       sum(w)::BIGINT AS sum_winsorized_cents,
+       min(lo) AS p05_cents,
+       min(hi) AS p95_cents
+FROM c GROUP BY seg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3661,6 +3731,7 @@ SPARK_QUERIES = {
     "url_normalize": q_url_normalize,
     "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
+    "winsorize": q_winsorize,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -3765,6 +3836,7 @@ ORACLE_SQL = {
     "url_normalize": SQL_URL_NORMALIZE,
     "event_pattern": SQL_EVENT_PATTERN,
     "record_linkage": SQL_RECORD_LINKAGE,
+    "winsorize": SQL_WINSORIZE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
