@@ -222,3 +222,34 @@ def test_winsorize_clip_semantics(spark):
     assert r["n"] == 20 and r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
     # the 1000.00 order contributes 1900 cents after clipping
     assert r["sum_winsorized_cents"] == sum(v * 100 for v in range(1, 20)) + 1900
+
+
+def test_time_rollup_granularity_consistency(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import datetime as dt
+    import tempfile, os
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 10), 1, "view", 1.5, "{}"),
+        (2, T(2024, 1, 1, 0, 50), 1, "view", 2.5, "{}"),
+        (3, T(2024, 1, 1, 5, 0), 1, "view", 3.0, "{}"),
+        (4, T(2024, 1, 2, 0, 0), 1, "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = SPARK_QUERIES["time_rollup"](spark, d).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["gran"], []).append(r)
+    # hour buckets: (0:00 -> 2 events), (5:00 -> 1), (next day 0:00 -> 1)
+    assert sorted(r["n_events"] for r in by["hour"]) == [1, 1, 2]
+    # day buckets: day1 -> 3 events, day2 -> 1
+    assert sorted(r["n_events"] for r in by["day"]) == [1, 3]
+    # every granularity conserves total count and milli sum
+    for g in ("hour", "day", "week"):
+        assert sum(r["n_events"] for r in by[g]) == 4
+        assert sum(r["sum_value_milli"] for r in by[g]) == 11000

@@ -485,6 +485,24 @@ def main() -> int:
         ("winner window present", r"\(\d+\) Window"),
     )
 
+    # time_rollup: the whole point is ONE scan + ONE exchange for all
+    # three granularities — a UNION ALL plan would show 3 scans.
+    tr_plan = plan_of(SPARK_QUERIES["time_rollup"](spark, sf_dir))
+    check_plan(
+        "time_rollup",
+        tr_plan,
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+    n_scans_tr = len(re.findall(r"Scan parquet", tr_plan))
+    n_ex_tr = len(re.findall(r"^\(\d+\) Exchange", tr_plan, re.M))
+    if n_scans_tr > 2 or n_ex_tr != 1:
+        failures.append(
+            ("time_rollup", f"expected 1 scan + 1 exchange, got {n_scans_tr}/2 scans, {n_ex_tr} exchanges")
+        )
+        print(f"FAIL  time_rollup: {n_scans_tr}/2 scans, {n_ex_tr} exchanges")
+    else:
+        print("ok    time_rollup: one scan + one exchange covers all granularities")
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

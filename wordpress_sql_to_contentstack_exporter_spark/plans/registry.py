@@ -3624,6 +3624,63 @@ FROM c GROUP BY seg
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup in ONE scan: per event type,
+    counts and integer-milli value sums at hour, day and week
+    granularity simultaneously — the continuous-aggregate ladder
+    hypertables maintain. Instead of three scans (UNION ALL of three
+    GROUP BYs) or GROUPING SETS (which still replicates rows
+    internally), each event explodes to its three (granularity,
+    bucket_epoch) pairs — JVM-side array explode — and ONE partial-
+    agg'd shuffle on (type, gran, bucket) does the rest. 3× map-side
+    rows, one exchange, zero extra scans (pinned by explain_audit).
+    All outputs are longs (epoch seconds / counts / milli sums)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sec = F.floor(us / F.lit(1_000_000).cast("long")).cast("long")
+    v_milli = F.round(F.col("value") * 1000).cast("long")
+
+    def bucket(width: int, name: str):
+        return F.struct(
+            F.lit(name).alias("gran"),
+            (F.floor(sec / F.lit(width)) * width).cast("long").alias("bucket_epoch"),
+        )
+
+    exploded = e.select(
+        "event_type",
+        v_milli.alias("vm"),
+        F.explode(
+            F.array(bucket(3600, "hour"), bucket(86400, "day"), bucket(604800, "week"))
+        ).alias("g"),
+    )
+    return exploded.groupBy(
+        "event_type", F.col("g.gran").alias("gran"), F.col("g.bucket_epoch").alias("bucket_epoch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vm").alias("sum_value_milli"),
+    )
+
+
+SQL_TIME_ROLLUP = """
+WITH e AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec,
+           CAST(round(value * 1000) AS BIGINT) AS vm
+    FROM events WHERE ts IS NOT NULL
+), x AS (
+    SELECT event_type, vm, 'hour' AS gran, (sec // 3600) * 3600 AS bucket_epoch FROM e
+    UNION ALL
+    SELECT event_type, vm, 'day', (sec // 86400) * 86400 FROM e
+    UNION ALL
+    SELECT event_type, vm, 'week', (sec // 604800) * 604800 FROM e
+)
+SELECT event_type, gran, bucket_epoch,
+       count(*) AS n_events,
+       sum(vm)::BIGINT AS sum_value_milli
+FROM x GROUP BY event_type, gran, bucket_epoch
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3732,6 +3789,7 @@ SPARK_QUERIES = {
     "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
     "winsorize": q_winsorize,
+    "time_rollup": q_time_rollup,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -3837,6 +3895,7 @@ ORACLE_SQL = {
     "event_pattern": SQL_EVENT_PATTERN,
     "record_linkage": SQL_RECORD_LINKAGE,
     "winsorize": SQL_WINSORIZE,
+    "time_rollup": SQL_TIME_ROLLUP,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
