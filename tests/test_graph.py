@@ -105,3 +105,24 @@ def test_cc_plan_shuffles_only_long_pairs(spark):
         prop.explain("formatted")
     plan = buf.getvalue()
     assert "HashAggregate" in plan  # partial min combine before the shuffle
+
+
+def test_cluster_representatives_picks_highest_quality(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import cluster_representatives
+
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)],
+        "id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 900), (3, 900), (10, 5), (20, 7), (21, 7)],
+        "id long, n_chars long",
+    )
+    out = cluster_representatives(assignments, docs)
+    rows = {r["id"]: (r["keeper_id"], r["is_keeper"]) for r in out.collect()}
+    # cluster 1: quality tie between 2 and 3 -> smallest id (2) wins
+    assert rows[1] == (2, False) and rows[2] == (2, True) and rows[3] == (2, False)
+    # singleton keeps itself
+    assert rows[10] == (10, True)
+    # cluster 20: tie -> id 20
+    assert rows[20] == (20, True) and rows[21] == (20, False)

@@ -123,3 +123,50 @@ def dedup_clusters(
         )
         .withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
     )
+
+
+def cluster_representatives(
+    assignments: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware keeper selection over duplicate clusters: instead
+    of ``dedup_clusters``' min-id policy (arbitrary but cheap), keep
+    the member maximizing ``quality_col`` (ties -> smallest id, so the
+    policy is total and rerun-stable). This is the curation choice real
+    pipelines make — near-dup clusters keep the LONGEST / highest-
+    quality variant, not whichever crawled first.
+
+    Plan shape: one equi-join (assignment -> quality) and ONE hash
+    aggregation per cluster using a ``max(struct(quality, -id))``
+    argmax — map-side combinable, no per-cluster window sort, so a
+    billion two-member clusters cost a normal aggregate, and the one
+    giant boilerplate cluster is just a bigger combine. The keeper
+    frame is |clusters| rows and joins back to assignments on the
+    cluster key.
+
+    Output: (id, cluster_id, keeper_id, is_keeper).
+    """
+    joined = assignments.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")
+    ).join(
+        docs.select(F.col(id_col).alias("__id"), F.col(quality_col).alias("__q")),
+        "__id",
+    )
+    winners = joined.groupBy("__c").agg(
+        F.max(F.struct(F.col("__q").alias("q"), (-F.col("__id")).alias("nid"))).alias(
+            "m"
+        )
+    ).select("__c", (-F.col("m.nid")).alias("keeper_id"))
+    return (
+        joined.join(winners, "__c")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__c").alias(cluster_col),
+            "keeper_id",
+            (F.col("__id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )

@@ -3681,6 +3681,58 @@ FROM x GROUP BY event_type, gran, bucket_epoch
 """
 
 
+def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster keeper selection
+    (operators/graph.cluster_representatives): the q_dedup_clusters
+    chain clusters re-resolved to keep each cluster's LONGEST document
+    (n_chars desc, doc_id asc tie) — the real curation policy, vs the
+    min-id placeholder. Argmax is a map-combinable max(struct) — no
+    per-cluster window sort."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ids = d.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") % 5 != 4)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    clusters = gr.dedup_clusters(pairs, ids).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    return gr.cluster_representatives(
+        clusters, d, id_col="doc_id", quality_col="n_chars"
+    )
+
+
+SQL_CLUSTER_KEEPERS = """
+WITH RECURSIVE
+e0 AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+    WHERE a.doc_id % 5 != 4
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach(id, r) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+assign AS (
+    SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+),
+winners AS (
+    SELECT cluster_id, doc_id AS keeper_id FROM assign
+    QUALIFY row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) = 1
+)
+SELECT a.doc_id, a.cluster_id, w.keeper_id,
+       a.doc_id = w.keeper_id AS is_keeper
+FROM assign a JOIN winners w USING (cluster_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3790,6 +3842,7 @@ SPARK_QUERIES = {
     "record_linkage": q_record_linkage,
     "winsorize": q_winsorize,
     "time_rollup": q_time_rollup,
+    "cluster_keepers": q_cluster_keepers,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -3896,6 +3949,7 @@ ORACLE_SQL = {
     "record_linkage": SQL_RECORD_LINKAGE,
     "winsorize": SQL_WINSORIZE,
     "time_rollup": SQL_TIME_ROLLUP,
+    "cluster_keepers": SQL_CLUSTER_KEEPERS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
