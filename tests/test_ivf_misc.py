@@ -153,3 +153,24 @@ def test_embedding_centroids_partition_order_invariant(spark):
     # exact integer sums make the result bit-identical under any
     # partitioning / combine order — the whole point of the contract
     assert a == b
+
+
+def test_centroid_similarity_identical_groups_score_one(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    # labels 0 and 1 share the same member vectors -> identical
+    # centroids -> cos 1.0; label 2 is orthogonal -> cos 0.0
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.5], 0),
+        (3, [1.0, 0.0], 1), (4, [1.0, 0.5], 1),
+        (5, [0.0, 1.0], 2), (6, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = SPARK_QUERIES["centroid_similarity"](spark, d).collect()
+    got = {(r["label_a"], r["label_b"]): r["cos_sim"] for r in out}
+    assert got[(0, 1)] == 1.0
+    # label 2's centroid is orthogonal to the x-heavy centroids
+    assert got[(0, 2)] < 0.3 and got[(1, 2)] < 0.3

@@ -3733,6 +3733,62 @@ FROM assign a JOIN winners w USING (cluster_id)
 """
 
 
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine matrix: class prototypes from
+    embedding_centroids (exact integer sums -> bit-identical centroid
+    doubles) rebuilt into per-label vectors, then all label pairs
+    scored with the proven-bit-exact cosine formula (sequential fold
+    dot, correctly-rounded sqrt/divide — the embedding_neardup_exact
+    contract). The pair frame is |labels|² of AGGREGATED rows — the
+    cross join is the tiny-frame pattern, never touching input rows.
+    The embedding-space diagnostic for label bleed / near-duplicate
+    classes."""
+    cents = sim.embedding_centroids(
+        _t(spark, sf_dir, "embeddings").select("label", "embedding"),
+        group_col="label",
+        vec_col="embedding",
+    )
+    vecs = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("v")
+    )
+    a = vecs.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("label_a") < F.col("label_b"))
+    return pairs.select(
+        "label_a", "label_b", sim.cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    )
+
+
+SQL_CENTROID_SIMILARITY = """
+WITH e AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+), s AS (
+    SELECT label, dim,
+           sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS sum_scaled,
+           count(*) AS n
+    FROM e GROUP BY label, dim
+), c AS (
+    SELECT label, dim, CAST(sum_scaled AS DOUBLE) / n / 1048576 AS centroid
+    FROM s
+), vecs AS (
+    SELECT label, list(centroid ORDER BY dim) AS v FROM c GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+            THEN list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            ELSE 0.0 END AS cos_sim
+FROM vecs a, vecs b
+WHERE a.label < b.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3843,6 +3899,7 @@ SPARK_QUERIES = {
     "winsorize": q_winsorize,
     "time_rollup": q_time_rollup,
     "cluster_keepers": q_cluster_keepers,
+    "centroid_similarity": q_centroid_similarity,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -3950,6 +4007,7 @@ ORACLE_SQL = {
     "winsorize": SQL_WINSORIZE,
     "time_rollup": SQL_TIME_ROLLUP,
     "cluster_keepers": SQL_CLUSTER_KEEPERS,
+    "centroid_similarity": SQL_CENTROID_SIMILARITY,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
