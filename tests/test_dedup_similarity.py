@@ -538,3 +538,26 @@ def test_fuzzy_join_d1_bucket_cap_guards_reference_side(spark):
     # small per-digit buckets survive -> just the exact match remains
     got = {(r["lid"], r["rid"]) for r in capped.collect()}
     assert got == {(1, 3)}
+
+
+def test_source_overlap_detects_syndicated_content(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, shared + " alpha", "en", "mirror_a", 0),
+        (2, shared + " beta", "en", "mirror_b", 0),
+        (3, "completely different text with no common trigrams at all", "en", "indie", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = SPARK_QUERIES["source_overlap"](spark, d).collect()
+    got = {(r["src_a"], r["src_b"]): r for r in out}
+    m = got[("mirror_a", "mirror_b")]
+    # the two mirrors share the 8 trigrams of the shared sentence
+    assert m["overlap_grams"] == 8
+    assert m["containment"] == 8 / min(m["n_a"], m["n_b"])
+    # the indie source shares nothing with either mirror
+    assert ("indie", "mirror_a") not in got and ("mirror_a", "indie") not in got

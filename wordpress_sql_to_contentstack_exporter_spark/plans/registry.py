@@ -3789,6 +3789,87 @@ WHERE a.label < b.label
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: per source pair, how many
+    distinct word 3-grams they share (dedup-family canonical
+    tokenization) plus each side's distinct-gram total and the
+    containment ratio vs the smaller side (one fixed-order division —
+    bit-exact). The corpus-health diagnostic that finds mirrored /
+    syndicated content BETWEEN sources before per-doc dedup runs.
+
+    Plan: distinct (source, gram) rows once (hash-keyed aggregation),
+    pair counts from a gram-keyed self-join — fan-out is bounded by
+    |sources|² per gram, never document-quadratic; totals join on as
+    a |sources|-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            F.col("source").alias("src"),
+            F.explode(dd.word_shingles(F.col("text"), 3)).alias("g"),
+        )
+        .select("src", F.xxhash64("g").alias("gk"))
+        .distinct()
+    )
+    totals = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("src").alias("src_a"), "gk")
+    b = grams.select(F.col("src").alias("src_b"), "gk")
+    pairs = (
+        a.join(b, "gk")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "overlap_grams",
+            "n_a",
+            "n_b",
+            (
+                F.col("overlap_grams").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+    )
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH w AS (
+    SELECT source AS src,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+    FROM documents
+), g0 AS (
+    SELECT src,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS g
+    FROM w
+), g AS (
+    SELECT DISTINCT src, g FROM g0
+), totals AS (
+    SELECT src, count(*) AS n FROM g GROUP BY src
+), pairs AS (
+    SELECT a.src AS src_a, b.src AS src_b, count(*) AS overlap_grams
+    FROM g a JOIN g b ON a.g = b.g AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT p.src_a, p.src_b, p.overlap_grams, ta.n AS n_a, tb.n AS n_b,
+       CAST(p.overlap_grams AS DOUBLE) / least(ta.n, tb.n) AS containment
+FROM pairs p
+JOIN totals ta ON p.src_a = ta.src
+JOIN totals tb ON p.src_b = tb.src
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3900,6 +3981,7 @@ SPARK_QUERIES = {
     "time_rollup": q_time_rollup,
     "cluster_keepers": q_cluster_keepers,
     "centroid_similarity": q_centroid_similarity,
+    "source_overlap": q_source_overlap,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -4008,6 +4090,7 @@ ORACLE_SQL = {
     "time_rollup": SQL_TIME_ROLLUP,
     "cluster_keepers": SQL_CLUSTER_KEEPERS,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
