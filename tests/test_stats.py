@@ -253,3 +253,30 @@ def test_time_rollup_granularity_consistency(spark):
     for g in ("hour", "day", "week"):
         assert sum(r["n_events"] for r in by[g]) == 4
         assert sum(r["sum_value_milli"] for r in by[g]) == 11000
+
+
+def test_histogram_drift_integer_rule(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import datetime as dt
+    import tempfile, os
+
+    T = dt.datetime
+    early, late = T(1994, 6, 1), T(1996, 6, 1)
+    # snapshot b (early) is uniform over low values; the full table adds
+    # a concentrated high-value mass -> the top bin must drift
+    rows = [(i, 0, "O", 10.0 + i % 50, early, "P") for i in range(200)]
+    rows += [(1000 + i, 0, "O", 500.0, late, "P") for i in range(100)]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        out = SPARK_QUERIES["histogram_drift"](spark, d).collect()
+    by_bin = {r["bin"]: r for r in out}
+    top = by_bin[max(by_bin)]
+    # the 500.00 spike exists only in the full snapshot
+    assert top["n_a"] == 100 and top["n_b"] == 0 and top["drifted"]
+    # counts conserve
+    assert sum(r["n_a"] for r in out) == 300
+    assert sum(r["n_b"] for r in out) == 200

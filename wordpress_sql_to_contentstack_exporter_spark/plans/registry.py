@@ -3870,6 +3870,74 @@ JOIN totals tb ON p.src_b = tb.src
 """
 
 
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two table snapshots: all orders vs
+    the pre-cutoff snapshot, binned into 20 SHARED equal-width bins
+    (bounds from the union — both sides bin identically, the
+    comparability histogram_drift exists for), with per-bin counts and
+    an INTEGER drift rule: bin proportions differing by more than one
+    percentage point flag, decided by cross-multiplication
+    ``100*|n_a*N_b - n_b*N_a| > N_a*N_b`` — no float proportion ever
+    compared. The distribution-shift monitor a migration runs between
+    source pulls. Overflow budget: n*N products stay under 2^63 up to
+    ~3e9-row snapshots; beyond that, pre-scale counts (the documented
+    trade).
+
+    Plan: one union scan, broadcast min/max bounds, one (bin) hash
+    aggregation with conditional sums, broadcast 1-row totals."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    both = o.select(
+        cents.alias("v"),
+        F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0).alias("in_b"),
+    ).filter(F.col("v").isNotNull())
+    bounds = both.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    span = F.col("mx") - F.col("mn") + 1
+    binned = both.join(F.broadcast(bounds)).select(
+        F.floor(((F.col("v") - F.col("mn")) * 20) / span).cast("long").alias("bin"),
+        "in_b",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+    )
+    totals = per_bin.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    return per_bin.join(F.broadcast(totals)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        (
+            100 * F.abs(F.col("n_a") * F.col("tot_b") - F.col("n_b") * F.col("tot_a"))
+            > F.col("tot_a") * F.col("tot_b")
+        ).alias("drifted"),
+    )
+
+
+SQL_HISTOGRAM_DRIFT = """
+WITH v AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+           CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS in_b
+    FROM orders WHERE o_totalprice IS NOT NULL
+), b AS (
+    SELECT min(v) AS mn, max(v) AS mx FROM v
+), binned AS (
+    SELECT ((v.v - b.mn) * 20) // (b.mx - b.mn + 1) AS bin, v.in_b
+    FROM v CROSS JOIN b
+), per_bin AS (
+    SELECT bin, count(*) AS n_a, sum(in_b)::BIGINT AS n_b
+    FROM binned GROUP BY bin
+), t AS (
+    SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b FROM per_bin
+)
+SELECT p.bin, p.n_a, p.n_b,
+       100 * abs(p.n_a * t.tot_b - p.n_b * t.tot_a) > t.tot_a * t.tot_b AS drifted
+FROM per_bin p CROSS JOIN t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3982,6 +4050,7 @@ SPARK_QUERIES = {
     "cluster_keepers": q_cluster_keepers,
     "centroid_similarity": q_centroid_similarity,
     "source_overlap": q_source_overlap,
+    "histogram_drift": q_histogram_drift,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -4091,6 +4160,7 @@ ORACLE_SQL = {
     "cluster_keepers": SQL_CLUSTER_KEEPERS,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "histogram_drift": SQL_HISTOGRAM_DRIFT,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
