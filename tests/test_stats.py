@@ -280,3 +280,36 @@ def test_histogram_drift_integer_rule(spark):
     # counts conserve
     assert sum(r["n_a"] for r in out) == 300
     assert sum(r["n_b"] for r in out) == 200
+
+
+def test_grouped_mode_tie_break_and_corr_stats_exactness(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    cust = spark.createDataFrame(
+        # nation 0: AUTO x2, FOOD x2 (tie -> AUTO); nation 1: FOOD x2 wins
+        [(0, "C", 0, 10.0, "AUTO"), (1, "C", 0, 20.0, "AUTO"),
+         (2, "C", 0, 30.0, "FOOD"), (3, "C", 0, 40.0, "FOOD"),
+         (4, "C", 1, 50.0, "FOOD"), (5, "C", 1, 60.0, "FOOD"), (6, "C", 1, 70.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    orders = spark.createDataFrame(
+        [(1, 0, "O", 100.0, None, "P"), (2, 0, "O", 200.0, None, "P"),
+         (3, 4, "O", 300.0, None, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        nation.write.parquet(os.path.join(d, "nation.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        mode = {r["n_name"]: (r["modal_segment"], r["n"]) for r in SPARK_QUERIES["grouped_mode"](spark, d).collect()}
+        corr = {r["c_mktsegment"]: r for r in SPARK_QUERIES["corr_stats"](spark, d).collect()}
+    assert mode["ALPHA"] == ("AUTO", 2)   # tie resolved lexicographically
+    assert mode["BETA"] == ("FOOD", 2)
+    a = corr["AUTO"]  # custkey 0: two orders (100, 200), balance 10
+    assert (a["n"], a["sum_x"], a["sum_y"]) == (2, 30000, 2000)
+    assert a["sum_xy"] == 10000 * 1000 + 20000 * 1000
+    assert a["sum_xx"] == 10000**2 + 20000**2

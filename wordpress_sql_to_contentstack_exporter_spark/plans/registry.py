@@ -3938,6 +3938,88 @@ FROM per_bin p CROSS JOIN t
 """
 
 
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation modal market segment. Two-level: (nation, segment)
+    counts first (map-side combined), then max-count per nation joined
+    back and ties resolved to the lexicographically smallest segment —
+    a struct-argmax can't express "max count then MIN string" without
+    fragile string-inversion tricks, so the deterministic form is the
+    join-back over the aggregated |nations x segments| frame (tiny).
+    Output: nation name, modal segment, its count."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = counts.groupBy("n_name").agg(F.max("cnt").alias("best"))
+    return (
+        counts.join(best, "n_name")
+        .filter(F.col("cnt") == F.col("best"))
+        .groupBy("n_name")
+        .agg(
+            F.min("c_mktsegment").alias("modal_segment"),
+            F.min("cnt").alias("n"),
+        )
+    )
+
+
+SQL_GROUPED_MODE = """
+WITH counts AS (
+    SELECT n.n_name, c.c_mktsegment, count(*) AS cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, c.c_mktsegment
+), best AS (
+    SELECT n_name, max(cnt) AS best FROM counts GROUP BY n_name
+)
+SELECT c.n_name, min(c.c_mktsegment) AS modal_segment, min(c.cnt) AS n
+FROM counts c JOIN best b ON c.n_name = b.n_name AND c.cnt = b.best
+GROUP BY c.n_name
+"""
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation SUFFICIENT STATISTICS per market segment for
+    (order total, customer balance): exact integer-cents sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) — everything Pearson r needs, with
+    zero floats in the contract (a derived r would drag sqrt-of-big-
+    product ULP questions into the hash; the sufficient statistics ARE
+    the mergeable artifact a monitoring pipeline stores and combines).
+    One join + one map-combined aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    x = F.round(F.col("o_totalprice") * 100).cast("long")
+    y = F.round(F.col("c_acctbal") * 100).cast("long")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", x.alias("x"), y.alias("y")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_yy"),
+    )
+
+
+SQL_CORR_STATS = """
+WITH j AS (
+    SELECT c.c_mktsegment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, count(*) AS n,
+       sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+       sum(x * y)::BIGINT AS sum_xy,
+       sum(x * x)::BIGINT AS sum_xx,
+       sum(y * y)::BIGINT AS sum_yy
+FROM j GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4051,6 +4133,8 @@ SPARK_QUERIES = {
     "centroid_similarity": q_centroid_similarity,
     "source_overlap": q_source_overlap,
     "histogram_drift": q_histogram_drift,
+    "grouped_mode": q_grouped_mode,
+    "corr_stats": q_corr_stats,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "approx_aggs": q_approx_aggs,
@@ -4161,6 +4245,8 @@ ORACLE_SQL = {
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "histogram_drift": SQL_HISTOGRAM_DRIFT,
+    "grouped_mode": SQL_GROUPED_MODE,
+    "corr_stats": SQL_CORR_STATS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
