@@ -503,6 +503,51 @@ def main() -> int:
     else:
         print("ok    time_rollup: one scan + one exchange covers all granularities")
 
+    # winsorize: percentile bounds must broadcast back onto the fact
+    # side (map-only clip), no cartesian.
+    check(
+        "winsorize",
+        ("bounds joined via broadcast", r"BroadcastHashJoin"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    # cluster_keepers: keeper selection is a map-combinable aggregate,
+    # NOT a per-cluster window sort.
+    check(
+        "cluster_keepers",
+        ("argmax is an aggregate, not a window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+    # source_overlap / histogram_drift / corr_stats / grouped_mode:
+    # no cartesian products; drift additionally reads the orders table
+    # ONCE (both snapshots derive from one scan via a conditional flag).
+    check(
+        "source_overlap",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    hd_plan = plan_of(SPARK_QUERIES["histogram_drift"](spark, sf_dir))
+    check_plan(
+        "histogram_drift",
+        hd_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    n_scans_hd = len(re.findall(r"Scan parquet", hd_plan))
+    # budget: TWO passes (bounds+totals, then binning) — the first
+    # version re-derived per_bin for totals and scanned FOUR times.
+    if n_scans_hd > 4:
+        failures.append(("histogram_drift", f"expected two orders scans, got {n_scans_hd}/2"))
+        print(f"FAIL  histogram_drift: expected two orders scans, got {n_scans_hd}/2")
+    else:
+        print("ok    histogram_drift: two-pass budget holds (bounds+totals fused)")
+    check(
+        "grouped_mode",
+        ("nation dim broadcast", r"BroadcastHashJoin"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+    check(
+        "corr_stats",
+        ("partial aggregation present", r"HashAggregate"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

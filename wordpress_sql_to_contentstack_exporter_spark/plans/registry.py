@@ -3883,8 +3883,12 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3e9-row snapshots; beyond that, pre-scale counts (the documented
     trade).
 
-    Plan: one union scan, broadcast min/max bounds, one (bin) hash
-    aggregation with conditional sums, broadcast 1-row totals."""
+    Plan: TWO scans total (the audit's pinned budget): one for the
+    1-row bounds+totals aggregate (min/max/count/sum share one pass —
+    a separate totals re-aggregation would re-derive per_bin and scan
+    the table twice more, the defect the plan audit caught in its
+    first version), one for the binning aggregation; the 1-row frame
+    broadcasts into both consumers."""
     o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     cutoff = F.lit("1995-01-01").cast("timestamp")
@@ -3892,20 +3896,24 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("v"),
         F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0).alias("in_b"),
     ).filter(F.col("v").isNotNull())
-    bounds = both.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bounds = both.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("tot_a"),
+        F.sum("in_b").cast("long").alias("tot_b"),
+    )
     span = F.col("mx") - F.col("mn") + 1
     binned = both.join(F.broadcast(bounds)).select(
         F.floor(((F.col("v") - F.col("mn")) * 20) / span).cast("long").alias("bin"),
         "in_b",
+        "tot_a",
+        "tot_b",
     )
-    per_bin = binned.groupBy("bin").agg(
+    per_bin = binned.groupBy("bin", "tot_a", "tot_b").agg(
         F.count(F.lit(1)).alias("n_a"),
         F.sum("in_b").cast("long").alias("n_b"),
     )
-    totals = per_bin.agg(
-        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
-    )
-    return per_bin.join(F.broadcast(totals)).select(
+    return per_bin.select(
         "bin",
         "n_a",
         "n_b",
