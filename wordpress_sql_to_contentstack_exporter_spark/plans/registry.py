@@ -3994,7 +3994,14 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero floats in the contract (a derived r would drag sqrt-of-big-
     product ULP questions into the hash; the sufficient statistics ARE
     the mergeable artifact a monitoring pipeline stores and combines).
-    One join + one map-combined aggregation."""
+    One join + one map-combined aggregation.
+
+    The squared-term sums accumulate as DECIMAL(38,0): cents² is
+    ~4e15 per row, so a long Σx² overflows around 2,000 rows of
+    top-end prices — ANSI mode surfaced exactly that at sf0.1 (the
+    overflow the silent-wraparound default would have turned into
+    corrupt statistics). DuckDB reaches the same values via its
+    HUGEINT sum promotion; both stringify as plain integers."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     x = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -4002,13 +4009,15 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "c_mktsegment", x.alias("x"), y.alias("y")
     )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sum_x"),
         F.sum("y").alias("sum_y"),
-        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
-        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
-        F.sum(F.col("y") * F.col("y")).alias("sum_yy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sum_xy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sum_xx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("sum_yy"),
     )
 
 
@@ -4021,9 +4030,9 @@ WITH j AS (
 )
 SELECT c_mktsegment, count(*) AS n,
        sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
-       sum(x * y)::BIGINT AS sum_xy,
-       sum(x * x)::BIGINT AS sum_xx,
-       sum(y * y)::BIGINT AS sum_yy
+       sum(x * y) AS sum_xy,
+       sum(x * x) AS sum_xx,
+       sum(y * y) AS sum_yy
 FROM j GROUP BY c_mktsegment
 """
 
