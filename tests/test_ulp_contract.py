@@ -130,3 +130,25 @@ def test_repetition_flag_boundary_integer_arithmetic(spark):
     # Just assert the integer threshold behavior matches the counts we got.
     top_c, total = out[3]["top_c"], out[3]["n_bigrams"]
     assert out[3]["rep_flagged"] == (100 * top_c > 18 * total and total >= 20)
+
+
+def test_squared_cents_sums_need_decimal_accumulation(spark):
+    """The corr_stats overflow lesson (caught by ANSI mode at sf0.1):
+    cents-scale squared terms overflow a long around 2k rows of
+    top-end values; decimal(38,0) accumulation reproduces exact Python
+    integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    vals = [59_999_99 + i for i in range(3000)]  # ~6e6 cents each
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    xd = F.col("x").cast("decimal(19,0)")
+    got = df.agg(F.sum(xd * xd).cast("decimal(38,0)").alias("s")).first()["s"]
+    assert int(got) == sum(v * v for v in vals)
+    # the long path genuinely overflows under ANSI — the decimal form
+    # is not defensive decoration
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    big = spark.createDataFrame([(3_000_000_000,)] * 2, "x long")
+    with pytest.raises(Exception):
+        big.agg(F.sum(F.col("x") * F.col("x"))).first()

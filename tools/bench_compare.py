@@ -53,6 +53,15 @@ def main() -> None:
         # (string splitting both sides), bucketed inequality join vs
         # DuckDB's IEJoin, windowed upsert vs QUALIFY
         "doc_chunks", "range_join_bucketed", "upsert_snapshot",
+        # round-5 session-2 additions doing real two-engine work:
+        # trigram/bigram counting with joins-on-aggregates, corpus-DF
+        # boilerplate removal, gaps-and-islands windows, SCD2 windows,
+        # deletion-neighborhood + prefix-filter similarity joins,
+        # gram-keyed source overlap, CEP regex sequences
+        "pmi_collocations", "ngram_lm", "inverted_index",
+        "boilerplate_removal", "merge_intervals", "scd2_history",
+        "fuzzy_pairs", "setsim_join", "source_overlap", "event_pattern",
+        "record_linkage", "time_rollup",
     ]
     out = {}
     for name in compared:
