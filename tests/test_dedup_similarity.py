@@ -561,3 +561,22 @@ def test_source_overlap_detects_syndicated_content(spark):
     assert m["containment"] == 8 / min(m["n_a"], m["n_b"])
     # the indie source shares nothing with either mirror
     assert ("indie", "mirror_a") not in got and ("mirror_a", "indie") not in got
+
+
+def test_curation_pipeline_ladder_and_determinism(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    r1 = SPARK_QUERIES["curation_pipeline"](spark, sf).collect()[0]
+    # the monotone curation ladder
+    assert r1["n_input"] >= r1["n_quality"] >= r1["n_after_exact"] >= r1["n_final"]
+    # one keeper per cluster by construction
+    assert r1["n_final"] == r1["n_clusters"]
+    # corpus = documents + one perturbed copy each
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert r1["n_input"] == 2 * n_docs
+    # near-dup stage really fires: perturbed copies pair with originals
+    assert r1["n_pairs"] > 0 and r1["n_clusters"] < r1["n_after_exact"]
+    # bit-deterministic end to end (hash-based stages, no rand())
+    r2 = SPARK_QUERIES["curation_pipeline"](spark, sf).collect()[0]
+    assert r1 == r2

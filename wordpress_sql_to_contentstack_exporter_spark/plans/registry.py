@@ -4037,6 +4037,66 @@ FROM j GROUP BY c_mktsegment
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition: the whole training-data curation
+    pipeline as ONE lazy DAG — quality gate -> exact dedup -> MinHash
+    near-dup clustering -> quality-aware keeper selection -> corpus
+    accounting. Every stage is an operator this engine ships
+    (quality_features, exact_dedup, minhash_lsh_candidates,
+    dedup_clusters, cluster_representatives); Catalyst sees the whole
+    graph at once, so filters prune before signatures are computed and
+    nothing materializes between stages.
+
+    Corpus: documents + perturbed near-dup copies (+1M ids, the
+    minhash gate's construction) so every stage has real work. Output:
+    one row of exact stage counts — n_input, n_quality (>= 30 BPE
+    tokens), n_after_exact (content-hash keepers), n_pairs (LSH
+    candidates among survivors), n_clusters, n_final (near-dup cluster
+    keepers by n_chars). Rows-only (xxhash64 signatures have no DuckDB
+    mirror); determinism + the monotone ladder are pinned by test."""
+    d = _t(spark, sf_dir, "documents")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near-dup-suffix")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(perturbed)
+
+    quality = tx.quality_features(corpus).filter(F.col("q_bpe_tokens") >= 30)
+    survivors = quality.select("doc_id", "text", F.length("text").alias("n_chars"))
+
+    exact = dd.exact_dedup(survivors)  # (content_hash, keeper_id, n_copies)
+    exact_kept = survivors.join(
+        exact.select(F.col("keeper_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    pairs = dd.minhash_lsh_candidates(
+        exact_kept, num_hashes=16, bands=2, min_est_jaccard=0.9
+    )
+    clusters = gr.dedup_clusters(
+        pairs.select("id_a", "id_b"), exact_kept.select("doc_id")
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    keepers = gr.cluster_representatives(
+        clusters, exact_kept.select("doc_id", "n_chars"),
+        id_col="doc_id", quality_col="n_chars",
+    ).filter(F.col("is_keeper"))
+
+    n_input = corpus.agg(F.count(F.lit(1)).alias("n_input"))
+    n_quality = quality.agg(F.count(F.lit(1)).alias("n_quality"))
+    n_exact = exact_kept.agg(F.count(F.lit(1)).alias("n_after_exact"))
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_clusters = clusters.agg(
+        F.countDistinct("cluster_id").alias("n_clusters")
+    )
+    n_final = keepers.agg(F.count(F.lit(1)).alias("n_final"))
+    return (
+        n_input.join(n_quality)
+        .join(n_exact)
+        .join(n_pairs)
+        .join(n_clusters)
+        .join(n_final)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4154,6 +4214,7 @@ SPARK_QUERIES = {
     "corr_stats": q_corr_stats,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
+    "curation_pipeline": q_curation_pipeline,
     "approx_aggs": q_approx_aggs,
     "hll_sketches": q_hll_sketches,
     "minhash_neardup": q_minhash_neardup,
