@@ -149,3 +149,22 @@ def test_http_knobs_thread_into_download(spark, wp_catalog, tmp_path):
     rows = res.collect()
     assert rows and all(r["status"] == "failed" for r in rows)
     assert all(r["attempts"] == 3 for r in rows)  # 1 + 2 retries
+
+
+def test_cli_list_and_query_subcommands(tmp_path, capsys):
+    from wordpress_sql_to_contentstack_exporter_spark.__main__ import main
+
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_posts_export\toracle" in out
+    assert "minhash_neardup\trows-only" in out
+    # unknown query is a clean error, not a traceback
+    assert main(["query", "--name", "nope", "--sf-dir", "/tmp"]) == 2
+    # a real query writes parquet
+    dest = str(tmp_path / "out")
+    assert (
+        main(["query", "--name", "count_group_by",
+              "--sf-dir", "/root/testdata/sf0.001", "--out", dest]) == 0
+    )
+    import glob
+    assert glob.glob(dest + "/*.parquet")

@@ -26,7 +26,40 @@ def main(argv: list[str] | None = None) -> int:
         help="run a single module (default: all, in reference order)",
     )
     exp.add_argument("--ids-file", default=None, help="comma/newline-separated IDs to (re-)export")
+    qry = sub.add_parser(
+        "query",
+        help="run a registry analytics query over a parquet table dir",
+    )
+    qry.add_argument("--name", required=True, help="registry query name (see --list)")
+    qry.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
+    qry.add_argument("--out", default=None, help="output parquet path (default: print 20 rows)")
+    qry.add_argument("--json", action="store_true", help="write JSON instead of parquet")
+    lst = sub.add_parser("list-queries", help="list registry analytics queries")
     args = parser.parse_args(argv)
+
+    if args.cmd == "list-queries":
+        from .plans.registry import ORACLE_SQL, SPARK_QUERIES
+
+        for name in SPARK_QUERIES:
+            kind = "oracle" if name in ORACLE_SQL else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    if args.cmd == "query":
+        from .plans.registry import SPARK_QUERIES
+        from .session import get_spark
+
+        if args.name not in SPARK_QUERIES:
+            print(f"unknown query {args.name!r}; see `list-queries`", file=sys.stderr)
+            return 2
+        spark = get_spark("wp-query")
+        df = SPARK_QUERIES[args.name](spark, args.sf_dir)
+        if args.out:
+            writer = df.write.mode("overwrite")
+            (writer.json if args.json else writer.parquet)(args.out)
+        else:
+            df.show(20, truncate=False)
+        return 0
 
     from .config import ExportConfig, build_catalog
     from .logging_utils import get_logger
