@@ -624,3 +624,27 @@ def test_compression_signals_deterministic(spark):
     a = sorted((r["doc_id"], r["n_compressed"]) for r in tx.compression_signals(df).collect())
     b = sorted((r["doc_id"], r["n_compressed"]) for r in tx.compression_signals(df.repartition(7)).collect())
     assert a == b
+
+
+def test_vocab_drift_flags_half_exclusive_tokens(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    # even docs say "stable common words"; odd docs add a burst token
+    rows = []
+    for i in range(40):
+        text = "stable common words here"
+        if i % 2 == 1:
+            text += " burst burst burst"
+        rows.append((i, text, "en", "s", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["token"]: r for r in SPARK_QUERIES["vocab_drift"](spark, d).collect()}
+    b = out["burst"]
+    assert b["n_a"] == 0 and b["n_b"] == 60 and b["drifted"]
+    # the stable words shift in SHARE (denominator grew on the odd side)
+    # but each stays within the band or flags consistently — just check
+    # they are present and counted evenly
+    s = out["stable"]
+    assert s["n_a"] == 20 and s["n_b"] == 20

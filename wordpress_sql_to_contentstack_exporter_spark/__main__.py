@@ -35,7 +35,21 @@ def main(argv: list[str] | None = None) -> int:
     qry.add_argument("--out", default=None, help="output parquet path (default: print 20 rows)")
     qry.add_argument("--json", action="store_true", help="write JSON instead of parquet")
     lst = sub.add_parser("list-queries", help="list registry analytics queries")
+    exp2 = sub.add_parser("explain", help="print a registry query's physical plan")
+    exp2.add_argument("--name", required=True)
+    exp2.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = parser.parse_args(argv)
+
+    if args.cmd == "explain":
+        from .plans.registry import SPARK_QUERIES
+        from .session import get_spark
+
+        if args.name not in SPARK_QUERIES:
+            print(f"unknown query {args.name!r}; see `list-queries`", file=sys.stderr)
+            return 2
+        spark = get_spark("wp-explain")
+        SPARK_QUERIES[args.name](spark, args.sf_dir).explain("formatted")
+        return 0
 
     if args.cmd == "list-queries":
         from .plans.registry import ORACLE_SQL, SPARK_QUERIES

@@ -4097,6 +4097,71 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus halves (doc_id parity as the
+    deterministic snapshot split): per token appearing >= 5 times
+    total, occurrence counts in each half and the integer drift rule
+    ``100*|n_a*N_b - n_b*N_a| > N_a*N_b`` (token share moved by more
+    than a percentage point — histogram_drift's rule applied to
+    token distributions; no float proportion ever compared). The
+    data-shift monitor for text pipelines: tokenizer/vocab rot shows
+    up here before it shows up in model metrics.
+
+    Plan: one scan, one token hash aggregation with conditional sums,
+    1-row totals fused into a broadcast (the two-scan budget
+    histogram_drift pinned)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_tok = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    totals = per_tok.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    return (
+        per_tok.filter(F.col("n_a") + F.col("n_b") >= 5)
+        .join(F.broadcast(totals))
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            (
+                100
+                * F.abs(
+                    F.col("n_a") * F.col("tot_b") - F.col("n_b") * F.col("tot_a")
+                )
+                > F.col("tot_a") * F.col("tot_b")
+            ).alias("drifted"),
+        )
+    )
+
+
+SQL_VOCAB_DRIFT = r"""
+WITH toks AS (
+    SELECT doc_id % 2 = 0 AS in_a,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+    FROM documents
+), nz AS (
+    SELECT in_a, token FROM toks WHERE token != ''
+), per_tok AS (
+    SELECT token,
+           sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           sum(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+    FROM nz GROUP BY token
+), t AS (
+    SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b FROM per_tok
+)
+SELECT p.token, p.n_a, p.n_b,
+       100 * abs(p.n_a * t.tot_b - p.n_b * t.tot_a) > t.tot_a * t.tot_b AS drifted
+FROM per_tok p CROSS JOIN t
+WHERE p.n_a + p.n_b >= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4212,6 +4277,7 @@ SPARK_QUERIES = {
     "histogram_drift": q_histogram_drift,
     "grouped_mode": q_grouped_mode,
     "corr_stats": q_corr_stats,
+    "vocab_drift": q_vocab_drift,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4325,6 +4391,7 @@ ORACLE_SQL = {
     "histogram_drift": SQL_HISTOGRAM_DRIFT,
     "grouped_mode": SQL_GROUPED_MODE,
     "corr_stats": SQL_CORR_STATS,
+    "vocab_drift": SQL_VOCAB_DRIFT,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
