@@ -126,3 +126,25 @@ def test_cluster_representatives_picks_highest_quality(spark):
     assert rows[10] == (10, True)
     # cluster 20: tie -> id 20
     assert rows[20] == (20, True) and rows[21] == (20, False)
+
+
+def test_triangle_count_known_graphs(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        return (r["n_nodes"], r["n_edges"], r["n_triangles"])
+
+    # a single triangle, with duplicate/reversed/self-loop noise
+    assert tri([(1, 2), (2, 3), (3, 1), (2, 1), (1, 1), (3, 1)]) == (3, 3, 1)
+    # K4 has 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tri(k4) == (4, 6, 4)
+    # star graph: hub + 5 leaves, no triangles (the degree-orientation
+    # worst case the operator exists to bound)
+    star = [(0, i) for i in range(1, 6)]
+    assert tri(star) == (6, 5, 0)
+    # two disjoint triangles
+    two = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    assert tri(two) == (6, 6, 2)

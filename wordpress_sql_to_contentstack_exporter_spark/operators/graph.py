@@ -170,3 +170,79 @@ def cluster_representatives(
             (F.col("__id") == F.col("keeper_id")).alias("is_keeper"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count over an undirected simple graph — the
+    classic distributed-graph primitive (clustering coefficients,
+    community density, near-dup graph sanity checks).
+
+    The scale-critical trick is EDGE ORIENTATION: orient every edge
+    from the lower-DEGREE endpoint to the higher (ties by id), so each
+    wedge is enumerated exactly once at its lowest-degree corner — the
+    hub node of a star graph then has tiny out-degree and the wedge
+    join cannot quadratically explode on it (the naive low-id->high-id
+    orientation keeps a hub's C(d,2) wedges whenever the hub has the
+    small id; degree orientation bounds out-degree by O(sqrt(|E|)) on
+    any graph). Plan: degree aggregation, two hash joins on endpoints
+    (wedge build + closing-edge semi-check), all on (long, long) edge
+    rows — no adjacency lists materialize.
+
+    Input may contain duplicate/reversed/self-loop edges; they are
+    canonicalized away. Output: 1 row (n_nodes, n_edges, n_triangles).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient from lower (degree, id) to higher (degree, id)
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    )
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c"))
+    wedges = w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c"))).select(
+        "a", "b", "c"
+    )
+    # closing edge may be oriented either way
+    closing = oriented.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least("b", "c") == F.col("u")) & (F.greatest("b", "c") == F.col("v")),
+        "left_semi",
+    )
+    counts = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    t = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nodes.join(counts).join(t)

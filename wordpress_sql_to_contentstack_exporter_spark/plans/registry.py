@@ -4162,6 +4162,56 @@ WHERE p.n_a + p.n_b >= 5
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.triangle_count) over a
+    deterministic synthetic graph on document ids: chain edges
+    (i, i+1) plus jump edges (i, i+2) within blocks of 10, so every
+    interior triple (i, i+1, i+2) closes a triangle. Degree-ordered
+    orientation bounds wedge fan-out; the oracle counts the same
+    triangles with a 3-way self-join in DuckDB."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    a = ids.alias("a")
+    b = ids.alias("b")
+    chain = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") % 10 != 9)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    jump = (
+        a.join(b, F.col("a.doc_id") + 2 == F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") % 10 < 8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return gr.triangle_count(chain.unionByName(jump))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH ids AS (SELECT doc_id FROM documents),
+chain AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM ids a JOIN ids b ON a.doc_id + 1 = b.doc_id
+    WHERE a.doc_id % 10 != 9
+),
+jump AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM ids a JOIN ids b ON a.doc_id + 2 = b.doc_id
+    WHERE a.doc_id % 10 < 8
+),
+e AS (SELECT DISTINCT u, v FROM (SELECT * FROM chain UNION ALL SELECT * FROM jump)),
+nodes AS (
+    SELECT count(DISTINCT n) AS n_nodes
+    FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+),
+tris AS (
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3
+         ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT nodes.n_nodes, (SELECT count(*) FROM e) AS n_edges, tris.n_triangles
+FROM nodes, tris
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4278,6 +4328,7 @@ SPARK_QUERIES = {
     "grouped_mode": q_grouped_mode,
     "corr_stats": q_corr_stats,
     "vocab_drift": q_vocab_drift,
+    "triangle_count": q_triangle_count,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4392,6 +4443,7 @@ ORACLE_SQL = {
     "grouped_mode": SQL_GROUPED_MODE,
     "corr_stats": SQL_CORR_STATS,
     "vocab_drift": SQL_VOCAB_DRIFT,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
