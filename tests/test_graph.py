@@ -148,3 +148,32 @@ def test_triangle_count_known_graphs(spark):
     # two disjoint triangles
     two = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
     assert tri(two) == (6, 6, 2)
+
+
+def test_pagerank_int_known_graphs(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import pagerank_int
+
+    S = 10**12
+
+    def pr(edges, nodes, iters=3):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        n = spark.createDataFrame([(x,) for x in nodes], "node long")
+        return {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_int(e, n, iterations=iters).collect()
+        }
+
+    # symmetric 2-cycle: ranks stay equal and mass is conserved exactly
+    r = pr([(1, 2), (2, 1)], [1, 2])
+    assert r[1] == r[2]
+    assert abs(sum(r.values()) - 2 * S) <= 10  # only floor-div dust
+
+    # hub with two fans pointing at it: hub outranks the fans; the
+    # fans (no in-links) sit at the base rank
+    r = pr([(1, 3), (2, 3), (3, 1)], [1, 2, 3])
+    assert r[3] > r[1] > r[2] or r[3] > r[1] == r[2] or r[3] > max(r[1], r[2])
+    base = (15 * S) // 100
+    assert r[2] == base  # node 2 has no in-links after 1 iteration chain
+
+    # determinism across runs (exact integer arithmetic)
+    assert pr([(1, 2), (2, 1)], [1, 2]) == pr([(1, 2), (2, 1)], [1, 2])

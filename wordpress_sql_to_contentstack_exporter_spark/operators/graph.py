@@ -246,3 +246,68 @@ def triangle_count(
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     t = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
     return nodes.join(counts).join(t)
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    iterations: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank with EXACT INTEGER arithmetic — the
+    iterative-algorithm shape (like dedup_clusters' label propagation)
+    made cross-engine-checkable: every quantity is a scaled long and
+    every division is integer floor division, so an oracle unrolling
+    the same k steps reproduces ranks BIT-FOR-BIT (float PageRank can
+    never hash-match across engines — summation order alone changes
+    the last bits).
+
+    Per iteration::
+
+        contrib(u) = r(u) div outdeg(u)          -- exact long div
+        r'(v) = (15 * S) div 100 + (85 * Σ contrib(u→v)) div 100
+
+    Dangling nodes (outdeg 0) leak their mass — the documented
+    simplification; both engines leak identically. Overflow budget:
+    85 * Σ contribs needs ``85 * N * scale < 2^63`` (~1e8 nodes at the
+    default scale; shrink ``scale`` for bigger graphs).
+
+    Plan shape: ``iterations`` × (one equi-join ranks→edges on the src
+    key + one hash aggregation on dst) — the plan grows linearly with
+    k like dedup_clusters; checkpoint between iterations for large k.
+    Output: (node, rank_scaled) — Σ rank ≈ N * scale minus leakage.
+    """
+    if iterations < 1:
+        raise ValueError("iterations >= 1")
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = nodes.select(F.col(node_col).alias("node")).withColumn(
+        "r", F.lit(int(scale)).cast("long")
+    )
+    base = F.lit(15 * int(scale)).cast("long")
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(outdeg, "node")
+            .withColumn("c", F.expr("r div outdeg"))
+            .join(e, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"({15 * int(scale)}L) div 100")
+                    + F.expr("(85 * coalesce(in_sum, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

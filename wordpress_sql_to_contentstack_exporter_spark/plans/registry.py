@@ -4212,6 +4212,69 @@ FROM nodes, tris
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank, 3 iterations
+    (operators/graph.pagerank_int) over a deterministic 2-out-degree
+    graph on doc ids (< 500 for sf-independence): chain edges
+    (i -> i+1 mod 500) plus scatter edges (i -> 7i+3 mod 500). The
+    oracle UNROLLS the same three steps as chained CTEs — recursive
+    CTEs cannot aggregate per level — and matches bit-for-bit because
+    every step is long arithmetic with floor division."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        F.col("doc_id").alias("node")
+    )
+    e = (
+        ids.select(
+            F.col("node").alias("src"), ((F.col("node") + 1) % 500).alias("dst")
+        )
+        .unionByName(
+            ids.select(
+                F.col("node").alias("src"),
+                ((F.col("node") * 7 + 3) % 500).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return gr.pagerank_int(e, ids, iterations=3)
+
+
+def _pagerank_sql_steps(k: int = 3, scale: int = 10**12) -> str:
+    base = f"({15 * scale} // 100)"
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f"""
+step{i} AS (
+    SELECT e.dst AS node, sum(p.r // od.outdeg) AS in_sum
+    FROM pr{i-1} p JOIN od ON p.node = od.src JOIN e ON e.src = p.node
+    GROUP BY e.dst
+),
+pr{i} AS (
+    SELECT n.node,
+           CAST({base} + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN step{i} s ON n.node = s.node
+)""")
+    return ",".join(steps)
+
+
+SQL_PAGERANK = f"""
+WITH nodes AS (
+    SELECT doc_id AS node FROM documents WHERE doc_id < 500
+), e0 AS (
+    SELECT node AS src, (node + 1) % 500 AS dst FROM nodes
+    UNION ALL
+    SELECT node, (node * 7 + 3) % 500 FROM nodes
+), e AS (
+    SELECT DISTINCT src, dst FROM e0 WHERE src != dst
+), od AS (
+    SELECT src, count(*) AS outdeg FROM e GROUP BY src
+), pr0 AS (
+    SELECT node, CAST({10**12} AS BIGINT) AS r FROM nodes
+),{_pagerank_sql_steps()}
+SELECT node, r AS rank_scaled FROM pr3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4329,6 +4392,7 @@ SPARK_QUERIES = {
     "corr_stats": q_corr_stats,
     "vocab_drift": q_vocab_drift,
     "triangle_count": q_triangle_count,
+    "pagerank": q_pagerank,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4444,6 +4508,7 @@ ORACLE_SQL = {
     "corr_stats": SQL_CORR_STATS,
     "vocab_drift": SQL_VOCAB_DRIFT,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "pagerank": SQL_PAGERANK,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
