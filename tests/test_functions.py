@@ -195,3 +195,28 @@ def test_permalink_property_random(spark):
     row = df.select(*exprs).first()
     for i, s in enumerate(cases):
         assert row[f"c{i}"] == js_get_url(post, "", s, "http://e.com/b"), s
+
+
+def test_weekdays_before_matches_calendar_model(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.functions.dates import weekdays_before
+
+    def model(d):
+        day0 = dt.date(1970, 1, 1)
+        return sum(
+            1 for x in range(d) if (day0 + dt.timedelta(days=x)).weekday() < 5
+        )
+
+    days = list(range(0, 40)) + [365, 10000, 20000]
+    df = spark.createDataFrame([(d,) for d in days], "d long")
+    got = {
+        r["d"]: r["w"]
+        for r in df.select("d", weekdays_before(F.col("d")).alias("w")).collect()
+    }
+    for d in days:
+        assert got[d] == model(d), d
+    # business days in a week-spanning interval: Thu 1970-01-01 .. next Thu
+    assert got[7] - got[0] == 5

@@ -4275,6 +4275,65 @@ SELECT node, r AS rank_scaled FROM pr3
 """
 
 
+def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order->ship lag analytics per priority class with CALENDAR-EXACT
+    integer arithmetic: plain day lags from epoch-day longs, BUSINESS-
+    day lags via functions/dates.weekdays_before (a prefix-table
+    formula over epoch days — engine dayofweek() builtins disagree on
+    week-start conventions, so none is used), discrete-rank p50/p90,
+    late counts, and the ships-before-ordered count (a migration data-
+    quality signal the synthetic dates deliberately contain)."""
+    from ..functions.dates import epoch_day, weekdays_before
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        (epoch_day(F.col("l_shipdate")) - epoch_day(F.col("o_orderdate"))).alias("lag"),
+        (
+            weekdays_before(epoch_day(F.col("l_shipdate")))
+            - weekdays_before(epoch_day(F.col("o_orderdate")))
+        ).alias("busdays"),
+    )
+    arr = F.sort_array(F.collect_list("lag"))
+    n1 = F.count(F.lit(1)) - 1
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lag") < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+        F.sum(F.when(F.col("lag") > 90, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.element_at(arr, (F.floor(n1 / 2) + 1).cast("int")).alias("p50_lag"),
+        F.element_at(arr, (F.floor(n1 * 9 / 10) + 1).cast("int")).alias("p90_lag"),
+        F.sum("busdays").alias("sum_busdays"),
+    )
+
+
+SQL_SHIP_LAG = """
+WITH j AS (
+    SELECT o.o_orderpriority,
+           CAST(floor(epoch_us(l.l_shipdate) / 86400000000) AS BIGINT)
+             - CAST(floor(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT) AS lag,
+           ( (CAST(floor(epoch_us(l.l_shipdate) / 86400000000) AS BIGINT) // 7) * 5
+             + [0,1,2,2,2,3,4,5][CAST(CAST(floor(epoch_us(l.l_shipdate) / 86400000000) AS BIGINT) % 7 AS INT) + 1] )
+           - ( (CAST(floor(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT) // 7) * 5
+             + [0,1,2,2,2,3,4,5][CAST(CAST(floor(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT) % 7 AS INT) + 1] )
+           AS busdays
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), s AS (
+    SELECT o_orderpriority, count(*) AS n,
+           sum(CASE WHEN lag < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+           sum(CASE WHEN lag > 90 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+           list_sort(list(lag)) AS ls,
+           sum(busdays)::BIGINT AS sum_busdays
+    FROM j GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, n_negative, n_late,
+       ls[CAST((n - 1) // 2 AS BIGINT) + 1] AS p50_lag,
+       ls[CAST((n - 1) * 9 // 10 AS BIGINT) + 1] AS p90_lag,
+       sum_busdays
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4393,6 +4452,7 @@ SPARK_QUERIES = {
     "vocab_drift": q_vocab_drift,
     "triangle_count": q_triangle_count,
     "pagerank": q_pagerank,
+    "ship_lag": q_ship_lag,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4509,6 +4569,7 @@ ORACLE_SQL = {
     "vocab_drift": SQL_VOCAB_DRIFT,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "pagerank": SQL_PAGERANK,
+    "ship_lag": SQL_SHIP_LAG,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
