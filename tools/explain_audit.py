@@ -548,6 +548,33 @@ def main() -> int:
         ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
     )
 
+    # vocab_drift: one token aggregation, totals fused as broadcast —
+    # the histogram_drift two-pass discipline on text.
+    check(
+        "vocab_drift",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+    # triangle_count / pagerank: iterative/graph plans must stay pure
+    # hash-join + aggregate pipelines — no cartesian, no window.
+    check(
+        "triangle_count",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+    check(
+        "pagerank",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+    # ship_lag: one orders-lineitem join + one aggregation; the
+    # business-day arithmetic is pure projection (no python worker).
+    check(
+        "ship_lag",
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython)).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 
