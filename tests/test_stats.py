@@ -313,3 +313,52 @@ def test_grouped_mode_tie_break_and_corr_stats_exactness(spark):
     assert (a["n"], a["sum_x"], a["sum_y"]) == (2, 30000, 2000)
     assert a["sum_xy"] == 10000 * 1000 + 20000 * 1000
     assert a["sum_xx"] == 10000**2 + 20000**2
+
+
+def test_basket_pairs_lift_and_bounds(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    # 4 orders: parts (1,2) always together; part 3 floats alone
+    rows = [
+        (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2), (3, 3),
+        (4, 3),
+    ]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {(r["pa"], r["pb"]): r for r in SPARK_QUERIES["basket_pairs"](spark, d).collect()}
+    p12 = out[(1, 2)]
+    assert p12["pair_orders"] == 3 and p12["c_a"] == 3 and p12["c_b"] == 3
+    # lift = 3 * 4 / (3 * 3)
+    assert p12["lift"] == 3 * 4 / 9
+    # (1,3) co-occur once; lift below the always-together pair
+    assert out[(1, 3)]["pair_orders"] == 1
+    assert out[(1, 3)]["lift"] < p12["lift"]
+
+
+def test_embedding_norms_monotone_contract(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    rows = [
+        (1, [0.5, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 0.25], 0),
+        (4, [1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r["label"]: r for r in SPARK_QUERIES["embedding_norms"](spark, d).collect()}
+    s = 1 << 20
+    l0 = out[0]
+    assert l0["min_nsq"] == (s // 4) ** 2          # 0.25^2 scaled
+    assert l0["p50_nsq"] == (s // 2) ** 2          # 0.5^2 scaled
+    assert l0["max_nsq"] == s * s                  # 1.0^2 scaled
+    assert out[1]["max_nsq"] == 2 * s * s          # [1,1] -> 2

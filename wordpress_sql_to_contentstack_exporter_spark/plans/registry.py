@@ -4334,6 +4334,118 @@ FROM s
 """
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-50 part pairs purchased in the
+    same order, with each part's order frequency and the exact-rational
+    lift evidence (pair_orders * n_orders as numerator, c_a * c_b as
+    denominator, plus the fixed-order double — PMI's discipline applied
+    to baskets). The self-join is ORDER-keyed: fan-out per order is
+    C(items,2) with items ~ a handful, never catalog-quadratic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_freq = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    scored = (
+        pairs.join(part_freq.select(F.col("p").alias("pa"), F.col("c").alias("c_a")), "pa")
+        .join(part_freq.select(F.col("p").alias("pb"), F.col("c").alias("c_b")), "pb")
+        .join(F.broadcast(n_orders))
+        .withColumn(
+            "lift",
+            F.col("pair_orders").cast("double")
+            * F.col("n_orders")
+            / F.col("c_a")
+            / F.col("c_b"),
+        )
+    )
+    return scored.select(
+        "pa", "pb", "pair_orders", "c_a", "c_b", "n_orders", "lift"
+    ).orderBy(
+        F.col("pair_orders").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(50)
+
+
+SQL_BASKET_PAIRS = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+), pf AS (
+    SELECT l_partkey AS p, count(*) AS c FROM li GROUP BY l_partkey
+), pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_orders
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.pa, p.pb, p.pair_orders, x.c AS c_a, y.c AS c_b, n.n_orders,
+       CAST(p.pair_orders AS DOUBLE) * n.n_orders / x.c / y.c AS lift
+FROM pairs p
+JOIN pf x ON p.pa = x.p
+JOIN pf y ON p.pb = y.p
+CROSS JOIN n
+ORDER BY p.pair_orders DESC, p.pa ASC, p.pb ASC
+LIMIT 50
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm distribution WITHOUT sqrt: the scaled
+    SQUARED norm is exact long arithmetic (floor(v*2^20)² summed — v in
+    [-1,1] keeps the per-vector sum under 2^47), and squared norm is
+    monotone in norm, so discrete-rank percentiles of it ARE the norm
+    percentiles squared. The norm-collapse / scale-drift diagnostic for
+    embedding pipelines, with a zero-transcendental contract."""
+    e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * F.lit(float(1 << 20))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s * s,
+    )
+    v = e.select("label", sq.alias("nsq"))
+    arr = F.sort_array(F.collect_list("nsq"))
+    n1 = F.count(F.lit(1)) - 1
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("nsq").alias("min_nsq"),
+        F.element_at(arr, (F.floor(n1 / 2) + 1).cast("int")).alias("p50_nsq"),
+        F.element_at(arr, (F.floor(n1 * 9 / 10) + 1).cast("int")).alias("p90_nsq"),
+        F.max("nsq").alias("max_nsq"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+WITH v AS (
+    SELECT label,
+           list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                    * CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS nsq
+    FROM embeddings
+), s AS (
+    SELECT label, count(*) AS n, min(nsq) AS min_nsq, max(nsq) AS max_nsq,
+           list_sort(list(nsq)) AS ls
+    FROM v GROUP BY label
+)
+SELECT label, n, min_nsq,
+       ls[CAST((n - 1) // 2 AS BIGINT) + 1] AS p50_nsq,
+       ls[CAST((n - 1) * 9 // 10 AS BIGINT) + 1] AS p90_nsq,
+       max_nsq
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4453,6 +4565,8 @@ SPARK_QUERIES = {
     "triangle_count": q_triangle_count,
     "pagerank": q_pagerank,
     "ship_lag": q_ship_lag,
+    "basket_pairs": q_basket_pairs,
+    "embedding_norms": q_embedding_norms,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4570,6 +4684,8 @@ ORACLE_SQL = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "pagerank": SQL_PAGERANK,
     "ship_lag": SQL_SHIP_LAG,
+    "basket_pairs": SQL_BASKET_PAIRS,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
