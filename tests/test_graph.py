@@ -177,3 +177,23 @@ def test_pagerank_int_known_graphs(spark):
 
     # determinism across runs (exact integer arithmetic)
     assert pr([(1, 2), (2, 1)], [1, 2]) == pr([(1, 2), (2, 1)], [1, 2])
+
+
+def test_bfs_levels_hops_and_unreachable(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import bfs_levels
+
+    # path 1-2-3-4-5-6 plus island 99; source = 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (98, 99)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_levels(edges, srcs, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5,6 beyond max_hops; island absent
+    # undirected: reverse edge direction reaches the same set
+    rev = spark.createDataFrame([(2, 1), (3, 2)], "src long, dst long")
+    out2 = {r["node"]: r["hops"] for r in bfs_levels(rev, srcs, max_hops=3).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 2}
+    # multi-source: min hops wins
+    srcs2 = spark.createDataFrame([(1,), (5,)], "node long")
+    out3 = {r["node"]: r["hops"] for r in bfs_levels(edges, srcs2, max_hops=2).collect()}
+    assert out3[3] == 2 and out3[4] == 1 and out3[6] == 1

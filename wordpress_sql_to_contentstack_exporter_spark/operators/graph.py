@@ -311,3 +311,53 @@ def pagerank_int(
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= ``max_hops``) from
+    any source node, over an undirected view of ``edges`` — the
+    blast-radius primitive (how far does a contaminated document /
+    compromised account reach through the link graph in k steps).
+
+    Frontier expansion: each round joins the CURRENT frontier (nodes
+    first reached last round) against the edge list and anti-joins the
+    visited set — per-round cost is |frontier| x avg-degree, the same
+    (long, long) shuffle discipline as dedup_clusters, and rounds are
+    bounded by ``max_hops`` (fail-fast by construction, no convergence
+    loop). Unreachable nodes are absent from the output (callers
+    left-join and treat NULL as infinity).
+
+    Output: (node, hops) — hops 0 for the sources themselves.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).filter(F.col("a") != F.col("b")).distinct()
+    visited = sources.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            # eager per-round checkpoint: visited feeds BOTH the union
+            # and the next anti-join, so without truncation the plan
+            # re-derives it twice per round — 2^k subtree copies by
+            # round k (measured: 57 s -> 10 s at 4 hops on the gate
+            # graph, DuckDB recursion included). Same discipline as dedup_clusters' propagation.
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("long").alias("hops"))

@@ -4446,6 +4446,55 @@ FROM s
 """
 
 
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS blast radius (operators/graph.bfs_levels) over
+    the pagerank graph (chain + scatter edges on doc ids < 500),
+    sources = nodes divisible by 100, 4 hops. The oracle is a DuckDB
+    recursive CTE (traversal carries the depth; min per node taken
+    OUTSIDE the recursion, where aggregates are legal)."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        F.col("doc_id").alias("node")
+    )
+    e = (
+        ids.select(
+            F.col("node").alias("src"), ((F.col("node") + 1) % 500).alias("dst")
+        )
+        .unionByName(
+            ids.select(
+                F.col("node").alias("src"),
+                ((F.col("node") * 7 + 3) % 500).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    srcs = ids.filter(F.col("node") % 100 == 0)
+    return gr.bfs_levels(e, srcs, max_hops=4)
+
+
+SQL_BFS_LEVELS = """
+WITH RECURSIVE nodes AS (
+    SELECT doc_id AS node FROM documents WHERE doc_id < 500
+), e0 AS (
+    SELECT node AS src, (node + 1) % 500 AS dst FROM nodes
+    UNION ALL
+    SELECT node, (node * 7 + 3) % 500 FROM nodes
+), e1 AS (
+    SELECT DISTINCT src, dst FROM e0 WHERE src != dst
+), und AS (
+    SELECT src AS a, dst AS b FROM e1 UNION SELECT dst, src FROM e1
+), walk(node, hops) AS (
+    SELECT node, 0 FROM nodes WHERE node % 100 = 0
+    UNION
+    SELECT und.b, walk.hops + 1
+    FROM walk JOIN und ON walk.node = und.a
+    WHERE walk.hops < 4
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4567,6 +4616,7 @@ SPARK_QUERIES = {
     "ship_lag": q_ship_lag,
     "basket_pairs": q_basket_pairs,
     "embedding_norms": q_embedding_norms,
+    "bfs_levels": q_bfs_levels,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4686,6 +4736,7 @@ ORACLE_SQL = {
     "ship_lag": SQL_SHIP_LAG,
     "basket_pairs": SQL_BASKET_PAIRS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "bfs_levels": SQL_BFS_LEVELS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
