@@ -60,3 +60,47 @@ def test_sessions_stitch_across_runs(spark, tmp_path):
     )
     run_once(spark, inp, ckpt, out)
     assert len(out) == 1
+
+
+def test_heavy_hitters_space_saving_across_runs(spark, tmp_path):
+    from wordpress_sql_to_contentstack_exporter_spark.streaming.stateful import heavy_hitters_stream
+
+    inp = tmp_path / "hh_in"
+    ckpt = str(tmp_path / "hh_ckpt")
+    schema = "event_type string, item long"
+    results: dict = {}
+
+    def run_once(tag):
+        stream = spark.readStream.schema(schema).parquet(str(inp / "*"))
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                results[(r["event_type"], r["item"])] = (r["est_count"], r["max_err"])
+
+        q = (
+            heavy_hitters_stream(stream, k=3)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: item 1 dominates
+    spark.createDataFrame(
+        [("view", 1)] * 5 + [("view", 2)] * 2 + [("view", 3)], schema
+    ).write.parquet(str(inp / "b1"))
+    run_once("a")
+    assert results[("view", 1)] == (5, 0)
+    assert results[("view", 2)] == (2, 0)
+
+    # run 2: new batch continues the SAME sketch state (checkpointed):
+    # item 4 floods in and must evict the weakest counter
+    spark.createDataFrame([("view", 4)] * 7, schema).write.parquet(str(inp / "b2"))
+    run_once("b")
+    c4, err4 = results[("view", 4)]
+    # inherited the evicted min counter (1) as bias: 7 true + 1 = 8, err 1
+    assert c4 == 8 and err4 == 1
+    # the dominant item survived with its exact count
+    assert results[("view", 1)] == (5, 0)

@@ -88,3 +88,71 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = "event_type string, item long, est_count long, max_err long"
+#: Space-Saving state: parallel arrays of tracked items, their counters,
+#: and per-item overestimation bounds (flattened — the state store takes
+#: flat tuples, not dicts).
+HH_STATE_SCHEMA = "items array<long>, counts array<long>, errs array<long>"
+
+
+def _heavy_hitters_fn_factory(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            items, counts, errs = state.get
+            table = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+        else:
+            table = {}
+        for pdf in pdfs:
+            for item in pdf["item"]:
+                item = int(item)
+                if item in table:
+                    table[item][0] += 1
+                elif len(table) < k:
+                    table[item] = [1, 0]
+                else:
+                    # evict the min counter; the newcomer inherits its
+                    # count as the overestimation bound (Space-Saving,
+                    # Metwally et al. 2005 — public algorithm)
+                    victim = min(table, key=lambda x: (table[x][0], x))
+                    vc = table[victim][0]
+                    del table[victim]
+                    table[item] = [vc + 1, vc]
+        items = sorted(table, key=lambda x: (-table[x][0], x))
+        state.update((items, [table[i][0] for i in items], [table[i][1] for i in items]))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(items),
+                "item": items,
+                "est_count": [table[i][0] for i in items],
+                "max_err": [table[i][1] for i in items],
+            }
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(events: DataFrame, *, k: int = 10) -> DataFrame:
+    """Streaming top-k heavy hitters per event type via the
+    Space-Saving sketch in ``applyInPandasWithState`` — O(k) state per
+    key however long the stream runs, with the sketch's guarantee that
+    any item with true frequency > stream_len/k is tracked, and each
+    estimate overshoots by at most ``max_err``.
+
+    The third custom stateful operator (after the sessionizer and the
+    MinHash signature index): use it where exact per-item counts
+    (unbounded state) are not affordable — per-entity trending items,
+    hot-key detection feeding the salting operators. Emits the CURRENT
+    top-k after each micro-batch per key (update-mode semantics).
+    """
+    return events.groupBy("event_type").applyInPandasWithState(
+        _heavy_hitters_fn_factory(k),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
