@@ -575,6 +575,19 @@ def main() -> int:
         ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython)).*)\Z"),
     )
 
+    # basket_pairs: order-keyed self-join (bounded fan-out), TakeOrdered
+    # top-k; embedding_norms: one aggregation, no joins/windows.
+    check(
+        "basket_pairs",
+        ("top-k is TakeOrdered", r"TakeOrderedAndProject"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    check(
+        "embedding_norms",
+        ("no join", r"\A(?s:(?!.*Join).*)\Z"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 
