@@ -362,3 +362,27 @@ def test_embedding_norms_monotone_contract(spark):
     assert l0["p50_nsq"] == (s // 2) ** 2          # 0.5^2 scaled
     assert l0["max_nsq"] == s * s                  # 1.0^2 scaled
     assert out[1]["max_nsq"] == 2 * s * s          # [1,1] -> 2
+
+
+def test_ewma_dyadic_fold_is_bit_exact(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import datetime as dt
+    import tempfile, os
+
+    T = dt.datetime
+    vals = [10.0, 20.0, 15.0, 17.5, 3.25]
+    rows = [
+        (i, T(2024, 1, 1, 0, i), 1, "view", v, "{}") for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = SPARK_QUERIES["ewma"](spark, d).collect()[0]
+    # python reference fold over integer-milli doubles: bit-identical
+    acc = float(round(vals[0] * 1000))
+    for v in vals[1:]:
+        acc = 0.5 * float(round(v * 1000)) + 0.5 * acc
+    assert out["ewma_milli"] == acc  # ==, not approx: dyadic ops are exact
+    assert out["n"] == 5

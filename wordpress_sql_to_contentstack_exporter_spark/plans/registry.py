@@ -4495,6 +4495,60 @@ FROM walk GROUP BY node
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exponentially-weighted moving average over the ordered
+    event stream — with a DYADIC smoothing factor (alpha = 1/2), which
+    makes the float fold EXACT: inputs are integer-milli longs cast to
+    double (exact <= 2^53), and ``0.5*x + 0.5*acc`` is one halving and
+    one addition of dyadic rationals — every intermediate is exactly
+    representable, so the sequential fold is bit-identical in any IEEE
+    engine (a generic alpha like 0.3 re-rounds every step and can never be
+    a hash contract; the dyadic choice is the whole trick). EWMA is
+    inherently sequential, so it folds a per-group SORTED array — the
+    percentiles memory shape (bounded by group size; event types
+    here), documented as such.
+
+    Output: (event_type, n, ewma_milli) — the final smoothed level."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("vm")))
+        ),
+        lambda s: s["vm"].cast("double"),
+    )
+    fold = F.aggregate(
+        F.slice(ordered, 2, F.size(ordered)),
+        F.element_at(ordered, 1),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), fold.alias("ewma_milli")
+    )
+
+
+SQL_EWMA = """
+WITH e AS (
+    SELECT event_type, ts, event_id,
+           CAST(round(value * 1000) AS BIGINT) AS vm
+    FROM events
+), g AS (
+    SELECT event_type, count(*) AS n,
+           list_transform(
+               list(vm ORDER BY ts, event_id),
+               x -> CAST(x AS DOUBLE)) AS vs
+    FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+       list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma_milli
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4617,6 +4671,7 @@ SPARK_QUERIES = {
     "basket_pairs": q_basket_pairs,
     "embedding_norms": q_embedding_norms,
     "bfs_levels": q_bfs_levels,
+    "ewma": q_ewma,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4737,6 +4792,7 @@ ORACLE_SQL = {
     "basket_pairs": SQL_BASKET_PAIRS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "bfs_levels": SQL_BFS_LEVELS,
+    "ewma": SQL_EWMA,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
