@@ -386,3 +386,32 @@ def test_ewma_dyadic_fold_is_bit_exact(spark):
         acc = 0.5 * float(round(v * 1000)) + 0.5 * acc
     assert out["ewma_milli"] == acc  # ==, not approx: dyadic ops are exact
     assert out["n"] == 5
+
+
+def test_max_concurrency_sweep_semantics(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import datetime as dt
+    import tempfile, os
+
+    T = dt.datetime
+    rows = [
+        # three overlapping 5-min intervals starting a minute apart
+        (1, T(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+        (2, T(2024, 1, 1, 10, 1), 1, "view", 0.0, "{}"),
+        (3, T(2024, 1, 1, 10, 2), 1, "view", 0.0, "{}"),
+        # back-to-back (end == next start): never concurrent
+        (4, T(2024, 1, 1, 12, 0), 1, "click", 0.0, "{}"),
+        (5, T(2024, 1, 1, 12, 5), 1, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_type"]: r for r in SPARK_QUERIES["max_concurrency"](spark, d).collect()}
+    v = out["view"]
+    assert v["peak_concurrency"] == 3
+    # peak first reached when the third interval opens (10:02)
+    assert v["first_peak_us"] == int(T(2024, 1, 1, 10, 2).timestamp()) * 1_000_000
+    # half-open rule: the click pair never overlaps
+    assert out["click"]["peak_concurrency"] == 1

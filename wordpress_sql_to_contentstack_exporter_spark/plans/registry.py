@@ -4549,6 +4549,67 @@ FROM g
 """
 
 
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event holds a 300 s
+    half-open interval; the classic sweep (+1 at start, -1 at end,
+    running sum over the merged timeline) yields the maximum number of
+    simultaneously-open intervals and the first instant it is reached —
+    the capacity-planning / connection-pool-sizing analysis. Half-open
+    tie rule: an interval ENDING at t frees its slot before one
+    STARTING at t (delta -1 sorts first), so back-to-back intervals
+    never double-count. One shuffle (the per-type ordered window over
+    2x-exploded rows); all integers."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = F.lit(300 * 1_000_000).cast("long")
+    pts = e.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(us.alias("t"), F.lit(1).alias("delta")),
+                F.struct((us + span).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_type", "event_id", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = pts.withColumn("conc", F.sum("delta").over(w)).withColumn(
+        "pk", F.max("conc").over(Window.partitionBy("event_type"))
+    )
+    return run.groupBy("event_type").agg(
+        F.min("pk").cast("long").alias("peak_concurrency"),
+        F.min(F.when(F.col("conc") == F.col("pk"), F.col("t"))).alias(
+            "first_peak_us"
+        ),
+    )
+
+
+SQL_MAX_CONCURRENCY = """
+WITH pts AS (
+    SELECT event_type, event_id, epoch_us(ts) AS t, 1 AS delta
+    FROM events WHERE ts IS NOT NULL
+    UNION ALL
+    SELECT event_type, event_id, epoch_us(ts) + 300000000, -1
+    FROM events WHERE ts IS NOT NULL
+), run AS (
+    SELECT event_type, t,
+           sum(delta) OVER (PARTITION BY event_type
+                            ORDER BY t, delta, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+    FROM pts
+), peak AS (
+    SELECT event_type, max(conc) AS p FROM run GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(peak.p AS BIGINT) AS peak_concurrency,
+       min(CASE WHEN r.conc = peak.p THEN r.t END) AS first_peak_us
+FROM run r JOIN peak ON r.event_type = peak.event_type
+GROUP BY r.event_type, peak.p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4672,6 +4733,7 @@ SPARK_QUERIES = {
     "embedding_norms": q_embedding_norms,
     "bfs_levels": q_bfs_levels,
     "ewma": q_ewma,
+    "max_concurrency": q_max_concurrency,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4793,6 +4855,7 @@ ORACLE_SQL = {
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "bfs_levels": SQL_BFS_LEVELS,
     "ewma": SQL_EWMA,
+    "max_concurrency": SQL_MAX_CONCURRENCY,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
