@@ -580,3 +580,26 @@ def test_curation_pipeline_ladder_and_determinism(spark):
     # bit-deterministic end to end (hash-based stages, no rand())
     r2 = SPARK_QUERIES["curation_pipeline"](spark, sf).collect()[0]
     assert r1 == r2
+
+
+def test_tfidf_pairs_ranks_shared_rare_trigrams(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+    import tempfile, os
+
+    rare = "zeta omega kappa sigma"
+    rows = [
+        (1, "common words here and " + rare, "en", "s", 0),
+        (2, "other phrasing then " + rare, "en", "s", 0),
+        (3, "common words here and nothing else shared", "en", "s", 0),
+        (4, "totally unrelated text body", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = [(r["id_a"], r["id_b"], r["score"]) for r in SPARK_QUERIES["tfidf_pairs"](spark, d).collect()]
+    assert out, "no pairs scored"
+    # the pair sharing the rare 4-gram run tops the ranking
+    assert (out[0][0], out[0][1]) == (1, 2)
+    pair_ids = {(a, b) for a, b, _ in out}
+    assert (1, 3) in pair_ids  # shares 'common words here and' trigrams
+    assert all(4 not in p for p in pair_ids)

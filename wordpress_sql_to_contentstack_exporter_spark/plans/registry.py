@@ -4610,6 +4610,95 @@ GROUP BY r.event_type, peak.p
 """
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 document pairs by sparse TF-IDF dot product — the
+    ranked-similarity complement to the set-based joins (setsim ranks
+    nothing; minhash approximates): pair scores come from a TOKEN-keyed
+    join of per-doc weights, so only docs sharing a token ever meet,
+    and terms with df > 20 are excluded (the stopword guard — a
+    common term joins every doc pair and is similarity-meaningless;
+    the cap is the standard sparse-similarity discipline and is part
+    of the defined contract). The term unit is the WORD TRIGRAM (the
+    fixture's 31-word vocabulary makes every unigram common; trigrams
+    discriminate). Weights are INTEGER idf approximations
+    ``tf * (n_docs // df)`` so scores are exact longs, hashable
+    cross-engine — ranking quality trades a little idf resolution for
+    a bit-exact contract (documented)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks0 = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok_df = d.select("doc_id", toks0.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    tris = F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(F.col("__toks"), F.lit(1), n - 2),
+                F.slice(F.col("__toks"), F.lit(2), n - 2),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(F.col("__toks"), F.lit(3), n - 2),
+            lambda p, c: F.concat_ws(" ", p, c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = tok_df.select("doc_id", F.explode(tris).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq.filter(F.col("df") <= 20), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_id",
+            (F.col("tf") * F.floor(F.col("n_docs") / F.col("df")).cast("long")).alias("w"),
+        )
+    )
+    a = w.select("token", F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = w.select("token", F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    return (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(50)
+    )
+
+
+SQL_TFIDF_PAIRS = r"""
+WITH w0 AS (
+    SELECT doc_id,
+           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       t -> t != '') AS ts
+    FROM documents
+), t0 AS (
+    SELECT doc_id,
+           [ ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             for i in range(1, len(ts)-1) ] AS gs
+    FROM w0
+), nz AS (
+    SELECT doc_id, unnest(gs) AS token FROM t0
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM nz GROUP BY doc_id, token
+), dfq AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), w AS (
+    SELECT tf.token, tf.doc_id, tf.tf * (n.n_docs // dfq.df) AS w
+    FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n
+    WHERE dfq.df <= 20
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w)::BIGINT AS score
+FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY score DESC, id_a ASC, id_b ASC
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4734,6 +4823,7 @@ SPARK_QUERIES = {
     "bfs_levels": q_bfs_levels,
     "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
+    "tfidf_pairs": q_tfidf_pairs,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4856,6 +4946,7 @@ ORACLE_SQL = {
     "bfs_levels": SQL_BFS_LEVELS,
     "ewma": SQL_EWMA,
     "max_concurrency": SQL_MAX_CONCURRENCY,
+    "tfidf_pairs": SQL_TFIDF_PAIRS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
