@@ -16,6 +16,52 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
+# The round-6 window contract (VERDICT r5 #2): repetition + its three
+# diagnostic probes, 16 SURVEY §2 anchors, and a 30-query rotation of
+# oracle-backed entries that had never earned a driver row. Pinned as a
+# SET (plus the probe-ordering constraint), not a frozen order, so next
+# round's rotation edits this list deliberately rather than breaking an
+# order assertion by accident.
+ROUND6_WINDOW_ANCHORS = {
+    "repetition_corpus_echo", "repetition_lines", "repetition_grams",
+    "repetition",
+    "flagship_posts_export", "filter_project", "in_list_filter",
+    "semi_join", "anti_join", "left_outer_join", "eav_pivot",
+    "inner_join", "broadcast_lookup", "group_concat", "hierarchy_parent",
+    "count_group_by", "sort_limit", "scalar_strings",
+    "entity_decode_split", "date_permalink",
+}
+ROUND6_WINDOW_ROTATION = {
+    "paragraph_dedup", "token_topk", "tfidf_topterms", "url_parse",
+    "gapfill", "percentiles", "quality_filter", "funnel",
+    "retention_cohorts", "event_transitions", "weighted_sample",
+    "moving_average", "pivot_unpivot", "row_checksum", "doc_chunks",
+    "fk_integrity", "range_join_bucketed", "upsert_snapshot",
+    "table_diff", "session_paths", "rolling_anomaly", "histogram",
+    "merge_intervals", "scd2_history", "boilerplate_removal",
+    "fuzzy_pairs", "pmi_collocations", "embedding_centroids",
+    "inverted_index", "epoch_upsample",
+}
+
+
+def test_round6_window_set():
+    names = list(SPARK_QUERIES)
+    window = set(names[:DRIVER_SNAPSHOT_WINDOW])
+    assert window == ROUND6_WINDOW_ANCHORS | ROUND6_WINDOW_ROTATION
+
+
+def test_repetition_probes_precede_repetition():
+    """The probes must land in the driver artifact even if the driver
+    truncates mid-window, and must appear before the gate they
+    diagnose."""
+    names = list(SPARK_QUERIES)
+    idx = {n: i for i, n in enumerate(names)}
+    assert idx["repetition_corpus_echo"] < idx["repetition"]
+    assert idx["repetition_lines"] < idx["repetition"]
+    assert idx["repetition_grams"] < idx["repetition"]
+    assert idx["repetition"] < DRIVER_SNAPSHOT_WINDOW
+
+
 def test_oracle_backed_queries_precede_rows_only():
     names = list(SPARK_QUERIES)
     first_rows_only = next(

@@ -289,7 +289,6 @@ def pagerank_int(
     ranks = nodes.select(F.col(node_col).alias("node")).withColumn(
         "r", F.lit(int(scale)).cast("long")
     )
-    base = F.lit(15 * int(scale)).cast("long")
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
     for _ in range(iterations):
         contribs = (

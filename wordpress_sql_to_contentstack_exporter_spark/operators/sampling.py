@@ -206,6 +206,84 @@ def weighted_sample_wor(
     return out.orderBy(F.col("__es").desc(), F.col(key_col)).limit(n).drop("__es")
 
 
+def weighted_sample_wor_exact(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    strata: list[str] | None = None,
+    seed: int = 42,
+    weight_cap: int = 64,
+) -> DataFrame:
+    """Weighted sampling without replacement with a LOG-FREE integer
+    score — the unconditionally cross-engine-exact companion to
+    ``weighted_sample_wor`` (VERDICT r5 #6: no oracle-compared column
+    may depend on a transcendental).
+
+    For an INTEGER weight w, the Efraimidis-Spirakis key u^(1/w) is
+    distributed as the maximum of w iid uniforms (P(max(u_1..u_w) <= x)
+    = x^w). So instead of ln(u)/w doubles — whose last-ulp rounding is
+    engine-specific — draw w pinned 60-bit integer uniforms per row
+    (md5(purpose:seed:key:j) for j in 1..w) and score by their MAX: a
+    BIGINT every engine reproduces bit-identically, ranked with a
+    deterministic key tie-break. Selection probabilities are exactly
+    the E-S weighted-without-replacement scheme over the capped integer
+    weights.
+
+    The price of exactness is w hashes per row, so weights are capped
+    at ``weight_cap`` (and floored at 1): the caller provides weights
+    already in a small integer range (ratings, priority tiers, dedup
+    cluster sizes, bucketed quality scores), or accepts the cap as part
+    of the contract. The draws stay MAP-ONLY — a ``transform`` over
+    ``sequence(1, w)`` reduced by ``array_max``, no explode and no
+    extra shuffle; the only shuffle is the per-stratum top-n window
+    (global form compiles to TakeOrdered). For heavy-tailed continuous
+    weights at the 100 TB tier, ``weighted_sample_wor`` (1 hash + ln
+    per row, documented ulp-tie caveat) remains the scale path.
+    """
+    w_int = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(F.col(weight_col).cast("long"), F.lit(int(weight_cap))),
+    )
+    prefix = f"wsx:{seed}:"
+    draws = F.transform(
+        F.sequence(F.lit(1).cast("long"), w_int),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col(key_col).cast("string"),
+                        F.lit(":"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    out = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__score", F.array_max(draws))
+    )
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(
+            F.col("__score").desc(), F.col(key_col)
+        )
+        return (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .drop("__score", "__rk")
+        )
+    return out.orderBy(F.col("__score").desc(), F.col(key_col)).limit(n).drop(
+        "__score"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -530,10 +530,19 @@ def remove_boilerplate_lines(
     """
     if min_docs < 1 or not (0 < max_doc_ratio_pct <= 100):
         raise ValueError("min_docs >= 1 and 0 < max_doc_ratio_pct <= 100 required")
+    # F.split treats the separator as a Java regex but array_join below
+    # reassembles with it as a literal — escape it so a regex-special sep
+    # ('|', '.', '+') can't silently split per-character (ADVICE r5 #3);
+    # re.escape only ever backslashes non-alphanumerics, which Java regex
+    # accepts as literal escapes unconditionally
+    import re as _re
+
     lines = (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "raw"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "pos", "raw"
+            ),
         )
         .select("id", "pos", F.trim(F.col("raw")).alias("line"))
         .filter(F.col("line") != "")

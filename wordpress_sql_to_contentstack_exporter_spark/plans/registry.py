@@ -1153,6 +1153,137 @@ FROM t
 """
 
 
+def _repetition_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared corpus for the repetition gate and its diagnostic
+    probes: documents plus tripled-first-line variants at doc_id+1e6.
+
+    NULL-total on BOTH engines (VERDICT r5 #1b): ``coalesce(text, '')``
+    happens before the tripling, because Spark's ``concat_ws`` SKIPS
+    NULL arguments while DuckDB's ``||`` PROPAGATES them — a NULL text
+    row would give Spark ``''`` vs DuckDB ``NULL`` and every downstream
+    count would diverge (``size(split(NULL))`` is not ``len(NULL)``).
+    With empties the two agree: ``concat_ws('\\n','','','')`` ==
+    ``'' || chr(10) || '' || chr(10) || ''`` == ``'\\n\\n'``."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    rep = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            "\n", F.col("text"), F.col("text"), F.col("text")
+        ).alias("text"),
+    )
+    return d.unionByName(rep)
+
+
+def q_repetition_corpus_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic probe 1/3 for the two-round `repetition` driver red
+    (VERDICT r5 #1a): echo the exact corpus both engines build —
+    per-row char length and md5 of the text bytes. Green here proves
+    both engines see byte-identical corpus rows; a red localizes the
+    divergence to corpus construction / parquet decoding, BEFORE any
+    line or gram logic runs."""
+    both = _repetition_corpus(spark, sf_dir)
+    return both.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SQL_REPETITION_CORPUS_ECHO = r"""
+WITH corpus AS (
+    SELECT doc_id, coalesce(text, '') AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           coalesce(text, '') || chr(10) || coalesce(text, '')
+           || chr(10) || coalesce(text, '')
+    FROM documents
+)
+SELECT doc_id, length(text) AS n_chars, md5(text) AS text_md5
+FROM corpus
+"""
+
+
+def q_repetition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic probe 2/3 (VERDICT r5 #1a): ONLY the line-stage
+    outputs of the repetition chain — split on \\n, trim, drop empties,
+    count total and distinct. Shares the exact production code path
+    (`tx.repetition_features`), just projects the line columns."""
+    both = _repetition_corpus(spark, sf_dir)
+    return tx.repetition_features(both).select(
+        "doc_id", "n_lines", "n_distinct_lines"
+    )
+
+
+SQL_REPETITION_LINES = r"""
+WITH corpus AS (
+    SELECT doc_id, coalesce(text, '') AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           coalesce(text, '') || chr(10) || coalesce(text, '')
+           || chr(10) || coalesce(text, '')
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           list_filter([trim(l) for l in string_split(text, chr(10))],
+                       l -> l != '') AS ls
+    FROM corpus
+)
+SELECT doc_id, len(ls) AS n_lines,
+       len(list_distinct(ls)) AS n_distinct_lines
+FROM lines
+"""
+
+
+def q_repetition_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic probe 3/3 (VERDICT r5 #1a): ONLY the bigram-stage
+    outputs — total word-2-gram count and the top gram's count. Same
+    production chain, gram columns only. If `repetition` reds again
+    while probes 1-2 stay green, THIS row names the divergent stage."""
+    both = _repetition_corpus(spark, sf_dir)
+    return tx.repetition_features(both).select(
+        "doc_id", "n_bigrams", "top_c"
+    )
+
+
+SQL_REPETITION_GRAMS = r"""
+WITH corpus AS (
+    SELECT doc_id, coalesce(text, '') AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           coalesce(text, '') || chr(10) || coalesce(text, '')
+           || chr(10) || coalesce(text, '')
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []
+                ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           END AS t
+    FROM corpus
+),
+grams AS (
+    SELECT doc_id, unnest([concat(t[i], ' ', t[i + 1])
+                           for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS gram
+    FROM toks
+),
+gram_counts AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+),
+gram_stats AS (
+    SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c
+    FROM gram_counts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(g.n_bigrams, 0) AS n_bigrams,
+       coalesce(g.top_c, 0) AS top_c
+FROM (SELECT DISTINCT doc_id FROM corpus) c
+LEFT JOIN gram_stats g ON c.doc_id = g.doc_id
+"""
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (Gopher-family curation rules)
     over documents plus synthesized repetitive variants (the fixture's
@@ -1163,15 +1294,21 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the integer-derived flag. The operator's derived double fracs
     are deliberately excluded — round(a/b, n) doubles are 1-ULP
     sensitive across engines (Spark BigDecimal HALF_UP vs DuckDB
-    multiply-round-divide) and made this row flaky in round 4."""
-    d = _t(spark, sf_dir, "documents")
-    rep = d.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat_ws(
-            "\n", F.col("text"), F.col("text"), F.col("text")
-        ).alias("text"),
-    )
-    both = d.select("doc_id", "text").unionByName(rep)
+    multiply-round-divide) and made this row flaky in round 4.
+
+    Round-6 portability hardening after a SECOND driver red with
+    rows+schema matching (VERDICT r5 #1): (b) the corpus is NULL-total
+    on both sides (see `_repetition_corpus`), and (c) the oracle's
+    bigram construction no longer uses the DuckDB list-slice
+    ``t[i:i+1]`` — slice end-inclusivity is the one construct in this
+    chain whose semantics differ across DuckDB builds, and an
+    end-EXCLUSIVE build turns every "bigram" into a unigram, changing
+    ``top_c``/``rep_flagged`` but neither row count nor schema — the
+    exact observed failure signature. Direct 1-based element access
+    ``concat(t[i], ' ', t[i+1])`` is version-stable. The three
+    `repetition_*` probes preceding this entry in the registry localize
+    any remaining driver-env divergence to a named stage."""
+    both = _repetition_corpus(spark, sf_dir)
     return tx.repetition_features(both).select(
         "doc_id", "n_lines", "n_distinct_lines", "n_bigrams", "top_c",
         "rep_flagged",
@@ -1180,9 +1317,11 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REPETITION = r"""
 WITH corpus AS (
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, coalesce(text, '') AS text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, text || chr(10) || text || chr(10) || text
+    SELECT doc_id + 1000000,
+           coalesce(text, '') || chr(10) || coalesce(text, '')
+           || chr(10) || coalesce(text, '')
     FROM documents
 ),
 lines AS (
@@ -1204,7 +1343,10 @@ toks AS (
     FROM corpus
 ),
 grams AS (
-    SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+    -- direct 1-based element access, NOT the t[i:i+1] list slice: slice
+    -- end-inclusivity is DuckDB-build-sensitive (an end-exclusive build
+    -- yields unigrams here, silently changing top_c only) — VERDICT r5 #1c
+    SELECT doc_id, unnest([concat(t[i], ' ', t[i + 1])
                            for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS gram
     FROM toks
 ),
@@ -2126,32 +2268,42 @@ FROM base
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis-Spirakis weighted sampling without replacement
-    (operators/sampling.weighted_sample_wor): 50 docs per language,
-    selection probability proportional to n_chars. md5-derived uniforms
-    mean the DuckDB oracle reproduces the EXACT selection, not just its
-    distribution."""
-    d = _t(spark, sf_dir, "documents")
-    out = sampling.weighted_sample_wor(
-        d.select("doc_id", "lang", "n_chars"),
+    """Efraimidis-Spirakis weighted sampling without replacement with
+    the LOG-FREE integer score
+    (operators/sampling.weighted_sample_wor_exact): 50 docs per
+    language, selection probability proportional to a small integer
+    weight (n_chars % 59 + 1, within the operator's weight cap). The
+    score is array_max of w pinned md5 60-bit integers — u^(1/w) is
+    the max of w iid uniforms — so the DuckDB oracle reproduces the
+    EXACT selection with no transcendental anywhere in the contract
+    (VERDICT r5 #6 retired the former ln(u)/w score's ulp-tie caveat;
+    weighted_sample_wor keeps the 1-hash ln path for heavy-tailed
+    continuous weights at scale)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ((F.col("n_chars") % 59) + 1).cast("long").alias("w")
+    )
+    out = sampling.weighted_sample_wor_exact(
+        d,
         key_col="doc_id",
-        weight_col="n_chars",
+        weight_col="w",
         n=50,
         strata=["lang"],
         seed=42,
+        weight_cap=64,
     )
-    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    return out.select("doc_id", "lang", "w")
 
 
 SQL_WEIGHTED_SAMPLE = """
 WITH s AS (
-    SELECT doc_id, lang, n_chars,
-           ln((('0x' || substr(md5('wsample:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-               + 1.0) / 1152921504606846976.0) / n_chars AS es
-    FROM documents WHERE n_chars > 0
+    SELECT doc_id, lang, (n_chars % 59) + 1 AS w,
+           list_max([('0x' || substr(md5('wsx:42:' || CAST(doc_id AS VARCHAR)
+                                          || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                     for j in range(1, greatest(least((n_chars % 59) + 1, 64), 1) + 1)]) AS score
+    FROM documents WHERE (n_chars % 59) + 1 > 0
 )
-SELECT doc_id, lang, n_chars FROM s
-QUALIFY row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) <= 50
+SELECT doc_id, lang, w FROM s
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) <= 50
 """
 
 
@@ -3138,9 +3290,15 @@ def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EPOCH_UPSAMPLE = """
+# thresholds interpolated from the SAME helper the Spark side uses —
+# a hand-transcribed hex literal was off by one ulp-of-hex ('66666665'
+# vs the computed '66666666'), a latent ~2^-32/row copy-for-copy parity
+# break (ADVICE r5 #1)
+SQL_EPOCH_UPSAMPLE = f"""
 WITH f(source, whole, thresh) AS (
-    VALUES ('src0', 2, '7fffffff'), ('src1', 0, '66666665'), ('src2', 3, '00000000')
+    VALUES ('src0', 2, '{sampling._hex_threshold(0.5)}'),
+           ('src1', 0, '{sampling._hex_threshold(0.4)}'),
+           ('src2', 3, '00000000')
 ), base AS (
     SELECT d.doc_id, d.source,
            coalesce(f.whole, 1)
@@ -4498,22 +4656,32 @@ FROM walk GROUP BY node
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type exponentially-weighted moving average over the ordered
     event stream — with a DYADIC smoothing factor (alpha = 1/2), which
-    makes the float fold EXACT: inputs are integer-milli longs cast to
-    double (exact <= 2^53), and ``0.5*x + 0.5*acc`` is one halving and
-    one addition of dyadic rationals — every intermediate is exactly
-    representable, so the sequential fold is bit-identical in any IEEE
-    engine (a generic alpha like 0.3 re-rounds every step and can never be
-    a hash contract; the dyadic choice is the whole trick). EWMA is
+    makes the float fold deterministic: inputs are integer-milli longs
+    cast to double (exact <= 2^53), and ``0.5*x + 0.5*acc`` is one
+    halving and one addition of dyadic rationals. Early intermediates
+    are exactly representable; after ~30+ folds the dyadic tail exceeds
+    53 mantissa bits and IEEE rounds — but both engines round the SAME
+    fixed-order fold identically, which is what the hash contract
+    actually rests on (a generic alpha like 0.3 has no such shared
+    order-free form; the dyadic choice keeps the rounding minimal and
+    engine-agnostic). Rows with NULL ts are excluded on BOTH sides
+    before ordering — Spark's array_sort puts null struct fields first
+    while DuckDB ORDER BY defaults NULLS LAST, so a NULL ts would
+    change the fold order cross-engine (ADVICE r5 #2). EWMA is
     inherently sequential, so it folds a per-group SORTED array — the
     percentiles memory shape (bounded by group size; event types
     here), documented as such.
 
     Output: (event_type, n, ewma_milli) — the final smoothed level."""
-    e = _t(spark, sf_dir, "events").select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        )
     )
     ordered = F.transform(
         F.array_sort(
@@ -4535,7 +4703,7 @@ SQL_EWMA = """
 WITH e AS (
     SELECT event_type, ts, event_id,
            CAST(round(value * 1000) AS BIGINT) AS vm
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), g AS (
     SELECT event_type, count(*) AS n,
            list_transform(
@@ -4715,7 +4883,24 @@ LIMIT 50
 # the driver's window ever changed).
 DRIVER_SNAPSHOT_WINDOW = 50
 
+# Registry order IS the driver contract: the correctness driver
+# snapshots the FIRST ``DRIVER_SNAPSHOT_WINDOW`` (50) entries each
+# round. Round-6 rotation policy (VERDICT r5 #2): the window holds
+# (a) the `repetition` diagnostic probes + `repetition` itself,
+# (b) a fixed set of SURVEY §2 anchors, and (c) ~30 oracle-backed
+# queries that have NEVER earned a driver row — rotated each round so
+# every oracle query eventually gets driver-environment evidence, not
+# just committed-local evidence. COVERAGE.md records which round gave
+# each query its driver-green row; tests/test_registry_contract.py
+# pins the window's SET invariants (probes+repetition in-window,
+# all-oracle-backed, rotation actually rotates), not one frozen order.
 SPARK_QUERIES = {
+    # --- window part (a): the repetition instrumentation (r5 #1) ---
+    "repetition_corpus_echo": q_repetition_corpus_echo,
+    "repetition_lines": q_repetition_lines,
+    "repetition_grams": q_repetition_grams,
+    "repetition": q_repetition,
+    # --- window part (b): 16 stable SURVEY §2 anchors ---
     "flagship_posts_export": q_flagship_posts_export,
     "filter_project": q_filter_project,
     "in_list_filter": q_in_list_filter,
@@ -4731,44 +4916,9 @@ SPARK_QUERIES = {
     "sort_limit": q_sort_limit,
     "scalar_strings": q_scalar_strings,
     "entity_decode_split": q_entity_decode_split,
-    "null_default_conditional": q_null_default_conditional,
     "date_permalink": q_date_permalink,
-    "struct_json": q_struct_json,
-    "json_extract": q_json_extract,
-    "window_latest_event": q_window_latest_event,
-    "window_suite": q_window_suite,
-    "array_hof": q_array_hof,
-    "levenshtein": q_levenshtein,
-    "cube_stats": q_cube_stats,
-    "sessionize": q_sessionize,
-    "set_ops": q_set_ops,
-    "agg_stats": q_agg_stats,
-    "top_revenue": q_top_revenue,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "rollup_stats": q_rollup_stats,
-    "topk_per_group": q_topk_per_group,
-    "distinct_count": q_distinct_count,
-    "salted_agg": q_salted_agg,
-    "dedup_exact": q_dedup_exact,
-    "ngram_jaccard": q_ngram_jaccard,
-    "text_quality": q_text_quality,
-    "repetition": q_repetition,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "pii_redact": q_pii_redact,
-    "decontaminate": q_decontaminate,
-    "domain_mixture": q_domain_mixture,
-    "stratified_split": q_stratified_split,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_neardup_exact": q_embedding_neardup_exact,
-    "sequence_packing": q_sequence_packing,
-    "sequence_packing_sorted": q_sequence_packing_sorted,
-    "multimodal_decode": q_multimodal_decode,
-    "dedup_clusters": q_dedup_clusters,
-    # --- oracle-backed but OUTSIDE the driver's snapshot window (the
-    # window was already full of oracle-backed queries; these newer ones
-    # keep full green evidence in the committed CORRECTNESS_local.json) ---
+    # --- window part (c): round-6 rotation — 30 oracle-backed queries
+    # with committed-local green but no driver row yet (added r4-r5) ---
     "paragraph_dedup": q_paragraph_dedup,
     "token_topk": q_token_topk,
     "tfidf_topterms": q_tfidf_topterms,
@@ -4799,6 +4949,8 @@ SPARK_QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "inverted_index": q_inverted_index,
     "epoch_upsample": q_epoch_upsample,
+    # --- oracle-backed, OUTSIDE the round-6 window ---
+    # next rotation candidates (no driver row yet; local green):
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
@@ -4824,6 +4976,41 @@ SPARK_QUERIES = {
     "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
     "tfidf_pairs": q_tfidf_pairs,
+    # driver-green r1-r5 (rotated out to make window room; provenance
+    # in COVERAGE.md):
+    "null_default_conditional": q_null_default_conditional,
+    "struct_json": q_struct_json,
+    "json_extract": q_json_extract,
+    "window_latest_event": q_window_latest_event,
+    "window_suite": q_window_suite,
+    "array_hof": q_array_hof,
+    "levenshtein": q_levenshtein,
+    "cube_stats": q_cube_stats,
+    "sessionize": q_sessionize,
+    "set_ops": q_set_ops,
+    "agg_stats": q_agg_stats,
+    "top_revenue": q_top_revenue,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "rollup_stats": q_rollup_stats,
+    "topk_per_group": q_topk_per_group,
+    "distinct_count": q_distinct_count,
+    "salted_agg": q_salted_agg,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "domain_mixture": q_domain_mixture,
+    "stratified_split": q_stratified_split,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "sequence_packing": q_sequence_packing,
+    "sequence_packing_sorted": q_sequence_packing_sorted,
+    "multimodal_decode": q_multimodal_decode,
+    "dedup_clusters": q_dedup_clusters,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "compression_ratio": q_compression_ratio,
     "curation_pipeline": q_curation_pipeline,
@@ -4840,6 +5027,9 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "repetition_corpus_echo": SQL_REPETITION_CORPUS_ECHO,
+    "repetition_lines": SQL_REPETITION_LINES,
+    "repetition_grams": SQL_REPETITION_GRAMS,
     "flagship_posts_export": SQL_FLAGSHIP,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
