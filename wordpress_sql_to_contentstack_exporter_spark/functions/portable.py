@@ -1,0 +1,85 @@
+"""Engine-portable text primitives (VERDICT r5 #3).
+
+The two-round `repetition` driver red proved that the real cross-engine
+risk class for text contracts is not float rounding but TEXT SEMANTICS:
+regex character classes, Unicode case mapping, and NULL propagation
+differ between a JVM engine (Spark) and a utf8proc/RE2 engine (DuckDB)
+in ways that only manifest on adversarial inputs. Empirically measured
+divergences in this engine pair (pinned by tests/test_portable_text.py):
+
+1. ``\\s`` — Java's default ``\\s`` is exactly ``[ \\t\\n\\x0B\\f\\r]``;
+   RE2's ``\\s`` is ``[ \\t\\n\\f\\r]`` WITHOUT vertical tab. A document
+   containing U+000B tokenizes differently across engines.
+2. ``lower()`` on U+0130 (Turkish dotted İ) — Java's full lowercase
+   expands it to ``i`` + U+0307 (two codepoints); utf8proc maps it to
+   plain ``i``.
+3. ``lower()`` on final-position Σ — Java applies the Unicode
+   context-sensitive rule (ΑΣ → ας); utf8proc lowers unconditionally
+   (ΑΣ → ασ).
+
+Everything else probed (CRLF, form feed, NBSP, ideographic space,
+combining marks, supplementary-plane codepoints, ß) behaves
+identically — see the test suite.
+
+The portable forms below are chosen so the SPARK side is a no-op on any
+input Java handled before (``PORTABLE_WS`` is literally Java's ``\\s``
+set) and both engines agree on every input:
+
+- ``PORTABLE_WS``: the whitespace class written out explicitly. Both
+  Java regex and RE2 interpret ``[ \\t\\n\\r\\f\\x0b]`` char-for-char
+  identically.
+- ``portable_lower``: translate İ→i BEFORE lowering (pre-empting
+  Java's two-codepoint expansion), translate ς→σ AFTER (undoing the
+  contextual final-sigma; Unicode case FOLDING maps both Σ and ς to σ,
+  so this is the standard fold, not an invention).
+
+Every oracle-gated tokenization chain (tokens, normalize_for_rep,
+dedup canonicalization, token/term explodes, the SQL oracles) routes
+through these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Explicit ASCII whitespace class == Java's default \s, accepted
+# identically by RE2. Use everywhere a cross-engine contract tokenizes.
+PORTABLE_WS = r"[ \t\n\r\f\x0b]"
+PORTABLE_WS_PLUS = PORTABLE_WS + "+"
+
+# The same pattern for embedding in DuckDB oracle SQL (RE2 reads the
+# backslash escapes; keep ONE source of truth so the two sides cannot
+# drift).
+SQL_WS_PLUS = PORTABLE_WS_PLUS
+
+
+def portable_lower(col: Column) -> Column:
+    """Unicode lowercase with the two JVM/utf8proc divergences removed.
+
+    İ (U+0130) is mapped to plain ``i`` before the lowercase (Java's
+    full mapping would expand it to ``i`` + combining dot above, one
+    codepoint longer than utf8proc's result), and ς (U+03C2, the
+    contextual final sigma Java emits at word ends) is normalized to σ
+    after it — the Unicode case-folding target for both sigmas.
+    ASCII input is untouched.
+    """
+    return F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+
+
+def sql_portable_lower(expr: str) -> str:
+    """The DuckDB rendering of ``portable_lower`` for oracle SQL."""
+    return f"translate(lower(translate({expr}, 'İ', 'i')), 'ς', 'σ')"
+
+
+def portable_upper(col: Column) -> Column:
+    """Unicode uppercase minus the one JVM/utf8proc divergence: ß.
+    Java's full uppercase expands ß to ``SS``; utf8proc maps it to the
+    single capital ẞ (U+1E9E). Pre-substituting ß→ss makes both engines
+    emit ``SS``. ASCII input is untouched."""
+    return F.upper(F.regexp_replace(col, "ß", "ss"))
+
+
+def sql_portable_upper(expr: str) -> str:
+    """The DuckDB rendering of ``portable_upper`` for oracle SQL."""
+    return f"upper(replace({expr}, 'ß', 'ss'))"

@@ -17,10 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.portable import PORTABLE_WS_PLUS, portable_lower
+
 
 def normalize_text(text: Column) -> Column:
     """Lowercase + whitespace-collapse canonical form shared by the dedup family."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.regexp_replace(portable_lower(F.trim(text)), PORTABLE_WS_PLUS, " ")
 
 
 def exact_dedup(
@@ -53,10 +55,18 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (n-grams) of normalized text."""
-    toks = F.split(normalize_text(text), " ")
+    """Distinct k-word shingles (n-grams) of normalized text.
+
+    NULL/empty/whitespace-only input yields ZERO shingles (not one ''
+    shingle — the unfiltered form made two empty documents Jaccard-1.0
+    "near-dups" and let an empty doc count as benchmark-contaminated;
+    caught by tests/test_portable_text.py). Docs with 1..k-1 tokens
+    keep one partial shingle so short docs stay comparable."""
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    idx = F.when(
+        n > 0, F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     )
@@ -105,7 +115,7 @@ def word_shingle_hashes(text: Column, k: int = 3) -> Column:
     would be pure overhead here (callers needing set semantics use
     ``word_shingles``).
     """
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = F.split(portable_lower(F.trim(text)), PORTABLE_WS_PLUS)
     th = F.transform(toks, lambda t: F.xxhash64(t))
     n_sh = F.greatest(F.size(th) - (k - 1), F.lit(1))
     slices = [F.slice(th, i + 1, n_sh) for i in range(k)]
@@ -884,7 +894,7 @@ def setsim_join(
     if not (0 < tau_num <= tau_den):
         raise ValueError("need 0 < tau_num <= tau_den")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        F.split(portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS), lambda t: t != ""
     )
     tok_df = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
     n = F.size(F.col("__toks"))

@@ -10,9 +10,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import PORTABLE_WS_PLUS, portable_lower
+
 #: BPE-ish tokenizer regex: runs of alphanumerics OR single non-space symbols.
 #: Compatible between Java regex (Spark) and RE2 (DuckDB oracle).
-TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
 
 #: Small distinctive-marker profiles for the n-gram/stopword language
 #: heuristic. Public-knowledge marker words; intentionally tiny — this is
@@ -27,11 +29,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of trimmed text (empty input -> empty array)."""
+    """Whitespace tokenization: the NON-EMPTY runs between portable
+    whitespace (empty/whitespace-only input -> empty array). The empty
+    filter is part of the cross-engine contract — ``trim`` strips only
+    spaces, so text with leading/trailing ``\\n``/``\\t`` would
+    otherwise grow phantom ''-tokens whose handling differs between a
+    split-on-collapsed-space oracle and a regex split (caught by
+    tests/test_portable_text.py on the adversarial corpus)."""
     t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    return F.filter(F.split(t, PORTABLE_WS_PLUS), lambda x: x != "")
 
 
 def token_count_ws(text: Column) -> Column:
@@ -46,7 +52,7 @@ def token_count_bpe(text: Column) -> Column:
 
 def stopword_hits(text: Column, stopwords: list[str]) -> Column:
     """Number of whitespace tokens that are in ``stopwords`` (lowercased)."""
-    toks = tokens(F.lower(text))
+    toks = tokens(portable_lower(text))
     arr = F.array(*[F.lit(s) for s in stopwords])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
@@ -59,7 +65,7 @@ def substring_hits(text: Column, markers: list[str]) -> Column:
 
     total = None
     for m in markers:
-        c = F.regexp_count(F.lower(text), F.lit(_re.escape(m)))
+        c = F.regexp_count(portable_lower(text), F.lit(_re.escape(m)))
         total = c if total is None else total + c
     return total if total is not None else F.lit(0)
 
@@ -103,7 +109,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     languages match markers as whole tokens; unsegmented scripts (zh) count
     marker substrings, since Chinese text has no whitespace tokens.
     """
-    t = F.lower(F.col(text_col))
+    t = portable_lower(F.col(text_col))
     langs = sorted(LANG_MARKERS)
     hit_cols = {
         lang: (
@@ -238,7 +244,7 @@ def token_topk(
     """
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(F.split(portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS)).alias("token"),
     ).filter(F.col("token") != "")
     per_doc = toks.groupBy("token", "id").agg(F.count(F.lit(1)).alias("c"))
     counts = per_doc.groupBy("token").agg(
@@ -280,7 +286,7 @@ def tfidf_top_terms(
 
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        F.explode(F.split(portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS)).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -419,7 +425,7 @@ def repetition_features(
 def normalize_for_rep(text: Column) -> Column:
     """Lowercase + whitespace-collapse — the same canonical form the dedup
     family uses, so repetition and dedup agree on what a token is."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.regexp_replace(portable_lower(F.trim(text)), PORTABLE_WS_PLUS, " ")
 
 
 def chunk_documents(
@@ -615,7 +621,7 @@ def pmi_collocations(
     evidence makes every score auditable downstream.
     """
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        F.split(portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS), lambda t: t != ""
     )
     tok_df = df.select(toks.alias("__toks"))
     n = F.size(F.col("__toks"))
@@ -686,7 +692,7 @@ def inverted_index(
     """
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(F.split(portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS)).alias("token"),
     ).filter(F.col("token") != "")
     per_doc = toks.groupBy("token", "id").agg(F.count(F.lit(1)).alias("tf"))
     sorted_postings = F.slice(
@@ -735,7 +741,7 @@ def ngram_lm_counts(
     Output: (w1, w2, w3, c_xyz, c_xy, n_right, n_left).
     """
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        F.split(portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS), lambda t: t != ""
     )
     tok_df = df.select(toks.alias("__toks"))
     n = F.size(F.col("__toks"))

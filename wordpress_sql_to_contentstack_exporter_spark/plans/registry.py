@@ -37,6 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import (
+    PORTABLE_WS_PLUS,
+    portable_lower,
+    portable_upper,
+)
 from ..functions import (
     compile_permalink,
     conditional_array_wrap,
@@ -648,9 +653,11 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized column (the expression-level array algebra the dedup family
     builds on)."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), PORTABLE_WS_PLUS), lambda t: t != ""
+    )
     longs = F.filter(toks, lambda t: F.length(t) > 4)
-    upper3 = F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t))
+    upper3 = F.transform(F.slice(toks, 1, 3), lambda t: portable_upper(t))
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
@@ -663,11 +670,19 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ARRAY_HOF = r"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks FROM documents)
 SELECT doc_id,
        len(list_filter(toks, x -> length(x) > 4)) AS n_long_tokens,
-       array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ') AS first3_upper,
-       list_sum(list_transform(toks, x -> length(x)))::BIGINT AS total_token_chars
+       -- empty-list folds are NULL in DuckDB but ''/0 in Spark; the CASE
+       -- keeps NULL-text rows NULL on both engines while empty docs agree
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE coalesce(array_to_string(
+                list_transform(range(1, least(len(toks), 3) + 1),
+                               i -> upper(replace(toks[i], 'ß', 'ss'))), ' '), '')
+       END AS first3_upper,
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+       END AS total_token_chars
 FROM t
 """
 
@@ -997,7 +1012,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+SELECT sha256(regexp_replace(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash,
        min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
@@ -1017,14 +1032,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = r"""
 WITH sh AS (
+    -- empty guard mirrors word_shingles (zero shingles for NULL/empty);
+    -- list_slice instead of the version-sensitive [i:i+2] bracket slice
     SELECT doc_id,
-           list_distinct([
-               array_to_string(toks[i:i+2], ' ')
-               for i in range(1, greatest(len(toks) - 2, 1) + 1)
-           ]) AS shingles
+           CASE WHEN toks IS NULL OR len(toks) = 0 THEN []::VARCHAR[]
+                ELSE list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 2, 1) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+           END AS shingles
     FROM (
         SELECT doc_id,
-               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+               list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
         FROM documents
     )
 )
@@ -1133,14 +1151,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_QUALITY = r"""
 WITH t AS (
     SELECT doc_id, text,
-           string_split_regex(trim(text), '\s+') AS toks,
-           string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks,
+           list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ltoks
     FROM documents
 )
 SELECT doc_id,
        length(text) AS q_chars,
        CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS q_tokens,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS q_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')) AS q_bpe_tokens,
        CASE WHEN length(text) > 0
             THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
             ELSE 0.0 END AS q_punct_ratio,
@@ -1260,7 +1278,7 @@ WITH corpus AS (
 toks AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []
-                ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
            END AS t
     FROM corpus
 ),
@@ -1338,7 +1356,7 @@ base AS (
 toks AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []
-                ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
            END AS t
     FROM corpus
 ),
@@ -1386,11 +1404,13 @@ def _lang_hits_sql(lang_words: list[str]) -> str:
 SQL_LANG_ID = r"""
 WITH t AS (
     SELECT doc_id, lang, text,
-           string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ltoks
     FROM documents
 ), h AS (
     SELECT doc_id, lang,
-           {de} AS h_de, {en} AS h_en, {es} AS h_es, {fr} AS h_fr, {zh} AS h_zh
+           coalesce({de}, 0) AS h_de, coalesce({en}, 0) AS h_en,
+           coalesce({es}, 0) AS h_es, coalesce({fr}, 0) AS h_fr,
+           coalesce({zh}, 0) AS h_zh
     FROM t
 )
 SELECT doc_id, lang,
@@ -1409,7 +1429,7 @@ FROM h
     # zh: unsegmented script -> substring occurrence counts, mirroring
     # operators/text.substring_hits
     zh=" + ".join(
-        f"len(regexp_extract_all(lower(text), '{m}'))" for m in tx.LANG_MARKERS["zh"]
+        f"len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '{m}'))" for m in tx.LANG_MARKERS["zh"]
     ),
 )
 
@@ -1421,7 +1441,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FINGERPRINT = r"""
-SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+SELECT doc_id, sha256(regexp_replace(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fp
 FROM documents
 """
 
@@ -1504,13 +1524,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DECONTAMINATE = r"""
 WITH w AS (
     SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+           list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ws
     FROM documents
 ), g AS (
     SELECT doc_id,
-           unnest(list_distinct(list_transform(
-               range(1, greatest(len(ws) - 2, 1) + 1),
-               i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS g
+           unnest(CASE WHEN ws IS NULL OR len(ws) = 0 THEN []::VARCHAR[]
+                       ELSE list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                  END) AS g
     FROM w
 ), b AS (
     SELECT DISTINCT g FROM g WHERE doc_id < 10
@@ -1713,7 +1735,7 @@ SQL_SEQUENCE_PACKING_SORTED = r"""
 WITH t AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
            doc_id % 8 AS shard
     FROM documents
 ), s AS (
@@ -1734,7 +1756,7 @@ SQL_SEQUENCE_PACKING = r"""
 WITH t AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
            doc_id % 8 AS shard
     FROM documents
 ), s AS (
@@ -1940,7 +1962,7 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_TOPK = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
     FROM documents
 ), nz AS (
     SELECT doc_id, token FROM toks WHERE token != ''
@@ -1968,7 +1990,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_TOPTERMS = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS term
     FROM documents
 ), nz AS (
     SELECT doc_id, term FROM toks WHERE term != ''
@@ -2428,7 +2450,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_FILTER = r"""
 WITH t AS (
     SELECT doc_id, text,
-           string_split_regex(trim(text), '\s+') AS toks
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
     FROM documents
 ), q AS (
     SELECT doc_id,
@@ -2451,7 +2473,7 @@ WITH t AS (
 ), dtoks AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []
-                ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
            END AS tk
     FROM documents
 ), grams AS (
@@ -2611,7 +2633,7 @@ SQL_DOC_CHUNKS = r"""
 WITH t AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []
-                ELSE string_split_regex(trim(text), '\s+') END AS toks
+                ELSE list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') END AS toks
     FROM documents
 ), c AS (
     SELECT doc_id, toks, len(toks) AS n,
@@ -3184,7 +3206,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PMI_COLLOCATIONS = r"""
 WITH toks AS (
     SELECT list_filter(
-               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                t -> t != '') AS ts
     FROM documents
 ), p0 AS (
@@ -3255,7 +3277,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INVERTED_INDEX = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
     FROM documents
 ), nz AS (
     SELECT doc_id, token FROM toks WHERE token != ''
@@ -3363,7 +3385,7 @@ WITH d AS (
     SELECT doc_id, text FROM documents WHERE doc_id < 1000
 ), toks AS (
     SELECT doc_id,
-           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                        t -> t != '') AS ts
     FROM d
 ), sets AS (
@@ -3437,7 +3459,7 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_LM = r"""
 WITH toks AS (
     SELECT list_filter(
-               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                t -> t != '') AS ts
     FROM documents
 ), t0 AS (
@@ -4003,7 +4025,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SOURCE_OVERLAP = r"""
 WITH w AS (
     SELECT source AS src,
-           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+           list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ws
     FROM documents
 ), g0 AS (
     SELECT src,
@@ -4271,7 +4293,7 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         (F.col("doc_id") % 2 == 0).alias("in_a"),
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        F.explode(F.split(portable_lower(F.trim(F.col("text"))), PORTABLE_WS_PLUS)).alias("token"),
     ).filter(F.col("token") != "")
     per_tok = toks.groupBy("token").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
@@ -4301,7 +4323,7 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VOCAB_DRIFT = r"""
 WITH toks AS (
     SELECT doc_id % 2 = 0 AS in_a,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
     FROM documents
 ), nz AS (
     SELECT in_a, token FROM toks WHERE token != ''
@@ -4794,7 +4816,7 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bit-exact contract (documented)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks0 = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        F.split(portable_lower(F.trim(F.col("text"))), PORTABLE_WS_PLUS), lambda t: t != ""
     )
     tok_df = d.select("doc_id", toks0.alias("__toks"))
     n = F.size(F.col("__toks"))
@@ -4838,7 +4860,7 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_PAIRS = r"""
 WITH w0 AS (
     SELECT doc_id,
-           list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                        t -> t != '') AS ts
     FROM documents
 ), t0 AS (
