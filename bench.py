@@ -248,6 +248,87 @@ def events_tier(spark, n_events: int) -> dict:
     ch.write.format("noop").mode("overwrite").save()
     out["rolling_anomaly_chunked"] = {"wall": round(time.perf_counter() - t2, 3)}
 
+    # What the dispatcher (VERDICT r5 #4) picks at this tier, for the
+    # record alongside the measured walls of both variants above.
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import choose_rolling_variant
+
+    cores = spark.sparkContext.defaultParallelism
+    variant, n_chunks = choose_rolling_variant(n_events, 5, cores)
+    out["rolling_dispatch"] = {"variant": variant, "n_chunks": n_chunks, "cores": cores}
+
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out
+
+
+def rolling_tier(spark, n_events: int) -> dict:
+    """The rolling-window crossover probe (VERDICT r5 #4): at 1M events
+    the plain (key-partitioned) window beat the chunked one (9.7 s vs
+    10.9 s, BENCH_r05) — this tier measures BOTH variants plus the
+    ``rolling_anomaly_auto`` dispatcher at a 10x size, demonstrating the
+    crossover the chunked docstring promises and recording which side
+    the dispatcher chose at each tier (the 1M decision is in
+    events_tier.rolling_dispatch)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        choose_rolling_variant,
+        rolling_anomaly,
+        rolling_anomaly_auto,
+        rolling_anomaly_chunked,
+    )
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import load_table
+
+    base_dir = "/tmp/spark_graft_rolling_tier"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    h = F.xxhash64(F.col("id"))
+    bucket = F.pmod(F.xxhash64(F.col("id"), F.lit("t")), F.lit(20))
+    synth = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(h, F.lit(90 * 86400))
+        ).alias("ts"),
+        F.when(bucket < 10, "view").when(bucket < 14, "click")
+        .when(bucket < 16, "purchase").when(bucket < 18, "signup")
+        .otherwise("error").alias("event_type"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit("v")), F.lit(49000)) / 100.0 + 0.01).alias("value"),
+    )
+    synth.write.mode("overwrite").parquet(f"{base_dir}/events.parquet")
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+
+    kw = dict(value_col="value", window_rows=100, min_points=30, n_sigma=3)
+    out: dict = {"events": n_events}
+
+    plain = rolling_anomaly(
+        ev, keys=["event_type"], order_by=["ts", "event_id"], **kw
+    ).filter(F.col("is_anomaly"))
+    t0 = time.perf_counter()
+    plain.write.format("noop").mode("overwrite").save()
+    out["plain"] = {"wall": round(time.perf_counter() - t0, 3)}
+
+    chunked = rolling_anomaly_chunked(
+        ev, keys=["event_type"], ts_col="ts", tiebreak=["event_id"],
+        chunk_seconds=7 * 86400, **kw
+    ).filter(F.col("is_anomaly"))
+    t1 = time.perf_counter()
+    chunked.write.format("noop").mode("overwrite").save()
+    out["chunked"] = {"wall": round(time.perf_counter() - t1, 3)}
+
+    cores = spark.sparkContext.defaultParallelism
+    variant, n_chunks = choose_rolling_variant(n_events, 5, cores)
+    auto = rolling_anomaly_auto(
+        ev, keys=["event_type"], ts_col="ts", tiebreak=["event_id"], **kw
+    ).filter(F.col("is_anomaly"))
+    t2 = time.perf_counter()
+    auto.write.format("noop").mode("overwrite").save()
+    out["auto"] = {
+        "wall": round(time.perf_counter() - t2, 3),
+        "variant": variant,
+        "n_chunks": n_chunks,
+        "cores": cores,
+    }
+
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
 
@@ -413,6 +494,12 @@ def main() -> None:
     tier_events = int(os.environ.get("SPARK_GRAFT_EVENTS", "1000000"))
     if tier_events > 0:
         result["events_tier"] = events_tier(spark, tier_events)
+
+    # Rolling-window crossover tier (VERDICT r5 #4): both variants + the
+    # auto dispatcher at 10x the events tier. SPARK_GRAFT_ROLLING=0 disables.
+    tier_rolling = int(os.environ.get("SPARK_GRAFT_ROLLING", "10000000"))
+    if tier_rolling > 0:
+        result["rolling_tier"] = rolling_tier(spark, tier_rolling)
 
     print(json.dumps(result))
 

@@ -415,3 +415,63 @@ def test_max_concurrency_sweep_semantics(spark):
     assert v["first_peak_us"] == int(T(2024, 1, 1, 10, 2).timestamp()) * 1_000_000
     # half-open rule: the click pair never overlaps
     assert out["click"]["peak_concurrency"] == 1
+
+
+def test_choose_rolling_variant_rules():
+    """The dispatch rule (VERDICT r5 #4), pinned at its measured
+    boundary points: 5 keys on 32 cores goes plain at 1M rows (200k
+    rows/key — bench r5 measured plain faster) and chunked at 10M rows
+    (2M rows/key — bench r6 measured chunked faster)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import choose_rolling_variant
+
+    assert choose_rolling_variant(1_000_000, 5, 32) == ("plain", None)
+    variant, chunks = choose_rolling_variant(10_000_000, 5, 32)
+    assert variant == "chunked" and chunks >= 2
+    # keys saturate the cluster -> plain no matter the size
+    assert choose_rolling_variant(10_000_000, 64, 32) == ("plain", None)
+    # huge per-key series but chunks would be tiny -> plain
+    assert choose_rolling_variant(600_000, 1, 32, chunk_target_rows=10**9) == (
+        "plain",
+        None,
+    )
+
+
+def test_rolling_anomaly_auto_dispatch_and_equivalence(spark):
+    """auto with forced-low cores must reproduce the chunked variant's
+    rows exactly; with plentiful keys it must match plain. Both checked
+    against the exact form on dense data."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        rolling_anomaly,
+        rolling_anomaly_auto,
+    )
+
+    n = 4000  # 4000 rows/key: 64 auto-chosen chunks stay dense vs window 20
+    rows = [
+        ("a", i, 1_700_000_000 + i * 60, float((i * 37) % 100)) for i in range(n)
+    ] + [("b", i, 1_700_000_000 + i * 60, float((i * 61) % 100)) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, i long, ts long, value double").select(
+        "k", "i", F.timestamp_seconds("ts").alias("ts"), "value"
+    )
+    kw = dict(value_col="value", window_rows=20, min_points=10, n_sigma=3)
+    exact = rolling_anomaly(df, keys=["k"], order_by=["ts", "i"], **kw)
+
+    # stats force the chunked path: 2 keys, huge claimed volume, real span
+    lo, hi = df.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    auto_chunked = rolling_anomaly_auto(
+        df, keys=["k"], ts_col="ts", tiebreak=["i"], cores=32,
+        stats=(2_000_000_000, 2, lo, hi), **kw
+    )
+    # stats force the plain path (keys saturate the claimed cores)
+    auto_plain = rolling_anomaly_auto(
+        df, keys=["k"], ts_col="ts", tiebreak=["i"], cores=2,
+        stats=(2_000_000_000, 2, lo, hi), **kw
+    )
+
+    cols = ["k", "i", "w_n", "w_sum", "w_sumsq", "is_anomaly"]
+    want = sorted(tuple(r) for r in exact.select(*cols).collect())
+    got_c = sorted(tuple(r) for r in auto_chunked.select(*cols).collect())
+    got_p = sorted(tuple(r) for r in auto_plain.select(*cols).collect())
+    assert got_p == want
+    assert got_c == want  # dense chunks -> bit-identical to exact

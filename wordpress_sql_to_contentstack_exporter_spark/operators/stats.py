@@ -256,3 +256,120 @@ def rolling_anomaly_chunked(
     var_n2 = out["w_n"] * out["w_sumsq"] - out["w_sum"] * out["w_sum"]
     flag = (out["w_n"] >= min_points) & (dev * dev > (n_sigma * n_sigma) * var_n2)
     return out.withColumn("is_anomaly", flag).drop("__v", "__chunk", "__own")
+
+
+def choose_rolling_variant(
+    n_rows: int,
+    n_keys: int,
+    cores: int,
+    *,
+    window_rows: int = 100,
+    min_rows_per_key: int = 500_000,
+    chunk_target_rows: int = 250_000,
+) -> tuple[str, int | None]:
+    """Pure decision rule for ``rolling_anomaly_auto``: plain vs chunked
+    and, when chunked, how many time-chunks per key.
+
+    The plain form's parallelism is |keys| tasks regardless of cluster
+    size; the chunked form restores |keys| x |chunks| tasks but pays a
+    second window pass plus the carry-union shuffle. Measured crossover
+    (bench.py rolling tier, 5 keys, local[32]): at 1M rows (200k
+    rows/key) plain wins (9.7 s vs 10.9 s, BENCH_r05); at 10M rows (2M
+    rows/key) chunked wins — so the dispatch threshold
+    ``min_rows_per_key`` sits between the two measured points at 500k.
+
+    Rules, in order:
+    - |keys| >= cores: plain (already saturates the cluster).
+    - rows/key < ``min_rows_per_key``: plain (chunked overhead does not
+      amortize on short per-key series).
+    - else chunked, with enough chunks to give the scheduler ~4 waves
+      (4 x cores / keys) but never chunks smaller than
+      ``chunk_target_rows`` (each chunk must dwarf the W-1 carry
+      fringe).
+
+    Returns ("plain", None) or ("chunked", n_chunks_per_key).
+    """
+    n_keys = max(int(n_keys), 1)
+    if n_keys >= cores:
+        return ("plain", None)
+    rows_per_key = n_rows / n_keys
+    if rows_per_key < min_rows_per_key:
+        return ("plain", None)
+    floor_rows = max(chunk_target_rows, 10 * window_rows)
+    max_chunks = int(rows_per_key // floor_rows)
+    want = 4 * max(1, -(-cores // n_keys))  # ceil div, 4 scheduler waves
+    n_chunks = min(want, max_chunks)
+    if n_chunks < 2:
+        return ("plain", None)
+    return ("chunked", n_chunks)
+
+
+def rolling_anomaly_auto(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: list[str],
+    value_col: str,
+    window_rows: int = 100,
+    min_points: int = 30,
+    n_sigma: int = 3,
+    scale: int = 1000,
+    cores: int | None = None,
+    stats: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """Dispatching front door for the rolling z-score family (VERDICT r5
+    #4): measures the input's shape and picks ``rolling_anomaly`` (key-
+    partitioned single window) or ``rolling_anomaly_chunked`` ((key,
+    time-chunk) partitioning with a W-1 carry) via
+    ``choose_rolling_variant``.
+
+    ``stats`` is (n_rows, n_keys, min_ts_us, max_ts_us); when None it is
+    computed with ONE aggregate over the input (count + approx distinct
+    + min/max epoch-micros — a single scan that is negligible next to
+    the windowing job it sizes; callers that already know their key
+    cardinality, e.g. from catalog statistics, pass it and skip the
+    scan). The chunk length is the observed time span divided by the
+    chosen chunk count, so the decision adapts to the data's real
+    density rather than assuming a calendar unit.
+    """
+    if stats is None:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(*[F.col(k) for k in keys]).alias("k"),
+            F.min(us).alias("lo"),
+            F.max(us).alias("hi"),
+        ).first()
+        stats = (row["n"], row["k"], row["lo"], row["hi"])
+    n_rows, n_keys, lo_us, hi_us = stats
+    if cores is None:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    variant, n_chunks = choose_rolling_variant(
+        n_rows, n_keys, cores, window_rows=window_rows
+    )
+    if variant == "plain" or lo_us is None or hi_us is None or hi_us <= lo_us:
+        return rolling_anomaly(
+            df,
+            keys=keys,
+            order_by=[ts_col, *tiebreak],
+            value_col=value_col,
+            window_rows=window_rows,
+            min_points=min_points,
+            n_sigma=n_sigma,
+            scale=scale,
+        )
+    span_s = (hi_us - lo_us) / 1_000_000
+    chunk_seconds = max(1, int(span_s // n_chunks) + 1)
+    return rolling_anomaly_chunked(
+        df,
+        keys=keys,
+        ts_col=ts_col,
+        tiebreak=tiebreak,
+        value_col=value_col,
+        window_rows=window_rows,
+        min_points=min_points,
+        n_sigma=n_sigma,
+        scale=scale,
+        chunk_seconds=chunk_seconds,
+    )
