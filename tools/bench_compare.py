@@ -77,12 +77,29 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(ORACLE_SQL[name]).fetchall()
             duck_s = time.perf_counter() - t0
-        out[name] = {
+        entry = {
             "spark_s": round(spark_s, 3),
             "spark_cold_s": round(spark_cold, 3),
-            "duckdb_s": round(duck_s, 3) if duck_s is not None else None,
-            "ratio": round(spark_s / duck_s, 1) if duck_s else None,
         }
+        if duck_s is not None:
+            entry["duckdb_s"] = round(duck_s, 3)
+            entry["ratio"] = round(spark_s / duck_s, 1) if duck_s else None
+        else:
+            # rows-only queries (hash-based, no oracle) are marked, not
+            # emitted as null-valued comparison rows — the overall ratio
+            # must be computable without null-filtering (VERDICT r5 #8)
+            entry["comparable"] = False
+        out[name] = entry
+
+    comp = [v for v in out.values() if v.get("duckdb_s")]
+    out["_overall"] = {
+        "comparable_queries": len(comp),
+        "spark_total_s": round(sum(v["spark_s"] for v in comp), 3),
+        "duckdb_total_s": round(sum(v["duckdb_s"] for v in comp), 3),
+        "overall_ratio": round(
+            sum(v["spark_s"] for v in comp) / sum(v["duckdb_s"] for v in comp), 3
+        ),
+    }
     print(json.dumps(out, indent=2))
 
 
