@@ -45,3 +45,86 @@ def salted_agg(
         ]
     )
     return final
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 16,
+    hot_keys: DataFrame | None = None,
+    hot_threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-aware equi-join: the join counterpart to ``salted_agg``.
+
+    A shuffle join partitions both sides by the key, so one mega-hot key
+    (the null user, the default org, the viral document) pins its entire
+    fan-in on ONE reducer no matter how many executors exist. AQE's
+    skew-join split helps only when the skewed side's partitions are
+    splittable post-shuffle; it cannot split a single key's hash bucket
+    across reducers for a sort-merge join of two large tables. The
+    classical fix, made an operator:
+
+    - fact side: rows whose key is hot get a deterministic salt in
+      ``[0, n_salts)`` (``xxhash64`` of the whole row — stable under
+      retry/rerun, unlike ``rand()``); cold rows get salt 0.
+    - dim side: hot-key rows are REPLICATED once per salt (an
+      ``explode(sequence(...))`` of exactly ``n_salts`` copies, only
+      for hot keys — the replication cost is |hot keys| x n_salts rows,
+      not |dim| x n_salts); cold rows keep salt 0.
+    - join on (key, salt): every output pair appears exactly once, so
+      the result is row-for-row IDENTICAL to the plain join (the oracle
+      contract), but a hot key's fan-in now spreads over ``n_salts``
+      reducers.
+
+    ``hot_keys`` is a 1-column DataFrame of keys to salt — pass the
+    output of ``relational.join_blowup_profile`` (the pre-flight that
+    measures exactly this hazard) or any catalog-known list; it is
+    broadcast, so keep it small (hot keys are few by definition). When
+    None, it is computed from the fact side with one count-aggregate
+    (keys with >= ``hot_threshold`` rows) — a scan that at 100 TB you
+    fold into the profiling pass instead.
+
+    ``how`` supports "inner" and "left" (fact-preserving: an unmatched
+    fact row carries salt but no dim partner on ANY salt, so left
+    semantics survive salting unchanged). Right/full would need the
+    dim side fact-preserved across replicas — out of scope.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    if n_salts < 2:
+        raise ValueError("n_salts >= 2 required")
+    if hot_keys is None:
+        hot_keys = (
+            fact.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= hot_threshold)
+            .select(key)
+        )
+    hot = hot_keys.select(F.col(key)).distinct().withColumn(
+        "__is_hot", F.lit(True)
+    )
+
+    # the broadcast hint is applied AT each join (hints can be dropped by
+    # intervening transformations)
+    f = fact.join(F.broadcast(hot), key, "left")
+    f_salt = F.when(
+        F.col("__is_hot").isNotNull(),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+    ).otherwise(F.lit(0).cast("long"))
+    f = f.withColumn("__salt", f_salt).drop("__is_hot")
+
+    d = dim.join(F.broadcast(hot), key, "left")
+    d_salts = F.when(
+        F.col("__is_hot").isNotNull(),
+        F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")),
+    ).otherwise(F.array(F.lit(0).cast("long")))
+    d = (
+        d.withColumn("__salt", F.explode(d_salts))
+        .drop("__is_hot")
+    )
+
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")

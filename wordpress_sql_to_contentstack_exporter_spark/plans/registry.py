@@ -3334,6 +3334,35 @@ FROM base WHERE n > 0
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.salted_join — the join
+    counterpart to salted_agg): events(user_id) x customer, hot user
+    keys salted across 8 reducer slots on the fact side and replicated
+    8x on the dim side, cold keys untouched. The oracle contract IS the
+    correctness guarantee: the salted plan's output is row-for-row
+    identical to the plain inner join (every pair appears on exactly
+    one salt), so DuckDB runs the PLAIN join. The low hot_threshold
+    exercises both the hot (salted) and cold (salt-0) paths at fixture
+    scale."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+    out = salted_join(ev, cust, "user_id", n_salts=8, hot_threshold=20)
+    return out.select("event_id", "user_id", "event_type", "c_name", "c_nationkey")
+
+
+SQL_SALTED_JOIN = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-skew pre-flight profile for orders(o_custkey) x
     events(user_id) (operators/relational.join_blowup_profile): per key
@@ -4973,6 +5002,7 @@ SPARK_QUERIES = {
     "epoch_upsample": q_epoch_upsample,
     # --- oracle-backed, OUTSIDE the round-6 window ---
     # next rotation candidates (no driver row yet; local green):
+    "salted_join": q_salted_join,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
@@ -5134,6 +5164,7 @@ ORACLE_SQL = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "inverted_index": SQL_INVERTED_INDEX,
     "epoch_upsample": SQL_EPOCH_UPSAMPLE,
+    "salted_join": SQL_SALTED_JOIN,
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
