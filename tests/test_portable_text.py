@@ -58,6 +58,12 @@ HAZARD_DOCS: list[tuple[int, str | None, str, str]] = [
     (18, "trailing spaces   \nand\n  leading", "en", "src4"),
     (19, "the quick brown fox jumps", "en", "src4"),
     (20, "\n\n\nonly\n\n\nnewlines\n\n\n", "en", "src4"),
+    # EDGE-position unicode spaces: DuckDB's default trim() strips
+    # Unicode Zs (NBSP, U+3000) while Spark's strips ASCII space only —
+    # found by the round-6 hypothesis sweep; oracles now pin
+    # trim(x, ' ') explicitly
+    (21, "\xa0nbsp at edges\xa0", "en", "src4"),
+    (22, "　ideographic edges　", "ja", "src4"),
 ]
 
 

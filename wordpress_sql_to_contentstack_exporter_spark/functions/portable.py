@@ -17,9 +17,15 @@ divergences in this engine pair (pinned by tests/test_portable_text.py):
    context-sensitive rule (ΑΣ → ας); utf8proc lowers unconditionally
    (ΑΣ → ασ).
 
-Everything else probed (CRLF, form feed, NBSP, ideographic space,
-combining marks, supplementary-plane codepoints, ß) behaves
-identically — see the test suite.
+4. ``trim()`` — Spark strips ASCII space only; DuckDB's default strips
+   Unicode Zs too (NBSP, U+3000 ideographic space — found by the
+   round-6 hypothesis sweep on edge-positioned unicode spaces). Every
+   oracle therefore writes ``trim(x, ' ')`` explicitly, which equals
+   Spark's ``F.trim`` on all inputs.
+
+Everything else probed (CRLF, form feed, string-internal NBSP and
+ideographic space, combining marks, supplementary-plane codepoints, ß
+under lower()) behaves identically — see the test suite.
 
 The portable forms below are chosen so the SPARK side is a no-op on any
 input Java handled before (``PORTABLE_WS`` is literally Java's ``\\s``

@@ -670,7 +670,7 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ARRAY_HOF = r"""
-WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks FROM documents)
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks FROM documents)
 SELECT doc_id,
        len(list_filter(toks, x -> length(x) > 4)) AS n_long_tokens,
        -- empty-list folds are NULL in DuckDB but ''/0 in Spark; the CASE
@@ -1012,7 +1012,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT sha256(regexp_replace(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash,
+SELECT sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash,
        min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
@@ -1042,7 +1042,7 @@ WITH sh AS (
            END AS shingles
     FROM (
         SELECT doc_id,
-               list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
+               list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
         FROM documents
     )
 )
@@ -1151,21 +1151,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_QUALITY = r"""
 WITH t AS (
     SELECT doc_id, text,
-           list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks,
-           list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ltoks
+           list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks,
+           list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ltoks
     FROM documents
 )
 SELECT doc_id,
        length(text) AS q_chars,
-       CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS q_tokens,
+       CASE WHEN trim(text, ' ') = '' THEN 0 ELSE len(toks) END AS q_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')) AS q_bpe_tokens,
        CASE WHEN length(text) > 0
             THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
             ELSE 0.0 END AS q_punct_ratio,
-       CASE WHEN len(toks) > 0 AND trim(text) <> ''
+       CASE WHEN len(toks) > 0 AND trim(text, ' ') <> ''
             THEN len(list_filter(ltoks, x -> x IN ('the', 'and', 'of', 'to', 'in'))) / CAST(len(toks) AS DOUBLE)
             ELSE 0.0 END AS q_stopword_ratio,
-       CASE WHEN len(toks) > 0 AND trim(text) <> ''
+       CASE WHEN len(toks) > 0 AND trim(text, ' ') <> ''
             THEN length(text) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS q_mean_token_len
 FROM t
 """
@@ -1245,7 +1245,7 @@ WITH corpus AS (
 ),
 lines AS (
     SELECT doc_id,
-           list_filter([trim(l) for l in string_split(text, chr(10))],
+           list_filter([trim(l, ' ') for l in string_split(text, chr(10))],
                        l -> l != '') AS ls
     FROM corpus
 )
@@ -1277,8 +1277,8 @@ WITH corpus AS (
 ),
 toks AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN []
-                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
+           CASE WHEN trim(text, ' ') = '' THEN []
+                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
            END AS t
     FROM corpus
 ),
@@ -1344,7 +1344,7 @@ WITH corpus AS (
 ),
 lines AS (
     SELECT doc_id,
-           list_filter([trim(l) for l in string_split(text, chr(10))],
+           list_filter([trim(l, ' ') for l in string_split(text, chr(10))],
                        l -> l != '') AS ls
     FROM corpus
 ),
@@ -1355,8 +1355,8 @@ base AS (
 ),
 toks AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN []
-                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
+           CASE WHEN trim(text, ' ') = '' THEN []
+                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
            END AS t
     FROM corpus
 ),
@@ -1404,7 +1404,7 @@ def _lang_hits_sql(lang_words: list[str]) -> str:
 SQL_LANG_ID = r"""
 WITH t AS (
     SELECT doc_id, lang, text,
-           list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ltoks
+           list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ltoks
     FROM documents
 ), h AS (
     SELECT doc_id, lang,
@@ -1441,7 +1441,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FINGERPRINT = r"""
-SELECT doc_id, sha256(regexp_replace(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fp
+SELECT doc_id, sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fp
 FROM documents
 """
 
@@ -1524,7 +1524,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DECONTAMINATE = r"""
 WITH w AS (
     SELECT doc_id,
-           list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ws
+           list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ws
     FROM documents
 ), g AS (
     SELECT doc_id,
@@ -1734,8 +1734,8 @@ def q_sequence_packing_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQUENCE_PACKING_SORTED = r"""
 WITH t AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
+           CASE WHEN trim(text, ' ') = '' THEN 0
+                ELSE len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
            doc_id % 8 AS shard
     FROM documents
 ), s AS (
@@ -1755,8 +1755,8 @@ FROM s
 SQL_SEQUENCE_PACKING = r"""
 WITH t AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
+           CASE WHEN trim(text, ' ') = '' THEN 0
+                ELSE len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
            doc_id % 8 AS shard
     FROM documents
 ), s AS (
@@ -1926,7 +1926,7 @@ WITH docs2 AS (
     FROM documents
 ), p0 AS (
     SELECT doc_id,
-           [ {'pos': i, 'para': trim(lines[i])} for i in range(1, len(lines)+1) ] AS ps
+           [ {'pos': i, 'para': trim(lines[i], ' ')} for i in range(1, len(lines)+1) ] AS ps
     FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs2)
 ), p AS (
     SELECT doc_id, unnest(ps, recursive := true) FROM p0
@@ -1962,7 +1962,7 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_TOPK = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
     FROM documents
 ), nz AS (
     SELECT doc_id, token FROM toks WHERE token != ''
@@ -1990,7 +1990,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_TOPTERMS = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS term
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS term
     FROM documents
 ), nz AS (
     SELECT doc_id, term FROM toks WHERE term != ''
@@ -2450,12 +2450,12 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_FILTER = r"""
 WITH t AS (
     SELECT doc_id, text,
-           list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
+           list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
     FROM documents
 ), q AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_toks,
-           CASE WHEN len(toks) > 0 AND trim(text) <> ''
+           CASE WHEN trim(text, ' ') = '' THEN 0 ELSE len(toks) END AS n_toks,
+           CASE WHEN len(toks) > 0 AND trim(text, ' ') <> ''
                 THEN length(text) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mtl,
            CASE WHEN length(text) > 0
                 THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
@@ -2463,7 +2463,7 @@ WITH t AS (
     FROM t
 ), lines AS (
     SELECT doc_id,
-           list_filter([trim(l) for l in string_split(text, chr(10))],
+           list_filter([trim(l, ' ') for l in string_split(text, chr(10))],
                        l -> l != '') AS ls
     FROM documents
 ), base AS (
@@ -2472,8 +2472,8 @@ WITH t AS (
     FROM lines
 ), dtoks AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN []
-                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
+           CASE WHEN trim(text, ' ') = '' THEN []
+                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
            END AS tk
     FROM documents
 ), grams AS (
@@ -2632,8 +2632,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_CHUNKS = r"""
 WITH t AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN []
-                ELSE list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), x -> x != '') END AS toks
+           CASE WHEN trim(text, ' ') = '' THEN []
+                ELSE list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') END AS toks
     FROM documents
 ), c AS (
     SELECT doc_id, toks, len(toks) AS n,
@@ -3129,7 +3129,7 @@ WITH docs2 AS (
     FROM documents
 ), p0 AS (
     SELECT doc_id,
-           [ {'pos': i, 'line': trim(lines[i])} for i in range(1, len(lines)+1) ] AS ls
+           [ {'pos': i, 'line': trim(lines[i], ' ')} for i in range(1, len(lines)+1) ] AS ls
     FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs2)
 ), p AS (
     SELECT doc_id, unnest(ls, recursive := true) FROM p0
@@ -3206,7 +3206,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PMI_COLLOCATIONS = r"""
 WITH toks AS (
     SELECT list_filter(
-               list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
+               list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                t -> t != '') AS ts
     FROM documents
 ), p0 AS (
@@ -3277,7 +3277,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INVERTED_INDEX = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
     FROM documents
 ), nz AS (
     SELECT doc_id, token FROM toks WHERE token != ''
@@ -3414,7 +3414,7 @@ WITH d AS (
     SELECT doc_id, text FROM documents WHERE doc_id < 1000
 ), toks AS (
     SELECT doc_id,
-           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
+           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                        t -> t != '') AS ts
     FROM d
 ), sets AS (
@@ -3488,7 +3488,7 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_LM = r"""
 WITH toks AS (
     SELECT list_filter(
-               list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
+               list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                t -> t != '') AS ts
     FROM documents
 ), t0 AS (
@@ -4054,7 +4054,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SOURCE_OVERLAP = r"""
 WITH w AS (
     SELECT source AS src,
-           list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ws
+           list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ws
     FROM documents
 ), g0 AS (
     SELECT src,
@@ -4352,7 +4352,7 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VOCAB_DRIFT = r"""
 WITH toks AS (
     SELECT doc_id % 2 = 0 AS in_a,
-           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
+           unnest(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS token
     FROM documents
 ), nz AS (
     SELECT in_a, token FROM toks WHERE token != ''
@@ -4889,7 +4889,7 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_PAIRS = r"""
 WITH w0 AS (
     SELECT doc_id,
-           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
+           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
                        t -> t != '') AS ts
     FROM documents
 ), t0 AS (
