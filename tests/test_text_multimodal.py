@@ -718,3 +718,82 @@ def test_sample_frames_y4m_real_extraction(spark):
 
     with _pytest.raises(Exception):
         mm.sample_frames(media, decoder="y4m").collect()
+
+
+def test_bpe_learn_handworked_merges(spark):
+    """On a corpus where 'aa' dominates, the first learned merge must be
+    (a,a); counts drive priority and ties break lexicographically."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa ab"), (2, "aaaa aaaa ab cd")],
+        "doc_id long, text string",
+    )
+    merges = tx.bpe_learn(docs, n_merges=2)
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("aa", "aa")  # after merging, (aa,aa) dominates
+
+
+def test_bpe_apply_matches_sequential_reference_and_is_deterministic(spark):
+    """The greedy lowest-rank encoder must agree bit-for-bit with the
+    classic training-style apply (replace all occurrences merge by
+    merge, in rank order) — an independent algorithm, same fixpoint."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+    merges = [("t", "h"), ("th", "e"), ("e", "s"), ("i", "n"), ("in", "g")]
+
+    def ref(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    texts = [
+        "the thing things nothing",
+        "testing the theses",
+        "in the beginning",
+        "",
+        None,
+        "THE THING",  # canonicalized to lowercase before encoding
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in tx.bpe_apply(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in (t or "").lower().split() if w]
+        want_tokens = [tok for w in words for tok in ref(w)]
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_bpe_tokens"] == len(want_tokens), (i, t)
+        assert out[i]["preview"] == " ".join(want_tokens[:16]), (i, t)
+    # determinism across a second run
+    again = {r["doc_id"]: r["n_bpe_tokens"] for r in tx.bpe_apply(docs, merges).collect()}
+    assert again == {k: v["n_bpe_tokens"] for k, v in out.items()}
+
+
+def test_bpe_learn_then_apply_compresses(spark):
+    """End-to-end: merges learned from the corpus reduce token counts
+    vs character-level (no merges), and never go below word count."""
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    merges = tx.bpe_learn(docs, n_merges=20)
+    assert len(merges) == 20
+    out = tx.bpe_apply(docs, merges).agg(
+        F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_words").alias("w")
+    ).first()
+    chars = tx.bpe_apply(docs, []).agg(F.sum("n_bpe_tokens").alias("c")).first()
+    assert out["w"] <= out["bpe"] < chars["c"]

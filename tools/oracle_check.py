@@ -263,6 +263,51 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         ),
     }
 
+    # --- bpe_tokenize: no SQL oracle can express a greedy merge loop,
+    # so the evidence is bit-exact agreement with an INDEPENDENT
+    # reference implementation (sequential whole-word replace in merge
+    # order — the classic training-style apply, provably equivalent to
+    # the operator's greedy lowest-rank encode) over the entire corpus.
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import BPE_GATE_MERGES
+
+    def ref_encode(word: str) -> int:
+        syms = list(word)
+        for a, b in BPE_GATE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in reg.SPARK_QUERIES["bpe_tokenize"](spark, sf_dir).collect()
+    }
+    import re as _re
+
+    mismatches = 0
+    sandwich_ok = True
+    for r in docs.collect():
+        text = r["text"] or ""
+        words = [w for w in _re.sub(r"\s+", " ", text.strip().lower()).split(" ") if w]
+        want = (len(words), sum(ref_encode(w) for w in words))
+        g = got.get(r["doc_id"])
+        if g != want:
+            mismatches += 1
+        if g and not (g[0] <= g[1] <= sum(len(w) for w in words)):
+            sandwich_ok = False
+    ev["bpe_tokenize"] = {
+        "metric": "exact_agreement_vs_independent_sequential_reference",
+        "docs": len(got),
+        "mismatches": mismatches,
+        "n_words<=n_bpe<=n_chars": sandwich_ok,
+    }
+
     return ev
 
 

@@ -835,3 +835,162 @@ def compression_signals(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic greedy BPE encode of one word: repeatedly merge the
+    adjacent symbol pair with the LOWEST merge rank until none applies
+    (Sennrich et al. 2016 — public algorithm; ties cannot occur because
+    ranks are distinct by construction)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_learn(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 100,
+    max_vocab_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus — the tokenizer-TRAINING
+    stage of an LLM pipeline, shaped the way production trainers shape
+    it: the cluster reduces the corpus to a (word, count) frequency
+    table with ONE aggregate (shuffle keys are words, not documents),
+    and the merge loop runs driver-side over that table, which is small
+    by Zipf's law (distinct words, not corpus size — HF/sentencepiece
+    train exactly this way, typically on a corpus SAMPLE; at 100 TB you
+    sample first, which is standard practice, not a shortcut).
+
+    ``max_vocab_words`` bounds the driver table to the most frequent
+    words (deterministic count-desc, word-asc order). Words come from
+    the engine's canonical portable tokenization so the tokenizer and
+    every other text operator agree on what a word is. Returns the
+    merge list in priority order — feed it to ``bpe_apply``.
+    """
+    if n_merges < 0 or max_vocab_words < 1:
+        raise ValueError("n_merges >= 0 and max_vocab_words >= 1 required")
+    counts = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS
+                    ),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(max_vocab_words)
+        .collect()
+    )
+    # driver-side classic pair-count loop over symbolized words
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["c"] for r in counts
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, then lexicographic pair
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    preview_tokens: int = 16,
+) -> DataFrame:
+    """Apply a fixed BPE merge table to every document — the
+    tokenizer-APPLY stage, which unlike training must run over the FULL
+    corpus. Greedy merge loops cannot be expressed in native Column
+    algebra, so this is the designed Arrow path: ``mapInPandas`` with
+    the (small) merge table captured in the closure and a per-batch
+    word-level memo — Zipf again: a batch of documents contains few
+    distinct words relative to tokens, so each distinct word is encoded
+    once per batch, not once per occurrence. Map-only: no shuffle, the
+    stage pipelines with the scan at any scale.
+
+    Output per doc: ``n_words``, ``n_bpe_tokens`` and a
+    ``preview_tokens``-token space-joined prefix for auditability.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = "doc_id long, n_words long, n_bpe_tokens long, preview string"
+
+    canonical = F.regexp_replace(
+        portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS, " "
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def encode(text) -> tuple[int, int, str]:
+            if text is None:
+                return (0, 0, "")
+            words = [w for w in text.split(" ") if w]
+            n_tok = 0
+            preview: list[str] = []
+            for w in words:
+                toks = memo.get(w)
+                if toks is None:
+                    toks = _bpe_encode_word(w, ranks)
+                    memo[w] = toks
+                n_tok += len(toks)
+                if len(preview) < preview_tokens:
+                    preview.extend(toks[: preview_tokens - len(preview)])
+            return (len(words), n_tok, " ".join(preview))
+
+        for pdf in batches:
+            enc = [encode(t) for t in pdf["__canon"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"],
+                    "n_words": [e[0] for e in enc],
+                    "n_bpe_tokens": [e[1] for e in enc],
+                    "preview": [e[2] for e in enc],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("__id"), canonical.alias("__canon")
+    ).mapInPandas(run, out_schema)
