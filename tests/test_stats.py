@@ -475,3 +475,30 @@ def test_rolling_anomaly_auto_dispatch_and_equivalence(spark):
     got_p = sorted(tuple(r) for r in auto_plain.select(*cols).collect())
     assert got_p == want
     assert got_c == want  # dense chunks -> bit-identical to exact
+
+
+def test_mad_outliers_hampel_rule(spark):
+    """Robust flags: a spike among constants is flagged, constants are
+    not; MAD's breakdown advantage — a mean/std rule inflated by its
+    own outliers misses planted spikes that Hampel catches."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import mad_outliers
+
+    rows = [("a", i, 100.0 + (i % 3)) for i in range(60)] + [
+        ("a", 100, 5000.0),
+        ("a", 101, 4000.0),
+        ("b", 0, 7.0),
+        ("b", 1, None),  # null values excluded, not poisoned
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {
+        (r["k"], r["i"]): r
+        for r in mad_outliers(df, keys=["k"], value_col="v", k=5).collect()
+    }
+    assert out[("a", 100)]["is_outlier"] and out[("a", 101)]["is_outlier"]
+    flagged = [ki for ki, r in out.items() if r["is_outlier"]]
+    assert sorted(flagged) == [("a", 100), ("a", 101)]
+    assert ("b", 1) not in out  # null dropped
+    # integer contract: med/mad are scaled longs of actual data values
+    assert out[("a", 0)]["med"] in (100000, 101000, 102000)
+    # constant-ish group: mad small, spike dev huge
+    assert out[("a", 100)]["mad"] <= 1000

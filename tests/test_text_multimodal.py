@@ -797,3 +797,64 @@ def test_bpe_learn_then_apply_compresses(spark):
     ).first()
     chars = tx.bpe_apply(docs, []).agg(F.sum("n_bpe_tokens").alias("c")).first()
     assert out["w"] <= out["bpe"] < chars["c"]
+
+
+def test_wav_codec_roundtrip():
+    """Stdlib WAV parse: encode -> parse returns the exact samples and
+    metadata (completing the png/y4m/wav stdlib modality triple)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators import wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 0, 500]
+    data = wav.encode(8000, samples)
+    info = wav.parse(data)
+    assert (info["sample_rate"], info["n_channels"], info["sample_width"]) == (8000, 1, 2)
+    assert info["n_frames"] == len(samples)
+    assert wav.first_channel_samples(info) == samples
+    # stereo: channel 0 extraction
+    st = wav.encode(16000, samples, n_channels=2)
+    assert wav.first_channel_samples(wav.parse(st)) == samples
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wav.parse(b"not audio at all")
+
+
+def test_audio_features_real_wav_and_stub_fallback(spark):
+    """A square wave's integer features are handworked: peak == the
+    amplitude, energy_ms == amplitude^2, zero_crossings == number of
+    sign flips; junk payloads fall to the sha256 stub under auto; the
+    strict wav decoder refuses junk; the lib tier is a marked plug
+    point."""
+    import hashlib as _hl
+
+    import pytest as _pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import multimodal as mm
+    from wordpress_sql_to_contentstack_exporter_spark.operators import wav
+
+    amp = 2000
+    square = ([amp] * 4 + [-amp] * 4) * 100  # 800 samples, 199 flips
+    payload = wav.encode(8000, square)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(payload), ("audio/wav", None, None, None)),
+            (2, bytearray(b"JUNK"), ("audio/mp3", None, None, None)),
+            (3, None, ("audio/wav", None, None, None)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.audio_features(media, decoder="auto").collect()}
+    r1 = rows[1]
+    assert r1["sample_rate"] == 8000
+    assert r1["n_samples"] == 800
+    assert r1["duration_ms"] == 100
+    assert r1["peak"] == amp
+    assert r1["energy_ms"] == amp * amp
+    assert r1["zero_crossings"] == 199
+    d = _hl.sha256(b"JUNK").digest()
+    assert (rows[2]["peak"], rows[2]["energy_ms"]) == (d[0], d[1])
+    assert rows[3]["sample_rate"] is None
+    with _pytest.raises(Exception):
+        mm.audio_features(media, decoder="wav").collect()
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        mm.audio_features(media, decoder="lib")

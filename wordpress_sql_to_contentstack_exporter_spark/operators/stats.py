@@ -373,3 +373,53 @@ def rolling_anomaly_auto(
         scale=scale,
         chunk_seconds=chunk_seconds,
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str,
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Median/MAD robust outlier flags — the breakdown-resistant
+    companion to ``rolling_anomaly``'s z-score: mean/std move with the
+    outliers they are supposed to find (one 1000x spike inflates std
+    enough to hide nine 100x spikes), while the median and the median
+    absolute deviation have a 50% breakdown point (classic robust
+    statistics: Hampel's rule |x - med| > k * MAD).
+
+    Integer-exact throughout, same discipline as the whole module:
+    values scale to longs, both medians are the DISCRETE lower-rank
+    element (rank floor((n-1)/2) — an actual data value, no
+    interpolation float), and the decision ``dev > k * mad`` is a long
+    comparison. Two aggregates + two joins on the keys; per-key value
+    lists materialize on one executor each (the percentiles memory
+    shape — fine for type/tenant-cardinality keys, not for user-level
+    keys; the rolling family covers those).
+
+    Output: input rows + ``vm`` (scaled), ``med``, ``mad``,
+    ``is_outlier``.
+    """
+    vm = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    d = df.filter(F.col(value_col).isNotNull()).withColumn("__vm", vm)
+
+    def lower_median(col: str) -> Column:
+        arr = F.sort_array(F.collect_list(col))
+        idx = (F.floor((F.count(F.lit(1)) - 1) / 2) + 1).cast("int")
+        return F.element_at(arr, idx)
+
+    med_tbl = d.groupBy(*keys).agg(lower_median("__vm").alias("med"))
+    with_dev = d.join(med_tbl, keys).withColumn(
+        "__dev", F.abs(F.col("__vm") - F.col("med"))
+    )
+    mad_tbl = with_dev.groupBy(*keys).agg(lower_median("__dev").alias("mad"))
+    out = with_dev.join(mad_tbl, keys)
+    return (
+        out.withColumn(
+            "is_outlier", F.col("__dev") > F.lit(int(k)) * F.col("mad")
+        )
+        .withColumnRenamed("__vm", "vm")
+        .drop("__dev")
+    )

@@ -2583,6 +2583,42 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event type
+    (operators/stats.mad_outliers): Hampel's rule over integer-milli
+    values with discrete lower-rank medians — zero floats anywhere in
+    the decision, so the flag is a bit-stable cross-engine contract.
+    Complements rolling_anomaly (windowed mean/std): the MAD flags
+    survive the outliers' own influence on the baseline."""
+    from ..operators.stats import mad_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(e, keys=["event_type"], value_col="value", k=5)
+    return out.select("event_id", "event_type", "vm", "med", "mad", "is_outlier")
+
+
+SQL_ROBUST_ANOMALY = """
+WITH e AS (
+    SELECT event_id, event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+    FROM events WHERE value IS NOT NULL
+), m AS (
+    SELECT event_type,
+           (list_sort(list(vm)))[CAST((count(*) - 1) // 2 AS BIGINT) + 1] AS med
+    FROM e GROUP BY event_type
+), d AS (
+    SELECT e.event_id, e.event_type, e.vm, m.med, abs(e.vm - m.med) AS dev
+    FROM e JOIN m USING (event_type)
+), md AS (
+    SELECT event_type,
+           (list_sort(list(dev)))[CAST((count(*) - 1) // 2 AS BIGINT) + 1] AS mad
+    FROM d GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.vm, d.med, md.mad,
+       d.dev > 5 * md.mad AS is_outlier
+FROM d JOIN md USING (event_type)
+"""
+
+
 SQL_PERCENTILES = """
 WITH s AS (
     SELECT event_type, count(*) AS n, list_sort(list(value)) AS vs
@@ -5030,6 +5066,7 @@ SPARK_QUERIES = {
     # --- oracle-backed, OUTSIDE the round-6 window ---
     # next rotation candidates (no driver row yet; local green):
     "salted_join": q_salted_join,
+    "robust_anomaly": q_robust_anomaly,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
@@ -5193,6 +5230,7 @@ ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "epoch_upsample": SQL_EPOCH_UPSAMPLE,
     "salted_join": SQL_SALTED_JOIN,
+    "robust_anomaly": SQL_ROBUST_ANOMALY,
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
