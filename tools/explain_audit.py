@@ -588,6 +588,27 @@ def main() -> int:
         ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
     )
 
+    # round-6 additions: salted_join must broadcast its hot-key list and
+    # never go cartesian; robust_anomaly is two hash aggregations + key
+    # joins with no window and no python; bpe_tokenize is the designed
+    # Arrow path (one mapInPandas, no shuffle).
+    check(
+        "salted_join",
+        ("hot-key list broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    check(
+        "robust_anomaly",
+        ("hash aggregate medians", r"HashAggregate|ObjectHashAggregate"),
+        ("no window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
+        ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython)).*)\Z"),
+    )
+    check(
+        "bpe_tokenize",
+        ("arrow mapInPandas stage", r"MapInPandas|ArrowEvalPython"),
+        ("no shuffle", r"\A(?s:(?!.*Exchange).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 
