@@ -62,6 +62,9 @@ def main() -> None:
         "boilerplate_removal", "merge_intervals", "scd2_history",
         "fuzzy_pairs", "setsim_join", "source_overlap", "event_pattern",
         "record_linkage", "time_rollup",
+        # round-6 additions with real two-engine work: salted join vs
+        # DuckDB's plain hash join, MAD medians vs list-rank selection
+        "salted_join", "robust_anomaly",
     ]
     out = {}
     for name in compared:

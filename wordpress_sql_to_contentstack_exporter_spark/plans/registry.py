@@ -2477,7 +2477,10 @@ WITH t AS (
            END AS tk
     FROM documents
 ), grams AS (
-    SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+    -- direct element access, not the tk[i:i+1] bracket slice (slice
+    -- end-inclusivity is DuckDB-build-sensitive — the repetition-red
+    -- hazard class, VERDICT r5 #1c)
+    SELECT doc_id, unnest([concat(tk[i], ' ', tk[i + 1])
                            for i in range(1, greatest(len(tk) - 1, 0) + 1)]) AS gram
     FROM dtoks
 ), gram_counts AS (
@@ -2679,9 +2682,15 @@ WITH t AS (
     FROM t
 )
 SELECT doc_id,
+       -- list_slice(), not the bracket slice: end-inclusivity of the
+       -- bracket form is DuckDB-build-sensitive (the repetition-red
+       -- hazard class, VERDICT r5 #1c); the function form's documented
+       -- 1-based inclusive bounds with clamping match Spark F.slice
        unnest(range(0, n_chunks)) AS chunk_idx,
-       len(toks[unnest(range(0, n_chunks)) * 24 + 1 : unnest(range(0, n_chunks)) * 24 + 32]) AS n_chunk_tokens,
-       array_to_string(toks[unnest(range(0, n_chunks)) * 24 + 1 : unnest(range(0, n_chunks)) * 24 + 32], ' ') AS chunk_text
+       len(list_slice(toks, unnest(range(0, n_chunks)) * 24 + 1,
+                      unnest(range(0, n_chunks)) * 24 + 32)) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, unnest(range(0, n_chunks)) * 24 + 1,
+                       unnest(range(0, n_chunks)) * 24 + 32), ' ') AS chunk_text
 FROM c WHERE n_chunks > 0
 """
 
