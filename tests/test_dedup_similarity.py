@@ -603,3 +603,71 @@ def test_tfidf_pairs_ranks_shared_rare_trigrams(spark):
     pair_ids = {(a, b) for a, b, _ in out}
     assert (1, 3) in pair_ids  # shares 'common words here and' trigrams
     assert all(4 not in p for p in pair_ids)
+
+
+def test_containment_superset_pairs_score_one(spark):
+    """The registry containment gate's planted superset family must
+    score exactly 1.0 (appending text removes none of A's shingles),
+    and a disjoint pair scores 0."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import q_containment
+
+    # build a private corpus through the same operator the gate uses
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # superset
+            (3, "one two three four five six"),                     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    lsh = dd.word_shingles(F.col("l.text"), 3)
+    rsh = dd.word_shingles(F.col("r.text"), 3)
+    inter = F.size(F.array_intersect(lsh, rsh))
+    na = F.size(lsh)
+    out = {
+        r["id_b"]: (r["c"], r["flag"])
+        for r in a.alias("l")
+        .crossJoin(b.alias("r"))
+        .select(
+            F.col("r.doc_id").alias("id_b"),
+            (inter / na).alias("c"),
+            ((inter * 100) >= (na * 80)).alias("flag"),
+        )
+        .collect()
+    }
+    assert out[2] == (1.0, True)
+    assert out[3] == (0.0, False)
+
+
+def test_ngram_novelty_first_doc_owns_all_grams(spark, tmp_path):
+    """Doc ordering semantics: the first doc's grams are all novel; an
+    exact repeat contributes zero novel grams; a half-new doc splits."""
+    import shutil
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),
+            (2, "a b c d e", "en", "s", 9),            # exact repeat: 0 novel
+            (3, "a b c d e x y z w v", "en", "s", 19),  # half new
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "sf"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in SPARK_QUERIES["ngram_novelty"](spark, str(d)).collect()
+    }
+    assert out[1] == (3, 3)          # 3 distinct 3-grams, all first seen here
+    assert out[2] == (3, 0)          # exact repeat
+    n_grams3, n_novel3 = out[3]
+    assert n_grams3 == 8 and n_novel3 == 5  # 'cde'-prefix overlap seen before
+    shutil.rmtree(d, ignore_errors=True)

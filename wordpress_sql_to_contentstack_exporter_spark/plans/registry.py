@@ -1055,6 +1055,136 @@ FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    — the doc-in-doc / quote-detection / eval-inside-train score that
+    Jaccard hides (a small doc fully inside a big one has low Jaccard
+    but containment 1). Two planted pair families exercise both tails:
+    (i, i+1) neighbor pairs (random text → low containment) and
+    (i, i+1_000_000) where the variant is the SAME text plus an
+    appended tail (appending adds shingles but removes none of A's →
+    containment exactly 1). Integer evidence (intersection count,
+    |sh(A)|) plus an integer-cross-multiplied 80% flag; the ratio is a
+    single int/int division. Verify-stage shape: pre-paired rows only,
+    never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    variants = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail sentence")).alias("text"),
+    )
+    corpus = base.unionByName(variants)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    neighbors = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+    supersets = a.join(b, F.col("a.doc_id") + 1_000_000 == F.col("b.doc_id"))
+    lsh = dd.word_shingles(F.col("a.text"), 3)
+    rsh = dd.word_shingles(F.col("b.text"), 3)
+    inter = F.size(F.array_intersect(lsh, rsh)).cast("long")
+    na = F.size(lsh).cast("long")
+
+    def proj(j: DataFrame) -> DataFrame:
+        return j.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.alias("n_common"),
+            na.alias("n_a"),
+            F.when(na > 0, inter / na).otherwise(F.lit(0.0)).alias("containment"),
+            ((inter * 100) >= (na * 80)).alias("contained_80"),
+        )
+
+    return proj(neighbors).unionByName(proj(supersets))
+
+
+SQL_CONTAINMENT = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' appended tail sentence' FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN toks IS NULL OR len(toks) = 0 THEN []::VARCHAR[]
+                ELSE list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 2, 1) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+           END AS shingles
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
+        FROM corpus
+    )
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.shingles AS sa, b.shingles AS sb
+    FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id, a.shingles, b.shingles
+    FROM sh a JOIN sh b ON a.doc_id + 1000000 = b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(sa, sb)) AS n_common,
+       len(sa) AS n_a,
+       CASE WHEN len(sa) > 0
+            THEN len(list_intersect(sa, sb)) / CAST(len(sa) AS DOUBLE)
+            ELSE 0.0 END AS containment,
+       len(list_intersect(sa, sb)) * 100 >= len(sa) * 80 AS contained_80
+FROM pairs
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in ingestion order (doc_id): how many of a
+    doc's DISTINCT word-3-grams appear here for the FIRST time in the
+    corpus — the marginal-contribution curve a corpus grower reads to
+    see which sources still add new content (diminishing novelty =
+    stop crawling that source). Window-free formulation: a gram's first
+    occurrence is min(doc_id) over its postings, so the numerator is a
+    gram-keyed aggregate joined back — two hash aggregations, no
+    window, no sort. Gate joins on exact gram strings so the DuckDB
+    oracle is bit-exact; the 100 TB variant keys the join on
+    xxhash64(gram) (8-byte shuffle keys, the documented 2^-64
+    collision wager of the dedup family)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("gram")
+    )
+    first = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH sh AS (
+    SELECT doc_id,
+           CASE WHEN toks IS NULL OR len(toks) = 0 THEN []::VARCHAR[]
+                ELSE list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 2, 1) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+           END AS shingles
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks
+        FROM documents
+    )
+), g AS (
+    SELECT doc_id, unnest(shingles) AS gram FROM sh
+), first AS (
+    SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+FROM g JOIN first f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup PAIRS -> transitive-closure
     clusters with one keeper each (operators/graph.py connected
@@ -5076,6 +5206,8 @@ SPARK_QUERIES = {
     # next rotation candidates (no driver row yet; local green):
     "salted_join": q_salted_join,
     "robust_anomaly": q_robust_anomaly,
+    "containment": q_containment,
+    "ngram_novelty": q_ngram_novelty,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
@@ -5240,6 +5372,8 @@ ORACLE_SQL = {
     "epoch_upsample": SQL_EPOCH_UPSAMPLE,
     "salted_join": SQL_SALTED_JOIN,
     "robust_anomaly": SQL_ROBUST_ANOMALY,
+    "containment": SQL_CONTAINMENT,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
