@@ -68,9 +68,21 @@ def portable_lower(col: Column) -> Column:
     codepoint longer than utf8proc's result), and ς (U+03C2, the
     contextual final sigma Java emits at word ends) is normalized to σ
     after it — the Unicode case-folding target for both sigmas.
-    ASCII input is untouched.
+
+    The translates run ONLY when a hazard codepoint is present:
+    Spark's ``StringTranslate`` re-materializes the string per call
+    (measured +60-90% on the fingerprint/dedup hot paths at sf0.1 when
+    applied unconditionally), while ``contains`` is an allocation-free
+    byte scan. Exactly when {İ, Σ, ς} are all absent, plain ``lower``
+    already equals the portable fold — İ is the only char whose Java
+    lowercase is multi-codepoint, and Σ/ς the only context-sensitive
+    pair — so the guard changes cost, never values (pinned by the
+    adversarial + randomized suites, which exercise both branches).
     """
-    return F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+    hazard = col.contains("İ") | col.contains("Σ") | col.contains("ς")
+    return F.when(
+        hazard, F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+    ).otherwise(F.lower(col))
 
 
 def sql_portable_lower(expr: str) -> str:
