@@ -168,3 +168,24 @@ def test_cli_list_and_query_subcommands(tmp_path, capsys):
     )
     import glob
     assert glob.glob(dest + "/*.parquet")
+
+
+def test_cli_sql_subcommand(tmp_path, capsys):
+    """Ad-hoc SQL front door: tables registered as temp views, result
+    printed or written; a .sql file works the same."""
+    from wordpress_sql_to_contentstack_exporter_spark.__main__ import main
+
+    dest = str(tmp_path / "sqlout")
+    assert (
+        main(["sql", "--query",
+              "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+              "--sf-dir", "/root/testdata/sf0.001", "--out", dest]) == 0
+    )
+    import glob
+
+    assert glob.glob(dest + "/*.parquet")
+    qfile = tmp_path / "q.sql"
+    qfile.write_text("SELECT count(*) AS n FROM orders")
+    assert main(["sql", "--file", str(qfile),
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "n" in capsys.readouterr().out

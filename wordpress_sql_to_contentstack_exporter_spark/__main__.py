@@ -38,7 +38,37 @@ def main(argv: list[str] | None = None) -> int:
     exp2 = sub.add_parser("explain", help="print a registry query's physical plan")
     exp2.add_argument("--name", required=True)
     exp2.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sqlp = sub.add_parser(
+        "sql",
+        help="run ad-hoc Spark SQL with the table dir's parquet tables "
+        "registered as temp views (region/nation/.../documents/embeddings)",
+    )
+    g = sqlp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="SQL text")
+    g.add_argument("--file", help="path to a .sql file")
+    sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
+    sqlp.add_argument("--out", default=None, help="output parquet path (default: print 20 rows)")
+    sqlp.add_argument("--json", action="store_true", help="write JSON instead of parquet")
     args = parser.parse_args(argv)
+
+    if args.cmd == "sql":
+        from .session import get_spark
+        from .sources.catalog import TPCH_TABLES, load_table
+
+        spark = get_spark("wp-sql")
+        for t in TPCH_TABLES:
+            try:
+                load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+            except Exception:  # a dir may carry a subset of tables
+                pass
+        text = args.query if args.query else open(args.file).read()
+        df = spark.sql(text)
+        if args.out:
+            writer = df.write.mode("overwrite")
+            (writer.json if args.json else writer.parquet)(args.out)
+        else:
+            df.show(20, truncate=False)
+        return 0
 
     if args.cmd == "explain":
         from .plans.registry import SPARK_QUERIES
