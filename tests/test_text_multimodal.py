@@ -858,3 +858,28 @@ def test_audio_features_real_wav_and_stub_fallback(spark):
         mm.audio_features(media, decoder="wav").collect()
     with _pytest.raises(NotImplementedError, match="soundfile"):
         mm.audio_features(media, decoder="lib")
+
+
+def test_repeated_spans_offset_invariant_detection(spark):
+    """Word-boundary anchoring finds the same injected block at
+    DIFFERENT offsets in different documents (the case fixed-stride
+    anchors miss), counts within-doc repeats in n_total but not
+    n_docs, and ignores sub-span or single-doc content."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+    block = "x" * 30 + " common repeated block of text " + "y" * 30  # > 64 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "short prefix " + block + " tail"),
+            (2, "a much longer and different document prefix here " + block),
+            (3, block + " " + block),           # twice in one doc
+            (4, "completely unrelated content " + "z" * 80),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.repeated_spans(docs, span=64, min_docs=2, top=20).collect()
+    assert out, "planted block not found"
+    top = out[0]
+    assert top["n_docs"] == 3            # docs 1, 2, 3 — offsets all differ
+    assert top["n_total"] >= 4           # doc 3 contributes two copies
+    assert all("z" not in r["span"] for r in out)  # single-doc content absent

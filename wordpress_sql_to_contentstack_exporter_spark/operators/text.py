@@ -994,3 +994,67 @@ def bpe_apply(
     return df.select(
         F.col(id_col).alias("__id"), canonical.alias("__canon")
     ).mapInPandas(run, out_schema)
+
+
+def repeated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 64,
+    min_docs: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Cross-document repeated character spans — the practical
+    approximation of suffix-array exact-substring dedup (Lee et al.
+    2022 motivates removing long verbatim repeats that line- and
+    paragraph-level dedup miss: license blocks, templated disclaimers,
+    injected boilerplate that crosses line boundaries).
+
+    Anchoring is CONTENT-DEFINED, not fixed-stride: candidate spans
+    start at word boundaries (position 1 and every position after a
+    space). Fixed-stride anchors only match repeats at equal offsets
+    modulo the stride; word boundaries travel WITH the content, so the
+    same repeated region anchors identically in every document
+    regardless of where it sits. (The heavier production alternative —
+    winnowing over a rolling hash — needs an engine-shared hash and is
+    documented here rather than gated: the space-anchor rule is exact,
+    oracle-able, and catches any >= ``span``-char repeat containing a
+    word boundary.)
+
+    Per doc the span set is DISTINCT (a doc repeating its own footer
+    counts once), so ``n_docs`` is true document frequency;
+    ``n_total`` additionally counts within-doc repeats. Output: the
+    ``top`` spans by (n_docs desc, span asc — deterministic), each with
+    both counts. Plan: map-side anchor/slice lambdas -> explode ->
+    two-level aggregate; shuffle carries the span strings themselves at
+    gate scale (64 bytes — comparable to the sha256 keys of exact
+    dedup; hash them for longer spans).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    last_start = n - span + 1
+    positions = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(last_start, F.lit(0))),
+            lambda i: F.when(
+                (i == 1) | (t.substr(i - 1, F.lit(1)) == " "), i
+            ),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    spans = F.when(n >= span, F.transform(positions, lambda p: t.substr(p, F.lit(span)))).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(spans).alias("s"))
+    per_doc = exploded.groupBy("s", "id").agg(F.count(F.lit(1)).alias("c"))
+    counts = per_doc.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").cast("long").alias("n_total"),
+    )
+    return (
+        counts.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("s").asc())
+        .limit(top)
+        .select(F.col("s").alias("span"), "n_docs", "n_total")
+    )

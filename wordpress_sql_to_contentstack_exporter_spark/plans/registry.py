@@ -1185,6 +1185,54 @@ GROUP BY g.doc_id
 """
 
 
+#: >= 64-char block injected ahead of every third document so the
+#: repeated-span detector has verbatim cross-document repeats to find
+#: (the fixture's random text has almost none).
+_LICENSE_BLOCK = (
+    "This document is licensed under the Example Public License "
+    "version 2.0; see the project site for the complete terms of use. "
+)
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 64-char spans
+    (operators/text.repeated_spans): the ExactSubstr-style boilerplate
+    detector with content-defined (word-boundary) anchors, over the
+    corpus plus license-block-prefixed variants of every third doc.
+    The planted block surfaces as the top spans with n_docs ==
+    |variants|; output is the deterministic top-50 by (doc frequency,
+    span)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tainted = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(_LICENSE_BLOCK), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(tainted)
+    return tx.repeated_spans(corpus, span=64, min_docs=2, top=50)
+
+
+SQL_REPEATED_SPANS = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, '{_LICENSE_BLOCK}' || text
+    FROM documents WHERE doc_id % 3 = 0
+), pos AS (
+    SELECT doc_id, text,
+           unnest(list_filter(range(1, greatest(length(text) - 64 + 1, 0) + 1),
+                              i -> i = 1 OR substr(text, CAST(i - 1 AS BIGINT), 1) = ' ')) AS p
+    FROM corpus WHERE length(text) >= 64
+), spans AS (
+    SELECT doc_id, substr(text, CAST(p AS BIGINT), 64) AS s FROM pos
+), per_doc AS (
+    SELECT s, doc_id, count(*) AS c FROM spans GROUP BY s, doc_id
+)
+SELECT s AS span, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_total
+FROM per_doc GROUP BY s HAVING count(*) >= 2
+ORDER BY n_docs DESC, s ASC LIMIT 50
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup PAIRS -> transitive-closure
     clusters with one keeper each (operators/graph.py connected
@@ -5208,6 +5256,7 @@ SPARK_QUERIES = {
     "robust_anomaly": q_robust_anomaly,
     "containment": q_containment,
     "ngram_novelty": q_ngram_novelty,
+    "repeated_spans": q_repeated_spans,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
@@ -5374,6 +5423,7 @@ ORACLE_SQL = {
     "robust_anomaly": SQL_ROBUST_ANOMALY,
     "containment": SQL_CONTAINMENT,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "repeated_spans": SQL_REPEATED_SPANS,
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
