@@ -131,6 +131,11 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
         dd.setsim_join(corpus, id_col="doc_id", text_col="text", tau_num=9, tau_den=10),
     )
     timed("boilerplate_removal", _tx.remove_boilerplate_lines(corpus))
+    # Repeated-span detector (round 6): the variant corpus is verbatim-
+    # repeat-dense (every base doc has `variants` near-copies), i.e. the
+    # worst case for span-anchor explosion — the wall here prices the
+    # word-boundary anchor density at 200k docs.
+    timed("repeated_spans", _tx.repeated_spans(corpus, span=64, min_docs=2, top=100))
 
     # Bucket-skew telemetry (VERDICT r2 ask #8): the variant corpus is
     # deliberately boilerplate-heavy, so max_bucket records how hot the
