@@ -502,3 +502,33 @@ def test_mad_outliers_hampel_rule(spark):
     assert out[("a", 0)]["med"] in (100000, 101000, 102000)
     # constant-ish group: mad small, spike dev huge
     assert out[("a", 100)]["mad"] <= 1000
+
+
+def test_quantile_buckets_source_fairness(spark, tmp_path):
+    """Per-source calibration: a source whose raw scores are uniformly
+    10x lower still keeps exactly its own top-20% — the property a
+    global threshold destroys. Buckets are near-uniform within source."""
+    import shutil
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+
+    rows = [(i, f"t{i}", "en", "rich", 10_000 + i) for i in range(100)]
+    rows += [(1000 + i, f"u{i}", "en", "poor", 100 + i) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "sf"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = SPARK_QUERIES["quantile_buckets"](spark, str(d)).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], []).append(r)
+    n_rich = sum(1 for r in kept["rich"] if r["keep_top20"])
+    n_poor = sum(1 for r in kept["poor"] if r["keep_top20"])
+    # each source keeps ~20% of ITS OWN docs despite the 10x score gap
+    assert n_rich == 20 and n_poor == 10
+    # kept docs are each source's own largest scores
+    poor_kept_min = min(r["n_chars"] for r in kept["poor"] if r["keep_top20"])
+    poor_drop_max = max(r["n_chars"] for r in kept["poor"] if not r["keep_top20"])
+    assert poor_kept_min > poor_drop_max
+    shutil.rmtree(d, ignore_errors=True)

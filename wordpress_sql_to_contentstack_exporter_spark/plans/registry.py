@@ -1185,6 +1185,51 @@ GROUP BY g.doc_id
 """
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile-bucket calibration — source-fair quality
+    filtering: a global threshold on a raw score wipes out any source
+    whose scores run systematically low, so production pipelines keep
+    the top X% WITHIN each source instead. Every doc gets its source's
+    discrete quantile bucket ``floor((rank-1) * B / n_source)`` over
+    ``n_chars`` (stand-in for a quality score), B=256 — integer
+    arithmetic end to end, ties broken by doc_id, so the bucket and the
+    keep flag (top 20% of each source) are bit-stable cross-engine.
+
+    Plan: ONE per-source window pair (rank + count on the same
+    partitioning — a single exchange). Parallelism is |sources|-bounded
+    like the rolling family's plain form; the 100x path decomposes the
+    rank with range-partition + cumulative-offset (the
+    rolling_anomaly_chunked trick applied to ranks), which matters
+    only when one source dominates the corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("source")
+    r = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wc)
+    bucket = F.floor(((r - 1) * 256) / n).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        bucket.alias("q_bucket"),
+        (bucket >= int(256 * 0.8)).alias("keep_top20"),
+    )
+
+
+SQL_QUANTILE_BUCKETS = """
+WITH r AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST((rk - 1) * 256 // n AS BIGINT) AS q_bucket,
+       (rk - 1) * 256 // n >= 204 AS keep_top20
+FROM r
+"""
+
+
 #: >= 64-char block injected ahead of every third document so the
 #: repeated-span detector has verbatim cross-document repeats to find
 #: (the fixture's random text has almost none).
@@ -5257,6 +5302,7 @@ SPARK_QUERIES = {
     "containment": q_containment,
     "ngram_novelty": q_ngram_novelty,
     "repeated_spans": q_repeated_spans,
+    "quantile_buckets": q_quantile_buckets,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
@@ -5424,6 +5470,7 @@ ORACLE_SQL = {
     "containment": SQL_CONTAINMENT,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "repeated_spans": SQL_REPEATED_SPANS,
+    "quantile_buckets": SQL_QUANTILE_BUCKETS,
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
