@@ -210,3 +210,35 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(df, df, "k", how="full")
     with _pytest.raises(ValueError):
         salted_join(df, df, "k", n_salts=1)
+
+
+def test_global_rank_equals_naive_window(spark):
+    """The range-bucket + offset decomposition must equal the naive
+    global row_number row-for-row, including heavy duplicate values
+    that straddle bucket boundaries and a skewed distribution."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.relational import global_rank
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [5] * 50 + list(range(100)) + [999] * 10 + [0] * 20
+    )]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    naive = df.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.round(F.col("value") * 1000).cast("long").asc(),
+                F.col("event_id").asc(),
+            )
+        ),
+    )
+    fancy = global_rank(df, value_col="value", tiebreak=["event_id"], n_buckets=8)
+    a = sorted((r["event_id"], r["rank"]) for r in naive.collect())
+    b = sorted((r["event_id"], r["rank"]) for r in fancy.collect())
+    assert a == b
+    # degenerate single-value input: all in one bucket, still exact
+    one = spark.createDataFrame([(i, 7.0) for i in range(5)], "event_id long, value double")
+    got = sorted(r["rank"] for r in global_rank(one, value_col="value", tiebreak=["event_id"]).collect())
+    assert got == [1, 2, 3, 4, 5]

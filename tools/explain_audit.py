@@ -608,6 +608,14 @@ def main() -> int:
         ("arrow mapInPandas stage", r"MapInPandas|ArrowEvalPython"),
         ("no shuffle", r"\A(?s:(?!.*Exchange).*)\Z"),
     )
+    # global_rank: the data-bearing window must be PARTITIONED (bucket
+    # hash exchange before it); the only SinglePartition sort feeds the
+    # B-row offsets frame, never the event stream.
+    check(
+        "global_rank",
+        ("bucket-partitioned window", r"hashpartitioning\(__bkt"),
+        ("offsets joined by broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0

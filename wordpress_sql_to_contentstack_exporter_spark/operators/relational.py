@@ -343,3 +343,69 @@ def join_blowup_profile(
         .orderBy(F.col("pairs").desc(), F.col("key").asc())
         .limit(top)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    *,
+    value_col: str,
+    tiebreak: list[str],
+    n_buckets: int = 1024,
+    scale: int = 1000,
+    out_col: str = "rank",
+) -> DataFrame:
+    """EXACT global dense row-number over (value, tiebreak) — without
+    the single-partition global window that caps the naive
+    ``row_number() OVER (ORDER BY ...)`` at one reducer for the whole
+    dataset (the WindowExec "No Partition Defined" killer).
+
+    Classic two-phase distributed rank, made an operator:
+
+    1. value-range bucketing: scale the value to a long, compute the
+       global [min, max] with one tiny aggregate (broadcast back), and
+       assign each row ``bucket = (vm - min) * B // (max - min + 1)``
+       — pure arithmetic, deterministic, no sampling (Spark's own
+       ``repartitionByRange`` samples, which is run-dependent and can
+       never be an oracle contract).
+    2. per-bucket local rank: a window PARTITIONED by bucket — B-way
+       parallel — ordered by (vm, tiebreak).
+    3. bucket offsets: per-bucket counts (B rows), running-summed on a
+       single partition of B rows (trivial), broadcast-joined back.
+       ``rank = offset + local_rank``.
+
+    The result equals the plain global window row-for-row — which is
+    exactly what the oracle runs — but the heavy sort shards across
+    ``n_buckets`` reducers. Skewed value distributions concentrate
+    rows in few buckets (bucketing is by VALUE range, not frequency);
+    the mitigation is more buckets or pre-scaling, both knobs here.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets >= 2 required")
+    vm = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    d = df.filter(F.col(value_col).isNotNull()).withColumn("__vm", vm)
+    bounds = d.agg(
+        F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")
+    )
+    b = d.join(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.floor(
+            (F.col("__vm") - F.col("__lo"))
+            * n_buckets
+            / (F.col("__hi") - F.col("__lo") + 1)
+        ).cast("long"),
+    )
+    w_local = Window.partitionBy("__bkt").orderBy(
+        F.col("__vm").asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    ranked = b.withColumn("__lr", F.row_number().over(w_local))
+    counts = ranked.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).cast("long")
+    ).select("__bkt", "__off")
+    out = ranked.join(F.broadcast(offsets), "__bkt").withColumn(
+        out_col, (F.col("__off") + F.col("__lr")).cast("long")
+    )
+    return out.drop("__bkt", "__lr", "__off", "__lo", "__hi", "__vm")

@@ -1185,6 +1185,32 @@ GROUP BY g.doc_id
 """
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact global ranking over the event stream
+    (operators/relational.global_rank): value-range bucketing + B-way
+    local windows + broadcast bucket offsets — row-for-row equal to
+    the naive single-partition ``row_number() OVER (ORDER BY ...)``,
+    which is exactly what the DuckDB oracle runs, so the correctness
+    gate proves the decomposition. The naive form is the classic
+    WindowExec one-reducer scale killer; this is its scale-safe
+    replacement."""
+    from ..operators.relational import global_rank
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    return global_rank(
+        e, value_col="value", tiebreak=["event_id"], n_buckets=64
+    ).select("event_id", "rank")
+
+
+SQL_GLOBAL_RANK = """
+SELECT event_id,
+       row_number() OVER (
+           ORDER BY CAST(round(value * 1000) AS BIGINT) ASC, event_id ASC
+       ) AS rank
+FROM events WHERE value IS NOT NULL
+"""
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile-bucket calibration — source-fair quality
     filtering: a global threshold on a raw score wipes out any source
@@ -5303,6 +5329,7 @@ SPARK_QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "repeated_spans": q_repeated_spans,
     "quantile_buckets": q_quantile_buckets,
+    "global_rank": q_global_rank,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
@@ -5471,6 +5498,7 @@ ORACLE_SQL = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "repeated_spans": SQL_REPEATED_SPANS,
     "quantile_buckets": SQL_QUANTILE_BUCKETS,
+    "global_rank": SQL_GLOBAL_RANK,
     "join_blowup": SQL_JOIN_BLOWUP,
     "setsim_join": SQL_SETSIM_JOIN,
     "fd_profile": SQL_FD_PROFILE,
