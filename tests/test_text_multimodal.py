@@ -883,3 +883,28 @@ def test_repeated_spans_offset_invariant_detection(spark):
     assert top["n_docs"] == 3            # docs 1, 2, 3 — offsets all differ
     assert top["n_total"] >= 4           # doc 3 contributes two copies
     assert all("z" not in r["span"] for r in out)  # single-doc content absent
+
+
+def test_span_coverage_flags_template_docs(spark):
+    """The decision stage: a doc dominated by corpus-repeated spans
+    flags; unique docs don't; short (<span) docs have zero anchors and
+    never flag."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+    block = "w" * 30 + " shared boilerplate body of text " + "v" * 30
+    docs = spark.createDataFrame(
+        [
+            (1, block),                                   # pure template
+            (2, block),                                   # pure template
+            (3, "a unique long document " + "q" * 80),    # unique
+            (4, "tiny"),                                  # < span chars
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.span_coverage(docs, span=64, min_docs=2, flag_pct=30).collect()
+    }
+    assert out[1]["span_flagged"] and out[2]["span_flagged"]
+    assert not out[3]["span_flagged"] and out[3]["n_repeated"] == 0
+    assert out[4]["n_anchors"] == 0 and not out[4]["span_flagged"]

@@ -996,6 +996,32 @@ def bpe_apply(
     ).mapInPandas(run, out_schema)
 
 
+
+def _anchored_spans(
+    df: DataFrame, *, text_col: str, id_col: str, span: int
+) -> DataFrame:
+    """(id, s) rows: every ``span``-char slice starting at a word
+    boundary (position 1 or any position following a space). Shared by
+    repeated_spans and span_coverage so detector and decider can never
+    disagree on what a span is."""
+    t = F.col(text_col)
+    n = F.length(t)
+    last_start = n - span + 1
+    positions = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(last_start, F.lit(0))),
+            lambda i: F.when(
+                (i == 1) | (t.substr(i - 1, F.lit(1)) == " "), i
+            ),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    spans = F.when(
+        n >= span, F.transform(positions, lambda p: t.substr(p, F.lit(span)))
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(spans).alias("s"))
+
+
 def repeated_spans(
     df: DataFrame,
     *,
@@ -1031,22 +1057,7 @@ def repeated_spans(
     gate scale (64 bytes — comparable to the sha256 keys of exact
     dedup; hash them for longer spans).
     """
-    t = F.col(text_col)
-    n = F.length(t)
-    last_start = n - span + 1
-    positions = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(last_start, F.lit(0))),
-            lambda i: F.when(
-                (i == 1) | (t.substr(i - 1, F.lit(1)) == " "), i
-            ),
-        ),
-        lambda p: p.isNotNull(),
-    )
-    spans = F.when(n >= span, F.transform(positions, lambda p: t.substr(p, F.lit(span)))).otherwise(
-        F.array().cast("array<string>")
-    )
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(spans).alias("s"))
+    exploded = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span)
     per_doc = exploded.groupBy("s", "id").agg(F.count(F.lit(1)).alias("c"))
     counts = per_doc.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1058,3 +1069,57 @@ def repeated_spans(
         .limit(top)
         .select(F.col("s").alias("span"), "n_docs", "n_total")
     )
+
+
+def span_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 64,
+    min_docs: int = 2,
+    flag_pct: int = 30,
+) -> DataFrame:
+    """Per-document repeated-span coverage — the DECISION stage paired
+    with ``repeated_spans``' detection: how many of a doc's anchored
+    spans are corpus-repeated (appear in >= ``min_docs`` docs), and an
+    integer-rule drop flag ``100 * n_repeated >= flag_pct * n_anchors``
+    (zero-anchor docs never flag). A doc dominated by verbatim
+    cross-document material is template chrome or syndicated content —
+    the doc-level cut that span DETECTION alone cannot make.
+
+    Plan: one anchored-span explode feeds BOTH the document-frequency
+    aggregate and the per-doc counts; the repeated-span set joins back
+    on the span key (repeated spans are few by construction — each
+    needs multiple docs — so AQE broadcasts the set in practice).
+    Shares ``_anchored_spans`` with the detector, so the two stages
+    cannot disagree on anchoring.
+    """
+    ex = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span)
+    per_doc_span = ex.groupBy("s", "id").agg(F.count(F.lit(1)).alias("c"))
+    rep = (
+        per_doc_span.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("s")
+    )
+    n_anchors = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_anchors"))
+    n_rep = (
+        ex.join(rep, "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_repeated"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = (
+        base.join(n_anchors, "id", "left")
+        .join(n_rep, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+        )
+    )
+    flagged = (F.col("n_anchors") > 0) & (
+        F.col("n_repeated") * 100 >= F.col("n_anchors") * flag_pct
+    )
+    return out.withColumn("span_flagged", flagged)

@@ -1211,6 +1211,63 @@ FROM events WHERE value IS NOT NULL
 """
 
 
+#: >= 64-char block injected ahead of every third document so the
+#: repeated-span detector has verbatim cross-document repeats to find
+#: (the fixture's random text has almost none).
+_LICENSE_BLOCK = (
+    "This document is licensed under the Example Public License "
+    "version 2.0; see the project site for the complete terms of use. "
+)
+
+
+def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level repeated-span coverage flags
+    (operators/text.span_coverage): the decision stage over the same
+    planted-license corpus the repeated_spans detector gates — tainted
+    variants carry a shared block (repeated anchors) while base docs
+    share nothing, so the 5%-coverage integer rule flags exactly the
+    tainted family. Shares the anchoring helper with the detector."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tainted = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(_LICENSE_BLOCK), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(tainted)
+    return tx.span_coverage(corpus, span=64, min_docs=2, flag_pct=5)
+
+
+SQL_SPAN_COVERAGE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, '{_LICENSE_BLOCK}' || text
+    FROM documents WHERE doc_id % 3 = 0
+), pos AS (
+    SELECT doc_id, text,
+           unnest(list_filter(range(1, greatest(length(text) - 64 + 1, 0) + 1),
+                              i -> i = 1 OR substr(text, CAST(i - 1 AS BIGINT), 1) = ' ')) AS p
+    FROM corpus WHERE length(text) >= 64
+), spans AS (
+    SELECT doc_id, substr(text, CAST(p AS BIGINT), 64) AS s FROM pos
+), rep AS (
+    SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS n_docs FROM spans GROUP BY s)
+    WHERE n_docs >= 2
+), anchors AS (
+    SELECT doc_id, count(*) AS n_anchors FROM spans GROUP BY doc_id
+), reps AS (
+    SELECT doc_id, count(*) AS n_repeated FROM spans JOIN rep USING (s) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(a.n_anchors, 0) AS n_anchors,
+       coalesce(r.n_repeated, 0) AS n_repeated,
+       coalesce(a.n_anchors, 0) > 0
+       AND coalesce(r.n_repeated, 0) * 100 >= coalesce(a.n_anchors, 0) * 5 AS span_flagged
+FROM (SELECT DISTINCT doc_id FROM corpus) c
+LEFT JOIN anchors a ON c.doc_id = a.doc_id
+LEFT JOIN reps r ON c.doc_id = r.doc_id
+"""
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile-bucket calibration — source-fair quality
     filtering: a global threshold on a raw score wipes out any source
@@ -1254,15 +1311,6 @@ SELECT doc_id, source, n_chars,
        (rk - 1) * 256 // n >= 204 AS keep_top20
 FROM r
 """
-
-
-#: >= 64-char block injected ahead of every third document so the
-#: repeated-span detector has verbatim cross-document repeats to find
-#: (the fixture's random text has almost none).
-_LICENSE_BLOCK = (
-    "This document is licensed under the Example Public License "
-    "version 2.0; see the project site for the complete terms of use. "
-)
 
 
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5328,6 +5376,7 @@ SPARK_QUERIES = {
     "containment": q_containment,
     "ngram_novelty": q_ngram_novelty,
     "repeated_spans": q_repeated_spans,
+    "span_coverage": q_span_coverage,
     "quantile_buckets": q_quantile_buckets,
     "global_rank": q_global_rank,
     "join_blowup": q_join_blowup,
@@ -5497,6 +5546,7 @@ ORACLE_SQL = {
     "containment": SQL_CONTAINMENT,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "repeated_spans": SQL_REPEATED_SPANS,
+    "span_coverage": SQL_SPAN_COVERAGE,
     "quantile_buckets": SQL_QUANTILE_BUCKETS,
     "global_rank": SQL_GLOBAL_RANK,
     "join_blowup": SQL_JOIN_BLOWUP,
