@@ -108,3 +108,46 @@ def test_salted_join_random_equivalence(spark, fact_keys, dim_keys, n_salts, how
     a = sorted(tuple(r) for r in plain.select(*cols).collect())
     b = sorted(tuple(r) for r in salted.select(*cols).collect())
     assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120),
+        min_size=1,
+        max_size=12,
+    ),
+    span=st.integers(min_value=4, max_value=16),
+)
+def test_repeated_spans_matches_python_model(spark, texts, span):
+    """Model-based check: the Spark span detector equals a direct
+    in-Python computation of word-boundary-anchored span document
+    frequencies, over random space-heavy strings (maximal anchor
+    density) and arbitrary span sizes."""
+    from collections import defaultdict
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["span"]: (r["n_docs"], r["n_total"])
+        for r in tx.repeated_spans(
+            docs, span=span, min_docs=2, top=1000
+        ).collect()
+    }
+
+    per_doc = defaultdict(lambda: defaultdict(int))
+    for i, t in enumerate(texts):
+        if len(t) < span:
+            continue
+        for p in range(len(t) - span + 1):
+            if p == 0 or t[p - 1] == " ":
+                per_doc[t[p : p + span]][i] += 1
+    want = {
+        s: (len(d), sum(d.values()))
+        for s, d in per_doc.items()
+        if len(d) >= 2
+    }
+    assert got == want
