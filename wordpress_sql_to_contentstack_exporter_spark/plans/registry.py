@@ -2195,6 +2195,34 @@ FROM documents
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature stage over synthesized binary media
+    (operators/multimodal.audio_features, decoder pinned to "stub" so
+    parity never depends on installed codecs — the wav/auto tier's REAL
+    PCM decode is covered by non-skipped tests instead). The stub's
+    outputs are sha256-byte-derived integers, which DuckDB reproduces
+    exactly from the hex digest — so unlike most codec plumbing this
+    gate is fully oracle-backed."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media_from_documents(d)
+    return mm.audio_features(media, decoder="stub")
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE WHEN text IS NULL THEN NULL ELSE 8000 END AS sample_rate,
+       CASE WHEN text IS NULL THEN NULL ELSE 1 END AS n_channels,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(strlen(text) AS BIGINT) END AS n_samples,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(strlen(text) * 1000 // 8000 AS BIGINT) END AS duration_ms,
+       CAST(('0x' || substr(sha256(text), 1, 2)) AS BIGINT) AS peak,
+       CAST(('0x' || substr(sha256(text), 3, 2)) AS BIGINT) AS energy_ms,
+       CAST(('0x' || substr(sha256(text), 5, 2)) AS BIGINT) AS zero_crossings
+FROM documents
+"""
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (Lee et al. 2022-style
     span dedup; operators/dedup.paragraph_dedup). Every third document
@@ -5377,6 +5405,7 @@ SPARK_QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "repeated_spans": q_repeated_spans,
     "span_coverage": q_span_coverage,
+    "audio_features": q_audio_features,
     "quantile_buckets": q_quantile_buckets,
     "global_rank": q_global_rank,
     "join_blowup": q_join_blowup,
@@ -5547,6 +5576,7 @@ ORACLE_SQL = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "repeated_spans": SQL_REPEATED_SPANS,
     "span_coverage": SQL_SPAN_COVERAGE,
+    "audio_features": SQL_AUDIO_FEATURES,
     "quantile_buckets": SQL_QUANTILE_BUCKETS,
     "global_rank": SQL_GLOBAL_RANK,
     "join_blowup": SQL_JOIN_BLOWUP,
