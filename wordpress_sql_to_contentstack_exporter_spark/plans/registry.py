@@ -2223,6 +2223,51 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.sample_frames,
+    stub decoder): the flat-map 1-row-in-N-frames-out shape with
+    metadata-driven counts — frames = min(4, duration_ms // 1000 + 1),
+    duration synthesized deterministically from n_chars. The frame
+    payloads are codec-dependent and excluded; the sampled row set
+    (media_id, frame_idx, ts_ms) is exact integers, so the EXPLODE
+    ARITHMETIC — the part that must be right at any scale — is fully
+    oracle-backed. Real frame extraction (Y4M tier) is covered by
+    non-skipped tests."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media_from_documents(d).select(
+        "media_id",
+        "content",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            ((F.col("media_id") * 977) % 5000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = mm.sample_frames(media, every_ms=1000, max_frames=4, decoder="stub")
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+    SELECT doc_id AS media_id, (doc_id * 977) % 5000 AS duration_ms FROM documents
+), n AS (
+    SELECT media_id,
+           CASE WHEN duration_ms > 0
+                THEN least(4, duration_ms // 1000 + 1) ELSE 1 END AS n_frames
+    FROM m
+)
+SELECT media_id,
+       CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx,
+       CAST(unnest(range(0, n_frames)) * 1000 AS BIGINT) AS ts_ms
+FROM n
+"""
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (Lee et al. 2022-style
     span dedup; operators/dedup.paragraph_dedup). Every third document
@@ -5406,6 +5451,7 @@ SPARK_QUERIES = {
     "repeated_spans": q_repeated_spans,
     "span_coverage": q_span_coverage,
     "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
     "quantile_buckets": q_quantile_buckets,
     "global_rank": q_global_rank,
     "join_blowup": q_join_blowup,
@@ -5577,6 +5623,7 @@ ORACLE_SQL = {
     "repeated_spans": SQL_REPEATED_SPANS,
     "span_coverage": SQL_SPAN_COVERAGE,
     "audio_features": SQL_AUDIO_FEATURES,
+    "frame_sample": SQL_FRAME_SAMPLE,
     "quantile_buckets": SQL_QUANTILE_BUCKETS,
     "global_rank": SQL_GLOBAL_RANK,
     "join_blowup": SQL_JOIN_BLOWUP,
