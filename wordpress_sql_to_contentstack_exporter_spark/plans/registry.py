@@ -1211,6 +1211,80 @@ FROM events WHERE value IS NOT NULL
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet (Gebru et al. 'Datasheets for Datasets'
+    motivates shipping a stats card with every corpus): one composed
+    query emitting (section, metric, value_long) rows — corpus size,
+    portable-token totals, exact-dedup surplus, per-language and
+    per-source counts, and quality-span integers (min/max chars). Every
+    value is a LONG (counts and exact sums only — no means or ratios,
+    which belong to the float-contract queries), so the whole card is a
+    hash contract. One scan feeds the global aggregates; the dimension
+    breakdowns reuse the same cached projection; the dedup surplus
+    reuses the exact-dedup canonical hash."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(portable_lower(F.trim(F.col("text"))), PORTABLE_WS_PLUS),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("nc"),
+        toks.alias("nt"),
+        F.sha2(F.regexp_replace(portable_lower(F.trim(F.col("text"))), PORTABLE_WS_PLUS, " "), 256).alias("h"),
+    )
+
+    global_stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.sum("nt").alias("total_tokens"),
+        F.min("nc").alias("min_chars"),
+        F.max("nc").alias("max_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_surplus"),
+    )
+    g = global_stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"), F.col(m).cast("long").alias("v"))
+                    for m in [
+                        "n_docs", "total_chars", "total_tokens",
+                        "min_chars", "max_chars", "dup_surplus",
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select(F.lit("global").alias("section"), F.col("s.metric"), F.col("s.v").alias("value_long"))
+    by_lang = base.groupBy(F.col("lang").alias("metric")).agg(
+        F.count(F.lit(1)).cast("long").alias("value_long")
+    ).select(F.lit("docs_by_lang").alias("section"), "metric", "value_long")
+    by_source = base.groupBy(F.col("source").alias("metric")).agg(
+        F.sum("nt").cast("long").alias("value_long")
+    ).select(F.lit("tokens_by_source").alias("section"), "metric", "value_long")
+    return g.unionByName(by_lang).unionByName(by_source)
+
+
+SQL_DATASET_CARD = r"""
+WITH base AS (
+    SELECT doc_id, lang, source, n_chars AS nc,
+           len(list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')) AS nt,
+           sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS h
+    FROM documents
+)
+SELECT 'global' AS section, m.metric, m.value_long FROM (
+    SELECT unnest(['n_docs', 'total_chars', 'total_tokens', 'min_chars', 'max_chars', 'dup_surplus']) AS metric,
+           unnest([count(*), sum(nc), sum(nt), min(nc), max(nc), count(*) - count(DISTINCT h)])::BIGINT AS value_long
+    FROM base
+) m
+UNION ALL
+SELECT 'docs_by_lang', lang, count(*)::BIGINT FROM base GROUP BY lang
+UNION ALL
+SELECT 'tokens_by_source', source, sum(nt)::BIGINT FROM base GROUP BY source
+"""
+
+
 #: >= 64-char block injected ahead of every third document so the
 #: repeated-span detector has verbatim cross-document repeats to find
 #: (the fixture's random text has almost none).
@@ -5452,6 +5526,7 @@ SPARK_QUERIES = {
     "span_coverage": q_span_coverage,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
+    "dataset_card": q_dataset_card,
     "quantile_buckets": q_quantile_buckets,
     "global_rank": q_global_rank,
     "join_blowup": q_join_blowup,
@@ -5624,6 +5699,7 @@ ORACLE_SQL = {
     "span_coverage": SQL_SPAN_COVERAGE,
     "audio_features": SQL_AUDIO_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "dataset_card": SQL_DATASET_CARD,
     "quantile_buckets": SQL_QUANTILE_BUCKETS,
     "global_rank": SQL_GLOBAL_RANK,
     "join_blowup": SQL_JOIN_BLOWUP,
