@@ -145,6 +145,7 @@ HAZARD_STRINGS = [
     "a\x0bb c", "a\x0cb", "a\r\nb", "a\xa0b", "a　b",
     "ΑΣ ΒΣΤ ΣΟΦΟΣ", "İstanbul I ı", "STRASSE straße",
     "éclair", "a\U0001f600b", "  padded  ", "",
+    "ﬁle ﬂow oﬀer suﬃx ﬆop", "ŉ ǰ ΐ ΰ", "ﬓեծ և ﬗառ",
 ]
 
 
@@ -188,6 +189,31 @@ def test_portable_lower_parity(spark):
             f"SELECT {sql_portable_lower('?')}", [s]
         ).fetchall()
         assert got[i] == want, f"portable_lower({s!r}): {got[i]!r} vs {want!r}"
+
+
+def test_portable_upper_parity(spark):
+    """Every SpecialCasing expansion codepoint (ligatures, ŉ, Greek
+    precomposed, Armenian ﬓ-family, ß) uppercases identically through
+    the portable fold on both engines — found by round-6 code review:
+    the original shim patched only ß."""
+    from wordpress_sql_to_contentstack_exporter_spark.functions.portable import (
+        portable_upper,
+        sql_portable_upper,
+    )
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(HAZARD_STRINGS)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["up"]
+        for r in df.select("i", portable_upper(F.col("t")).alias("up")).collect()
+    }
+    for i, s in enumerate(HAZARD_STRINGS):
+        [(want,)] = con.execute(
+            f"SELECT {sql_portable_upper('?')}", [s]
+        ).fetchall()
+        assert got[i] == want, f"portable_upper({s!r}): {got[i]!r} vs {want!r}"
 
 
 def test_portable_ws_split_parity(spark):

@@ -31,7 +31,7 @@ HAZARD_ALPHABET = (
     "\xa0　"
     "ΣσςΑΒ"
     "İıiI"
-    "ßẞ"
+    "ßẞﬁﬂŉև"
     "é́"
     "\U0001f600\U0001f680"
 )

@@ -290,11 +290,19 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
     }
     import re as _re
 
+    def portable_words(text: str) -> list[str]:
+        # mirror functions/portable.py exactly: Python str.lower() and
+        # regex \s diverge from the engine chain on hazard inputs
+        # (Python lower('İ') is 2 codepoints; \s matches U+0085/NBSP)
+        # — round-6 code-review finding
+        s = text.replace("İ", "i").lower().replace("ς", "σ")
+        return [w for w in _re.split(r"[ \t\n\r\f\x0b]+", s.strip(" ")) if w]
+
     mismatches = 0
     sandwich_ok = True
     for r in docs.collect():
         text = r["text"] or ""
-        words = [w for w in _re.sub(r"\s+", " ", text.strip().lower()).split(" ") if w]
+        words = portable_words(text)
         want = (len(words), sum(ref_encode(w) for w in words))
         g = got.get(r["doc_id"])
         if g != want:

@@ -90,14 +90,45 @@ def sql_portable_lower(expr: str) -> str:
     return f"translate(lower(translate({expr}, 'İ', 'i')), 'ς', 'σ')"
 
 
+#: Unicode SpecialCasing uppercase EXPANSIONS (1 codepoint -> several):
+#: Java's full toUpperCase applies them, utf8proc's 1:1 map does not, so
+#: each is pre-substituted with an equivalent decomposed LOWERCASE whose
+#: per-codepoint uppercase both engines agree on. One table drives both
+#: the Spark and the SQL rendering so the sides cannot drift.
+UPPER_EXPANSIONS: list[tuple[str, str]] = [
+    ("ß", "ss"),
+    ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"), ("ﬃ", "ffi"), ("ﬄ", "ffl"),
+    ("ﬅ", "st"), ("ﬆ", "st"),
+    ("ŉ", "ʼn"),          # ʼ + n
+    ("ǰ", "ǰ"),          # j + combining caron
+    ("ΐ", "ΐ"),     # ϊ + combining acute
+    ("ΰ", "ΰ"),     # ϋ + combining acute
+    ("ﬓ", "մն"), ("ﬔ", "մե"), ("ﬕ", "մի"), ("ﬖ", "վն"), ("ﬗ", "մխ"),
+    ("և", "եվ"),
+]
+
+_UPPER_HAZARD_CLASS = "[" + "".join(src for src, _ in UPPER_EXPANSIONS) + "]"
+
+
 def portable_upper(col: Column) -> Column:
-    """Unicode uppercase minus the one JVM/utf8proc divergence: ß.
-    Java's full uppercase expands ß to ``SS``; utf8proc maps it to the
-    single capital ẞ (U+1E9E). Pre-substituting ß→ss makes both engines
-    emit ``SS``. ASCII input is untouched."""
-    return F.upper(F.regexp_replace(col, "ß", "ss"))
+    """Unicode uppercase minus the JVM/utf8proc divergences: every
+    SpecialCasing expansion codepoint (ß and the ligature/precomposed
+    family — Java expands them, utf8proc maps 1:1, e.g. upper('straße')
+    is STRASSE vs STRAẞE and upper('ﬁle') is FILE vs ﬁLE) is
+    pre-substituted with its decomposed lowercase, after which both
+    engines uppercase codepoint-for-codepoint identically. Guarded by
+    one regex scan so hazard-free strings pay a single pass."""
+    patched = col
+    for src, dst in UPPER_EXPANSIONS:
+        patched = F.replace(patched, F.lit(src), F.lit(dst))
+    return F.when(
+        col.rlike(_UPPER_HAZARD_CLASS), F.upper(patched)
+    ).otherwise(F.upper(col))
 
 
 def sql_portable_upper(expr: str) -> str:
     """The DuckDB rendering of ``portable_upper`` for oracle SQL."""
-    return f"upper(replace({expr}, 'ß', 'ss'))"
+    out = expr
+    for src, dst in UPPER_EXPANSIONS:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"upper({out})"

@@ -361,6 +361,11 @@ def sample_frames(
         def y4m_frames(content) -> list[tuple[int, int, bytes]]:
             hdr = _y4m.parse_header(content)
             offs = _y4m.frame_offsets(content, hdr)
+            if not offs:
+                # a header-only stream would clamp fno to offs[-1] on an
+                # empty list (round-6 code-review finding): surface it
+                # as the ValueError the dispatch cascade understands
+                raise ValueError("Y4M stream has no frames")
             dur = (len(offs) * 1000 * hdr["fps_den"]) // hdr["fps_num"]
             n = min(max_frames, max(dur // every_ms, 0) + 1)
             fb = hdr["frame_bytes"]

@@ -386,13 +386,17 @@ def global_rank(
     bounds = d.agg(
         F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")
     )
+    # bucket via a precomputed width, NOT (vm-lo)*B/(span+1): the
+    # multiply overflows int64 whenever the scaled span exceeds 2^63/B —
+    # exactly the large-value regime this operator exists for (round-6
+    # code-review finding). width = span//B + 1 keeps every intermediate
+    # <= span and still yields buckets in [0, B): (vm-lo)//width <=
+    # span//width < B because width*B > span.
     b = d.join(F.broadcast(bounds)).withColumn(
-        "__bkt",
-        F.floor(
-            (F.col("__vm") - F.col("__lo"))
-            * n_buckets
-            / (F.col("__hi") - F.col("__lo") + 1)
-        ).cast("long"),
+        "__width",
+        F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L"),
+    ).withColumn(
+        "__bkt", F.expr("(__vm - __lo) div __width")
     )
     w_local = Window.partitionBy("__bkt").orderBy(
         F.col("__vm").asc(), *[F.col(c).asc() for c in tiebreak]
@@ -408,4 +412,4 @@ def global_rank(
     out = ranked.join(F.broadcast(offsets), "__bkt").withColumn(
         out_col, (F.col("__off") + F.col("__lr")).cast("long")
     )
-    return out.drop("__bkt", "__lr", "__off", "__lo", "__hi", "__vm")
+    return out.drop("__bkt", "__lr", "__off", "__lo", "__hi", "__vm", "__width")

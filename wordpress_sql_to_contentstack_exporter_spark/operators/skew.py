@@ -67,9 +67,13 @@ def salted_join(
     across reducers for a sort-merge join of two large tables. The
     classical fix, made an operator:
 
-    - fact side: rows whose key is hot get a deterministic salt in
-      ``[0, n_salts)`` (``xxhash64`` of the whole row — stable under
-      retry/rerun, unlike ``rand()``); cold rows get salt 0.
+    - fact side: rows whose key is hot get a salt in ``[0, n_salts)``
+      from the whole-row ``xxhash64`` XOR a per-row ordinal (the
+      ordinal spreads fully-duplicate rows, which a content hash alone
+      would pile onto one salt); cold rows get salt 0. The ordinal is
+      run-dependent, but the OUTPUT stays deterministic: any salt joins
+      the same replicated dim rows, so the result multiset is identical
+      whichever salt a copy draws.
     - dim side: hot-key rows are REPLICATED once per salt (an
       ``explode(sequence(...))`` of exactly ``n_salts`` copies, only
       for hot keys — the replication cost is |hot keys| x n_salts rows,
@@ -110,9 +114,20 @@ def salted_join(
     # the broadcast hint is applied AT each join (hints can be dropped by
     # intervening transformations)
     f = fact.join(F.broadcast(hot), key, "left")
+    # the ordinal term spreads FULLY-DUPLICATE hot rows (a whole-row
+    # hash alone sends every identical copy to one salt, re-creating
+    # the hot spot — round-6 code-review finding). Output determinism
+    # survives the ordinal's run-dependence: ANY salt in [0, n) joins
+    # the same replicated dim rows, so the result multiset is identical
+    # whichever salt each copy draws.
     f_salt = F.when(
         F.col("__is_hot").isNotNull(),
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in fact.columns]).bitwiseXOR(
+                F.monotonically_increasing_id()  # XOR, not +: addition of two full-range longs can overflow under ANSI
+            ),
+            F.lit(n_salts),
+        ),
     ).otherwise(F.lit(0).cast("long"))
     f = f.withColumn("__salt", f_salt).drop("__is_hot")
 

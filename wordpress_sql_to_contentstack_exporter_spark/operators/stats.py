@@ -337,7 +337,13 @@ def rolling_anomaly_auto(
         us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct(*[F.col(k) for k in keys]).alias("k"),
+            # struct-wrap: approx_count_distinct's SECOND positional arg
+            # is rsd, so passing multiple key columns positionally would
+            # bind a Column where a float belongs and crash (round-6
+            # code-review finding)
+            F.approx_count_distinct(
+                F.struct(*[F.col(k) for k in keys])
+            ).alias("k"),
             F.min(us).alias("lo"),
             F.max(us).alias("hi"),
         ).first()

@@ -669,7 +669,9 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ARRAY_HOF = r"""
+from ..functions.portable import sql_portable_upper as _spu  # noqa: E402
+
+SQL_ARRAY_HOF = rf"""
 WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks FROM documents)
 SELECT doc_id,
        len(list_filter(toks, x -> length(x) > 4)) AS n_long_tokens,
@@ -678,7 +680,7 @@ SELECT doc_id,
        CASE WHEN toks IS NULL THEN NULL
             ELSE coalesce(array_to_string(
                 list_transform(range(1, least(len(toks), 3) + 1),
-                               i -> upper(replace(toks[i], 'ß', 'ss'))), ' '), '')
+                               i -> {_spu('toks[i]')}), ' '), '')
        END AS first3_upper,
        CASE WHEN toks IS NULL THEN NULL
             ELSE coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
@@ -1089,7 +1091,10 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter.alias("n_common"),
             na.alias("n_a"),
             F.when(na > 0, inter / na).otherwise(F.lit(0.0)).alias("containment"),
-            ((inter * 100) >= (na * 80)).alias("contained_80"),
+            # zero-shingle docs must not flag: 0*100 >= 0*80 is true,
+            # which would mark every empty doc "80% contained" — the
+            # exact bug class the word_shingles empty fix closed
+            ((na > 0) & ((inter * 100) >= (na * 80))).alias("contained_80"),
         )
 
     return proj(neighbors).unionByName(proj(supersets))
@@ -1125,7 +1130,7 @@ SELECT id_a, id_b,
        CASE WHEN len(sa) > 0
             THEN len(list_intersect(sa, sb)) / CAST(len(sa) AS DOUBLE)
             ELSE 0.0 END AS containment,
-       len(list_intersect(sa, sb)) * 100 >= len(sa) * 80 AS contained_80
+       len(sa) > 0 AND len(list_intersect(sa, sb)) * 100 >= len(sa) * 80 AS contained_80
 FROM pairs
 """
 
@@ -1361,7 +1366,10 @@ def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
     wc = Window.partitionBy("source")
-    r = F.row_number().over(w)
+    # row_number() is IntegerType: widen BEFORE the *256 or a source
+    # with >2^31/256 docs overflows int32 while the DuckDB oracle
+    # auto-widens and stays correct (round-6 code-review finding)
+    r = F.row_number().over(w).cast("long")
     n = F.count(F.lit(1)).over(wc)
     bucket = F.floor(((r - 1) * 256) / n).cast("long")
     return d.select(
@@ -3694,9 +3702,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PMI_COLLOCATIONS = r"""
 WITH toks AS (
-    SELECT list_filter(
-               list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
-               t -> t != '') AS ts
+    SELECT list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ts
     FROM documents
 ), p0 AS (
     SELECT [ {'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts)) ] AS bs
@@ -3930,8 +3936,7 @@ WITH d AS (
     SELECT doc_id, text FROM documents WHERE doc_id < 1000
 ), toks AS (
     SELECT doc_id,
-           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
-                       t -> t != '') AS ts
+           list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ts
     FROM d
 ), sets AS (
     SELECT doc_id,
@@ -4003,9 +4008,7 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_LM = r"""
 WITH toks AS (
-    SELECT list_filter(
-               list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
-               t -> t != '') AS ts
+    SELECT list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ts
     FROM documents
 ), t0 AS (
     SELECT [ {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]}
@@ -5405,8 +5408,7 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_PAIRS = r"""
 WITH w0 AS (
     SELECT doc_id,
-           list_filter(list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != ''),
-                       t -> t != '') AS ts
+           list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ts
     FROM documents
 ), t0 AS (
     SELECT doc_id,
