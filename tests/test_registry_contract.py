@@ -16,48 +16,51 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-6 window contract (VERDICT r5 #2): repetition + its three
-# diagnostic probes, 16 SURVEY §2 anchors, and a 30-query rotation of
-# oracle-backed entries that had never earned a driver row. Pinned as a
-# SET (plus the probe-ordering constraint), not a frozen order, so next
-# round's rotation edits this list deliberately rather than breaking an
-# order assertion by accident.
-ROUND6_WINDOW_ANCHORS = {
-    "repetition_corpus_echo", "repetition_lines", "repetition_grams",
-    "repetition",
-    "flagship_posts_export", "filter_project", "in_list_filter",
-    "semi_join", "anti_join", "left_outer_join", "eav_pivot",
-    "inner_join", "broadcast_lookup", "group_concat", "hierarchy_parent",
-    "count_group_by", "sort_limit", "scalar_strings",
-    "entity_decode_split", "date_permalink",
+# The round-7 window contract (VERDICT r6 #1, #2): repetition + its FOUR
+# diagnostic probes, the two other round-6 driver-red gates (oracles
+# hardened this round), 7 SURVEY §2 anchors, and the complete 36-query
+# remainder of oracle-backed entries that never earned a driver row —
+# finishing the rotation. Pinned as a SET (plus the probe-ordering
+# constraint), not a frozen order, so next round's rotation edits this
+# list deliberately rather than breaking an order assertion by accident.
+ROUND7_WINDOW_ANCHORS = {
+    "repetition_corpus_echo", "repetition_lines", "repetition_tokens",
+    "repetition_grams", "repetition",
+    "rolling_anomaly", "embedding_centroids",
+    "flagship_posts_export", "eav_pivot", "group_concat",
+    "hierarchy_parent", "date_permalink", "scalar_strings",
+    "entity_decode_split",
 }
-ROUND6_WINDOW_ROTATION = {
-    "paragraph_dedup", "token_topk", "tfidf_topterms", "url_parse",
-    "gapfill", "percentiles", "quality_filter", "funnel",
-    "retention_cohorts", "event_transitions", "weighted_sample",
-    "moving_average", "pivot_unpivot", "row_checksum", "doc_chunks",
-    "fk_integrity", "range_join_bucketed", "upsert_snapshot",
-    "table_diff", "session_paths", "rolling_anomaly", "histogram",
-    "merge_intervals", "scd2_history", "boilerplate_removal",
-    "fuzzy_pairs", "pmi_collocations", "embedding_centroids",
-    "inverted_index", "epoch_upsample",
+ROUND7_WINDOW_ROTATION = {
+    "salted_join", "robust_anomaly", "containment", "ngram_novelty",
+    "repeated_spans", "span_coverage", "audio_features", "frame_sample",
+    "dataset_card", "quantile_buckets", "global_rank", "join_blowup",
+    "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
+    "event_pattern", "record_linkage", "winsorize", "time_rollup",
+    "cluster_keepers", "centroid_similarity", "source_overlap",
+    "histogram_drift", "grouped_mode", "corr_stats", "vocab_drift",
+    "triangle_count", "pagerank", "ship_lag", "basket_pairs",
+    "embedding_norms", "bfs_levels", "ewma", "max_concurrency",
+    "tfidf_pairs",
 }
 
 
-def test_round6_window_set():
+def test_round7_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
-    assert window == ROUND6_WINDOW_ANCHORS | ROUND6_WINDOW_ROTATION
+    assert window == ROUND7_WINDOW_ANCHORS | ROUND7_WINDOW_ROTATION
 
 
 def test_repetition_probes_precede_repetition():
     """The probes must land in the driver artifact even if the driver
     truncates mid-window, and must appear before the gate they
-    diagnose."""
+    diagnose — ordered coarse-to-fine (corpus, lines, tokens, grams) so
+    a truncated run still reads as a bisection."""
     names = list(SPARK_QUERIES)
     idx = {n: i for i, n in enumerate(names)}
-    assert idx["repetition_corpus_echo"] < idx["repetition"]
-    assert idx["repetition_lines"] < idx["repetition"]
+    assert idx["repetition_corpus_echo"] < idx["repetition_lines"]
+    assert idx["repetition_lines"] < idx["repetition_tokens"]
+    assert idx["repetition_tokens"] < idx["repetition_grams"]
     assert idx["repetition_grams"] < idx["repetition"]
     assert idx["repetition"] < DRIVER_SNAPSHOT_WINDOW
 

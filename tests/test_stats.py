@@ -36,8 +36,9 @@ def test_rolling_anomaly_flags_planted_outlier(spark):
     early = out.filter(F.col("w_n") < 30).filter(F.col("is_anomaly")).count()
     assert early == 0
     # integer evidence is exact: w_sum of the first row == its own value
+    # floored at the power-of-two scale (10.0 * 1024)
     first = out.orderBy("event_id").first()
-    assert first["w_n"] == 1 and first["w_sum"] == 10000
+    assert first["w_n"] == 1 and first["w_sum"] == 10240
 
     with pytest.raises(ValueError):
         rolling_anomaly(df, keys=["k"], order_by=["ts"], value_col="value",
@@ -154,10 +155,11 @@ def test_rolling_anomaly_chunked_sparse_chunk_shortens_window_only(spark):
         window_rows=5, min_points=2, n_sigma=3, chunk_seconds=86400,
     )
     got = {r["i"]: (r["w_n"], r["w_sum"]) for r in out.collect()}
-    # first day-2 row: 2 carried + itself = 3 rows, sum 1000+2000+3000
-    assert got[10] == (3, 6000)
+    # first day-2 row: 2 carried + itself = 3 rows, floor-scaled at the
+    # power-of-two default (1024*1 + 1024*2 + 1024*3)
+    assert got[10] == (3, 6 * 1024)
     # window caps at 5 as rows accumulate
-    assert got[13] == (5, 2000 + 3000 + 4000 + 5000 + 6000)
+    assert got[13] == (5, (2 + 3 + 4 + 5 + 6) * 1024)
 
 
 def test_event_pattern_match_semantics(spark):

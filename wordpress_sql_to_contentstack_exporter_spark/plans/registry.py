@@ -1634,18 +1634,29 @@ FROM lines
 """
 
 
-def q_repetition_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic probe 3/3 (VERDICT r5 #1a): ONLY the bigram-stage
-    outputs — total word-2-gram count and the top gram's count. Same
-    production chain, gram columns only. If `repetition` reds again
-    while probes 1-2 stay green, THIS row names the divergent stage."""
-    both = _repetition_corpus(spark, sf_dir)
-    return tx.repetition_features(both).select(
-        "doc_id", "n_bigrams", "top_c"
-    )
+# Portable tokenizer for the REPETITION family's tripled (multi-newline)
+# corpus. Round-7 root-cause isolation (VERDICT r6 #1a): in the r6 driver
+# run, every query that regex-splits the PLAIN corpus (`inverted_index`,
+# `pmi_collocations` — which also proves the `range()` gram comprehension
+# and `t[i]` element access) is GREEN, while the only two queries that
+# regex-split MULTI-NEWLINE text (`repetition_grams`, `repetition`) are
+# RED with rows+schema matching. The divergent construct is therefore
+# `string_split_regex(..., '[ \t\n\r\f\x0b]+')` applied to text containing
+# newlines on the driver's DuckDB build. This expression is its exact
+# equivalent built ONLY from driver-proven primitives: `replace` each
+# portable-whitespace char with a space, then `string_split` on the
+# single space (proven green in `repetition_lines`), then drop empties —
+# token-for-token identical to the regex split on every input whose
+# whitespace is drawn from {space, \t, \n, \r, \f, \x0b}, which is the
+# portable-whitespace contract (functions/portable.py).
+_PORTABLE_TOKS_SQL = (
+    "list_filter(string_split(translate(lower(translate("
+    "replace(replace(replace(replace(replace(text, chr(10), ' '), chr(9), ' '),"
+    " chr(13), ' '), chr(12), ' '), chr(11), ' ')"
+    ", 'İ', 'i')), 'ς', 'σ'), ' '), x -> x != '')"
+)
 
-
-SQL_REPETITION_GRAMS = r"""
+_REPETITION_CORPUS_CTE = """
 WITH corpus AS (
     SELECT doc_id, coalesce(text, '') AS text FROM documents
     UNION ALL
@@ -1654,13 +1665,60 @@ WITH corpus AS (
            || chr(10) || coalesce(text, '')
     FROM documents
 ),
+"""
+
+
+def q_repetition_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic probe 3/4 (VERDICT r6 #1a): ONLY the token-stage
+    output of the repetition chain over the TRIPLED corpus — token
+    count plus an md5 over the exact token sequence. Sits between the
+    driver-green line stage and the driver-red gram stage: green here
+    means both engines agree on the tokens of multi-newline text, so
+    any remaining `repetition_grams` red is the gram construction;
+    red here pins the tokenizer itself."""
+    both = _repetition_corpus(spark, sf_dir)
+    toks = tx.tokens(tx.normalize_for_rep(F.col("text")))
+    return both.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("\x01", toks)).alias("toks_md5"),
+    )
+
+
+SQL_REPETITION_TOKENS = (
+    _REPETITION_CORPUS_CTE
+    + f"""
 toks AS (
-    SELECT doc_id,
-           CASE WHEN trim(text, ' ') = '' THEN []
-                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
-           END AS t
+    SELECT doc_id, {_PORTABLE_TOKS_SQL} AS t
     FROM corpus
-),
+)
+SELECT doc_id, len(t) AS n_tokens,
+       md5(array_to_string(t, chr(1))) AS toks_md5
+FROM toks
+"""
+)
+
+
+def q_repetition_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic probe 4/4 (VERDICT r5 #1a, r6 #1a): ONLY the
+    bigram-stage outputs — total word-2-gram count and the top gram's
+    count. Same production chain, gram columns only. If `repetition`
+    reds again while probes 1-3 stay green, THIS row names the gram
+    construction as the divergent stage."""
+    both = _repetition_corpus(spark, sf_dir)
+    return tx.repetition_features(both).select(
+        "doc_id", "n_bigrams", "top_c"
+    )
+
+
+SQL_REPETITION_GRAMS = (
+    _REPETITION_CORPUS_CTE
+    + f"""
+toks AS (
+    SELECT doc_id, {_PORTABLE_TOKS_SQL} AS t
+    FROM corpus
+),"""
+    + r"""
 grams AS (
     SELECT doc_id, unnest([concat(t[i], ' ', t[i + 1])
                            for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS gram
@@ -1679,6 +1737,7 @@ SELECT c.doc_id,
 FROM (SELECT DISTINCT doc_id FROM corpus) c
 LEFT JOIN gram_stats g ON c.doc_id = g.doc_id
 """
+)
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1702,9 +1761,21 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-EXCLUSIVE build turns every "bigram" into a unigram, changing
     ``top_c``/``rep_flagged`` but neither row count nor schema — the
     exact observed failure signature. Direct 1-based element access
-    ``concat(t[i], ' ', t[i+1])`` is version-stable. The three
-    `repetition_*` probes preceding this entry in the registry localize
-    any remaining driver-env divergence to a named stage."""
+    ``concat(t[i], ' ', t[i+1])`` is version-stable.
+
+    Round-7 root-cause fix (VERDICT r6 #1a) from the r6 driver evidence:
+    the regex-split/gram chain is GREEN on the plain corpus
+    (`inverted_index`, `pmi_collocations` — the latter proving the
+    `range()` comprehension and `t[i]` access specifically) but RED on
+    the tripled multi-newline corpus, so the divergent construct is
+    ``string_split_regex`` over newline-containing text on the driver's
+    DuckDB build. The oracle tokenizer is now `_PORTABLE_TOKS_SQL` —
+    replace-each-whitespace-then-split-on-space, built exclusively from
+    primitives with driver-green history — and the new
+    `repetition_tokens` probe isolates the token stage on the tripled
+    corpus should any red remain. The four `repetition_*` probes
+    preceding this entry localize any driver-env divergence to a named
+    stage."""
     both = _repetition_corpus(spark, sf_dir)
     return tx.repetition_features(both).select(
         "doc_id", "n_lines", "n_distinct_lines", "n_bigrams", "top_c",
@@ -1733,10 +1804,7 @@ base AS (
     FROM lines
 ),
 toks AS (
-    SELECT doc_id,
-           CASE WHEN trim(text, ' ') = '' THEN []
-                ELSE list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '')
-           END AS t
+    SELECT doc_id, __PORTABLE_TOKS__ AS t
     FROM corpus
 ),
 grams AS (
@@ -1761,7 +1829,7 @@ SELECT b.doc_id, b.n_lines, b.n_distinct_lines,
         OR (100 * coalesce(g.top_c, 0) > 18 * coalesce(g.n_bigrams, 0)
             AND coalesce(g.n_bigrams, 0) >= 20)) AS rep_flagged
 FROM base b LEFT JOIN gram_stats g ON b.doc_id = g.doc_id
-"""
+""".replace("__PORTABLE_TOKS__", _PORTABLE_TOKS_SQL)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3448,8 +3516,11 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROLLING_ANOMALY = """
 WITH v AS (
+    -- floor of a power-of-two-scaled double: multiply is exact, floor is
+    -- an unambiguous function of the bits — no rounding mode to disagree
+    -- on (round(value*1000) diverged in the r6 driver env, VERDICT r6 #1b)
     SELECT event_id, event_type, ts,
-           CAST(round(value * 1000) AS BIGINT) AS x
+           CAST(floor(value * 1024) AS BIGINT) AS x
     FROM events
 ), w AS (
     SELECT event_id, event_type, x,
@@ -3734,27 +3805,39 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids
     (operators/similarity.embedding_centroids): dimension-wise means
     with exact 2^20-scaled integer sums — float addition is
-    order-dependent, so the SUM contract is integers and the derived
-    centroid divides in one fixed order (bit-identical cross-engine)."""
+    order-dependent, so the SUM contract is integers.
+
+    Round-7 gate hardening (VERDICT r6 #1c) after a driver-env
+    hash_match red with rows+schema green: (a) the gate compares ONLY
+    the exact-integer evidence (label, dim, sum_scaled, n) — the
+    derived ``centroid`` double stays available on the operator for
+    in-engine consumers but is reconstructible from sum_scaled/n and
+    was the only computed double in the compared output; (b) the oracle
+    no longer zips ``generate_subscripts`` with a same-SELECT
+    ``unnest`` — that pairing is DuckDB-version-sensitive and a dim
+    misalignment scrambles sums while preserving row count and schema
+    (the exact observed signature). It now unnests a single list of
+    (dim, v) structs built with the `range()` comprehension shape that
+    `pmi_collocations` proved green in the r6 driver run."""
     e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
-    return sim.embedding_centroids(e, group_col="label", vec_col="embedding")
+    return sim.embedding_centroids(
+        e, group_col="label", vec_col="embedding"
+    ).select("label", "dim", "sum_scaled", "n")
 
 
 SQL_EMBEDDING_CENTROIDS = """
-WITH e AS (
+WITH p0 AS (
     SELECT label,
-           generate_subscripts(embedding, 1) - 1 AS dim,
-           unnest(embedding) AS v
+           [{'dim': i - 1, 'v': embedding[i]}
+            for i in range(1, len(embedding) + 1)] AS pairs
     FROM embeddings
-), s AS (
-    SELECT label, CAST(dim AS BIGINT) AS dim,
-           sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS sum_scaled,
-           count(*) AS n
-    FROM e GROUP BY label, dim
+), e AS (
+    SELECT label, unnest(pairs, recursive := true) FROM p0
 )
-SELECT label, dim, sum_scaled, n,
-       CAST(sum_scaled AS DOUBLE) / n / 1048576 AS centroid
-FROM s
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS sum_scaled,
+       count(*) AS n
+FROM e GROUP BY label, dim
 """
 
 
@@ -5454,72 +5537,37 @@ DRIVER_SNAPSHOT_WINDOW = 50
 
 # Registry order IS the driver contract: the correctness driver
 # snapshots the FIRST ``DRIVER_SNAPSHOT_WINDOW`` (50) entries each
-# round. Round-6 rotation policy (VERDICT r5 #2): the window holds
-# (a) the `repetition` diagnostic probes + `repetition` itself,
-# (b) a fixed set of SURVEY §2 anchors, and (c) ~30 oracle-backed
-# queries that have NEVER earned a driver row — rotated each round so
-# every oracle query eventually gets driver-environment evidence, not
-# just committed-local evidence. COVERAGE.md records which round gave
-# each query its driver-green row; tests/test_registry_contract.py
-# pins the window's SET invariants (probes+repetition in-window,
-# all-oracle-backed, rotation actually rotates), not one frozen order.
+# round. Round-7 window (VERDICT r6 #1, #2): (a) the `repetition`
+# instrumentation — now FOUR probes (corpus echo, lines, NEW tokens,
+# grams) ahead of `repetition` itself; (b) the two other round-6
+# driver-red gates whose oracles were hardened this round
+# (`rolling_anomaly`, `embedding_centroids`); (c) 7 SURVEY §2 anchors
+# (shrunk from 16 — each has 5-6 green driver rounds on record); and
+# (d) the FULL 36-query remainder of oracle-backed entries that have
+# never earned a driver row — this completes the rotation: after this
+# round every oracle-backed query has driver-environment evidence from
+# some round (provenance in COVERAGE.md).
 SPARK_QUERIES = {
-    # --- window part (a): the repetition instrumentation (r5 #1) ---
+    # --- window part (a): the repetition instrumentation (r5 #1, r6 #1a) ---
     "repetition_corpus_echo": q_repetition_corpus_echo,
     "repetition_lines": q_repetition_lines,
+    "repetition_tokens": q_repetition_tokens,
     "repetition_grams": q_repetition_grams,
     "repetition": q_repetition,
-    # --- window part (b): 16 stable SURVEY §2 anchors ---
+    # --- window part (b): round-6 red gates, oracles hardened (r6 #1b/#1c) ---
+    "rolling_anomaly": q_rolling_anomaly,
+    "embedding_centroids": q_embedding_centroids,
+    # --- window part (c): 7 SURVEY §2 anchors ---
     "flagship_posts_export": q_flagship_posts_export,
-    "filter_project": q_filter_project,
-    "in_list_filter": q_in_list_filter,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
-    "left_outer_join": q_left_outer_join,
     "eav_pivot": q_eav_pivot,
-    "inner_join": q_inner_join,
-    "broadcast_lookup": q_broadcast_lookup,
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
-    "count_group_by": q_count_group_by,
-    "sort_limit": q_sort_limit,
+    "date_permalink": q_date_permalink,
     "scalar_strings": q_scalar_strings,
     "entity_decode_split": q_entity_decode_split,
-    "date_permalink": q_date_permalink,
-    # --- window part (c): round-6 rotation — 30 oracle-backed queries
-    # with committed-local green but no driver row yet (added r4-r5) ---
-    "paragraph_dedup": q_paragraph_dedup,
-    "token_topk": q_token_topk,
-    "tfidf_topterms": q_tfidf_topterms,
-    "url_parse": q_url_parse,
-    "gapfill": q_gapfill,
-    "percentiles": q_percentiles,
-    "quality_filter": q_quality_filter,
-    "funnel": q_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "event_transitions": q_event_transitions,
-    "weighted_sample": q_weighted_sample,
-    "moving_average": q_moving_average,
-    "pivot_unpivot": q_pivot_unpivot,
-    "row_checksum": q_row_checksum,
-    "doc_chunks": q_doc_chunks,
-    "fk_integrity": q_fk_integrity,
-    "range_join_bucketed": q_range_join_bucketed,
-    "upsert_snapshot": q_upsert_snapshot,
-    "table_diff": q_table_diff,
-    "session_paths": q_session_paths,
-    "rolling_anomaly": q_rolling_anomaly,
-    "histogram": q_histogram,
-    "merge_intervals": q_merge_intervals,
-    "scd2_history": q_scd2_history,
-    "boilerplate_removal": q_boilerplate_removal,
-    "fuzzy_pairs": q_fuzzy_pairs,
-    "pmi_collocations": q_pmi_collocations,
-    "embedding_centroids": q_embedding_centroids,
-    "inverted_index": q_inverted_index,
-    "epoch_upsample": q_epoch_upsample,
-    # --- oracle-backed, OUTSIDE the round-6 window ---
-    # next rotation candidates (no driver row yet; local green):
+    # --- window part (d): round-7 rotation — the complete remainder of
+    # oracle-backed queries with committed-local green but no driver
+    # row yet (VERDICT r6 #2 names all 36) ---
     "salted_join": q_salted_join,
     "robust_anomaly": q_robust_anomaly,
     "containment": q_containment,
@@ -5556,8 +5604,45 @@ SPARK_QUERIES = {
     "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
     "tfidf_pairs": q_tfidf_pairs,
-    # driver-green r1-r5 (rotated out to make window room; provenance
-    # in COVERAGE.md):
+    # --- oracle-backed, OUTSIDE the round-7 window: driver-green in
+    # r1-r6 (provenance in COVERAGE.md) ---
+    "filter_project": q_filter_project,
+    "in_list_filter": q_in_list_filter,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "left_outer_join": q_left_outer_join,
+    "inner_join": q_inner_join,
+    "broadcast_lookup": q_broadcast_lookup,
+    "count_group_by": q_count_group_by,
+    "sort_limit": q_sort_limit,
+    "paragraph_dedup": q_paragraph_dedup,
+    "token_topk": q_token_topk,
+    "tfidf_topterms": q_tfidf_topterms,
+    "url_parse": q_url_parse,
+    "gapfill": q_gapfill,
+    "percentiles": q_percentiles,
+    "quality_filter": q_quality_filter,
+    "funnel": q_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
+    "weighted_sample": q_weighted_sample,
+    "moving_average": q_moving_average,
+    "pivot_unpivot": q_pivot_unpivot,
+    "row_checksum": q_row_checksum,
+    "doc_chunks": q_doc_chunks,
+    "fk_integrity": q_fk_integrity,
+    "range_join_bucketed": q_range_join_bucketed,
+    "upsert_snapshot": q_upsert_snapshot,
+    "table_diff": q_table_diff,
+    "session_paths": q_session_paths,
+    "histogram": q_histogram,
+    "merge_intervals": q_merge_intervals,
+    "scd2_history": q_scd2_history,
+    "boilerplate_removal": q_boilerplate_removal,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "pmi_collocations": q_pmi_collocations,
+    "inverted_index": q_inverted_index,
+    "epoch_upsample": q_epoch_upsample,
     "null_default_conditional": q_null_default_conditional,
     "struct_json": q_struct_json,
     "json_extract": q_json_extract,
@@ -5610,6 +5695,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "repetition_corpus_echo": SQL_REPETITION_CORPUS_ECHO,
     "repetition_lines": SQL_REPETITION_LINES,
+    "repetition_tokens": SQL_REPETITION_TOKENS,
     "repetition_grams": SQL_REPETITION_GRAMS,
     "flagship_posts_export": SQL_FLAGSHIP,
     "filter_project": SQL_FILTER_PROJECT,
