@@ -1,0 +1,191 @@
+"""Mechanical lint over every DuckDB oracle (VERDICT r6 #5).
+
+Four driver rounds established a class of SQL constructs whose
+semantics differ across DuckDB BUILDS — they pass the local gate and
+red only in a foreign environment, with rows+schema matching and only
+the value hash off (the most expensive failure signature to debug).
+The confirmed/suspected families are documented in
+``functions/portable.py`` (hazard families A-E); this test makes the
+class un-reintroducible: every ``SQL_*`` string in the registry is
+scanned, and any NEW use of a banned construct fails here, locally,
+with a pointer to the doctrine — instead of next round, remotely, as
+an unexplained hash red.
+
+Allowlists pin the EXISTING uses that carry driver-green evidence
+(listed with the round of proof); extending one is a deliberate,
+reviewed act.
+"""
+
+from __future__ import annotations
+
+import re
+
+from wordpress_sql_to_contentstack_exporter_spark.plans.registry import ORACLE_SQL
+
+DOCTRINE = "see functions/portable.py hazard families + tests/test_oracle_lint.py"
+
+
+def _strip(sql: str) -> str:
+    """Remove ``--`` comments and single-quoted literals so the lint
+    matches CODE, not prose or string contents."""
+    no_comments = re.sub(r"--[^\n]*", "", sql)
+    return re.sub(r"'(?:[^']|'')*'", "''", no_comments)
+
+
+def _sites(pattern: str) -> set[tuple[str, str]]:
+    out = set()
+    for name, sql in ORACLE_SQL.items():
+        for m in re.finditer(pattern, _strip(sql)):
+            out.add((name, re.sub(r"\s+", " ", m.group(0)).strip()))
+    return out
+
+
+# Family A: round() on doubles. Allowed ONLY on quantized 2-decimal
+# columns x 10^k, where the product is near-integer by construction and
+# both engines' round-to-integer agrees on the identical double
+# (driver-green: the money columns since r1; value*1000 via
+# moving_average/gapfill in r6). Everything else: floor(x * 2^k).
+ROUND_ALLOWED_ARGS = {
+    "l_discount * 100",
+    "l_extendedprice * 100",
+    "l_quantity * 100",
+    "o_totalprice * 100",
+    "o.o_totalprice * 100",
+    "c_acctbal * 100",
+    "c.c_acctbal * 100",
+    "value * 100",
+    "value * 1000",
+}
+
+
+def test_family_a_round_on_doubles_is_allowlisted():
+    offenders = {
+        (name, arg.strip())
+        for name, site in _sites(r"round\([^)]*\)")
+        for arg in [site[len("round(") : -1]]
+        if arg.strip() not in ROUND_ALLOWED_ARGS
+    }
+    assert not offenders, (
+        f"new round() on a double in an oracle: {sorted(offenders)} — "
+        f"near-integer quantized args only; else floor(x * 2^k). {DOCTRINE}"
+    )
+
+
+# Family B: bracket list slices t[i:j]. One proven-green site
+# (ngram_jaccard, driver-green r1-r5).
+SLICE_ALLOWED = {("ngram_jaccard", "[i:i+2]")}
+
+
+def test_family_b_bracket_slices_are_allowlisted():
+    sites = _sites(r"\[\s*[\w()+\- ]+:\s*[\w()+\- ]+\s*\]")
+    offenders = sites - SLICE_ALLOWED
+    assert not offenders, (
+        f"bracket list slice in an oracle: {sorted(offenders)} — slice "
+        f"end-inclusivity is build-sensitive; use t[i] element access or "
+        f"list_slice(). {DOCTRINE}"
+    )
+
+
+# Family C: generate_subscripts — banned outright since the r6
+# embedding_centroids red; zero remaining uses.
+def test_family_c_generate_subscripts_is_banned():
+    offenders = _sites(r"generate_subscripts")
+    assert not offenders, (
+        f"generate_subscripts in an oracle: {sorted(offenders)} — its "
+        f"unnest zip pairing is version-sensitive; unnest (index, value) "
+        f"structs instead. {DOCTRINE}"
+    )
+
+
+# Family D: string_split_regex over text that CONTAINS newlines. The
+# static proxy: an oracle that CONSTRUCTS multi-line text (a chr(10)
+# concatenation) must not regex-split anything. chr(10) as a
+# string_split DELIMITER (the line stage) is fine and driver-proven.
+def test_family_d_no_regex_split_on_constructed_multiline_text():
+    offenders = [
+        name
+        for name, sql in ORACLE_SQL.items()
+        if "string_split_regex" in _strip(sql)
+        and re.search(r"\|\|\s*chr\(10\)", _strip(sql))
+    ]
+    assert not offenders, (
+        f"oracle regex-splits text it built with chr(10) concatenation: "
+        f"{offenders} — the r6 repetition red's differentiator; use "
+        f"_PORTABLE_TOKS_SQL (replace-then-split). {DOCTRINE}"
+    )
+
+
+# Family F: HUGEINT-typed output columns. DuckDB's sum(BIGINT) returns
+# HUGEINT (int128); how a comparator RENDERS an int128 (int vs float64
+# vs Decimal) is a client/build choice, so a raw sum leaking into the
+# compared output hash-diverges in a foreign environment while every
+# value is numerically identical. This was THE round-6 failure class:
+# the four driver reds (repetition, repetition_grams, rolling_anomaly,
+# embedding_centroids) were exactly the four window queries emitting a
+# HUGEINT column, and all 46 greens emitted none. Unlike families A-E
+# this one is checked by TYPE, not by regex: every oracle actually
+# runs on DuckDB (sf0.001 — the shapes, not the volume, matter) and
+# its result column types are inspected.
+def test_family_f_no_hugeint_or_decimal_output_columns():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in ORACLE_SQL.items():
+        rel = con.sql(sql)
+        hits = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty) in ("HUGEINT", "UHUGEINT")
+            or str(ty).startswith("DECIMAL")
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracle emits HUGEINT/DECIMAL columns: {offenders} — cast "
+        f"sums to ::BIGINT so both engines' outputs are the same "
+        f"physical type. {DOCTRINE}"
+    )
+
+
+# Family E: raw-timestamp ORDER BY inside a window or ordered
+# aggregate. Integer epoch_us(ts) keys order identically regardless of
+# an engine's parquet timestamp decode precision.
+# Pre-doctrine sites carrying direct driver-green evidence (raw-ts
+# ordering demonstrably agreed in the driver env: window_latest_event /
+# sessionize r1-r5, event_transitions / session_paths r6). New queries
+# must use the integer key.
+TS_ORDER_ALLOWED = {
+    "window_latest_event",
+    "sessionize",
+    "event_transitions",
+    "session_paths",
+}
+
+
+def test_family_e_no_raw_ts_window_ordering():
+    pat = re.compile(r"ORDER BY\s+ts\b", re.IGNORECASE)
+    offenders = [
+        name
+        for name, sql in ORACLE_SQL.items()
+        if name not in TS_ORDER_ALLOWED
+        and any(
+            pat.search(line)
+            for line in _strip(sql).splitlines()
+            # only window/agg internal orderings — a final result ORDER BY
+            # doesn't affect the order-insensitive hash compare
+            if "OVER" in line or "list(" in line or "string_agg" in line
+        )
+    ]
+    assert not offenders, (
+        f"window/aggregate ordered by raw ts in an oracle: {offenders} — "
+        f"order by epoch_us(ts) instead. {DOCTRINE}"
+    )

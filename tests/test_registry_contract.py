@@ -26,10 +26,10 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 ROUND7_WINDOW_ANCHORS = {
     "repetition_corpus_echo", "repetition_lines", "repetition_tokens",
     "repetition_grams", "repetition",
-    "rolling_anomaly", "embedding_centroids",
+    "rolling_values_echo", "rolling_window_sums", "rolling_anomaly",
+    "embedding_centroids",
     "flagship_posts_export", "eav_pivot", "group_concat",
-    "hierarchy_parent", "date_permalink", "scalar_strings",
-    "entity_decode_split",
+    "hierarchy_parent", "date_permalink",
 }
 ROUND7_WINDOW_ROTATION = {
     "salted_join", "robust_anomaly", "containment", "ngram_novelty",

@@ -266,9 +266,28 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
     # --- bpe_tokenize: no SQL oracle can express a greedy merge loop,
     # so the evidence is bit-exact agreement with an INDEPENDENT
     # reference implementation (sequential whole-word replace in merge
-    # order — the classic training-style apply, provably equivalent to
-    # the operator's greedy lowest-rank encode) over the entire corpus.
+    # order — the classic training-style apply) over the entire corpus.
+    # EQUIVALENCE PRECONDITION: sequential-replace == greedy
+    # lowest-rank encode only for CREATION-ORDERED merge tables — every
+    # composite symbol must be produced by an EARLIER merge (true for
+    # any table actually learned by BPE training, which can only merge
+    # symbols that already exist; a hand-edited table like
+    # [('x','ab'), ('a','b')] breaks it: on 'xab' sequential-replace
+    # yields ['x','ab'] -> no match then ['xab'?] while greedy encodes
+    # differently). Asserted below so a future edit to BPE_GATE_MERGES
+    # cannot silently turn this check into a false validator.
     from wordpress_sql_to_contentstack_exporter_spark.plans.registry import BPE_GATE_MERGES
+
+    produced: set[str] = set()
+    for a, b in BPE_GATE_MERGES:
+        for sym in (a, b):
+            assert len(sym) == 1 or sym in produced, (
+                f"BPE_GATE_MERGES is not creation-ordered: {sym!r} in merge "
+                f"({a!r},{b!r}) is not produced by an earlier merge — the "
+                "sequential-replace reference is no longer equivalent to "
+                "greedy encode; regenerate the table from actual training"
+            )
+        produced.add(a + b)
 
     def ref_encode(word: str) -> int:
         syms = list(word)
@@ -368,6 +387,23 @@ def main() -> int:
             }
             continue
         try:
+            # type gate FIRST (the round-6 failure class): a HUGEINT /
+            # DECIMAL output column hashes identically here (fetchall ->
+            # Python int) but renders differently under other client
+            # fetch paths (pandas -> float64), which is exactly how four
+            # locally-green queries redded in the round-6 driver env.
+            rel = con.sql(oracles[name])
+            loud = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+                or str(t).startswith("DECIMAL")
+            ]
+            if loud:
+                raise TypeError(
+                    f"oracle emits client-render-sensitive types {loud}; "
+                    "cast sums to ::BIGINT (tests/test_oracle_lint.py family F)"
+                )
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()

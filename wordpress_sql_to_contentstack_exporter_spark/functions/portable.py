@@ -42,6 +42,33 @@ set) and both engines agree on every input:
 Every oracle-gated tokenization chain (tokens, normalize_for_rep,
 dedup canonicalization, token/term explodes, the SQL oracles) routes
 through these.
+
+ORACLE-SIDE HAZARD FAMILIES (VERDICT r6 #5 — these are DuckDB
+constructs whose semantics proved or are suspected BUILD-sensitive;
+tests/test_oracle_lint.py mechanically bans new uses in every
+``SQL_*`` oracle, with a pinned allowlist for the proven-green sites):
+
+A. ``round()`` on doubles — safe ONLY when the scaled argument is
+   near-integer by construction (quantized 2-decimal columns x 10^k:
+   the money columns, events.value); on continuous values the
+   half-rule is a build choice. New contracts use
+   ``floor(x * 2^k)`` — exact multiply, unambiguous floor.
+B. Bracket list slices ``t[i:j]`` — end-inclusivity varies across
+   builds (r5 #1c); use direct 1-based element access or the
+   explicit-argument ``list_slice`` function.
+C. ``generate_subscripts`` + ``unnest`` same-SELECT zip — pairing is
+   version-sensitive; a dim misalignment scrambles values while
+   preserving row count/schema (the r6 ``embedding_centroids``
+   signature). Use a single ``unnest`` of (index, value) structs.
+D. ``string_split_regex`` over text CONTAINING newlines — the r6
+   driver red's differentiator: every plain-corpus regex-split oracle
+   was green while both tripled-(multi-newline-)corpus ones were red.
+   Use the replace-each-whitespace-then-``string_split(' ')`` chain
+   (``plans/registry._PORTABLE_TOKS_SQL``) wherever the input can
+   contain newlines.
+E. Raw-timestamp ORDER BY inside window/aggregate ordering — decode
+   precision (micros vs nanos parquet) is an engine choice; order by
+   ``epoch_us(ts)`` / ``unix_micros`` integer keys instead.
 """
 
 from __future__ import annotations
@@ -111,13 +138,22 @@ _UPPER_HAZARD_CLASS = "[" + "".join(src for src, _ in UPPER_EXPANSIONS) + "]"
 
 
 def portable_upper(col: Column) -> Column:
-    """Unicode uppercase minus the JVM/utf8proc divergences: every
-    SpecialCasing expansion codepoint (ß and the ligature/precomposed
-    family — Java expands them, utf8proc maps 1:1, e.g. upper('straße')
-    is STRASSE vs STRAẞE and upper('ﬁle') is FILE vs ﬁLE) is
-    pre-substituted with its decomposed lowercase, after which both
-    engines uppercase codepoint-for-codepoint identically. Guarded by
-    one regex scan so hazard-free strings pay a single pass."""
+    """Unicode uppercase minus the COMMON JVM/utf8proc divergences: the
+    SpecialCasing expansion codepoints in ``UPPER_EXPANSIONS`` (ß and
+    the Latin/Armenian ligature + Greek precomposed-diaeresis family —
+    Java expands them, utf8proc maps 1:1, e.g. upper('straße') is
+    STRASSE vs STRAẞE and upper('ﬁle') is FILE vs ﬁLE) are
+    pre-substituted with a decomposed lowercase, after which both
+    engines uppercase those codepoint-for-codepoint identically.
+    Guarded by one regex scan so hazard-free strings pay a single pass.
+
+    COVERAGE IS A SUBSET, not all of SpecialCasing.txt: the table omits
+    the rarer unconditional expansions — U+1E96-U+1E9A (ẖ ẗ ẘ ẙ ẚ) and
+    the Greek polytonic breathing/iota-subscript families
+    U+1F50-U+1FFC (e.g. ᾳ -> Java ΑΙ vs utf8proc ᾼ). Text containing
+    those still diverges cross-engine; the oracle fixtures are pinned
+    to the covered subset (tests/test_portable_text.py), and extending
+    the table is the fix if such text ever enters a gated contract."""
     patched = col
     for src, dst in UPPER_EXPANSIONS:
         patched = F.replace(patched, F.lit(src), F.lit(dst))

@@ -373,9 +373,16 @@ def global_rank(
        single partition of B rows (trivial), broadcast-joined back.
        ``rank = offset + local_rank``.
 
-    The result equals the plain global window row-for-row — which is
-    exactly what the oracle runs — but the heavy sort shards across
-    ``n_buckets`` reducers. Skewed value distributions concentrate
+    NULL handling: rows with a NULL ``value_col`` are DROPPED, not
+    ranked — a plain ``row_number() OVER (ORDER BY ...)`` would rank
+    them (NULLS FIRST in Spark), so this is NOT a drop-in window
+    replacement for NULL-bearing columns; filter or impute upstream.
+    (The oracle applies the same ``IS NOT NULL`` filter, so the gate
+    tests exactly the semantics documented here.)
+
+    Over the non-NULL rows the result equals the plain global window
+    row-for-row — which is exactly what the oracle runs — but the
+    heavy sort shards across ``n_buckets`` reducers. Skewed value distributions concentrate
     rows in few buckets (bucketing is by VALUE range, not frequency);
     the mitigation is more buckets or pre-scaling, both knobs here.
     """

@@ -56,6 +56,7 @@ def salted_join(
     hot_keys: DataFrame | None = None,
     hot_threshold: int = 1_000_000,
     how: str = "inner",
+    unique_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-aware equi-join: the join counterpart to ``salted_agg``.
 
@@ -68,12 +69,17 @@ def salted_join(
     classical fix, made an operator:
 
     - fact side: rows whose key is hot get a salt in ``[0, n_salts)``
-      from the whole-row ``xxhash64`` XOR a per-row ordinal (the
-      ordinal spreads fully-duplicate rows, which a content hash alone
-      would pile onto one salt); cold rows get salt 0. The ordinal is
-      run-dependent, but the OUTPUT stays deterministic: any salt joins
-      the same replicated dim rows, so the result multiset is identical
-      whichever salt a copy draws.
+      from a DETERMINISTIC content hash — ``xxhash64`` over
+      ``unique_cols`` when given, else over the whole row; cold rows
+      get salt 0. Determinism here is a hard requirement, not a style
+      point: the salt is a SHUFFLE KEY, and Spark's fault tolerance
+      recomputes map tasks after a fetch failure or executor loss. A
+      run-dependent salt (an earlier draft XORed in
+      ``monotonically_increasing_id``) lets a recomputed row draw a
+      DIFFERENT salt than the one some reducers already consumed — the
+      row is then duplicated or dropped, precisely in the
+      large-cluster regime this operator targets. A multiset-identity
+      argument over the outputs holds only for failure-free runs.
     - dim side: hot-key rows are REPLICATED once per salt (an
       ``explode(sequence(...))`` of exactly ``n_salts`` copies, only
       for hot keys — the replication cost is |hot keys| x n_salts rows,
@@ -90,6 +96,15 @@ def salted_join(
     None, it is computed from the fact side with one count-aggregate
     (keys with >= ``hot_threshold`` rows) — a scan that at 100 TB you
     fold into the profiling pass instead.
+
+    ``unique_cols`` names columns that distinguish fact rows (a row id,
+    an event id). Pass it when hot rows can be FULLY duplicate: the
+    whole-row hash piles identical copies onto one salt, re-creating
+    the hot spot (spreading them any other way would need a
+    nondeterministic ordinal — the correctness hazard above — or a
+    pre-shuffled stable ordinal, costing the very exchange this
+    operator avoids; a table whose hot rows are exact duplicates
+    should get a synthetic id upstream).
 
     ``how`` supports "inner" and "left" (fact-preserving: an unmatched
     fact row carries salt but no dim partner on ANY salt, so left
@@ -111,23 +126,22 @@ def salted_join(
         "__is_hot", F.lit(True)
     )
 
+    if unique_cols is not None:
+        missing = [c for c in unique_cols if c not in fact.columns]
+        if missing:
+            raise ValueError(f"unique_cols not in fact: {missing}")
+        salt_cols = unique_cols
+    else:
+        salt_cols = fact.columns
+
     # the broadcast hint is applied AT each join (hints can be dropped by
     # intervening transformations)
     f = fact.join(F.broadcast(hot), key, "left")
-    # the ordinal term spreads FULLY-DUPLICATE hot rows (a whole-row
-    # hash alone sends every identical copy to one salt, re-creating
-    # the hot spot — round-6 code-review finding). Output determinism
-    # survives the ordinal's run-dependence: ANY salt in [0, n) joins
-    # the same replicated dim rows, so the result multiset is identical
-    # whichever salt each copy draws.
+    # DETERMINISTIC salt only — it becomes a shuffle key, and a task
+    # recompute must re-derive the identical salt (see docstring).
     f_salt = F.when(
         F.col("__is_hot").isNotNull(),
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in fact.columns]).bitwiseXOR(
-                F.monotonically_increasing_id()  # XOR, not +: addition of two full-range longs can overflow under ANSI
-            ),
-            F.lit(n_salts),
-        ),
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts)),
     ).otherwise(F.lit(0).cast("long"))
     f = f.withColumn("__salt", f_salt).drop("__is_hot")
 
