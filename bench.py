@@ -108,17 +108,35 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
         "docs": base_docs * variants,
     }
 
-    def timed(key: str, df) -> None:
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        out[key] = round(time.perf_counter() - t0, 3)
+    def timed(key: str, build) -> None:
+        # best-of-2 (VERDICT r6 #6): the tier was single-run, so one
+        # co-tenant CPU spell polluted a whole round's record (r6's
+        # setsim_join read 59 s vs a 25-27 s A/B band). The min of two
+        # runs bounds the damage to the unlucky case of BOTH runs being
+        # hit; both raw walls are recorded so reproducibility is
+        # checkable (±15% against a local rerun). Each run rebuilds the
+        # plan AND clears the catalog cache first: operators that
+        # persist an internal manifest (repeated_spans' survivor set)
+        # would otherwise hand run 2 a cache hit via Spark's
+        # plan-equality cache lookup (measured 12.5 s -> 1.5 s), and a
+        # cache-hit minimum is not a steady-state wall. Nothing else in
+        # this tier caches, so the clear has no collateral.
+        walls = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            df = build()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(round(time.perf_counter() - t0, 3))
+        out[key] = min(walls)
+        out[f"{key}_runs"] = walls
 
     # same shapes as the SCALE.md probe (16 hashes / 2 bands; hamming<=3
     # at a 20-bit block)
-    timed("exact_dedup", dd.exact_dedup(corpus))
-    timed("minhash_neardup", dd.minhash_lsh_candidates(corpus, num_hashes=16, bands=2))
-    timed("simhash_neardup", dd.simhash_neardups(corpus, max_hamming=3, prefix_bits=20))
-    timed("paragraph_dedup", dd.paragraph_dedup(corpus))
+    timed("exact_dedup", lambda: dd.exact_dedup(corpus))
+    timed("minhash_neardup", lambda: dd.minhash_lsh_candidates(corpus, num_hashes=16, bands=2))
+    timed("simhash_neardup", lambda: dd.simhash_neardups(corpus, max_hamming=3, prefix_bits=20))
+    timed("paragraph_dedup", lambda: dd.paragraph_dedup(corpus))
     # round-5 doc-corpus additions: exact-recall set-similarity join
     # (the variant corpus is its worst case — every variant family
     # shares its whole shingle set, so prefix buckets run `variants`
@@ -128,14 +146,14 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
 
     timed(
         "setsim_join",
-        dd.setsim_join(corpus, id_col="doc_id", text_col="text", tau_num=9, tau_den=10),
+        lambda: dd.setsim_join(corpus, id_col="doc_id", text_col="text", tau_num=9, tau_den=10),
     )
-    timed("boilerplate_removal", _tx.remove_boilerplate_lines(corpus))
+    timed("boilerplate_removal", lambda: _tx.remove_boilerplate_lines(corpus))
     # Repeated-span detector (round 6): the variant corpus is verbatim-
     # repeat-dense (every base doc has `variants` near-copies), i.e. the
     # worst case for span-anchor explosion — the wall here prices the
     # word-boundary anchor density at 200k docs.
-    timed("repeated_spans", _tx.repeated_spans(corpus, span=64, min_docs=2, top=100))
+    timed("repeated_spans", lambda: _tx.repeated_spans(corpus, span=64, min_docs=2, top=100))
 
     # Bucket-skew telemetry (VERDICT r2 ask #8): the variant corpus is
     # deliberately boilerplate-heavy, so max_bucket records how hot the
@@ -224,10 +242,16 @@ def events_tier(spark, n_events: int) -> dict:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         cold = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        REG[name](spark, base_dir).write.format("noop").mode("overwrite").save()
+        # best-of-2 warm (VERDICT r6 #6): single-run tiers let one
+        # co-tenant CPU spell pollute the round's record
+        warm = []
+        for _ in range(2):
+            t1 = time.perf_counter()
+            REG[name](spark, base_dir).write.format("noop").mode("overwrite").save()
+            warm.append(round(time.perf_counter() - t1, 3))
         out[name] = {
-            "wall": round(time.perf_counter() - t1, 3),
+            "wall": min(warm),
+            "wall_runs": warm,
             "cold_wall": cold,
             "exchanges": plan.count("Exchange"),
             "scans": len(re.findall(r"Scan parquet", plan)),
@@ -430,6 +454,11 @@ def posts_tier(spark, n_posts: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # host-load stamp (VERDICT r6 #3): r6's 59 s setsim_join reading was
+    # co-tenant noise (A/B band 24.7-27.7 s) and nothing in the artifact
+    # could say so; a load average at start/end makes a polluted run
+    # self-identifying.
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
 
     # Warm up the JVM + parquet footer cache outside the timed region —
@@ -516,7 +545,63 @@ def main() -> None:
     if tier_rolling > 0:
         result["rolling_tier"] = rolling_tier(spark, tier_rolling)
 
-    print(json.dumps(result))
+    result["load1_start"] = load_start
+    result["load1_end"] = round(os.getloadavg()[0], 2)
+
+    # Two-artifact emission (VERDICT r6 #3): BENCH_r06's final JSON line
+    # outgrew the driver's tail capture as tiers were added ("parsed":
+    # null — the round's headline number was unrecoverable). The FULL
+    # result now goes to a committed repo file (the evidence of record),
+    # and the absolute last stdout line is a COMPACT headline (<1.5 KB:
+    # totals, per-query medians, per-tier totals, load stamps) that can
+    # never outgrow a tail buffer again.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    dedup_ops = (
+        "exact_dedup", "minhash_neardup", "simhash_neardup",
+        "paragraph_dedup", "setsim_join", "boilerplate_removal",
+        "repeated_spans",
+    )
+
+    def tier_total(tier: str, d: dict) -> float:
+        if tier == "posts_tier":
+            return round(d["cold_wall"] + d["wall"], 3)
+        if tier == "dedup_tier":
+            return round(sum(d[k] for k in dedup_ops if k in d), 3)
+        # events/rolling tiers: nested {"wall": ...} entries
+        return round(
+            sum(
+                v["wall"]
+                for v in d.values()
+                if isinstance(v, dict)
+                and isinstance(v.get("wall"), (int, float))
+            ),
+            3,
+        )
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "total_cold": result["total_cold"],
+        "methodology": result["methodology"],
+        "load1_start": load_start,
+        "load1_end": result["load1_end"],
+        "detail_file": "BENCH_detail.json",
+    }
+    for tier in ("posts_tier", "dedup_tier", "events_tier", "rolling_tier"):
+        if tier in result:
+            compact[f"{tier}_total"] = tier_total(tier, result[tier])
+    if "posts_tier" in result:
+        compact["posts_entries_per_s"] = result["posts_tier"]["entries_per_s"]
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"compact bench line grew to {len(line)} bytes"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1052,19 +1052,57 @@ def repeated_spans(
     counts once), so ``n_docs`` is true document frequency;
     ``n_total`` additionally counts within-doc repeats. Output: the
     ``top`` spans by (n_docs desc, span asc — deterministic), each with
-    both counts. Plan: map-side anchor/slice lambdas -> explode ->
-    two-level aggregate; shuffle carries the span strings themselves at
-    gate scale (64 bytes — comparable to the sha256 keys of exact
-    dedup; hash them for longer spans).
+    both counts.
+
+    Plan (VERDICT r6 #4): the EXCHANGE carries ``xxhash64(span)`` — 8
+    bytes — never the span text. A raw-string shuffle here is ~10x
+    corpus bytes (one 64-byte key per ~6-byte word), the difference
+    between feasible and not at 100 TB. Counting runs entirely on the
+    hash, with ``min(id)`` carried through the aggregate as an 8-byte
+    EXEMPLAR pointer; the output's span strings are then recovered by
+    re-anchoring ONLY the exemplar documents of the few hashes that
+    survive the ``min_docs`` filter (repeated spans are rare by
+    construction — both the id set and the hash set broadcast), so the
+    recovery pass explodes |survivor docs|, not the corpus, and no
+    full-width span string ever enters an exchange. Distinct spans
+    colliding in xxhash64 would merge counts; at 2^64 that needs ~10^9
+    distinct spans for a 1e-20 pair chance — documented, not defended
+    (collisions aside, every string sharing a hash IS the span, so the
+    exemplar recovery is exact).
     """
     exploded = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span)
-    per_doc = exploded.groupBy("s", "id").agg(F.count(F.lit(1)).alias("c"))
-    counts = per_doc.groupBy("s").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("c").cast("long").alias("n_total"),
+    hashed = exploded.select("id", F.xxhash64("s").alias("h"))
+    per_doc = hashed.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        per_doc.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").cast("long").alias("n_total"),
+            F.min("id").alias("ex_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        # the survivor manifest is consumed THREE times (exemplar-id
+        # set, final join, ordering); unpersisted, each consumer
+        # re-runs the whole corpus anchor pass (measured 3x wall at the
+        # 200k-doc tier). It is |survivors| rows of four longs — the
+        # thing a production run materializes.
+        .persist()
+    )
+    ex_docs = df.join(
+        F.broadcast(counts.select(F.col("ex_id").alias(id_col)).distinct()),
+        id_col,
+    )
+    strings = (
+        # survivors only by construction after the final inner join on
+        # h; non-surviving spans of exemplar docs are a few wasted
+        # min() rows, cheaper than another broadcast filter
+        _anchored_spans(ex_docs, text_col=text_col, id_col=id_col, span=span)
+        .select(F.xxhash64("s").alias("h"), "s")
+        .groupBy("h")
+        .agg(F.min("s").alias("s"))
     )
     return (
-        counts.filter(F.col("n_docs") >= min_docs)
+        counts.join(strings, "h")
         .orderBy(F.col("n_docs").desc(), F.col("s").asc())
         .limit(top)
         .select(F.col("s").alias("span"), "n_docs", "n_total")
@@ -1088,24 +1126,29 @@ def span_coverage(
     cross-document material is template chrome or syndicated content —
     the doc-level cut that span DETECTION alone cannot make.
 
-    Plan: one anchored-span explode feeds BOTH the document-frequency
-    aggregate and the per-doc counts; the repeated-span set joins back
-    on the span key (repeated spans are few by construction — each
-    needs multiple docs — so AQE broadcasts the set in practice).
-    Shares ``_anchored_spans`` with the detector, so the two stages
-    cannot disagree on anchoring.
+    Plan (VERDICT r6 #4): HASHES end to end — one anchored-span explode
+    projected to ``xxhash64(span)`` feeds the document-frequency
+    aggregate, the per-doc counts, AND the repeated-set join back; the
+    span text never enters any exchange (the detector's 10x-shuffle
+    note applies here identically, and this operator's output doesn't
+    even need the strings). The repeated-hash set is few by
+    construction (each needs multiple docs), so it broadcasts. Shares
+    ``_anchored_spans`` with the detector, so the two stages cannot
+    disagree on anchoring.
     """
-    ex = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span)
-    per_doc_span = ex.groupBy("s", "id").agg(F.count(F.lit(1)).alias("c"))
+    ex = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    per_doc_span = ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
     rep = (
-        per_doc_span.groupBy("s")
+        per_doc_span.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("s")
+        .select("h")
     )
     n_anchors = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_anchors"))
     n_rep = (
-        ex.join(rep, "s")
+        ex.join(F.broadcast(rep), "h")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_repeated"))
     )
