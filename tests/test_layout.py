@@ -97,3 +97,106 @@ def test_layout_rejects_conflicting_clustering(spark, tmp_path):
     df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
     with pytest.raises(ValueError, match="mutually exclusive"):
         write_layout(df, str(tmp_path / "x"), sort_by=["a"], zorder_by=("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# operators/layout.py — the analysis side (n-dim key, deterministic file
+# assignment, min/max skip audit)
+# ---------------------------------------------------------------------------
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import layout as lay
+
+
+def _py_morton(vals, bits):
+    z = 0
+    n = len(vals)
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (n * b + i)
+    return z
+
+
+def test_nd_zorder_matches_python_model(spark):
+    df = spark.range(200).select(
+        (F.col("id") * 7 % 256).alias("a"),
+        (F.col("id") * 13 % 256).alias("b"),
+        (F.col("id") * 29 % 256).alias("c"),
+    )
+    rows = df.withColumn("z", lay.zorder_key(["a", "b", "c"], bits=8)).collect()
+    for r in rows:
+        assert r["z"] == _py_morton([r["a"], r["b"], r["c"]], 8)
+
+
+def test_nd_zorder_rejects_long_overflow():
+    with pytest.raises(ValueError, match="signed long"):
+        lay.zorder_key(["a", "b", "c"], bits=21)
+
+
+def test_zorder_sql_expr_mirrors_column_expr(spark):
+    """The portable-arithmetic SQL form must equal the shift/mask column
+    form value-for-value — that identity is what makes the layout gate
+    oracle-able."""
+    df = spark.range(300).select(
+        (F.col("id") * 11 % 1024).alias("px"),
+        (F.col("id") * 17 % 1024).alias("oy"),
+    )
+    expr = lay.zorder_sql_expr(["px", "oy"], bits=10).replace("//", " div ")
+    rows = (
+        df.withColumn("z1", lay.zorder_key(["px", "oy"], bits=10))
+        .withColumn("z2", F.expr(expr))
+        .filter(F.col("z1") != F.col("z2"))
+        .count()
+    )
+    assert rows == 0
+
+
+def test_assign_files_balanced_deterministic(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 512).alias("v")
+    )
+    out = lay.assign_files(df, order_col="v", tiebreak=["k"], n_files=8)
+    sizes = {r["file_id"]: r["n"] for r in out.groupBy("file_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # deterministic: a second run assigns every row identically
+    again = lay.assign_files(df, order_col="v", tiebreak=["k"], n_files=8)
+    diff = out.select("k", "file_id").exceptAll(again.select("k", "file_id")).count()
+    assert diff == 0
+
+
+def test_skip_audit_is_sound(spark):
+    """Every file the audit marks skipped must truly contain no row
+    matching the box — min/max pruning may over-scan, never over-skip."""
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 300).alias("x"),
+        (F.col("id") * 13 % 300).alias("y"),
+    )
+    z = df.withColumn("zv", lay.zorder_key(["x", "y"], bits=9))
+    files = lay.assign_files(z, order_col="zv", tiebreak=["k"], n_files=16)
+    box = {"x": (50, 99), "y": (120, 179)}
+    audited = lay.skip_audit(
+        lay.file_stats(files, dim_cols=["x", "y"], layout="z"), box
+    )
+    skipped = [r["file_id"] for r in audited.filter(F.col("scanned") == 0).collect()]
+    in_box = files.filter(
+        F.col("x").between(50, 99) & F.col("y").between(120, 179)
+    )
+    leaked = in_box.filter(F.col("file_id").isin(skipped)).count()
+    assert leaked == 0
+    assert in_box.count() > 0  # the box is non-empty, so the test bites
+
+
+def test_zorder_layout_gate_skips_more_than_natural(spark):
+    """The registry gate's own output must show the Z-order win: fewer
+    scanned files than the natural (insertion-order) layout for the
+    same box over the same rows."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
+        q_zorder_layout,
+    )
+
+    rows = q_zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    scanned = {"zorder": 0, "natural": 0}
+    for r in rows:
+        scanned[r["layout"]] += r["scanned"]
+    assert scanned["zorder"] < scanned["natural"]

@@ -28,8 +28,11 @@ ROUND7_WINDOW_ANCHORS = {
     "repetition_grams", "repetition",
     "rolling_values_echo", "rolling_window_sums", "rolling_anomaly",
     "embedding_centroids",
-    "flagship_posts_export", "eav_pivot", "group_concat",
-    "hierarchy_parent", "date_permalink",
+    "flagship_posts_export", "eav_pivot",
+    # round-7 additions needing first-time driver evidence (funded by
+    # rotating out group_concat / hierarchy_parent / date_permalink,
+    # each with 5-6 green driver rounds on record):
+    "zorder_layout", "bloom_prune_join", "shard_manifest",
 }
 ROUND7_WINDOW_ROTATION = {
     "salted_join", "robust_anomaly", "containment", "ngram_novelty",

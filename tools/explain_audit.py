@@ -617,6 +617,35 @@ def main() -> int:
         ("offsets joined by broadcast", r"BroadcastHashJoin|BroadcastExchange"),
     )
 
+    # round-7 additions: zorder file assignment reuses global_rank, so
+    # its windows must be bucket-partitioned (never a bare global
+    # window) and JVM-only; bloom pruning must be broadcast-only with
+    # no sort-merge fallback; the shard manifest is one partial agg on
+    # a 16-value key with no python; image near-dup decodes in Arrow
+    # batches and must never go cartesian (band join is equi).
+    check(
+        "zorder_layout",
+        ("bucket-partitioned rank windows", r"hashpartitioning\(__bkt"),
+        ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas)).*)\Z"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    check(
+        "bloom_prune_join",
+        ("bloom probes + join all broadcast", r"BroadcastHashJoin"),
+        ("no sort-merge join", r"\A(?s:(?!.*SortMergeJoin).*)\Z"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+    check(
+        "shard_manifest",
+        ("map-side partial aggregate", r"HashAggregate"),
+        ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas)).*)\Z"),
+    )
+    check(
+        "image_neardup",
+        ("arrow-batched decode", r"MapInPandas"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

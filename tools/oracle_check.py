@@ -92,6 +92,30 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "planted_pairs": n_docs,
     }
 
+    # --- image near-dup (dHash + banding): recall on the PNG corpus's
+    # planted one-pixel-perturbed copies (every 17th doc, id+10M), plus
+    # the count of non-planted pairs reported (false-positive surface —
+    # distinct text-derived images should essentially never collide at
+    # Hamming <= 6).
+    from wordpress_sql_to_contentstack_exporter_spark.operators.image_dedup import (
+        PLANT_OFFSET,
+    )
+
+    n_planted = docs.filter(F.col("doc_id") % 17 == 0).count()
+    img_pairs = reg.SPARK_QUERIES["image_neardup"](spark, sf_dir)
+    img_hits = (
+        img_pairs.filter(F.col("id_b") - F.col("id_a") == PLANT_OFFSET)
+        .select("id_a")
+        .distinct()
+        .count()
+    )
+    ev["image_neardup"] = {
+        "metric": "planted_perturbed_image_pair_recall",
+        "recall": round(img_hits / max(n_planted, 1), 4),
+        "planted_pairs": n_planted,
+        "nonplanted_pairs_reported": img_pairs.count() - img_hits,
+    }
+
     # --- embedding LSH near-dup: recall vs the exact quadratic pair set
     # at the same threshold.
     emb = load_table(spark, sf_dir, "embeddings")

@@ -61,8 +61,11 @@ from ..operators import (
     eav_pivot,
     hierarchy_parent_join,
 )
+from ..operators import bloom as bl
 from ..operators import dedup as dd
 from ..operators import graph as gr
+from ..operators import image_dedup as imd
+from ..operators import layout as lay
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -5640,6 +5643,187 @@ LIMIT 50
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout vs natural insertion order, audited
+    by the min/max file-skipping rule (operators/layout.py). The output
+    is the per-file stats table a lakehouse scan planner consults —
+    row count, per-dimension [min,max] envelope, and the scan/skip
+    decision for a 2-D box predicate — for BOTH layouts over the same
+    rows, so the skipping win of the interleave is in the result
+    itself. File assignment is exact global-rank arithmetic (reusing
+    the value-bucketed global_rank, no one-reducer window, no sampled
+    repartitionByRange boundaries), which is what makes the layout
+    oracle-able cross-engine."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 1024).alias("px"),
+        (F.col("l_orderkey") % 1024).alias("oy"),
+    )
+    box = {"px": (128, 255), "oy": (256, 383)}
+    z = l.withColumn("zv", lay.zorder_key(["px", "oy"], bits=10))
+    fz = lay.assign_files(
+        z, order_col="zv", tiebreak=["l_orderkey", "l_linenumber"], n_files=64
+    )
+    stats_z = lay.file_stats(fz, dim_cols=["px", "oy"], layout="zorder")
+    n = l.withColumn("ov", F.col("l_orderkey"))
+    fn = lay.assign_files(
+        n, order_col="ov", tiebreak=["l_linenumber"], n_files=64
+    )
+    stats_n = lay.file_stats(fn, dim_cols=["px", "oy"], layout="natural")
+    out = lay.skip_audit(stats_z.unionByName(stats_n), box)
+    return out.select(
+        "layout",
+        "file_id",
+        "n_rows",
+        "min_px",
+        "max_px",
+        "min_oy",
+        "max_oy",
+        "scanned",
+    )
+
+
+_ZORDER_SQL_EXPR = lay.zorder_sql_expr(["px", "oy"], bits=10)
+
+SQL_ZORDER_LAYOUT = f"""
+WITH d AS (
+    SELECT l_orderkey, l_linenumber,
+           l_partkey % 1024 AS px, l_orderkey % 1024 AS oy
+    FROM lineitem
+), tot AS (SELECT count(*) AS total FROM d),
+z AS (
+    SELECT px, oy,
+           row_number() OVER (
+               ORDER BY {_ZORDER_SQL_EXPR}, l_orderkey, l_linenumber
+           ) AS rk
+    FROM d
+), fz AS (
+    SELECT 'zorder' AS layout, ((rk - 1) * 64) // total AS file_id, px, oy
+    FROM z CROSS JOIN tot
+), nr AS (
+    SELECT px, oy,
+           row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rk
+    FROM d
+), fn AS (
+    SELECT 'natural' AS layout, ((rk - 1) * 64) // total AS file_id, px, oy
+    FROM nr CROSS JOIN tot
+), u AS (SELECT * FROM fz UNION ALL SELECT * FROM fn)
+SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(px) AS BIGINT) AS min_px, CAST(max(px) AS BIGINT) AS max_px,
+       CAST(min(oy) AS BIGINT) AS min_oy, CAST(max(oy) AS BIGINT) AS max_oy,
+       CAST(CASE WHEN max(px) >= 128 AND min(px) <= 255
+                  AND max(oy) >= 256 AND min(oy) <= 383
+                 THEN 1 ELSE 0 END AS BIGINT) AS scanned
+FROM u GROUP BY layout, file_id
+"""
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter probe-side join pruning (operators/bloom.py): the
+    lineitem probe is tested against a packed-long Bloom filter of the
+    filtered orders' keys via k=4 chained BROADCAST joins — map-side,
+    zero added shuffles — before the real equi-join. No false negatives
+    by construction, so the gate's oracle is simply the PLAIN inner
+    join: equality proves the pruning never drops a match, and the
+    false-positive tail is resolved by the join itself (fp rate and
+    pruning factor are asserted quantitatively in tests/test_bloom.py).
+    m_bits=8192 for ~300 build keys at sf0.01 ≈ 28 bits/key,
+    fp ≈ 3e-4."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    out = bl.bloom_prune_join(
+        l, o, probe_key="l_orderkey", build_key="o_orderkey", m_bits=1 << 13, k=4
+    )
+    return out.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+SQL_BLOOM_PRUNE_JOIN = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS linenumber,
+       o.o_totalprice AS price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 490000
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic publish-time sharding manifest: every document is
+    assigned to one of 16 shards by a PORTABLE content-independent hash
+    of its id (sha256 hex prefix → integer, the engine-agnostic
+    pattern this registry already trusts for weighted sampling), and
+    each shard row carries the integrity evidence a dataset release
+    needs — doc count, total chars, an order-free bit_xor checksum of
+    per-doc content digests, and the id range. Reproducible anywhere:
+    rerunning the export on any engine yields byte-identical manifests,
+    which is the point of hash sharding over round-robin (whose
+    assignment depends on partitioning/run order). One partial agg on a
+    16-value key; the checksum is bit_xor so it is combine-order-free
+    and never overflows."""
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    chk = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10).cast("long")
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            "doc_id",
+            "n_chars",
+            chk.alias("__chk"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.bit_xor("__chk").alias("checksum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+SQL_SHARD_MANIFEST = """
+WITH s AS (
+    SELECT CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 16 AS shard_id,
+           doc_id, n_chars,
+           CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS chk
+    FROM documents
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(bit_xor(chk) AS BIGINT) AS checksum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY shard_id
+"""
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs over a real-PNG corpus
+    (operators/image_dedup.py): stdlib PNG decode → dHash-64 →
+    4x16-bit band blocking → exact popcount verify at Hamming <= 6.
+    Rows-only: the pixel pipeline is not SQL-expressible; quantitative
+    evidence is the planted-pair recall (every 17th doc gets a
+    one-pixel-perturbed copy at id+10_000_000) recorded by
+    tools/oracle_check.py, plus the recall/precision unit tests."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = imd.synthesize_png_corpus(d)
+    return imd.image_neardup(corpus, bands=4, max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5681,14 +5865,16 @@ SPARK_QUERIES = {
     "rolling_window_sums": q_rolling_window_sums,
     "rolling_anomaly": q_rolling_anomaly,
     "embedding_centroids": q_embedding_centroids,
-    # --- window part (c): 5 SURVEY §2 anchors (scalar_strings and
-    # entity_decode_split rotated out — 5-6 green driver rounds each —
-    # to fund the two rolling probes) ---
+    # --- window part (c): 2 SURVEY §2 anchors (group_concat,
+    # hierarchy_parent, date_permalink rotated out — 5-6 green driver
+    # rounds each — to fund the three NEW round-7 oracle-backed
+    # queries, which need first-time driver evidence) ---
     "flagship_posts_export": q_flagship_posts_export,
     "eav_pivot": q_eav_pivot,
-    "group_concat": q_group_concat,
-    "hierarchy_parent": q_hierarchy_parent,
-    "date_permalink": q_date_permalink,
+    # --- window part (c'): round-7 additions, zero driver rows yet ---
+    "zorder_layout": q_zorder_layout,
+    "bloom_prune_join": q_bloom_prune_join,
+    "shard_manifest": q_shard_manifest,
     # --- window part (d): round-7 rotation — the complete remainder of
     # oracle-backed queries with committed-local green but no driver
     # row yet (VERDICT r6 #2 names all 36) ---
@@ -5730,6 +5916,9 @@ SPARK_QUERIES = {
     "tfidf_pairs": q_tfidf_pairs,
     # --- oracle-backed, OUTSIDE the round-7 window: driver-green in
     # r1-r6 (provenance in COVERAGE.md) ---
+    "group_concat": q_group_concat,
+    "hierarchy_parent": q_hierarchy_parent,
+    "date_permalink": q_date_permalink,
     "scalar_strings": q_scalar_strings,
     "entity_decode_split": q_entity_decode_split,
     "filter_project": q_filter_project,
@@ -5816,6 +6005,7 @@ SPARK_QUERIES = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "freq_items": q_freq_items,
     "embedding_neardup": q_embedding_neardup,
+    "image_neardup": q_image_neardup,
 }
 
 ORACLE_SQL = {
@@ -5826,6 +6016,9 @@ ORACLE_SQL = {
     "rolling_values_echo": SQL_ROLLING_VALUES_ECHO,
     "rolling_window_sums": SQL_ROLLING_WINDOW_SUMS,
     "flagship_posts_export": SQL_FLAGSHIP,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
+    "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
+    "shard_manifest": SQL_SHARD_MANIFEST,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,

@@ -43,17 +43,18 @@ def zorder_key(a: Column, b: Column, *, bits: int = 21) -> Column:
     bounded, roughly uniform key space to cluster well). Pure
     shift/mask expressions — whole-stage codegen, no UDF.
     """
+    from ..operators.layout import zorder_key as _nd_zorder_key
+
     if not 1 <= bits <= _Z_BITS:
         raise ValueError(f"bits must be in [1, {_Z_BITS}], got {bits}")
     mask = F.lit((1 << bits) - 1)
-    am, bm = a.cast("long").bitwiseAND(mask), b.cast("long").bitwiseAND(mask)
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = (
-            out.bitwiseOR(F.shiftleft(F.shiftrightunsigned(am, i).bitwiseAND(F.lit(1)), 2 * i))
-            .bitwiseOR(F.shiftleft(F.shiftrightunsigned(bm, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-        )
-    return out
+    # mask to ``bits`` then delegate to the n-dimensional interleave
+    # (operators/layout.py — dim i at position n*b+i, which for n=2 is
+    # exactly a-even / b-odd); one Morton implementation in the repo.
+    return _nd_zorder_key(
+        [a.cast("long").bitwiseAND(mask), b.cast("long").bitwiseAND(mask)],
+        bits=bits,
+    )
 
 
 def write_layout(
