@@ -65,6 +65,11 @@ def main() -> None:
         # round-6 additions with real two-engine work: salted join vs
         # DuckDB's plain hash join, MAD medians vs list-rank selection
         "salted_join", "robust_anomaly",
+        # round-7 additions: distributed bucketed rank file assignment
+        # vs DuckDB's global row_number (both interleave 600k Morton
+        # keys), bloom-pruned broadcast join vs plain hash join, and
+        # sha256 manifest hashing on both sides
+        "zorder_layout", "bloom_prune_join", "shard_manifest",
     ]
     out = {}
     for name in compared:

@@ -645,6 +645,28 @@ def main() -> int:
         ("arrow-batched decode", r"MapInPandas"),
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
+    # threshold_sweep: the data-bearing stage is one map-combinable
+    # aggregation; the cumulative window runs over <= 256 aggregated
+    # rows (accepted single-partition, the global_rank offsets shape);
+    # domain_blocklist's suffix test must be a broadcast equi-join (the
+    # LIKE nested-loop it replaces would show BroadcastNestedLoopJoin);
+    # audio_neardup mirrors the image plan.
+    check(
+        "threshold_sweep",
+        ("map-side partial aggregate", r"HashAggregate"),
+        ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas)).*)\Z"),
+    )
+    check(
+        "domain_blocklist",
+        ("suffix hit via broadcast equi-join", r"BroadcastHashJoin"),
+        ("no nested-loop LIKE join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+        ("no python worker", r"\A(?s:(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas)).*)\Z"),
+    )
+    check(
+        "audio_neardup",
+        ("arrow-batched decode", r"MapInPandas"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0

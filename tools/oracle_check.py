@@ -116,6 +116,22 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "nonplanted_pairs_reported": img_pairs.count() - img_hits,
     }
 
+    # --- audio near-dup: same planted-pair protocol over the WAV corpus
+    # (every 17th doc gets a noise-perturbed copy at id+10M).
+    aud_pairs = reg.SPARK_QUERIES["audio_neardup"](spark, sf_dir)
+    aud_hits = (
+        aud_pairs.filter(F.col("id_b") - F.col("id_a") == PLANT_OFFSET)
+        .select("id_a")
+        .distinct()
+        .count()
+    )
+    ev["audio_neardup"] = {
+        "metric": "planted_perturbed_audio_pair_recall",
+        "recall": round(aud_hits / max(n_planted, 1), 4),
+        "planted_pairs": n_planted,
+        "nonplanted_pairs_reported": aud_pairs.count() - aud_hits,
+    }
+
     # --- embedding LSH near-dup: recall vs the exact quadratic pair set
     # at the same threshold.
     emb = load_table(spark, sf_dir, "embeddings")

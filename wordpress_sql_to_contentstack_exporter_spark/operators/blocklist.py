@@ -1,0 +1,110 @@
+"""Domain-suffix blocklist filtering for URL-bearing corpora.
+
+Every large-scale curation run filters documents whose source host
+falls under a blocklisted registrable domain — and "under" means
+SUFFIX match (``ads.tracker.example.com`` is blocked by
+``example.com``), which a naive implementation writes as a LIKE join
+(``host LIKE '%.' || domain``): a non-equi predicate that degenerates
+to a broadcast nested loop and rescans the corpus once per pattern.
+
+The scale-correct shape: a hostname has at most a handful of DNS
+labels, so EXPLODE each host into its complete suffix set
+(``a.b.c.com`` → ``a.b.c.com``, ``b.c.com``, ``c.com``, ``com`` —
+bounded fan-out, typically <= 5) and EQUI-join suffixes against the
+blocklist. The non-equi problem becomes a broadcast hash join on exact
+strings; the corpus is scanned once regardless of blocklist size.
+
+``host_suffixes`` is pure column arithmetic (split + slice + rejoin —
+no UDF); the fan-out bound is enforced with ``max_labels`` so an
+adversarial million-dot host cannot blow up the explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["host_suffixes", "blocklist_flags", "blocklist_filter"]
+
+
+def host_suffixes(host: Column, *, max_labels: int = 8) -> Column:
+    """Array of every dot-suffix of ``host``, longest first, capped at
+    the last ``max_labels`` labels (deeper subdomains can only be
+    blocked via their shorter suffixes anyway, which are always kept).
+    ``filter``/``transform`` higher-order functions — JVM codegen, no
+    Python."""
+    labels = F.split(host, r"\.")
+    n = F.array_size(labels)
+    start = F.greatest(F.lit(0), n - F.lit(int(max_labels)))
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(max_labels) - 1)),
+            # length = n is always >= the remaining label count; a huge
+            # constant here would overflow int32 when Spark adds it to
+            # the start offset and silently yield empty slices
+            lambda i: F.when(
+                start + i < n,
+                F.array_join(F.slice(labels, start + i + 1, n), "."),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    *,
+    host_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Adds a ``blocked`` (0/1 long) column: 1 iff the host equals a
+    blocklisted domain or is a subdomain of one.
+
+    The hit test runs on DISTINCT hosts, not rows: the distinct is a
+    map-combinable agg whose shuffle is bounded by host cardinality
+    (domains, not documents), the explode fans each distinct host into
+    <= max_labels suffixes, the blocklist join is broadcast, and the
+    resulting blocked-host set (a subset of the blocklist's coverage —
+    small by construction) broadcasts back onto the rows. No LIKE scan,
+    no nested loop, no full-row shuffle."""
+    bl = blocklist.select(F.col(domain_col).alias("__bldom")).distinct()
+    blocked_hosts = (
+        df.select(F.col(host_col).alias("__h"))
+        .distinct()
+        .withColumn("__sfx", F.explode(host_suffixes(F.col("__h"))))
+        .join(F.broadcast(bl), F.col("__sfx") == F.col("__bldom"), "left_semi")
+        .select("__h")
+        .distinct()
+    )
+    out = df.join(
+        F.broadcast(blocked_hosts), df[host_col] == blocked_hosts["__h"], "left"
+    )
+    return out.withColumn(
+        "blocked", F.when(F.col("__h").isNotNull(), 1).otherwise(0).cast("long")
+    ).drop("__h")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    *,
+    host_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Keep only rows whose host is NOT under any blocklisted domain —
+    the anti-join form: explode suffixes, broadcast the blocklist, and
+    anti-join on the suffix hit (no groupBy needed: a row survives iff
+    none of its suffixes match)."""
+    bl = blocklist.select(F.col(domain_col).alias("__bldom")).distinct()
+    hit_keys = (
+        df.select(F.col(host_col).alias("__h"))
+        .distinct()
+        .withColumn("__sfx", F.explode(host_suffixes(F.col("__h"))))
+        .join(F.broadcast(bl), F.col("__sfx") == F.col("__bldom"), "left_semi")
+        .select("__h")
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(hit_keys), df[host_col] == hit_keys["__h"], "left_anti"
+    )

@@ -1026,3 +1026,78 @@ def fuzzy_join_d1(
             "dist",
         )
     )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "sig",
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs over any 64-bit perceptual signature column
+    by band-equality blocking + exact popcount verify — the shared
+    candidate/verify core behind the image (dHash) and audio (energy-
+    envelope hash) near-dup operators.
+
+    The 64-bit signature splits into ``bands`` equal blocks; two rows
+    become a candidate pair iff they agree on at least one whole block
+    (pigeonhole-guaranteed for Hamming distance < ``bands``; a
+    measured-recall heuristic above that, the SimHash rotation
+    trade-off). Candidates are verified exactly with
+    ``bit_count(a ^ b) <= max_hamming``.
+
+    Scale shape: the self-join shuffles (band_no, block) keys — a few
+    bytes per row, never the underlying media — and the verify is a
+    popcount on two longs. NULL signatures (undecodable payloads) are
+    excluded before blocking.
+    """
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__hid"), F.col(hash_col).alias("__sig")
+    )
+    banded = h.select(
+        "__hid",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftrightunsigned(F.col("__sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__hid", "__sig", "bb.band_no", "bb.block")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.__hid") < F.col("b.__hid")),
+        )
+        .select(
+            F.col("a.__hid").alias("id_a"),
+            F.col("b.__hid").alias("id_b"),
+            F.col("a.__sig").alias("__sa"),
+            F.col("b.__sig").alias("__sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

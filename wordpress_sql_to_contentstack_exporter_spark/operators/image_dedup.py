@@ -149,55 +149,17 @@ def image_neardup(
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with
-    ``hamming <= max_hamming``, candidates generated by band-equality
-    blocking on the dHash (no quadratic compare): 64 bits split into
-    ``bands`` equal blocks, pairs sharing any block verified exactly by
-    ``bit_count(a ^ b)``. The self-join shuffles (band_no, block) keys
-    — a few bytes per row — and the band fan-out is bounded by bucket
-    multiplicity, the same shape as the MinHash/SimHash operators."""
-    if 64 % bands != 0:
-        raise ValueError("bands must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    h = dhash64(media).filter(F.col("dhash").isNotNull())
-    banded = h.select(
-        "media_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"),
-                        F.shiftrightunsigned(F.col("dhash"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("block"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("media_id", "dhash", "bb.band_no", "bb.block")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    ``hamming <= max_hamming``: the dHash stage feeds the shared
+    banded-Hamming candidate/verify core
+    (:func:`~.dedup.banded_hamming_pairs` — band-equality blocking, no
+    quadratic compare, popcount verify; the same core the audio
+    near-dup uses over its energy-envelope signature)."""
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        dhash64(media),
+        id_col="media_id",
+        hash_col="dhash",
+        bands=bands,
+        max_hamming=max_hamming,
     )

@@ -438,3 +438,83 @@ def mad_outliers(
         .withColumnRenamed("__vm", "vm")
         .drop("__dev")
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Classifier operating-curve sweep: confusion counts (tp/fp/fn/tn)
+    at every threshold of a quantized score — the one-pass primitive
+    behind ROC/PR curves and threshold selection for quality-filter
+    models over a full corpus.
+
+    Scale design (the naive version sorts ALL rows through one global
+    window): scores are quantized into ``n_buckets`` integer buckets by
+    exact arithmetic — ``sv = floor(score * 1024)`` (power-of-two
+    scale, exact in any engine), bucket width from the global [lo, hi]
+    via the same overflow-safe ``span // B + 1`` rule global_rank uses
+    — then ONE map-combinable aggregation produces per-bucket
+    positive/negative counts, and the cumulative confusion counts run
+    over at most ``n_buckets`` ROWS (a trivial single-partition window
+    over 256 aggregated rows, the global_rank offsets pattern). The
+    full-resolution sort never happens; the data-bearing stages are one
+    partial agg.
+
+    Output, one row per non-empty bucket, descending-threshold
+    semantics ("predict positive iff score >= bucket's lower edge"):
+    ``bucket`` (0..B-1), ``threshold_scaled`` (the bucket's inclusive
+    lower edge on the x1024 long scale), ``tp``/``fp``/``fn``/``tn``.
+    Rows with NULL score or label are dropped (documented, mirrored by
+    the oracle).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets >= 2 required")
+    d = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.floor(F.col(score_col).cast("double") * 1024).cast("long").alias("__sv"),
+            F.col(label_col).cast("boolean").alias("__y"),
+        )
+    )
+    bounds = d.agg(F.min("__sv").alias("__lo"), F.max("__sv").alias("__hi"))
+    b = (
+        d.join(F.broadcast(bounds))
+        .withColumn(
+            "__width", F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L")
+        )
+        .withColumn("bucket", F.expr("(__sv - __lo) div __width"))
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("long").alias("__pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("long").alias("__neg"),
+        F.first("__lo").alias("__lo"),
+        F.first("__width").alias("__width"),
+    )
+    # cumulative-from-the-top over <= n_buckets aggregated rows: the
+    # single-partition window is over B rows, never the data.
+    w_desc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_bucket.withColumn("tp", F.sum("__pos").over(w_desc).cast("long"))
+        .withColumn("fp", F.sum("__neg").over(w_desc).cast("long"))
+        .withColumn("fn", (F.sum("__pos").over(totals) - F.col("tp")).cast("long"))
+        .withColumn("tn", (F.sum("__neg").over(totals) - F.col("fp")).cast("long"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("__lo") + F.col("bucket") * F.col("__width"))
+            .cast("long")
+            .alias("threshold_scaled"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+        )
+    )

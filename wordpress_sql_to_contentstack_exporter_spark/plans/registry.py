@@ -61,6 +61,8 @@ from ..operators import (
     eav_pivot,
     hierarchy_parent_join,
 )
+from ..operators import audio_dedup as aud
+from ..operators import blocklist as blk
 from ..operators import bloom as bl
 from ..operators import dedup as dd
 from ..operators import graph as gr
@@ -68,6 +70,7 @@ from ..operators import image_dedup as imd
 from ..operators import layout as lay
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
+from ..operators import stats as stats_ops
 from ..operators import text as tx
 from ..operators import sampling
 from ..operators.sampling import deterministic_split, pack_sequences, stratified_sample
@@ -5824,6 +5827,123 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imd.image_neardup(corpus, bands=4, max_hamming=6)
 
 
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating-curve sweep (operators/stats.threshold_sweep):
+    confusion counts at every quantized score threshold over the events
+    stream (score = value, positive label = 'purchase'). The
+    data-bearing work is ONE map-combinable aggregation into <= 256
+    buckets; the cumulative tp/fp window runs over the 256 aggregated
+    rows (global_rank's offsets pattern), never the events. Bucket
+    arithmetic is exact integers (floor(x*1024) power-of-two scaling +
+    the overflow-safe span//B+1 width), so the curve is bit-identical
+    cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    return stats_ops.threshold_sweep(
+        e.select(
+            F.col("value").alias("score"),
+            (F.col("event_type") == "purchase").alias("label"),
+        ),
+        score_col="score",
+        label_col="label",
+        n_buckets=256,
+    )
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH d AS (
+    SELECT CAST(floor(value * 1024) AS BIGINT) AS sv,
+           (event_type = 'purchase') AS y
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), bounds AS (SELECT min(sv) AS lo, max(sv) AS hi FROM d),
+b AS (
+    SELECT (sv - lo) // (((hi - lo) // 256) + 1) AS bucket,
+           ((hi - lo) // 256) + 1 AS width, lo, y
+    FROM d CROSS JOIN bounds
+), pb AS (
+    SELECT bucket, min(lo) AS lo, min(width) AS width,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+    FROM b GROUP BY bucket
+), c AS (
+    SELECT bucket, lo, width, pos, neg,
+           CAST(sum(pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+           CAST(sum(neg) OVER (ORDER BY bucket DESC) AS BIGINT) AS fp,
+           CAST(sum(pos) OVER () AS BIGINT) AS tot_pos,
+           CAST(sum(neg) OVER () AS BIGINT) AS tot_neg
+    FROM pb
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(lo + bucket * width AS BIGINT) AS threshold_scaled,
+       tp, fp,
+       CAST(tot_pos - tp AS BIGINT) AS fn,
+       CAST(tot_neg - fp AS BIGINT) AS tn
+FROM c
+"""
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist flags (operators/blocklist.py) over
+    hosts synthesized deterministically from documents — five shapes
+    including the adversarial 'blocked domain embedded mid-host'
+    (example.co.uk.evil.com must NOT match) that LIKE-pattern
+    implementations get wrong with leading-anchor mistakes. The suffix
+    explode + broadcast equi-join replaces the nested-loop LIKE join;
+    the oracle states the SPEC (host = domain OR host LIKE
+    '%.' || domain) directly."""
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www.example.co.uk"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("blog.test.com"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("sub.site.org"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("files.example.net"))
+        .otherwise(F.lit("example.co.uk.evil.com"))
+    )
+    with_host = d.select("doc_id", host.alias("host"))
+    bl = spark.createDataFrame(
+        [("example.co.uk",), ("site.org",)], "domain string"
+    )
+    return blk.blocklist_flags(
+        with_host, host_col="host", blocklist=bl
+    ).select("doc_id", "host", "blocked")
+
+
+SQL_DOMAIN_BLOCKLIST = """
+WITH h AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+               WHEN 0 THEN 'www.example.co.uk'
+               WHEN 1 THEN 'blog.test.com'
+               WHEN 2 THEN 'sub.site.org'
+               WHEN 3 THEN 'files.example.net'
+               ELSE 'example.co.uk.evil.com'
+           END AS host
+    FROM documents
+), bl AS (
+    SELECT * FROM (VALUES ('example.co.uk'), ('site.org')) AS t(domain)
+)
+SELECT h.doc_id, h.host,
+       CAST(CASE WHEN EXISTS (
+           SELECT 1 FROM bl
+           WHERE h.host = bl.domain OR h.host LIKE '%.' || bl.domain
+       ) THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM h
+"""
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over a real PCM-WAV corpus
+    (operators/audio_dedup.py): stdlib WAV decode → 64-bit
+    energy-envelope gradient signature → shared banded-Hamming
+    candidate/verify core. Rows-only (pixel/sample pipelines are not
+    SQL-expressible); quantitative evidence is the planted
+    noise-perturbed pair recall recorded by tools/oracle_check.py.
+    Completes the near-dup modality triple: text (MinHash/SimHash),
+    image (dHash), audio (this)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = aud.synthesize_wav_corpus(d)
+    return aud.audio_neardup(corpus, bands=4, max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5914,8 +6034,13 @@ SPARK_QUERIES = {
     "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
     "tfidf_pairs": q_tfidf_pairs,
-    # --- oracle-backed, OUTSIDE the round-7 window: driver-green in
-    # r1-r6 (provenance in COVERAGE.md) ---
+    # --- oracle-backed, OUTSIDE the round-7 window ---
+    # NEW in round 7 (local green + both-scale evidence; first driver
+    # slots next rotation — the r7 window was already committed to
+    # finishing the 36-query remainder):
+    "threshold_sweep": q_threshold_sweep,
+    "domain_blocklist": q_domain_blocklist,
+    # driver-green in r1-r6 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
     "date_permalink": q_date_permalink,
@@ -6006,6 +6131,7 @@ SPARK_QUERIES = {
     "freq_items": q_freq_items,
     "embedding_neardup": q_embedding_neardup,
     "image_neardup": q_image_neardup,
+    "audio_neardup": q_audio_neardup,
 }
 
 ORACLE_SQL = {
@@ -6019,6 +6145,8 @@ ORACLE_SQL = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "shard_manifest": SQL_SHARD_MANIFEST,
+    "threshold_sweep": SQL_THRESHOLD_SWEEP,
+    "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,
