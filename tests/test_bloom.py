@@ -85,3 +85,12 @@ def test_m_bits_must_be_multiple_of_64(spark):
     keys = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="multiple of 64"):
         bl.bloom_build(keys, "k", m_bits=1000, k=3)
+
+
+def test_key_dtype_mismatch_rejected(spark):
+    """xxhash64 hashes typed values — an int probe key against a long
+    build key would silently drop true matches; the join must refuse."""
+    probe = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    build = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bl.bloom_prune_join(probe, build, probe_key="k", build_key="k")

@@ -273,3 +273,37 @@ TEXT_GATES = [
 @pytest.mark.parametrize("name", TEXT_GATES)
 def test_text_gate_on_adversarial_corpus(spark, hazard_con, hazard_sf_dir, name):
     _assert_parity(spark, hazard_con, name, hazard_sf_dir)
+
+
+def test_upper_expansions_table_is_exhaustive(spark):
+    """Round-7: the expansion table is generated from the full BMP, so
+    EVERY codepoint whose full uppercase expands (not just the original
+    hand-picked 18) must roundtrip identically through both engines —
+    including the families the round-6 review flagged as missing
+    (U+1E96-U+1E9A and the Greek polytonic iota-subscript/breathing
+    blocks). Also pins the table's size and spot contents so a Python
+    Unicode-table change shows up as a loud diff, not silent drift."""
+    from wordpress_sql_to_contentstack_exporter_spark.functions.portable import (
+        UPPER_EXPANSIONS,
+        portable_upper,
+        sql_portable_upper,
+    )
+
+    srcs = [src for src, _ in UPPER_EXPANSIONS]
+    assert len(srcs) == 102
+    for must in ["ß", "ẖ", "ẚ", "ὐ", "ᾳ", "ῼ", "ﬗ"]:
+        assert must in srcs, hex(ord(must))
+    # every table entry, embedded mid-word, through both engines
+    rows = [(i, f"ab{s}cd") for i, s in enumerate(srcs)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["up"]
+        for r in df.select("i", portable_upper(F.col("t")).alias("up")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in rows:
+        [(want,)] = con.execute(f"SELECT {sql_portable_upper('?')}", [s]).fetchall()
+        assert got[i] == want, f"portable_upper({s!r}): {got[i]!r} vs {want!r}"
+        # and the result matches Python's full (SpecialCasing) uppercase,
+        # i.e. the semantics Java's toUpperCase implements
+        assert got[i] == s.upper(), f"{s!r}: {got[i]!r} != {s.upper()!r}"

@@ -442,11 +442,26 @@ def main() -> int:
 
     # setsim_join: candidates must come from the prefix equi-join — no
     # cartesian/nested-loop anywhere, and verify joins are hash joins
-    # on ids.
-    check(
-        "setsim_join",
+    # on ids. Audited on the un-checkpointed plan (materialize=False,
+    # same reason as the minhash/simhash full-lineage checks: the r7
+    # localCheckpoint of the thrice-consumed `ordered` frame otherwise
+    # truncates everything upstream into a Scan ExistingRDD).
+    setsim_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 1000")
+        .select("doc_id", "text")
+    )
+    check_plan(
+        "setsim_join[full-lineage]",
+        plan_of(
+            dd.setsim_join(
+                setsim_docs, id_col="doc_id", text_col="text",
+                tau_num=6, tau_den=10, materialize=False,
+            )
+        ),
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+        ("text never enters a shuffle", no_text_in_exchange),
     )
 
     # ngram_lm: exactly ONE parquet scan of the corpus — every derived

@@ -122,17 +122,39 @@ def sql_portable_lower(expr: str) -> str:
 #: each is pre-substituted with an equivalent decomposed LOWERCASE whose
 #: per-codepoint uppercase both engines agree on. One table drives both
 #: the Spark and the SQL rendering so the sides cannot drift.
-UPPER_EXPANSIONS: list[tuple[str, str]] = [
-    ("ß", "ss"),
-    ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"), ("ﬃ", "ffi"), ("ﬄ", "ffl"),
-    ("ﬅ", "st"), ("ﬆ", "st"),
-    ("ŉ", "ʼn"),          # ʼ + n
-    ("ǰ", "ǰ"),          # j + combining caron
-    ("ΐ", "ΐ"),     # ϊ + combining acute
-    ("ΰ", "ΰ"),     # ϋ + combining acute
-    ("ﬓ", "մն"), ("ﬔ", "մե"), ("ﬕ", "մի"), ("ﬖ", "վն"), ("ﬗ", "մխ"),
-    ("և", "եվ"),
-]
+#:
+#: The table is generated EXHAUSTIVELY at import: every BMP codepoint
+#: whose full uppercase is multi-codepoint (the Latin sharp-s and
+#: ligatures, the Armenian ligatures, the apostrophe-n / j-caron /
+#: Greek-diaeresis-accent precomposites, U+1E96-U+1E9A, and the
+#: ~80-strong Greek polytonic breathing/iota-subscript families
+#: U+1F50-U+1FFC, e.g. alpha-with-ypogegrammeni -> ALPHA+IOTA) — 102
+#: entries, closing the round-6 review finding that a hand-rolled
+#: 18-entry subset silently missed the rest. SpecialCasing defines no
+#: expansion codepoints above U+FFFF, so BMP-exhaustive is exhaustive.
+#: The substitution rule is verified per entry at import: dst is the
+#: per-char lowercase of the full uppercase, accepted only when its
+#: per-codepoint uppercase reproduces the full expansion — any future
+#: Unicode-table drift that breaks the identity fails loudly here
+#: instead of silently corrupting a gate. (Per-language conditional
+#: mappings — Turkish dotted-I, Lithuanian accents — are locale-gated
+#: in both engines' default paths and out of scope by construction.)
+UPPER_EXPANSIONS: list[tuple[str, str]] = []
+for _cp in range(0x10000):
+    _c = chr(_cp)
+    _u = _c.upper()
+    if len(_u) <= 1:
+        continue
+    _dst = "".join(_ch.lower() for _ch in _u)
+    if "".join(_ch.upper() for _ch in _dst) != _u or any(
+        len(_ch.upper()) != 1 for _ch in _dst
+    ):  # pragma: no cover - no current Unicode table violates this
+        raise AssertionError(
+            f"SpecialCasing expansion U+{_cp:04X} has no per-codepoint-safe "
+            "decomposed lowercase; extend portable_upper's strategy"
+        )
+    UPPER_EXPANSIONS.append((_c, _dst))
+del _cp, _c, _u, _dst
 
 _UPPER_HAZARD_CLASS = "[" + "".join(src for src, _ in UPPER_EXPANSIONS) + "]"
 

@@ -119,6 +119,18 @@ def bloom_prune_join(
     then run the real join on the surviving fraction. Result is exactly
     the plain inner join (no false negatives); the shuffle carries only
     matches + the fp tail instead of the whole probe table."""
+    # xxhash64 is TYPE-sensitive: hash(1 as int) != hash(1 as bigint),
+    # so a probe/build key dtype mismatch would silently produce false
+    # negatives — the one failure mode this operator must never have.
+    # Reject it loudly instead of guessing a coercion.
+    p_type = dict(probe.dtypes)[probe_key]
+    b_type = dict(build.dtypes)[build_key]
+    if p_type != b_type:
+        raise ValueError(
+            f"bloom_prune_join key dtype mismatch: probe {probe_key}:{p_type} "
+            f"vs build {build_key}:{b_type} — cast both sides to one type "
+            "(xxhash64 hashes typed values; a mismatch drops true matches)"
+        )
     bloom = bloom_build(build, build_key, m_bits=m_bits, k=k)
     pruned = bloom_prune(probe, probe_key, bloom, m_bits=m_bits, k=k)
     return pruned.join(build, pruned[probe_key] == build[build_key], "inner")

@@ -11,3 +11,7 @@ __all__ = [
     "continuous_rollup",
     "sessionize_stream",
 ]
+
+from .bloom_dedup import streaming_bloom_dedup  # noqa: E402
+
+__all__.append("streaming_bloom_dedup")
