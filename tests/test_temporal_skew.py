@@ -359,3 +359,29 @@ def test_bucketed_range_join_count_keyfree(spark):
         bucketed_range_join_count(
             l, r, left_ts="ts", right_ts="ts", lower_seconds=5, upper_seconds=5
         )
+
+
+def test_skew_diagnostics_handworked(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.skew import skew_diagnostics
+
+    # 100 rows of key 'hot', 10 of 'warm', 1 of 'cold', 3 NULLs
+    rows = [("hot",)] * 100 + [("warm",)] * 10 + [("cold",)] + [(None,)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in skew_diagnostics(df, "k", top=10, target_rows_per_task=40).collect()}
+    assert out["hot"]["n_rows"] == 100
+    assert out["hot"]["share_permille"] == (100 * 1000) // 114
+    assert out["hot"]["recommended_salts"] == 3  # ceil(100/40)
+    assert out["warm"]["recommended_salts"] == 1
+    # NULL keys are REPORTED (they concentrate in one shuffle partition
+    # too), not dropped
+    assert None in out and out[None]["n_rows"] == 3
+
+
+def test_skew_diagnostics_top_n_deterministic(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.skew import skew_diagnostics
+
+    # 30 keys, all with the SAME count: the (n_rows, key) ordering must
+    # pick a stable lexicographic prefix
+    df = spark.createDataFrame([(f"k{i:02d}",) for i in range(30)], "k string")
+    out = [r["key"] for r in skew_diagnostics(df, "k", top=5).collect()]
+    assert out == ["k00", "k01", "k02", "k03", "k04"]

@@ -157,3 +157,50 @@ def salted_join(
 
     out = f.join(d, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_diagnostics(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Pre-join/pre-agg skew report: the top-N hottest keys with their
+    row counts, corpus share (exact integer per-mille), and the salt
+    factor that would level each onto ``target_rows_per_task``-row
+    tasks — the number `salted_join`/`salted_agg` take as ``n_salts``.
+
+    The operational loop this serves at 100 TB: a shuffle stage
+    straggles → run the diagnostic on the join key → read off the hot
+    keys and the recommended salt → apply the salted operator (or AQE
+    skew thresholds) with a measured number instead of a guess.
+
+    One map-combinable count per key + a TakeOrdered top-N (no global
+    sort, no window); share is integer cross-multiplied per-mille so
+    the report is engine-exact. NULL keys are counted as a key (NULLs
+    concentrate in one shuffle partition too — the classic invisible
+    hot key, surfaced here rather than dropped).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = df.select(F.count(F.lit(1)).cast("long").alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "n_rows",
+            # exact integer per-mille of corpus rows
+            F.expr("(n_rows * 1000) div __total").alias("share_permille"),
+            # ceil(n_rows / target) without floats
+            F.expr(
+                f"(n_rows + {int(target_rows_per_task)} - 1) "
+                f"div {int(target_rows_per_task)}"
+            )
+            .cast("long")
+            .alias("recommended_salts"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top)
+    )

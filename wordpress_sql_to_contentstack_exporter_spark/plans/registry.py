@@ -74,6 +74,7 @@ from ..operators import stats as stats_ops
 from ..operators import text as tx
 from ..operators import sampling
 from ..operators.sampling import deterministic_split, pack_sequences, stratified_sample
+from ..operators import skew as skew_ops
 from ..operators.skew import salted_agg
 from ..operators.temporal import asof_join, gapfill_buckets, range_join_count
 
@@ -5930,6 +5931,34 @@ FROM h
 """
 
 
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew report (operators/skew.skew_diagnostics): top-20
+    hottest lineitem supplier keys with exact per-mille corpus share
+    and the ceil-division salt factor salted_join/salted_agg would
+    take. One map-combinable count + TakeOrdered; the (n_rows, key)
+    ordering is total (key unique per group) so LIMIT is deterministic
+    cross-engine. target_rows_per_task=200 at sf0.01 so the
+    recommendation actually varies across keys."""
+    l = _t(spark, sf_dir, "lineitem")
+    return skew_ops.skew_diagnostics(
+        l, "l_suppkey", top=20, target_rows_per_task=200
+    )
+
+
+SQL_SKEW_DIAGNOSTICS = """
+WITH c AS (
+    SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_suppkey
+), t AS (SELECT count(*) AS total FROM lineitem)
+SELECT CAST(key AS VARCHAR) AS key, n_rows,
+       CAST((n_rows * 1000) // total AS BIGINT) AS share_permille,
+       CAST((n_rows + 199) // 200 AS BIGINT) AS recommended_salts
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, CAST(key AS VARCHAR) ASC
+LIMIT 20
+"""
+
+
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs over a real PCM-WAV corpus
     (operators/audio_dedup.py): stdlib WAV decode → 64-bit
@@ -6040,6 +6069,7 @@ SPARK_QUERIES = {
     # finishing the 36-query remainder):
     "threshold_sweep": q_threshold_sweep,
     "domain_blocklist": q_domain_blocklist,
+    "skew_diagnostics": q_skew_diagnostics,
     # driver-green in r1-r6 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6147,6 +6177,7 @@ ORACLE_SQL = {
     "shard_manifest": SQL_SHARD_MANIFEST,
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
+    "skew_diagnostics": SQL_SKEW_DIAGNOSTICS,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,
