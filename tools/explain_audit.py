@@ -682,6 +682,15 @@ def main() -> int:
         ("arrow-batched decode", r"MapInPandas"),
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
+    # embedding_gram: partial Gramians are an Arrow map stage; the only
+    # shuffle is the (i, j)-keyed aggregation of ~2k rows/partition —
+    # no pair join of vectors anywhere.
+    check(
+        "embedding_gram",
+        ("arrow-batched partial gramians", r"MapInPandas"),
+        ("tiny (i,j)-keyed aggregation", r"HashAggregate"),
+        ("no pair join", r"\A(?s:(?!.*(SortMergeJoin|CartesianProduct)).*)\Z"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0

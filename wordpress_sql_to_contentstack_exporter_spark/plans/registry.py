@@ -68,6 +68,7 @@ from ..operators import dedup as dd
 from ..operators import graph as gr
 from ..operators import image_dedup as imd
 from ..operators import layout as lay
+from ..operators import linalg as lin
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import stats as stats_ops
@@ -5959,6 +5960,54 @@ LIMIT 20
 """
 
 
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Gramian sufficient statistics of the embeddings
+    table (operators/linalg.gram_stats) — the one-pass distributed
+    input to covariance / PCA / whitening. Arrow-batched partial
+    Gramians (numpy int64 matmul per batch) emit only the d(d+1)/2
+    upper triangle + d sums + count per PARTITION, so the shuffle is
+    ~2k rows regardless of corpus size; vectors are floor(x * 2^20)
+    integer-scaled BEFORE any product (exact in both engines, the
+    registry's float doctrine), making the statistics bit-identical
+    under any partitioning/combine order. The d x d eigen-step happens
+    driver-side downstream (pca_components/pca_project, whitening
+    property pytest-verified)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return lin.gram_stats(e, vec_col="embedding", dim=64, scale_bits=20).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "val",
+    )
+
+
+SQL_EMBEDDING_GRAM = """
+WITH p0 AS (
+    SELECT vec_id,
+           [{'dim': i - 1,
+             'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)}
+            for i in range(1, len(embedding) + 1)] AS pairs
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), e AS (
+    SELECT vec_id, unnest(pairs, recursive := true) FROM p0
+), g AS (
+    SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+           CAST(sum(a.v * b.v) AS BIGINT) AS val
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+), s AS (
+    SELECT CAST(dim AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+           CAST(sum(v) AS BIGINT) AS val
+    FROM e GROUP BY dim
+), c AS (
+    SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+           CAST(count(*) AS BIGINT) AS val
+    FROM p0
+)
+SELECT * FROM g UNION ALL SELECT * FROM s UNION ALL SELECT * FROM c
+"""
+
+
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs over a real PCM-WAV corpus
     (operators/audio_dedup.py): stdlib WAV decode → 64-bit
@@ -6070,6 +6119,7 @@ SPARK_QUERIES = {
     "threshold_sweep": q_threshold_sweep,
     "domain_blocklist": q_domain_blocklist,
     "skew_diagnostics": q_skew_diagnostics,
+    "embedding_gram": q_embedding_gram,
     # driver-green in r1-r6 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6178,6 +6228,7 @@ ORACLE_SQL = {
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "skew_diagnostics": SQL_SKEW_DIAGNOSTICS,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,
