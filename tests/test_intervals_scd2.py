@@ -114,3 +114,59 @@ def test_scd2_single_shuffle(spark):
         log, keys=["k"], ts_col="t", attrs=["attr"], tiebreak=["id"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_interval_overlap_join_handworked(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    M = 1_000_000
+    left = spark.createDataFrame(
+        [
+            (1, 100, 0 * M, 10 * M),    # overlaps r1 (partial), r2 (touch: no)
+            (1, 101, 20 * M, 30 * M),   # overlaps r3 (contained)
+            (2, 102, 0 * M, 10 * M),    # other key: no pair
+            (1, 103, 50 * M, 50 * M),   # empty: dropped
+        ],
+        "user_id long, view_id long, v_start long, v_end long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 200, 5 * M, 15 * M),    # overlaps l100 by 5s
+            (1, 201, 10 * M, 20 * M),   # touches l100 at 10s: NOT a pair
+            (1, 202, 22 * M, 25 * M),   # inside l101: overlap 3s
+            (3, 203, 0 * M, 100 * M),
+        ],
+        "user_id long, click_id long, c_start long, c_end long",
+    )
+    out = {
+        (r["view_id"], r["click_id"]): r["overlap_us"]
+        for r in interval_overlap_join(
+            left, right, keys=["user_id"],
+            left_start="v_start", left_end="v_end",
+            right_start="c_start", right_end="c_end",
+            bucket_us=4 * M,  # small buckets: pairs share several -> dedupe
+        ).collect()
+    }
+    assert out == {(100, 200): 5 * M, (101, 202): 3 * M}
+
+
+def test_interval_overlap_long_interval_found_once(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 0, 1_000_000)], "k long, lid long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [(1, 2, 999_999, 1_000_001)], "k long, rid long, rs long, re long"
+    )
+    rows = interval_overlap_join(
+        left, right, keys=["k"],
+        left_start="ls", left_end="le", right_start="rs", right_end="re",
+        bucket_us=1000,  # left spans 1000 buckets; the pair shares one
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["overlap_us"] == 1

@@ -70,6 +70,11 @@ def main() -> None:
         # keys), bloom-pruned broadcast join vs plain hash join, and
         # sha256 manifest hashing on both sides
         "zorder_layout", "bloom_prune_join", "shard_manifest",
+        # batch-2 round-7 additions: numpy partial Gramians vs DuckDB's
+        # 1M-row struct-unnest self-join; bucketed-agg threshold curve
+        # vs window mirror; suffix-explode blocklist vs EXISTS/LIKE
+        "embedding_gram", "threshold_sweep", "domain_blocklist",
+        "skew_diagnostics",
     ]
     out = {}
     for name in compared:

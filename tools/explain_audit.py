@@ -682,6 +682,15 @@ def main() -> int:
         ("arrow-batched decode", r"MapInPandas"),
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
     )
+    # interval_overlap: candidates must come from the (key, bucket)
+    # equi-join — the nested-loop theta join it replaces would show
+    # BroadcastNestedLoopJoin.
+    check(
+        "interval_overlap",
+        ("bucket equi-join", r"SortMergeJoin|BroadcastHashJoin"),
+        ("no nested-loop theta join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
     # embedding_gram: partial Gramians are an Arrow map stage; the only
     # shuffle is the (i, j)-keyed aggregation of ~2k rows/partition —
     # no pair join of vectors anywhere.

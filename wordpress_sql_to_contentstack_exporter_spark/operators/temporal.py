@@ -353,3 +353,71 @@ def bucketed_range_join_count(
         .withColumn(count_alias, F.coalesce(F.col(count_alias), F.lit(0)))
         .drop("__rowid", "__lus")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-x-interval OVERLAP join (half-open semantics): all
+    (left, right) pairs on the same keys with
+    ``l.start < r.end AND r.start < l.end``, plus the exact
+    ``overlap_us`` length — the primitive behind ad attribution
+    windows, outage-overlap analysis, and concurrent-session audits.
+
+    The naive form is a non-equi theta join (nested loop per key at
+    best). Scale shape here: each interval EXPLODES to the fixed-width
+    time buckets it covers (``sequence`` of bucket ids — pure codegen),
+    candidates come from the (keys, bucket) EQUI-join, pairs sharing
+    several buckets dedupe through ``distinct``, and the exact overlap
+    predicate verifies — the same bucket-join discipline as
+    ``range_join_count`` (temporal.py) extended to interval pairs.
+
+    ``bucket_us`` tunes the explode-vs-collision trade-off: buckets
+    near the median interval length keep both the per-interval fan-out
+    (``len/bucket + 1`` rows) and the per-bucket collision volume
+    small. A pathologically long interval costs its bucket count in
+    exploded rows — cap interval lengths upstream or raise
+    ``bucket_us`` for long-interval workloads.
+
+    Timestamps are integer MICROSECOND columns (callers convert with
+    ``unix_micros``; the registry gate does) — integer bucket math is
+    exact and engine-portable, per the portable doctrine's ban on
+    raw-timestamp arithmetic.
+    """
+    def bucketed(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        b0 = F.floor(F.col(start) / F.lit(int(bucket_us)))
+        # half-open end: an interval ending exactly on a bucket edge
+        # does not occupy the next bucket
+        b1 = F.floor((F.col(end) - 1) / F.lit(int(bucket_us)))
+        # empty/negative intervals are DROPPED before the explode:
+        # b1 < b0 would otherwise make sequence() count DOWNWARD and
+        # fabricate buckets for an interval that covers nothing
+        return df.filter(F.col(end) > F.col(start)).withColumn(
+            f"__{side}bkt", F.explode(F.sequence(b0.cast("long"), b1.cast("long")))
+        )
+
+    lb = bucketed(left, left_start, left_end, "l")
+    rb = bucketed(right, right_start, right_end, "r")
+    cond = [lb[k] == rb[k] for k in keys] + [lb["__lbkt"] == rb["__rbkt"]]
+    cand = (
+        lb.join(rb, cond)
+        .drop(rb["__rbkt"])
+        .drop(lb["__lbkt"])
+        .drop(*[rb[k] for k in keys])
+        .distinct()
+    )
+    overlap = F.least(F.col(left_end), F.col(right_end)) - F.greatest(
+        F.col(left_start), F.col(right_start)
+    )
+    return cand.filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+    ).withColumn("overlap_us", overlap.cast("long"))

@@ -5960,6 +5960,74 @@ LIMIT 20
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join
+    (operators/temporal.interval_overlap_join): synthetic view/click
+    windows from the events stream (duration = (event_id % 50 + 1)
+    minutes, integer micros end-to-end), bucket-explode + equi-join on
+    (user_id, hour bucket) + exact half-open verify — never the
+    nested-loop theta join. Fan-out <= 2 buckets per interval at these
+    durations. Output: overlapping (view, click) pairs with exact
+    overlap_us."""
+    from ..operators.temporal import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") % 50 + 1) * 60_000_000
+        ).alias("e_us"),
+    )
+    left = base.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("s_us").alias("v_start"),
+        F.col("e_us").alias("v_end"),
+    )
+    right = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("s_us").alias("c_start"),
+        F.col("e_us").alias("c_end"),
+    )
+    out = interval_overlap_join(
+        left,
+        right,
+        keys=["user_id"],
+        left_start="v_start",
+        left_end="v_end",
+        right_start="c_start",
+        right_end="c_end",
+        bucket_us=3_600_000_000,
+    )
+    return out.select("user_id", "view_id", "click_id", "overlap_us")
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH base AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + (event_id % 50 + 1) * 60000000 AS e_us
+    FROM events
+), v AS (
+    SELECT user_id, event_id AS view_id, s_us AS v_start, e_us AS v_end
+    FROM base WHERE event_type = 'view'
+), c AS (
+    SELECT user_id, event_id AS click_id, s_us AS c_start, e_us AS c_end
+    FROM base WHERE event_type = 'click'
+)
+SELECT v.user_id, v.view_id, c.click_id,
+       CAST(least(v.v_end, c.c_end) - greatest(v.v_start, c.c_start) AS BIGINT)
+           AS overlap_us
+FROM v JOIN c ON v.user_id = c.user_id
+WHERE v.v_start < c.c_end AND c.c_start < v.v_end
+"""
+
+
 def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer Gramian sufficient statistics of the embeddings
     table (operators/linalg.gram_stats) — the one-pass distributed
@@ -6120,6 +6188,7 @@ SPARK_QUERIES = {
     "domain_blocklist": q_domain_blocklist,
     "skew_diagnostics": q_skew_diagnostics,
     "embedding_gram": q_embedding_gram,
+    "interval_overlap": q_interval_overlap,
     # driver-green in r1-r6 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6229,6 +6298,7 @@ ORACLE_SQL = {
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "skew_diagnostics": SQL_SKEW_DIAGNOSTICS,
     "embedding_gram": SQL_EMBEDDING_GRAM,
+    "interval_overlap": SQL_INTERVAL_OVERLAP,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,
