@@ -5960,6 +5960,58 @@ LIMIT 20
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite in ONE scan
+    (operators/expectations.run_expectations): five checks over
+    lineitem — not-null, quantity range, accepted return flags, a
+    deliberately failing price ceiling, and PK uniqueness — compiled
+    into a single map-combinable aggregation and unpivoted to a
+    (check, n_violations, n_rows, passed) report. The naive form is
+    five scans of the fact table; this is one."""
+    from ..operators import expectations as ex
+
+    l = _t(spark, sf_dir, "lineitem")
+    return ex.run_expectations(
+        l,
+        [
+            ex.expect_not_null("l_orderkey"),
+            ex.expect_between("l_quantity", 1, 50),
+            ex.expect_in("l_returnflag", ["A", "N", "R"]),
+            ex.expect_between("l_extendedprice", 0, 50000),
+            ex.expect_unique("l_orderkey", "l_linenumber"),
+        ],
+    )
+
+
+SQL_EXPECTATIONS = """
+WITH t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS v0,
+           CAST(count(*) FILTER (l_quantity IS NOT NULL
+                AND NOT (l_quantity >= 1 AND l_quantity <= 50)) AS BIGINT) AS v1,
+           CAST(count(*) FILTER (l_returnflag IS NOT NULL
+                AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT) AS v2,
+           CAST(count(*) FILTER (l_extendedprice IS NOT NULL
+                AND NOT (l_extendedprice >= 0 AND l_extendedprice <= 50000))
+                AS BIGINT) AS v3,
+           CAST(count(*) - (SELECT count(*) FROM (
+               SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+           )) AS BIGINT) AS v4
+    FROM lineitem
+), u AS (
+    SELECT 0 AS ord, 'not_null(l_orderkey)' AS check_name, v0 AS nv, n FROM t
+    UNION ALL SELECT 1, 'between(l_quantity,1,50)', v1, n FROM t
+    UNION ALL SELECT 2, 'in_set(l_returnflag)', v2, n FROM t
+    UNION ALL SELECT 3, 'between(l_extendedprice,0,50000)', v3, n FROM t
+    UNION ALL SELECT 4, 'unique(l_orderkey,l_linenumber)', v4, n FROM t
+)
+SELECT CAST(ord AS BIGINT) AS ord, check_name AS "check",
+       nv AS n_violations, n AS n_rows,
+       CAST(CASE WHEN nv = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM u
+"""
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-x-interval overlap join
     (operators/temporal.interval_overlap_join): synthetic view/click
@@ -6189,6 +6241,7 @@ SPARK_QUERIES = {
     "skew_diagnostics": q_skew_diagnostics,
     "embedding_gram": q_embedding_gram,
     "interval_overlap": q_interval_overlap,
+    "expectations": q_expectations,
     # driver-green in r1-r6 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6299,6 +6352,7 @@ ORACLE_SQL = {
     "skew_diagnostics": SQL_SKEW_DIAGNOSTICS,
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
+    "expectations": SQL_EXPECTATIONS,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,
