@@ -95,8 +95,23 @@ def test_host_suffixes_caps_label_fanout(spark):
     out = spark.createDataFrame([(deep,)], "host string").select(
         blk.host_suffixes(F.col("host"), max_labels=8).alias("s")
     ).first()["s"]
-    assert len(out) == 8
+    # cap bounds the explode to max_labels suffixes PLUS the full host
+    # (kept so exact host == domain matches at any depth)
+    assert len(out) == 9
+    assert out[0] == deep
     assert out[-1] == "com" and out[-2] == "example.com"
+
+
+def test_deep_blocklist_domain_exact_match_survives_cap(spark):
+    """A blocklist domain deeper than max_labels must still block the
+    EXACT same host (review finding: the cap used to truncate the full
+    host away). The residual — subdomains of such deep domains — is
+    documented, not silent."""
+    deep = ".".join(f"l{i}" for i in range(14)) + ".example.com"  # 16 labels > cap
+    hosts = spark.createDataFrame([(0, deep)], "id long, host string")
+    bl = spark.createDataFrame([(deep,)], "domain string")
+    got = blk.blocklist_flags(hosts, host_col="host", blocklist=bl).first()
+    assert got["blocked"] == 1
 
 
 def test_blocklist_semantics(spark):

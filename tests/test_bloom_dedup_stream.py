@@ -73,3 +73,18 @@ def test_validates_m_bits(spark):
     df = spark.readStream.schema(SCHEMA).parquet("/tmp/nonexistent-ok/*")
     with pytest.raises(ValueError, match="multiple of 8"):
         streaming_bloom_dedup(df, m_bits=1001)
+
+
+def test_null_text_rows_survive_as_one_family(spark, tmp_path):
+    """NULL text must not crash the query (review finding: a None
+    digest reached the state fn's sort); all NULL/empty docs form one
+    duplicate family whose first row survives."""
+    inp = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+    spark.createDataFrame(
+        [(1, None), (2, "real doc"), (3, None), (4, "   ")], SCHEMA
+    ).write.parquet(str(inp / "f1"))
+    run_once(spark, inp, ckpt, out)
+    # one survivor for the NULL/empty family (id 1) + the real doc
+    assert {i for i, _ in out} == {1, 2}

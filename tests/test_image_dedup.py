@@ -86,3 +86,34 @@ def test_band_pigeonhole_boundary():
     d4_spread = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
     assert any(x == y for x, y in zip(bands(base), bands(d3)))
     assert all(x != y for x, y in zip(bands(base), bands(d4_spread)))
+
+
+def test_corrupt_idat_hashes_to_null(spark):
+    """Corrupt payloads escape png.decode as zlib.error / struct.error,
+    not just ValueError (review finding) — they must hash NULL, never
+    kill the task."""
+    import struct as _struct
+    import zlib as _zlib
+
+    good = _gray_png(b"payload")
+    # corrupt the IDAT body: keep structure, break the deflate stream
+    idat_at = good.index(b"IDAT") - 4
+    (ln,) = _struct.unpack(">I", good[idat_at : idat_at + 4])
+    corrupted = (
+        good[: idat_at + 8]
+        + b"\x00" * ln
+        + good[idat_at + 8 + ln :]
+    )
+    truncated_ihdr = png.PNG_SIGNATURE + _struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5
+    media = spark.createDataFrame(
+        [(1, bytearray(corrupted)), (2, bytearray(truncated_ihdr))],
+        "media_id long, content binary",
+    )
+    rows = imd.dhash64(media).collect()
+    assert all(r["dhash"] is None for r in rows)
+    # and the raw decoders indeed raise the non-ValueError classes
+    try:
+        png.decode(corrupted)
+        raise AssertionError("expected decode failure")
+    except Exception as e:
+        assert isinstance(e, (_zlib.error, ValueError))

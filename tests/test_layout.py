@@ -200,3 +200,19 @@ def test_zorder_layout_gate_skips_more_than_natural(spark):
     for r in rows:
         scanned[r["layout"]] += r["scanned"]
     assert scanned["zorder"] < scanned["natural"]
+
+
+def test_assign_files_exact_above_2_53(spark):
+    """Order keys wider than double precision (>= 2^53) must rank
+    exactly (review finding: the old double roundtrip collapsed the
+    low bits and let distinct keys tie)."""
+    base = 1 << 60
+    df = spark.createDataFrame(
+        [(i, base + i) for i in range(16)], "k long, z long"
+    )
+    out = {
+        r["k"]: r["file_id"]
+        for r in lay.assign_files(df, order_col="z", tiebreak=["k"], n_files=4).collect()
+    }
+    # exact ordering by z: k 0-3 -> file 0, ..., k 12-15 -> file 3
+    assert out == {k: k // 4 for k in range(16)}

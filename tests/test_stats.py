@@ -313,8 +313,10 @@ def test_grouped_mode_tie_break_and_corr_stats_exactness(spark):
     assert mode["BETA"] == ("FOOD", 2)
     a = corr["AUTO"]  # custkey 0: two orders (100, 200), balance 10
     assert (a["n"], a["sum_x"], a["sum_y"]) == (2, 30000, 2000)
-    assert a["sum_xy"] == 10000 * 1000 + 20000 * 1000
-    assert a["sum_xx"] == 10000**2 + 20000**2
+    # product sums are STRINGS since r7 (Σx² overflows int64 at sf0.1;
+    # plain-integer stringification is the portable >64-bit rendering)
+    assert a["sum_xy"] == str(10000 * 1000 + 20000 * 1000)
+    assert a["sum_xx"] == str(10000**2 + 20000**2)
 
 
 def test_basket_pairs_lift_and_bounds(spark):

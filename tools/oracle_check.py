@@ -102,35 +102,28 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
     )
 
     n_planted = docs.filter(F.col("doc_id") % 17 == 0).count()
-    img_pairs = reg.SPARK_QUERIES["image_neardup"](spark, sf_dir)
-    img_hits = (
-        img_pairs.filter(F.col("id_b") - F.col("id_a") == PLANT_OFFSET)
-        .select("id_a")
-        .distinct()
-        .count()
-    )
-    ev["image_neardup"] = {
-        "metric": "planted_perturbed_image_pair_recall",
-        "recall": round(img_hits / max(n_planted, 1), 4),
-        "planted_pairs": n_planted,
-        "nonplanted_pairs_reported": img_pairs.count() - img_hits,
-    }
 
-    # --- audio near-dup: same planted-pair protocol over the WAV corpus
-    # (every 17th doc gets a noise-perturbed copy at id+10M).
-    aud_pairs = reg.SPARK_QUERIES["audio_neardup"](spark, sf_dir)
-    aud_hits = (
-        aud_pairs.filter(F.col("id_b") - F.col("id_a") == PLANT_OFFSET)
-        .select("id_a")
-        .distinct()
-        .count()
+    def media_pair_evidence(query: str, metric: str) -> dict:
+        # ONE collect of the pair list: the decode pipeline (Python
+        # codec mapInPandas over the whole corpus) is the expensive
+        # stage, and a second .count() action would re-run it in full
+        rows = reg.SPARK_QUERIES[query](spark, sf_dir).collect()
+        hits = {r["id_a"] for r in rows if r["id_b"] - r["id_a"] == PLANT_OFFSET}
+        return {
+            "metric": metric,
+            "recall": round(len(hits) / max(n_planted, 1), 4),
+            "planted_pairs": n_planted,
+            "nonplanted_pairs_reported": len(rows) - len(hits),
+        }
+
+    ev["image_neardup"] = media_pair_evidence(
+        "image_neardup", "planted_perturbed_image_pair_recall"
     )
-    ev["audio_neardup"] = {
-        "metric": "planted_perturbed_audio_pair_recall",
-        "recall": round(aud_hits / max(n_planted, 1), 4),
-        "planted_pairs": n_planted,
-        "nonplanted_pairs_reported": aud_pairs.count() - aud_hits,
-    }
+    # audio: same planted-pair protocol over the WAV corpus (every 17th
+    # doc gets a noise-perturbed copy at id+10M).
+    ev["audio_neardup"] = media_pair_evidence(
+        "audio_neardup", "planted_perturbed_audio_pair_recall"
+    )
 
     # --- embedding LSH near-dup: recall vs the exact quadratic pair set
     # at the same threshold.

@@ -69,6 +69,14 @@ D. ``string_split_regex`` over text CONTAINING newlines — the r6
 E. Raw-timestamp ORDER BY inside window/aggregate ordering — decode
    precision (micros vs nanos parquet) is an engine choice; order by
    ``epoch_us(ts)`` / ``unix_micros`` integer keys instead.
+F. Raw HUGEINT/DECIMAL result columns (r6 driver reds) — int128
+   rendering is a client/fetch-path choice; sums of BIGINT get
+   ``::BIGINT``. COROLLARY (r7, found by the sf0.1 sweep): ``::BIGINT``
+   itself overflows when the exact sum exceeds 2^63 (corr_stats'
+   Σx² ≈ 2.5e19 at sf0.1) — such columns are emitted as plain-integer
+   STRINGS on both engines (``::VARCHAR`` / ``.cast("string")``), the
+   one >64-bit rendering every engine agrees on. Scale the gate's
+   inputs or stringify; never trust a cast to absorb a growing sum.
 """
 
 from __future__ import annotations
@@ -169,13 +177,13 @@ def portable_upper(col: Column) -> Column:
     engines uppercase those codepoint-for-codepoint identically.
     Guarded by one regex scan so hazard-free strings pay a single pass.
 
-    COVERAGE IS A SUBSET, not all of SpecialCasing.txt: the table omits
-    the rarer unconditional expansions — U+1E96-U+1E9A (ẖ ẗ ẘ ẙ ẚ) and
-    the Greek polytonic breathing/iota-subscript families
-    U+1F50-U+1FFC (e.g. ᾳ -> Java ΑΙ vs utf8proc ᾼ). Text containing
-    those still diverges cross-engine; the oracle fixtures are pinned
-    to the covered subset (tests/test_portable_text.py), and extending
-    the table is the fix if such text ever enters a gated contract."""
+    Coverage is EXHAUSTIVE as of round 7: ``UPPER_EXPANSIONS`` is
+    generated from the full BMP at import (102 entries — including the
+    U+1E96-U+1E9A and Greek polytonic families a hand-rolled earlier
+    subset missed; SpecialCasing defines no expansions above U+FFFF),
+    each entry verified by the import-time identity check. Parity for
+    every entry across Spark / DuckDB / full uppercase is pinned by
+    tests/test_portable_text.py::test_upper_expansions_table_is_exhaustive."""
     patched = col
     for src, dst in UPPER_EXPANSIONS:
         patched = F.replace(patched, F.lit(src), F.lit(dst))

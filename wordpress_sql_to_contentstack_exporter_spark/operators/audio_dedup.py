@@ -106,7 +106,9 @@ def _signature_bytes(payload: bytes) -> int | None:
     try:
         info = _wav.parse(payload)
         samples = _wav.first_channel_samples(info)
-    except (ValueError, TypeError, EOFError):
+    except Exception:
+        # undecodable -> NULL signature, never a task failure (same
+        # except-Exception discipline as the image/multimodal tiers)
         return None
     if len(samples) < _N_FRAMES:
         return None

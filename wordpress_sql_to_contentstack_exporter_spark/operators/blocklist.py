@@ -27,16 +27,20 @@ from pyspark.sql import functions as F
 __all__ = ["host_suffixes", "blocklist_flags", "blocklist_filter"]
 
 
-def host_suffixes(host: Column, *, max_labels: int = 8) -> Column:
-    """Array of every dot-suffix of ``host``, longest first, capped at
-    the last ``max_labels`` labels (deeper subdomains can only be
-    blocked via their shorter suffixes anyway, which are always kept).
-    ``filter``/``transform`` higher-order functions — JVM codegen, no
-    Python."""
+def host_suffixes(host: Column, *, max_labels: int = 12) -> Column:
+    """Array of the dot-suffixes of ``host``: the FULL host always
+    (exact ``host == domain`` matches at any depth), plus the suffixes
+    of the last ``max_labels`` labels. The cap bounds the explode
+    against adversarial million-dot hosts; its one residual blind spot
+    is a SUBDOMAIN match against a blocklist domain deeper than
+    ``max_labels`` labels (the host itself may be arbitrarily deep) —
+    real-world registrable domains sit far below the default 12, and
+    callers with deeper blocklists raise the cap. ``filter``/
+    ``transform`` higher-order functions — JVM codegen, no Python."""
     labels = F.split(host, r"\.")
     n = F.array_size(labels)
     start = F.greatest(F.lit(0), n - F.lit(int(max_labels)))
-    return F.filter(
+    capped = F.filter(
         F.transform(
             F.sequence(F.lit(0), F.lit(int(max_labels) - 1)),
             # length = n is always >= the remaining label count; a huge
@@ -48,6 +52,11 @@ def host_suffixes(host: Column, *, max_labels: int = 8) -> Column:
             ),
         ),
         lambda s: s.isNotNull(),
+    )
+    # prepend the full host when the cap truncated it, so exact-match
+    # blocking never depends on the cap
+    return F.when(n > F.lit(int(max_labels)), F.concat(F.array(host), capped)).otherwise(
+        capped
     )
 
 

@@ -105,7 +105,11 @@ def _dhash_bytes(payload: bytes) -> int | None:
     int64: bit 63 set wraps negative, matching Spark LongType)."""
     try:
         w, h, nch, px = _png.decode(payload)
-    except (ValueError, TypeError):
+    except Exception:
+        # not just ValueError: corrupt payloads escape png.decode as
+        # zlib.error (bad IDAT) or struct.error (truncated IHDR), and
+        # any of them must hash to NULL, not kill the Spark task —
+        # the same except-Exception discipline as the multimodal tiers
         return None
     gray = _png.to_gray(w, h, nch, px)
     small = _png.resize_nearest(w, h, 1, gray, 9, 8)

@@ -388,7 +388,17 @@ def global_rank(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets >= 2 required")
-    vm = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    # scale=1 declares the value column integral: cast straight to long
+    # with NO double roundtrip — round(cast(x as double)) silently
+    # collapses integer keys >= 2^53 (e.g. wide Z-order/Morton keys up
+    # to 62 bits), which would let rows with distinct keys tie and the
+    # tiebreak order diverge from an exact-integer oracle. Fractional
+    # value columns must use scale > 1 (the double path, documented
+    # lossy above 2^53 / scale).
+    if scale == 1:
+        vm = F.col(value_col).cast("long")
+    else:
+        vm = F.round(F.col(value_col).cast("double") * scale).cast("long")
     d = df.filter(F.col(value_col).isNotNull()).withColumn("__vm", vm)
     bounds = d.agg(
         F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")

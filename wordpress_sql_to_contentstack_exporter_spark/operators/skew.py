@@ -201,6 +201,10 @@ def skew_diagnostics(
             .cast("long")
             .alias("recommended_salts"),
         )
-        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        # NULLS LAST explicitly: Spark's bare ASC is NULLS FIRST while
+        # ANSI engines default NULLS LAST, so a NULL hot key tying at
+        # the LIMIT boundary would otherwise make the top-N membership
+        # engine-dependent
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
         .limit(top)
     )

@@ -367,10 +367,16 @@ def interval_overlap_join(
     bucket_us: int = 3_600_000_000,
 ) -> DataFrame:
     """Interval-x-interval OVERLAP join (half-open semantics): all
-    (left, right) pairs on the same keys with
-    ``l.start < r.end AND r.start < l.end``, plus the exact
-    ``overlap_us`` length — the primitive behind ad attribution
-    windows, outage-overlap analysis, and concurrent-session audits.
+    (left, right) pairs on the same keys whose INTERSECTION is
+    non-empty — ``max(starts) < min(ends)``, i.e. ``overlap_us >= 1``
+    always holds in the output — plus the exact ``overlap_us`` length:
+    the primitive behind ad attribution windows, outage-overlap
+    analysis, and concurrent-session audits. Empty intervals
+    (``end <= start``) are dropped: ``[t, t)`` is the empty set and
+    intersects nothing under half-open semantics (the naive
+    ``l.start < r.end AND r.start < l.end`` predicate wrongly admits
+    pairs where an empty interval sits strictly inside the other;
+    the oracle mirrors the max/min form).
 
     The naive form is a non-equi theta join (nested loop per key at
     best). Scale shape here: each interval EXPLODES to the fixed-width
@@ -417,7 +423,8 @@ def interval_overlap_join(
     overlap = F.least(F.col(left_end), F.col(right_end)) - F.greatest(
         F.col(left_start), F.col(right_start)
     )
-    return cand.filter(
-        (F.col(left_start) < F.col(right_end))
-        & (F.col(right_start) < F.col(left_end))
-    ).withColumn("overlap_us", overlap.cast("long"))
+    # the max(starts) < min(ends) form IS "intersection non-empty";
+    # with empty intervals already dropped it equals the textbook
+    # pairwise predicate, and it states the guarantee directly:
+    # overlap_us >= 1 on every output row
+    return cand.filter(overlap > 0).withColumn("overlap_us", overlap.cast("long"))

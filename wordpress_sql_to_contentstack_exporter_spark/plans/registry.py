@@ -4931,7 +4931,13 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-end prices — ANSI mode surfaced exactly that at sf0.1 (the
     overflow the silent-wraparound default would have turned into
     corrupt statistics). DuckDB reaches the same values via its
-    HUGEINT sum promotion; both stringify as plain integers."""
+    HUGEINT sum promotion, and the contract EMITS the three product
+    sums as STRINGS: the r6 blanket ::BIGINT fix applied here turned
+    out to be its own overflow at sf0.1 (Σx² ≈ 2.5e19 > 2^63 — the
+    round-7 both-scales sweep caught the ConversionException), and
+    plain-integer stringification is the one rendering of a >64-bit
+    exact integer every engine/client agrees on (and the type gate
+    accepts)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     x = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -4945,9 +4951,9 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sum_x"),
         F.sum("y").alias("sum_y"),
-        F.sum(xd * yd).cast("decimal(38,0)").alias("sum_xy"),
-        F.sum(xd * xd).cast("decimal(38,0)").alias("sum_xx"),
-        F.sum(yd * yd).cast("decimal(38,0)").alias("sum_yy"),
+        F.sum(xd * yd).cast("decimal(38,0)").cast("string").alias("sum_xy"),
+        F.sum(xd * xd).cast("decimal(38,0)").cast("string").alias("sum_xx"),
+        F.sum(yd * yd).cast("decimal(38,0)").cast("string").alias("sum_yy"),
     )
 
 
@@ -4960,9 +4966,9 @@ WITH j AS (
 )
 SELECT c_mktsegment, count(*) AS n,
        sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
-       sum(x * y)::BIGINT AS sum_xy,
-       sum(x * x)::BIGINT AS sum_xx,
-       sum(y * y)::BIGINT AS sum_yy
+       sum(x * y)::VARCHAR AS sum_xy,
+       sum(x * x)::VARCHAR AS sum_xx,
+       sum(y * y)::VARCHAR AS sum_yy
 FROM j GROUP BY c_mktsegment
 """
 
@@ -5955,7 +5961,7 @@ SELECT CAST(key AS VARCHAR) AS key, n_rows,
        CAST((n_rows * 1000) // total AS BIGINT) AS share_permille,
        CAST((n_rows + 199) // 200 AS BIGINT) AS recommended_salts
 FROM c CROSS JOIN t
-ORDER BY n_rows DESC, CAST(key AS VARCHAR) ASC
+ORDER BY n_rows DESC, CAST(key AS VARCHAR) ASC NULLS LAST
 LIMIT 20
 """
 
@@ -6076,7 +6082,7 @@ SELECT v.user_id, v.view_id, c.click_id,
        CAST(least(v.v_end, c.c_end) - greatest(v.v_start, c.c_start) AS BIGINT)
            AS overlap_us
 FROM v JOIN c ON v.user_id = c.user_id
-WHERE v.v_start < c.c_end AND c.c_start < v.v_end
+WHERE greatest(v.v_start, c.c_start) < least(v.v_end, c.c_end)
 """
 
 

@@ -116,9 +116,16 @@ def streaming_bloom_dedup(
     id for payloads — the state path never carries bodies)."""
     if m_bits % 8 != 0:
         raise ValueError("m_bits must be a multiple of 8")
+    # NULL text hashes as empty content (coalesce BEFORE sha2): without
+    # it the state fn receives a None digest and crashes the whole
+    # streaming query on sort/subscript — and "every NULL/empty doc is
+    # one duplicate family, first survives" is the dedup semantic the
+    # exact operator family already applies to normalized-empty text.
     keyed = stream.select(
         F.col(id_col).alias("doc_id"),
-        F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash"),
+        F.sha2(
+            F.coalesce(normalize_text(F.col(text_col)), F.lit("")), 256
+        ).alias("content_hash"),
     ).withColumn(
         "shard", F.pmod(F.xxhash64("content_hash"), F.lit(int(n_shards)))
     )
