@@ -197,3 +197,51 @@ def test_bfs_levels_hops_and_unreachable(spark):
     srcs2 = spark.createDataFrame([(1,), (5,)], "node long")
     out3 = {r["node"]: r["hops"] for r in bfs_levels(edges, srcs2, max_hops=2).collect()}
     assert out3[3] == 2 and out3[4] == 1 and out3[6] == 1
+
+
+def test_kcore_clique_with_pendant(spark):
+    """4-clique + pendant chain: the 3-core is exactly the clique with
+    in-core degrees 3; the chain cascades away."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 4), (4, 5)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {(r["node"], r["degree"]) for r in kcore(edges, k=3).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+def test_kcore_cascade_to_empty(spark):
+    """A pure chain has no 2-core: every peel round exposes new
+    degree-1 endpoints — exercises multi-round convergence down to the
+    empty fixpoint."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    assert kcore(chain, k=2).count() == 0
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import kcore
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    got = {(r["node"], r["degree"]) for r in kcore(cyc, k=2).collect()}
+    assert got == {(i, 2) for i in range(6)}
+
+
+def test_kcore_canonicalizes_and_validates(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import kcore
+
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = {(r["node"], r["degree"]) for r in kcore(messy, k=2).collect()}
+    assert got == {(0, 2), (1, 2), (2, 2)}  # dup/reverse/self-loop collapsed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        kcore(messy, k=0)

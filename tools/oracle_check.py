@@ -125,6 +125,38 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "audio_neardup", "planted_perturbed_audio_pair_recall"
     )
 
+    # --- k-core: exact agreement with an independent Python peel over
+    # the same synthetic graph (the iterative fixpoint has no SQL
+    # oracle; the model IS the spec).
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import _graph_edges
+
+    edge_rows = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in _graph_edges(spark, sf_dir).collect()
+        if r["src"] != r["dst"]
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_rows:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < 3]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    model = {(n, len(nb)) for n, nb in adj.items()}
+    got = {
+        (r["node"], r["degree"])
+        for r in reg.SPARK_QUERIES["kcore"](spark, sf_dir).collect()
+    }
+    ev["kcore"] = {
+        "metric": "exact_vs_python_peel",
+        "match": got == model,
+        "core_nodes": len(model),
+    }
+
     # --- embedding LSH near-dup: recall vs the exact quadratic pair set
     # at the same threshold.
     emb = load_table(spark, sf_dir, "embeddings")

@@ -360,3 +360,67 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal subgraph
+    in which every node has degree >= k — the standard peel for
+    separating densely inter-linked duplicate/spam/citation clusters
+    from incidental edges (a near-dup similarity graph's 2-core is
+    "everything with corroborated duplication"; its high cores are the
+    template farms).
+
+    Classic iterative peeling, each round fully distributed:
+    degree aggregation → keep nodes with degree >= k → semi-join the
+    edge list down to surviving endpoints → repeat until no node is
+    removed (guaranteed <= |V| rounds; ``max_iter`` bounds the driver
+    loop and raises if hit, since a truncated peel is NOT a k-core).
+    The driver sees only per-round survivor COUNTS (one scalar action
+    per round — the classic iterate-until-fixpoint shape, same as
+    bfs_levels' frontier loop); edges/nodes never collect. Each round
+    localCheckpoints the shrinking edge set so lineage doesn't grow
+    linearly with rounds (the BFS loop's same discipline).
+
+    Input may contain duplicate/reversed/self-loop edges (canonicalized
+    away). Output: ``(node, degree)`` — nodes of the k-core with their
+    degree WITHIN the core.
+    """
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_nodes = -1
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k)
+        n_nodes = keep.count()
+        if n_nodes == prev_nodes or n_nodes == 0:
+            return keep.select(F.col("n").alias("node"), "degree")
+        prev_nodes = n_nodes
+        ku = keep.select(F.col("n").alias("u"))
+        kv = keep.select(F.col("n").alias("v"))
+        e = (
+            e.join(ku, "u", "left_semi")
+            .join(kv, "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_iter} rounds; raise max_iter"
+    )

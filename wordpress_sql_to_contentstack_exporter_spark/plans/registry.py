@@ -5966,6 +5966,42 @@ LIMIT 20
 """
 
 
+def _graph_edges(spark: SparkSession, sf_dir: str):
+    """Deterministic synthetic graph shared by the iterative-graph
+    gates: a 500-node cycle plus a multiplicative scatter edge from
+    two-thirds of the nodes (node % 3 != 0) — connected, degrees 2-4,
+    so the 3-core peel cascades and lands on a strict non-empty
+    subgraph (uniform degree would make every k-core all-or-nothing)."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        F.col("doc_id").alias("node")
+    )
+    chain = ids.select(
+        F.col("node").alias("src"), ((F.col("node") + 1) % 500).alias("dst")
+    )
+    scatter = ids.filter(F.col("node") % 3 != 0).select(
+        F.col("node").alias("src"), ((F.col("node") * 7 + 3) % 500).alias("dst")
+    )
+    # a chorded-cycle pocket on nodes < 50 (chord n -> (n+2) mod 50):
+    # internally every node keeps degree >= 3 even after the sparse
+    # periphery peels away, so the 3-core is non-empty AND strict
+    chords = ids.filter(F.col("node") < 50).select(
+        F.col("node").alias("src"), ((F.col("node") + 2) % 50).alias("dst")
+    )
+    return chain.unionByName(scatter).unionByName(chords)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the synthetic doc graph (operators/graph.kcore):
+    iterative distributed peel — degree agg → keep >= k → semi-join
+    edges → repeat to fixpoint, with only a scalar count per round on
+    the driver. Rows-only (the iterate-until-fixpoint peel has no
+    closed SQL form; recursive CTEs cannot re-aggregate per round);
+    evidence = EXACT node/degree agreement with an independent Python
+    peel over the same edges, recorded by tools/oracle_check.py, plus
+    handworked clique/cascade tests."""
+    return gr.kcore(_graph_edges(spark, sf_dir), k=3)
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite in ONE scan
     (operators/expectations.run_expectations): five checks over
@@ -6325,6 +6361,7 @@ SPARK_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
     # --- rows-only queries (no SQL oracle possible) below this line ---
+    "kcore": q_kcore,
     "compression_ratio": q_compression_ratio,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
