@@ -170,3 +170,41 @@ def test_interval_overlap_long_interval_found_once(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["overlap_us"] == 1
+
+
+def test_interval_overlap_preserves_bag_semantics(spark):
+    """Duplicate input rows must yield duplicate output pairs (the
+    theta-join spec); the old distinct() collapsed them."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 0, 100), (1, 10, 0, 100)], "k long, lid long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 50, 150)], "k long, rid long, rs long, re long"
+    )
+    rows = interval_overlap_join(
+        left, right, keys=["k"],
+        left_start="ls", left_end="le", right_start="rs", right_end="re",
+        bucket_us=10,  # pair shares many buckets; emitted once PER INPUT ROW
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["overlap_us"] == 50 for r in rows)
+
+
+def test_interval_overlap_rejects_shared_columns(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 0, 10)], "k long, start long, end long")
+    right = spark.createDataFrame([(1, 5, 15)], "k long, start long, end long")
+    with _pytest.raises(ValueError, match="share non-key columns"):
+        interval_overlap_join(
+            left, right, keys=["k"],
+            left_start="start", left_end="end",
+            right_start="start", right_end="end",
+        )

@@ -79,3 +79,38 @@ def test_pca_components_needs_rows(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match=">= 2"):
         lin.pca_components(lin.gram_stats(df, dim=2), dim=2)
+
+
+def test_nonfinite_vectors_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [float("nan"), 1.0]), (3, [float("inf"), 1.0]), (4, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["i"], r["j"]): r["val"] for r in lin.gram_stats(df, dim=2).collect()}
+    assert got[(-1, -1)] == 2  # NaN/Inf rows skipped, not poisoned
+
+
+def test_empty_input_yields_empty_frame(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert lin.gram_stats(df, dim=2).count() == 0
+    with pytest.raises(ValueError, match=">= 2"):
+        lin.pca_components(lin.gram_stats(df, dim=2), dim=2)
+
+
+def test_overflow_guard_raises_loudly(spark):
+    rows = [(i, [1.0, 1.0]) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    with pytest.raises(Exception, match="bound exceeded"):
+        lin.gram_stats(df, dim=2, scale_bits=30).collect()
+
+
+def test_pca_project_skips_null_id_and_names_id_col(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    import numpy as _np
+
+    out = lin.pca_project(
+        df, _np.eye(2), _np.zeros(2), id_col="vec_id"
+    ).collect()
+    assert [r["vec_id"] for r in out] == [1]  # NULL id skipped, col named

@@ -409,7 +409,10 @@ def kcore(
             .groupBy("n")
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         )
-        keep = deg.filter(F.col("degree") >= k)
+        # materialize the (<= |V|-row) survivor frame once per round:
+        # without it the degree aggregation re-runs for the count AND
+        # inside each semi-join branch (~3x the scans per round)
+        keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
         n_nodes = keep.count()
         if n_nodes == prev_nodes or n_nodes == 0:
             return keep.select(F.col("n").alias("node"), "degree")

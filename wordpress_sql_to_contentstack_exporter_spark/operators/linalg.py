@@ -72,12 +72,22 @@ def gram_stats(
       - ``(i, -1)``: ``Σ_rows v_i`` (per-dimension scaled sums),
       - ``(-1, -1)``: row count.
     with ``v = floor(x * 2^scale_bits)`` per coordinate — exact longs,
-    combine-order-free, engine-portable. Rows whose vector is NULL or
-    of the wrong length are SKIPPED and excluded from the count
-    (documented; the oracle applies the same filter).
+    combine-order-free, engine-portable. Rows whose vector is NULL, of
+    the wrong length, or containing a non-finite value (NaN/Inf would
+    floor to int64 garbage and silently poison every cell) are SKIPPED
+    and excluded from the count (documented; the oracle applies the
+    same filters). An all-skipped/empty input yields an EMPTY frame
+    (no zero-statistics rows — "no data" and "statistics of nothing"
+    must not alias). The int64 bound is ENFORCED: each partition
+    raises if any accumulated statistic passes 2^62 (margin below the
+    wrap point), so an oversized corpus/scale_bits combination fails
+    loudly instead of wrapping — lower ``scale_bits`` as n grows (the
+    cross-partition combine is covered by the session's ANSI mode,
+    which raises on long-sum overflow instead of wrapping).
     """
     scale = 1 << scale_bits
     iu = np.triu_indices(dim)
+    limit = 1 << 62
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gram = np.zeros((dim, dim), dtype=np.int64)
@@ -89,12 +99,29 @@ def gram_stats(
             ]
             if not vecs:
                 continue
-            v = np.floor(np.asarray(vecs, dtype=np.float64) * scale).astype(
-                np.int64
-            )
+            x = np.asarray(vecs, dtype=np.float64)
+            finite = np.isfinite(x).all(axis=1)
+            if not finite.all():
+                x = x[finite]
+            if x.shape[0] == 0:
+                continue
+            v = np.floor(x * scale).astype(np.int64)
+            # bound check BEFORE accumulating, in exact Python ints: a
+            # single batch's matmul can wrap int64 internally, so a
+            # post-hoc check would inspect already-corrupt values. The
+            # worst-case increment is rows * max|v|^2 per cell.
+            mx = int(np.abs(v).max()) if v.size else 0
+            cur = int(np.abs(gram).max()) if n else 0
+            if cur + v.shape[0] * mx * mx >= limit:
+                raise OverflowError(
+                    f"gram_stats int64 bound exceeded near {n} rows/partition "
+                    f"with scale_bits={scale_bits}; lower scale_bits"
+                )
             gram += v.T @ v
             sums += v.sum(axis=0)
             n += v.shape[0]
+        if n == 0:
+            return
         out_i = np.concatenate([iu[0], np.arange(dim), [-1]])
         out_j = np.concatenate([iu[1], np.full(dim, -1), [-1]])
         out_v = np.concatenate([gram[iu], sums, [n]])
@@ -119,7 +146,7 @@ def pca_components(
     one place a bounded collect (d(d+1)/2 + d + 1 rows) is the right
     call, mirroring the IVF fit-sample contract."""
     rows = {(r["i"], r["j"]): r["val"] for r in stats.collect()}
-    n = rows[(-1, -1)]
+    n = rows.get((-1, -1), 0)  # empty stats frame == zero vectors
     if n < 2:
         raise ValueError(f"need >= 2 vectors, got {n}")
     scale = float(1 << scale_bits)
@@ -152,7 +179,10 @@ def pca_project(
     whitened (unit variance per component) when ``eigvals`` is given.
     The (k x d) matrix rides the closure to every executor — a few KB —
     and the work is one numpy matmul per Arrow batch, map-only, no
-    shuffle. Output: (id, projection array<double>)."""
+    shuffle. Output: (``id_col``, projection array<double>); rows with
+    a NULL id or malformed vector are skipped (gram_stats' discipline —
+    a NULL id arrives as pandas NaN and int() on it would otherwise
+    fail the task)."""
     comp = np.asarray(components, dtype=np.float64)
     mu = np.asarray(mean, dtype=np.float64)
     if eigvals is not None:
@@ -160,7 +190,7 @@ def pca_project(
 
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType(), False),
+            T.StructField(id_col, T.LongType(), False),
             T.StructField("projection", T.ArrayType(T.DoubleType()), False),
         ]
     )
@@ -170,13 +200,15 @@ def pca_project(
             keep = [
                 (i, v)
                 for i, v in zip(pdf[id_col], pdf[vec_col])
-                if v is not None and len(v) == mu.shape[0]
+                if not pd.isna(i) and v is not None and len(v) == mu.shape[0]
             ]
             if not keep:
                 continue
             ids = [int(i) for i, _ in keep]
             v = np.asarray([x for _, x in keep], dtype=np.float64)
             proj = (v - mu) @ comp.T
-            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"), "projection": list(proj)})
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "projection": list(proj)}
+            )
 
     return df.select(id_col, vec_col).mapInPandas(run, out_schema)

@@ -381,10 +381,18 @@ def interval_overlap_join(
     The naive form is a non-equi theta join (nested loop per key at
     best). Scale shape here: each interval EXPLODES to the fixed-width
     time buckets it covers (``sequence`` of bucket ids — pure codegen),
-    candidates come from the (keys, bucket) EQUI-join, pairs sharing
-    several buckets dedupe through ``distinct``, and the exact overlap
-    predicate verifies — the same bucket-join discipline as
-    ``range_join_count`` (temporal.py) extended to interval pairs.
+    candidates come from the (keys, bucket) EQUI-join, and each pair is
+    emitted in exactly ONE bucket — the FIRST bucket both sides share,
+    ``greatest(b0_left, b0_right)`` — so multi-bucket pairs need no
+    ``distinct`` (which would both add a full-width shuffle and
+    collapse genuinely duplicate input rows into set semantics; this
+    operator preserves BAG semantics, duplicates in = duplicate pairs
+    out, exactly like the theta-join spec). Same bucket-join
+    discipline as ``range_join_count`` extended to interval pairs.
+
+    Left and right must not share non-key column names (the four
+    boundary columns included) — validated, since post-join references
+    would be ambiguous; pre-rename one side.
 
     ``bucket_us`` tunes the explode-vs-collision trade-off: buckets
     near the median interval length keep both the per-interval fan-out
@@ -398,33 +406,43 @@ def interval_overlap_join(
     exact and engine-portable, per the portable doctrine's ban on
     raw-timestamp arithmetic.
     """
+    shared = (set(left.columns) & set(right.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            f"left/right share non-key columns {sorted(shared)}; rename one "
+            "side (post-join references would be ambiguous)"
+        )
+
     def bucketed(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
-        b0 = F.floor(F.col(start) / F.lit(int(bucket_us)))
+        b0 = F.floor(F.col(start) / F.lit(int(bucket_us))).cast("long")
         # half-open end: an interval ending exactly on a bucket edge
         # does not occupy the next bucket
-        b1 = F.floor((F.col(end) - 1) / F.lit(int(bucket_us)))
+        b1 = F.floor((F.col(end) - 1) / F.lit(int(bucket_us))).cast("long")
         # empty/negative intervals are DROPPED before the explode:
         # b1 < b0 would otherwise make sequence() count DOWNWARD and
         # fabricate buckets for an interval that covers nothing
-        return df.filter(F.col(end) > F.col(start)).withColumn(
-            f"__{side}bkt", F.explode(F.sequence(b0.cast("long"), b1.cast("long")))
+        return (
+            df.filter(F.col(end) > F.col(start))
+            .withColumn(f"__{side}b0", b0)
+            .withColumn(f"__{side}bkt", F.explode(F.sequence(b0, b1)))
         )
 
     lb = bucketed(left, left_start, left_end, "l")
     rb = bucketed(right, right_start, right_end, "r")
     cond = [lb[k] == rb[k] for k in keys] + [lb["__lbkt"] == rb["__rbkt"]]
-    cand = (
-        lb.join(rb, cond)
-        .drop(rb["__rbkt"])
-        .drop(lb["__lbkt"])
-        .drop(*[rb[k] for k in keys])
-        .distinct()
-    )
     overlap = F.least(F.col(left_end), F.col(right_end)) - F.greatest(
         F.col(left_start), F.col(right_start)
     )
-    # the max(starts) < min(ends) form IS "intersection non-empty";
-    # with empty intervals already dropped it equals the textbook
-    # pairwise predicate, and it states the guarantee directly:
-    # overlap_us >= 1 on every output row
-    return cand.filter(overlap > 0).withColumn("overlap_us", overlap.cast("long"))
+    # emit each pair in its FIRST shared bucket only — overlapping
+    # intervals both cover the bucket of max(starts), whose id is
+    # greatest(b0_l, b0_r), so the equality keeps exactly one copy per
+    # pair with no distinct; the max(starts) < min(ends) filter IS
+    # "intersection non-empty" (overlap_us >= 1 on every output row)
+    return (
+        lb.join(rb, cond)
+        .filter(F.col("__lbkt") == F.greatest(F.col("__lb0"), F.col("__rb0")))
+        .filter(overlap > 0)
+        .drop("__lbkt", "__rbkt", "__lb0", "__rb0")
+        .drop(*[rb[k] for k in keys])
+        .withColumn("overlap_us", overlap.cast("long"))
+    )

@@ -6150,6 +6150,7 @@ WITH p0 AS (
             for i in range(1, len(embedding) + 1)] AS pairs
     FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) = 64
+      AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ), e AS (
     SELECT vec_id, unnest(pairs, recursive := true) FROM p0
 ), g AS (
@@ -6162,9 +6163,11 @@ WITH p0 AS (
            CAST(sum(v) AS BIGINT) AS val
     FROM e GROUP BY dim
 ), c AS (
+    -- HAVING mirrors the operator's empty contract: zero usable
+    -- vectors yield an EMPTY frame, not a lone zero-count row
     SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
            CAST(count(*) AS BIGINT) AS val
-    FROM p0
+    FROM p0 HAVING count(*) > 0
 )
 SELECT * FROM g UNION ALL SELECT * FROM s UNION ALL SELECT * FROM c
 """
