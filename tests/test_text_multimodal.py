@@ -908,3 +908,60 @@ def test_span_coverage_flags_template_docs(spark):
     assert out[1]["span_flagged"] and out[2]["span_flagged"]
     assert not out[3]["span_flagged"] and out[3]["n_repeated"] == 0
     assert out[4]["n_anchors"] == 0 and not out[4]["span_flagged"]
+
+
+def test_sentence_split_handworked(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import sentence_split
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three! Four five? tail no terminator"),
+            (2, "No boundaries at all"),
+            (3, "Dots.like.this stay. Next"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["sent_idx"]): (r["sentence"], r["n_tokens"])
+        for r in sentence_split(df).collect()
+    }
+    assert rows[(1, 0)] == ("One two.", 2)
+    assert rows[(1, 1)] == ("Three!", 1)
+    assert rows[(1, 2)] == ("Four five?", 2)
+    assert rows[(1, 3)] == ("tail no terminator", 3)
+    assert rows[(2, 0)] == ("No boundaries at all", 4)
+    # mid-word dots (no following space) are NOT boundaries
+    assert rows[(3, 0)] == ("Dots.like.this stay.", 2)
+    assert rows[(3, 1)] == ("Next", 1)
+    assert not any(d == 4 for d, _ in rows)  # NULL text -> no rows
+
+
+def test_sentence_chunks_greedy_and_oversize(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import (
+        sentence_chunks,
+        sentence_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c. d e. f g h i j k l m n o p q r s t. u v.")],
+        "doc_id long, text string",
+    )
+    sents = sentence_split(df)
+    chunks = {
+        r["chunk_id"]: r
+        for r in sentence_chunks(sents, max_tokens=6).collect()
+    }
+    # sentences: 3,2,15,2 tokens. greedy: [3+2], [15 oversize alone], [2]
+    assert chunks[0]["n_tokens"] == 5 and chunks[0]["n_sentences"] == 2
+    assert chunks[1]["n_tokens"] == 15 and chunks[1]["n_sentences"] == 1
+    assert chunks[2]["n_tokens"] == 2
+    assert chunks[0]["chunk_text"] == "a b c. d e."
+    # every sentence in exactly one chunk, order preserved
+    total = sum(c["n_sentences"] for c in chunks.values())
+    assert total == sents.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_tokens"):
+        sentence_chunks(sents, max_tokens=0)

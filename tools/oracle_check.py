@@ -157,6 +157,40 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "core_nodes": len(model),
     }
 
+    # --- sentence_chunks: exact agreement with an independent Python
+    # greedy packer over the SAME (oracle-verified) sentence rows.
+    sent_rows = sorted(
+        (
+            (r["doc_id"], r["sent_idx"], r["n_tokens"], r["sentence"])
+            for r in reg.SPARK_QUERIES["sentence_split"](spark, sf_dir).collect()
+        )
+    )
+    model_chunks: dict[tuple[int, int], tuple[int, int, str]] = {}
+    cur_doc, cid, cnt, nsent, parts = None, 0, 0, 0, []
+    def _flush():
+        if parts:
+            model_chunks[(cur_doc, cid)] = (nsent, cnt, " ".join(parts))
+    for doc, _idx, nt, s in sent_rows:
+        if doc != cur_doc:
+            _flush()
+            cur_doc, cid, cnt, nsent, parts = doc, 0, 0, 0, []
+        if cnt > 0 and cnt + nt > 64:
+            _flush()
+            cid, cnt, nsent, parts = cid + 1, 0, 0, []
+        cnt += nt
+        nsent += 1
+        parts.append(s)
+    _flush()
+    got_chunks = {
+        (r["doc_id"], r["chunk_id"]): (r["n_sentences"], r["n_tokens"], r["chunk_text"])
+        for r in reg.SPARK_QUERIES["sentence_chunks"](spark, sf_dir).collect()
+    }
+    ev["sentence_chunks"] = {
+        "metric": "exact_vs_python_greedy_packer",
+        "match": got_chunks == model_chunks,
+        "chunks": len(model_chunks),
+    }
+
     # --- embedding LSH near-dup: recall vs the exact quadratic pair set
     # at the same threshold.
     emb = load_table(spark, sf_dir, "embeddings")

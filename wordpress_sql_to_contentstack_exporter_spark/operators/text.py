@@ -1166,3 +1166,113 @@ def span_coverage(
         F.col("n_repeated") * 100 >= F.col("n_anchors") * flag_pct
     )
     return out.withColumn("span_flagged", flagged)
+
+
+def sentence_split(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation: ``(id, sent_idx, sentence, n_tokens)`` —
+    the boundary-aware unit the chunking/packing stages want (token
+    windows cut mid-sentence; RAG/pretraining chunkers prefer whole
+    sentences).
+
+    Boundary rule, deliberately simple and PORTABLE: a sentence ends at
+    ``[.!?]`` followed by a single space (the abbreviation-blind
+    heuristic standard for corpus statistics — a model-based splitter
+    drops into the same row contract). Implementation is one
+    ``regexp_replace`` marking boundaries with an \\x01 sentinel (plain
+    capture-group replace — no lookbehind, so Java and RE2 agree) +
+    split/trim/filter; token counts use the portable
+    whitespace-collapse chain. All codegen; the only shuffle is the
+    per-doc window numbering surviving sentences.
+    """
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]) ", "$1\x01")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.split(marked, "\x01")).alias("__i", "__raw")
+    )
+    out = exploded.select(
+        id_col, "__i", F.trim(F.col("__raw")).alias("sentence")
+    ).filter(F.col("sentence") != "")
+    w = Window.partitionBy(id_col).orderBy("__i")
+    ws_norm = F.translate(F.col("sentence"), "\t\n\r\f\x0b", "     ")
+    return out.select(
+        F.col(id_col),
+        (F.row_number().over(w) - 1).cast("long").alias("sent_idx"),
+        "sentence",
+        F.size(F.filter(F.split(ws_norm, " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def sentence_chunks(
+    sentences: DataFrame,
+    *,
+    max_tokens: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sentence-preserving chunking over :func:`sentence_split`
+    output: sentences pack into chunks of at most ``max_tokens`` tokens
+    WITHOUT splitting any sentence (a single oversize sentence becomes
+    its own chunk — the standard rule). Output:
+    ``(id, chunk_id, n_sentences, n_tokens, chunk_text)``.
+
+    The greedy running-total-with-reset is data-dependent, so no window
+    expresses it — but a per-document ``F.aggregate`` FOLD over the
+    collected sentence array does (struct accumulator carrying
+    (chunk ids so far, current chunk, current count)), keeping the
+    whole stage JVM-side: one groupBy collect per doc (documents are
+    the natural memory unit, same contract as session_paths), the fold,
+    an arrays_zip explode, and the chunk re-aggregation.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens >= 1 required")
+    per_doc = sentences.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("sent_idx", "n_tokens", "sentence"))
+        ).alias("ss")
+    )
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("ids"),
+        F.lit(0).cast("long").alias("cid"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+
+    def merge(acc, s):
+        new_chunk = (acc["cnt"] > 0) & (
+            acc["cnt"] + s["n_tokens"] > F.lit(int(max_tokens))
+        )
+        cid = F.when(new_chunk, acc["cid"] + 1).otherwise(acc["cid"])
+        cnt = F.when(new_chunk, s["n_tokens"]).otherwise(acc["cnt"] + s["n_tokens"])
+        return F.struct(
+            F.concat(acc["ids"], F.array(cid)).alias("ids"),
+            cid.alias("cid"),
+            cnt.alias("cnt"),
+        )
+
+    with_ids = per_doc.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(F.col("ss"), F.aggregate("ss", init, merge).getField("ids"))
+        ).alias("z"),
+    ).select(
+        id_col,
+        F.col("z.ss.sent_idx").alias("sent_idx"),
+        F.col("z.ss.n_tokens").alias("n_tokens"),
+        F.col("z.ss.sentence").alias("sentence"),
+        F.col("z.ids").alias("chunk_id"),
+    )
+    return (
+        with_ids.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -6002,6 +6002,80 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.kcore(_graph_edges(spark, sf_dir), k=3)
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation over the documents corpus
+    (operators/text.sentence_split): boundary = [.!?] + single space
+    via one capture-group regexp_replace marking an \\x01 sentinel (no
+    lookbehind — Java and RE2 agree on plain capture replacement),
+    then split/trim/filter with portable whitespace token counts. The
+    per-doc renumbering window is the only shuffle. The fixture text
+    has no sentence punctuation, so the gate corpus stitches each doc
+    into three sentences (., !, ? terminators) — every boundary shape
+    is exercised, mirrored in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    stitched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". "), F.col("text"), F.lit("! "),
+            F.col("text"), F.lit("?"),
+        ).alias("text"),
+    )
+    return tx.sentence_split(stitched)
+
+
+SQL_SENTENCE_SPLIT = r"""
+WITH d AS (
+    SELECT doc_id, text || '. ' || text || '! ' || text || '?' AS text
+    FROM documents WHERE text IS NOT NULL
+),
+m AS (
+    SELECT doc_id,
+           string_split(
+               regexp_replace(text, '([.!?]) ', '\1' || chr(1), 'g'), chr(1)
+           ) AS parts
+    FROM d
+), ix AS (
+    SELECT doc_id,
+           [{'i': i, 's': trim(parts[i], ' ')}
+            for i in range(1, len(parts) + 1)] AS es
+    FROM m
+), u AS (
+    SELECT doc_id, unnest(es, recursive := true) FROM ix
+), f AS (
+    SELECT doc_id, i, s AS sentence FROM u WHERE s != ''
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT)
+           AS sent_idx,
+       sentence,
+       CAST(len(list_filter(string_split(
+           replace(replace(replace(replace(replace(sentence,
+               chr(10), ' '), chr(9), ' '), chr(13), ' '), chr(12), ' '),
+               chr(11), ' '), ' '), x -> x != '')) AS BIGINT) AS n_tokens
+FROM f
+"""
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sentence-preserving chunking
+    (operators/text.sentence_chunks, max_tokens=64) over the
+    oracle-verified sentence_split output. Rows-only: the greedy
+    running-total-with-reset fold has no closed SQL form; evidence is
+    EXACT agreement with an independent Python greedy packer over the
+    same sentences (tools/oracle_check.py) plus invariant tests (no
+    chunk except oversize singletons exceeds the budget; every
+    sentence lands in exactly one chunk, in order)."""
+    d = _t(spark, sf_dir, "documents")
+    stitched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". "), F.col("text"), F.lit("! "),
+            F.col("text"), F.lit("?"),
+        ).alias("text"),
+    )
+    return tx.sentence_chunks(tx.sentence_split(stitched), max_tokens=64)
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite in ONE scan
     (operators/expectations.run_expectations): five checks over
@@ -6287,6 +6361,7 @@ SPARK_QUERIES = {
     "embedding_gram": q_embedding_gram,
     "interval_overlap": q_interval_overlap,
     "expectations": q_expectations,
+    "sentence_split": q_sentence_split,
     # driver-green in r1-r6 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6365,6 +6440,7 @@ SPARK_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "kcore": q_kcore,
+    "sentence_chunks": q_sentence_chunks,
     "compression_ratio": q_compression_ratio,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
@@ -6399,6 +6475,7 @@ ORACLE_SQL = {
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "expectations": SQL_EXPECTATIONS,
+    "sentence_split": SQL_SENTENCE_SPLIT,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,
