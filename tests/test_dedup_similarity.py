@@ -671,3 +671,28 @@ def test_ngram_novelty_first_doc_owns_all_grams(spark, tmp_path):
     n_grams3, n_novel3 = out[3]
     assert n_grams3 == 8 and n_novel3 == 5  # 'cde'-prefix overlap seen before
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_calibration_separates_planted(spark):
+    """The calibration composition: the TOP score bucket must be pure
+    planted pairs (tp > 0, fp == 0 at its threshold), and the curve's
+    totals must cover every candidate pair exactly once."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
+        q_dedup_calibration,
+    )
+
+    rows = sorted(
+        q_dedup_calibration(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["bucket"],
+    )
+    top = rows[-1]
+    # the top score bucket is dominated by planted pairs (the fixture
+    # also contains NATURAL duplicate texts, so perfect purity is not a
+    # valid expectation — precision >= 0.8 is)
+    assert top["tp"] > 0
+    assert top["tp"] * 10 >= (top["tp"] + top["fp"]) * 8
+    # the lowest threshold retrieves every candidate: nothing below it
+    assert rows[0]["fn"] == 0
+    # threshold ordering: tp nonincreasing with bucket
+    tps = [r["tp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)

@@ -6056,6 +6056,35 @@ FROM f
 """
 
 
+def q_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-threshold calibration as a COMPOSITION: the MinHash
+    candidate pairs (min_est_jaccard=0 so the full score range
+    survives) feed operators/stats.threshold_sweep with score =
+    est_jaccard and label = is-planted-pair — the confusion curve a
+    pipeline owner reads to pick the dedup threshold from planted
+    ground truth instead of folklore. Rows-only (MinHash upstream);
+    the sweep itself is the oracle-gated threshold_sweep operator, and
+    the planted-separation property (top score bucket >= 80% planted —
+    the fixture also holds NATURAL duplicate texts, so perfect purity
+    is not the right spec) is pinned in tests."""
+    d = _t(spark, sf_dir, "documents")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near-dup-suffix")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(perturbed)
+    pairs = dd.minhash_lsh_candidates(
+        both, num_hashes=16, bands=2, shingle_k=3, min_est_jaccard=0.0
+    )
+    scored = pairs.select(
+        F.col("est_jaccard").alias("score"),
+        (F.col("id_b") - F.col("id_a") == 1_000_000).alias("label"),
+    )
+    return stats_ops.threshold_sweep(
+        scored, score_col="score", label_col="label", n_buckets=32
+    )
+
+
 def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sentence-preserving chunking
     (operators/text.sentence_chunks, max_tokens=64) over the
@@ -6441,6 +6470,7 @@ SPARK_QUERIES = {
     # --- rows-only queries (no SQL oracle possible) below this line ---
     "kcore": q_kcore,
     "sentence_chunks": q_sentence_chunks,
+    "dedup_calibration": q_dedup_calibration,
     "compression_ratio": q_compression_ratio,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
