@@ -189,3 +189,50 @@ def test_family_e_no_raw_ts_window_ordering():
         f"window/aggregate ordered by raw ts in an oracle: {offenders} — "
         f"order by epoch_us(ts) instead. {DOCTRINE}"
     )
+
+
+# Family G is a PACKAGE-SOURCE lint, not an oracle-SQL one: Spark
+# expressions that draw per-row values nondeterministically
+# (monotonically_increasing_id, rand/randn, spark_partition_id) are
+# banned from the package. The failure mode (VERDICT r7 #1): such a
+# value becomes a SHUFFLE KEY (a salt, a synthetic group id, a
+# repartition column), and Spark's fault tolerance recomputes map tasks
+# after a fetch failure or executor loss — a recomputed row can draw a
+# DIFFERENT value than the one some reducers already consumed, so rows
+# (or partial aggregates) are duplicated or dropped. Failure-free local
+# runs are multiset-identical either way, so no oracle can catch it;
+# only this lint can. Deterministic replacement: xxhash64 over a unique
+# id / the whole row (operators/skew.py, operators/temporal.py,
+# sinks/layout.py all carry the worked fix).
+_G_BANNED = re.compile(
+    r"monotonically_increasing_id|spark_partition_id|"
+    r"\bF\.randn?\s*\(|functions\.randn?\s*\(|\brandn?\s*\(\s*seed"
+)
+
+
+def test_family_g_no_nondeterministic_row_values_in_package_source():
+    import io
+    import pathlib
+    import tokenize
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "wordpress_sql_to_contentstack_exporter_spark"
+    )
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        src = py.read_text()
+        # keep only CODE tokens: comments and docstrings may (and do)
+        # discuss the banned constructs when documenting the hazard
+        code_tokens = []
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type in (tokenize.COMMENT, tokenize.STRING):
+                continue
+            code_tokens.append(tok)
+        code = " ".join(t.string for t in code_tokens)
+        for m in _G_BANNED.finditer(code):
+            offenders.append((str(py.relative_to(pkg)), m.group(0)))
+    assert not offenders, (
+        f"nondeterministic per-row value in package code: {offenders} — "
+        f"these become shuffle keys and break under task recompute; use "
+        f"xxhash64 over unique columns instead. {DOCTRINE}"
+    )

@@ -119,6 +119,45 @@ def test_salted_agg_matches_plain(spark):
     assert plain.subtract(salted).count() == 0
 
 
+def test_salted_agg_duplicate_rows_and_unique_cols(spark):
+    # fully-duplicate rows: the whole-row salt piles them onto one salt
+    # bucket (documented caveat) but the AGGREGATE stays exact; with a
+    # distinguishing unique_cols the duplicates spread AND stay exact.
+    rows = [(1, 10), (1, 10), (1, 10), (1, 20), (2, 5)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for kwargs in ({}, {"unique_cols": ["v"]}):
+        out = {
+            r["k"]: (r["n"], r["s"])
+            for r in salted_agg(
+                df, ["k"],
+                {"n": ("sum", F.count(F.lit(1))), "s": ("sum", F.sum("v"))},
+                salt=4, **kwargs,
+            ).collect()
+        }
+        assert out == {1: (4, 50), 2: (1, 5)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unique_cols"):
+        salted_agg(
+            df, ["k"], {"n": ("sum", F.count(F.lit(1)))},
+            unique_cols=["missing"],
+        )
+
+
+def test_salted_agg_salt_is_deterministic_content_hash(spark):
+    # the salt must be a pure function of row content: two separate
+    # evaluations over the same data agree row-for-row (a
+    # monotonically_increasing_id salt would not survive this under
+    # different partitionings, let alone task recompute).
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], "id long, k long")
+    salt_expr = F.pmod(F.xxhash64("id", "k"), F.lit(16)).alias("s")
+    a = {r["id"]: r["s"] for r in df.select("id", salt_expr).collect()}
+    b = {
+        r["id"]: r["s"]
+        for r in df.repartition(7).select("id", salt_expr).collect()
+    }
+    assert a == b
+
+
 def test_gapfill_buckets_spine_and_locf(spark):
     from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import gapfill_buckets
 

@@ -20,6 +20,7 @@ def salted_agg(
     aggs: dict[str, tuple[str, Column]],
     *,
     salt: int = 16,
+    unique_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation with a salt column.
 
@@ -28,13 +29,45 @@ def salted_agg(
     function merges partials per keys. Decomposable aggregates only:
     count -> sum, sum -> sum, min -> min, max -> max.
 
+    The salt is a DETERMINISTIC content hash — ``xxhash64`` over
+    ``unique_cols`` when given, else over the whole row. Determinism is
+    a hard requirement, not a style point: the salt becomes the stage-1
+    SHUFFLE KEY, and Spark's fault tolerance recomputes map tasks after
+    a fetch failure or executor loss. A run-dependent salt (an earlier
+    draft used ``pmod(spark_partition_id() + monotonically_increasing_id(),
+    salt)``) lets a recomputed row draw a DIFFERENT salt than the one
+    some reducers already consumed — its partial count/sum is then
+    duplicated or dropped, precisely in the large-cluster failure regime
+    this operator exists for. Failure-free runs are multiset-identical
+    either way, which is why a local oracle can never catch the bug.
+
+    The caveat the determinism buys: rows that are FULLY duplicate hash
+    to the same salt, so a hot group made of exact duplicate rows is not
+    spread. Pass ``unique_cols`` naming a distinguishing column (a row
+    id, an event id) when the table has one; a table whose hot rows are
+    exact duplicates should get a synthetic id upstream (spreading them
+    any other way needs a nondeterministic ordinal — the hazard above).
+
     Example::
 
         salted_agg(orders, ["o_custkey"],
                    {"order_count": ("sum", F.count(F.lit(1))),
-                    "total_spend": ("sum", F.sum("o_totalprice"))})
+                    "total_spend": ("sum", F.sum("o_totalprice"))},
+                   unique_cols=["o_orderkey"])
     """
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
+    if unique_cols is not None:
+        missing = [c for c in unique_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"unique_cols not in df: {missing}")
+        salt_cols = unique_cols
+    else:
+        salt_cols = df.columns
+    # DETERMINISTIC salt only — it becomes a shuffle key, and a task
+    # recompute must re-derive the identical salt (see docstring).
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)),
+    )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[col.alias(f"__p_{name}") for name, (_fn, col) in aggs.items()]
     )

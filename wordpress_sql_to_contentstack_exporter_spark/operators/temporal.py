@@ -277,15 +277,30 @@ def range_join_count(
         & (delta >= lower.cast("long") * us)
         & (delta < upper.cast("long") * us)
     )
-    # per-ROW grouping id: grouping by left columns alone would collapse
-    # fully-duplicate left rows into one output row with merged counts
-    l = left.withColumn("__rowid", F.monotonically_increasing_id()).alias("l")
+    # Duplicate-left handling must be DETERMINISTIC: fully-duplicate left
+    # rows have identical keys/ts and therefore identical counts, so we
+    # collapse them before the join (carrying an exact multiplicity) and
+    # re-expand after. An earlier draft tagged rows with
+    # monotonically_increasing_id and grouped by that id — but the id is
+    # a downstream SHUFFLE KEY, and a map-task recompute after a fetch
+    # failure can re-draw DIFFERENT ids (shuffle-read order is not
+    # deterministic), splitting or merging groups mid-aggregation.
+    # Content-derived grouping is recompute-stable; GROUP BY's null-safe
+    # equality also handles NULL-bearing left rows exactly.
+    ldist = left.groupBy(*left.columns).agg(
+        F.count(F.lit(1)).cast("long").alias("__mult")
+    )
+    l = ldist.alias("l")
     joined = l.join(r, cond, "left")
-    group_cols = [F.col("l.__rowid")] + [F.col(f"l.{c}") for c in left.columns]
+    group_cols = [F.col(f"l.{c}") for c in left.columns] + [F.col("l.__mult")]
+    counted = joined.groupBy(*group_cols).agg(
+        F.count(F.col(f"r.{keys[0]}")).alias(count_alias)
+    )
     return (
-        joined.groupBy(*group_cols)
-        .agg(F.count(F.col(f"r.{keys[0]}")).alias(count_alias))
-        .drop("__rowid")
+        counted.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__mult")))
+        )
+        .drop("__mult", "__i")
     )
 
 
@@ -332,9 +347,15 @@ def bucketed_range_join_count(
     lo_us = F.lit(lower_seconds).cast("long") * us
     up_us = F.lit(upper_seconds).cast("long") * us
 
-    l = left.withColumn("__rowid", F.monotonically_increasing_id()).withColumn(
-        "__lus", _micros(F.col(left_ts))
+    # Deterministic duplicate-left handling (see range_join_count): exact
+    # duplicate left rows have identical counts, so collapse them before
+    # the join with a multiplicity and re-expand after — never a
+    # monotonically_increasing_id group key, which is a nondeterministic
+    # shuffle key (recompute hazard).
+    ldist = left.groupBy(*left.columns).agg(
+        F.count(F.lit(1)).cast("long").alias("__mult")
     )
+    l = ldist.withColumn("__lus", _micros(F.col(left_ts)))
     # window [lus+lo, lus+up): overlapped buckets, floor-div in long
     first_b = F.floor((F.col("__lus") + lo_us) / w_us).cast("long")
     last_b = F.floor((F.col("__lus") + up_us - 1) / w_us).cast("long")
@@ -344,14 +365,22 @@ def bucketed_range_join_count(
     ).withColumn("__b", F.floor(F.col("__rus") / w_us).cast("long"))
 
     delta = F.col("__rus") - F.col("__lus")
-    joined = l_exp.join(r, "__b").filter((delta >= lo_us) & (delta < up_us))
-    # per-ROW count (left duplicates stay distinct rows), left rows with
-    # zero matches recovered by re-joining counts onto the exploded base
-    counts = joined.groupBy("__rowid").agg(F.count(F.lit(1)).alias(count_alias))
+    # LEFT join per bucket so a zero-match left row still reaches the
+    # aggregate (no id-keyed join-back needed); the range predicate moves
+    # into a conditional count so bucket-matched-but-out-of-range rows
+    # count as 0 instead of deleting the left row.
+    joined = l_exp.join(r, "__b", "left")
+    in_range = F.when(
+        F.col("__rus").isNotNull() & (delta >= lo_us) & (delta < up_us), 1
+    ).otherwise(0)
+    counted = joined.groupBy(*left.columns, "__mult").agg(
+        F.sum(in_range).cast("long").alias(count_alias)
+    )
     return (
-        l.join(counts, "__rowid", "left")
-        .withColumn(count_alias, F.coalesce(F.col(count_alias), F.lit(0)))
-        .drop("__rowid", "__lus")
+        counted.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__mult")))
+        )
+        .drop("__mult", "__i")
     )
 
 

@@ -1003,6 +1003,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_count": ("sum", F.count(F.lit(1))),
             "total_spend_c": ("sum", F.sum("price_c")),
         },
+        # o_orderkey is the table's unique id: the deterministic salt
+        # hashes it so even fully-duplicate order payloads would spread.
+        unique_cols=["o_orderkey"],
     )
     return out.select(
         "o_custkey",

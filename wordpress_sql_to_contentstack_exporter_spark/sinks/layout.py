@@ -105,10 +105,19 @@ def write_layout(
         if n == 1:
             out = out.repartition(*[F.col(c) for c in partition_by])
         else:
-            # salt spreads one hive partition over n tasks/files
+            # salt spreads one hive partition over n tasks/files. The
+            # salt is a SHUFFLE KEY, so it must be deterministic under
+            # task recompute (fetch failure / executor loss): a content
+            # hash, never spark_partition_id()/monotonically_increasing_id()
+            # (an earlier draft used partition id — stable only while the
+            # upstream row->partition map is; the hash is unconditionally
+            # stable). Exact duplicate rows share a salt, which for file
+            # spreading costs at most mild imbalance, not correctness.
             out = out.repartition(
                 *[F.col(c) for c in partition_by],
-                (F.spark_partition_id() % n).alias("__salt"),
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(n)
+                ).alias("__salt"),
             )
     elif n_files_per_partition:
         out = out.repartition(n_files_per_partition)
