@@ -16,28 +16,31 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-7 window contract (VERDICT r6 #1, #2): repetition + its FOUR
-# diagnostic probes, the two other round-6 driver-red gates (oracles
-# hardened this round), 7 SURVEY §2 anchors, and the complete 36-query
-# remainder of oracle-backed entries that never earned a driver row —
-# finishing the rotation. Pinned as a SET (plus the probe-ordering
-# constraint), not a frozen order, so next round's rotation edits this
-# list deliberately rather than breaking an order assertion by accident.
-ROUND7_WINDOW_ANCHORS = {
-    "repetition_corpus_echo", "repetition_lines", "repetition_tokens",
-    "repetition_grams", "repetition",
-    "rolling_values_echo", "rolling_window_sums", "rolling_anomaly",
-    "embedding_centroids",
-    "flagship_posts_export", "eav_pivot",
-    # round-7 additions needing first-time driver evidence (funded by
-    # rotating out group_concat / hierarchy_parent / date_permalink,
-    # each with 5-6 green driver rounds on record):
-    "zorder_layout", "bloom_prune_join", "shard_manifest",
+# The round-8 window contract (VERDICT r7 #2): (a) the seven r7
+# additions that sat just past the r7 cut — the only oracle-backed
+# queries with zero driver-environment evidence; (b) re-verification of
+# the operators whose implementations changed this round (deterministic
+# shuffle-key fixes); (c) second confirmation of the three 3-round-red
+# gates first green in r7; (d) retained anchors and r7 first-greens.
+# Pinned as a SET, not a frozen order, so next round's rotation edits
+# this list deliberately rather than breaking an order assertion by
+# accident.
+ROUND8_WINDOW_NEW = {
+    "threshold_sweep", "domain_blocklist", "skew_diagnostics",
+    "embedding_gram", "interval_overlap", "expectations",
+    "sentence_split",
 }
-ROUND7_WINDOW_ROTATION = {
-    "salted_join", "robust_anomaly", "containment", "ngram_novelty",
+ROUND8_WINDOW_CHANGED_IMPL = {
+    "salted_agg", "range_join", "range_join_bucketed", "zorder_layout",
+}
+ROUND8_WINDOW_ANCHORS = {
+    "repetition", "rolling_anomaly", "embedding_centroids",
+    "flagship_posts_export", "bloom_prune_join", "shard_manifest",
+}
+ROUND8_WINDOW_RETAINED = {
+    "salted_join", "robust_anomaly",
     "repeated_spans", "span_coverage", "audio_features", "frame_sample",
-    "dataset_card", "quantile_buckets", "global_rank", "join_blowup",
+    "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
     "cluster_keepers", "centroid_similarity", "source_overlap",
@@ -48,23 +51,27 @@ ROUND7_WINDOW_ROTATION = {
 }
 
 
-def test_round7_window_set():
+def test_round8_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
-    assert window == ROUND7_WINDOW_ANCHORS | ROUND7_WINDOW_ROTATION
+    assert window == (
+        ROUND8_WINDOW_NEW
+        | ROUND8_WINDOW_CHANGED_IMPL
+        | ROUND8_WINDOW_ANCHORS
+        | ROUND8_WINDOW_RETAINED
+    )
 
 
-def test_repetition_probes_precede_repetition():
-    """The probes must land in the driver artifact even if the driver
-    truncates mid-window, and must appear before the gate they
-    diagnose — ordered coarse-to-fine (corpus, lines, tokens, grams) so
-    a truncated run still reads as a bisection."""
+def test_repetition_probes_stay_ordered():
+    """The probes rotated out of the window in round 8 (their gates
+    stayed in; every probe has a driver-green r7 row), but they keep
+    the coarse-to-fine order (corpus, lines, tokens, grams) so a future
+    re-rotation lands them back as a readable bisection."""
     names = list(SPARK_QUERIES)
     idx = {n: i for i, n in enumerate(names)}
     assert idx["repetition_corpus_echo"] < idx["repetition_lines"]
     assert idx["repetition_lines"] < idx["repetition_tokens"]
     assert idx["repetition_tokens"] < idx["repetition_grams"]
-    assert idx["repetition_grams"] < idx["repetition"]
     assert idx["repetition"] < DRIVER_SNAPSHOT_WINDOW
 
 

@@ -6311,51 +6311,49 @@ DRIVER_SNAPSHOT_WINDOW = 50
 
 # Registry order IS the driver contract: the correctness driver
 # snapshots the FIRST ``DRIVER_SNAPSHOT_WINDOW`` (50) entries each
-# round. Round-7 window (VERDICT r6 #1, #2): (a) the `repetition`
-# instrumentation — now FOUR probes (corpus echo, lines, NEW tokens,
-# grams) ahead of `repetition` itself; (b) the two other round-6
-# driver-red gates whose oracles were hardened this round
-# (`rolling_anomaly`, `embedding_centroids`); (c) 7 SURVEY §2 anchors
-# (shrunk from 16 — each has 5-6 green driver rounds on record); and
-# (d) the FULL 36-query remainder of oracle-backed entries that have
-# never earned a driver row — this completes the rotation: after this
-# round every oracle-backed query has driver-environment evidence from
-# some round (provenance in COVERAGE.md).
+# round. Round-8 window (VERDICT r7 #2): (a) the SEVEN round-7
+# additions that sat at indices 50-56, just past the r7 cut — the only
+# oracle-backed queries with zero driver-environment evidence; (b)
+# re-verification slots for the operators whose IMPLEMENTATIONS changed
+# this round (the deterministic shuffle-key fixes: salted_agg,
+# range_join, range_join_bucketed, plus zorder_layout whose write salt
+# changed) — their prior driver greens predate the new code; (c) second
+# confirmation for the three gates that were driver-red for 3 rounds
+# and green for the first time in r7; (d) retained anchors and r7
+# first-greens. Rotated out to fund (a)+(b): the six diagnostic probes
+# (their gates stayed in-window; the probes' bisection job is done) and
+# four multi-green anchors (eav_pivot, containment, ngram_novelty,
+# dataset_card).
 SPARK_QUERIES = {
-    # --- window part (a): the repetition instrumentation (r5 #1, r6 #1a) ---
-    "repetition_corpus_echo": q_repetition_corpus_echo,
-    "repetition_lines": q_repetition_lines,
-    "repetition_tokens": q_repetition_tokens,
-    "repetition_grams": q_repetition_grams,
+    # --- window part (a): r7 additions, zero driver rows (r7 #2) ---
+    "threshold_sweep": q_threshold_sweep,
+    "domain_blocklist": q_domain_blocklist,
+    "skew_diagnostics": q_skew_diagnostics,
+    "embedding_gram": q_embedding_gram,
+    "interval_overlap": q_interval_overlap,
+    "expectations": q_expectations,
+    "sentence_split": q_sentence_split,
+    # --- window part (b): implementations changed this round (the
+    # nondeterministic-shuffle-key fixes) — re-earn driver evidence ---
+    "salted_agg": q_salted_agg,
+    "range_join": q_range_join,
+    "range_join_bucketed": q_range_join_bucketed,
+    "zorder_layout": q_zorder_layout,
+    # --- window part (c): second confirmation for the r4-r6 red gates
+    # that first went green in r7 ---
     "repetition": q_repetition,
-    # --- window part (b): round-6 red gates, oracles hardened, each
-    # with stage-isolating probes ahead of it (r6 #1b/#1c) ---
-    "rolling_values_echo": q_rolling_values_echo,
-    "rolling_window_sums": q_rolling_window_sums,
     "rolling_anomaly": q_rolling_anomaly,
     "embedding_centroids": q_embedding_centroids,
-    # --- window part (c): 2 SURVEY §2 anchors (group_concat,
-    # hierarchy_parent, date_permalink rotated out — 5-6 green driver
-    # rounds each — to fund the three NEW round-7 oracle-backed
-    # queries, which need first-time driver evidence) ---
+    # --- window part (d): retained anchors + r7 first-greens ---
     "flagship_posts_export": q_flagship_posts_export,
-    "eav_pivot": q_eav_pivot,
-    # --- window part (c'): round-7 additions, zero driver rows yet ---
-    "zorder_layout": q_zorder_layout,
     "bloom_prune_join": q_bloom_prune_join,
     "shard_manifest": q_shard_manifest,
-    # --- window part (d): round-7 rotation — the complete remainder of
-    # oracle-backed queries with committed-local green but no driver
-    # row yet (VERDICT r6 #2 names all 36) ---
     "salted_join": q_salted_join,
     "robust_anomaly": q_robust_anomaly,
-    "containment": q_containment,
-    "ngram_novelty": q_ngram_novelty,
     "repeated_spans": q_repeated_spans,
     "span_coverage": q_span_coverage,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
-    "dataset_card": q_dataset_card,
     "quantile_buckets": q_quantile_buckets,
     "global_rank": q_global_rank,
     "join_blowup": q_join_blowup,
@@ -6383,18 +6381,21 @@ SPARK_QUERIES = {
     "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
     "tfidf_pairs": q_tfidf_pairs,
-    # --- oracle-backed, OUTSIDE the round-7 window ---
-    # NEW in round 7 (local green + both-scale evidence; first driver
-    # slots next rotation — the r7 window was already committed to
-    # finishing the 36-query remainder):
-    "threshold_sweep": q_threshold_sweep,
-    "domain_blocklist": q_domain_blocklist,
-    "skew_diagnostics": q_skew_diagnostics,
-    "embedding_gram": q_embedding_gram,
-    "interval_overlap": q_interval_overlap,
-    "expectations": q_expectations,
-    "sentence_split": q_sentence_split,
-    # driver-green in r1-r6 (provenance in COVERAGE.md):
+    # --- oracle-backed, OUTSIDE the round-8 window ---
+    # rotated out this round, all driver-green in r7 (the probes'
+    # parent gates kept their window slots; probes stay ordered
+    # coarse-to-fine so a future re-rotation preserves the bisection):
+    "repetition_corpus_echo": q_repetition_corpus_echo,
+    "repetition_lines": q_repetition_lines,
+    "repetition_tokens": q_repetition_tokens,
+    "repetition_grams": q_repetition_grams,
+    "rolling_values_echo": q_rolling_values_echo,
+    "rolling_window_sums": q_rolling_window_sums,
+    "eav_pivot": q_eav_pivot,
+    "containment": q_containment,
+    "ngram_novelty": q_ngram_novelty,
+    "dataset_card": q_dataset_card,
+    # driver-green in r1-r7 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
     "date_permalink": q_date_permalink,
@@ -6425,7 +6426,6 @@ SPARK_QUERIES = {
     "row_checksum": q_row_checksum,
     "doc_chunks": q_doc_chunks,
     "fk_integrity": q_fk_integrity,
-    "range_join_bucketed": q_range_join_bucketed,
     "upsert_snapshot": q_upsert_snapshot,
     "table_diff": q_table_diff,
     "session_paths": q_session_paths,
@@ -6450,11 +6450,9 @@ SPARK_QUERIES = {
     "agg_stats": q_agg_stats,
     "top_revenue": q_top_revenue,
     "asof_join": q_asof_join,
-    "range_join": q_range_join,
     "rollup_stats": q_rollup_stats,
     "topk_per_group": q_topk_per_group,
     "distinct_count": q_distinct_count,
-    "salted_agg": q_salted_agg,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
