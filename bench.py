@@ -109,26 +109,27 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
     }
 
     def timed(key: str, build) -> None:
-        # best-of-2 (VERDICT r6 #6): the tier was single-run, so one
-        # co-tenant CPU spell polluted a whole round's record (r6's
-        # setsim_join read 59 s vs a 25-27 s A/B band). The min of two
-        # runs bounds the damage to the unlucky case of BOTH runs being
-        # hit; both raw walls are recorded so reproducibility is
-        # checkable (±15% against a local rerun). Each run rebuilds the
-        # plan AND clears the catalog cache first: operators that
-        # persist an internal manifest (repeated_spans' survivor set)
-        # would otherwise hand run 2 a cache hit via Spark's
-        # plan-equality cache lookup (measured 12.5 s -> 1.5 s), and a
-        # cache-hit minimum is not a steady-state wall. Nothing else in
-        # this tier caches, so the clear has no collateral.
+        # median-of-3 (VERDICT r7 #4, upgrading r6 #6's best-of-2): the
+        # r7 record showed repeated_spans runs of [14.8, 22.6] s — a 53%
+        # spread that a min-of-2 masks rather than explains. The median
+        # of three aligns this tier with the headline methodology: it
+        # survives ONE co-tenant CPU spell without reporting the
+        # best-case wall as steady state. All raw walls are recorded so
+        # reproducibility is checkable (±15% across the recorded runs).
+        # Each run rebuilds the plan AND clears the catalog cache first:
+        # operators that persist an internal manifest (repeated_spans'
+        # survivor set) would otherwise hand later runs a cache hit via
+        # Spark's plan-equality cache lookup (measured 12.5 s -> 1.5 s),
+        # and a cache-hit wall is not a steady-state wall. Nothing else
+        # in this tier caches, so the clear has no collateral.
         walls = []
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             df = build()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             walls.append(round(time.perf_counter() - t0, 3))
-        out[key] = min(walls)
+        out[key] = sorted(walls)[1]
         out[f"{key}_runs"] = walls
 
     # same shapes as the SCALE.md probe (16 hashes / 2 bands; hamming<=3
@@ -242,15 +243,16 @@ def events_tier(spark, n_events: int) -> dict:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         cold = round(time.perf_counter() - t0, 3)
-        # best-of-2 warm (VERDICT r6 #6): single-run tiers let one
-        # co-tenant CPU spell pollute the round's record
+        # median-of-3 warm (VERDICT r7 #4, upgrading r6 #6's best-of-2):
+        # aligned with the headline methodology so one co-tenant CPU
+        # spell neither pollutes the record nor hides behind a min
         warm = []
-        for _ in range(2):
+        for _ in range(3):
             t1 = time.perf_counter()
             REG[name](spark, base_dir).write.format("noop").mode("overwrite").save()
             warm.append(round(time.perf_counter() - t1, 3))
         out[name] = {
-            "wall": min(warm),
+            "wall": sorted(warm)[1],
             "wall_runs": warm,
             "cold_wall": cold,
             "exchanges": plan.count("Exchange"),
@@ -507,7 +509,9 @@ def main() -> None:
         "unit": "sec",
         # recorded so ratios are never compared across methodologies:
         # r1-r3 single-run, r4 min-of-2 warm, r5+ median-of-3 warm
-        "methodology": "median-of-3 warm runs after 1 cold run",
+        # (r6-r7 dedup/events tiers were best-of-2; r8+ all tiers
+        # median-of-3)
+        "methodology": "median-of-3 warm runs after 1 cold run; all tiers median-of-3",
         "queries": timings,
         "queries_cold": timings_cold,
         "total_cold": round(sum(timings_cold.values()), 3),
@@ -600,7 +604,22 @@ def main() -> None:
     if "posts_tier" in result:
         compact["posts_entries_per_s"] = result["posts_tier"]["entries_per_s"]
     line = json.dumps(compact)
-    assert len(line) < 1500, f"compact bench line grew to {len(line)} bytes"
+    if len(line) >= 1500:
+        # NEVER raise here: asserting after a ~12-minute run would
+        # suppress the one stdout line the driver's tail-capture needs
+        # (ADVICE r7). Fall back to a minimal parseable headline; the
+        # full record is in the detail file either way.
+        line = json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": result["unit"],
+                "sf": result["sf"],
+                "queries": result["queries"],
+                "detail_file": "BENCH_detail.json",
+                "truncated": True,
+            }
+        )
     print(line)
 
 

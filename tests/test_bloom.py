@@ -94,3 +94,15 @@ def test_key_dtype_mismatch_rejected(spark):
     build = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="dtype mismatch"):
         bl.bloom_prune_join(probe, build, probe_key="k", build_key="k")
+
+
+def test_same_named_keys_yield_unambiguous_schema(spark):
+    """probe_key == build_key must not leave two identically-named
+    columns in the output (ADVICE r7): the build-side key is dropped,
+    downstream F.col references resolve."""
+    probe = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, pv string")
+    build = spark.createDataFrame([(1, 10.0), (3, 30.0)], "k long, bv double")
+    out = bl.bloom_prune_join(probe, build, probe_key="k", build_key="k")
+    assert out.columns.count("k") == 1
+    rows = {r["k"]: (r["pv"], r["bv"]) for r in out.select("k", "pv", "bv").collect()}
+    assert rows == {1: ("a", 10.0), 3: ("c", 30.0)}

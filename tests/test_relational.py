@@ -242,3 +242,15 @@ def test_global_rank_equals_naive_window(spark):
     one = spark.createDataFrame([(i, 7.0) for i in range(5)], "event_id long, value double")
     got = sorted(r["rank"] for r in global_rank(one, value_col="value", tiebreak=["event_id"]).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_global_rank_scale1_rejects_fractional_dtype(spark):
+    """scale=1 declares the value column integral; a double column
+    would be silently cast-truncated (values in (-1,1) all collapse to
+    0), so it must be rejected loudly (ADVICE r7)."""
+    import pytest as _pytest
+    from wordpress_sql_to_contentstack_exporter_spark.operators.relational import global_rank
+
+    df = spark.createDataFrame([(1, 0.5), (2, -0.25)], "id long, v double")
+    with _pytest.raises(ValueError, match="integral"):
+        global_rank(df, value_col="v", tiebreak=["id"], scale=1)

@@ -133,4 +133,22 @@ def bloom_prune_join(
         )
     bloom = bloom_build(build, build_key, m_bits=m_bits, k=k)
     pruned = bloom_prune(probe, probe_key, bloom, m_bits=m_bits, k=k)
-    return pruned.join(build, pruned[probe_key] == build[build_key], "inner")
+    # String aliases, not DataFrame-attribute references: pruned's plan
+    # already CONTAINS build's attributes (the Bloom frame is derived
+    # from build), so build[c] after the join is ambiguous the way any
+    # self-join reference is. The build-side key is then projected OUT
+    # so the output schema is unambiguous when probe_key == build_key
+    # (both sides' columns survive a non-USING join, and a duplicate
+    # name makes downstream F.col references ambiguous) — the
+    # probe-side key carries the identical value.
+    p = pruned.alias("__bp_probe")
+    b = build.alias("__bp_build")
+    joined = p.join(
+        b,
+        F.col(f"__bp_probe.{probe_key}") == F.col(f"__bp_build.{build_key}"),
+        "inner",
+    )
+    keep = [F.col(f"__bp_probe.{c}") for c in pruned.columns] + [
+        F.col(f"__bp_build.{c}") for c in build.columns if c != build_key
+    ]
+    return joined.select(*keep)

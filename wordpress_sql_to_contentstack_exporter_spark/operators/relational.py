@@ -396,6 +396,19 @@ def global_rank(
     # value columns must use scale > 1 (the double path, documented
     # lossy above 2^53 / scale).
     if scale == 1:
+        # fail loudly on fractional dtypes: cast-to-long TRUNCATES, so a
+        # float column passed with scale=1 would silently collapse all
+        # values in (-1, 1) to 0 and fall through to tiebreak order
+        # (ADVICE r7). Integral-typed columns only; fractional columns
+        # pick a scale > 1.
+        vtype = dict(df.dtypes)[value_col]
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        if vtype not in integral:
+            raise ValueError(
+                f"global_rank(scale=1) declares {value_col} integral, but its "
+                f"dtype is {vtype} — cast-to-long would truncate fractional "
+                "values; pass scale > 1 for fractional columns"
+            )
         vm = F.col(value_col).cast("long")
     else:
         vm = F.round(F.col(value_col).cast("double") * scale).cast("long")

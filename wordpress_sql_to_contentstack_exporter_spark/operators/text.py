@@ -1086,6 +1086,16 @@ def repeated_spans(
         # re-runs the whole corpus anchor pass (measured 3x wall at the
         # 200k-doc tier). It is |survivors| rows of four longs — the
         # thing a production run materializes.
+        #
+        # CACHE LIFETIME (ADVICE r7): the operator cannot unpersist
+        # before the returned lazy DataFrame is consumed, and an eager
+        # materialize here would break the registry's no-jobs-at-build
+        # contract, so the blocks live until the session ends or the
+        # caller clears them. Each invocation caches only the tiny
+        # survivor manifest (never corpus data), so accumulation across
+        # repeated calls in a long-lived session is |survivors|-bounded
+        # per call; callers running many invocations should
+        # spark.catalog.clearCache() between them (bench.py does).
         .persist()
     )
     ex_docs = df.join(

@@ -76,7 +76,15 @@ def _dedup_fn_factory(m_bits: int, k: int):
         rows: list[tuple[str, int]] = []
         for pdf in pdfs:
             rows.extend(zip(pdf["content_hash"], pdf["doc_id"]))
-        # deterministic in-batch order: first (hash, id) occurrence wins
+        # Deterministic in-batch order: rows are processed in (hash,
+        # doc_id) sort order, so within a micro-batch the SURVIVOR of a
+        # duplicate family is the LOWEST doc_id — NOT the temporally
+        # first arrival (arrival order within a batch is
+        # partition-interleaved and nondeterministic, so "earliest
+        # arrival" is not even well-defined here; ADVICE r7 asks this
+        # stated explicitly). Downstream consumers that need temporal
+        # firstness should carry an event-time column and re-pick
+        # per-hash min(event_time) on the survivor stream.
         rows.sort(key=lambda r: (r[0], r[1]))
         for digest, doc_id in rows:
             pos = bloom_positions(digest, m_bits, k)
