@@ -1,0 +1,81 @@
+"""Cross-run incremental dedup manifest (operators/manifest.py): the
+batch-scale idempotent-skip lifecycle the reference runs per asset
+(assets.js:78-80). The relational core (within-batch keeper + anti-join)
+is oracle-gated in the registry (`incremental_dedup`); these tests cover
+what SQL cannot: the persisted read/append lifecycle, idempotent
+re-runs, cross-run accumulation, and the snapshot-pinned read that keeps
+a post-append recompute from anti-joining the batch against itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import manifest as mf
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_run_bootstraps_from_missing_path(spark, tmp_path):
+    path = str(tmp_path / "manifest")
+    docs = _docs(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    out = mf.incremental_dedup_run(spark, docs, path, run_id="r1")
+    rows = {r["doc_id"] for r in out.collect()}
+    # within-batch dedup keeps min-id for the duplicated content
+    assert rows == {1, 2}
+    # the manifest now holds exactly the survivors' hashes
+    m = mf.read_manifest(spark, path)
+    assert m.count() == 2
+    assert {r["first_seen_run"] for r in m.collect()} == {"r1"}
+
+
+def test_replayed_batch_appends_nothing(spark, tmp_path):
+    path = str(tmp_path / "manifest")
+    docs = _docs(spark, [(1, "alpha"), (2, "beta")])
+    first = mf.incremental_dedup_run(spark, docs, path, run_id="r1")
+    assert first.count() == 2
+    replay = mf.incremental_dedup_run(spark, docs, path, run_id="r2")
+    assert replay.count() == 0
+    assert mf.read_manifest(spark, path).count() == 2  # no r2 rows
+
+
+def test_cross_run_accumulation_and_new_content(spark, tmp_path):
+    path = str(tmp_path / "manifest")
+    mf.incremental_dedup_run(
+        spark, _docs(spark, [(1, "alpha"), (2, "beta")]), path, run_id="r1"
+    )
+    # day 2: one repeat (different id, same content), one new
+    out = mf.incremental_dedup_run(
+        spark, _docs(spark, [(10, "alpha"), (11, "gamma")]), path, run_id="r2"
+    )
+    assert {r["doc_id"] for r in out.collect()} == {11}
+    m = mf.read_manifest(spark, path)
+    assert m.count() == 3
+    runs = {r["first_seen_run"] for r in m.collect()}
+    assert runs == {"r1", "r2"}
+
+
+def test_survivors_recompute_against_pre_append_snapshot(spark, tmp_path):
+    """The hazard the pinned read exists for: the returned lazy frame is
+    acted on AFTER the append; an unpinned directory read would see the
+    batch's own hashes and recompute to empty."""
+    path = str(tmp_path / "manifest")
+    docs = _docs(spark, [(1, "alpha"), (2, "beta")])
+    out = mf.incremental_dedup_run(spark, docs, path, run_id="r1")
+    # two separate actions post-append: both must see the survivors
+    assert out.count() == 2
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_hash_matches_exact_dedup_rule(spark):
+    """One content-identity definition across the dedup family:
+    normalization (case, whitespace) folds into the same hash that
+    exact_dedup groups by."""
+    docs = _docs(spark, [(1, "Hello  World"), (2, "hello world")])
+    m = mf.build_manifest(docs, run_id="r1")
+    assert m.count() == 1
+    survivors = mf.manifest_dedup(
+        _docs(spark, [(3, "HELLO\tWORLD"), (4, "fresh")]), m
+    )
+    assert {r["doc_id"] for r in survivors.collect()} == {4}

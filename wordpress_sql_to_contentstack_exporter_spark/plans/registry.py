@@ -1031,6 +1031,44 @@ FROM documents GROUP BY 1
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup (operators/manifest.py, VERDICT r7
+    #7): a persisted content-hash manifest stands in for "everything a
+    prior run already kept" (here bootstrapped from the doc_id%3==0
+    third of the corpus — yesterday's batch); today's full batch is
+    within-batch deduped (min-id keeper per hash, the exact_dedup rule)
+    then LEFT ANTI joined against the manifest. The reference's
+    idempotent-skip pattern (assets.js:78-80 — skip what already
+    exists) at corpus scale: hashes shuffle, text never does. The
+    manifest read/append/idempotency lifecycle is covered in
+    tests/test_manifest_dedup.py (file IO has no SQL oracle; the
+    relational core is exactly this gate)."""
+    from ..operators import manifest as mf
+
+    d = _t(spark, sf_dir, "documents")
+    prior = mf.build_manifest(
+        d.filter(F.col("doc_id") % 3 == 0), run_id="prior"
+    )
+    out = mf.manifest_dedup(d, prior)
+    return out.select("doc_id", "content_hash")
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH h AS (
+    SELECT doc_id,
+           sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash
+    FROM documents
+), m AS (
+    SELECT DISTINCT content_hash FROM h WHERE doc_id % 3 = 0
+), b AS (
+    SELECT content_hash, min(doc_id) AS doc_id FROM h GROUP BY 1
+)
+SELECT b.doc_id, b.content_hash
+FROM b
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.content_hash = b.content_hash)
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard on deterministic pairs (doc i vs doc i+1) —
     the verify stage of candidate->verify near-dup."""
@@ -6395,6 +6433,8 @@ SPARK_QUERIES = {
     "containment": q_containment,
     "ngram_novelty": q_ngram_novelty,
     "dataset_card": q_dataset_card,
+    # NEW in round 8 (oracle-gated; r9 rotation candidate):
+    "incremental_dedup": q_incremental_dedup,
     # driver-green in r1-r7 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6541,6 +6581,7 @@ ORACLE_SQL = {
     "distinct_count": SQL_DISTINCT_COUNT,
     "salted_agg": SQL_COUNT_GROUP_BY,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
