@@ -79,3 +79,47 @@ def test_hash_matches_exact_dedup_rule(spark):
         _docs(spark, [(3, "HELLO\tWORLD"), (4, "fresh")]), m
     )
     assert {r["doc_id"] for r in survivors.collect()} == {4}
+
+
+def test_neardup_manifest_drops_perturbed_keeps_novel(spark):
+    """Controlled corpus: the batch holds a lightly-perturbed copy of a
+    kept doc (near-dup -> dropped), a verbatim copy (est 1.0 ->
+    dropped), and a genuinely different doc (survives)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    kept = _docs(spark, [(1, base), (2, "completely unrelated text about spark shuffles and parquet files")])
+    manifest = mf.build_neardup_manifest(kept, num_hashes=16, bands=2, run_id="r1")
+    batch = _docs(
+        spark,
+        [
+            (10, base + " extra"),  # near-dup of doc 1
+            (11, base),  # exact dup of doc 1
+            (12, "astronomy dataset with galaxies nebulae and very distant quasars observed nightly"),
+        ],
+    )
+    out = mf.neardup_manifest_dedup(batch, manifest, min_est_jaccard=0.6)
+    assert {r["doc_id"] for r in out.collect()} == {12}
+
+
+def test_neardup_manifest_threshold_gates_weak_overlap(spark):
+    """A batch doc sharing a bucket but with low signature agreement
+    must survive at a high threshold."""
+    kept = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")])
+    manifest = mf.build_neardup_manifest(kept, num_hashes=16, bands=2, run_id="r1")
+    batch = _docs(spark, [(20, "alpha beta totally different tail content here with many extra words appended now")])
+    strict = mf.neardup_manifest_dedup(batch, manifest, min_est_jaccard=0.95)
+    assert {r["doc_id"] for r in strict.collect()} == {20}
+
+
+def test_neardup_manifest_bucket_cap_drops_giant_buckets(spark):
+    """max_bucket_size excludes pathological manifest buckets from the
+    join entirely: with a cap of 1, the 3-copy boilerplate bucket is
+    skipped and the near-identical batch doc SURVIVES (the documented
+    exact-pass-handles-identicals tradeoff)."""
+    boiler = "subscribe to our newsletter for updates terms of service apply to everyone"
+    kept = _docs(spark, [(1, boiler), (2, boiler), (3, boiler)])
+    manifest = mf.build_neardup_manifest(kept, num_hashes=16, bands=2, run_id="r1")
+    batch = _docs(spark, [(30, boiler)])
+    capped = mf.neardup_manifest_dedup(batch, manifest, max_bucket_size=1, min_est_jaccard=0.6)
+    assert {r["doc_id"] for r in capped.collect()} == {30}
+    uncapped = mf.neardup_manifest_dedup(batch, manifest, max_bucket_size=None, min_est_jaccard=0.6)
+    assert uncapped.count() == 0

@@ -434,6 +434,28 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "n_words<=n_bpe<=n_chars": sandwich_ok,
     }
 
+    # --- incremental_neardup: planted-drop recall (every planted
+    # id+1M batch doc is a near-dup of a manifest doc and must NOT
+    # survive) plus the measured novel-survival rate of the unseen odd
+    # half (not 1.0 by design — the fixture contains natural duplicate
+    # families that straddle the even/odd split, and dropping those IS
+    # correct behavior; the recall number is the hard claim).
+    inc = {
+        r["doc_id"]
+        for r in reg.SPARK_QUERIES["incremental_neardup"](spark, sf_dir).collect()
+    }
+    n_even = docs.filter(F.col("doc_id") % 2 == 0).count()
+    n_odd = n_docs - n_even
+    planted_surviving = sum(1 for i in inc if i >= 1_000_000)
+    novel_surviving = sum(1 for i in inc if i < 1_000_000)
+    ev["incremental_neardup"] = {
+        "metric": "planted_drop_recall_and_novel_survival",
+        "planted_drop_recall": round(1 - planted_surviving / max(n_even, 1), 4),
+        "planted": n_even,
+        "novel_survival_rate": round(novel_surviving / max(n_odd, 1), 4),
+        "novel": n_odd,
+    }
+
     # --- dedup_calibration: the sweep operator itself is oracle-gated;
     # the COMPOSITION's evidence is the planted-separation property the
     # docstring specifies: the top score bucket is >= 80% planted pairs

@@ -136,6 +136,126 @@ def append_survivors(
     )
 
 
+def build_neardup_manifest(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    run_id: str | None = None,
+) -> DataFrame:
+    """The NEAR-dup analogue of ``build_manifest``: one row per
+    (kept doc, band) holding the doc's flat MinHash signature columns
+    plus its (band, bucket) LSH key — exactly the frame the candidate
+    join consumes, so tomorrow's batch probes it with one equi-join and
+    no recomputation over the kept corpus. ~``bands x (8*num_hashes +
+    24)`` bytes per doc (304 B at the 16/2 defaults — the signature
+    repeats per band row; at web scale, normalize into a signature
+    table + a band table if bands is large). Text is never stored.
+
+    The (num_hashes, bands, shingle_k, shingle_mode) configuration is
+    BAKED INTO the stored signatures: probing with a different
+    configuration silently finds nothing, so the parameters must be
+    pinned for the manifest's lifetime (store them alongside the path).
+    """
+    from .dedup import minhash_banded
+
+    banded = minhash_banded(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+    )
+    return banded.withColumn("first_seen_run", F.lit(run_id))
+
+
+def neardup_manifest_dedup(
+    new_docs: DataFrame,
+    manifest: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    min_est_jaccard: float = 0.9,
+    max_bucket_size: int | None = 200_000,
+) -> DataFrame:
+    """New-batch ids that are NOT near-duplicates of the kept corpus:
+    the daily batch-vs-manifest step that replaces re-running all-pairs
+    LSH over corpus+batch (at 100 TB the kept corpus dwarfs any daily
+    batch — recomputing its signatures daily is the cost this operator
+    deletes).
+
+    Plan: batch signatures once (lazy localCheckpoint — consumed by
+    both the candidate join and the survivor anti-join), equi-join
+    against the manifest on (band, bucket), estimate Jaccard from the
+    two flat signatures (codegen sum of 16 primitive equalities, the
+    ``minhash_lsh_candidates`` shape), drop batch ids with any match >=
+    ``min_est_jaccard``. Output: one row per surviving batch id
+    (``id_col``) — join back to the payload on the caller side.
+    ``max_bucket_size`` drops pathological manifest buckets before the
+    join (the boilerplate-bucket quadratic guard, same rationale as the
+    LSH self-join's cap).
+
+    Within-batch near-dups are OUT of scope by design: run the
+    standard exact→LSH→cluster-keepers pipeline over the survivors
+    before appending them (composition keeps each stage's oracle).
+    """
+    from .dedup import minhash_banded
+
+    probe = minhash_banded(
+        new_docs,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+    ).localCheckpoint(eager=False)
+
+    m = manifest
+    if max_bucket_size is not None:
+        small = (
+            m.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        m = m.join(small, ["band", "bucket"], "left_semi")
+    m = m.select(
+        F.col("band"),
+        F.col("bucket"),
+        *[F.col(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)],
+    )
+
+    matches = None
+    for i in range(num_hashes):
+        piece = (F.col(f"h{i}") == F.col(f"mh{i}")).cast("int")
+        matches = piece if matches is None else matches + piece
+    est = matches / F.lit(num_hashes)
+
+    dropped = (
+        probe.join(m, ["band", "bucket"])
+        .filter(est >= F.lit(min_est_jaccard))
+        .select(F.col("id"))
+        .distinct()
+    )
+    return (
+        probe.select("id")
+        .distinct()
+        .join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col))
+    )
+
+
 def incremental_dedup_run(
     spark: SparkSession,
     new_docs: DataFrame,
