@@ -701,6 +701,26 @@ def main() -> int:
         ("no pair join", r"\A(?s:(?!.*(SortMergeJoin|CartesianProduct)).*)\Z"),
     )
 
+    # incremental_dedup: the daily batch-vs-manifest step is a hash
+    # anti-join on 32-byte hashes — no text column may reach the
+    # exchange, and no nested-loop/cartesian shape is acceptable.
+    check(
+        "incremental_dedup",
+        ("hash anti-join", r"LeftAnti"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+    )
+    # incremental_neardup: batch probes the signature manifest via a
+    # (band, bucket) equi-join; a missing equi-key would degrade to a
+    # nested-loop theta join.
+    check(
+        "incremental_neardup",
+        ("band-bucket equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("survivor anti-join", r"LeftAnti"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 
