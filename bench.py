@@ -509,9 +509,14 @@ def main() -> None:
         "unit": "sec",
         # recorded so ratios are never compared across methodologies:
         # r1-r3 single-run, r4 min-of-2 warm, r5+ median-of-3 warm
-        # (r6-r7 dedup/events tiers were best-of-2; r8+ all tiers
-        # median-of-3)
-        "methodology": "median-of-3 warm runs after 1 cold run; all tiers median-of-3",
+        # (r6-r7 dedup/events tiers were best-of-2, median-of-3 from r8;
+        # posts_tier stays 1 warm run and rolling_tier 1 run per variant
+        # — both are minute-scale single measurements by design, and
+        # claiming median-of-3 for them would be false)
+        "methodology": (
+            "headline/dedup/events tiers median-of-3 warm after 1 cold; "
+            "posts_tier 1 warm run; rolling_tier 1 run per variant"
+        ),
         "queries": timings,
         "queries_cold": timings_cold,
         "total_cold": round(sum(timings_cold.values()), 3),

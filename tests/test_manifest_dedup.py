@@ -123,3 +123,27 @@ def test_neardup_manifest_bucket_cap_drops_giant_buckets(spark):
     assert {r["doc_id"] for r in capped.collect()} == {30}
     uncapped = mf.neardup_manifest_dedup(batch, manifest, max_bucket_size=None, min_est_jaccard=0.6)
     assert uncapped.count() == 0
+
+
+def test_build_manifest_default_run_id_is_writable(spark, tmp_path):
+    """run_id=None must still produce a STRING column (F.lit(None) is
+    void-typed, which parquet rejects) — the bootstrap output's whole
+    purpose is being written (round-8 review finding)."""
+    path = str(tmp_path / "bootstrap")
+    m = mf.build_manifest(_docs(spark, [(1, "alpha")]))
+    assert dict(m.dtypes)["first_seen_run"] == "string"
+    m.write.parquet(path)  # must not raise
+    assert mf.read_manifest(spark, path).count() == 1
+
+
+def test_read_manifest_raises_on_corrupt_data(spark, tmp_path):
+    """Only path-absent means bootstrap; a corrupt manifest must raise,
+    not silently disable dedup (round-8 review finding)."""
+    import pytest as _pytest
+
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    df = mf.read_manifest(spark, str(bad))
+    with _pytest.raises(Exception):
+        df.count()

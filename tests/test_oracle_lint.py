@@ -204,9 +204,13 @@ def test_family_e_no_raw_ts_window_ordering():
 # only this lint can. Deterministic replacement: xxhash64 over a unique
 # id / the whole row (operators/skew.py, operators/temporal.py,
 # sinks/layout.py all carry the worked fix).
+# NOTE the matching is over TOKENIZED code re-joined with single spaces
+# ("F.rand()" reads "F . rand ( )"), so qualifier-anchored patterns like
+# \bF\.rand can never fire (round-8 review finding) — match the bare
+# call name with optional whitespace instead; any rand/randn CALL in
+# package code is banned regardless of how it was imported.
 _G_BANNED = re.compile(
-    r"monotonically_increasing_id|spark_partition_id|"
-    r"\bF\.randn?\s*\(|functions\.randn?\s*\(|\brandn?\s*\(\s*seed"
+    r"monotonically_increasing_id|spark_partition_id|\brandn?\s*\("
 )
 
 
@@ -236,3 +240,31 @@ def test_family_g_no_nondeterministic_row_values_in_package_source():
         f"these become shuffle keys and break under task recompute; use "
         f"xxhash64 over unique columns instead. {DOCTRINE}"
     )
+
+
+def test_family_g_patterns_match_tokenized_spellings():
+    """The lint matches space-joined token streams; pin that the common
+    spellings of every banned construct actually fire (round-8 review
+    finding: the original F\\.rand pattern could never match)."""
+    import io
+    import tokenize
+
+    def code_of(src: str) -> str:
+        toks = [
+            t.string
+            for t in tokenize.generate_tokens(io.StringIO(src).readline)
+            if t.type not in (tokenize.COMMENT, tokenize.STRING)
+        ]
+        return " ".join(toks)
+
+    for src in (
+        "x = F.rand()",
+        "x = F.randn(42)",
+        "x = rand(seed=1)",
+        "x = functions.rand()",
+        "i = F.monotonically_increasing_id()",
+        "p = spark_partition_id()",
+    ):
+        assert _G_BANNED.search(code_of(src)), src
+    for src in ("x = operand(1)", "r = brand ( 2 )", "y = strand(3)"):
+        assert not _G_BANNED.search(code_of(src)), src

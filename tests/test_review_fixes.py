@@ -305,3 +305,43 @@ def test_pack_sequences_length_sorted_reduces_fragmentation(spark):
     )
     sums = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
     assert all(r["s"] <= 200 for r in sums)
+
+
+def test_bucketed_range_join_count_keeps_null_ts_rows(spark):
+    """Round-8 review finding: NULL left_ts must yield count 0, not a
+    dropped row (the keyed range_join_count and the SQL oracle both keep
+    it)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        bucketed_range_join_count,
+    )
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0)), (2, None)], "event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(9, T(2024, 1, 1, 10, 5))], "event_id long, ts timestamp"
+    ).select("ts")
+    out = bucketed_range_join_count(
+        left, right, left_ts="ts", right_ts="ts",
+        lower_seconds=0, upper_seconds=600,
+    )
+    rows = {r["event_id"]: r["n_in_range"] for r in out.collect()}
+    assert rows == {1: 1, 2: 0}
+
+
+def test_multiplicity_expansion_chunks_large_counts(spark):
+    """Round-8 review finding: the duplicate re-expansion must not
+    materialize one multiplicity-sized array; verified by expanding a
+    multiplicity beyond the 2^16 chunk width."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        _MULT_CHUNK,
+        _expand_multiplicity,
+    )
+
+    n = _MULT_CHUNK * 2 + 37
+    df = spark.createDataFrame([(7, n), (8, 1)], "k long, __mult long")
+    out = _expand_multiplicity(df)
+    counts = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {7: n, 8: 1}
+    assert out.columns == ["k"]

@@ -514,6 +514,7 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         .collect()
     }
     exact["__all__"] = e_tbl.select("user_id").distinct().count()
+    missing_groups = sorted(set(exact) - set(est))
     rel_errs = {
         k: abs(est[k] - exact[k]) / max(exact[k], 1)
         for k in exact
@@ -523,8 +524,13 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
     ev["hll_sketches"] = {
         "metric": "relative_error_vs_exact_distinct",
         "groups": len(rel_errs),
+        # a dropped group must FAIL the bound, not silently shrink the
+        # comparison set (round-8 review finding)
+        "missing_groups": missing_groups,
         "max_rel_error": round(max_err, 5) if max_err is not None else None,
-        "max_rel_error<0.02": max_err is not None and max_err < 0.02,
+        "max_rel_error<0.02": (
+            max_err is not None and max_err < 0.02 and not missing_groups
+        ),
     }
 
     return ev

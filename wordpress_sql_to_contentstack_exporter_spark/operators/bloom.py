@@ -148,7 +148,13 @@ def bloom_prune_join(
         F.col(f"__bp_probe.{probe_key}") == F.col(f"__bp_build.{build_key}"),
         "inner",
     )
+    # ... but ONLY when the names actually collide: distinct-named keys
+    # keep the build column, preserving the pre-existing output contract
+    # for callers that select it (round-8 review finding).
+    drop_build_key = probe_key == build_key
     keep = [F.col(f"__bp_probe.{c}") for c in pruned.columns] + [
-        F.col(f"__bp_build.{c}") for c in build.columns if c != build_key
+        F.col(f"__bp_build.{c}")
+        for c in build.columns
+        if not (drop_build_key and c == build_key)
     ]
     return joined.select(*keep)

@@ -67,7 +67,9 @@ def build_manifest(
     bootstrap for a pipeline adopting incremental dedup over an
     already-published corpus."""
     out = df.select(content_hash(text_col).alias("content_hash")).distinct()
-    return out.withColumn("first_seen_run", F.lit(run_id))
+    # cast: F.lit(None) is VOID-typed, which parquet rejects — the
+    # bootstrap output must be writable (round-8 review finding)
+    return out.withColumn("first_seen_run", F.lit(run_id).cast("string"))
 
 
 def manifest_dedup(
@@ -111,11 +113,22 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     against itself — silently emptying the result. Enumerating the
     files once and reading exactly that list makes every recompute see
     the same pre-append snapshot."""
+    from pyspark.errors import AnalysisException
+
     try:
         snapshot = spark.read.schema(MANIFEST_SCHEMA).parquet(path)
         files = snapshot.inputFiles()
-    except Exception:
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    except AnalysisException as e:
+        # ONLY path-absent means first-run bootstrap. Anything else — a
+        # transient storage error, permissions, a corrupt footer — must
+        # RAISE: swallowing it would return an empty manifest, the
+        # anti-join would pass the entire previously-kept corpus, and
+        # the run would silently re-ship and re-append everything
+        # (round-8 review finding).
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+        raise
     if not files:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     return spark.read.schema(MANIFEST_SCHEMA).parquet(*files)
@@ -129,7 +142,7 @@ def append_survivors(
     survivors of a replayed batch are empty — see module docstring)."""
     (
         survivors.select(
-            "content_hash", F.lit(run_id).alias("first_seen_run")
+            "content_hash", F.lit(run_id).cast("string").alias("first_seen_run")
         )
         .write.mode("append")
         .parquet(path)
@@ -172,7 +185,7 @@ def build_neardup_manifest(
         shingle_k=shingle_k,
         shingle_mode=shingle_mode,
     )
-    return banded.withColumn("first_seen_run", F.lit(run_id))
+    return banded.withColumn("first_seen_run", F.lit(run_id).cast("string"))
 
 
 def neardup_manifest_dedup(

@@ -61,7 +61,16 @@ def salted_agg(
             raise ValueError(f"unique_cols not in df: {missing}")
         salt_cols = unique_cols
     else:
-        salt_cols = df.columns
+        # xxhash64 rejects MAP-typed inputs (DATATYPE_MISMATCH) — the
+        # whole-row default silently skips them (map column order is
+        # undefined anyway, so a map could not contribute a stable hash);
+        # a frame of ONLY maps+keys must name unique_cols explicitly.
+        salt_cols = [c for c, t in df.dtypes if not t.startswith("map<")]
+        if not salt_cols:
+            raise ValueError(
+                "salted_agg: no hashable (non-map) columns to derive the "
+                "deterministic salt from — pass unique_cols"
+            )
     # DETERMINISTIC salt only — it becomes a shuffle key, and a task
     # recompute must re-derive the identical salt (see docstring).
     salted = df.withColumn(

@@ -296,12 +296,48 @@ def range_join_count(
     counted = joined.groupBy(*group_cols).agg(
         F.count(F.col(f"r.{keys[0]}")).alias(count_alias)
     )
-    return (
+    return _expand_multiplicity(counted)
+
+
+#: chunk width for multiplicity re-expansion: bounds the materialized
+#: sequence() array to 64 Ki longs (512 KiB) per generated row batch.
+_MULT_CHUNK = 1 << 16
+
+
+def _expand_multiplicity(counted: DataFrame) -> DataFrame:
+    """Re-expand a collapsed-duplicates frame (``__mult`` copies of each
+    row) back to one output row per original input row.
+
+    Two-level explode, not ``explode(sequence(1, __mult))``: a single
+    sequence materializes an 8-byte-per-element array sized to the
+    multiplicity IN ONE TASK — a hot fully-duplicate row with 100M
+    copies would allocate ~800 MB (and sequence() hard-fails past 2^31
+    elements), exactly in the skew regime these operators target. The
+    outer explode walks ``ceil(mult / 2^16)`` chunk ids and the inner
+    explode generates at most 2^16 elements per chunk, so peak array
+    memory is 512 KiB regardless of multiplicity. The expansion still
+    runs inside the one task that owns the collapsed row (no shuffle is
+    added to spread it — output-row COUNT is inherent to the semantics;
+    only the allocation hazard is removed).
+    """
+    chunk = F.lit(_MULT_CHUNK).cast("long")
+    n_chunks = F.expr(f"(__mult + {_MULT_CHUNK} - 1) div {_MULT_CHUNK}")
+    out = (
         counted.withColumn(
-            "__i", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__mult")))
+            "__chunk",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
         )
-        .drop("__mult", "__i")
+        .withColumn(
+            "__i",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(chunk, F.col("__mult") - F.col("__chunk") * chunk),
+                )
+            ),
+        )
     )
+    return out.drop("__mult", "__chunk", "__i")
 
 
 def bucketed_range_join_count(
@@ -359,7 +395,17 @@ def bucketed_range_join_count(
     # window [lus+lo, lus+up): overlapped buckets, floor-div in long
     first_b = F.floor((F.col("__lus") + lo_us) / w_us).cast("long")
     last_b = F.floor((F.col("__lus") + up_us - 1) / w_us).cast("long")
-    l_exp = l.withColumn("__b", F.explode(F.sequence(first_b, last_b)))
+    # NULL left_ts: sequence(NULL, NULL) is NULL and explode would DROP
+    # the row entirely — but the contract (and the keyed
+    # range_join_count, and the SQL correlated-subquery oracle shape)
+    # keeps such rows with count 0. A single NULL bucket preserves the
+    # row through the explode; a NULL join key then matches nothing
+    # (SQL equality), so the left join yields exactly one null-partner
+    # row that counts 0.
+    buckets = F.when(
+        F.col("__lus").isNull(), F.array(F.lit(None).cast("long"))
+    ).otherwise(F.sequence(first_b, last_b))
+    l_exp = l.withColumn("__b", F.explode(buckets))
     r = right.select(
         _micros(F.col(right_ts)).alias("__rus")
     ).withColumn("__b", F.floor(F.col("__rus") / w_us).cast("long"))
@@ -376,12 +422,7 @@ def bucketed_range_join_count(
     counted = joined.groupBy(*left.columns, "__mult").agg(
         F.sum(in_range).cast("long").alias(count_alias)
     )
-    return (
-        counted.withColumn(
-            "__i", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__mult")))
-        )
-        .drop("__mult", "__i")
-    )
+    return _expand_multiplicity(counted)
 
 
 def interval_overlap_join(

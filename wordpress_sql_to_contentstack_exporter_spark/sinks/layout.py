@@ -113,10 +113,13 @@ def write_layout(
             # upstream row->partition map is; the hash is unconditionally
             # stable). Exact duplicate rows share a salt, which for file
             # spreading costs at most mild imbalance, not correctness.
+            hashable = [
+                c for c, t in out.dtypes if not t.startswith("map<")
+            ] or list(partition_by)
             out = out.repartition(
                 *[F.col(c) for c in partition_by],
                 F.pmod(
-                    F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(n)
+                    F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n)
                 ).alias("__salt"),
             )
     elif n_files_per_partition:
