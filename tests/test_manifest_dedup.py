@@ -147,3 +147,38 @@ def test_read_manifest_raises_on_corrupt_data(spark, tmp_path):
     df = mf.read_manifest(spark, str(bad))
     with _pytest.raises(Exception):
         df.count()
+
+
+def test_incremental_neardup_run_lifecycle(spark, tmp_path):
+    """Daily near-dup loop end-to-end: bootstrap run, then a second run
+    whose near-dup of a day-1 KEEPER is dropped while novel content
+    survives and is appended for day 3."""
+    path = str(tmp_path / "nd_manifest")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    day1 = _docs(spark, [(1, base)])
+    out1 = mf.incremental_neardup_run(
+        spark, day1, path, min_est_jaccard=0.6, run_id="d1"
+    )
+    assert {r["doc_id"] for r in out1.collect()} == {1}
+    day2 = _docs(
+        spark,
+        [
+            (10, base + " extra"),  # near-dup of day-1 keeper -> dropped
+            (11, "astronomy dataset with galaxies nebulae and very distant quasars observed nightly"),
+        ],
+    )
+    out2 = mf.incremental_neardup_run(
+        spark, day2, path, min_est_jaccard=0.6, run_id="d2"
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {11}
+    # day 3: near-dup of the DAY-2 survivor is now also caught
+    day3 = _docs(
+        spark,
+        [(20, "astronomy dataset with galaxies nebulae and very distant quasars observed nightly always")],
+    )
+    out3 = mf.incremental_neardup_run(
+        spark, day3, path, min_est_jaccard=0.6, run_id="d3"
+    )
+    assert out3.count() == 0
+    m = mf.read_neardup_manifest(spark, path)
+    assert {r["first_seen_run"] for r in m.collect()} == {"d1", "d2"}

@@ -289,3 +289,100 @@ def incremental_dedup_run(
     )
     append_survivors(survivors, manifest_path, run_id=run_id)
     return survivors
+
+def neardup_manifest_schema(num_hashes: int = 16) -> T.StructType:
+    """Parquet schema of the persisted near-dup manifest: the flat
+    signature columns plus (band, bucket) and provenance."""
+    return T.StructType(
+        [T.StructField("id", T.LongType(), False)]
+        + [
+            T.StructField(f"h{i}", T.LongType(), True)
+            for i in range(num_hashes)
+        ]
+        + [
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), True),
+            T.StructField("first_seen_run", T.StringType(), True),
+        ]
+    )
+
+
+def read_neardup_manifest(
+    spark: SparkSession, path: str, *, num_hashes: int = 16
+) -> DataFrame:
+    """Load the signature manifest, snapshot-pinned for the same
+    read-probe-append reason as ``read_manifest`` (a post-append
+    recompute must not probe the batch's own signatures)."""
+    from pyspark.errors import AnalysisException
+
+    schema = neardup_manifest_schema(num_hashes)
+    try:
+        snapshot = spark.read.schema(schema).parquet(path)
+        files = snapshot.inputFiles()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], schema)
+        raise
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def incremental_neardup_run(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    manifest_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    min_est_jaccard: float = 0.9,
+    max_bucket_size: int | None = 200_000,
+    run_id: str,
+) -> DataFrame:
+    """The daily NEAR-dup step, symmetric with
+    ``incremental_dedup_run``: read the signature manifest (pinned
+    snapshot) → probe with the batch → append the SURVIVORS' banded
+    signatures → return the surviving ids. The signature parameters
+    must match the manifest's for its whole lifetime (see
+    ``build_neardup_manifest``); survivors should additionally be
+    near-deduped among themselves (the standard exact→LSH→keepers
+    pipeline) before downstream use — their signatures are appended
+    as-is, so tomorrow's batch dedups against ALL of today's keepers.
+    """
+    manifest = read_neardup_manifest(
+        spark, manifest_path, num_hashes=num_hashes
+    )
+    survivors = neardup_manifest_dedup(
+        new_docs,
+        manifest,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket_size=max_bucket_size,
+    )
+    surviving_docs = new_docs.join(
+        survivors.select(F.col(id_col)), id_col, "left_semi"
+    )
+    new_rows = build_neardup_manifest(
+        surviving_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+        run_id=run_id,
+    )
+    # the id column is named by the caller in docs but stored as `id`
+    # (minhash_banded's convention) in the manifest
+    new_rows.write.mode("append").parquet(path=manifest_path)
+    return survivors
