@@ -536,3 +536,59 @@ def test_quantile_buckets_source_fairness(spark, tmp_path):
     poor_drop_max = max(r["n_chars"] for r in kept["poor"] if not r["keep_top20"])
     assert poor_kept_min > poor_drop_max
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sliding_hll_distinct_matches_exact_windows(spark):
+    """Controlled 5-bucket stream, 3-bucket windows: estimates at tiny
+    cardinality are exact, so the whole confusion surface is checkable
+    by hand — per-window membership union, complete-windows-only, and
+    the exclusive-end labeling."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        sliding_hll_distinct,
+    )
+
+    T = dt.datetime
+    # bucket_seconds=60; buckets 0..4 relative to epoch minute of day 0
+    def ts(minute, second=0):
+        return T(1970, 1, 1, 0, minute, second)
+
+    rows = [
+        ("a", 1, ts(0)), ("a", 2, ts(0, 30)),       # bucket 0: {1,2}
+        ("a", 2, ts(1)),                             # bucket 1: {2}
+        ("a", 3, ts(2)),                             # bucket 2: {3}
+        ("a", 1, ts(3)),                             # bucket 3: {1}
+        ("a", 4, ts(4)),                             # bucket 4: {4}
+    ]
+    df = spark.createDataFrame(rows, "k string, user long, ts timestamp")
+    out = sliding_hll_distinct(
+        df, ts_col="ts", value_col="user",
+        bucket_seconds=60, window_buckets=3, keys=["k"],
+    ).collect()
+    got = {r["window_end_epoch"]: r["est_distinct"] for r in out}
+    # complete windows end after buckets 2,3,4 -> exclusive ends
+    # 180/240/300; memberships: buckets 0-2 {1,2,3}, 1-3 {2,3,1},
+    # 2-4 {3,1,4} — three distinct users each
+    assert got == {180: 3, 240: 3, 300: 3}
+
+
+def test_sliding_hll_distinct_requires_complete_windows(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        sliding_hll_distinct,
+    )
+
+    T = dt.datetime
+    df = spark.createDataFrame(
+        [("a", 1, T(1970, 1, 1, 0, 0))], "k string, user long, ts timestamp"
+    )
+    # one bucket of data, window of 3 -> no complete window, no output
+    out = sliding_hll_distinct(
+        df, ts_col="ts", value_col="user",
+        bucket_seconds=60, window_buckets=3, keys=["k"],
+    )
+    assert out.count() == 0
+    # window of 1 -> every bucket is complete
+    out1 = sliding_hll_distinct(
+        df, ts_col="ts", value_col="user",
+        bucket_seconds=60, window_buckets=1, keys=["k"],
+    ).collect()
+    assert len(out1) == 1 and out1[0]["est_distinct"] == 1

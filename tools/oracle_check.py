@@ -514,6 +514,64 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         .collect()
     }
     exact["__all__"] = e_tbl.select("user_id").distinct().count()
+    # --- sliding_hll: same protocol as hll_sketches, against the exact
+    # sliding-window COUNT(DISTINCT) computed independently in DuckDB
+    # (windows keyed identically: label = exclusive end epoch, complete
+    # windows only).
+    import duckdb as _duck
+
+    _con = _duck.connect()
+    _con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    _mn, _mx = _con.execute(
+        "SELECT min(epoch_us(ts) // 86400000000), "
+        "max(epoch_us(ts) // 86400000000) FROM events WHERE ts IS NOT NULL"
+    ).fetchone()
+    exact_sw = {
+        (r[0], r[1]): r[2]
+        for r in _con.execute(
+            f"""
+            WITH e AS (
+                SELECT event_type, user_id,
+                       (epoch_us(ts) // 86400000000) AS b
+                FROM events WHERE ts IS NOT NULL
+            ), w AS (
+                SELECT gs AS wid
+                FROM generate_series({int(_mn) + 6}, {int(_mx)}) AS t(gs)
+            )
+            SELECT e.event_type,
+                   (w.wid + 1) * 86400 AS window_end_epoch,
+                   count(DISTINCT e.user_id)::BIGINT AS n
+            FROM e JOIN w ON e.b BETWEEN w.wid - 6 AND w.wid
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    est_sw = {
+        (r["event_type"], r["window_end_epoch"]): r["est_distinct"]
+        for r in reg.SPARK_QUERIES["sliding_hll"](spark, sf_dir).collect()
+    }
+    sw_missing = sorted(
+        f"{k[0]}@{k[1]}" for k in set(exact_sw) - set(est_sw)
+    )
+    sw_errs = [
+        abs(est_sw[k] - exact_sw[k]) / max(exact_sw[k], 1)
+        for k in exact_sw
+        if k in est_sw
+    ]
+    sw_max = max(sw_errs) if sw_errs else None
+    ev["sliding_hll"] = {
+        "metric": "relative_error_vs_exact_sliding_distinct",
+        "windows": len(sw_errs),
+        "missing_windows": sw_missing[:10],
+        "max_rel_error": round(sw_max, 5) if sw_max is not None else None,
+        "max_rel_error<0.02": (
+            sw_max is not None and sw_max < 0.02 and not sw_missing
+        ),
+    }
+
     missing_groups = sorted(set(exact) - set(est))
     rel_errs = {
         k: abs(est[k] - exact[k]) / max(exact[k], 1)

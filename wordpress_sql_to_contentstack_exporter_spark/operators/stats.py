@@ -518,3 +518,99 @@ def threshold_sweep(
             "tn",
         )
     )
+
+
+def sliding_hll_distinct(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    window_buckets: int,
+    keys: list[str] | None = None,
+    lg_config_k: int = 12,
+    estimate_alias: str = "est_distinct",
+) -> DataFrame:
+    """Sliding-window distinct counting via mergeable HLL partials —
+    the compute-once / merge-W-times sketch shape that makes
+    windowed cardinality feasible at 100 TB.
+
+    The exact formulation — per window of ``window_buckets`` x
+    ``bucket_seconds``, sliding by one bucket, ``COUNT(DISTINCT
+    value)`` — re-scans every event W times (a W-fold self-join or an
+    O(W x n) window), and distinct counts cannot be partial-aggregated
+    as plain counts because overlapping windows share members. The
+    sketch identity ``distinct(A ∪ B) = estimate(union(sketch A,
+    sketch B))`` restores map-side combinability:
+
+    1. ONE pass buckets events and builds a per-(keys, bucket) HLL
+       sketch (``hll_sketch_agg`` — Apache DataSketches, built into
+       Spark 3.5+). This is the only stage that touches event rows;
+       partial sketches combine map-side, so the exchange carries
+       ~KB-sized sketch blobs per (keys, bucket), never events.
+    2. Each bucket's sketch explodes to the ``window_buckets`` window
+       ids it contributes to (``sequence`` — JVM-side), and
+       ``hll_union_agg`` merges per (keys, window). Work after stage 1
+       is |keys| x |buckets| x W sketch merges, INDEPENDENT of event
+       count — at any corpus size the sliding pass costs the same as
+       it does at sf0.1.
+
+    Windows are labeled by their LAST bucket and only complete windows
+    (those with ``window_buckets`` buckets of history inside the data's
+    span) are emitted, so every estimate covers a full span. Output:
+    keys + ``window_end_epoch`` (exclusive end, epoch seconds) +
+    ``estimate_alias`` (long). Estimates are engine-specific (rows-only
+    vs an exact SQL oracle; the error bound — ~1.6% rsd at the default
+    lg_config_k=12 — is the quantitative evidence).
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets >= 1 required")
+    keys = list(keys or [])
+    us = F.lit(int(bucket_seconds) * 1_000_000).cast("long")
+    bucket = (F.unix_micros(F.col(ts_col).cast("timestamp")) / us).cast(
+        "long"
+    )
+    per_bucket = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("__b", bucket)
+        .groupBy(*keys, "__b")
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias("__sk"))
+    )
+    # bucket b contributes to windows ending at b .. b+W-1
+    exploded = per_bucket.withColumn(
+        "__w",
+        F.explode(
+            F.sequence(
+                F.col("__b"), F.col("__b") + F.lit(window_buckets - 1)
+            )
+        ),
+    )
+    merged = exploded.groupBy(*keys, "__w").agg(
+        F.hll_union_agg("__sk").alias("__sk"),
+        F.min("__b").alias("__first_b"),
+    )
+    # complete windows only: the window ending at w spans buckets
+    # [w-W+1, w]; require its first contributing bucket to be exactly
+    # w-W+1 >= global min bucket — i.e. the window's full span lies
+    # inside the data. Using the window's own first bucket would also
+    # admit sparse-but-complete spans; the global-min guard is the
+    # conservative contract (documented: leading partial windows are
+    # not emitted).
+    bounds = per_bucket.agg(
+        F.min("__b").alias("__mn"), F.max("__b").alias("__mx")
+    )
+    out = (
+        merged.join(F.broadcast(bounds))
+        .filter(
+            (F.col("__w") - F.lit(window_buckets - 1) >= F.col("__mn"))
+            & (F.col("__w") <= F.col("__mx"))
+        )
+        .select(
+            *keys,
+            ((F.col("__w") + 1) * F.lit(int(bucket_seconds)).cast("long")).alias(
+                "window_end_epoch"
+            ),
+            F.hll_sketch_estimate("__sk").cast("long").alias(estimate_alias),
+        )
+    )
+    return out

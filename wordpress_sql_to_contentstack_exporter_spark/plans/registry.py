@@ -3211,6 +3211,27 @@ FROM s
 """
 
 
+def q_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users per event_type, 1-day slide
+    (operators/stats.sliding_hll_distinct): per-day HLL sketches built
+    in ONE event pass, exploded to the 7 windows each day feeds, merged
+    with hll_union_agg — the post-scan cost is |types| x |days| x 7
+    sketch merges regardless of event count, vs the exact form's 7x
+    event re-scan. Rows-only (estimates are engine-specific); evidence
+    is the measured relative error vs the exact windowed COUNT(DISTINCT)
+    in tools/oracle_check.py's quantitative block."""
+    e = _t(spark, sf_dir, "events")
+    out = stats_ops.sliding_hll_distinct(
+        e,
+        ts_col="ts",
+        value_col="user_id",
+        bucket_seconds=86_400,
+        window_buckets=7,
+        keys=["event_type"],
+    )
+    return out.orderBy("event_type", "window_end_epoch")
+
+
 def q_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     built into Spark 3.5+): per-type user sketches re-aggregated with
@@ -6541,6 +6562,7 @@ SPARK_QUERIES = {
     "sentence_chunks": q_sentence_chunks,
     "dedup_calibration": q_dedup_calibration,
     "incremental_neardup": q_incremental_neardup,
+    "sliding_hll": q_sliding_hll,
     "compression_ratio": q_compression_ratio,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
