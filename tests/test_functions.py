@@ -220,3 +220,27 @@ def test_weekdays_before_matches_calendar_model(spark):
         assert got[d] == model(d), d
     # business days in a week-spanning interval: Thu 1970-01-01 .. next Thu
     assert got[7] - got[0] == 5
+
+
+def test_html_to_text_extraction(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.functions import html_to_text
+
+    rows = [
+        # inline tag separates words; block content dropped wholesale
+        (1, 'a<br>b<script>if (1 < 2) { x = "<p>"; }</script>c'),
+        # comments (multiline) dropped; entities decoded in safe order:
+        # &amp;lt; must yield literal '&lt;' not '<'
+        (2, "x<!-- note\nnote -->y &amp;lt; &lt;tag&gt;"),
+        # style block + whitespace collapse + trim
+        (3, "  <style>p { color: red; }</style> hello   world "),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", html_to_text("html").alias("t")).collect()
+    }
+    assert got[1] == "a b c"
+    assert got[2] == "x y &lt; <tag>"
+    assert got[3] == "hello world"
+    assert got[4] is None

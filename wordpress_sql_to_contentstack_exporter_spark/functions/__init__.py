@@ -1,5 +1,6 @@
 from .strings import (
     conditional_array_wrap,
+    html_to_text,
     decode_entities,
     host_strip,
     null_default_array,
@@ -17,6 +18,7 @@ __all__ = [
     "conditional_array_wrap",
     "decode_entities",
     "host_strip",
+    "html_to_text",
     "null_default_array",
     "slugify",
     "split_to_array",

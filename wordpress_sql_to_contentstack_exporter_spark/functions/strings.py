@@ -116,3 +116,47 @@ def url_encode(url: Column | str) -> Column:
     c = F.col(url) if isinstance(url, str) else url
     out = F.replace(c, F.lit(" "), F.lit("%20"))
     return F.replace(out, F.lit('"'), F.lit("%22"))
+
+
+def html_to_text(text: Column | str) -> Column:
+    """Markup → analyzable text, the extraction step between a
+    WordPress export and the text-analysis operators (``post_content``
+    is HTML — posts.js:151 ships ``full_description`` verbatim; quality
+    scoring, dedup shingling, and token counting all want the rendered
+    text, not tag soup).
+
+    Deterministic regex chain, every step expressible identically in
+    Spark (Java regex) and DuckDB (RE2) so the oracle mirrors it
+    byte-for-byte — which is also why there are no backreferences
+    (RE2 has none: script and style blocks get separate patterns) and
+    no lookarounds:
+
+    1. drop ``<script>``/``<style>`` blocks and HTML comments
+       (content-bearing markup whose TEXT must not leak into analysis),
+    2. strip remaining tags to a space (inline tags often separate
+       words: ``a<br>b`` must not fuse),
+    3. decode the entities WP emits routinely (``&lt; &gt; &quot;
+       &#039; &nbsp;`` and LAST ``&amp;`` — last so ``&amp;lt;`` decodes
+       to the literal ``&lt;`` rather than double-decoding to ``<``),
+    4. collapse whitespace runs and trim.
+
+    Not a full HTML5 parser by design: malformed-markup edge cases
+    (unclosed ``<script``, tags split across attributes containing
+    ``>``) degrade to extra text retained, never to dropped content.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?s)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#039;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"[ \t\n\r\f\x0b]+", " ")
+    return F.trim(out)

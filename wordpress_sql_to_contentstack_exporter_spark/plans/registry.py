@@ -1031,6 +1031,58 @@ FROM documents GROUP BY 1
 """
 
 
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/strings.html_to_text): the
+    step between a WordPress export (post_content is HTML —
+    posts.js:151) and every text-analysis operator. The gate wraps each
+    document in representative markup — block tags, an inline <br>, a
+    script block with angle-bracket code, a comment, and the common
+    entity set — and both engines run the identical regex chain, so
+    the oracle is byte-for-byte (no regex-engine-divergent constructs:
+    no backrefs, no lookarounds)."""
+    from ..functions import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="post"><h1>Title&nbsp;&amp;amp;</h1><p>'),
+        F.col("text"),
+        F.lit(
+            '</p>line<br>break'
+            '<script type="text/javascript">if (1 < 2) { x = "<p>"; }</script>'
+            "<!-- draft\nnote --><p>&lt;escaped&gt; &quot;q&#039;</p></div>"
+        ),
+    )
+    return d.select("doc_id", html_to_text(html).alias("clean"))
+
+
+SQL_HTML_TEXT = r"""
+WITH h AS (
+    SELECT doc_id,
+           '<div class="post"><h1>Title&nbsp;&amp;amp;</h1><p>' || text ||
+           '</p>line<br>break<script type="text/javascript">if (1 < 2) { x = "<p>"; }</script><!-- draft' || chr(10) || 'note --><p>&lt;escaped&gt; &quot;q&#039;</p></div>' AS html
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]+>', ' ', 'g') AS t
+    FROM h
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#039;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || ']+',
+         ' ', 'g')) AS clean
+FROM s
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run incremental dedup (operators/manifest.py, VERDICT r7
     #7): a persisted content-hash manifest stands in for "everything a
@@ -6484,6 +6536,7 @@ SPARK_QUERIES = {
     "dataset_card": q_dataset_card,
     # NEW in round 8 (oracle-gated; r9 rotation candidate):
     "incremental_dedup": q_incremental_dedup,
+    "html_text": q_html_text,
     # driver-green in r1-r7 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6633,6 +6686,7 @@ ORACLE_SQL = {
     "salted_agg": SQL_COUNT_GROUP_BY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "html_text": SQL_HTML_TEXT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
