@@ -696,3 +696,41 @@ def test_dedup_calibration_separates_planted(spark):
     # threshold ordering: tp nonincreasing with bucket
     tps = [r["tp"] for r in rows]
     assert tps == sorted(tps, reverse=True)
+
+
+def test_windowed_dedup_burst_semantics(spark):
+    """Gap-rule bursts: same content at t=0, t+3d, t+20d, t+22d with a
+    7-day window -> bursts {0,3d} and {20d,22d}, keepers at 0 and 20d;
+    distinct content is always its own keeper."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import windowed_dedup
+
+    D = 86_400
+    rows = [
+        (1, "same text", 0), (2, "same text", 3 * D),
+        (3, "same text", 20 * D), (4, "same text", 22 * D),
+        (5, "other text", 1 * D),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ep long")
+    out = {
+        r["doc_id"]: (r["burst_id"], r["is_keeper"])
+        for r in windowed_dedup(
+            df, epoch_col="ep", window_seconds=7 * D
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (2, True)
+    assert out[4] == (2, False)
+    assert out[5] == (1, True)
+
+
+def test_windowed_dedup_gap_rule_never_rekeeps_slow_drip(spark):
+    """The documented conservative edge: re-posts every window-1
+    seconds chain into ONE burst (gap rule), so only the first keeps."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.dedup import windowed_dedup
+
+    rows = [(i, "drip", i * 6) for i in range(5)]  # gap 6s < window 7s
+    df = spark.createDataFrame(rows, "doc_id long, text string, ep long")
+    out = windowed_dedup(df, epoch_col="ep", window_seconds=7)
+    keepers = [r["doc_id"] for r in out.collect() if r["is_keeper"]]
+    assert keepers == [0]

@@ -1112,3 +1112,69 @@ def banded_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def windowed_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epoch_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Time-windowed exact dedup: a document is a duplicate only while
+    the SAME content was seen within ``window_seconds`` before it —
+    afterwards the content is legitimately re-keepable. The curation
+    semantics for recurring publications (weekly digests, annual
+    notices, syndicated re-posts): plain ``exact_dedup`` would keep one
+    copy forever; this keeps one copy per burst.
+
+    Burst rule, stated precisely because two plausible semantics exist:
+    a new burst starts when the GAP FROM THE PREVIOUS OCCURRENCE
+    (kept or not) exceeds the window — classic sessionization per
+    content hash, exactly SQL-expressible and what the oracle mirrors.
+    The alternative ("since last KEPT occurrence") is an iterative
+    greedy chain with no closed window form; under the gap rule a
+    slow drip re-posting every window-minus-one seconds never re-keeps,
+    which is the conservative (dedup-more) direction — documented, not
+    hidden.
+
+    Plan: ONE shuffle on the 32-byte content hash (the exact_dedup
+    discipline — text never shuffles; the window runs inside each
+    hash's partition on (epoch, id)-ordered rows). Output: every input
+    row's (id, content_hash, epoch, burst_id, is_keeper) — keepers are
+    each burst's first row; downstream joins back on the id to filter
+    payloads. ``epoch_col`` must be integer seconds (the caller derives
+    it; integer ordering keys are the cross-engine contract, see
+    functions/portable.py family E).
+    """
+    from pyspark.sql import Window
+
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    rows = df.select(
+        F.col(id_col),
+        h.alias("content_hash"),
+        F.col(epoch_col).cast("long").alias("epoch"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("epoch").asc(), F.col(id_col).asc()
+    )
+    prev = F.lag("epoch").over(w)
+    new_burst = (
+        prev.isNull() | (F.col("epoch") - prev > F.lit(int(window_seconds)))
+    ).cast("int")
+    return (
+        rows.withColumn("__nb", new_burst)
+        .withColumn(
+            "burst_id",
+            F.sum("__nb")
+            .over(
+                Window.partitionBy("content_hash")
+                .orderBy(F.col("epoch").asc(), F.col(id_col).asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("long"),
+        )
+        .withColumn("is_keeper", F.col("__nb") == 1)
+        .drop("__nb")
+    )

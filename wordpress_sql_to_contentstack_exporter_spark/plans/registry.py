@@ -1031,6 +1031,51 @@ FROM documents GROUP BY 1
 """
 
 
+def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed exact dedup (operators/dedup.windowed_dedup,
+    7-day window): content re-keeps once the gap from its previous
+    occurrence exceeds the window — one keeper per burst, not one
+    forever. Crawl times are synthesized deterministically
+    (doc_id % 40 days from 2024-01-01, so the fixture's natural
+    duplicate families spread across several windows and every burst
+    shape — singleton, intra-window run, cross-window gap — occurs).
+    Oracle mirrors the hash + gap-sessionization with integer epochs."""
+    d = _t(spark, sf_dir, "documents")
+    epoch = F.lit(1_704_067_200).cast("long") + (
+        F.col("doc_id") % 40
+    ).cast("long") * F.lit(86_400).cast("long")
+    out = dd.windowed_dedup(
+        d.withColumn("crawl_epoch", epoch),
+        epoch_col="crawl_epoch",
+        window_seconds=7 * 86_400,
+    )
+    return out.select(
+        "doc_id", "content_hash", "epoch", "burst_id", "is_keeper"
+    )
+
+
+SQL_WINDOWED_DEDUP = r"""
+WITH h AS (
+    SELECT doc_id,
+           sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash,
+           (1704067200 + (doc_id % 40) * 86400)::BIGINT AS epoch
+    FROM documents
+), g AS (
+    SELECT doc_id, content_hash, epoch,
+           CASE WHEN lag(epoch) OVER w IS NULL
+                     OR epoch - lag(epoch) OVER w > 604800
+                THEN 1 ELSE 0 END AS nb
+    FROM h
+    WINDOW w AS (PARTITION BY content_hash ORDER BY epoch ASC, doc_id ASC)
+)
+SELECT doc_id, content_hash, epoch,
+       sum(nb) OVER (PARTITION BY content_hash ORDER BY epoch ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS burst_id,
+       nb = 1 AS is_keeper
+FROM g
+"""
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction (functions/strings.html_to_text): the
     step between a WordPress export (post_content is HTML —
@@ -6537,6 +6582,7 @@ SPARK_QUERIES = {
     # NEW in round 8 (oracle-gated; r9 rotation candidate):
     "incremental_dedup": q_incremental_dedup,
     "html_text": q_html_text,
+    "windowed_dedup": q_windowed_dedup,
     # driver-green in r1-r7 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6687,6 +6733,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "html_text": SQL_HTML_TEXT,
+    "windowed_dedup": SQL_WINDOWED_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
