@@ -701,6 +701,34 @@ def main() -> int:
         ("no pair join", r"\A(?s:(?!.*(SortMergeJoin|CartesianProduct)).*)\Z"),
     )
 
+    # sliding_hll: the whole point is ONE event pass — the exact form
+    # re-scans per window. Also no join of event rows (the only join is
+    # the broadcast of the 1-row bounds frame).
+    sh_plan = plan_of(SPARK_QUERIES["sliding_hll"](spark, sf_dir))
+    n_scans_sh = len(re.findall(r"^\(\d+\) Scan parquet", sh_plan, re.M))
+    if n_scans_sh > 2:
+        failures.append(
+            ("sliding_hll", f"expected <=2 events scans (data + bounds), got {n_scans_sh}")
+        )
+        print(f"FAIL  sliding_hll: expected <=2 events scans, got {n_scans_sh}")
+    else:
+        print(f"ok    sliding_hll: {n_scans_sh} scans (sketches built in one pass + bounds)")
+    check_plan(
+        "sliding_hll",
+        sh_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+    )
+
+    # windowed_dedup: both windows share the (content_hash) partitioning
+    # — the plan must carry exactly ONE exchange.
+    wd_plan = plan_of(SPARK_QUERIES["windowed_dedup"](spark, sf_dir))
+    n_ex_wd = len(re.findall(r"^\(\d+\) Exchange", wd_plan, re.M))
+    if n_ex_wd != 1:
+        failures.append(("windowed_dedup", f"expected one exchange, got {n_ex_wd}"))
+        print(f"FAIL  windowed_dedup: expected one exchange, got {n_ex_wd}")
+    else:
+        print("ok    windowed_dedup: lag + burst windows share one hash exchange")
+
     # incremental_dedup: the daily batch-vs-manifest step is a hash
     # anti-join on 32-byte hashes — no text column may reach the
     # exchange, and no nested-loop/cartesian shape is acceptable.
