@@ -216,3 +216,47 @@ def test_assign_files_exact_above_2_53(spark):
     }
     # exact ordering by z: k 0-3 -> file 0, ..., k 12-15 -> file 3
     assert out == {k: k // 4 for k in range(16)}
+
+
+def test_compaction_plan_next_fit_groups(spark):
+    """Hand-checked next-fit: files of 600/600/600/300 bytes at target
+    1000 walk into groups by bytes-before: 0,600 -> g0; 1200,1800 ->
+    g1; per-group rollups exact; singleton groups dropped."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("p1", "a", 600), ("p1", "b", 600), ("p1", "c", 600), ("p1", "d", 300),
+        ("p2", "x", 50),  # singleton partition -> one group of 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "part string, path string, bytes long")
+    out = compaction_plan(
+        df, partition_cols=["part"], target_bytes=1000, min_group_files=2
+    )
+    got = {
+        (r["part"], r["path"]): (r["group_id"], r["group_bytes"], r["group_files"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("p1", "a"): (0, 1200, 2),
+        ("p1", "b"): (0, 1200, 2),
+        ("p1", "c"): (1, 900, 2),
+        ("p1", "d"): (1, 900, 2),
+    }
+
+
+def test_compaction_plan_oversized_file_isolated(spark):
+    """A file already past target opens its own group; neighbors regroup
+    around it, and min_group_files=1 keeps singletons when asked."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.layout import compaction_plan
+
+    rows = [("p", "a", 100), ("p", "b", 5000), ("p", "c", 100), ("p", "d", 100)]
+    df = spark.createDataFrame(rows, "part string, path string, bytes long")
+    out = compaction_plan(
+        df, partition_cols=["part"], target_bytes=1000, min_group_files=1
+    )
+    got = {r["path"]: r["group_id"] for r in out.collect()}
+    # bytes-before: a=0 (g0), b=100 (g0), c=5100 (g5), d=5200 (g5)
+    assert got == {"a": 0, "b": 0, "c": 5, "d": 5}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(df, partition_cols=["part"], target_bytes=0)

@@ -146,3 +146,77 @@ def skip_audit(stats: DataFrame, box: dict[str, tuple[int, int]]) -> DataFrame:
         cond = t if cond is None else cond & t
     assert cond is not None
     return stats.withColumn("scanned", cond.cast("long"))
+
+
+def compaction_plan(
+    files: DataFrame,
+    *,
+    partition_cols: list[str],
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    target_bytes: int,
+    min_group_files: int = 2,
+) -> DataFrame:
+    """Small-files compaction planner — the OPTIMIZE-style maintenance
+    pass every long-lived 100 TB table needs (daily appends leave
+    thousands of under-sized files per partition; every query then pays
+    per-file open/footer costs and the scheduler pays per-split
+    overhead).
+
+    Input: a file manifest (partition columns + ``path_col`` +
+    ``bytes_col`` — e.g. from the catalog or a storage listing). Per
+    partition, files are walked in deterministic ``path`` order and
+    coalesced next-fit into groups of ~``target_bytes``: group id =
+    ``(running_bytes_before_file) div target_bytes`` — exact integer
+    arithmetic, so the plan is engine-reproducible and the oracle is
+    ULP-free. Groups with fewer than ``min_group_files`` files are
+    dropped from the plan (rewriting a single file buys nothing).
+
+    Output: one row per file selected for rewriting —
+    partition cols + ``path``, ``bytes``, ``group_id`` (the rewrite
+    task), plus per-group ``group_bytes``/``group_files`` for the
+    executor that sizes rewrite tasks. The plan is METADATA-scale work:
+    one shuffle of (partition, path, bytes) triples — never data — so
+    planning a million-file table costs megabytes.
+
+    Next-fit (not best-fit/first-fit-decreasing) is deliberate: it
+    preserves path order, which for date/sequence-named files preserves
+    rough time-locality inside rewritten files, and it is expressible
+    as ONE window pass. The bound: groups can undershoot target when a
+    large file straddles a boundary — at most one group per oversized
+    file, the same bound Delta's binPacking accepts.
+    """
+    from pyspark.sql import Window
+
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(path_col).asc())
+    cum_before = (
+        F.coalesce(
+            F.sum(F.col(bytes_col)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        )
+    )
+    staged = (
+        files.select(
+            *partition_cols,
+            F.col(path_col).alias("path"),
+            F.col(bytes_col).cast("long").alias("bytes"),
+        )
+        .withColumn("__cum_before", cum_before)
+        # integer next-fit: floor-div in LONG (`div`), never the double
+        # `/` path — exact at any byte total
+        .withColumn(
+            "group_id", F.expr(f"__cum_before div {int(target_bytes)}L")
+        )
+        .drop("__cum_before")
+    )
+    gw = Window.partitionBy(*partition_cols, "group_id")
+    out = (
+        staged.withColumn("group_bytes", F.sum("bytes").over(gw).cast("long"))
+        .withColumn("group_files", F.count(F.lit(1)).over(gw).cast("long"))
+        .filter(F.col("group_files") >= min_group_files)
+    )
+    return out

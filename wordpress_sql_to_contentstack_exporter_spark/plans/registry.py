@@ -1031,6 +1031,58 @@ FROM documents GROUP BY 1
 """
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (operators/layout.compaction_plan):
+    a synthetic per-source file manifest (path from zero-padded doc_id,
+    bytes = n_chars) is next-fit coalesced into ~4000-byte rewrite
+    groups with exact long `div` arithmetic — the OPTIMIZE-style
+    metadata pass, planned at metadata scale (one shuffle of
+    (partition, path, bytes) triples). Oracle mirrors the window
+    arithmetic byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    manifest = d.select(
+        "source",
+        F.concat(
+            F.lit("f"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("path"),
+        F.col("n_chars").alias("bytes"),
+    )
+    out = lay.compaction_plan(
+        manifest,
+        partition_cols=["source"],
+        target_bytes=4000,
+        min_group_files=2,
+    )
+    return out.select(
+        "source", "path", "bytes", "group_id", "group_bytes", "group_files"
+    )
+
+
+SQL_COMPACTION_PLAN = r"""
+WITH f AS (
+    SELECT source,
+           'f' || lpad(doc_id::VARCHAR, 8, '0') AS path,
+           n_chars::BIGINT AS bytes
+    FROM documents
+), s AS (
+    SELECT source, path, bytes,
+           coalesce(sum(bytes) OVER (
+               PARTITION BY source ORDER BY path ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cb
+    FROM f
+), g AS (
+    SELECT source, path, bytes, (cb // 4000)::BIGINT AS group_id FROM s
+), a AS (
+    SELECT source, path, bytes, group_id,
+           sum(bytes) OVER (PARTITION BY source, group_id)::BIGINT AS group_bytes,
+           count(*) OVER (PARTITION BY source, group_id)::BIGINT AS group_files
+    FROM g
+)
+SELECT * FROM a WHERE group_files >= 2
+"""
+
+
 def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-windowed exact dedup (operators/dedup.windowed_dedup,
     7-day window): content re-keeps once the gap from its previous
@@ -6583,6 +6635,7 @@ SPARK_QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "html_text": q_html_text,
     "windowed_dedup": q_windowed_dedup,
+    "compaction_plan": q_compaction_plan,
     # driver-green in r1-r7 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6734,6 +6787,7 @@ ORACLE_SQL = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "html_text": SQL_HTML_TEXT,
     "windowed_dedup": SQL_WINDOWED_DEDUP,
+    "compaction_plan": SQL_COMPACTION_PLAN,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
