@@ -68,3 +68,42 @@ def test_empty_suite_rejected(spark):
 def test_expectation_shape_validated():
     with pytest.raises(ValueError, match="exactly one"):
         ex.Expectation("bad")
+
+
+def test_exemplar_reports_min_violating_key(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 99), (3, None), (4, 98), (4, 7)], "k long, v long"
+    )
+    out = {
+        r["check"]: (r["n_violations"], r["exemplar"])
+        for r in run_expectations(
+            df,
+            [
+                expect_not_null("v"),
+                expect_between("v", 0, 50),
+                expect_unique("k"),
+            ],
+            exemplar_key="k",
+        ).collect()
+    }
+    assert out["not_null(v)"] == (1, "3")
+    assert out["between(v,0,50)"] == (2, "2")  # min violating key of {2,4}
+    assert out["unique(k)"] == (1, None)  # unique exemplars are NULL by contract
+
+
+def test_no_exemplar_key_keeps_legacy_schema(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.expectations import (
+        expect_not_null,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    out = run_expectations(df, [expect_not_null("k")])
+    assert out.columns == ["ord", "check", "n_violations", "n_rows", "passed"]

@@ -84,10 +84,25 @@ def expect_unique(*cols: str) -> Expectation:
     return Expectation(f"unique({','.join(cols)})", None, tuple(cols))
 
 
-def run_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+def run_expectations(
+    df: DataFrame,
+    expectations: list[Expectation],
+    *,
+    exemplar_key: str | None = None,
+) -> DataFrame:
     """One scan, one report: ``(check, n_violations, n_rows, passed)``
     per expectation, in suite order (an ``ord`` column keeps it
-    joinable/sortable without string games)."""
+    joinable/sortable without string games).
+
+    ``exemplar_key`` (optional): a column identifying rows (a PK). Each
+    ROW-LEVEL check then also reports ``exemplar`` — the violating
+    row's minimum key — so the triage step ("show me one bad row")
+    needs no second scan. The exemplar is ``min(when(violation, key))``:
+    map-combinable, deterministic, and FREE inside the same
+    aggregation. NULL when the check passed — and always NULL for
+    ``expect_unique`` checks, whose violators are only identifiable
+    with a per-key group-by (run the dedicated dedup/diff operators to
+    chase those)."""
     if not expectations:
         raise ValueError("empty expectation suite")
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
@@ -107,6 +122,13 @@ def run_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFram
                 .cast("long")
                 .alias(f"__v{i}")
             )
+        if exemplar_key is not None:
+            ex_col = (
+                F.min(F.lit(None).cast(dict(df.dtypes)[exemplar_key]))
+                if e.distinct_cols
+                else F.min(F.when(e.violation, F.col(exemplar_key)))
+            )
+            aggs.append(ex_col.alias(f"__e{i}"))
     row = df.agg(*aggs)
     entries = F.array(
         *[
@@ -114,6 +136,11 @@ def run_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFram
                 F.lit(i).cast("long").alias("ord"),
                 F.lit(e.name).alias("check"),
                 F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("n_violations"),
+                *(
+                    [F.col(f"__e{i}").cast("string").alias("exemplar")]
+                    if exemplar_key is not None
+                    else []
+                ),
             )
             for i, e in enumerate(expectations)
         ]
@@ -129,5 +156,6 @@ def run_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFram
             .otherwise(0)
             .cast("long")
             .alias("passed"),
+            *([F.col("s.exemplar").alias("exemplar")] if exemplar_key is not None else []),
         )
     )

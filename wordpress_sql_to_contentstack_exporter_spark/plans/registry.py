@@ -1031,6 +1031,75 @@ FROM documents GROUP BY 1
 """
 
 
+def q_expectations_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations suite with violation EXEMPLARS
+    (operators/expectations.run_expectations(exemplar_key=...)): each
+    row-level check also reports the violating row's minimum key —
+    min(when(violation, key)), map-combinable, FREE inside the same
+    single-scan aggregation — so triage ("show me one bad row") needs
+    no second pass. Unique-check exemplars are NULL by contract (their
+    violators need a per-key group-by). Kept as a separate gate so the
+    windowed `expectations` contract stays byte-stable."""
+    from ..operators import expectations as ex
+
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "__row_key",
+        F.col("l_orderkey") * F.lit(100).cast("long") + F.col("l_linenumber"),
+    )
+    return ex.run_expectations(
+        l,
+        [
+            ex.expect_not_null("l_orderkey"),
+            ex.expect_between("l_quantity", 1, 50),
+            ex.expect_in("l_returnflag", ["A", "N", "R"]),
+            ex.expect_between("l_extendedprice", 0, 50000),
+            ex.expect_unique("l_orderkey", "l_linenumber"),
+        ],
+        exemplar_key="__row_key",
+    )
+
+
+SQL_EXPECTATIONS_EXEMPLARS = """
+WITH l AS (
+    SELECT *, CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS row_key
+    FROM lineitem
+), t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS v0,
+           CAST(min(row_key) FILTER (l_orderkey IS NULL) AS VARCHAR) AS e0,
+           CAST(count(*) FILTER (l_quantity IS NOT NULL
+                AND NOT (l_quantity >= 1 AND l_quantity <= 50)) AS BIGINT) AS v1,
+           CAST(min(row_key) FILTER (l_quantity IS NOT NULL
+                AND NOT (l_quantity >= 1 AND l_quantity <= 50)) AS VARCHAR) AS e1,
+           CAST(count(*) FILTER (l_returnflag IS NOT NULL
+                AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT) AS v2,
+           CAST(min(row_key) FILTER (l_returnflag IS NOT NULL
+                AND l_returnflag NOT IN ('A', 'N', 'R')) AS VARCHAR) AS e2,
+           CAST(count(*) FILTER (l_extendedprice IS NOT NULL
+                AND NOT (l_extendedprice >= 0 AND l_extendedprice <= 50000))
+                AS BIGINT) AS v3,
+           CAST(min(row_key) FILTER (l_extendedprice IS NOT NULL
+                AND NOT (l_extendedprice >= 0 AND l_extendedprice <= 50000))
+                AS VARCHAR) AS e3,
+           CAST(count(*) - (SELECT count(*) FROM (
+               SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+           )) AS BIGINT) AS v4
+    FROM l
+), u AS (
+    SELECT 0 AS ord, 'not_null(l_orderkey)' AS check_name, v0 AS nv, n, e0 AS e FROM t
+    UNION ALL SELECT 1, 'between(l_quantity,1,50)', v1, n, e1 FROM t
+    UNION ALL SELECT 2, 'in_set(l_returnflag)', v2, n, e2 FROM t
+    UNION ALL SELECT 3, 'between(l_extendedprice,0,50000)', v3, n, e3 FROM t
+    UNION ALL SELECT 4, 'unique(l_orderkey,l_linenumber)', v4, n, NULL FROM t
+)
+SELECT CAST(ord AS BIGINT) AS ord, check_name AS "check",
+       nv AS n_violations, n AS n_rows,
+       CAST(CASE WHEN nv = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed,
+       e AS exemplar
+FROM u
+"""
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction planning (operators/layout.compaction_plan):
     a synthetic per-source file manifest (path from zero-padded doc_id,
@@ -6636,6 +6705,7 @@ SPARK_QUERIES = {
     "html_text": q_html_text,
     "windowed_dedup": q_windowed_dedup,
     "compaction_plan": q_compaction_plan,
+    "expectations_exemplars": q_expectations_exemplars,
     # driver-green in r1-r7 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6788,6 +6858,7 @@ ORACLE_SQL = {
     "html_text": SQL_HTML_TEXT,
     "windowed_dedup": SQL_WINDOWED_DEDUP,
     "compaction_plan": SQL_COMPACTION_PLAN,
+    "expectations_exemplars": SQL_EXPECTATIONS_EXEMPLARS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only (hash-based)
