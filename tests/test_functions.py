@@ -244,3 +244,23 @@ def test_html_to_text_extraction(spark):
     assert got[2] == "x y &lt; <tag>"
     assert got[3] == "hello world"
     assert got[4] is None
+
+
+def test_html_to_text_case_insensitive_and_bare_angles(spark):
+    """Round-8 review findings: uppercase tags must strip; prose with
+    unescaped comparison signs must NOT be eaten as a pseudo-tag."""
+    from wordpress_sql_to_contentstack_exporter_spark.functions import html_to_text
+
+    rows = [
+        (1, '<SCRIPT>var tracker=1;</SCRIPT>hello <P>world</P>'),
+        (2, "margins <10% while growth >5%"),
+        (3, "a <Br/>b <DIV CLASS='x'>c</DIV>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", html_to_text("html").alias("t")).collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == "margins <10% while growth >5%"
+    assert got[3] == "a b c"

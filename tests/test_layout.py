@@ -244,9 +244,10 @@ def test_compaction_plan_next_fit_groups(spark):
     }
 
 
-def test_compaction_plan_oversized_file_isolated(spark):
-    """A file already past target opens its own group; neighbors regroup
-    around it, and min_group_files=1 keeps singletons when asked."""
+def test_compaction_plan_excludes_already_compacted_files(spark):
+    """A file at/above target is EXCLUDED from the plan (Delta OPTIMIZE
+    rule — never rewrite a huge file to glue tiny neighbors on); the
+    remaining small files coalesce with each other across the gap."""
     from wordpress_sql_to_contentstack_exporter_spark.operators.layout import compaction_plan
 
     rows = [("p", "a", 100), ("p", "b", 5000), ("p", "c", 100), ("p", "d", 100)]
@@ -255,8 +256,8 @@ def test_compaction_plan_oversized_file_isolated(spark):
         df, partition_cols=["part"], target_bytes=1000, min_group_files=1
     )
     got = {r["path"]: r["group_id"] for r in out.collect()}
-    # bytes-before: a=0 (g0), b=100 (g0), c=5100 (g5), d=5200 (g5)
-    assert got == {"a": 0, "b": 0, "c": 5, "d": 5}
+    # b (5000 >= 1000) never appears; a/c/d walk 0,100,200 -> one group
+    assert got == {"a": 0, "c": 0, "d": 0}
     import pytest as _pytest
     with _pytest.raises(ValueError, match="target_bytes"):
         compaction_plan(df, partition_cols=["part"], target_bytes=0)

@@ -140,15 +140,23 @@ def html_to_text(text: Column | str) -> Column:
        to the literal ``&lt;`` rather than double-decoding to ``<``),
     4. collapse whitespace runs and trim.
 
+    Tag matching is CASE-INSENSITIVE (``(?i)`` — legacy WP content
+    carries ``<SCRIPT>``/``<P>`` routinely; both Java regex and RE2
+    support the inline flag), and the generic strip only fires on
+    ``</?letter...`` so an unescaped comparison sign in prose
+    ("margins <10% while growth >5%") is NOT treated as a tag —
+    deleting prose between a bare ``<`` and the next ``>`` was the
+    round-8 review's data-loss finding.
+
     Not a full HTML5 parser by design: malformed-markup edge cases
     (unclosed ``<script``, tags split across attributes containing
     ``>``) degrade to extra text retained, never to dropped content.
     """
     c = F.col(text) if isinstance(text, str) else text
-    out = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
-    out = F.regexp_replace(out, r"(?s)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
-    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    out = F.regexp_replace(out, r"(?i)</?[a-z][^>]*>", " ")
     for ent, ch in (
         ("&lt;", "<"),
         ("&gt;", ">"),

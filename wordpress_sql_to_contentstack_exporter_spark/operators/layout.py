@@ -182,14 +182,21 @@ def compaction_plan(
     Next-fit (not best-fit/first-fit-decreasing) is deliberate: it
     preserves path order, which for date/sequence-named files preserves
     rough time-locality inside rewritten files, and it is expressible
-    as ONE window pass. The bound: groups can undershoot target when a
-    large file straddles a boundary — at most one group per oversized
-    file, the same bound Delta's binPacking accepts.
+    as ONE window pass.
+
+    Files already at or above ``target_bytes`` are EXCLUDED before the
+    walk (Delta OPTIMIZE's rule): a compaction plan must never schedule
+    re-writing a terabyte file to glue a 100-byte neighbor onto it —
+    that is exactly the data-scale I/O the planner exists to avoid
+    (round-8 review finding; an earlier draft pulled oversized files
+    into groups). Consequence: remaining small files on either side of
+    an excluded file coalesce with each other.
     """
     from pyspark.sql import Window
 
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
+    files = files.filter(F.col(bytes_col) < F.lit(int(target_bytes)))
     w = Window.partitionBy(*partition_cols).orderBy(F.col(path_col).asc())
     cum_before = (
         F.coalesce(

@@ -286,7 +286,13 @@ def incremental_dedup_run(
     manifest = read_manifest(spark, manifest_path)
     survivors = manifest_dedup(
         new_docs, manifest, text_col=text_col, id_col=id_col
-    )
+    ).localCheckpoint(eager=False)
+    # lazy localCheckpoint (the neardup twin's pattern): the append
+    # materializes the survivor frame ONCE; caller actions afterwards
+    # read the checkpointed blocks instead of re-running the batch
+    # hash + anti-join — and, for a non-deterministic source, the
+    # appended rows and the returned rows come from the SAME
+    # evaluation (round-8 review finding).
     append_survivors(survivors, manifest_path, run_id=run_id)
     return survivors
 

@@ -63,9 +63,12 @@ def salted_agg(
     else:
         # xxhash64 rejects MAP-typed inputs (DATATYPE_MISMATCH) — the
         # whole-row default silently skips them (map column order is
-        # undefined anyway, so a map could not contribute a stable hash);
-        # a frame of ONLY maps+keys must name unique_cols explicitly.
-        salt_cols = [c for c, t in df.dtypes if not t.startswith("map<")]
+        # undefined anyway, so a map could not contribute a stable
+        # hash). Substring check, not startswith: maps nested inside
+        # arrays/structs are rejected by xxhash64 just the same
+        # (round-8 review finding). A frame of ONLY maps+keys must
+        # name unique_cols explicitly.
+        salt_cols = [c for c, t in df.dtypes if "map<" not in t]
         if not salt_cols:
             raise ValueError(
                 "salted_agg: no hashable (non-map) columns to derive the "

@@ -567,9 +567,14 @@ def sliding_hll_distinct(
         raise ValueError("window_buckets >= 1 required")
     keys = list(keys or [])
     us = F.lit(int(bucket_seconds) * 1_000_000).cast("long")
-    bucket = (F.unix_micros(F.col(ts_col).cast("timestamp")) / us).cast(
-        "long"
-    )
+    # FLOOR division, not cast-truncation: pre-1970 timestamps have
+    # negative epochs, and truncation would merge buckets -1 and 0 —
+    # diverging from the exact oracle's // floor (round-8 review
+    # finding). floor() of the double quotient is exact for
+    # |epoch_us| < 2^53 (~year 2112).
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / us
+    ).cast("long")
     per_bucket = (
         df.filter(F.col(ts_col).isNotNull())
         .withColumn("__b", bucket)
@@ -586,8 +591,7 @@ def sliding_hll_distinct(
         ),
     )
     merged = exploded.groupBy(*keys, "__w").agg(
-        F.hll_union_agg("__sk").alias("__sk"),
-        F.min("__b").alias("__first_b"),
+        F.hll_union_agg("__sk").alias("__sk")
     )
     # complete windows only: the window ending at w spans buckets
     # [w-W+1, w]; require its first contributing bucket to be exactly

@@ -1133,13 +1133,15 @@ WITH f AS (
            'f' || lpad(doc_id::VARCHAR, 8, '0') AS path,
            n_chars::BIGINT AS bytes
     FROM documents
+), small AS (
+    SELECT * FROM f WHERE bytes < 4000
 ), s AS (
     SELECT source, path, bytes,
            coalesce(sum(bytes) OVER (
                PARTITION BY source ORDER BY path ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ), 0) AS cb
-    FROM f
+    FROM small
 ), g AS (
     SELECT source, path, bytes, (cb // 4000)::BIGINT AS group_id FROM s
 ), a AS (
@@ -1232,10 +1234,10 @@ WITH h AS (
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                 regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g'),
-             '<[^>]+>', ' ', 'g') AS t
+             '(?i)</?[a-z][^>]*>', ' ', 'g') AS t
     FROM h
 )
 SELECT doc_id,

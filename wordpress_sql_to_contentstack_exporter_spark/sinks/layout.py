@@ -113,9 +113,15 @@ def write_layout(
             # upstream row->partition map is; the hash is unconditionally
             # stable). Exact duplicate rows share a salt, which for file
             # spreading costs at most mild imbalance, not correctness.
-            hashable = [
-                c for c, t in out.dtypes if not t.startswith("map<")
-            ] or list(partition_by)
+            hashable = [c for c, t in out.dtypes if "map<" not in t]
+            if not hashable:
+                # partition_by columns would then be maps themselves —
+                # unhashable AND unpartitionable; fail with the real
+                # reason instead of a deep AnalysisException
+                raise ValueError(
+                    "write_layout: no hashable (map-free) columns to "
+                    "derive the file-spread salt from"
+                )
             out = out.repartition(
                 *[F.col(c) for c in partition_by],
                 F.pmod(
