@@ -525,9 +525,15 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         f"CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf_dir}/events.parquet')"
     )
+    # CAST(floor(x / D.0)) not integer // : DuckDB's integer // TRUNCATES
+    # toward zero (verified: -7 // 2 = -3), while the operator floors —
+    # they differ exactly on pre-1970 epochs (round-8 review finding).
+    # The double division is exact here (|epoch_us| << 2^53, and exact
+    # multiples of D divide to representable integers).
+    _bexpr = "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)"
     _mn, _mx = _con.execute(
-        "SELECT min(epoch_us(ts) // 86400000000), "
-        "max(epoch_us(ts) // 86400000000) FROM events WHERE ts IS NOT NULL"
+        f"SELECT min({_bexpr}), max({_bexpr}) "
+        "FROM events WHERE ts IS NOT NULL"
     ).fetchone()
     exact_sw = {
         (r[0], r[1]): r[2]
@@ -535,7 +541,7 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
             f"""
             WITH e AS (
                 SELECT event_type, user_id,
-                       (epoch_us(ts) // 86400000000) AS b
+                       {_bexpr} AS b
                 FROM events WHERE ts IS NOT NULL
             ), w AS (
                 SELECT gs AS wid

@@ -143,14 +143,18 @@ def html_to_text(text: Column | str) -> Column:
     Tag matching is CASE-INSENSITIVE (``(?i)`` — legacy WP content
     carries ``<SCRIPT>``/``<P>`` routinely; both Java regex and RE2
     support the inline flag), and the generic strip only fires on
-    ``</?letter...`` so an unescaped comparison sign in prose
-    ("margins <10% while growth >5%") is NOT treated as a tag —
+    ``</?letter...`` so an unescaped comparison sign before a digit or
+    space ("margins <10% while growth >5%") is NOT treated as a tag —
     deleting prose between a bare ``<`` and the next ``>`` was the
     round-8 review's data-loss finding.
 
-    Not a full HTML5 parser by design: malformed-markup edge cases
-    (unclosed ``<script``, tags split across attributes containing
-    ``>``) degrade to extra text retained, never to dropped content.
+    Not a full HTML5 parser by design. Residual known lossy class: a
+    LETTER-INITIAL unescaped angle span in prose ("growth <a bit
+    over> last year") is indistinguishable from a tag by any regex —
+    it is stripped. Correct HTML escapes such text; recovering it
+    needs a real tokenizer, which is the documented upgrade path, not
+    a regex tweak. Other malformed-markup cases (unclosed ``<script``,
+    ``>`` inside attributes) degrade to extra text retained.
     """
     c = F.col(text) if isinstance(text, str) else text
     out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")

@@ -222,6 +222,41 @@ def neardup_manifest_dedup(
     standard exact→LSH→cluster-keepers pipeline over the survivors
     before appending them (composition keeps each stage's oracle).
     """
+    _probe, survivors = _neardup_probe_and_survivors(
+        new_docs,
+        manifest,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket_size=max_bucket_size,
+    )
+    return survivors
+
+
+def _neardup_probe_and_survivors(
+    new_docs: DataFrame,
+    manifest: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    shingle_mode: str,
+    min_est_jaccard: float,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Core of ``neardup_manifest_dedup``, also returning the
+    checkpointed probe frame so ``incremental_neardup_run`` can append
+    the SAME banded rows the dedup decision used — re-deriving
+    signatures from ``new_docs`` would be a second evaluation, both
+    wasteful and (for a non-deterministic source) able to append
+    signatures for different content than the returned ids
+    (round-8 review finding)."""
     from .dedup import minhash_banded
 
     probe = minhash_banded(
@@ -261,12 +296,13 @@ def neardup_manifest_dedup(
         .select(F.col("id"))
         .distinct()
     )
-    return (
+    survivors = (
         probe.select("id")
         .distinct()
         .join(dropped, "id", "left_anti")
         .select(F.col("id").alias(id_col))
     )
+    return probe, survivors
 
 
 def incremental_dedup_run(
@@ -363,7 +399,7 @@ def incremental_neardup_run(
     manifest = read_neardup_manifest(
         spark, manifest_path, num_hashes=num_hashes
     )
-    survivors = neardup_manifest_dedup(
+    probe, survivors = _neardup_probe_and_survivors(
         new_docs,
         manifest,
         text_col=text_col,
@@ -375,20 +411,13 @@ def incremental_neardup_run(
         min_est_jaccard=min_est_jaccard,
         max_bucket_size=max_bucket_size,
     )
-    surviving_docs = new_docs.join(
-        survivors.select(F.col(id_col)), id_col, "left_semi"
-    )
-    new_rows = build_neardup_manifest(
-        surviving_docs,
-        text_col=text_col,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-        shingle_mode=shingle_mode,
-        run_id=run_id,
-    )
-    # the id column is named by the caller in docs but stored as `id`
-    # (minhash_banded's convention) in the manifest
+    # Append the survivors' rows FROM THE CHECKPOINTED PROBE — the very
+    # signatures the dedup decision consumed — never a fresh
+    # minhash_banded over new_docs (a second evaluation: wasteful, and
+    # able to diverge from the returned ids on a non-deterministic
+    # source). Ids are stored as `id` (minhash_banded's convention).
+    new_rows = probe.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    ).withColumn("first_seen_run", F.lit(run_id).cast("string"))
     new_rows.write.mode("append").parquet(path=manifest_path)
     return survivors

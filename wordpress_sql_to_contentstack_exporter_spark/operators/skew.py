@@ -14,6 +14,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+
+def hashable_salt_cols(df: DataFrame) -> list[str]:
+    """Columns ``xxhash64`` can consume: any column whose type contains
+    no MAP anywhere (top-level or nested in arrays/structs — xxhash64
+    rejects both, and map iteration order could not give a stable hash
+    anyway). Shared by the salted operators and the layout sink so the
+    hashability rule cannot drift between call sites (round-8 review)."""
+    return [c for c, t in df.dtypes if "map<" not in t]
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -61,14 +71,9 @@ def salted_agg(
             raise ValueError(f"unique_cols not in df: {missing}")
         salt_cols = unique_cols
     else:
-        # xxhash64 rejects MAP-typed inputs (DATATYPE_MISMATCH) — the
-        # whole-row default silently skips them (map column order is
-        # undefined anyway, so a map could not contribute a stable
-        # hash). Substring check, not startswith: maps nested inside
-        # arrays/structs are rejected by xxhash64 just the same
-        # (round-8 review finding). A frame of ONLY maps+keys must
-        # name unique_cols explicitly.
-        salt_cols = [c for c, t in df.dtypes if "map<" not in t]
+        # see hashable_salt_cols: maps (incl. nested) cannot feed the
+        # salt hash. A frame of ONLY maps+keys must name unique_cols.
+        salt_cols = hashable_salt_cols(df)
         if not salt_cols:
             raise ValueError(
                 "salted_agg: no hashable (non-map) columns to derive the "
@@ -177,7 +182,15 @@ def salted_join(
             raise ValueError(f"unique_cols not in fact: {missing}")
         salt_cols = unique_cols
     else:
-        salt_cols = fact.columns
+        # same map exclusion as salted_agg (shared helper) — a map
+        # column in the fact frame would otherwise fail xxhash64 at
+        # plan time (round-8 review finding)
+        salt_cols = hashable_salt_cols(fact)
+        if not salt_cols:
+            raise ValueError(
+                "salted_join: no hashable (map-free) columns to derive "
+                "the deterministic salt from — pass unique_cols"
+            )
 
     # the broadcast hint is applied AT each join (hints can be dropped by
     # intervening transformations)

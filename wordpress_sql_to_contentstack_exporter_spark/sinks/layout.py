@@ -113,14 +113,20 @@ def write_layout(
             # upstream row->partition map is; the hash is unconditionally
             # stable). Exact duplicate rows share a salt, which for file
             # spreading costs at most mild imbalance, not correctness.
-            hashable = [c for c, t in out.dtypes if "map<" not in t]
-            if not hashable:
-                # partition_by columns would then be maps themselves —
-                # unhashable AND unpartitionable; fail with the real
-                # reason instead of a deep AnalysisException
+            from ..operators.skew import hashable_salt_cols
+
+            hashable = hashable_salt_cols(out)
+            if not [c for c in hashable if c not in (partition_by or [])]:
+                # with only partition columns hashable, the salt is
+                # CONSTANT within each hive partition — every partition
+                # silently converges to one task/file, re-creating the
+                # exact straggler problem the salt exists to fix
+                # (round-8 review finding). Fail with the real reason.
                 raise ValueError(
-                    "write_layout: no hashable (map-free) columns to "
-                    "derive the file-spread salt from"
+                    "write_layout: no hashable (map-free) column outside "
+                    "partition_by to derive the file-spread salt from — "
+                    "add a non-map payload column or use "
+                    "n_files_per_partition=1"
                 )
             out = out.repartition(
                 *[F.col(c) for c in partition_by],
