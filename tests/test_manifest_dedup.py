@@ -149,6 +149,134 @@ def test_read_manifest_raises_on_corrupt_data(spark, tmp_path):
         df.count()
 
 
+def test_bucketed_manifest_lifecycle(spark, tmp_path):
+    """The bucketed saved-table variant runs the same daily loop as the
+    plain-parquet one: bootstrap from a missing table, dedup across
+    runs, accumulate, and return pre-append survivors from post-append
+    actions (the eager-checkpoint pinning)."""
+    table = "m_lifecycle_b"
+    path = str(tmp_path / "m_lifecycle_b")
+    try:
+        out1 = mf.incremental_dedup_run_bucketed(
+            spark,
+            _docs(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")]),
+            table=table,
+            path=path,
+            buckets=4,
+            run_id="r1",
+        )
+        # post-append actions, twice, must see the pre-append survivors
+        assert out1.count() == 2
+        assert {r["doc_id"] for r in out1.collect()} == {1, 2}
+        # day 2: one repeat (new id, same content), one new
+        out2 = mf.incremental_dedup_run_bucketed(
+            spark,
+            _docs(spark, [(10, "alpha"), (11, "gamma")]),
+            table=table,
+            path=path,
+            buckets=4,
+            run_id="r2",
+        )
+        assert {r["doc_id"] for r in out2.collect()} == {11}
+        m = mf.read_manifest_bucketed(spark, table)
+        assert m.count() == 3
+        assert {r["first_seen_run"] for r in m.collect()} == {"r1", "r2"}
+        # replay of an applied batch appends nothing
+        replay = mf.incremental_dedup_run_bucketed(
+            spark,
+            _docs(spark, [(10, "alpha"), (11, "gamma")]),
+            table=table,
+            path=path,
+            buckets=4,
+            run_id="r3",
+        )
+        assert replay.count() == 0
+        assert mf.read_manifest_bucketed(spark, table).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_manifest_append_rejects_bucket_drift(spark, tmp_path):
+    """The bucket count is the table's permanent contract: an append
+    with a different count must fail loudly, never silently corrupt the
+    layout."""
+    import pytest as _pytest
+
+    table = "m_drift_b"
+    path = str(tmp_path / "m_drift_b")
+    try:
+        mf.build_manifest_bucketed(
+            _docs(spark, [(1, "alpha")]), table=table, path=path, buckets=4
+        )
+        with _pytest.raises(Exception):
+            mf.append_survivors_bucketed(
+                mf.build_manifest(_docs(spark, [(2, "beta")])).select(
+                    "content_hash"
+                ),
+                table,
+                run_id="r2",
+                buckets=8,
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_manifest_anti_join_has_no_manifest_side_exchange(
+    spark, tmp_path
+):
+    """THE point of the bucketed layout (VERDICT r8 #4): the daily
+    anti-join plan must contain NO Exchange above the manifest scan —
+    only the (small) batch side shuffles, to the manifest's bucket
+    count. At 100 TB this is the difference between re-shuffling a
+    ~70 GB hash set every day and never shuffling it. Pattern follows
+    test_jdbc_bucketing.test_bucketed_join_has_no_exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    table = "m_plan_b"
+    path = str(tmp_path / "m_plan_b")
+    try:
+        boot = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        )
+        mf.build_manifest_bucketed(boot, table=table, path=path, buckets=8)
+        manifest = mf.read_manifest_bucketed(spark, table)
+        batch = spark.range(1500, 2500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            survivors = mf.manifest_dedup(batch, manifest)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                survivors.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan and "LeftAnti" in plan
+            # The claim is about the MANIFEST side only: the batch side
+            # may shuffle (groupBy at shuffle.partitions, then to the
+            # bucket count when they differ). In the formatted tree the
+            # anti-join's right child is the suffix after the last
+            # left-branch (":"-prefixed) line — it must be
+            # Sort/Filter/Scan with NO Exchange.
+            tree = plan.split("\n\n")[0].splitlines()
+            last_left = max(
+                i for i, ln in enumerate(tree) if ln.lstrip().startswith(":")
+            )
+            right_branch = tree[last_left + 1 :]
+            assert any("Scan parquet" in ln and table in ln for ln in right_branch)
+            assert not any("Exchange" in ln for ln in right_branch)
+            assert "Bucketed: true" in plan
+            assert survivors.count() == 500  # ids 2000-2499 are novel
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_incremental_neardup_run_lifecycle(spark, tmp_path):
     """Daily near-dup loop end-to-end: bootstrap run, then a second run
     whose near-dup of a day-1 KEEPER is dropped while novel content

@@ -16,34 +16,37 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-8 window contract (VERDICT r7 #2): (a) the seven r7
-# additions that sat just past the r7 cut — the only oracle-backed
-# queries with zero driver-environment evidence; (b) re-verification of
-# the operators whose implementations changed this round (deterministic
-# shuffle-key fixes); (c) second confirmation of the three 3-round-red
-# gates first green in r7; (d) retained anchors and r7 first-greens.
-# Pinned as a SET, not a frozen order, so next round's rotation edits
-# this list deliberately rather than breaking an order assertion by
-# accident.
-ROUND8_WINDOW_NEW = {
-    "threshold_sweep", "domain_blocklist", "skew_diagnostics",
-    "embedding_gram", "interval_overlap", "expectations",
-    "sentence_split",
+# The round-9 window contract (VERDICT r8 #1): (a) the five r8
+# additions that sat just past the r8 cut — the only oracle-backed
+# queries with zero driver-environment evidence; (b) the two queries
+# added in round 9 (bucketed-manifest daily loop, composed
+# html→quality); (c) re-verification of implementations changed in r9
+# (source_overlap checkpoint fix; range-join reserved-name guards;
+# incremental_dedup's error-condition matching) plus the r8-changed
+# implementations kept for a second confirmation; (d) retained anchors
+# and r8 first-greens. Pinned as a SET, not a frozen order, so next
+# round's rotation edits this list deliberately rather than breaking an
+# order assertion by accident.
+ROUND9_WINDOW_NEW = {
+    "incremental_dedup", "html_text", "windowed_dedup",
+    "compaction_plan", "expectations_exemplars",
+    "incremental_dedup_bucketed", "html_quality",
 }
-ROUND8_WINDOW_CHANGED_IMPL = {
+ROUND9_WINDOW_CHANGED_IMPL = {
     "salted_agg", "range_join", "range_join_bucketed", "zorder_layout",
+    "source_overlap",
 }
-ROUND8_WINDOW_ANCHORS = {
-    "repetition", "rolling_anomaly", "embedding_centroids",
+ROUND9_WINDOW_ANCHORS = {
+    "interval_overlap", "expectations", "sentence_split",
     "flagship_posts_export", "bloom_prune_join", "shard_manifest",
 }
-ROUND8_WINDOW_RETAINED = {
+ROUND9_WINDOW_RETAINED = {
     "salted_join", "robust_anomaly",
     "repeated_spans", "span_coverage", "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
-    "cluster_keepers", "centroid_similarity", "source_overlap",
+    "cluster_keepers", "centroid_similarity",
     "histogram_drift", "grouped_mode", "corr_stats", "vocab_drift",
     "triangle_count", "pagerank", "ship_lag", "basket_pairs",
     "embedding_norms", "bfs_levels", "ewma", "max_concurrency",
@@ -51,28 +54,29 @@ ROUND8_WINDOW_RETAINED = {
 }
 
 
-def test_round8_window_set():
+def test_round9_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
-        ROUND8_WINDOW_NEW
-        | ROUND8_WINDOW_CHANGED_IMPL
-        | ROUND8_WINDOW_ANCHORS
-        | ROUND8_WINDOW_RETAINED
+        ROUND9_WINDOW_NEW
+        | ROUND9_WINDOW_CHANGED_IMPL
+        | ROUND9_WINDOW_ANCHORS
+        | ROUND9_WINDOW_RETAINED
     )
 
 
 def test_repetition_probes_stay_ordered():
-    """The probes rotated out of the window in round 8 (their gates
-    stayed in; every probe has a driver-green r7 row), but they keep
-    the coarse-to-fine order (corpus, lines, tokens, grams) so a future
-    re-rotation lands them back as a readable bisection."""
+    """The probes rotated out of the window in round 8 and the gate
+    followed in round 9 (driver-green r7 AND r8 — its confirmations are
+    done), but gate + probes keep the coarse-to-fine order (gate,
+    corpus, lines, tokens, grams) so a future re-rotation lands them
+    back as a readable bisection."""
     names = list(SPARK_QUERIES)
     idx = {n: i for i, n in enumerate(names)}
+    assert idx["repetition"] < idx["repetition_corpus_echo"]
     assert idx["repetition_corpus_echo"] < idx["repetition_lines"]
     assert idx["repetition_lines"] < idx["repetition_tokens"]
     assert idx["repetition_tokens"] < idx["repetition_grams"]
-    assert idx["repetition"] < DRIVER_SNAPSHOT_WINDOW
 
 
 def test_oracle_backed_queries_precede_rows_only():

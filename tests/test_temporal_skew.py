@@ -79,6 +79,37 @@ def test_range_join_count(spark):
     assert out.first()["n_in_range"] == 1
 
 
+def test_range_join_rejects_reserved_internal_columns(spark):
+    """A caller column named __mult (etc.) would silently corrupt the
+    multiplicity expansion; the operators must fail loudly instead
+    (ADVICE r8)."""
+    import pytest as _pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import (
+        bucketed_range_join_count,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 7, T(2024, 1, 1, 10, 0, 0), 5)],
+        "event_id long, user_id long, ts timestamp, __mult long",
+    )
+    good = spark.createDataFrame(
+        [(2, 7, T(2024, 1, 1, 10, 5, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    with _pytest.raises(ValueError, match="__mult"):
+        range_join_count(
+            bad, good, keys=["user_id"],
+            left_ts=F.col("l.ts"), right_ts=F.col("r.ts"),
+            lower=F.lit(0), upper=F.lit(600),
+        )
+    with _pytest.raises(ValueError, match="__mult"):
+        bucketed_range_join_count(
+            good, bad, left_ts="ts", right_ts="ts",
+            lower_seconds=0, upper_seconds=600,
+        )
+
+
 def test_temporal_ops_accept_timestamp_ntz(spark):
     # Parquet written without a timezone loads as TIMESTAMP_NTZ, which
     # unix_micros() rejects; the operators must cast internally (UTC

@@ -113,6 +113,24 @@ def test_full_export(spark, wp_catalog, tmp_path):
     assert rr2[20] == "skipped"
 
 
+def test_posts_clean_description_projection(wp_catalog):
+    """build_posts(clean_description=True) bridges the export plane to
+    the text-analysis plane (VERDICT r8 #6): the HTML full_description
+    is carried verbatim (reference parity, posts.js:151) AND a
+    html_to_text projection rides alongside. Default-off keeps the
+    golden output schema byte-identical to the reference's."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans import wordpress as wp
+
+    site = wp.read_site_options(wp_catalog)
+    clean = wp.build_posts(wp_catalog, site, clean_description=True)
+    rows = {r["key"]: r["entry"].asDict() for r in clean.collect()}
+    assert rows[10]["full_description"] == "<p>hi</p>"  # verbatim kept
+    assert rows[10]["clean_description"] == "hi"
+    # default off: no schema drift for the reference-parity path
+    plain = wp.build_posts(wp_catalog, site)
+    assert "clean_description" not in plain.schema["entry"].dataType.names
+
+
 def test_single_module_computes_upstream_on_demand(wp_catalog, tmp_path):
     """posts-only run must still resolve featured images (no reliance on a
     prior assets run's files — fix of SURVEY.md §3.2)."""

@@ -1,0 +1,114 @@
+"""Regenerate COVERAGE.md's driver-evidence provenance table from the
+committed CORRECTNESS_r0*.json artifacts.
+
+The table is evidence-derived by doctrine (VERDICT r5 #2): hand-editing
+it is how provenance drifts from reality — round 8 ended with 50 driver
+greens recorded in the artifact but the table still reading "driver row
+pending" because the regeneration script lived only in a session
+transcript (VERDICT r8 #3). This tool makes the regeneration a
+committed, re-runnable step:
+
+    python tools/provenance.py          # rewrite COVERAGE.md in place
+    python tools/provenance.py --check  # exit 1 if the table is stale
+
+Green = rows_match & schema_match & hash_match & no err, for
+oracle-backed queries only (rows-only queries' evidence lives in the
+no_oracle blocks of CORRECTNESS_local.json). Red rounds are listed so a
+later green visibly supersedes them. The "in window" column reflects
+the CURRENT registry order (the next driver snapshot), not any past
+round's.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TABLE_HEADER = "| Query | Driver-green rounds | Driver-red rounds (resolved) | In r{n} window |"
+
+BEGIN = "| Query | Driver-green rounds |"
+
+
+def load_rounds() -> dict[int, dict]:
+    rounds = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rounds[int(m.group(1))] = json.load(open(path))
+    return rounds
+
+
+def is_green(entry: dict) -> bool:
+    return bool(
+        entry.get("rows_match")
+        and entry.get("schema_match")
+        and entry.get("hash_match")
+        and not entry.get("err")
+    )
+
+
+def build_table() -> tuple[str, int]:
+    sys.path.insert(0, REPO)
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
+        DRIVER_SNAPSHOT_WINDOW,
+        ORACLE_SQL,
+        SPARK_QUERIES,
+    )
+
+    rounds = load_rounds()
+    latest = max(rounds)
+    names = list(SPARK_QUERIES)
+    window = set(names[:DRIVER_SNAPSHOT_WINDOW])
+
+    lines = [TABLE_HEADER.format(n=latest + 1), "|---|---|---|---|"]
+    for name in names:
+        if name not in ORACLE_SQL:
+            continue  # rows-only: evidence lives in CORRECTNESS_local.json
+        greens = [r for r in sorted(rounds) if is_green(rounds[r].get(name, {}))]
+        reds = [
+            r
+            for r in sorted(rounds)
+            if name in rounds[r] and not is_green(rounds[r][name])
+        ]
+        if greens:
+            green_cell = ",".join(f"r{r}" for r in greens)
+        elif name in window:
+            green_cell = f"local-only (driver row pending, in r{latest + 1} window)"
+        else:
+            green_cell = "local-only (driver row pending)"
+        red_cell = ",".join(f"r{r}" for r in reds)
+        win_cell = "yes" if name in window else ""
+        lines.append(f"| `{name}` | {green_cell} | {red_cell} | {win_cell} |")
+    return "\n".join(lines) + "\n", latest
+
+
+def main() -> int:
+    table, latest = build_table()
+    cov_path = os.path.join(REPO, "COVERAGE.md")
+    text = open(cov_path).read()
+    start = text.index(BEGIN)
+    # the table runs to the first non-table line after it
+    rest = text[start:]
+    mt = re.match(r"(?:\|[^\n]*\n)+", rest)
+    old_table = rest[: mt.end()]
+    new_text = text[:start] + table + rest[mt.end() :]
+    if "--check" in sys.argv:
+        if old_table != table:
+            print("provenance table is STALE — run: python tools/provenance.py")
+            return 1
+        print("provenance table is current")
+        return 0
+    open(cov_path, "w").write(new_text)
+    print(f"rewrote provenance table from rounds {sorted(load_rounds())} "
+          f"(latest r{latest})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

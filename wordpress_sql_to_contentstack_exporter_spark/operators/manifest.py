@@ -34,6 +34,16 @@ Scale design:
   are harmless — the manifest is only ever consumed as an anti-join
   set (``first_seen_run`` of a duplicated hash is ambiguous, which is
   why it is provenance metadata, not an API).
+- Runs against ONE manifest path must be SERIALIZED (an
+  orchestrator-level lock, the normal shape for a daily loop). Two
+  concurrent runs each read the pre-append snapshot, so a document
+  present in both batches passes both anti-joins, ships twice, and
+  its hash is appended twice. The replay-idempotency argument above
+  covers serial re-runs only; there is no optimistic-concurrency
+  protocol here because plain parquet appends offer no atomic
+  compare-and-swap to build one on (a table format with snapshot
+  isolation — e.g. the bucketed saved-table variant below under a
+  metastore lock — is the upgrade path).
 """
 
 from __future__ import annotations
@@ -50,6 +60,27 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("first_seen_run", T.StringType(), True),
     ]
 )
+
+
+def _is_path_absent(e: Exception) -> bool:
+    """True iff an AnalysisException means "the path does not exist" —
+    the one condition that may bootstrap an empty manifest. Matches the
+    stable error CONDITION first (``getCondition()``, Spark's versioned
+    error-condition registry; named ``getErrorClass()`` pre-4.0, kept
+    as the fallback accessor) and falls back to the two known message
+    substrings only when the condition is unavailable; matching on
+    message text alone is brittle across Spark versions (ADVICE r8).
+    Drift still fails SAFE — an unrecognized error raises rather than
+    silently bootstrapping."""
+    get_cond = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None
+    )
+    if get_cond is not None:
+        cond = get_cond()
+        if cond is not None:
+            return cond == "PATH_NOT_FOUND"
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
 def content_hash(text_col: str = "text"):
@@ -125,8 +156,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
         # anti-join would pass the entire previously-kept corpus, and
         # the run would silently re-ship and re-append everything
         # (round-8 review finding).
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        if _is_path_absent(e):
             return spark.createDataFrame([], MANIFEST_SCHEMA)
         raise
     if not files:
@@ -147,6 +177,135 @@ def append_survivors(
         .write.mode("append")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed saved-table variant (VERDICT r8 #4): the daily-loop fast path
+# ---------------------------------------------------------------------------
+
+#: single source of truth for the bucketed manifest's bucket column —
+#: the bucket spec is part of the table's on-disk contract, and every
+#: writer (bootstrap + appends) must agree with it forever.
+BUCKET_COL = "content_hash"
+
+
+def build_manifest_bucketed(
+    df: DataFrame,
+    *,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    text_col: str = "text",
+    run_id: str | None = None,
+) -> None:
+    """Bootstrap the manifest as a saved table BUCKETED by
+    ``content_hash`` — the one-line layout change the module docstring
+    promises, made real. The plain-parquet manifest costs every daily
+    run a full manifest-side shuffle (anti-join on ``content_hash``
+    re-Exchanges the entire kept-corpus hash set — ~70 GB at a trillion
+    docs — to probe a batch a thousandth its size); the bucketed layout
+    pays one shuffle at bootstrap and NONE afterwards: the scan reports
+    ``HashPartitioning(content_hash, buckets)``, so EnsureRequirements
+    shuffles only the (small) batch side to the bucket count.
+    Plan-asserted in ``tests/test_manifest_dedup.py`` (zero
+    manifest-side Exchange, the ``test_jdbc_bucketing`` pattern).
+
+    ``path`` is required (external table): warehouse.dir is a static
+    conf and must not default into the working directory. ``buckets``
+    is part of the table's permanent contract — appends validate
+    against the stored spec and fail loudly on mismatch."""
+    (
+        build_manifest(df, text_col=text_col, run_id=run_id)
+        .write.bucketBy(buckets, BUCKET_COL)
+        .sortBy(BUCKET_COL)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def read_manifest_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Load the bucketed manifest via the catalog — the ONLY read that
+    preserves the bucket spec (reading the parquet files directly, as
+    the snapshot-pinned ``read_manifest`` does, drops the bucketing
+    metadata and re-introduces the manifest-side Exchange). A missing
+    table bootstraps empty, same as ``read_manifest``.
+
+    Snapshot pinning is therefore handled DIFFERENTLY here: a catalog
+    read is lazy over the table's current file listing, so
+    ``incremental_dedup_run_bucketed`` materializes the survivor frame
+    with an EAGER localCheckpoint before appending — the returned
+    frame's lineage is truncated at materialized blocks computed
+    strictly pre-append, and a lost-block failure raises (localCheckpoint
+    cannot silently recompute through truncated lineage) rather than
+    ever anti-joining the batch against its own append."""
+    if not spark.catalog.tableExists(table):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.table(table)
+
+
+def append_survivors_bucketed(
+    survivors: DataFrame, table: str, *, run_id: str, buckets: int = 64
+) -> None:
+    """Append surviving hashes INTO THE BUCKET LAYOUT: each appended
+    file lands in its hash bucket, so tomorrow's scan partitioning (and
+    the zero-Exchange plan) survives every append. The bucket spec must
+    match the table's stored spec — Spark validates and fails loudly on
+    drift. Per-file sort within a bucket is kept (``sortBy``); once a
+    bucket holds multiple files Spark conservatively drops the
+    sorted-scan property and plans a local Sort before the merge join —
+    cheap, and the Exchange elimination (the 70 GB item) is unaffected."""
+    (
+        survivors.select(
+            BUCKET_COL, F.lit(run_id).cast("string").alias("first_seen_run")
+        )
+        .write.bucketBy(buckets, BUCKET_COL)
+        .sortBy(BUCKET_COL)
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
+def incremental_dedup_run_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    *,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    run_id: str,
+) -> DataFrame:
+    """The daily step on the bucketed layout: catalog read (bucket spec
+    intact → manifest never shuffles) → anti-join → EAGER checkpoint of
+    the survivors → append into the buckets → return the survivors.
+
+    The eager checkpoint replaces ``read_manifest``'s file pinning
+    (which is unavailable here — see ``read_manifest_bucketed``): the
+    survivor rows are fully materialized from the pre-append snapshot
+    before the append begins, and any post-append action reads those
+    blocks. The failure mode under executor loss is a LOUD lost-block
+    error, never a silent self-anti-join. On a multi-node cluster,
+    substitute a reliable ``checkpoint()`` (checkpoint dir on shared
+    storage) for the same guarantee across executor deaths."""
+    if not spark.catalog.tableExists(table):
+        build_manifest_bucketed(
+            new_docs.limit(0),
+            table=table,
+            path=path,
+            buckets=buckets,
+            text_col=text_col,
+            run_id=run_id,
+        )
+    manifest = read_manifest_bucketed(spark, table)
+    survivors = manifest_dedup(
+        new_docs, manifest, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    append_survivors_bucketed(
+        survivors, table, run_id=run_id, buckets=buckets
+    )
+    return survivors
 
 
 def build_neardup_manifest(
@@ -362,8 +521,7 @@ def read_neardup_manifest(
         snapshot = spark.read.schema(schema).parquet(path)
         files = snapshot.inputFiles()
     except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        if _is_path_absent(e):
             return spark.createDataFrame([], schema)
         raise
     if not files:

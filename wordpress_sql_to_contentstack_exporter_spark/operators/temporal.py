@@ -263,6 +263,8 @@ def range_join_count(
     selective. For key-free or hot-key range joins, bucketize time into
     the key instead.
     """
+    _reject_reserved(left, ("__mult", "__chunk", "__i"), "left")
+    _reject_reserved(right, ("__mult", "__chunk", "__i"), "right")
     l = left.alias("l")
     r = right.alias("r")
     key_cond = None
@@ -302,6 +304,21 @@ def range_join_count(
 #: chunk width for multiplicity re-expansion: bounds the materialized
 #: sequence() array to 64 Ki longs (512 KiB) per generated row batch.
 _MULT_CHUNK = 1 << 16
+
+
+def _reject_reserved(df: DataFrame, reserved: tuple[str, ...], side: str) -> None:
+    """Fail LOUDLY if an input frame already carries one of the
+    operator's internal working columns (``__mult`` etc.) — a caller
+    column named ``__mult`` would silently corrupt the multiplicity
+    expansion instead of erroring (ADVICE r8). Consistent with the
+    operators' other loud-failure validations (e.g.
+    ``interval_overlap_join``'s column-collision check)."""
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{side} frame carries reserved internal column(s) {clash}; "
+            "rename them before calling (reserved: " + ", ".join(reserved) + ")"
+        )
 
 
 def _expand_multiplicity(counted: DataFrame) -> DataFrame:
@@ -374,6 +391,12 @@ def bucketed_range_join_count(
     """
     if upper_seconds <= lower_seconds:
         raise ValueError("need lower_seconds < upper_seconds")
+    _reject_reserved(
+        left, ("__mult", "__chunk", "__i", "__lus", "__rus", "__b"), "left"
+    )
+    _reject_reserved(
+        right, ("__mult", "__chunk", "__i", "__lus", "__rus", "__b"), "right"
+    )
     span = upper_seconds - lower_seconds
     w = int(bucket_seconds) if bucket_seconds is not None else span
     if w <= 0:

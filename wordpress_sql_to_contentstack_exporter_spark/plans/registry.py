@@ -1251,6 +1251,87 @@ FROM s
 """
 
 
+def q_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED export→analysis gate (VERDICT r8 #6): the same HTML
+    wrap as `html_text`, through `functions.html_to_text`, then
+    `text.quality_features` over the CLEAN text — the exact two-stage
+    path a WordPress corpus takes from `build_posts(clean_description=
+    True)` into the curation plane. Both stages are individually
+    oracle-gated (`html_text`, `text_quality`); this gate pins their
+    COMPOSITION byte-for-byte (the oracle chains the same CTEs).
+    Map-only codegen end-to-end — zero shuffles."""
+    from ..functions import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="post"><h1>Title&nbsp;&amp;amp;</h1><p>'),
+        F.col("text"),
+        F.lit(
+            '</p>line<br>break'
+            '<script type="text/javascript">if (1 < 2) { x = "<p>"; }</script>'
+            "<!-- draft\nnote --><p>&lt;escaped&gt; &quot;q&#039;</p></div>"
+        ),
+    )
+    clean = d.select("doc_id", html_to_text(html).alias("text"))
+    out = tx.quality_features(clean)
+    return out.select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_tokens").cast("long").alias("q_tokens"),
+        F.col("q_bpe_tokens").cast("long").alias("q_bpe_tokens"),
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_mean_token_len",
+    )
+
+
+SQL_HTML_QUALITY = r"""
+WITH h AS (
+    SELECT doc_id,
+           '<div class="post"><h1>Title&nbsp;&amp;amp;</h1><p>' || text ||
+           '</p>line<br>break<script type="text/javascript">if (1 < 2) { x = "<p>"; }</script><!-- draft' || chr(10) || 'note --><p>&lt;escaped&gt; &quot;q&#039;</p></div>' AS html
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)</?[a-z][^>]*>', ' ', 'g') AS t
+    FROM h
+), c AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#039;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+             '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || ']+',
+             ' ', 'g')) AS text
+    FROM s
+), t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS toks,
+           list_filter(string_split_regex(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), ' '), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ltoks
+    FROM c
+)
+SELECT doc_id,
+       length(text) AS q_chars,
+       CASE WHEN trim(text, ' ') = '' THEN 0 ELSE len(toks) END AS q_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')) AS q_bpe_tokens,
+       CASE WHEN length(text) > 0
+            THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END AS q_punct_ratio,
+       CASE WHEN len(toks) > 0 AND trim(text, ' ') <> ''
+            THEN len(list_filter(ltoks, x -> x IN ('the', 'and', 'of', 'to', 'in'))) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END AS q_stopword_ratio,
+       CASE WHEN len(toks) > 0 AND trim(text, ' ') <> ''
+            THEN length(text) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS q_mean_token_len
+FROM t
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run incremental dedup (operators/manifest.py, VERDICT r7
     #7): a persisted content-hash manifest stands in for "everything a
@@ -1287,6 +1368,46 @@ SELECT b.doc_id, b.content_hash
 FROM b
 WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.content_hash = b.content_hash)
 """
+
+
+def q_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-layout daily loop (VERDICT r8 #4), same semantics
+    and ORACLE as `incremental_dedup` but through the REAL saved-table
+    path: the prior-run manifest is written as a `bucketBy(content_hash)`
+    table (`manifest.build_manifest_bucketed`), read back through the
+    catalog (the only read that keeps the bucket spec), and anti-joined
+    with ZERO manifest-side Exchange — at 100 TB the manifest (~70 GB of
+    hashes for a trillion docs) never re-shuffles; only the small daily
+    batch does. The plan shape is pinned in tests/test_manifest_dedup.py.
+
+    Self-cleaning by construction: the survivor frame is EAGERLY
+    checkpointed (the bucketed variant's snapshot-pinning mechanism),
+    after which the table and its files are dropped — the returned
+    frame reads checkpoint blocks, so repeated invocations are
+    idempotent and leak nothing."""
+    import shutil
+    import tempfile
+
+    from ..operators import manifest as mf
+
+    d = _t(spark, sf_dir, "documents")
+    table = "incdedup_bucketed_gate"
+    path = tempfile.mkdtemp(prefix="incdedup_bucketed_")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        mf.build_manifest_bucketed(
+            d.filter(F.col("doc_id") % 3 == 0),
+            table=table,
+            path=path,
+            buckets=8,
+            run_id="prior",
+        )
+        prior = mf.read_manifest_bucketed(spark, table)
+        out = mf.manifest_dedup(d, prior).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+    return out.select("doc_id", "content_hash")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5012,7 +5133,14 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: distinct (source, gram) rows once (hash-keyed aggregation),
     pair counts from a gram-keyed self-join — fan-out is bounded by
     |sources|² per gram, never document-quadratic; totals join on as
-    a |sources|-row broadcast."""
+    a |sources|-row broadcast.
+
+    The distinct-gram frame feeds THREE consumers (totals, and both
+    sides of the self-join), so it is lazily localCheckpoint-ed —
+    without it the corpus scan + tokenize + shingle + distinct pass
+    runs three times (the triple-recompute class first fixed in
+    ``setsim_join``; VERDICT r8 #5 measured this query at 9.5x DuckDB
+    where the family norm is 2-4x, entirely the re-derivation)."""
     d = _t(spark, sf_dir, "documents")
     grams = (
         d.select(
@@ -5021,6 +5149,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", F.xxhash64("g").alias("gk"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     totals = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("src").alias("src_a"), "gk")
@@ -6618,40 +6747,46 @@ DRIVER_SNAPSHOT_WINDOW = 50
 
 # Registry order IS the driver contract: the correctness driver
 # snapshots the FIRST ``DRIVER_SNAPSHOT_WINDOW`` (50) entries each
-# round. Round-8 window (VERDICT r7 #2): (a) the SEVEN round-7
-# additions that sat at indices 50-56, just past the r7 cut — the only
-# oracle-backed queries with zero driver-environment evidence; (b)
-# re-verification slots for the operators whose IMPLEMENTATIONS changed
-# this round (the deterministic shuffle-key fixes: salted_agg,
-# range_join, range_join_bucketed, plus zorder_layout whose write salt
-# changed) — their prior driver greens predate the new code; (c) second
-# confirmation for the three gates that were driver-red for 3 rounds
-# and green for the first time in r7; (d) retained anchors and r7
-# first-greens. Rotated out to fund (a)+(b): the six diagnostic probes
-# (their gates stayed in-window; the probes' bisection job is done) and
-# four multi-green anchors (eav_pivot, containment, ngram_novelty,
-# dataset_card).
+# round. Round-9 window (VERDICT r8 #1): (a) the FIVE round-8
+# additions that sat just past the r8 cut — the only oracle-backed
+# queries with zero driver-environment evidence (driver-env divergence
+# historically surfaces only on first driver contact, ~2-in-30); (b)
+# the TWO queries added this round (the bucketed-manifest daily loop,
+# VERDICT r8 #4, and the composed html→quality gate, VERDICT r8 #6);
+# (c) re-verification slots for the implementations changed this round
+# — source_overlap (localCheckpoint on the gram frame, r8 #5),
+# range_join / range_join_bucketed (reserved-column guards, ADVICE r8),
+# incremental_dedup (manifest.py error-condition matching, ADVICE r8);
+# all already in-window; (d) retained anchors and r8 first-greens.
+# Rotated out to fund (a)+(b): repetition / rolling_anomaly /
+# embedding_centroids (their second confirmations landed in r8 — the
+# job that put them back in the window is done) and four r8
+# first-greens whose code is untouched this round (threshold_sweep,
+# domain_blocklist, skew_diagnostics, embedding_gram — same
+# single-green rotation precedent as the r8 rotation-outs). Everything
+# rotated out stays green in the committed full-registry local sweeps
+# at both scales.
 SPARK_QUERIES = {
-    # --- window part (a): r7 additions, zero driver rows (r7 #2) ---
-    "threshold_sweep": q_threshold_sweep,
-    "domain_blocklist": q_domain_blocklist,
-    "skew_diagnostics": q_skew_diagnostics,
-    "embedding_gram": q_embedding_gram,
-    "interval_overlap": q_interval_overlap,
-    "expectations": q_expectations,
-    "sentence_split": q_sentence_split,
-    # --- window part (b): implementations changed this round (the
-    # nondeterministic-shuffle-key fixes) — re-earn driver evidence ---
+    # --- window part (a): r8 additions, zero driver rows (r8 #1) ---
+    "incremental_dedup": q_incremental_dedup,
+    "html_text": q_html_text,
+    "windowed_dedup": q_windowed_dedup,
+    "compaction_plan": q_compaction_plan,
+    "expectations_exemplars": q_expectations_exemplars,
+    # --- window part (b): NEW in round 9 ---
+    "incremental_dedup_bucketed": q_incremental_dedup_bucketed,
+    "html_quality": q_html_quality,
+    # --- window part (c): implementations changed in r9 (source_overlap
+    # checkpoint fix; range-join reserved-name guards) + r8-changed
+    # implementations retained for a second driver confirmation ---
     "salted_agg": q_salted_agg,
     "range_join": q_range_join,
     "range_join_bucketed": q_range_join_bucketed,
     "zorder_layout": q_zorder_layout,
-    # --- window part (c): second confirmation for the r4-r6 red gates
-    # that first went green in r7 ---
-    "repetition": q_repetition,
-    "rolling_anomaly": q_rolling_anomaly,
-    "embedding_centroids": q_embedding_centroids,
-    # --- window part (d): retained anchors + r7 first-greens ---
+    # --- window part (d): retained anchors + r8 first-greens ---
+    "interval_overlap": q_interval_overlap,
+    "expectations": q_expectations,
+    "sentence_split": q_sentence_split,
     "flagship_posts_export": q_flagship_posts_export,
     "bloom_prune_join": q_bloom_prune_join,
     "shard_manifest": q_shard_manifest,
@@ -6688,10 +6823,20 @@ SPARK_QUERIES = {
     "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
     "tfidf_pairs": q_tfidf_pairs,
-    # --- oracle-backed, OUTSIDE the round-8 window ---
-    # rotated out this round, all driver-green in r7 (the probes'
-    # parent gates kept their window slots; probes stay ordered
-    # coarse-to-fine so a future re-rotation preserves the bisection):
+    # --- oracle-backed, OUTSIDE the round-9 window ---
+    # rotated out this round (driver-green r8; repetition/rolling_anomaly/
+    # embedding_centroids additionally green r7 — their second
+    # confirmations are done):
+    "threshold_sweep": q_threshold_sweep,
+    "domain_blocklist": q_domain_blocklist,
+    "skew_diagnostics": q_skew_diagnostics,
+    "embedding_gram": q_embedding_gram,
+    "repetition": q_repetition,
+    "rolling_anomaly": q_rolling_anomaly,
+    "embedding_centroids": q_embedding_centroids,
+    # rotated out in r8, all driver-green in r7 (the probes' parent
+    # gates kept their window slots; probes stay ordered coarse-to-fine
+    # so a future re-rotation preserves the bisection):
     "repetition_corpus_echo": q_repetition_corpus_echo,
     "repetition_lines": q_repetition_lines,
     "repetition_tokens": q_repetition_tokens,
@@ -6702,12 +6847,6 @@ SPARK_QUERIES = {
     "containment": q_containment,
     "ngram_novelty": q_ngram_novelty,
     "dataset_card": q_dataset_card,
-    # NEW in round 8 (oracle-gated; r9 rotation candidate):
-    "incremental_dedup": q_incremental_dedup,
-    "html_text": q_html_text,
-    "windowed_dedup": q_windowed_dedup,
-    "compaction_plan": q_compaction_plan,
-    "expectations_exemplars": q_expectations_exemplars,
     # driver-green in r1-r7 (provenance in COVERAGE.md):
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -6857,7 +6996,12 @@ ORACLE_SQL = {
     "salted_agg": SQL_COUNT_GROUP_BY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    # same relational semantics through the bucketed saved-table path —
+    # the layout changes the plan (zero manifest-side Exchange), never
+    # the result, which is exactly what sharing the oracle asserts
+    "incremental_dedup_bucketed": SQL_INCREMENTAL_DEDUP,
     "html_text": SQL_HTML_TEXT,
+    "html_quality": SQL_HTML_QUALITY,
     "windowed_dedup": SQL_WINDOWED_DEDUP,
     "compaction_plan": SQL_COMPACTION_PLAN,
     "expectations_exemplars": SQL_EXPECTATIONS_EXEMPLARS,
