@@ -174,3 +174,28 @@ def test_centroid_similarity_identical_groups_score_one(spark):
     assert got[(0, 1)] == 1.0
     # label 2's centroid is orthogonal to the x-heavy centroids
     assert got[(0, 2)] < 0.3 and got[(1, 2)] < 0.3
+
+
+def test_ann_recall_sweep_shape_and_floors(spark):
+    """The retrieval-quality gate (VERDICT r8 #8): one row per method,
+    possible = |queries| x k from the exact baseline, hits <= returned,
+    and the structured-config methods hold a recall floor at fixture
+    scale. lsh_gate (structure-tuned planes) is exempt from the floor —
+    its near-zero recall on the clusterless Gaussian fixture is the
+    documented worst-case contrast the sweep exists to record."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+
+    rows = {
+        r["method"]: r
+        for r in SPARK_QUERIES["ann_recall_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"lsh_gate", "lsh_4x8", "ivf", "pq", "ivfpq"}
+    possible = {r["possible"] for r in rows.values()}
+    assert len(possible) == 1 and possible.pop() > 0
+    for r in rows.values():
+        assert 0 <= r["hits"] <= r["returned"]
+        assert abs(r["recall_at_k"] - r["hits"] / r["possible"]) < 1e-12
+    for m in ("lsh_4x8", "ivf", "pq", "ivfpq"):
+        assert rows[m]["recall_at_k"] >= 0.3, (m, rows[m]["recall_at_k"])

@@ -282,6 +282,20 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "queries": len(exact1),
     }
 
+    # --- ann_recall_sweep: the gate's OUTPUT is the evidence (recall@5
+    # per method over a 20-query probe set, measured in-frame against
+    # the brute-force exact top-5) — collected verbatim so the
+    # committed record carries the numbers, not just a row count
+    # (VERDICT r8 #8).
+    sweep_rows = reg.SPARK_QUERIES["ann_recall_sweep"](spark, sf_dir).collect()
+    ev["ann_recall_sweep"] = {
+        "metric": "recall_at_5_vs_exact (20 queries, gate parameters)",
+        "recalls": {
+            r["method"]: round(r["recall_at_k"], 4) for r in sweep_rows
+        },
+        "possible": sweep_rows[0]["possible"] if sweep_rows else 0,
+    }
+
     # --- freq_items: the sketch guarantees every item with frequency >
     # support appears. Verify containment of the TRUE heavy hitters.
     li = load_table(spark, sf_dir, "lineitem")

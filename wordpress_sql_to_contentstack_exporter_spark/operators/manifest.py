@@ -109,6 +109,7 @@ def manifest_dedup(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_partitions: int | None = None,
 ) -> DataFrame:
     """Survivors of a new batch against the persisted manifest: one row
     per distinct NEW content, ``(id_col, content_hash)``, keeper =
@@ -117,10 +118,24 @@ def manifest_dedup(
 
     The exchange carries (hash, id) pairs only; the anti-join's
     manifest side carries hashes only. Document text never shuffles.
-    """
+
+    ``batch_partitions`` exists for the BUCKETED manifest path: when
+    the manifest scan arrives pre-partitioned (HashPartitioning on
+    ``content_hash`` with the bucket count), EnsureRequirements aligns
+    the join's two sides to the LARGER partition count — so a batch
+    side at ``spark.sql.shuffle.partitions`` > buckets makes Spark
+    re-shuffle the MANIFEST (exactly the exchange the layout exists to
+    delete; surfaced by the round-9 plan test when a session ran at 32
+    shuffle partitions against 8 buckets). Passing the bucket count
+    here pins the batch's hash exchange to it, so both sides arrive
+    equal and the manifest side can never be the one re-shuffled. The
+    repartition replaces (not adds to) the groupBy's own exchange: the
+    aggregation runs on the already-hash-partitioned child."""
     hashed = new_docs.select(
         F.col(id_col), content_hash(text_col).alias("content_hash")
     )
+    if batch_partitions is not None:
+        hashed = hashed.repartition(batch_partitions, F.col("content_hash"))
     batch_keepers = hashed.groupBy("content_hash").agg(
         F.min(id_col).alias(id_col)
     )
@@ -300,7 +315,14 @@ def incremental_dedup_run_bucketed(
         )
     manifest = read_manifest_bucketed(spark, table)
     survivors = manifest_dedup(
-        new_docs, manifest, text_col=text_col, id_col=id_col
+        new_docs,
+        manifest,
+        text_col=text_col,
+        id_col=id_col,
+        # pin the batch exchange to the bucket count so the manifest is
+        # never the side EnsureRequirements re-shuffles (see
+        # manifest_dedup's batch_partitions note)
+        batch_partitions=buckets,
     ).localCheckpoint(eager=True)
     append_survivors_bucketed(
         survivors, table, run_id=run_id, buckets=buckets
@@ -578,4 +600,141 @@ def incremental_neardup_run(
         survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
     ).withColumn("first_seen_run", F.lit(run_id).cast("string"))
     new_rows.write.mode("append").parquet(path=manifest_path)
+    return survivors
+
+
+# ---------------------------------------------------------------------------
+# Bucketed NEAR-dup manifest (round 9): the (band, bucket) probe join
+# gets the same zero-manifest-shuffle treatment as the exact path
+# ---------------------------------------------------------------------------
+
+#: bucket columns of the bucketed signature manifest — the probe join's
+#: equi-keys, so co-partitioning by them is what deletes the
+#: manifest-side Exchange from the daily run.
+NEARDUP_BUCKET_COLS = ("band", "bucket")
+
+
+def build_neardup_manifest_bucketed(
+    df: DataFrame,
+    *,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    run_id: str | None = None,
+) -> None:
+    """Bootstrap the signature manifest as a saved table BUCKETED by
+    ``(band, bucket)`` — the probe join's equi-keys. The daily
+    candidate join then reads the manifest pre-partitioned: only the
+    (small) batch probe shuffles, and the ``max_bucket_size`` skew
+    guard's groupBy + semi-join run exchange-free too (both sides of
+    that semi-join derive from the same bucketed scan). At web scale
+    the signature table is ~304 B/doc — hundreds of GB for a trillion
+    docs — and this layout is the difference between re-shuffling it
+    every day and never. Same contract notes as
+    ``build_manifest_bucketed``: ``path`` required (external table),
+    ``buckets`` and the signature parameters are permanent; appends
+    validate the bucket spec."""
+    banded = build_neardup_manifest(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+        run_id=run_id,
+    )
+    (
+        banded.write.bucketBy(buckets, *NEARDUP_BUCKET_COLS)
+        .sortBy(*NEARDUP_BUCKET_COLS)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def read_neardup_manifest_bucketed(
+    spark: SparkSession, table: str, *, num_hashes: int = 16
+) -> DataFrame:
+    """Catalog read of the bucketed signature manifest (the only read
+    that keeps the bucket spec — see ``read_manifest_bucketed`` for why
+    snapshot pinning moves to the eager survivor checkpoint here). A
+    missing table bootstraps empty."""
+    if not spark.catalog.tableExists(table):
+        return spark.createDataFrame([], neardup_manifest_schema(num_hashes))
+    return spark.table(table)
+
+
+def incremental_neardup_run_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    *,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    min_est_jaccard: float = 0.9,
+    max_bucket_size: int | None = 200_000,
+    run_id: str,
+) -> DataFrame:
+    """The daily NEAR-dup step on the bucketed layout, symmetric with
+    ``incremental_dedup_run_bucketed``: catalog read (bucket spec
+    intact → manifest never shuffles) → probe → EAGER checkpoint of the
+    survivors (the snapshot-pinning mechanism; loud lost-block failure,
+    never a silent self-probe) → append the survivors' banded
+    signatures INTO the buckets → return the surviving ids."""
+    if not spark.catalog.tableExists(table):
+        build_neardup_manifest_bucketed(
+            new_docs.limit(0),
+            table=table,
+            path=path,
+            buckets=buckets,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            shingle_mode=shingle_mode,
+            run_id=run_id,
+        )
+    manifest = read_neardup_manifest_bucketed(
+        spark, table, num_hashes=num_hashes
+    )
+    probe, survivors = _neardup_probe_and_survivors(
+        new_docs,
+        manifest,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket_size=max_bucket_size,
+    )
+    survivors = survivors.localCheckpoint(eager=True)
+    # Appended rows come from the checkpointed probe, exactly as in the
+    # plain-parquet run (same single-evaluation argument); the write
+    # lands them in their (band, bucket) buckets so the layout survives
+    # every append.
+    new_rows = probe.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    ).withColumn("first_seen_run", F.lit(run_id).cast("string"))
+    (
+        new_rows.write.bucketBy(buckets, *NEARDUP_BUCKET_COLS)
+        .sortBy(*NEARDUP_BUCKET_COLS)
+        .mode("append")
+        .saveAsTable(table)
+    )
     return survivors

@@ -898,3 +898,49 @@ def embedding_centroids(
             F.col("sum_scaled").cast("double") / F.col("n") / F.lit(float(2**scale_bits)),
         )
     )
+
+
+def recall_sweep(
+    exact: DataFrame, methods: dict[str, DataFrame]
+) -> DataFrame:
+    """Measured recall@k of approximate top-k methods against the exact
+    result, emitted AS A DATAFRAME — the `threshold_sweep` pattern
+    applied to ANN (VERDICT r8 #8): instead of a one-time unit-test
+    assertion, every correctness run re-measures each method's recall,
+    so the LSH/IVF/PQ recall claims in the gate docstrings stay
+    per-round evidence.
+
+    Inputs are (query_id, neighbor_id) frames: ``exact`` is the
+    brute-force top-k ground truth; each ``methods[name]`` is one
+    approximate method's top-k at its production gate parameters.
+
+    Plan: methods union into one tagged frame (|methods| x |queries| x k
+    rows — tiny); ONE equi-join against the exact set marks hits; ONE
+    aggregation per method; the ground-truth size joins on as a 1-row
+    broadcast. recall = hits / possible is a single fixed-order
+    division. The sweep's cost is dominated by building the method
+    frames themselves, not this comparison."""
+    tagged = None
+    for name, df in methods.items():
+        t = df.select(
+            F.lit(name).alias("method"),
+            F.col("query_id"),
+            F.col("neighbor_id"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    ex = exact.select("query_id", "neighbor_id")
+    possible = ex.agg(F.count(F.lit(1)).cast("long").alias("possible"))
+    marked = tagged.join(
+        ex.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    per_method = marked.groupBy("method").agg(
+        F.count(F.lit(1)).cast("long").alias("returned"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("hits"),
+    )
+    return per_method.join(F.broadcast(possible)).select(
+        "method",
+        "returned",
+        "hits",
+        "possible",
+        (F.col("hits").cast("double") / F.col("possible")).alias("recall_at_k"),
+    )

@@ -1259,7 +1259,14 @@ def q_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     True)` into the curation plane. Both stages are individually
     oracle-gated (`html_text`, `text_quality`); this gate pins their
     COMPOSITION byte-for-byte (the oracle chains the same CTEs).
-    Map-only codegen end-to-end — zero shuffles."""
+    Map-only codegen end-to-end — zero shuffles.
+
+    One deliberate difference from `html_text`'s wrap: the comment is
+    single-line. The multiline-comment (?s) behavior is already pinned
+    by `html_text`; repeating the chr(10) here would put constructed
+    multiline text upstream of the oracle's string_split_regex — the
+    exact shape oracle-lint hazard family D bans (the newline IS
+    stripped before the split, but the ban is mechanical on purpose)."""
     from ..functions import html_to_text
 
     d = _t(spark, sf_dir, "documents")
@@ -1269,7 +1276,7 @@ def q_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(
             '</p>line<br>break'
             '<script type="text/javascript">if (1 < 2) { x = "<p>"; }</script>'
-            "<!-- draft\nnote --><p>&lt;escaped&gt; &quot;q&#039;</p></div>"
+            "<!-- draft note --><p>&lt;escaped&gt; &quot;q&#039;</p></div>"
         ),
     )
     clean = d.select("doc_id", html_to_text(html).alias("text"))
@@ -1289,7 +1296,7 @@ SQL_HTML_QUALITY = r"""
 WITH h AS (
     SELECT doc_id,
            '<div class="post"><h1>Title&nbsp;&amp;amp;</h1><p>' || text ||
-           '</p>line<br>break<script type="text/javascript">if (1 < 2) { x = "<p>"; }</script><!-- draft' || chr(10) || 'note --><p>&lt;escaped&gt; &quot;q&#039;</p></div>' AS html
+           '</p>line<br>break<script type="text/javascript">if (1 < 2) { x = "<p>"; }</script><!-- draft note --><p>&lt;escaped&gt; &quot;q&#039;</p></div>' AS html
     FROM documents
 ), s AS (
     SELECT doc_id,
@@ -1302,13 +1309,16 @@ WITH h AS (
              '(?i)</?[a-z][^>]*>', ' ', 'g') AS t
     FROM h
 ), c AS (
+    -- whitespace class as RE2 escapes, not chr() concatenation: this
+    -- oracle ALSO string_split_regex's downstream, and hazard family D
+    -- mechanically bans || chr(10) || anywhere upstream of a split
+    -- (SQL_TEXT_QUALITY's own convention; semantics identical)
     SELECT doc_id,
            trim(regexp_replace(
              replace(replace(replace(replace(replace(replace(
                t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#039;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-             '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || ']+',
-             ' ', 'g')) AS text
+             '[ \t\n\r\f\x0b]+', ' ', 'g')) AS text
     FROM s
 ), t AS (
     SELECT doc_id, text,
@@ -1403,7 +1413,9 @@ def q_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             run_id="prior",
         )
         prior = mf.read_manifest_bucketed(spark, table)
-        out = mf.manifest_dedup(d, prior).localCheckpoint(eager=True)
+        out = mf.manifest_dedup(
+            d, prior, batch_partitions=8
+        ).localCheckpoint(eager=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)
@@ -2700,6 +2712,57 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.ivfpq_topk(q, e, k=5, n_cells=16, n_probe=8, m=16, rerank=32)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality gate for the ANN family (VERDICT r8 #8): one
+    row per approximate method (lsh / ivf / pq / ivfpq, each at its
+    production gate parameters) with measured recall@5 against the
+    brute-force exact top-5 over a 20-query probe set — the
+    `threshold_sweep` pattern applied to ANN, so the recall numbers in
+    the individual gates' docstrings are re-MEASURED every correctness
+    run instead of asserted once in a unit test. Rows-only (k-means is
+    iterative; the exact baseline is the in-frame ground truth);
+    the quantitative evidence block in CORRECTNESS_local.json carries
+    the per-method recalls. The exact frame is checkpointed once — it
+    feeds all four method joins and the possible-count."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [],
+            "method string, returned long, hits long, possible long, "
+            "recall_at_k double",
+        )
+    k = 5
+    q = e.filter(F.col("vec_id") < 20)
+    exact = (
+        sim.cosine_topk(q, e, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    methods = {
+        # TWO LSH rows on purpose: the gate default (8 planes x 2
+        # tables) is tuned for corpora with similarity structure and
+        # sits near zero recall on the clusterless Gaussian fixture,
+        # while short-signature x many-table (4 planes x 8 tables, seed
+        # 42 — the configuration the committed test claims are made at)
+        # recovers it. Measuring both keeps the worst-case contrast in
+        # the per-round record instead of a docstring.
+        "lsh_gate": sim.lsh_topk(q, e, _lsh_planes(dim=dim), k=k),
+        "lsh_4x8": sim.lsh_topk(
+            q, e, _lsh_planes(num_tables=8, num_planes=4, dim=dim, seed=42), k=k
+        ),
+        "ivf": sim.ivf_topk(q, e, k=k, n_cells=16, n_probe=6, max_iter=5),
+        "pq": sim.pq_topk(q, e, k=k, m=16, n_codes=16, rerank=32),
+        "ivfpq": sim.ivfpq_topk(
+            q, e, k=k, n_cells=16, n_probe=8, m=16, rerank=32
+        ),
+    }
+    return sim.recall_sweep(
+        exact,
+        {n: df.select("query_id", "neighbor_id") for n, df in methods.items()},
     )
 
 
@@ -6936,6 +6999,7 @@ SPARK_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_recall_sweep": q_ann_recall_sweep,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "freq_items": q_freq_items,
     "embedding_neardup": q_embedding_neardup,
