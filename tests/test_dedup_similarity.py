@@ -734,3 +734,69 @@ def test_windowed_dedup_gap_rule_never_rekeeps_slow_drip(spark):
     out = windowed_dedup(df, epoch_col="ep", window_seconds=7)
     keepers = [r["doc_id"] for r in out.collect() if r["is_keeper"]]
     assert keepers == [0]
+
+
+class TestSemDeDup:
+    """SemDeDup (similarity.semdedup): within-cell greedy semantic
+    pruning — planted dup resolution, the farthest-from-centroid keeper
+    rule, and the loud cell-size cap."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        # two tight semantic families far apart + one isolated vector;
+        # family members are scaled/jittered copies (cosine ~1 inside,
+        # ~0 across)
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),     # dup of 1
+            (3, [1.01, -0.01, 0.0, 0.0]),     # dup of 1
+            (10, [0.0, 0.0, 1.0, 0.0]),
+            (11, [0.0, 0.01, 0.998, 0.0]),    # dup of 10
+            (20, [0.0, 0.0, 0.0, 1.0]),       # isolated
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_one_survivor_per_semantic_family(self, vecs):
+        out = sim.semdedup(
+            vecs, n_cells=3, threshold=0.95, fit_sample=10, seed=3
+        ).collect()
+        kept = {r["vec_id"] for r in out if r["keep"]}
+        assert len(kept & {1, 2, 3}) == 1
+        assert len(kept & {10, 11}) == 1
+        assert 20 in kept
+        # dropped rows carry the similarity that killed them
+        for r in out:
+            if not r["keep"]:
+                assert r["max_kept_sim"] is not None and r["max_kept_sim"] >= 0.95
+            else:
+                assert r["max_kept_sim"] is None
+
+    def test_deterministic_across_runs(self, vecs):
+        a = sorted(map(tuple, sim.semdedup(
+            vecs, n_cells=3, threshold=0.95, fit_sample=10, seed=3
+        ).collect()))
+        b = sorted(map(tuple, sim.semdedup(
+            vecs, n_cells=3, threshold=0.95, fit_sample=10, seed=3
+        ).collect()))
+        assert a == b
+
+    def test_threshold_one_keeps_everything_but_exact_direction_dups(self, spark):
+        rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = sim.semdedup(vecs, n_cells=1, threshold=1.0, fit_sample=3, seed=1)
+        kept = {r["vec_id"] for r in out.collect() if r["keep"]}
+        # 1 and 2 are the SAME direction (cosine exactly 1.0): one survives
+        assert len(kept & {1, 2}) == 1 and 3 in kept
+
+    def test_cell_cap_raises_loudly(self, vecs):
+        with pytest.raises(Exception, match="max_cell_rows"):
+            sim.semdedup(
+                vecs, n_cells=1, threshold=0.9, fit_sample=10, seed=3,
+                max_cell_rows=2,
+            ).collect()
+
+    def test_bad_threshold_rejected(self, vecs):
+        with pytest.raises(ValueError, match="threshold"):
+            sim.semdedup(vecs, threshold=0.0)

@@ -31,6 +31,7 @@ from wordpress_sql_to_contentstack_exporter_spark.functions.portable import (
     portable_lower,
     sql_portable_lower,
 )
+from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
 from wordpress_sql_to_contentstack_exporter_spark.plans import registry as reg
 
 # ---------------------------------------------------------------------------
@@ -307,3 +308,102 @@ def test_upper_expansions_table_is_exhaustive(spark):
         # and the result matches Python's full (SpecialCasing) uppercase,
         # i.e. the semantics Java's toUpperCase implements
         assert got[i] == s.upper(), f"{s!r}: {got[i]!r} != {s.upper()!r}"
+
+
+class TestBM25:
+    """BM25 primitives (text.bm25_term_scores / bm25_topk): formula vs
+    hand computation, filtered-before-shuffle token flow, fixed-point
+    rank determinism."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "merge join merge sort"),
+            (2, "merge scan scan scan scan scan"),
+            (3, "join filter window"),
+            (4, "no relevant words here at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_term_scores_match_hand_bm25(self, corpus):
+        import math
+
+        rows = tx.bm25_term_scores(corpus, ["merge", "join"]).collect()
+        got = {(r["doc_id"], r["term"]): r for r in rows}
+        # corpus stats: N=4, dl = [4, 6, 3, 6], avgdl = 19/4
+        assert set(got) == {(1, "merge"), (1, "join"), (2, "merge"), (3, "join")}
+        n, avgdl = 4, 19 / 4
+        def ref(tf, dl, df):
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        r = got[(1, "merge")]
+        assert (r["tf"], r["dl"], r["df_t"], r["n_docs"]) == (2, 4, 2, 4)
+        assert abs(r["score_term"] - ref(2, 4, 2)) < 1e-12
+        r = got[(3, "join")]
+        assert (r["tf"], r["dl"], r["df_t"]) == (1, 3, 2)
+        assert abs(r["score_term"] - ref(1, 3, 2)) < 1e-12
+
+    def test_topk_ranking_and_tie_break(self, corpus):
+        out = tx.bm25_topk(corpus, [(1, ["merge", "join"])], k=3).collect()
+        ranked = sorted(out, key=lambda r: r["rank"])
+        # doc 1 matches both terms with high tf/short doc: rank 1
+        assert ranked[0]["doc_id"] == 1
+        assert [r["rank"] for r in ranked] == [1, 2, 3]
+        assert ranked[1]["score_scaled"] >= ranked[2]["score_scaled"]
+        # determinism: identical rerun
+        again = sorted(
+            tx.bm25_topk(corpus, [(1, ["merge", "join"])], k=3).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [(r["doc_id"], r["score_scaled"]) for r in again] == [
+            (r["doc_id"], r["score_scaled"]) for r in ranked
+        ]
+
+    def test_multi_query_batch_isolated(self, corpus):
+        out = tx.bm25_topk(
+            corpus, [(1, ["merge"]), (2, ["join"]), (3, ["absentterm"])], k=10
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+        assert set(by_q[1]) == {1, 2}
+        assert set(by_q[2]) == {1, 3}
+        assert 3 not in by_q  # no matches -> no rows, not an error
+
+    def test_guards(self, corpus):
+        with pytest.raises(ValueError, match="non-empty"):
+            tx.bm25_term_scores(corpus, [])
+        with pytest.raises(ValueError, match="distinct"):
+            tx.bm25_term_scores(corpus, ["a", "a"])
+        with pytest.raises(ValueError, match="queries"):
+            tx.bm25_topk(corpus, [])
+        with pytest.raises(ValueError, match="k >= 1"):
+            tx.bm25_topk(corpus, [(1, ["a"])], k=0)
+
+
+class TestExtractHrefs:
+    def test_all_three_forms_in_document_order(self, spark):
+        from wordpress_sql_to_contentstack_exporter_spark.functions import urls as U
+
+        html = (
+            '<p><a href="https://a.com/1">x</a>'
+            " <a class='k' href='http://b.org/2'>y</a>"
+            " <A HREF=https://c.net/3>z</A>"
+            ' <a name="no-href">skip</a>'
+            ' <area href="https://not-an-anchor.io/"><a href="">empty</a></p>'
+        )
+        d = spark.createDataFrame([(1, html)], "id long, html string")
+        got = d.select(U.extract_hrefs(F.col("html")).alias("h")).collect()[0]["h"]
+        assert got == [
+            "https://a.com/1",
+            "http://b.org/2",
+            "https://c.net/3",
+            "",
+        ]
+
+    def test_no_links_empty_array(self, spark):
+        from wordpress_sql_to_contentstack_exporter_spark.functions import urls as U
+
+        d = spark.createDataFrame([(1, "<p>plain</p>")], "id long, html string")
+        got = d.select(U.extract_hrefs(F.col("html")).alias("h")).collect()[0]["h"]
+        assert got == []

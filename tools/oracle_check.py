@@ -611,6 +611,204 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         ),
     }
 
+    # --- quality_classifier: the gate's training trajectory (iter,
+    # loss_q, correct, n — exact fixed-point longs) is recomputed by a
+    # SINGLE-NODE numpy reference implementing the same quantized
+    # full-batch GD. The only Spark-derived input is the token->bucket
+    # hash map (data, not logic); tokenization, normalization, the
+    # per-row sigmoid/loss, the per-(row,dim) fixed-point flooring and
+    # the weight updates are all independent. Because per-row
+    # quantization happens BEFORE any sum, distributed and single-node
+    # training are bit-identical — mismatch at ANY iteration fails.
+    import numpy as np
+
+    qc_rows = reg.SPARK_QUERIES["quality_classifier"](spark, sf_dir).collect()
+    lab_rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    QB = 1024
+    tok_docs = []
+    for r in lab_rows:
+        ws = portable_words(r["text"])
+        tok_docs.append((int(ws.count("merge") > ws.count("join")), ws))
+    vocab = sorted({t for _, ws in tok_docs for t in ws})
+    tok_bucket = {
+        t: r["b"]
+        for t, r in zip(
+            vocab,
+            spark.createDataFrame([(t,) for t in vocab], "t string").select(
+                F.pmod(F.xxhash64("t"), F.lit(QB)).alias("b")
+            ).collect(),
+        )
+    }
+    feat_docs = []
+    for y, ws in tok_docs:
+        cnt: dict[int, int] = {}
+        for t in ws:
+            bk = tok_bucket[t]
+            cnt[bk] = cnt.get(bk, 0) + 1
+        fs = np.array(sorted(cnt), dtype=np.int64)
+        # raw counts (l1_normalize=False — the gate's setting)
+        vs = np.array([float(cnt[f]) for f in fs], dtype=np.float64)
+        feat_docs.append((y, fs, vs))
+    qscale = float(1 << 28)
+    w_ref = np.zeros(QB + 1, dtype=np.float64)
+    ref_hist = []
+    for it in range(30):
+        acc = np.zeros(QB + 1, dtype=np.int64)
+        loss_q = 0
+        correct = 0
+        for y, fs, vs in feat_docs:
+            z = float(vs @ w_ref[fs] + w_ref[QB])
+            if z >= 0:
+                ez = np.exp(-z)
+                sig = 1.0 / (1.0 + ez)
+                loss = np.log1p(ez) + (1 - y) * z
+            else:
+                ez = np.exp(z)
+                sig = ez / (1.0 + ez)
+                loss = np.log1p(ez) - y * z
+            err = sig - float(y)
+            np.add.at(acc, fs, np.floor(err * vs * qscale).astype(np.int64))
+            acc[QB] += int(np.floor(err * qscale))
+            loss_q += int(np.floor(loss * qscale))
+            correct += int((sig >= 0.5) == bool(y))
+        n = len(feat_docs)
+        ref_hist.append((it, loss_q, correct, n))
+        w_ref -= (2.0 / (1.0 + 0.25 * it)) * (
+            acc.astype(np.float64) / qscale / n
+        )
+    got_hist = sorted(
+        (r["iter"], r["loss_q"], r["correct"], r["n"]) for r in qc_rows
+    )
+    qc_diverged = [
+        {"iter": g[0], "spark": list(g), "ref": list(e)}
+        for g, e in zip(got_hist, ref_hist)
+        if g != e
+    ]
+    final_acc = got_hist[-1][2] / max(got_hist[-1][3], 1) if got_hist else 0.0
+    ev["quality_classifier"] = {
+        "metric": "bit_exact_training_trajectory_vs_single_node",
+        "iters": len(got_hist),
+        "diverged_iters": qc_diverged[:3],
+        "trajectory_exact_match": not qc_diverged and len(got_hist) == 30,
+        "final_train_accuracy": round(final_acc, 4),
+    }
+
+    # --- dsir: exact independent recompute. The ONLY Spark-derived input
+    # the Python reference takes is the gram->bucket hash mapping (a
+    # tiny distinct-gram job — xxhash64 is engine-specific data here,
+    # not logic under test); tokenization, bigramming, Laplace counts,
+    # the log-ratio weights, fixed-point flooring, per-doc summation and
+    # the Gumbel-top-k resample are all recomputed in pure Python and
+    # must match the gate bit-for-bit on score_scaled.
+    import hashlib
+    import math
+
+    dsir_rows = reg.SPARK_QUERIES["dsir"](spark, sf_dir).collect()
+    doc_rows = docs.collect()
+    B = 4096
+    py_bigrams: dict[int, list[str]] = {}
+    all_grams: set[str] = set()
+    for r in doc_rows:
+        ws = portable_words(r["text"])
+        gs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        py_bigrams[r["doc_id"]] = gs
+        all_grams.update(gs)
+    gram_list = sorted(all_grams)
+    bucket_of = {
+        g: r["b"]
+        for g, r in zip(
+            gram_list,
+            spark.createDataFrame(
+                [(g,) for g in gram_list], "g string"
+            ).select(
+                F.pmod(F.xxhash64("g"), F.lit(B)).alias("b")
+            ).collect(),
+        )
+    }
+    ctb: dict[int, int] = {}
+    crb: dict[int, int] = {}
+    nt = nr = 0
+    for did, gs in py_bigrams.items():
+        for g in gs:
+            bk = bucket_of[g]
+            crb[bk] = crb.get(bk, 0) + 1
+            nr += 1
+            if did % 10 == 0:
+                ctb[bk] = ctb.get(bk, 0) + 1
+                nt += 1
+    wsc = {
+        bk: math.floor(
+            (
+                math.log((ctb.get(bk, 0) + 1) / (nt + B))
+                - math.log((crb[bk] + 1) / (nr + B))
+            )
+            * (1 << 20)
+        )
+        for bk in crb
+    }
+    py_scores = {
+        did: sum(wsc[bucket_of[g]] for g in gs)
+        for did, gs in py_bigrams.items()
+    }
+    score_mismatch = [
+        r["doc_id"]
+        for r in dsir_rows
+        if py_scores.get(r["doc_id"], 0) != r["score_scaled"]
+    ]
+
+    def gumbel_key(did: int, score: float) -> float:
+        h = hashlib.md5(f"dsir:42:{did}".encode()).hexdigest()[:15]
+        u = (float(int(h, 16)) + 1.0) / float(16**15)
+        return score - math.log(-math.log(u))
+
+    py_sel = {
+        did
+        for _, did in sorted(
+            (
+                (-gumbel_key(r["doc_id"], r["score"]), r["doc_id"])
+                for r in dsir_rows
+            )
+        )[:50]
+    }
+    spark_sel = {r["doc_id"] for r in dsir_rows if r["selected"]}
+    ev["dsir"] = {
+        "metric": "exact_fixed_point_scores_and_resample_agreement",
+        "docs": len(dsir_rows),
+        "score_scaled_mismatches": score_mismatch[:10],
+        "scores_exact_match": not score_mismatch,
+        "resample_agreement": round(
+            len(py_sel & spark_sel) / max(len(spark_sel), 1), 4
+        ),
+    }
+
+    # --- semdedup: the gate runs the corpus + a jittered copy of every
+    # vector (cosine-to-original ≈ 0.9998 >> the 0.9 gate threshold), so
+    # every (id, id+1M) pair is a planted semantic dup: drop-recall is
+    # the fraction of pairs resolved to a single survivor, and
+    # distinct-content survival checks no pair lost BOTH members.
+    sd = reg.SPARK_QUERIES["semdedup"](spark, sf_dir).collect()
+    sd_kept = {r["vec_id"] for r in sd if r["keep"]}
+    sd_orig = sorted(r["vec_id"] for r in sd if r["vec_id"] < 1_000_000)
+    sd_resolved = sum(
+        1
+        for i in sd_orig
+        if (i in sd_kept) != ((i + 1_000_000) in sd_kept)
+    )
+    sd_alive = sum(
+        1
+        for i in sd_orig
+        if (i in sd_kept) or ((i + 1_000_000) in sd_kept)
+    )
+    ev["semdedup"] = {
+        "metric": "planted_pair_resolution_and_content_survival",
+        "planted_pairs": len(sd_orig),
+        "pair_resolution_rate": round(sd_resolved / max(len(sd_orig), 1), 4),
+        "content_survival_rate": round(sd_alive / max(len(sd_orig), 1), 4),
+        "survivors": len(sd_kept),
+    }
+
     return ev
 
 

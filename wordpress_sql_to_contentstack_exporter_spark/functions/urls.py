@@ -145,3 +145,35 @@ def url_normalize(url: Column) -> Column:
     return F.when((scheme == "") | (host == ""), F.lit("")).otherwise(
         F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
     )
+
+
+def extract_hrefs(html: Column) -> Column:
+    """All ``href`` attribute values of ``<a>`` tags in an HTML column,
+    in document order — the link-extraction step between an HTML corpus
+    and the URL/graph planes (per-domain outlink caps, link-graph
+    PageRank, anchor-based crawl frontiers).
+
+    One ``regexp_extract_all`` — map-only codegen, no UDF. The pattern
+    stays in the Java/RE2-common subset (no lookaround/backrefs): an
+    ``<a`` tag boundary, any attributes, then ``href`` = a
+    double-quoted, single-quoted, or unquoted value (the three forms
+    HTML allows). Matching is case-insensitive via ``(?i)``; values
+    come back verbatim (no entity decode — feed through
+    ``url_normalize`` next, the composed gate does exactly that).
+    Quoted forms capture in groups 1/2, unquoted in 3; every overall
+    match yields one entry in each group's extract_all (the
+    non-participating groups as ''), so a positional zip that coalesces
+    empties reassembles the href list in document order — an href is
+    never the empty string when present, so '' is unambiguous."""
+    pat = r"(?i)<a\s[^>]*href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
+    g1 = F.regexp_extract_all(html, F.lit(pat), 1)
+    g2 = F.regexp_extract_all(html, F.lit(pat), 2)
+    g3 = F.regexp_extract_all(html, F.lit(pat), 3)
+    # exactly one of the three groups is non-empty per match, and
+    # regexp_extract_all returns '' for a non-participating group, so a
+    # positional zip + coalesce-by-emptiness reassembles document order
+    return F.zip_with(
+        F.zip_with(g1, g2, lambda a, b: F.when(a != "", a).otherwise(b)),
+        g3,
+        lambda ab, c: F.when(ab != "", ab).otherwise(c),
+    )

@@ -432,3 +432,176 @@ def epoch_upsample(
     return exploded.select(
         *[F.col(c) for c in df.columns], F.col("__i").cast("long").alias("copy_idx")
     )
+
+
+def _hashed_bigram_buckets(
+    df: DataFrame, *, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) pair per word bigram: the hashed n-gram featurizer
+    shared by the DSIR family. Tokenization is the engine-wide portable
+    rule (text.tokens); the bucket is ``pmod(xxhash64(bigram), B)`` —
+    the fixed-size feature space that makes the model size independent
+    of vocabulary (the point of hashed features at 100 TB: the weight
+    table is B rows whatever the corpus holds). Map-only; docs with
+    < 2 tokens contribute no rows (callers left-join them back)."""
+    from ..functions.portable import portable_lower
+    from .text import tokens
+
+    toks = tokens(portable_lower(F.col(text_col)))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(bigrams).alias("__gram")
+    ).select(
+        id_col,
+        F.pmod(F.xxhash64(F.col("__gram")), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed-bigram
+    unigram models on the TARGET distribution (the data you want more
+    of) and on the RAW pool, then score every raw document by its
+    log-likelihood ratio  score(x) = Σ_grams [ ln p̂_target(b) −
+    ln p̂_raw(b) ]  with Laplace-smoothed bucket probabilities
+    p̂(b) = (count_b + 1) / (N + B). High scores mark documents that
+    look like the target; resampling ∝ exp(score) (see
+    :func:`dsir_resample`) is the paper's selection step.
+
+    Determinism contract (lint family G): a per-doc SUM of raw doubles
+    is combine-order-dependent, so each bucket weight is floored to a
+    long at ``2**scale_bits`` fixed-point first — integer summation is
+    exact and associative, so ``score_scaled`` is bit-stable under any
+    partitioning/retry, and the derived double divides once in fixed
+    order (the embedding_centroids discipline). Quantization bias is
+    ≤ 2^-scale_bits per gram, deterministic.
+
+    Plan shape at 100 TB: two featurize passes (map-only explode) feed
+    two hash aggregations whose keys are B (~8k) integer buckets — the
+    shuffles carry at most B rows per mapper after partial combine; the
+    weight table (B rows) BROADCASTS to the per-doc scoring join, so
+    the only corpus-sized shuffle is the final groupBy(id). The model
+    never lives on the driver; no collect anywhere.
+
+    Output: one row per raw document — (id_col, n_grams long,
+    score_scaled long, score double); docs with < 2 tokens score 0.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets >= 2 required")
+    if not (1 <= scale_bits <= 30):
+        raise ValueError("scale_bits in [1, 30] required")
+    for reserved in ("bucket", "__gram", "n_grams", "score_scaled", "score"):
+        if reserved in raw.columns:
+            raise ValueError(
+                f"raw frame already has a column named {reserved!r} "
+                "(reserved internal/output name)"
+            )
+    rg = _hashed_bigram_buckets(
+        raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    tg = _hashed_bigram_buckets(
+        target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    ct = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    cr = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tg.agg(F.count(F.lit(1)).alias("nt"))
+    nr = rg.agg(F.count(F.lit(1)).alias("nr"))
+    b = float(n_buckets)
+    weights = (
+        ct.join(cr, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+        .join(F.broadcast(nt))
+        .join(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log((F.col("ct") + 1).cast("double") / (F.col("nt").cast("double") + b))
+                    - F.log((F.col("cr") + 1).cast("double") / (F.col("nr").cast("double") + b))
+                )
+                * F.lit(float(1 << scale_bits))
+            ).cast("long").alias("w_scaled"),
+        )
+    )
+    per_doc = (
+        rg.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w_scaled").alias("score_scaled"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("score_scaled"), F.lit(0)).cast("long").alias("score_scaled"),
+            (
+                F.coalesce(F.col("score_scaled"), F.lit(0)).cast("double")
+                / F.lit(float(1 << scale_bits))
+            ).alias("score"),
+        )
+    )
+
+
+def dsir_resample(
+    scores: DataFrame,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    seed: int = 42,
+) -> DataFrame:
+    """Importance resampling without replacement ∝ exp(score) via the
+    Gumbel-top-k trick: key = score + Gumbel(u) = score − ln(−ln u)
+    with the engine's md5-derived uniform (stable under retry, never
+    ``rand()``); the n largest keys are exactly a without-replacement
+    draw with probabilities ∝ exp(score) — the log-domain equivalent
+    of Efraimidis–Spirakis on weight exp(score), with no overflowing
+    ``exp`` anywhere. Same log-ulp boundary-tie caveat as
+    :func:`weighted_sample_wor` (documented there). Compiles to
+    TakeOrdered: per-partition heap + driver merge of n rows, no
+    global sort."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"dsir:{seed}:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    key = F.col(score_col).cast("double") - F.log(-F.log(u))
+    return (
+        scores.withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__gk")
+    )

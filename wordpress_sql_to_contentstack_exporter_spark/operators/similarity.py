@@ -944,3 +944,119 @@ def recall_sweep(
         "possible",
         (F.col("hits").cast("double") / F.col("possible")).alias("recall_at_k"),
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    fit_sample: int = 4096,
+    seed: int = 7,
+    max_iter: int = 10,
+    max_cell_rows: int = 500_000,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    cluster the embeddings, then within each cluster greedily drop any
+    vector whose cosine to an already-kept cluster member is >=
+    ``threshold``. Catches *meaning-level* duplicates (paraphrases,
+    re-encodes, template variants) that the lexical near-dup family
+    (MinHash/SimHash/setsim) cannot see.
+
+    Keeper order is the paper's: within a cluster, candidates are
+    visited FARTHEST-from-centroid first (the "low centroid-similarity
+    = keep the harder example" rule), ties broken by ascending id, so
+    the survivor set is deterministic given the fitted centers — and
+    the centers themselves come from the hash-ordered bounded fit
+    sample (`_fit_coarse_centers`), so the whole operator is
+    layout-independent and recompute-stable (lint family G).
+
+    Plan shape at 100 TB: centers fit on a bounded driver sample (the
+    FAISS coarse-quantizer argument, see `_fit_coarse_centers`);
+    assignment is ONE map-only Arrow pass; the only shuffle is the
+    groupBy(cell) exchange carrying (id, vector, dist) — |corpus| rows
+    hashed over n_cells keys. The within-cell greedy pass is an
+    `applyInPandas` whose cost is quadratic IN THE CELL, which is the
+    paper's own cost model: n_cells scales with corpus size so cells
+    stay bounded (they use 50k clusters for LAION). A cell exceeding
+    ``max_cell_rows`` raises loudly (the skew discipline of the
+    bucket-cap guards in dedup.py) instead of silently OOMing an
+    executor; the fix is a larger n_cells, and the error says so.
+
+    All-pairs-across-the-corpus is the rejected alternative; so is
+    per-pair Python (the greedy pass is one numpy matmul per
+    candidate block against the kept matrix).
+
+    Output: (id_col, cell int, keep boolean, max_kept_sim double —
+    cosine to the nearest already-kept member for dropped rows, NULL
+    for kept rows).
+    """
+    import pyspark.sql.types as T
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold in (0, 1] required")
+    centers = _fit_coarse_centers(
+        vectors, vec_col, n_cells,
+        seed=seed, max_iter=max_iter, fit_sample=fit_sample, id_col=id_col,
+    )
+    assigned = vectors.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+        cell_assign_pandas(vec_col, centers).alias("cell"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("keep", T.BooleanType(), False),
+            T.StructField("max_kept_sim", T.DoubleType(), True),
+        ]
+    )
+    thr = float(threshold)
+    cap = int(max_cell_rows)
+
+    def prune(key, pdf):
+        cell = int(key[0])
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"semdedup cell {cell} has {n} rows > max_cell_rows={cap}; "
+                "increase n_cells so cells stay bounded"
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 to everything
+        unit = mat / norms[:, None]
+        c = centers[cell]
+        cn = np.linalg.norm(c)
+        cen_sim = unit @ (c / cn) if cn > 0 else np.zeros(n)
+        # farthest-from-centroid first; ties by ascending id
+        order = np.lexsort((ids, cen_sim))
+        keep = np.zeros(n, dtype=bool)
+        best = np.full(n, np.nan)
+        kept_rows: list[int] = []
+        for i in order:
+            if kept_rows:
+                sims = unit[kept_rows] @ unit[i]
+                m = float(sims.max())
+            else:
+                m = -np.inf
+            if m >= thr:
+                best[i] = m
+            else:
+                keep[i] = True
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "cell": np.full(n, cell, dtype=np.int32),
+                "keep": keep,
+                "max_kept_sim": best,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune, out_schema)

@@ -1286,3 +1286,146 @@ def sentence_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(document, query-term) BM25 components for one query — the
+    ranked-retrieval primitive (Robertson/Spärck Jones probabilistic
+    model, the BM25 of Lucene/Elasticsearch):
+
+        idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+        score(t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Emitted UNsummed — one row per (doc, matching term) with the exact
+    integer sufficient statistics (tf, dl, df_t, n_docs) plus the
+    per-term float score, so there is NO cross-row float summation
+    anywhere (the determinism discipline; rankers sum in fixed-point —
+    see :func:`bm25_topk`).
+
+    Plan shape at 100 TB: the token stream is filtered to the query's
+    terms BEFORE the (doc, term) aggregation, so the corpus-sized
+    shuffle carries only matching-term rows (for typical queries,
+    orders of magnitude below token count); df/N/avgdl reduce to
+    |terms|-row and 1-row frames that BROADCAST back. One corpus scan.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+    toks = tokens(portable_lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl")
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    matches = base.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter(F.col("__toks"), lambda t: F.array_contains(term_arr, t))
+        ).alias("term"),
+    )
+    tf = matches.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = F.col("n_docs").cast("double")
+    dfd = F.col("df_t").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfd + 0.5) / (dfd + 0.5))
+    avgdl = F.col("sum_dl").cast("double") / n
+    tfd = F.col("tf").cast("double")
+    denom = tfd + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "dl",
+            "df_t",
+            "n_docs",
+            (idf * tfd * (k1 + 1.0) / denom).alias("score_term"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Top-k BM25 retrieval for a batch of queries: (query_id, rank,
+    doc_id, score_scaled, score). Per-(doc, term) scores are floored to
+    ``2**scale_bits`` fixed-point BEFORE the per-(query, doc) sum, so
+    both the total and the (score_scaled desc, doc_id asc) ranking are
+    exact-integer — bit-stable under any partitioning (the
+    embedding_centroids discipline applied to ranking; a raw float sum
+    would make ranks combine-order-dependent at ties).
+
+    The query batch rides a BROADCAST (query_id, term) frame — queries
+    are human-scale; the corpus never shuffles more than its
+    query-term-matching (doc, term) rows plus the final per-query
+    top-k window (row_number over |queries| partitions, each pruned to
+    k by the window's rank filter).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    if not all_terms:
+        raise ValueError("queries contain no terms")
+    per_term = bm25_term_scores(
+        docs, all_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
+    ).select(
+        id_col,
+        "term",
+        F.floor(F.col("score_term") * F.lit(float(1 << scale_bits)))
+        .cast("long")
+        .alias("sq"),
+    )
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in set(ts)],
+        "query_id long, term string",
+    )
+    summed = (
+        per_term.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("sq").alias("score_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col(id_col)
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            "score_scaled",
+            (
+                F.col("score_scaled").cast("double")
+                / F.lit(float(1 << scale_bits))
+            ).alias("score"),
+        )
+    )

@@ -6829,6 +6829,276 @@ DRIVER_SNAPSHOT_WINDOW = 50
 # single-green rotation precedent as the r8 rotation-outs). Everything
 # rotated out stays green in the committed full-registry local sweeps
 # at both scales.
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction (functions/urls.extract_hrefs → url_host):
+    the HTML plane feeding the URL/graph planes — per-host outlink
+    counts and distinct linking documents over synthesized markup
+    exercising all three href forms (double-quoted, single-quoted,
+    unquoted), case-insensitive tag matching, and the <area>/<a name=>
+    non-matches. Aggregation is host-keyed so document order is
+    irrelevant and the oracle reassembles the same multiset from the
+    three per-form group extractions. Map-only extraction; one
+    host-keyed aggregation."""
+    from ..functions import urls as U
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p>intro <a href="https://news.example.com/a/'), sid,
+        F.lit('">one</a> mid <a class=\'x\' href=\'http://blog.test.com/p'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("'>two</a> <A HREF=https://cdn.example.net/img"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.png>three</A> <a name="anchor">no href</a>'),
+        F.lit('<area href="https://ignored.example.org/x"> tail</p>'),
+    )
+    links = d.select(
+        "doc_id", F.explode(U.extract_hrefs(html)).alias("href")
+    ).filter(F.col("href") != "")
+    hosted = links.select(
+        "doc_id", portable_lower(U.url_host(F.col("href"))).alias("host")
+    ).filter(F.col("host") != "")
+    return (
+        hosted.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_HTML_LINKS = r"""
+WITH h AS (
+    SELECT doc_id,
+           '<p>intro <a href="https://news.example.com/a/' || doc_id ||
+           '">one</a> mid <a class=''x'' href=''http://blog.test.com/p' || (doc_id % 7) ||
+           '''>two</a> <A HREF=https://cdn.example.net/img' || (doc_id % 3) ||
+           '.png>three</A> <a name="anchor">no href</a>' ||
+           '<area href="https://ignored.example.org/x"> tail</p>' AS html
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"'']+))', 1) AS g1,
+           regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"'']+))', 2) AS g2,
+           regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"'']+))', 3) AS g3
+    FROM h
+), links AS (
+    SELECT doc_id, unnest(list_filter(g1, x -> x != '')) AS href FROM g
+    UNION ALL
+    SELECT doc_id, unnest(list_filter(g2, x -> x != '')) AS href FROM g
+    UNION ALL
+    SELECT doc_id, unnest(list_filter(g3, x -> x != '')) AS href FROM g
+), hosted AS (
+    SELECT doc_id,
+           translate(lower(translate(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1), 'İ', 'i')), 'ς', 'σ') AS host
+    FROM links
+)
+SELECT host, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM hosted WHERE host != ''
+GROUP BY host ORDER BY host
+"""
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) BM25 components (operators/text.bm25_term_scores)
+    for the fixed query {merge, join, column}: exact integer sufficient
+    statistics (tf, dl, df_t, n_docs) plus the per-term float score.
+    No cross-row float sums — every score is a per-row expression, and
+    the hash's 9-dp float canonicalization absorbs the ln() last-ulp
+    engine difference (the ewma precedent)."""
+    return tx.bm25_term_scores(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        ["merge", "join", "column"],
+    ).orderBy("doc_id", "term")
+
+
+SQL_BM25_SCORE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ts
+    FROM documents
+), base AS (
+    SELECT doc_id, len(ts) AS dl, ts FROM toks
+), totals AS (
+    SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM base
+), m AS (
+    SELECT doc_id, dl,
+           unnest(list_filter(ts, t -> t IN ('merge', 'join', 'column'))) AS term
+    FROM base
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+    FROM m GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df_t FROM tf GROUP BY term
+)
+SELECT tf.doc_id, tf.term, tf.tf, tf.dl, dfreq.df_t, totals.n_docs,
+       ln(1.0 + (totals.n_docs::DOUBLE - dfreq.df_t::DOUBLE + 0.5) / (dfreq.df_t::DOUBLE + 0.5))
+         * tf.tf::DOUBLE * 2.2
+         / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl::DOUBLE / (totals.sum_dl::DOUBLE / totals.n_docs::DOUBLE)))
+         AS score_term
+FROM tf JOIN dfreq USING (term) CROSS JOIN totals
+ORDER BY doc_id, term
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked BM25 retrieval (operators/text.bm25_topk) for a 3-query
+    batch: per-(doc, term) scores floor to 2^20 fixed-point BEFORE the
+    per-(query, doc) sum, so totals and (score_scaled desc, doc_id)
+    ranks are exact integers — combine-order-independent AND
+    cross-engine-oracleable (the one residual hazard is a score landing
+    within one ln-ulp of an integer at the floor, the documented
+    weighted_sample log-ulp class; never observed)."""
+    return tx.bm25_topk(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        [(1, ["merge", "join"]), (2, ["column", "merge"]), (3, ["window", "value"])],
+        k=10,
+    ).orderBy("query_id", "rank")
+
+
+SQL_BM25_TOPK = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+'), x -> x != '') AS ts
+    FROM documents
+), base AS (
+    SELECT doc_id, len(ts) AS dl, ts FROM toks
+), totals AS (
+    SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM base
+), m AS (
+    SELECT doc_id, dl,
+           unnest(list_filter(ts, t -> t IN ('merge', 'join', 'column', 'window', 'value'))) AS term
+    FROM base
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+    FROM m GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df_t FROM tf GROUP BY term
+), per_term AS (
+    SELECT tf.doc_id, tf.term,
+           floor(
+             ln(1.0 + (totals.n_docs::DOUBLE - dfreq.df_t::DOUBLE + 0.5) / (dfreq.df_t::DOUBLE + 0.5))
+               * tf.tf::DOUBLE * 2.2
+               / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl::DOUBLE / (totals.sum_dl::DOUBLE / totals.n_docs::DOUBLE)))
+               * 1048576.0
+           )::BIGINT AS sq
+    FROM tf JOIN dfreq USING (term) CROSS JOIN totals
+), qterms AS (
+    SELECT * FROM (VALUES
+        (1, 'merge'), (1, 'join'),
+        (2, 'column'), (2, 'merge'),
+        (3, 'window'), (3, 'value')
+    ) AS q(query_id, term)
+), summed AS (
+    SELECT q.query_id, p.doc_id, sum(p.sq)::BIGINT AS score_scaled
+    FROM per_term p JOIN qterms q USING (term)
+    GROUP BY q.query_id, p.doc_id
+), ranked AS (
+    SELECT query_id, doc_id, score_scaled,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+    FROM summed
+)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id, score_scaled,
+       score_scaled::DOUBLE / 1048576.0 AS score
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality/language filter (operators/classify — the
+    CCNet/GPT-3 linear-classifier curation stage): hashed-BoW logistic
+    regression trained distributedly on a text-derived target —
+    label = count('merge') > count('join'), a rule the model must
+    express through two hashed-feature weights (the fixture's `lang`
+    column is NOT text-learnable: the synthetic corpus shares one
+    vocabulary across languages, measured majority-class-only under
+    every hyperparameter) — returning the full training trajectory
+    (iter, loss_q, correct, n) as exact fixed-point longs, bit-stable
+    under any partitioning. Raw-count features + harmonic lr decay
+    (see classify.py measurements: normalized features oscillate and
+    never pass 0.75 here; these settings reach 0.99/0.82 train
+    accuracy at sf0.01/sf0.1 vs 0.62 majority). Rows-only at the
+    driver gate (xxhash64 features); the evidence block recomputes the
+    ENTIRE training bit-for-bit on a single-node numpy reference
+    (CORRECTNESS_local.json `quality_classifier`). Like the other
+    model-fitting gates (ann_ivf_topk, bpe_tokenize, semdedup), the
+    fit runs at build time; the returned frame is the trajectory."""
+    from ..operators import classify as clf
+
+    toks = tx.tokens(portable_lower(F.col("text")))
+    n_of = lambda word: F.size(F.filter(toks, lambda t: t == word))  # noqa: E731
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (n_of("merge") > n_of("join")).cast("int").alias("label"),
+    )
+    _, history = clf.train_logreg(
+        d, n_features=1024, iters=30, lr=2.0, lr_decay=0.25,
+        l1_normalize=False, scale_bits=28,
+    )
+    return history.orderBy("iter")
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.dsir_importance +
+    dsir_resample — Xie et al. 2023): hashed-bigram importance scores
+    of every document against a deterministic target slice
+    (doc_id % 10 == 0 — "the distribution we want more of"), plus the
+    Gumbel-top-50 importance resample flag. Rows-only at the driver
+    gate (xxhash64 feature buckets are not DuckDB-reproducible);
+    exact-recompute evidence vs an independent pure-Python DSIR in
+    CORRECTNESS_local.json (`dsir` block). score_scaled is the
+    bit-stable fixed-point contract; score is its one-division derived
+    double."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    scores = sampling.dsir_importance(d, target, n_buckets=4096)
+    picked = sampling.dsir_resample(scores, n=50).select(
+        "doc_id", F.lit(True).alias("__sel")
+    )
+    return (
+        scores.join(picked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "score_scaled",
+            "score",
+            F.coalesce(F.col("__sel"), F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (operators/similarity.semdedup — SemDeDup, Abbas
+    et al. 2023) over embeddings plus perturbed copies (id+1_000_000,
+    per-dim multiplicative jitter, cosine-to-original ≈ 0.9998) so the
+    fixture exercises the drop path: k-means cells from a hash-ordered
+    fit sample, farthest-from-centroid-first greedy keep within each
+    cell at cosine >= 0.9. Rows-only at the driver gate (kmeans centers
+    are not SQL-reproducible); planted drop-recall and novel-survival
+    evidence in CORRECTNESS_local.json (`semdedup` block)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = _embedding_dim(sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, keep boolean, max_kept_sim double"
+        )
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: x * (1.0 + 0.02 * F.sin((i + F.col("vec_id")).cast("double"))),
+    )
+    perturbed = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), jitter.alias("embedding")
+    )
+    both = e.unionByName(perturbed)
+    return sim.semdedup(
+        both, n_cells=8, threshold=0.9, fit_sample=2048, seed=7
+    ).orderBy("vec_id")
+
+
 SPARK_QUERIES = {
     # --- window part (a): r8 additions, zero driver rows (r8 #1) ---
     "incremental_dedup": q_incremental_dedup,
@@ -6890,6 +7160,11 @@ SPARK_QUERIES = {
     # rotated out this round (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
+    # NEW in round 9 (oracle-backed, outside the pinned window — r10
+    # rotation candidates):
+    "html_links": q_html_links,
+    "bm25_score": q_bm25_score,
+    "bm25_topk": q_bm25_topk,
     "threshold_sweep": q_threshold_sweep,
     "domain_blocklist": q_domain_blocklist,
     "skew_diagnostics": q_skew_diagnostics,
@@ -7003,6 +7278,9 @@ SPARK_QUERIES = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "freq_items": q_freq_items,
     "embedding_neardup": q_embedding_neardup,
+    "semdedup": q_semdedup,
+    "dsir": q_dsir,
+    "quality_classifier": q_quality_classifier,
     "image_neardup": q_image_neardup,
     "audio_neardup": q_audio_neardup,
 }
@@ -7152,6 +7430,9 @@ ORACLE_SQL = {
     "ewma": SQL_EWMA,
     "max_concurrency": SQL_MAX_CONCURRENCY,
     "tfidf_pairs": SQL_TFIDF_PAIRS,
+    "html_links": SQL_HTML_LINKS,
+    "bm25_score": SQL_BM25_SCORE,
+    "bm25_topk": SQL_BM25_TOPK,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
