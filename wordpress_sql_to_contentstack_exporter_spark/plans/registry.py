@@ -6829,6 +6829,44 @@ DRIVER_SNAPSHOT_WINDOW = 50
 # single-green rotation precedent as the r8 rotation-outs). Everything
 # rotated out stays green in the committed full-registry local sweeps
 # at both scales.
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (tokens emitted per word — the
+    standard tokenizer-equity diagnostic: a tokenizer that fragments one
+    language 3x more than another taxes its context budget and training
+    compute): exact integer word / BPE-ish token / char sums per lang,
+    fertility as the ONE fixed-order division at the end. One scan, one
+    |langs|-row aggregation with map-side combine — the dataset_card
+    shape specialized to the tokenizer question."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count_ws(F.col("text"))).cast("long").alias("n_words"),
+            F.sum(tx.token_count_bpe(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')))::BIGINT AS n_words,
+       sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')))::BIGINT AS n_bpe_tokens,
+       sum(length(text))::BIGINT AS n_chars,
+       sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')))::DOUBLE
+         / sum(len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')))::DOUBLE AS fertility
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph extraction (functions/urls.extract_hrefs → url_host):
     the HTML plane feeding the URL/graph planes — per-host outlink
@@ -7162,6 +7200,7 @@ SPARK_QUERIES = {
     # confirmations are done):
     # NEW in round 9 (oracle-backed, outside the pinned window — r10
     # rotation candidates):
+    "tokenizer_fertility": q_tokenizer_fertility,
     "html_links": q_html_links,
     "bm25_score": q_bm25_score,
     "bm25_topk": q_bm25_topk,
@@ -7430,6 +7469,7 @@ ORACLE_SQL = {
     "ewma": SQL_EWMA,
     "max_concurrency": SQL_MAX_CONCURRENCY,
     "tfidf_pairs": SQL_TFIDF_PAIRS,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "html_links": SQL_HTML_LINKS,
     "bm25_score": SQL_BM25_SCORE,
     "bm25_topk": SQL_BM25_TOPK,
