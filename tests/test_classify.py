@@ -71,3 +71,36 @@ def test_parameter_guards(labeled):
         clf.featurize_hashed_bow(labeled, n_features=1)
     with pytest.raises(ValueError, match="weights length"):
         clf.predict_logreg(labeled, np.zeros(5), n_features=64)
+
+
+def test_predict_scores_a_stream(spark, tmp_path, labeled):
+    """Train on a batch, score a STREAM with the same weights — the
+    deployment shape of the quality filter (the model is a closure
+    constant, so predict_logreg is a stateless map and works unchanged
+    under Structured Streaming)."""
+    w, _ = clf.train_logreg(labeled, n_features=64, iters=15, lr=2.0)
+    src = tmp_path / "in"
+    src.mkdir()
+    labeled.select("doc_id", "text").write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    scored = clf.predict_logreg(stream, w, n_features=64)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("qc_stream_scores")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["prediction"]
+        for r in spark.sql("select * from qc_stream_scores").collect()
+    }
+    batch = {
+        r["doc_id"]: r["prediction"]
+        for r in clf.predict_logreg(
+            labeled.select("doc_id", "text"), w, n_features=64
+        ).collect()
+    }
+    assert got == batch and len(got) == 6

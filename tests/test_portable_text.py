@@ -268,6 +268,9 @@ TEXT_GATES = [
     "decontaminate",
     "pii_redact",
     "array_hof",
+    "tokenizer_fertility",
+    "bm25_score",
+    "bm25_topk",
 ]
 
 

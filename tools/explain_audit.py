@@ -749,6 +749,58 @@ def main() -> int:
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
     )
 
+    # bm25_topk (round 9): the query-term batch and df/totals frames must
+    # BROADCAST (a shuffled join of a 6-row frame would re-shuffle the
+    # corpus-side term rows), and no theta-join shape anywhere.
+    check(
+        "bm25_topk",
+        ("broadcast joins for terms/df/totals", r"BroadcastHashJoin"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("raw text never shuffles", r"\A(?s:(?!.*Exchange[^\n]*\btext\b).*)\Z"),
+    )
+    # dsir (round 9): the B-row weight table broadcasts back to the
+    # per-doc scoring join — the only corpus-keyed exchanges are the
+    # bucket-count aggregations and the final groupBy(doc).
+    check(
+        "dsir",
+        ("weights broadcast to scoring join", r"BroadcastHashJoin"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("raw text never shuffles", r"\A(?s:(?!.*Exchange[^\n]*\btext\b).*)\Z"),
+    )
+    # semdedup (round 9): ONE corpus exchange — the groupBy(cell) feeding
+    # the per-cell Arrow prune; assignment is map-only.
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as _sim
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import load_table as _lt
+
+    sd_plan = plan_of(
+        _sim.semdedup(
+            _lt(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            n_cells=4, threshold=0.9, fit_sample=256, seed=7,
+        )
+    )
+    n_ex_sd = len(re.findall(r"^\(\d+\) Exchange", sd_plan, re.M))
+    if n_ex_sd != 1:
+        failures.append(("semdedup", f"expected one exchange, got {n_ex_sd}"))
+        print(f"FAIL  semdedup: expected one exchange, got {n_ex_sd}")
+    else:
+        print("ok    semdedup: one groupBy(cell) exchange; assignment map-only")
+    # quality_classifier featurize (round 9): the per-doc hashed-BoW
+    # projection is MAP-ONLY — no exchange before the gradient pass's own
+    # per-dimension aggregation.
+    from wordpress_sql_to_contentstack_exporter_spark.operators import classify as _clf
+
+    fz_plan = plan_of(
+        _clf.featurize_hashed_bow(
+            _lt(spark, sf_dir, "documents").select("doc_id", "text"),
+            n_features=64,
+        )
+    )
+    check_plan(
+        "quality_classifier.featurize",
+        fz_plan,
+        ("map-only featurization (no exchange)", r"\A(?s:(?!.*Exchange).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

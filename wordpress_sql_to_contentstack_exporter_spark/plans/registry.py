@@ -6848,22 +6848,31 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "fertility",
-            F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"),
+            # NULL for an all-empty-text group: an unguarded 0/0 is the
+            # engine-version-sensitive construct class (DuckDB >= 1.1
+            # returns inf/nan where Spark non-ANSI returns NULL)
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+            ),
         )
         .orderBy("lang")
     )
 
 
 SQL_TOKENIZER_FERTILITY = r"""
-SELECT lang,
-       count(*) AS n_docs,
-       sum(len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')))::BIGINT AS n_words,
-       sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')))::BIGINT AS n_bpe_tokens,
-       sum(length(text))::BIGINT AS n_chars,
-       sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')))::DOUBLE
-         / sum(len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')))::DOUBLE AS fertility
-FROM documents
-GROUP BY lang ORDER BY lang
+WITH sums AS (
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')))::BIGINT AS n_words,
+           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')))::BIGINT AS n_bpe_tokens,
+           sum(length(text))::BIGINT AS n_chars
+    FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+       CASE WHEN n_words > 0 THEN n_bpe_tokens::DOUBLE / n_words::DOUBLE END AS fertility
+FROM sums ORDER BY lang
 """
 
 
