@@ -199,3 +199,59 @@ def test_ann_recall_sweep_shape_and_floors(spark):
         assert abs(r["recall_at_k"] - r["hits"] / r["possible"]) < 1e-12
     for m in ("lsh_4x8", "ivf", "pq", "ivfpq"):
         assert rows[m]["recall_at_k"] >= 0.3, (m, rows[m]["recall_at_k"])
+
+
+class TestAnnIndexPersistence:
+    """save_ann_index / load_ann_index: bit-exact round-trip and the
+    prefit-centers path producing identical retrieval."""
+
+    def test_round_trip_bit_exact(self, spark, tmp_path):
+        import numpy as np
+
+        from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+        rng = np.random.default_rng(3)
+        centers = rng.random((4, 8))
+        books = rng.random((2, 16, 4))
+        path = str(tmp_path / "idx")
+        sim.save_ann_index(spark, path, centers=centers, codebooks=books)
+        loaded = sim.load_ann_index(spark, path)
+        assert np.array_equal(loaded["centers"], centers)
+        assert np.array_equal(loaded["codebooks"], books)
+
+    def test_prefit_centers_reproduce_retrieval(self, spark, tmp_path):
+        import numpy as np
+
+        from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+        vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        if vecs.count() == 0:
+            return
+        queries = vecs.limit(5)
+        centers = sim._fit_coarse_centers(
+            vecs, "embedding", 4, seed=42, max_iter=10, fit_sample=512
+        )
+        path = str(tmp_path / "idx")
+        sim.save_ann_index(spark, path, centers=centers)
+        loaded = sim.load_ann_index(spark, path)["centers"]
+        a = sorted(map(tuple, sim.ivf_topk(
+            queries, vecs, k=3, n_cells=4, n_probe=2,
+        ).collect()))
+        b = sorted(map(tuple, sim.ivf_topk(
+            queries, vecs, k=3, n_cells=4, n_probe=2, centers=loaded,
+        ).collect()))
+        assert a == b
+
+    def test_guards(self, spark, tmp_path):
+        import numpy as np
+        import pytest
+
+        from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+        with pytest.raises(ValueError, match="nothing to save"):
+            sim.save_ann_index(spark, str(tmp_path / "x"))
+        vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with pytest.raises(ValueError, match="prefit centers"):
+            sim.ivf_topk(
+                vecs.limit(1), vecs, n_cells=4, centers=np.zeros((3, 8))
+            ).collect()

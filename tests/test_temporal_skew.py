@@ -455,3 +455,50 @@ def test_skew_diagnostics_top_n_deterministic(spark):
     df = spark.createDataFrame([(f"k{i:02d}",) for i in range(30)], "k string")
     out = [r["key"] for r in skew_diagnostics(df, "k", top=5).collect()]
     assert out == ["k00", "k01", "k02", "k03", "k04"]
+
+
+def test_gapfill_buckets_linear_interp(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import gapfill_buckets
+
+    # key A: observed at buckets 0 (sum 10) and 3 (sum 40): gaps at 1, 2
+    # interpolate to 20, 30. key B: single bucket -> no gaps, identity.
+    rows = [
+        ("A", T(2024, 1, 1, 0, 0, 30), 10.0),
+        ("A", T(2024, 1, 1, 0, 3, 10), 40.0),
+        ("B", T(2024, 1, 1, 0, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = gapfill_buckets(
+        df, keys=["k"], ts_col="ts", bucket_seconds=60,
+        aggs={"s": F.sum("value")},
+        interp_cols=["s"],
+    ).collect()
+    base = 1704067200
+    a = {r["bucket_epoch"]: r for r in out if r["k"] == "A"}
+    assert a[base]["s_interp"] == 10.0       # observed: identity
+    assert a[base + 60]["s_interp"] == 20.0  # 10 + (40-10) * 1/3
+    assert a[base + 120]["s_interp"] == 30.0
+    assert a[base + 180]["s_interp"] == 40.0
+    b = [r for r in out if r["k"] == "B"]
+    assert len(b) == 1 and b[0]["s_interp"] == 7.0
+
+
+def test_gapfill_interp_guards(spark):
+    import pytest
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.temporal import gapfill_buckets
+
+    df = spark.createDataFrame(
+        [("A", T(2024, 1, 1), 1.0)], "k string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="not in aggs"):
+        gapfill_buckets(
+            df, keys=["k"], ts_col="ts", bucket_seconds=60,
+            aggs={"s": F.sum("value")}, interp_cols=["missing"],
+        )
+    with pytest.raises(ValueError, match="collision"):
+        gapfill_buckets(
+            df, keys=["k"], ts_col="ts", bucket_seconds=60,
+            aggs={"s": F.sum("value"), "s_interp": F.count(F.lit(1))},
+            interp_cols=["s"],
+        )

@@ -250,6 +250,7 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 10,
     fit_sample: int = 4096,
+    centers: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means cells + multi-probe.
 
@@ -264,10 +265,23 @@ def ivf_topk(
 
     The fitted centroids are driver-side (tiny); assignment and rerank
     are distributed.
+
+    Pass prefit ``centers`` (e.g. from :func:`load_ann_index`) to skip
+    the fit — the production shape: an index is trained once and reused
+    across query batches and sessions; refitting per query batch both
+    wastes the sample collect and silently changes the cell layout
+    between runs.
     """
-    centers = _fit_coarse_centers(
-        candidates, vec_col, n_cells, seed=seed, max_iter=max_iter, fit_sample=fit_sample
-    )
+    if centers is None:
+        centers = _fit_coarse_centers(
+            candidates, vec_col, n_cells, seed=seed, max_iter=max_iter, fit_sample=fit_sample
+        )
+    else:
+        centers = np.asarray(centers, dtype=np.float64)
+        if centers.ndim != 2 or len(centers) != n_cells:
+            raise ValueError(
+                f"prefit centers must be (n_cells={n_cells}, dim); got {centers.shape}"
+            )
     assigned = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -1060,3 +1074,83 @@ def semdedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(prune, out_schema)
+
+
+def save_ann_index(
+    spark,
+    path: str,
+    *,
+    centers: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> None:
+    """Persist a fitted ANN index (IVF coarse centers and/or PQ
+    codebooks) as ONE parquet table — the train-once/reuse-everywhere
+    shape of production vector search (FAISS writes index files; the
+    Spark-native equivalent is a tiny parquet any session can read).
+
+    Layout: (part string, i int, j int, vec array<double>) —
+    part='center' rows carry (cell_id, -1, centroid); part='book' rows
+    carry (subspace, code, sub-centroid). Doubles round-trip parquet
+    bit-exactly, so a loaded index reproduces assignments and
+    quantization decisions EXACTLY (asserted in tests) — re-fitting per
+    run, by contrast, silently reshapes cells whenever the corpus
+    sample changes. The table is index-metadata-scale (KBs), written
+    with a single partition."""
+    rows = []
+    if centers is not None:
+        c = np.asarray(centers, dtype=np.float64)
+        if c.ndim != 2:
+            raise ValueError(f"centers must be 2-D, got {c.shape}")
+        rows += [
+            ("center", int(i), -1, [float(x) for x in c[i]])
+            for i in range(len(c))
+        ]
+    if codebooks is not None:
+        b = np.asarray(codebooks, dtype=np.float64)
+        if b.ndim != 3:
+            raise ValueError(f"codebooks must be 3-D, got {b.shape}")
+        rows += [
+            ("book", int(s), int(k), [float(x) for x in b[s, k]])
+            for s in range(b.shape[0])
+            for k in range(b.shape[1])
+        ]
+    if not rows:
+        raise ValueError("nothing to save: pass centers and/or codebooks")
+    spark.createDataFrame(
+        rows, "part string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ann_index(spark, path: str) -> dict:
+    """Load :func:`save_ann_index` output. Returns
+    ``{"centers": (k, d) float64 or None,
+       "codebooks": (m, n_codes, d_sub) float64 or None}`` — pass
+    straight into ``ivf_topk(centers=...)`` / the PQ encoders. The read
+    is a driver-side collect of an index-metadata-scale table; row
+    order is pinned by explicit (part, i, j) sorting, never file
+    layout."""
+    rows = spark.read.parquet(path).collect()
+    centers_rows = sorted(
+        ((r["i"], r["vec"]) for r in rows if r["part"] == "center")
+    )
+    books_rows = sorted(
+        ((r["i"], r["j"], r["vec"]) for r in rows if r["part"] == "book")
+    )
+    out: dict = {"centers": None, "codebooks": None}
+    if centers_rows:
+        if [i for i, _ in centers_rows] != list(range(len(centers_rows))):
+            raise ValueError("corrupt index: center ids are not dense 0..k-1")
+        out["centers"] = np.array([v for _, v in centers_rows], dtype=np.float64)
+    if books_rows:
+        m = max(i for i, _, _ in books_rows) + 1
+        n_codes = max(j for _, j, _ in books_rows) + 1
+        if len(books_rows) != m * n_codes:
+            raise ValueError(
+                f"corrupt index: expected {m * n_codes} codebook rows, got {len(books_rows)}"
+            )
+        d_sub = len(books_rows[0][2])
+        b = np.empty((m, n_codes, d_sub), dtype=np.float64)
+        for i, j, v in books_rows:
+            b[i, j] = v
+        out["codebooks"] = b
+    return out

@@ -117,6 +117,7 @@ def gapfill_buckets(
     bucket_seconds: int,
     aggs: dict[str, Column],
     locf_cols: list[str] | None = None,
+    interp_cols: list[str] | None = None,
 ) -> DataFrame:
     """Regular time-bucket spine per key with gap rows present — the
     hypertable ``time_bucket_gapfill`` shape (TimescaleDB) Spark lacks.
@@ -127,7 +128,19 @@ def gapfill_buckets(
     JVM-side), gap buckets carrying NULL aggregates. Columns named in
     ``locf_cols`` (must be agg aliases) additionally get a
     ``<col>_locf`` last-observation-carried-forward variant via a
-    NULL-skipping window.
+    NULL-skipping window. Columns in ``interp_cols`` get a
+    ``<col>_interp`` LINEAR interpolation between the surrounding
+    non-null observations (TimescaleDB ``interpolate()``): observed
+    buckets keep their value; gap buckets get
+    ``prev + (next − prev) · (idx − prev_idx)/(next_idx − prev_idx)``;
+    buckets with no observation on one side stay NULL. The arithmetic
+    is one fixed-order expression over per-row values — no cross-row
+    float accumulation — so when the interpolated column is an exact
+    integer aggregate the result is bit-identical cross-engine (each
+    IEEE op is correctly rounded on identical operands; contrast the
+    engine-private interpolation inside quantile_cont, documented at
+    q_percentiles). The four NULL-skipping windows ride the same
+    (keys, idx) sort the LOCF window uses — no extra exchange.
 
     Scale shape: one shuffle to aggregate (partial agg map-side), after
     which everything operates on AGGREGATED rows — the spine is
@@ -137,6 +150,7 @@ def gapfill_buckets(
     (keys, bucket) partitioning AQE already produced.
     """
     locf_cols = list(locf_cols or [])
+    interp_cols = list(interp_cols or [])
     # Internal/output name collision guard (ADVICE r4): a caller whose
     # keys or agg aliases include the plan's internal columns (or the
     # bucket_epoch output, or a generated <col>_locf name) would get a
@@ -145,16 +159,22 @@ def gapfill_buckets(
     reserved = {"__idx", "__mn", "__mx", "bucket_epoch"}
     names = set(keys) | set(aggs)
     clashes = sorted(names & reserved)
-    locf_out = {f"{c}_locf" for c in locf_cols}
+    locf_out = {f"{c}_locf" for c in locf_cols} | {
+        f"{c}_interp" for c in interp_cols
+    }
     clashes += sorted(names & locf_out)
     if clashes:
         raise ValueError(
             f"gapfill_buckets: reserved/generated column name collision: {clashes} "
             f"(reserved: {sorted(reserved)}; generated: {sorted(locf_out)})"
         )
-    missing = [c for c in locf_cols if c not in aggs]
+    missing = [c for c in locf_cols if c not in aggs] + [
+        c for c in interp_cols if c not in aggs
+    ]
     if missing:
-        raise ValueError(f"gapfill_buckets: locf_cols not in aggs: {missing}")
+        raise ValueError(
+            f"gapfill_buckets: locf_cols/interp_cols not in aggs: {missing}"
+        )
     idx = F.floor(_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000)).cast("long")
     # NULL-timestamp rows cannot be bucketed; drop them explicitly (they
     # would otherwise form a NULL bucket that silently falls out of the
@@ -178,6 +198,33 @@ def gapfill_buckets(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = filled.withColumn(f"{c}_locf", F.last(F.col(c), ignorenulls=True).over(w))
+    for c in interp_cols:
+        wp = (
+            Window.partitionBy(*keys)
+            .orderBy("__idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = (
+            Window.partitionBy(*keys)
+            .orderBy("__idx")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        val = F.col(c).cast("double")
+        pv = F.last(val, ignorenulls=True).over(wp)
+        pi = F.last(
+            F.when(val.isNotNull(), F.col("__idx")), ignorenulls=True
+        ).over(wp)
+        nv = F.first(val, ignorenulls=True).over(wn)
+        ni = F.first(
+            F.when(val.isNotNull(), F.col("__idx")), ignorenulls=True
+        ).over(wn)
+        frac = (F.col("__idx") - pi).cast("double") / (ni - pi).cast("double")
+        filled = filled.withColumn(
+            f"{c}_interp",
+            F.when(val.isNotNull(), val).otherwise(
+                F.when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+            ),
+        )
     return filled.withColumn(
         "bucket_epoch", F.col("__idx") * F.lit(bucket_seconds).cast("long")
     ).drop("__idx")

@@ -6829,6 +6829,71 @@ DRIVER_SNAPSHOT_WINDOW = 50
 # single-green rotation precedent as the r8 rotation-outs). Everything
 # rotated out stays green in the committed full-registry local sweeps
 # at both scales.
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation
+    (operators/temporal.gapfill_buckets interp_cols — TimescaleDB
+    ``interpolate()`` parity): dense 30-minute spine per event_type,
+    gap buckets carry the line between the surrounding observed
+    integer-milli sums. The interpolation arithmetic is one fixed-order
+    expression over exact longs, so the doubles are bit-identical
+    cross-engine — the oracleable counterpart to the quantile_cont
+    hazard documented at q_percentiles."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v_milli", F.round(F.col("value") * 1000).cast("long")
+    )
+    out = gapfill_buckets(
+        e.select("event_type", "ts", "v_milli"),
+        keys=["event_type"],
+        ts_col="ts",
+        bucket_seconds=1800,
+        aggs={"sum_milli": F.sum("v_milli")},
+        interp_cols=["sum_milli"],
+    )
+    return out.select(
+        "event_type", "bucket_epoch", "sum_milli", "sum_milli_interp"
+    ).orderBy("event_type", "bucket_epoch")
+
+
+SQL_GAPFILL_INTERP = """
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 1800) AS BIGINT) AS idx,
+           sum(CAST(round(value * 1000) AS BIGINT))::BIGINT AS sum_milli
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, min(idx) AS mn, max(idx) AS mx FROM b GROUP BY 1
+), spine AS (
+    SELECT event_type, unnest(range(mn, mx + 1)) AS idx FROM bounds
+), j AS (
+    SELECT s.event_type, s.idx, b.sum_milli::DOUBLE AS v
+    FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.idx = b.idx
+), w AS (
+    SELECT event_type, idx, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pidx,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nidx
+    FROM j
+)
+SELECT event_type,
+       idx * 1800 AS bucket_epoch,
+       CAST(v AS BIGINT) AS sum_milli,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+              THEN pv + (nv - pv) * ((idx - pidx)::DOUBLE / (nidx - pidx)::DOUBLE)
+       END AS sum_milli_interp
+FROM w ORDER BY event_type, bucket_epoch
+"""
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (tokens emitted per word — the
     standard tokenizer-equity diagnostic: a tokenizer that fragments one
@@ -7209,6 +7274,7 @@ SPARK_QUERIES = {
     # confirmations are done):
     # NEW in round 9 (oracle-backed, outside the pinned window — r10
     # rotation candidates):
+    "gapfill_interp": q_gapfill_interp,
     "tokenizer_fertility": q_tokenizer_fertility,
     "html_links": q_html_links,
     "bm25_score": q_bm25_score,
@@ -7478,6 +7544,7 @@ ORACLE_SQL = {
     "ewma": SQL_EWMA,
     "max_concurrency": SQL_MAX_CONCURRENCY,
     "tfidf_pairs": SQL_TFIDF_PAIRS,
+    "gapfill_interp": SQL_GAPFILL_INTERP,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "html_links": SQL_HTML_LINKS,
     "bm25_score": SQL_BM25_SCORE,
