@@ -110,8 +110,16 @@ def main() -> int:
     #      bucket into one un-splittable partition.
     from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
 
+    # Ban raw text from every KEY exchange (hash/range partitioning and
+    # broadcast) — the algorithmic shuffles whose volume scales with the
+    # corpus. A leading ROUND-ROBIN exchange is exempt: that is
+    # spread_small_scan's input-layout fix, which only fires when a
+    # single-row-group fixture file under-parallelizes the map side and
+    # is a no-op on any real multi-file corpus (sources/catalog.py).
     no_text_in_exchange = (
-        r"\A(?s:(?!.*\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: \[[^\]]*text#).*)\Z"
+        r"\A(?s:(?!.*\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: "
+        r"\[[^\]]*text#[^\]]*\]\s*\nArguments: [^\n]*"
+        r"(?:hashpartitioning|rangepartitioning|SinglePartition|HashedRelation)).*)\Z"
     )
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.portable import PORTABLE_WS_PLUS, portable_lower
+from ..sources.catalog import spread_small_scan
 
 
 def normalize_text(text: Column) -> Column:
@@ -169,6 +170,12 @@ def minhash_signatures_df(
     per seed. ``shingle_mode='char'`` keeps string shingles (substrings
     can't be derived from token hashes).
     """
+    # Input spread (round 9): the signature/shingle pass is the
+    # expensive per-row map work of this operator; on an
+    # under-parallelized scan (single-row-group fixture file) it would
+    # otherwise run on ONE task. No-op on any multi-partition input —
+    # see sources/catalog.spread_small_scan.
+    df = spread_small_scan(df)
     if shingle_mode == "word":
         exploded = df.select(
             F.col(id_col).alias("id"),
@@ -457,6 +464,12 @@ def simhash_df(
     (1.84 s vs 1.82 s) — the per-row getbit work dominates, not the
     aggregation state, and the lane packing only obfuscates.
     """
+    # Input spread (round 9): the signature/shingle pass is the
+    # expensive per-row map work of this operator; on an
+    # under-parallelized scan (single-row-group fixture file) it would
+    # otherwise run on ONE task. No-op on any multi-partition input —
+    # see sources/catalog.spread_small_scan.
+    df = spread_small_scan(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
@@ -702,6 +715,12 @@ def paragraph_dedup(
 
     Output: (doc_id, n_paras, n_kept, text_dedup).
     """
+    # Input spread (round 9): the signature/shingle pass is the
+    # expensive per-row map work of this operator; on an
+    # under-parallelized scan (single-row-group fixture file) it would
+    # otherwise run on ONE task. No-op on any multi-partition input —
+    # see sources/catalog.spread_small_scan.
+    df = spread_small_scan(df)
     paras = (
         df.select(
             F.col(id_col).alias("id"),
@@ -892,6 +911,12 @@ def setsim_join(
     Output: (id_a, id_b, inter_size, union_size), exactly the pairs
     an exhaustive quadratic scan would emit.
     """
+    # Input spread (round 9): the signature/shingle pass is the
+    # expensive per-row map work of this operator; on an
+    # under-parallelized scan (single-row-group fixture file) it would
+    # otherwise run on ONE task. No-op on any multi-partition input —
+    # see sources/catalog.spread_small_scan.
+    df = spread_small_scan(df)
     if not (0 < tau_num <= tau_den):
         raise ValueError("need 0 < tau_num <= tau_den")
     toks = F.filter(

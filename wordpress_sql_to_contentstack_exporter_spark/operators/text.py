@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import PORTABLE_WS_PLUS, portable_lower
+from ..sources.catalog import spread_small_scan
 
 #: BPE-ish tokenizer regex: runs of alphanumerics OR single non-space symbols.
 #: Compatible between Java regex (Spark) and RE2 (DuckDB oracle).
@@ -1070,6 +1071,12 @@ def repeated_spans(
     (collisions aside, every string sharing a hash IS the span, so the
     exemplar recovery is exact).
     """
+    # Input spread (round 9): the signature/shingle pass is the
+    # expensive per-row map work of this operator; on an
+    # under-parallelized scan (single-row-group fixture file) it would
+    # otherwise run on ONE task. No-op on any multi-partition input —
+    # see sources/catalog.spread_small_scan.
+    df = spread_small_scan(df)
     exploded = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span)
     hashed = exploded.select("id", F.xxhash64("s").alias("h"))
     per_doc = hashed.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
@@ -1146,6 +1153,12 @@ def span_coverage(
     ``_anchored_spans`` with the detector, so the two stages cannot
     disagree on anchoring.
     """
+    # Input spread (round 9): the signature/shingle pass is the
+    # expensive per-row map work of this operator; on an
+    # under-parallelized scan (single-row-group fixture file) it would
+    # otherwise run on ONE task. No-op on any multi-partition input —
+    # see sources/catalog.spread_small_scan.
+    df = spread_small_scan(df)
     ex = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span).select(
         "id", F.xxhash64("s").alias("h")
     )

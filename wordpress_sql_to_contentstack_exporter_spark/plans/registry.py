@@ -5203,23 +5203,57 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     without it the corpus scan + tokenize + shingle + distinct pass
     runs three times (the triple-recompute class first fixed in
     ``setsim_join``; VERDICT r8 #5 measured this query at 9.5x DuckDB
-    where the family norm is 2-4x, entirely the re-derivation)."""
-    d = _t(spark, sf_dir, "documents")
-    grams = (
+    where the family norm is 2-4x, entirely the re-derivation).
+
+    Plan rework (round 9): the original shape — distinct (src, gk)
+    rows checkpointed, then a gk-keyed SELF-JOIN — re-shuffled the full
+    distinct-gram frame twice more, because a localCheckpoint's
+    ``Scan ExistingRDD`` reports UnknownPartitioning: the join cannot
+    see the exchange it sits on (measured 7.3 s at sf0.1, ratio stuck
+    at ~10x DuckDB across two rounds). The self-join is gone entirely:
+    ONE ``groupBy(gk).collect_set(src)`` aggregation (map-side partial
+    set union, so the exchange carries ~|distinct (gk, src)| rows —
+    the same volume the old distinct shuffled once) produces each
+    gram's source set, pair counts come from an IN-ARRAY combination
+    expansion (JVM transform/slice/flatten — fan-out |sources|² per
+    gram, as before), and per-source totals from exploding the same
+    sets. The checkpointed per-gram frame is |distinct grams| rows;
+    everything downstream shuffles only |sources|-scale aggregates.
+    Measured: 6.0 s → 2.1 s warm at sf0.1 (plan pin in
+    explain_audit)."""
+    from ..sources.catalog import spread_small_scan
+
+    # spread: the shingle pass is the wall here (measured 6.3 s of the
+    # 6.9 s total ran on ONE task off the single-row-group fixture file)
+    d = spread_small_scan(_t(spark, sf_dir, "documents"))
+    per_gram = (
         d.select(
             F.col("source").alias("src"),
             F.explode(dd.word_shingles(F.col("text"), 3)).alias("g"),
         )
         .select("src", F.xxhash64("g").alias("gk"))
-        .distinct()
+        .groupBy("gk")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
         .localCheckpoint(eager=False)
     )
-    totals = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("src").alias("src_a"), "gk")
-    b = grams.select(F.col("src").alias("src_b"), "gk")
+    totals = (
+        per_gram.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nsrc = F.size(F.col("srcs"))
+    combos = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, nsrc),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "gk")
-        .filter(F.col("src_a") < F.col("src_b"))
+        per_gram.select(F.explode(combos).alias("p"))
+        .select(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("overlap_grams"))
     )

@@ -214,6 +214,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(df_path)
 
 
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a frame ONLY when its scan yields fewer
+    partitions than the session's parallelism — the guard that keeps
+    expensive per-row map work (shingling, hashing, signature
+    generation) off a single core when the input is a small
+    single-row-group file.
+
+    Why this exists (round 9, measured): the fixture tables are one
+    parquet file with ONE row group each, and Spark's byte-range file
+    splitting cannot divide a single row group — so every pre-exchange
+    projection ran on one task no matter the core count. The dedup/
+    overlap family spends its wall time exactly there (source_overlap:
+    6.3 s single-task scan+shingle out of 6.9 s total at sf0.1).
+
+    Why it is scale-honest: the repartition fires only when
+    ``scan partitions < parallelism``. A production 100 TB corpus is
+    thousands of files/row groups — the scan already yields more
+    partitions than cores and this is a NO-OP; blindly repartitioning
+    there would be a harmful full-corpus shuffle of raw bytes. The
+    partition probe reads plan metadata, not data (no Spark job — the
+    registry's build-laziness contract holds).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 _EMBEDDING_DIM_CACHE: dict[tuple[str, str], int] = {}
 
 
