@@ -170,11 +170,14 @@ def minhash_signatures_df(
     per seed. ``shingle_mode='char'`` keeps string shingles (substrings
     can't be derived from token hashes).
     """
-    # Input spread (round 9): the signature/shingle pass is the
-    # expensive per-row map work of this operator; on an
-    # under-parallelized scan (single-row-group fixture file) it would
-    # otherwise run on ONE task. No-op on any multi-partition input —
-    # see sources/catalog.spread_small_scan.
+    # Input spread: this operator's per-row map work is heavy enough
+    # that parallelizing it beats the one-time text shuffle on an
+    # under-split input (A/B at sf0.1, warm medians — minhash gate
+    # 1.45->1.24 s, span_coverage 3.6->2.0 s). The same A/B showed the
+    # LIGHTER siblings (simhash bit-sums, setsim tokenize,
+    # paragraph split, span anchoring in repeated_spans) LOSE to the
+    # shuffle cost, so they deliberately do NOT spread. No-op on any
+    # multi-partition input — see sources/catalog.spread_small_scan.
     df = spread_small_scan(df)
     if shingle_mode == "word":
         exploded = df.select(
@@ -464,12 +467,6 @@ def simhash_df(
     (1.84 s vs 1.82 s) — the per-row getbit work dominates, not the
     aggregation state, and the lane packing only obfuscates.
     """
-    # Input spread (round 9): the signature/shingle pass is the
-    # expensive per-row map work of this operator; on an
-    # under-parallelized scan (single-row-group fixture file) it would
-    # otherwise run on ONE task. No-op on any multi-partition input —
-    # see sources/catalog.spread_small_scan.
-    df = spread_small_scan(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
@@ -715,12 +712,6 @@ def paragraph_dedup(
 
     Output: (doc_id, n_paras, n_kept, text_dedup).
     """
-    # Input spread (round 9): the signature/shingle pass is the
-    # expensive per-row map work of this operator; on an
-    # under-parallelized scan (single-row-group fixture file) it would
-    # otherwise run on ONE task. No-op on any multi-partition input —
-    # see sources/catalog.spread_small_scan.
-    df = spread_small_scan(df)
     paras = (
         df.select(
             F.col(id_col).alias("id"),
@@ -911,12 +902,6 @@ def setsim_join(
     Output: (id_a, id_b, inter_size, union_size), exactly the pairs
     an exhaustive quadratic scan would emit.
     """
-    # Input spread (round 9): the signature/shingle pass is the
-    # expensive per-row map work of this operator; on an
-    # under-parallelized scan (single-row-group fixture file) it would
-    # otherwise run on ONE task. No-op on any multi-partition input —
-    # see sources/catalog.spread_small_scan.
-    df = spread_small_scan(df)
     if not (0 < tau_num <= tau_den):
         raise ValueError("need 0 < tau_num <= tau_den")
     toks = F.filter(

@@ -1071,12 +1071,6 @@ def repeated_spans(
     (collisions aside, every string sharing a hash IS the span, so the
     exemplar recovery is exact).
     """
-    # Input spread (round 9): the signature/shingle pass is the
-    # expensive per-row map work of this operator; on an
-    # under-parallelized scan (single-row-group fixture file) it would
-    # otherwise run on ONE task. No-op on any multi-partition input —
-    # see sources/catalog.spread_small_scan.
-    df = spread_small_scan(df)
     exploded = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span)
     hashed = exploded.select("id", F.xxhash64("s").alias("h"))
     per_doc = hashed.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
@@ -1153,11 +1147,14 @@ def span_coverage(
     ``_anchored_spans`` with the detector, so the two stages cannot
     disagree on anchoring.
     """
-    # Input spread (round 9): the signature/shingle pass is the
-    # expensive per-row map work of this operator; on an
-    # under-parallelized scan (single-row-group fixture file) it would
-    # otherwise run on ONE task. No-op on any multi-partition input —
-    # see sources/catalog.spread_small_scan.
+    # Input spread: this operator's per-row map work is heavy enough
+    # that parallelizing it beats the one-time text shuffle on an
+    # under-split input (A/B at sf0.1, warm medians — minhash gate
+    # 1.45->1.24 s, span_coverage 3.6->2.0 s). The same A/B showed the
+    # LIGHTER siblings (simhash bit-sums, setsim tokenize,
+    # paragraph split, span anchoring in repeated_spans) LOSE to the
+    # shuffle cost, so they deliberately do NOT spread. No-op on any
+    # multi-partition input — see sources/catalog.spread_small_scan.
     df = spread_small_scan(df)
     ex = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span).select(
         "id", F.xxhash64("s").alias("h")
