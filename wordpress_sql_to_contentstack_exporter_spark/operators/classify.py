@@ -33,11 +33,14 @@ Design for 100 TB:
   failure is loud, and the bounded persist lifetime note in
   operators/text.py applies).
 
-Overflow bound: per-row quantized contributions are ≤ 2^scale_bits
-(|σ−y| ≤ 1, normalized features ≤ 1), so a long per-dimension sum is
-safe below 2^(63−scale_bits) rows per aggregation — 3.4e10 rows at the
-default scale_bits=28; raise ``scale_bits`` only with that bound in
-mind (the constructor enforces it cannot exceed 40).
+Overflow bound: per-row quantized contributions are ≤
+``max_row_value · 2^scale_bits`` (|σ−y| ≤ 1; max_row_value is 1 with
+L1-normalized features, the max per-doc term frequency with raw
+counts), so a long per-dimension sum is safe below
+``2^(63−scale_bits) / max_row_value`` rows per aggregation — 3.4e10
+rows at the normalized defaults, 3.4e8 with raw counts and 100-term
+docs; drop ``scale_bits`` on corpora beyond that (train_logreg's
+docstring repeats this at the parameter).
 
 Reference parity note: the reference exporter has no trainable stage —
 this module is part of the additive LLM-pipeline scope (driver brief),
