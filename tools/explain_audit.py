@@ -119,7 +119,7 @@ def main() -> int:
     no_text_in_exchange = (
         r"\A(?s:(?!.*\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: "
         r"\[[^\]]*text#[^\]]*\]\s*\nArguments: [^\n]*"
-        r"(?:hashpartitioning|rangepartitioning|SinglePartition|HashedRelation)).*)\Z"
+        r"(?:hashpartitioning|rangepartitioning|SinglePartition|HashedRelation|IdentityBroadcastMode)).*)\Z"
     )
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -764,7 +764,7 @@ def main() -> int:
         "bm25_topk",
         ("broadcast joins for terms/df/totals", r"BroadcastHashJoin"),
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
-        ("raw text never shuffles", r"\A(?s:(?!.*Exchange[^\n]*\btext\b).*)\Z"),
+        ("raw text never rides a key exchange", no_text_in_exchange),
     )
     # dsir (round 9): the B-row weight table broadcasts back to the
     # per-doc scoring join — the only corpus-keyed exchanges are the
@@ -773,7 +773,7 @@ def main() -> int:
         "dsir",
         ("weights broadcast to scoring join", r"BroadcastHashJoin"),
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
-        ("raw text never shuffles", r"\A(?s:(?!.*Exchange[^\n]*\btext\b).*)\Z"),
+        ("raw text never rides a key exchange", no_text_in_exchange),
     )
     # semdedup (round 9): ONE corpus exchange — the groupBy(cell) feeding
     # the per-cell Arrow prune; assignment is map-only.

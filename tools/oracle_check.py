@@ -752,11 +752,23 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         did: sum(wsc[bucket_of[g]] for g in gs)
         for did, gs in py_bigrams.items()
     }
+    # Exactness caveat (round-9 review): Spark's weights come from JVM
+    # Math.log, this reference's from CPython libm — both 1-ulp-correct
+    # but not specified identical, so a weight landing within one ulp
+    # of an integer at the floor can legitimately differ by 1. Each
+    # gram contributes one floored weight, so the PRINCIPLED bound is
+    # |py − spark| <= n_grams per doc; exact equality is reported (and
+    # has held on every run so far) while the bound is the hard claim —
+    # the weighted_sample_wor log-ulp discipline applied to evidence.
     score_mismatch = [
         r["doc_id"]
         for r in dsir_rows
         if py_scores.get(r["doc_id"], 0) != r["score_scaled"]
     ]
+    dsir_bound_ok = all(
+        abs(py_scores.get(r["doc_id"], 0) - r["score_scaled"]) <= r["n_grams"]
+        for r in dsir_rows
+    )
 
     def gumbel_key(did: int, score: float) -> float:
         h = hashlib.md5(f"dsir:42:{did}".encode()).hexdigest()[:15]
@@ -778,6 +790,7 @@ def quantitative_evidence(spark, sf_dir: str) -> dict[str, dict]:
         "docs": len(dsir_rows),
         "score_scaled_mismatches": score_mismatch[:10],
         "scores_exact_match": not score_mismatch,
+        "within_floor_ulp_bound": dsir_bound_ok,
         "resample_agreement": round(
             len(py_sel & spark_sel) / max(len(spark_sel), 1), 4
         ),

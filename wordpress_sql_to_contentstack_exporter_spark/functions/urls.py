@@ -153,27 +153,28 @@ def extract_hrefs(html: Column) -> Column:
     and the URL/graph planes (per-domain outlink caps, link-graph
     PageRank, anchor-based crawl frontiers).
 
-    One ``regexp_extract_all`` — map-only codegen, no UDF. The pattern
-    stays in the Java/RE2-common subset (no lookaround/backrefs): an
-    ``<a`` tag boundary, any attributes, then ``href`` = a
-    double-quoted, single-quoted, or unquoted value (the three forms
-    HTML allows). Matching is case-insensitive via ``(?i)``; values
-    come back verbatim (no entity decode — feed through
-    ``url_normalize`` next, the composed gate does exactly that).
-    Quoted forms capture in groups 1/2, unquoted in 3; every overall
-    match yields one entry in each group's extract_all (the
-    non-participating groups as ''), so a positional zip that coalesces
-    empties reassembles the href list in document order — an href is
-    never the empty string when present, so '' is unambiguous."""
-    pat = r"(?i)<a\s[^>]*href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
-    g1 = F.regexp_extract_all(html, F.lit(pat), 1)
-    g2 = F.regexp_extract_all(html, F.lit(pat), 2)
-    g3 = F.regexp_extract_all(html, F.lit(pat), 3)
-    # exactly one of the three groups is non-empty per match, and
-    # regexp_extract_all returns '' for a non-participating group, so a
-    # positional zip + coalesce-by-emptiness reassembles document order
-    return F.zip_with(
-        F.zip_with(g1, g2, lambda a, b: F.when(a != "", a).otherwise(b)),
-        g3,
-        lambda ab, c: F.when(ab != "", ab).otherwise(c),
+    ONE ``regexp_extract_all`` pass — map-only codegen, no UDF. The
+    pattern stays in the Java/RE2-common subset (no lookaround/
+    backrefs) and uses the EXPLICIT whitespace class ``[ \\t\\n\\r\\f]``
+    everywhere, never ``\\s``: Java's ``\\s`` matches U+000B where
+    RE2's does not — the engine-divergence class functions/portable.py
+    exists for, which a ``\\s`` here would smuggle back into an
+    oracle-compared chain (round-9 review). One capture group covers
+    all three HTML value forms (double-quoted, single-quoted,
+    unquoted); a JVM ``transform`` strips the quote pair afterwards.
+    Matching is case-insensitive via ``(?i)``; values come back
+    verbatim (no entity decode — feed through ``url_normalize`` next,
+    the composed gate does exactly that). An explicitly empty
+    ``href=\"\"`` yields '' — callers filter, as the gate does."""
+    pat = (
+        r"(?i)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*"
+        r"(\"[^\"]*\"|'[^']*'|[^ \t\n\r\f>\"']+)"
+    )
+    raw = F.regexp_extract_all(html, F.lit(pat), 1)
+    return F.transform(
+        raw,
+        lambda v: F.when(
+            v.startswith('"') | v.startswith("'"),
+            F.substr(v, F.lit(2), F.length(v) - 2),
+        ).otherwise(v),
     )

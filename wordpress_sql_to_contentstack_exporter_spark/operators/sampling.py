@@ -45,6 +45,23 @@ def _hex_threshold(p: float) -> str:
     return format(int(p * 0xFFFFFFFF), "08x")
 
 
+def _md5_uniform(prefix: str, key: Column) -> Column:
+    """Deterministic uniform in (0, 1] from md5(prefix || key): the
+    engine's replacement for ``rand()`` — stable under task retry and
+    reproducible by any engine (60 hex bits -> double). Shared by the
+    Efraimidis-Spirakis sampler and the Gumbel-top-k resampler so a fix
+    to the derivation (e.g. the open-interval +1 guard that keeps
+    log(u) finite) lands exactly once (round-9 review)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -180,20 +197,7 @@ def weighted_sample_wor(
     window; the global form compiles to TakeOrdered (per-partition heap,
     driver merges n rows) — no global sort of the corpus either way.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(f"wsample:{seed}:"), F.col(key_col).cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(16**15))
+    u = _md5_uniform(f"wsample:{seed}:", F.col(key_col))
     score = F.log(u) / F.col(weight_col).cast("double")
     out = df.filter(F.col(weight_col) > 0).withColumn("__es", score)
     if strata:
@@ -492,12 +496,15 @@ def dsir_importance(
     order (the embedding_centroids discipline). Quantization bias is
     ≤ 2^-scale_bits per gram, deterministic.
 
-    Plan shape at 100 TB: two featurize passes (map-only explode) feed
-    two hash aggregations whose keys are B (~8k) integer buckets — the
-    shuffles carry at most B rows per mapper after partial combine; the
-    weight table (B rows) BROADCASTS to the per-doc scoring join, so
-    the only corpus-sized shuffle is the final groupBy(id). The model
-    never lives on the driver; no collect anywhere.
+    Plan shape at 100 TB: the raw pool featurizes ONCE (map-only
+    explode, lazily checkpointed — its (id, bucket) rows feed both the
+    raw-model counts and the per-doc scoring join), the target once;
+    the two count aggregations shuffle at most B (~8k) integer rows
+    per mapper after partial combine, and the model totals derive from
+    those aggregates rather than re-scanning. The weight table (B
+    rows) BROADCASTS to the scoring join, so the only corpus-sized
+    shuffle is the final groupBy(id). The model never lives on the
+    driver; no collect anywhere.
 
     Output: one row per raw document — (id_col, n_grams long,
     score_scaled long, score double); docs with < 2 tokens score 0.
@@ -512,16 +519,26 @@ def dsir_importance(
                 f"raw frame already has a column named {reserved!r} "
                 "(reserved internal/output name)"
             )
+    # rg feeds BOTH the raw bucket counts and the per-doc scoring join —
+    # lazily checkpointed so the corpus tokenize+bigram pass runs once
+    # (round-9 review: the unreferenced form re-featurized the pool per
+    # consumer). tg has a single consumer. The model totals nt/nr are
+    # DERIVED from the tiny bucket aggregates (sum of ct / cr — 1-row
+    # aggs over <= B rows), never a second corpus scan.
     rg = _hashed_bigram_buckets(
         raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-    )
+    ).localCheckpoint(eager=False)
     tg = _hashed_bigram_buckets(
         target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
-    ct = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    cr = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    nt = tg.agg(F.count(F.lit(1)).alias("nt"))
-    nr = rg.agg(F.count(F.lit(1)).alias("nr"))
+    ct = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")).localCheckpoint(
+        eager=False
+    )
+    cr = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")).localCheckpoint(
+        eager=False
+    )
+    nt = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    nr = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
     b = float(n_buckets)
     weights = (
         ct.join(cr, "bucket", "full_outer")
@@ -584,20 +601,7 @@ def dsir_resample(
     :func:`weighted_sample_wor` (documented there). Compiles to
     TakeOrdered: per-partition heap + driver merge of n rows, no
     global sort."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(f"dsir:{seed}:"), F.col(id_col).cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(16**15))
+    u = _md5_uniform(f"dsir:{seed}:", F.col(id_col))
     key = F.col(score_col).cast("double") - F.log(-F.log(u))
     return (
         scores.withColumn("__gk", key)

@@ -1144,13 +1144,24 @@ def load_ann_index(spark, path: str) -> dict:
     if books_rows:
         m = max(i for i, _, _ in books_rows) + 1
         n_codes = max(j for _, j, _ in books_rows) + 1
-        if len(books_rows) != m * n_codes:
+        # validate the KEY SET, not just the count: one duplicated plus
+        # one missing (i, j) has the right count but would leave a cell
+        # uninitialized — corruption must be loud, never a garbage
+        # codebook (round-9 review)
+        keys = [(i, j) for i, j, _ in books_rows]
+        expected = [(i, j) for i in range(m) for j in range(n_codes)]
+        if keys != expected:
             raise ValueError(
-                f"corrupt index: expected {m * n_codes} codebook rows, got {len(books_rows)}"
+                "corrupt index: codebook (subspace, code) keys are not the "
+                f"dense {m}x{n_codes} grid (duplicates or gaps present)"
             )
         d_sub = len(books_rows[0][2])
         b = np.empty((m, n_codes, d_sub), dtype=np.float64)
         for i, j, v in books_rows:
+            if len(v) != d_sub:
+                raise ValueError(
+                    f"corrupt index: codebook vec width {len(v)} != {d_sub}"
+                )
             b[i, j] = v
         out["codebooks"] = b
     return out

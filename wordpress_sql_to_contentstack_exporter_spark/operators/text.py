@@ -1320,34 +1320,50 @@ def bm25_term_scores(
     anywhere (the determinism discipline; rankers sum in fixed-point —
     see :func:`bm25_topk`).
 
-    Plan shape at 100 TB: the token stream is filtered to the query's
-    terms BEFORE the (doc, term) aggregation, so the corpus-sized
-    shuffle carries only matching-term rows (for typical queries,
-    orders of magnitude below token count); df/N/avgdl reduce to
-    |terms|-row and 1-row frames that BROADCAST back. One corpus scan.
+    Plan shape at 100 TB: ONE corpus pass computes the per-doc
+    reduction (dl + per-query-term tf) entirely map-side — there is no
+    corpus-keyed shuffle at all; df/N/avgdl reduce to |terms|-row and
+    1-row frames that BROADCAST back, and the reduced frame (|docs|
+    compact rows) is lazily checkpointed so its three consumers don't
+    re-tokenize (the setsim_join materialization discipline — the
+    round-9 review caught this operator tokenizing the corpus three
+    times). The per-row cost is |terms| array scans, which is the
+    right trade for the interactive query sizes bm25_topk broadcasts;
+    a thousands-of-terms batch would flip to the explode + (doc, term)
+    aggregation shape instead.
     """
     if not terms:
         raise ValueError("terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct")
     toks = tokens(portable_lower(F.col(text_col)))
-    base = docs.select(
-        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl")
-    )
-    totals = base.agg(
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    # One corpus pass: the tokenize runs once and only the PER-DOC
+    # REDUCTION survives — (id, dl, per-term tf array). Token arrays
+    # never materialize beyond the projection; the checkpointed frame
+    # is |docs| compact rows feeding all three consumers (totals, tf,
+    # df) — the setsim_join materialization discipline (a re-derivation
+    # would tokenize the corpus once per consumer).
+    reduced = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.transform(
+            term_arr,
+            lambda q: F.size(F.filter(toks, lambda t: t == q)),
+        ).alias("__tfs"),
+    ).localCheckpoint(eager=False)
+    totals = reduced.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    matches = base.select(
-        id_col,
-        "dl",
-        F.explode(
-            F.filter(F.col("__toks"), lambda t: F.array_contains(term_arr, t))
-        ).alias("term"),
-    )
-    tf = matches.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    tf = (
+        reduced.select(
+            id_col,
+            "dl",
+            F.explode(F.arrays_zip(term_arr.alias("term"), F.col("__tfs").alias("tf"))).alias("z"),
+        )
+        .select(id_col, "dl", F.col("z.term").alias("term"), F.col("z.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n = F.col("n_docs").cast("double")

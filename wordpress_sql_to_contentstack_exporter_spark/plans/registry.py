@@ -7025,16 +7025,15 @@ WITH h AS (
     FROM documents
 ), g AS (
     SELECT doc_id,
-           regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"'']+))', 1) AS g1,
-           regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"'']+))', 2) AS g2,
-           regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"'']+))', 3) AS g3
+           regexp_extract_all(html, '(?i)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*("[^"]*"|''[^'']*''|[^ \t\n\r\f>"'']+)', 1) AS g1
     FROM h
 ), links AS (
-    SELECT doc_id, unnest(list_filter(g1, x -> x != '')) AS href FROM g
-    UNION ALL
-    SELECT doc_id, unnest(list_filter(g2, x -> x != '')) AS href FROM g
-    UNION ALL
-    SELECT doc_id, unnest(list_filter(g3, x -> x != '')) AS href FROM g
+    SELECT doc_id,
+           unnest(list_transform(g1, x -> CASE
+               WHEN substr(x, 1, 1) IN ('"', '''')
+                 THEN substr(x, 2, length(x) - 2)
+               ELSE x END)) AS href
+    FROM g
 ), hosted AS (
     SELECT doc_id,
            translate(lower(translate(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1), 'İ', 'i')), 'ς', 'σ') AS host
