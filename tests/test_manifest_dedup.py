@@ -420,3 +420,106 @@ def test_bucketed_neardup_probe_removes_manifest_exchanges(spark, tmp_path):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestSemdedupManifest:
+    """Incremental SEMANTIC dedup manifest: the daily SemDeDup loop —
+    cross-run drop of semantic dups, within-batch pruning, replay
+    idempotency, and the fixed-centers contract."""
+
+    @staticmethod
+    def _centers():
+        import numpy as np
+
+        # two well-separated cells in 4-d
+        return np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+
+    def test_daily_loop_drops_kept_semantics_keeps_novel(self, spark, tmp_path):
+        from wordpress_sql_to_contentstack_exporter_spark.operators import manifest as mf
+
+        path = str(tmp_path / "sem")
+        c = self._centers()
+        day1 = spark.createDataFrame(
+            [
+                (1, [1.0, 0.01, 0.0, 0.0]),
+                (2, [0.99, 0.0, 0.01, 0.0]),   # semantic dup of 1
+                (3, [0.0, 0.0, 1.0, 0.02]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        s1 = mf.incremental_semdedup_run(
+            spark, day1, path, centers=c, threshold=0.95, run_id="d1"
+        ).collect()
+        kept1 = sorted(r["vec_id"] for r in s1)
+        assert len(kept1) == 2 and 3 in kept1  # one of {1,2} + 3
+        day2 = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0, 0.005, 0.0]),   # dup of day-1 family {1,2}
+                (11, [0.0, 0.01, 0.99, 0.0]),   # dup of day-1 vec 3
+                (12, [0.5, 0.0, 0.86, 0.0]),    # novel direction
+                (13, [0.505, 0.0, 0.855, 0.0]), # within-batch dup of 12
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        s2 = mf.incremental_semdedup_run(
+            spark, day2, path, centers=c, threshold=0.95, run_id="d2"
+        ).collect()
+        kept2 = sorted(r["vec_id"] for r in s2)
+        assert 10 not in kept2 and 11 not in kept2  # cross-run dups die
+        assert len(set(kept2) & {12, 13}) == 1      # within-batch resolved
+        # manifest accumulated: 2 (day1) + 1 (day2)
+        m = mf.read_semdedup_manifest(spark, path).collect()
+        assert len(m) == 3
+        assert {r["first_seen_run"] for r in m} == {"d1", "d2"}
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from wordpress_sql_to_contentstack_exporter_spark.operators import manifest as mf
+
+        path = str(tmp_path / "sem")
+        c = self._centers()
+        batch = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        first = mf.incremental_semdedup_run(
+            spark, batch, path, centers=c, run_id="a"
+        ).count()
+        replay = mf.incremental_semdedup_run(
+            spark, batch, path, centers=c, run_id="b"
+        ).count()
+        assert first == 2 and replay == 0
+        assert mf.read_semdedup_manifest(spark, path).count() == 2
+
+    def test_zero_vector_never_drops_or_is_dropped(self, spark, tmp_path):
+        from wordpress_sql_to_contentstack_exporter_spark.operators import manifest as mf
+
+        path = str(tmp_path / "sem")
+        c = self._centers()
+        batch = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        s1 = mf.incremental_semdedup_run(
+            spark, batch, path, centers=c, run_id="a"
+        ).count()
+        assert s1 == 2  # zero vector survives (cosine 0 to everything)
+        again = spark.createDataFrame(
+            [(5, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        # a second zero vector also survives: dot(0,0)=0 < threshold
+        s2 = mf.incremental_semdedup_run(
+            spark, again, path, centers=c, run_id="b"
+        ).count()
+        assert s2 == 1
+
+    def test_prefit_center_shape_enforced(self, spark):
+        import numpy as np
+        import pytest
+
+        from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="prefit centers"):
+            sim.semdedup(vecs, n_cells=4, centers=np.zeros((2, 2))).collect()

@@ -738,3 +738,195 @@ def incremental_neardup_run_bucketed(
         .saveAsTable(table)
     )
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup manifest (round 9): the daily SemDeDup loop
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("unit", T.ArrayType(T.DoubleType()), False),
+        T.StructField("first_seen_run", T.StringType(), True),
+    ]
+)
+
+
+def _unit_vector(vec):
+    """L2-normalized copy as a Column expression (zero vectors stay
+    zero — cosine 0 to everything, the semdedup convention, so they can
+    never be dropped as a dup of anything)."""
+    from .similarity import _as_double, dot
+
+    v = _as_double(vec)
+    n = F.sqrt(dot(v, v))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def build_semdedup_manifest(
+    vectors: DataFrame,
+    *,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cell_rows: int = 500_000,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Bootstrap the semantic-dedup manifest: SemDeDup the initial
+    corpus under PREFIT ``centers`` (persist them with
+    ``similarity.save_ann_index`` — the cell layout is part of the
+    manifest's identity; see ``semdedup(centers=...)``) and emit one
+    manifest row per survivor: (vec_id, cell, unit vector). Unit
+    vectors are stored so the daily probe is a plain dot product —
+    ~8·dim bytes per kept row, text/payload never stored.
+    """
+    from . import similarity as sim
+
+    kept = sim.semdedup(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=len(centers),
+        threshold=threshold,
+        max_cell_rows=max_cell_rows,
+        centers=centers,
+    ).filter(F.col("keep"))
+    return (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), _unit_vector(F.col(vec_col)).alias("unit")
+        )
+        .join(kept.select(F.col(id_col).alias("vec_id"), "cell"), "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            "unit",
+            F.lit(run_id).cast("string").alias("first_seen_run"),
+        )
+    )
+
+
+def read_semdedup_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Load the semantic manifest, snapshot-pinned for the same
+    read-probe-append reason as ``read_manifest`` (a post-append
+    recompute must not probe the batch's own survivors)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        snapshot = spark.read.schema(SEMDEDUP_MANIFEST_SCHEMA).parquet(path)
+        files = snapshot.inputFiles()
+    except AnalysisException as e:
+        if _is_path_absent(e):
+            return spark.createDataFrame([], SEMDEDUP_MANIFEST_SCHEMA)
+        raise
+    if not files:
+        return spark.createDataFrame([], SEMDEDUP_MANIFEST_SCHEMA)
+    return spark.read.schema(SEMDEDUP_MANIFEST_SCHEMA).parquet(*files)
+
+
+def semdedup_manifest_dedup(
+    batch: DataFrame,
+    manifest: DataFrame,
+    *,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cell_rows: int = 500_000,
+) -> DataFrame:
+    """Batch rows that are NOT semantic duplicates of the kept corpus,
+    then SemDeDup'd within the batch — the daily loop that never
+    recomputes over the kept corpus (its unit vectors are read back,
+    not re-embedded or re-clustered):
+
+    1. assign batch cells under the SAME prefit centers (map-only) and
+       L2-normalize;
+    2. probe: ONE cell-keyed equi-join against the manifest, kill any
+       batch row whose dot product with a kept unit vector is >=
+       ``threshold`` (distinct batch-id semi-set, then anti-join);
+    3. within-batch pass: ``semdedup(centers=...)`` over the remaining
+       rows (a batch can contain its own semantic dups).
+
+    Cost model matches semdedup itself: the probe join fans out
+    |batch ∩ cell| x |kept ∩ cell| per cell — bounded by cell sizes,
+    never corpus-quadratic; the manifest side carries (cell, unit)
+    rows only. Output: manifest-schema rows for the batch's survivors
+    (append with :func:`append_semdedup_survivors`).
+    """
+    from . import similarity as sim
+
+    assigned = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        sim.cell_assign_pandas(vec_col, centers).alias("cell"),
+        _unit_vector(F.col(vec_col)).alias("unit"),
+    ).localCheckpoint(eager=False)
+    kept_side = manifest.select(
+        "cell", F.col("unit").alias("__kept_unit")
+    )
+    dup_ids = (
+        assigned.join(kept_side, "cell")
+        .filter(sim.dot(F.col("unit"), F.col("__kept_unit")) >= threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    remaining = assigned.join(dup_ids, "vec_id", "left_anti")
+    within = sim.semdedup(
+        remaining.select("vec_id", F.col(vec_col)),
+        id_col="vec_id",
+        vec_col=vec_col,
+        n_cells=len(centers),
+        threshold=threshold,
+        max_cell_rows=max_cell_rows,
+        centers=centers,
+    ).filter(F.col("keep"))
+    return remaining.join(within.select("vec_id"), "vec_id").select(
+        "vec_id", "cell", "unit", F.lit(None).cast("string").alias("first_seen_run")
+    )
+
+
+def append_semdedup_survivors(
+    survivors: DataFrame, path: str, *, run_id: str
+) -> None:
+    """Append the batch's surviving (vec_id, cell, unit) rows. Same
+    serial-runs contract as ``append_survivors`` (module docstring)."""
+    (
+        survivors.select(
+            "vec_id", "cell", "unit",
+            F.lit(run_id).cast("string").alias("first_seen_run"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def incremental_semdedup_run(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    *,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cell_rows: int = 500_000,
+    run_id: str = "run",
+) -> DataFrame:
+    """One daily semantic-dedup step: read (snapshot-pinned) -> probe +
+    within-batch prune -> append survivors -> return them. First run
+    against an absent path bootstraps (the whole batch is the probe's
+    trivial survivor set and seeds the manifest)."""
+    manifest = read_semdedup_manifest(spark, path)
+    survivors = semdedup_manifest_dedup(
+        batch,
+        manifest,
+        centers=centers,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_cell_rows=max_cell_rows,
+    ).localCheckpoint(eager=False)
+    append_semdedup_survivors(survivors, path, run_id=run_id)
+    return survivors

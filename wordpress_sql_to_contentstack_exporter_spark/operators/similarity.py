@@ -971,6 +971,7 @@ def semdedup(
     seed: int = 7,
     max_iter: int = 10,
     max_cell_rows: int = 500_000,
+    centers: np.ndarray | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
     cluster the embeddings, then within each cluster greedily drop any
@@ -1011,10 +1012,21 @@ def semdedup(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold in (0, 1] required")
-    centers = _fit_coarse_centers(
-        vectors, vec_col, n_cells,
-        seed=seed, max_iter=max_iter, fit_sample=fit_sample, id_col=id_col,
-    )
+    if centers is None:
+        centers = _fit_coarse_centers(
+            vectors, vec_col, n_cells,
+            seed=seed, max_iter=max_iter, fit_sample=fit_sample, id_col=id_col,
+        )
+    else:
+        # prefit centers (load_ann_index / the incremental manifest loop):
+        # the CELL LAYOUT is part of a manifest's identity — a refit
+        # would re-cluster tomorrow's corpus differently and silently
+        # split semantic families across cell boundaries
+        centers = np.asarray(centers, dtype=np.float64)
+        if centers.ndim != 2 or len(centers) != n_cells:
+            raise ValueError(
+                f"prefit centers must be (n_cells={n_cells}, dim); got {centers.shape}"
+            )
     assigned = vectors.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("__v"),
