@@ -16,33 +16,39 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-9 window contract (VERDICT r8 #1): (a) the five r8
-# additions that sat just past the r8 cut — the only oracle-backed
-# queries with zero driver-environment evidence; (b) the two queries
-# added in round 9 (bucketed-manifest daily loop, composed
-# html→quality); (c) re-verification of implementations changed in r9
-# (source_overlap checkpoint fix; range-join reserved-name guards;
-# incremental_dedup's error-condition matching) plus the r8-changed
-# implementations kept for a second confirmation; (d) retained anchors
-# and r8 first-greens. Pinned as a SET, not a frozen order, so next
-# round's rotation edits this list deliberately rather than breaking an
-# order assertion by accident.
-ROUND9_WINDOW_NEW = {
+# The round-10 window contract: the round-9 driver artifacts never
+# materialized (no CORRECTNESS_r09.json was written), so every query
+# the r9 rotation placed for first driver contact is STILL
+# first-contact — they all keep their slots, and the five r9-late
+# additions (past the r9 cut) rotate in. Funded by rotating out five
+# r8-greens whose code is untouched since r8 (salted_agg,
+# zorder_layout, interval_overlap, expectations, sentence_split).
+# Pinned as a SET, not a frozen order, so next round's rotation edits
+# this list deliberately rather than breaking an order assertion by
+# accident.
+ROUND10_WINDOW_NEW = {
+    # r8 additions, never driver-seen:
     "incremental_dedup", "html_text", "windowed_dedup",
     "compaction_plan", "expectations_exemplars",
+    # r9-early additions, never driver-seen:
     "incremental_dedup_bucketed", "html_quality",
+    # r9-late additions, never driver-seen:
+    "gapfill_interp", "tokenizer_fertility", "html_links",
+    "bm25_score", "bm25_topk",
 }
-ROUND9_WINDOW_CHANGED_IMPL = {
-    "salted_agg", "range_join", "range_join_bucketed", "zorder_layout",
-    "source_overlap",
+ROUND10_WINDOW_CHANGED_IMPL = {
+    # changed in r9 with no driver row since: reserved-name guards
+    # (range joins), join-free restructure (source_overlap),
+    # input-spread path (span_coverage).
+    "range_join", "range_join_bucketed", "source_overlap",
+    "span_coverage",
 }
-ROUND9_WINDOW_ANCHORS = {
-    "interval_overlap", "expectations", "sentence_split",
+ROUND10_WINDOW_ANCHORS = {
     "flagship_posts_export", "bloom_prune_join", "shard_manifest",
 }
-ROUND9_WINDOW_RETAINED = {
+ROUND10_WINDOW_RETAINED = {
     "salted_join", "robust_anomaly",
-    "repeated_spans", "span_coverage", "audio_features", "frame_sample",
+    "repeated_spans", "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
@@ -54,14 +60,14 @@ ROUND9_WINDOW_RETAINED = {
 }
 
 
-def test_round9_window_set():
+def test_round10_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
-        ROUND9_WINDOW_NEW
-        | ROUND9_WINDOW_CHANGED_IMPL
-        | ROUND9_WINDOW_ANCHORS
-        | ROUND9_WINDOW_RETAINED
+        ROUND10_WINDOW_NEW
+        | ROUND10_WINDOW_CHANGED_IMPL
+        | ROUND10_WINDOW_ANCHORS
+        | ROUND10_WINDOW_RETAINED
     )
 
 

@@ -6844,25 +6844,28 @@ DRIVER_SNAPSHOT_WINDOW = 50
 
 # Registry order IS the driver contract: the correctness driver
 # snapshots the FIRST ``DRIVER_SNAPSHOT_WINDOW`` (50) entries each
-# round. Round-9 window (VERDICT r8 #1): (a) the FIVE round-8
-# additions that sat just past the r8 cut — the only oracle-backed
-# queries with zero driver-environment evidence (driver-env divergence
-# historically surfaces only on first driver contact, ~2-in-30); (b)
-# the TWO queries added this round (the bucketed-manifest daily loop,
-# VERDICT r8 #4, and the composed html→quality gate, VERDICT r8 #6);
-# (c) re-verification slots for the implementations changed this round
-# — source_overlap (localCheckpoint on the gram frame, r8 #5),
-# range_join / range_join_bucketed (reserved-column guards, ADVICE r8),
-# incremental_dedup (manifest.py error-condition matching, ADVICE r8);
-# all already in-window; (d) retained anchors and r8 first-greens.
-# Rotated out to fund (a)+(b): repetition / rolling_anomaly /
-# embedding_centroids (their second confirmations landed in r8 — the
-# job that put them back in the window is done) and four r8
-# first-greens whose code is untouched this round (threshold_sweep,
-# domain_blocklist, skew_diagnostics, embedding_gram — same
-# single-green rotation precedent as the r8 rotation-outs). Everything
-# rotated out stays green in the committed full-registry local sweeps
-# at both scales.
+# round. Round-10 window: the round-9 driver artifacts never
+# materialized (no CORRECTNESS_r09.json / BENCH_r09.json were written),
+# so EVERY query the round-9 rotation put in for first driver contact
+# still has zero driver-environment evidence — they all keep their
+# slots. (a) the r8/r9 additions with no driver row: the five r8
+# additions (incremental_dedup, html_text, windowed_dedup,
+# compaction_plan, expectations_exemplars), the two r9-early additions
+# (incremental_dedup_bucketed, html_quality), and the five r9-late
+# additions that sat past the r9 cut (gapfill_interp,
+# tokenizer_fertility, html_links, bm25_score, bm25_topk); (b)
+# re-verification slots for implementations changed in round 9 with no
+# driver row since: source_overlap (join-free groupBy/collect_set
+# restructure), range_join / range_join_bucketed (reserved-column
+# guards, ADVICE r8), span_coverage + the minhash family's signature
+# stage (input-spread path; minhash_neardup itself is rows-only and
+# cannot hold a window slot); (c) retained anchors and prior
+# first-greens. Rotated out to fund the five new slots: salted_agg,
+# zorder_layout, interval_overlap, expectations, sentence_split — all
+# driver-green in r8 on code untouched since (same single-green
+# rotation precedent as the r8/r9 rotation-outs). Everything rotated
+# out stays green in the committed full-registry local sweeps at both
+# scales.
 def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill with LINEAR interpolation
     (operators/temporal.gapfill_buckets interp_cols — TimescaleDB
@@ -7245,26 +7248,27 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_QUERIES = {
-    # --- window part (a): r8 additions, zero driver rows (r8 #1) ---
+    # --- window part (a): r8/r9 additions, zero driver rows (the r9
+    # driver artifacts never materialized, so the whole set is still
+    # first-contact) ---
     "incremental_dedup": q_incremental_dedup,
     "html_text": q_html_text,
     "windowed_dedup": q_windowed_dedup,
     "compaction_plan": q_compaction_plan,
     "expectations_exemplars": q_expectations_exemplars,
-    # --- window part (b): NEW in round 9 ---
     "incremental_dedup_bucketed": q_incremental_dedup_bucketed,
     "html_quality": q_html_quality,
-    # --- window part (c): implementations changed in r9 (source_overlap
-    # checkpoint fix; range-join reserved-name guards) + r8-changed
-    # implementations retained for a second driver confirmation ---
-    "salted_agg": q_salted_agg,
+    "gapfill_interp": q_gapfill_interp,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "html_links": q_html_links,
+    "bm25_score": q_bm25_score,
+    "bm25_topk": q_bm25_topk,
+    # --- window part (b): implementations changed in round 9 with no
+    # driver row since (source_overlap restructure; range-join
+    # reserved-name guards; span_coverage on the input-spread path) ---
     "range_join": q_range_join,
     "range_join_bucketed": q_range_join_bucketed,
-    "zorder_layout": q_zorder_layout,
-    # --- window part (d): retained anchors + r8 first-greens ---
-    "interval_overlap": q_interval_overlap,
-    "expectations": q_expectations,
-    "sentence_split": q_sentence_split,
+    # --- window part (c): retained anchors + prior first-greens ---
     "flagship_posts_export": q_flagship_posts_export,
     "bloom_prune_join": q_bloom_prune_join,
     "shard_manifest": q_shard_manifest,
@@ -7301,17 +7305,16 @@ SPARK_QUERIES = {
     "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
     "tfidf_pairs": q_tfidf_pairs,
-    # --- oracle-backed, OUTSIDE the round-9 window ---
-    # rotated out this round (driver-green r8; repetition/rolling_anomaly/
+    # --- oracle-backed, OUTSIDE the round-10 window ---
+    # rotated out in r10 (driver-green r8 on code untouched since):
+    "salted_agg": q_salted_agg,
+    "zorder_layout": q_zorder_layout,
+    "interval_overlap": q_interval_overlap,
+    "expectations": q_expectations,
+    "sentence_split": q_sentence_split,
+    # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
-    # NEW in round 9 (oracle-backed, outside the pinned window — r10
-    # rotation candidates):
-    "gapfill_interp": q_gapfill_interp,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "html_links": q_html_links,
-    "bm25_score": q_bm25_score,
-    "bm25_topk": q_bm25_topk,
     "threshold_sweep": q_threshold_sweep,
     "domain_blocklist": q_domain_blocklist,
     "skew_diagnostics": q_skew_diagnostics,
