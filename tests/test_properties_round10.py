@@ -1,0 +1,185 @@
+"""Round-10 tests for the three curation additions.
+
+1. unicode_clean: NFC parity with Python's own normalizer on
+   adversarial fixtures (decomposed accents, canonical reordering,
+   embedded controls, newline variants), idempotence (a second pass is
+   a no-op — NFC is a projection), and the exact-dedup unification
+   property: composed and decomposed spellings of the same visible text
+   hash-equal after cleaning.
+2. rare_token_ratio: exact integer expectations on a constructed
+   corpus with known document frequencies, the token-less-doc flagging
+   rule, and argument validation.
+3. temperature_allocation: allocation sums to budget EXACTLY (the
+   defining largest-remainder invariant) across random corpora and all
+   alpha tiers, alpha=1 matches exact rational apportionment, monotone
+   in counts, single-domain degenerate case, validation errors.
+
+Hypothesis drives the data; few, fat examples — Spark job latency
+dominates (round-6/7 convention).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from fractions import Fraction
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import sampling as smp
+from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# ---------------------------------------------------------------- unicode
+
+
+ADVERSARIAL = [
+    (0, "plain ascii text"),
+    (1, "Cafe\u0301 au lait"),  # decomposed acute -> NFC composes
+    (2, "Caf\u00e9 au lait"),   # precomposed -- same visible text as 1
+    (3, "\u1e0b\u0323 reorder"),  # NFC must emit U+1E0D U+0307
+    (4, "ctrl\u0000 here\u0008and\u007f"),  # NUL/BS/DEL stripped
+    (5, "a\r\nb\rc\nd"),  # newline zoo -> all \n
+    (6, "tab\tand\nnewline kept"),
+    (7, ""),
+    (8, "A\u030a ring"),  # decomposed ring -> NFC composes to U+00C5
+]
+
+
+def test_unicode_clean_matches_python_normalizer(spark):
+    df = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.unicode_clean(df).collect()}
+    import re
+
+    for doc_id, raw in ADVERSARIAL:
+        stripped = re.sub("\r\n?", "\n", raw)
+        stripped = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", stripped)
+        want = unicodedata.normalize("NFC", stripped)
+        row = got[doc_id]
+        assert row.text_clean == want, (doc_id, row.text_clean, want)
+        assert row.n_raw_chars == len(raw)
+        assert row.n_clean_chars == len(want)
+        assert row.changed == int(raw != want)
+
+
+def test_unicode_clean_idempotent_and_unifies_spellings(spark):
+    df = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+    once = tx.unicode_clean(df).select(
+        "doc_id", tx.F.col("text_clean").alias("text")
+    )
+    twice = tx.unicode_clean(once)
+    assert all(r.changed == 0 for r in twice.collect())
+    texts = {r.doc_id: r.text_clean for r in tx.unicode_clean(df).collect()}
+    # composed and decomposed café spell the SAME string after cleaning —
+    # the property exact-hash dedup downstream depends on
+    assert texts[1] == texts[2]
+
+
+# ---------------------------------------------------------- rare tokens
+
+
+def test_rare_token_ratio_exact_counts(spark):
+    # 'common' appears in 3 docs (df=3, NOT rare at min_df=3);
+    # 'odd'/'weird' in 1 doc each (rare); doc 4 is token-less.
+    rows = [
+        (1, "common common odd"),
+        (2, "common weird"),
+        (3, "common"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in tx.rare_token_ratio(df, min_df=3, max_rare_pct=20).collect()
+    }
+    assert (got[1].n_tokens, got[1].n_rare) == (3, 1)
+    assert (got[2].n_tokens, got[2].n_rare) == (2, 1)
+    assert (got[3].n_tokens, got[3].n_rare) == (1, 0)
+    assert (got[4].n_tokens, got[4].n_rare) == (0, 0)
+    # flags: doc1 1/3=33% >= 20% -> 1; doc2 50% -> 1; doc3 0% -> 0;
+    # doc4 vacuous (0 >= 0) -> 1 by the documented degenerate rule
+    assert [got[i].flagged for i in (1, 2, 3, 4)] == [1, 1, 0, 1]
+    assert got[4].rare_ratio is None
+    assert got[3].rare_ratio == 0.0
+
+
+def test_rare_token_ratio_validates_args(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tx.rare_token_ratio(df, min_df=0)
+    with pytest.raises(ValueError):
+        tx.rare_token_ratio(df, max_rare_pct=0)
+    with pytest.raises(ValueError):
+        tx.rare_token_ratio(df, max_rare_pct=101)
+
+
+# ------------------------------------------------------------ temperature
+
+
+@_SETTINGS
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8),
+    alpha_halves=st.integers(min_value=1, max_value=4),
+    budget=st.integers(min_value=0, max_value=100_000),
+)
+def test_temperature_allocation_sums_to_budget(spark, counts, alpha_halves, budget):
+    rows = [(f"s{i}", j) for i, n in enumerate(counts) for j in range(n)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = smp.temperature_allocation(
+        df, "source", alpha_halves=alpha_halves, budget=budget
+    ).collect()
+    assert sum(r.target_n for r in out) == budget
+    assert {r.domain: r.n_docs for r in out} == {
+        f"s{i}": n for i, n in enumerate(counts)
+    }
+    # alpha=1 (alpha_halves=2): largest-remainder over EXACT rationals
+    # must match, because n^1 is integer-exact in doubles below 2^53
+    if alpha_halves == 2:
+        total = sum(counts)
+        shares = {f"s{i}": Fraction(budget * n, total) for i, n in enumerate(counts)}
+        base = {k: int(v) for k, v in shares.items()}
+        leftover = budget - sum(base.values())
+        order = sorted(shares, key=lambda k: (-(shares[k] - base[k]), k))
+        want = {
+            k: base[k] + (1 if order.index(k) < leftover else 0) for k in shares
+        }
+        assert {r.domain: r.target_n for r in out} == want
+
+
+def test_temperature_allocation_degenerate_and_validation(spark):
+    df = spark.createDataFrame([("only", i) for i in range(5)], "source string, doc_id long")
+    out = smp.temperature_allocation(df, "source", budget=777).collect()
+    assert len(out) == 1 and out[0].target_n == 777
+    assert out[0].keep_per_million == 777 * 1_000_000 // 5
+    with pytest.raises(ValueError):
+        smp.temperature_allocation(df, "source", alpha_halves=0)
+    with pytest.raises(ValueError):
+        smp.temperature_allocation(df, "source", alpha_halves=5)
+    with pytest.raises(ValueError):
+        smp.temperature_allocation(df, "source", budget=-1)
+
+
+def test_temperature_alpha_flattens_toward_uniform(spark):
+    # alpha=0.5 must allocate the low-resource domain MORE than its
+    # proportional share and the high-resource domain LESS — the whole
+    # reason temperature sampling exists
+    rows = [("big", i) for i in range(900)] + [("small", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    sqrt_alloc = {
+        r.domain: r.target_n
+        for r in smp.temperature_allocation(df, "source", alpha_halves=1, budget=1000).collect()
+    }
+    prop_alloc = {
+        r.domain: r.target_n
+        for r in smp.temperature_allocation(df, "source", alpha_halves=2, budget=1000).collect()
+    }
+    assert sqrt_alloc["small"] > prop_alloc["small"]
+    assert sqrt_alloc["big"] < prop_alloc["big"]
+    assert prop_alloc == {"big": 900, "small": 100}

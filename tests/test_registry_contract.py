@@ -35,6 +35,9 @@ ROUND10_WINDOW_NEW = {
     # r9-late additions, never driver-seen:
     "gapfill_interp", "tokenizer_fertility", "html_links",
     "bm25_score", "bm25_topk",
+    # round-10 additions (first contact this round, per the r9
+    # precedent of windowing same-round additions immediately):
+    "unicode_clean", "rare_token_ratio", "temperature_mixture",
 }
 ROUND10_WINDOW_CHANGED_IMPL = {
     # changed in r9 with no driver row since: reserved-name guards
@@ -54,8 +57,8 @@ ROUND10_WINDOW_RETAINED = {
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
     "cluster_keepers", "centroid_similarity",
     "histogram_drift", "grouped_mode", "corr_stats", "vocab_drift",
-    "triangle_count", "pagerank", "ship_lag", "basket_pairs",
-    "embedding_norms", "bfs_levels", "ewma", "max_concurrency",
+    "triangle_count", "pagerank",
+    "embedding_norms", "bfs_levels", "max_concurrency",
     "tfidf_pairs",
 }
 

@@ -808,6 +808,32 @@ def main() -> int:
         fz_plan,
         ("map-only featurization (no exchange)", r"\A(?s:(?!.*Exchange).*)\Z"),
     )
+    # unicode_clean (round 10): regexp chain + Arrow NFC pass — MAP-ONLY
+    # end to end; any exchange here would be a raw-text shuffle.
+    from wordpress_sql_to_contentstack_exporter_spark.operators import text as _tx
+
+    uc_plan = plan_of(
+        _tx.unicode_clean(_lt(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+    check_plan(
+        "unicode_clean",
+        uc_plan,
+        ("map-only cleanup (no exchange)", r"\A(?s:(?!.*Exchange).*)\Z"),
+    )
+    # rare_token_ratio (round 10): tfidf-family exchange budget — term-keyed
+    # aggregations and an AQE equi-join; never a cartesian/nested-loop and
+    # never document text on a key exchange (terms only).
+    rt_plan = plan_of(
+        _tx.rare_token_ratio(
+            _lt(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
+    check_plan(
+        "rare_token_ratio",
+        rt_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0

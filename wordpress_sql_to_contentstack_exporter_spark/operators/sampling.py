@@ -609,3 +609,110 @@ def dsir_resample(
         .limit(n)
         .drop("__gk")
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    domain_col: str = "source",
+    *,
+    alpha_halves: int = 1,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture allocation: how many documents each
+    domain/language contributes to a fixed training budget when the raw
+    counts are resampled with probability proportional to ``n^alpha``
+    — the multilingual-LM staple (alpha < 1 upweights low-resource
+    domains; alpha = 1 is proportional; the classic setting is
+    alpha = 0.5). ``domain_mixture`` APPLIES given per-domain rates;
+    this operator COMPUTES the rates from the corpus itself.
+
+    ``alpha`` is restricted to half-integers (``alpha_halves`` in
+    1..4 -> alpha in {0.5, 1, 1.5, 2}) so every weight is a composition
+    of IEEE-exact operations (sqrt and multiply are correctly rounded)
+    — the weights, and therefore the allocation, are bit-identical in
+    any IEEE-754 engine. The weight total is a FIXED-ORDER fold over
+    the domain list sorted by name (``F.aggregate`` over a sorted
+    array; the oracle's ``list_reduce`` over ``list(... ORDER BY)``)
+    because float addition does not commute across engine-dependent
+    aggregation orders. Integer targets come from largest-remainder
+    (Hamilton) apportionment: floor allocations are exact, the
+    leftover (an exact integer) goes to the largest fractional
+    remainders with the domain name as the total-order tie-break —
+    the allocation sums to ``budget`` EXACTLY by construction.
+
+    Plan shape at 100 TB: ONE domain-keyed count aggregation over the
+    corpus (map-side combine; exchange carries (domain, long) rows);
+    everything after operates on |domains| rows — the sorted fold, the
+    remainder window and the broadcast joins are all bounded by the
+    domain-vocabulary size (tens to thousands), so the single-partition
+    window over remainders is bounded-by-construction, not a
+    one-reducer sort of data rows.
+
+    Output: (domain, n_docs, target_n, keep_per_million) — the last is
+    the integer application rate (``target_n * 1_000_000 / n_docs``,
+    exact integer division) a sampler like ``domain_mixture`` consumes.
+    """
+    if not (1 <= alpha_halves <= 4):
+        raise ValueError("alpha_halves must be in 1..4 (alpha in {0.5,1,1.5,2})")
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    counts = (
+        df.groupBy(F.coalesce(F.col(domain_col), F.lit("")).alias("domain"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    n = F.col("n_docs").cast("double")
+    root = F.sqrt(n)
+    weight = {
+        1: root,
+        2: n,
+        3: n * root,
+        4: n * n,
+    }[alpha_halves]
+    weighted = counts.select("domain", "n_docs", weight.alias("w"))
+    total = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("w_total")
+    )
+    shared = weighted.join(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        (F.lit(float(budget)) * F.col("w") / F.col("w_total")).alias("share"),
+    )
+    based = shared.select(
+        "domain",
+        "n_docs",
+        F.floor("share").cast("long").alias("base"),
+        (F.col("share") - F.floor("share")).alias("rem"),
+    )
+    leftover = based.agg(
+        (F.lit(budget) - F.coalesce(F.sum("base"), F.lit(0))).alias("leftover")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("domain").asc())
+    ranked = based.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(leftover))
+        .select(
+            "domain",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("target_n"),
+        )
+        .withColumn(
+            "keep_per_million",
+            # exact INTEGER division (div), never a double round-trip —
+            # target_n * 1e6 fits a long for any budget below ~9.2e12
+            F.when(
+                F.col("n_docs") > 0,
+                F.expr("(target_n * 1000000L) div n_docs"),
+            ).cast("long"),
+        )
+    )

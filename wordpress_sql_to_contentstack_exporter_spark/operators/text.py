@@ -1455,3 +1455,166 @@ def bm25_topk(
             ).alias("score"),
         )
     )
+
+
+def unicode_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode canonicalization: newline unification + control-character
+    strip (JVM-side) followed by NFC normalization (Arrow-batched
+    Python) — the standard first pass of a web-scale text pipeline,
+    where the same visible string arrives in decomposed (NFD) and
+    composed (NFC) byte forms and would defeat every exact-hash dedup
+    and token statistic downstream. (CommonCrawl-derived corpora mix
+    both forms; Unicode UAX #15 defines NFC as the canonical
+    composition.)
+
+    Contract (mirrored verbatim by the DuckDB oracle, which applies the
+    same regex chain then ``nfc_normalize``):
+
+    1. ``\\r\\n`` / lone ``\\r`` -> ``\\n`` (newline unification).
+    2. Strip C0 controls except ``\\t``/``\\n``, plus DEL
+       (``[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]``) — both steps are
+       native ``regexp_replace`` inside whole-stage codegen.
+    3. NFC-normalize. No JVM-side Spark SQL expression exists for
+       Unicode normalization, so this is a DESIGNED Python-unavoidable
+       path (the ``compression_signals`` precedent): ONE Arrow-batched
+       ``mapInPandas`` pass over (id, stripped-text), zero shuffles,
+       never a row-at-a-time UDF. Python's ``unicodedata`` and DuckDB's
+       utf8proc both implement UAX #15 canonical composition, so the
+       outputs are byte-identical (both pinned by the oracle gate and
+       the adversarial fixtures in tests).
+
+    ``changed`` is an integer flag (1 when cleaning altered the string)
+    so the removal volume is auditable as ``sum(changed)`` without
+    comparing strings downstream; char counts ride along as evidence.
+
+    Plan shape at 100 TB: map-only end to end — no exchange at any
+    stage; scales linearly with input splits.
+
+    Output: (id_col, text_clean, n_raw_chars, n_clean_chars, changed).
+    """
+    import unicodedata
+
+    stripped = df.select(
+        F.col(id_col).alias("__uid"),
+        F.col(text_col).alias("__raw"),
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "\r\n?", "\n"),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
+            "",
+        ).alias("__stripped"),
+    )
+
+    out_schema = (
+        f"{id_col} long, text_clean string, n_raw_chars long, "
+        "n_clean_chars long, changed int"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf["__raw"].fillna("")
+            clean = pdf["__stripped"].fillna("").map(
+                lambda s: unicodedata.normalize("NFC", s)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__uid"],
+                    "text_clean": clean,
+                    "n_raw_chars": raw.map(len).astype("int64"),
+                    "n_clean_chars": clean.map(len).astype("int64"),
+                    "changed": (raw != clean).astype("int32"),
+                }
+            )
+
+    return stripped.mapInPandas(batches, out_schema)
+
+
+def rare_token_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_df: int = 3,
+    max_rare_pct: int = 20,
+) -> DataFrame:
+    """Corpus-relative rare-token rate — the CCNet-style quality signal
+    the per-document Gopher rules (``quality_features``) cannot see: a
+    document whose tokens are mostly corpus-rare is disproportionately
+    OCR noise, mojibake, or machine-generated junk, while one made of
+    corpus-common tokens is ordinary prose. A token is RARE when its
+    document frequency (distinct docs containing it) is below
+    ``min_df``; the per-document rate counts token INSTANCES, so a
+    single rare hapax in a long document barely moves it.
+
+    All decisions are exact integers: the flag is the cross-multiplied
+    ``n_rare * 100 >= n_tokens * max_rare_pct`` (no float decides
+    membership — the ``remove_boilerplate_lines`` discipline), and the
+    only double in the output is ONE final division per row. A
+    token-less document satisfies the inequality vacuously (0 >= 0) and
+    is flagged — empty documents are removal candidates in every
+    curation recipe, so the degenerate case errs on the flagging side.
+
+    Plan shape at 100 TB (the ``tfidf_top_terms`` exchange budget):
+    1. (id, term) instance counts — one token-keyed aggregation with
+       map-side combine (the billion-copy stopword collapses to one row
+       per doc before the exchange).
+    2. document frequency — a second aggregation over the FIRST one's
+       already-(term,doc)-distinct output; no distinct-shuffle, and the
+       exchange carries (term, long) pairs only.
+    3. instance counts join document frequencies on the term key
+       (AQE-managed equi-join; both sides aggregated, linear output)
+       and re-aggregate per doc — per-doc state is one (long, long).
+    Rare tokens are the LONG TAIL — the one set this family must never
+    broadcast (it is the vocabulary minus its head, i.e. almost the
+    vocabulary); the equi-join shape is the scale-honest choice.
+
+    Output: (id_col, n_tokens, n_rare, rare_ratio, flagged).
+    """
+    if min_df < 1 or not (0 < max_rare_pct <= 100):
+        raise ValueError("min_df >= 1 and 0 < max_rare_pct <= 100 required")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(portable_lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    per_doc = (
+        tf.join(dfreq, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("df_docs") < F.lit(min_df), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.coalesce("n_rare", F.lit(0)).cast("double")
+                / F.coalesce("n_tokens", F.lit(1)).cast("double"),
+            ).alias("rare_ratio"),
+            F.when(
+                F.coalesce("n_rare", F.lit(0)) * 100
+                >= F.coalesce("n_tokens", F.lit(0)) * F.lit(max_rare_pct),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("flagged"),
+        )
+    )

@@ -7247,6 +7247,152 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (operators/text.unicode_clean): newline
+    unification + C0/DEL strip (JVM regexp chain) then NFC via the
+    designed Arrow path. Input synthesizes four adversarial shapes from
+    documents — decomposed accents (e + U+0301), combining-ring A +
+    U+030A, embedded NUL/backspace controls, and the canonical-ORDERING
+    case U+1E0B + U+0323 (NFC must reorder to U+1E0D + U+0307 — the
+    parity trap between UAX #15 implementations). The DuckDB oracle
+    runs the identical regex chain + ``nfc_normalize`` (utf8proc), so
+    a hash match certifies byte-for-byte NFC parity between Python's
+    unicodedata and utf8proc on all four shapes."""
+    d = _t(spark, sf_dir, "documents")
+    # explicit escapes, NOT precomposed literals: the whole point is that
+    # the INPUT arrives decomposed/dirty and the operator canonicalizes it
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\r\nCafe\u0301"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("\u0000A\u030a\u0008!"))
+        .otherwise(F.lit("\r\u1e0b\u0323"))
+    )
+    synth = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return tx.unicode_clean(synth).orderBy("doc_id")
+
+
+SQL_UNICODE_CLEAN = r"""
+WITH synth AS (
+    SELECT doc_id,
+           text || CASE doc_id % 4
+               WHEN 0 THEN ''
+               WHEN 1 THEN chr(13) || chr(10) || 'Cafe' || chr(769)
+               WHEN 2 THEN chr(0) || 'A' || chr(778) || chr(8) || '!'
+               ELSE chr(13) || chr(7691) || chr(803)
+           END AS raw
+    FROM documents
+), c AS (
+    SELECT doc_id, raw,
+           nfc_normalize(
+               regexp_replace(
+                   regexp_replace(raw, '\r\n?', chr(10), 'g'),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+           ) AS text_clean
+    FROM synth
+)
+SELECT doc_id,
+       text_clean,
+       length(raw)::BIGINT AS n_raw_chars,
+       length(text_clean)::BIGINT AS n_clean_chars,
+       CASE WHEN raw != text_clean THEN 1 ELSE 0 END AS changed
+FROM c ORDER BY doc_id
+"""
+
+
+def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rare-token rate (operators/text.rare_token_ratio)
+    over documents: per-doc instance counts of tokens whose corpus
+    document frequency is below 3, exact-integer flag at 20%. The
+    CCNet-style quality axis the per-doc Gopher rules can't measure."""
+    return tx.rare_token_ratio(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_df=3,
+        max_rare_pct=20,
+    ).orderBy("doc_id")
+
+
+SQL_RARE_TOKEN_RATIO = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(
+               string_split_regex(
+                   translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+                   '[ \t\n\r\f\x0b]+'),
+               x -> x != '')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1
+), per_doc AS (
+    SELECT tf.doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           sum(CASE WHEN df_docs < 3 THEN tf ELSE 0 END)::BIGINT AS n_rare
+    FROM tf JOIN dfreq USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(n_rare, 0)::BIGINT AS n_rare,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN coalesce(n_rare, 0)::DOUBLE / coalesce(n_tokens, 1)::DOUBLE
+       END AS rare_ratio,
+       CASE WHEN coalesce(n_rare, 0) * 100 >= coalesce(n_tokens, 0) * 20
+            THEN 1 ELSE 0 END AS flagged
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture allocation
+    (operators/sampling.temperature_allocation, alpha = 0.5, budget
+    10000) over the documents sources: sqrt weights (IEEE-exact),
+    fixed-order weight fold, largest-remainder integer apportionment.
+    The allocation sums to the budget exactly; the oracle recomputes it
+    bit-for-bit via list_reduce over the name-sorted weight list."""
+    return sampling.temperature_allocation(
+        _t(spark, sf_dir, "documents"),
+        domain_col="source",
+        alpha_halves=1,
+        budget=10_000,
+    ).orderBy("domain")
+
+
+SQL_TEMPERATURE_MIXTURE = r"""
+WITH c AS (
+    SELECT coalesce(source, '') AS domain, count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY 1
+), w AS (
+    SELECT domain, n_docs, sqrt(n_docs::DOUBLE) AS wgt FROM c
+), tot AS (
+    SELECT list_reduce(list(wgt ORDER BY domain), (a, b) -> a + b) AS w_total
+    FROM w
+), sh AS (
+    SELECT domain, n_docs,
+           (10000.0 * wgt) / w_total AS share
+    FROM w, tot
+), b AS (
+    SELECT domain, n_docs,
+           floor(share)::BIGINT AS base,
+           share - floor(share) AS rem
+    FROM sh
+), l AS (
+    SELECT 10000 - coalesce(sum(base), 0) AS leftover FROM b
+), r AS (
+    SELECT domain, n_docs, base,
+           row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+    FROM b
+)
+SELECT domain, n_docs,
+       (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS target_n,
+       (((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000) // n_docs)::BIGINT
+           AS keep_per_million
+FROM r, l ORDER BY domain
+"""
+
+
 SPARK_QUERIES = {
     # --- window part (a): r8/r9 additions, zero driver rows (the r9
     # driver artifacts never materialized, so the whole set is still
@@ -7263,6 +7409,11 @@ SPARK_QUERIES = {
     "html_links": q_html_links,
     "bm25_score": q_bm25_score,
     "bm25_topk": q_bm25_topk,
+    # NEW in round 10 (first driver contact this round, per the r9
+    # precedent of windowing same-round additions immediately):
+    "unicode_clean": q_unicode_clean,
+    "rare_token_ratio": q_rare_token_ratio,
+    "temperature_mixture": q_temperature_mixture,
     # --- window part (b): implementations changed in round 9 with no
     # driver row since (source_overlap restructure; range-join
     # reserved-name guards; span_coverage on the input-spread path) ---
@@ -7298,20 +7449,21 @@ SPARK_QUERIES = {
     "vocab_drift": q_vocab_drift,
     "triangle_count": q_triangle_count,
     "pagerank": q_pagerank,
-    "ship_lag": q_ship_lag,
-    "basket_pairs": q_basket_pairs,
     "embedding_norms": q_embedding_norms,
     "bfs_levels": q_bfs_levels,
-    "ewma": q_ewma,
     "max_concurrency": q_max_concurrency,
     "tfidf_pairs": q_tfidf_pairs,
     # --- oracle-backed, OUTSIDE the round-10 window ---
-    # rotated out in r10 (driver-green r8 on code untouched since):
+    # rotated out in r10 (driver-green r8 on code untouched since);
+    # ship_lag/basket_pairs/ewma fund the three round-10 additions:
     "salted_agg": q_salted_agg,
     "zorder_layout": q_zorder_layout,
     "interval_overlap": q_interval_overlap,
     "expectations": q_expectations,
     "sentence_split": q_sentence_split,
+    "ship_lag": q_ship_lag,
+    "basket_pairs": q_basket_pairs,
+    "ewma": q_ewma,
     # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
@@ -7585,6 +7737,9 @@ ORACLE_SQL = {
     "html_links": SQL_HTML_LINKS,
     "bm25_score": SQL_BM25_SCORE,
     "bm25_topk": SQL_BM25_TOPK,
+    "unicode_clean": SQL_UNICODE_CLEAN,
+    "rare_token_ratio": SQL_RARE_TOKEN_RATIO,
+    "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
