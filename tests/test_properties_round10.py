@@ -183,3 +183,38 @@ def test_temperature_alpha_flattens_toward_uniform(spark):
     assert sqrt_alloc["small"] > prop_alloc["small"]
     assert sqrt_alloc["big"] < prop_alloc["big"]
     assert prop_alloc == {"big": 900, "small": 100}
+
+
+# ---------------------------------------------------- decontamination
+
+
+def test_semantic_decontaminate_planted(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.999, 0.01, 0.0, 0.0]),   # ~bench 100 -> contaminated
+            (2, [0.0, 0.0, 1.0, 0.0]),       # orthogonal -> clean
+            (3, [0.01, 0.999, 0.0, 0.0]),   # ~bench 101 -> contaminated
+            (4, [0.0, 0.0, 0.0, 0.0]),       # zero vector -> sim 0, clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r
+        for r in sim.semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert [got[i].contaminated for i in (1, 2, 3, 4)] == [1, 0, 1, 0]
+    assert got[1].nearest_bench_id == 100
+    assert got[3].nearest_bench_id == 101
+    assert got[4].max_sim == 0.0
+    # zero-norm tie: both benches score 0.0 -> smallest bench id wins
+    assert got[4].nearest_bench_id == 100
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.semantic_decontaminate(corpus, bench, threshold=1.5)

@@ -834,6 +834,36 @@ def main() -> int:
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
     )
+    # semantic_decontaminate (round 10): the ANN-brute-force shape — the
+    # SMALL benchmark side broadcast (a BroadcastNestedLoop here is the
+    # design, not a hazard: |corpus|x|benchmark| with a broadcast build
+    # side is how every exact scorer works); the corpus side must never
+    # sort-merge and its VECTORS must never ride a hash exchange (the
+    # argmax window shuffles (id, sim, bench_id) triples only).
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as _simo
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sdc_plan = plan_of(
+        _simo.semantic_decontaminate(
+            emb.filter("vec_id % 50 <> 0"),
+            emb.filter("vec_id % 50 = 0"),
+            threshold=0.4,
+        )
+    )
+    no_vec_in_hash_exchange = (
+        r"\A(?s:(?!.*\(\d+\) Exchange\s*\nInput \[\d+\]: "
+        r"\[[^\]]*(?:embedding|cv)#[^\]]*\]\s*\nArguments: [^\n]*"
+        r"(?:hashpartitioning|rangepartitioning)).*)\Z"
+    )
+    check_plan(
+        "semantic_decontaminate",
+        sdc_plan,
+        ("benchmark side broadcast", r"BroadcastNestedLoopJoin Inner BuildRight"),
+        ("no sort-merge join", r"\A(?s:(?!.*SortMergeJoin).*)\Z"),
+        ("corpus vectors never ride a hash exchange", no_vec_in_hash_exchange),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0

@@ -1177,3 +1177,74 @@ def load_ann_index(spark, path: str) -> dict:
             b[i, j] = v
         out["codebooks"] = b
     return out
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus item whose
+    nearest benchmark item reaches ``threshold`` cosine similarity —
+    the semantic companion to the n-gram gate
+    (``text.ngram_decontaminate``), which paraphrased or reformatted
+    benchmark leakage slips past (the motivation behind
+    embedding-based decontamination in open-data pipelines; cf. the
+    SemDeDup-style use of embedding cosines for near-duplicate
+    semantics).
+
+    Plan shape at 100 TB — built around the defining asymmetry of the
+    problem (benchmarks are thousands of rows; the corpus is
+    billions):
+    1. the benchmark side is BROADCAST — the corpus scan stays fully
+       partitioned and is read exactly once; no corpus-keyed shuffle
+       of vectors exists anywhere in the plan.
+    2. scoring is the broadcast join's map-side expression (the
+       ``cosine_topk`` fixed-order fold — JVM codegen, no Python).
+    3. per-item argmax is a window over groups of |benchmark| scored
+       rows — bounded by the broadcast side, so no skew hazard; the
+       exchange carries (id, sim, bench_id) triples, never vectors.
+    The cosine fold is sequential over the array in BOTH engines, so
+    the doubles — and therefore the threshold decision — are
+    bit-identical cross-engine (the ann_cosine_topk precedent).
+
+    Tie-break: equal similarities resolve to the smallest benchmark
+    id (total order; the hash gate needs one winner).
+
+    Output: (id_col, nearest_bench_id, max_sim, contaminated) —
+    ``contaminated`` is an int flag; removal is the caller's anti-join
+    so audit trails keep the evidence row.
+    """
+    if not (0.0 <= threshold <= 1.0):
+        raise ValueError("threshold must be in [0, 1]")
+    b_id = bench_id_col or id_col
+    b_vec = bench_vec_col or vec_col
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    b = benchmark.select(
+        F.col(b_id).alias("bench_id"), F.col(b_vec).alias("bv")
+    )
+    scored = c.join(F.broadcast(b)).select(
+        "cid",
+        "bench_id",
+        cosine(F.col("cv"), F.col("bv")).alias("sim"),
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("sim").desc(), F.col("bench_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("cid").alias(id_col),
+            F.col("bench_id").alias("nearest_bench_id"),
+            F.col("sim").alias("max_sim"),
+            F.when(F.col("sim") >= F.lit(threshold), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )

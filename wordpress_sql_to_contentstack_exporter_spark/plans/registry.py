@@ -7393,6 +7393,49 @@ FROM r, l ORDER BY domain
 """
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (operators/similarity.semantic_decontaminate): every 50th vector
+    plays the benchmark set (the realistic asymmetry — benchmarks are
+    tiny, corpora are not), the rest the training corpus; flag corpus
+    vectors whose nearest benchmark cosine reaches 0.40. Benchmark
+    broadcast, map-side scoring, argmax window over |benchmark|-bounded
+    groups — the corpus is scanned once and its vectors never shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    return sim.semantic_decontaminate(
+        corpus, bench, threshold=0.40
+    ).orderBy("vec_id")
+
+
+SQL_SEMANTIC_DECONTAMINATE = """
+WITH b AS (
+    SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+    FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+    SELECT vec_id, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id % 50 <> 0
+), s AS (
+    SELECT c.vec_id, b.bench_id,
+           list_dot_product(cv, bv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv)))
+               AS sim
+    FROM c CROSS JOIN b
+), r AS (
+    SELECT vec_id, bench_id, sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, bench_id ASC) AS rk
+    FROM s
+)
+SELECT vec_id,
+       bench_id AS nearest_bench_id,
+       sim AS max_sim,
+       CASE WHEN sim >= 0.40 THEN 1 ELSE 0 END AS contaminated
+FROM r WHERE rk = 1 ORDER BY vec_id
+"""
+
+
 SPARK_QUERIES = {
     # --- window part (a): r8/r9 additions, zero driver rows (the r9
     # driver artifacts never materialized, so the whole set is still
@@ -7414,6 +7457,7 @@ SPARK_QUERIES = {
     "unicode_clean": q_unicode_clean,
     "rare_token_ratio": q_rare_token_ratio,
     "temperature_mixture": q_temperature_mixture,
+    "semantic_decontaminate": q_semantic_decontaminate,
     # --- window part (b): implementations changed in round 9 with no
     # driver row since (source_overlap restructure; range-join
     # reserved-name guards; span_coverage on the input-spread path) ---
@@ -7452,10 +7496,10 @@ SPARK_QUERIES = {
     "embedding_norms": q_embedding_norms,
     "bfs_levels": q_bfs_levels,
     "max_concurrency": q_max_concurrency,
-    "tfidf_pairs": q_tfidf_pairs,
     # --- oracle-backed, OUTSIDE the round-10 window ---
     # rotated out in r10 (driver-green r8 on code untouched since);
-    # ship_lag/basket_pairs/ewma fund the three round-10 additions:
+    # ship_lag/basket_pairs/ewma/tfidf_pairs fund the four round-10
+    # additions:
     "salted_agg": q_salted_agg,
     "zorder_layout": q_zorder_layout,
     "interval_overlap": q_interval_overlap,
@@ -7464,6 +7508,7 @@ SPARK_QUERIES = {
     "ship_lag": q_ship_lag,
     "basket_pairs": q_basket_pairs,
     "ewma": q_ewma,
+    "tfidf_pairs": q_tfidf_pairs,
     # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
@@ -7740,6 +7785,7 @@ ORACLE_SQL = {
     "unicode_clean": SQL_UNICODE_CLEAN,
     "rare_token_ratio": SQL_RARE_TOKEN_RATIO,
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
+    "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
