@@ -218,3 +218,51 @@ def test_semantic_decontaminate_planted(spark):
 
     with _pt.raises(ValueError):
         sim.semantic_decontaminate(corpus, bench, threshold=1.5)
+
+
+# ------------------------------------------------------------ jsonl sink
+
+
+def test_jsonl_roundtrip_and_dlq(spark, tmp_path):
+    from wordpress_sql_to_contentstack_exporter_spark.sinks import jsonl as jl
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "corpus")
+    jl.write_jsonl_corpus(df, out, n_shards=3)
+    import glob
+
+    shards = glob.glob(out + "/part-*.json.gz")
+    assert len(shards) == 3  # deterministic, chosen shard count
+
+    clean, dlq = jl.read_jsonl_corpus(
+        spark, out, "doc_id long, text string, lang string, source string"
+    )
+    assert dlq.count() == 0
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, clean.collect()))
+    assert a == b  # exact round trip
+
+    # malformed lines land in the DLQ frame, clean ones still parse
+    bad = tmp_path / "corrupt" ; bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}\n'
+        'NOT JSON AT ALL\n'
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s"}\n'
+    )
+    clean2, dlq2 = jl.read_jsonl_corpus(
+        spark, str(bad), "doc_id long, text string, lang string, source string"
+    )
+    assert clean2.count() == 2
+    assert [r.raw_line for r in dlq2.collect()] == ["NOT JSON AT ALL"]
+
+    # reserved-column guards fail loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        jl.write_jsonl_corpus(df.withColumn("_corrupt_record", df.text), out, n_shards=1)
+    with _pt.raises(ValueError):
+        jl.read_jsonl_corpus(spark, out, "doc_id long, _corrupt_record string")
+    with _pt.raises(ValueError):
+        jl.write_jsonl_corpus(df, out, n_shards=0)
