@@ -266,3 +266,44 @@ def test_jsonl_roundtrip_and_dlq(spark, tmp_path):
         jl.read_jsonl_corpus(spark, out, "doc_id long, _corrupt_record string")
     with _pt.raises(ValueError):
         jl.write_jsonl_corpus(df, out, n_shards=0)
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_lm_perplexity_hand_model(spark):
+    import math
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "z q"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.lm_perplexity(df).collect()}
+
+    # model: big = {(a,b):3, (b,a):1, (z,q):1}; uni = {a:3, b:1, z:1}; V=3
+    def lp(c_big, c_uni):
+        return math.floor(math.log((c_big + 1) / (c_uni + 3)) * (1 << 20))
+
+    ab, ba, zq = lp(3, 3), lp(1, 1), lp(1, 1)
+    assert (got[1].n_bigrams, got[1].sum_logprob_scaled) == (3, 2 * ab + ba)
+    assert (got[2].n_bigrams, got[2].sum_logprob_scaled) == (1, ab)
+    assert (got[3].n_bigrams, got[3].sum_logprob_scaled) == (1, zq)
+    # a single-token doc has no bigrams: zero counts, NULL average
+    assert (got[4].n_bigrams, got[4].sum_logprob_scaled) == (0, 0)
+    assert got[4].avg_logprob is None
+    assert got[1].avg_logprob == ((2 * ab + ba) / (1 << 20)) / 3
+
+
+def test_lm_perplexity_flags_junk_below_prose(spark):
+    # prose-like docs reuse the corpus's bigrams; the junk doc's bigrams
+    # are all hapax — its avg logprob must be strictly lower
+    prose = [(i, "the cat sat on the mat and the cat ran") for i in range(5)]
+    junk = [(99, "qz vx jk wq zx kv")]
+    df = spark.createDataFrame(prose + junk, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in tx.lm_perplexity(df).collect()}
+    assert out[99] < out[0]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tx.lm_perplexity(df, add_k=0)
+    with _pt.raises(ValueError):
+        tx.lm_perplexity(df, scale_bits=4)

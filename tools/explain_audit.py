@@ -864,6 +864,20 @@ def main() -> int:
         ("no sort-merge join", r"\A(?s:(?!.*SortMergeJoin).*)\Z"),
         ("corpus vectors never ride a hash exchange", no_vec_in_hash_exchange),
     )
+    # lm_perplexity (round 10): ngram_lm exchange budget — bigram-keyed
+    # aggregations/joins (word pairs, never document text) and no
+    # cartesian/nested-loop anywhere.
+    lm_plan = plan_of(
+        _tx.lm_perplexity(
+            _lt(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
+    check_plan(
+        "lm_perplexity",
+        lm_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("document text never enters a shuffle", no_text_in_exchange),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0

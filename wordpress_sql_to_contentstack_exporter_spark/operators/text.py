@@ -1618,3 +1618,113 @@ def rare_token_ratio(
             .alias("flagged"),
         )
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    add_k: int = 1,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-k bigram LM trained on
+    the corpus itself — the CCNet-style fluency axis: OCR noise,
+    shuffled text and machine junk score far-below-prose average token
+    log-probability even when their token statistics look normal.
+
+        p(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+
+    with c(w1) the bigram-left marginal and V the bigram-right
+    vocabulary size, so the model is self-consistent from ONE bigram
+    count table. Scores follow the bm25 fixed-point discipline: the
+    per-bigram log-probability becomes ``floor(ln(p) · 2^scale_bits)``
+    once per DISTINCT bigram, and per-document totals are INTEGER sums
+    of those fixed-point terms — no cross-row float summation anywhere,
+    so totals are exact and engine-independent given identical ``ln``
+    doubles (the bm25 gate pins that parity at both scales; a last-ulp
+    ``ln`` divergence would need to land within ~2^-30 of a fixed-point
+    boundary to flip a floor). The only floats in the output are the
+    per-row final divisions.
+
+    Plan shape at 100 TB (ngram_lm's exchange budget):
+    1. tokenize + per-doc bigram counts — one (id, w1, w2) aggregation
+       with map-side combine; the aggregated frame is lazily
+       checkpointed (setsim_join discipline) because it feeds BOTH the
+       model build and the scoring join.
+    2. model: global bigram counts aggregate the per-doc frame (already
+       (bigram, doc)-distinct — no distinct shuffle); the left marginal
+       and vocabulary size reduce the MODEL frame, never the corpus.
+    3. scoring: one bigram-keyed equi-join of per-doc counts to
+       per-bigram fixed-point scores, then a per-doc integer re-sum.
+
+    Output: (id_col, n_bigrams, sum_logprob_scaled, avg_logprob) —
+    ``avg_logprob`` is in nats (divide by ln 2 for bits; perplexity is
+    ``exp(-avg_logprob)``, left to the caller to keep ``exp`` out of
+    the gate).
+    """
+    if add_k < 1:
+        raise ValueError("add_k must be >= 1 (integer smoothing keeps counts exact)")
+    if not (8 <= scale_bits <= 40):
+        raise ValueError("scale_bits must be in 8..40")
+    toks = tokens(portable_lower(F.col(text_col)))
+    t = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+    n1 = F.greatest(F.size("ts") - 1, F.lit(0))
+    pairs = t.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, n1).alias("w1"),
+                F.slice("ts", 2, n1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    docbg = (
+        pairs.groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .localCheckpoint(eager=False)
+    )
+    big = docbg.groupBy("w1", "w2").agg(F.sum("c_doc").cast("long").alias("c_big"))
+    uni = big.groupBy("w1").agg(F.sum("c_big").cast("long").alias("c_uni"))
+    vocab = big.agg(F.countDistinct("w2").cast("long").alias("v_size"))
+    term = (
+        big.join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c_big") + F.lit(add_k)).cast("double")
+                    / (F.col("c_uni") + F.lit(add_k) * F.col("v_size")).cast("double")
+                )
+                * F.lit(float(1 << scale_bits))
+            )
+            .cast("long")
+            .alias("lp_scaled"),
+        )
+    )
+    scored = (
+        docbg.join(term, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c_doc") * F.col("lp_scaled")).cast("long").alias(
+                "sum_logprob_scaled"
+            ),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("sum_logprob_scaled", F.lit(0)).cast("long").alias(
+            "sum_logprob_scaled"
+        ),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.col("sum_logprob_scaled").cast("double")
+            / F.lit(float(1 << scale_bits))
+            / F.col("n_bigrams").cast("double"),
+        ).alias("avg_logprob"),
+    )

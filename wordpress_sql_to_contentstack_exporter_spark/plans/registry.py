@@ -7436,6 +7436,61 @@ FROM r WHERE rk = 1 ORDER BY vec_id
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-1 bigram
+    LM (operators/text.lm_perplexity) — CCNet-style fluency scoring.
+    Fixed-point per-bigram log-probs, integer per-doc sums (the bm25
+    determinism discipline), one bigram-keyed scoring join."""
+    return tx.lm_perplexity(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+                   '[ \t\n\r\f\x0b]+'),
+               x -> x != '') AS ts
+    FROM documents
+), t0 AS (
+    SELECT doc_id,
+           [ {'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts)) ] AS gs
+    FROM toks
+), p AS (
+    SELECT doc_id, unnest(gs, recursive := true) FROM t0
+), docbg AS (
+    SELECT doc_id, w1, w2, count(*)::BIGINT AS c_doc FROM p GROUP BY 1, 2, 3
+), big AS (
+    SELECT w1, w2, sum(c_doc)::BIGINT AS c_big FROM docbg GROUP BY 1, 2
+), uni AS (
+    SELECT w1, sum(c_big)::BIGINT AS c_uni FROM big GROUP BY 1
+), vocab AS (
+    SELECT count(DISTINCT w2)::BIGINT AS v_size FROM big
+), term AS (
+    SELECT big.w1, big.w2,
+           floor(ln((c_big + 1)::DOUBLE / (c_uni + v_size)::DOUBLE)
+                 * 1048576.0)::BIGINT AS lp_scaled
+    FROM big JOIN uni USING (w1), vocab
+), scored AS (
+    SELECT doc_id,
+           sum(c_doc)::BIGINT AS n_bigrams,
+           sum(c_doc * lp_scaled)::BIGINT AS sum_logprob_scaled
+    FROM docbg JOIN term USING (w1, w2) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sum_logprob_scaled, 0)::BIGINT AS sum_logprob_scaled,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN (sum_logprob_scaled::DOUBLE / 1048576.0) / n_bigrams::DOUBLE
+       END AS avg_logprob
+FROM documents d LEFT JOIN scored USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 SPARK_QUERIES = {
     # --- window part (a): r8/r9 additions, zero driver rows (the r9
     # driver artifacts never materialized, so the whole set is still
@@ -7458,6 +7513,7 @@ SPARK_QUERIES = {
     "rare_token_ratio": q_rare_token_ratio,
     "temperature_mixture": q_temperature_mixture,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "lm_perplexity": q_lm_perplexity,
     # --- window part (b): implementations changed in round 9 with no
     # driver row since (source_overlap restructure; range-join
     # reserved-name guards; span_coverage on the input-spread path) ---
@@ -7495,7 +7551,6 @@ SPARK_QUERIES = {
     "pagerank": q_pagerank,
     "embedding_norms": q_embedding_norms,
     "bfs_levels": q_bfs_levels,
-    "max_concurrency": q_max_concurrency,
     # --- oracle-backed, OUTSIDE the round-10 window ---
     # rotated out in r10 (driver-green r8 on code untouched since);
     # ship_lag/basket_pairs/ewma/tfidf_pairs fund the four round-10
@@ -7509,6 +7564,7 @@ SPARK_QUERIES = {
     "basket_pairs": q_basket_pairs,
     "ewma": q_ewma,
     "tfidf_pairs": q_tfidf_pairs,
+    "max_concurrency": q_max_concurrency,
     # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
@@ -7786,6 +7842,7 @@ ORACLE_SQL = {
     "rare_token_ratio": SQL_RARE_TOKEN_RATIO,
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
