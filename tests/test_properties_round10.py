@@ -50,6 +50,7 @@ ADVERSARIAL = [
     (6, "tab\tand\nnewline kept"),
     (7, ""),
     (8, "A\u030a ring"),  # decomposed ring -> NFC composes to U+00C5
+    (9, None),  # NULL text propagates (never rewritten to empty)
 ]
 
 
@@ -59,6 +60,12 @@ def test_unicode_clean_matches_python_normalizer(spark):
     import re
 
     for doc_id, raw in ADVERSARIAL:
+        if raw is None:
+            row = got[doc_id]
+            assert row.text_clean is None
+            assert row.n_raw_chars is None and row.n_clean_chars is None
+            assert row.changed == 0
+            continue
         stripped = re.sub("\r\n?", "\n", raw)
         stripped = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", stripped)
         want = unicodedata.normalize("NFC", stripped)
@@ -307,3 +314,35 @@ def test_lm_perplexity_flags_junk_below_prose(spark):
         tx.lm_perplexity(df, add_k=0)
     with _pt.raises(ValueError):
         tx.lm_perplexity(df, scale_bits=4)
+
+
+def test_semantic_decontaminate_empty_benchmark_keeps_rows(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in sim.semantic_decontaminate(corpus, bench, threshold=0.5).collect()}
+    # row conservation: all-clean verdict, never a silently empty result
+    assert sorted(out) == [1, 2]
+    assert all(r.contaminated == 0 for r in out.values())
+    assert all(r.max_sim is None and r.nearest_bench_id is None for r in out.values())
+
+
+def test_jsonl_blank_and_null_lines_go_to_dlq(spark, tmp_path):
+    from wordpress_sql_to_contentstack_exporter_spark.sinks import jsonl as jl
+
+    d = tmp_path / "blanks" ; d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        '\n'
+        '   \n'
+        'null\n'
+        '{"doc_id": 2, "text": "ok2"}\n'
+    )
+    clean, dlq = jl.read_jsonl_corpus(spark, str(d), "doc_id long, text string")
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+    # blank, whitespace-only and JSON-null lines are non-documents:
+    # they must surface in the DLQ, not as phantom all-null rows
+    assert sorted(r.raw_line for r in dlq.collect()) == ["", "   ", "null"]

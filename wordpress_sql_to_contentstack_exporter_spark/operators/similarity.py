@@ -1218,7 +1218,11 @@ def semantic_decontaminate(
 
     Output: (id_col, nearest_bench_id, max_sim, contaminated) —
     ``contaminated`` is an int flag; removal is the caller's anti-join
-    so audit trails keep the evidence row.
+    so audit trails keep the evidence row. EVERY corpus row appears in
+    the output (left join back to the corpus ids): an empty benchmark
+    yields NULL nearest/max_sim and contaminated = 0 on every row —
+    an all-clean verdict with auditable row conservation, never a
+    silent empty result.
     """
     if not (0.0 <= threshold <= 1.0):
         raise ValueError("threshold must be in [0, 1]")
@@ -1228,10 +1232,16 @@ def semantic_decontaminate(
     b = benchmark.select(
         F.col(b_id).alias("bench_id"), F.col(b_vec).alias("bv")
     )
-    scored = c.join(F.broadcast(b)).select(
+    # LEFT outer on a constant-true condition: still one
+    # BroadcastNestedLoopJoin, but an empty benchmark keeps every
+    # corpus row (NULL bench side) instead of annihilating the output —
+    # no second, corpus-keyed join needed for row conservation
+    scored = c.join(F.broadcast(b), F.lit(True), "left").select(
         "cid",
         "bench_id",
-        cosine(F.col("cv"), F.col("bv")).alias("sim"),
+        F.when(
+            F.col("bv").isNotNull(), cosine(F.col("cv"), F.col("bv"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("cid").orderBy(
         F.col("sim").desc(), F.col("bench_id").asc()

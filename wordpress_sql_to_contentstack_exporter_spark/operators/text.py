@@ -1490,22 +1490,39 @@ def unicode_clean(
     ``changed`` is an integer flag (1 when cleaning altered the string)
     so the removal volume is auditable as ``sum(changed)`` without
     comparing strings downstream; char counts ride along as evidence.
+    NULL text stays NULL (NULL text_clean/char counts, changed = 0) —
+    the oracle's regexp/normalize chain propagates NULL the same way,
+    and rewriting missing documents into present-but-empty ones would
+    corrupt downstream null accounting.
 
     Plan shape at 100 TB: map-only end to end — no exchange at any
-    stage; scales linearly with input splits.
+    stage; scales linearly with input splits. Only the STRIPPED text
+    crosses the Arrow boundary: the raw length and the
+    raw-vs-stripped inequality are JVM codegen expressions, so the
+    Python pass carries one string column, not two (halves the Arrow
+    transfer on the hot path).
 
     Output: (id_col, text_clean, n_raw_chars, n_clean_chars, changed).
     """
     import unicodedata
 
+    stripped_expr = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), "\r\n?", "\n"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
+        "",
+    )
+    # the stripped expression appears twice in one projection — Catalyst
+    # subexpression elimination evaluates it once; the JVM-side changed
+    # flag is a full string comparison (a length check would miss the
+    # same-length lone-\r -> \n rewrite)
     stripped = df.select(
         F.col(id_col).alias("__uid"),
-        F.col(text_col).alias("__raw"),
-        F.regexp_replace(
-            F.regexp_replace(F.col(text_col), "\r\n?", "\n"),
-            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
-            "",
-        ).alias("__stripped"),
+        F.length(F.col(text_col)).cast("long").alias("__raw_len"),
+        stripped_expr.alias("__stripped"),
+        F.when(F.col(text_col) != stripped_expr, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("__jvm_changed"),
     )
 
     out_schema = (
@@ -1517,17 +1534,23 @@ def unicode_clean(
         import pandas as pd
 
         for pdf in it:
-            raw = pdf["__raw"].fillna("")
-            clean = pdf["__stripped"].fillna("").map(
-                lambda s: unicodedata.normalize("NFC", s)
+            notnull = pdf["__stripped"].notna()
+            clean = pdf["__stripped"].map(
+                lambda s: unicodedata.normalize("NFC", s), na_action="ignore"
             )
+            py_changed = clean.ne(pdf["__stripped"]) & notnull
             yield pd.DataFrame(
                 {
                     id_col: pdf["__uid"],
                     "text_clean": clean,
-                    "n_raw_chars": raw.map(len).astype("int64"),
-                    "n_clean_chars": clean.map(len).astype("int64"),
-                    "changed": (raw != clean).astype("int32"),
+                    "n_raw_chars": pdf["__raw_len"].astype("Int64"),
+                    "n_clean_chars": clean.map(len, na_action="ignore").astype(
+                        "Int64"
+                    ),
+                    "changed": (
+                        (pdf["__jvm_changed"].fillna(0).astype("bool") | py_changed)
+                        & notnull
+                    ).astype("int32"),
                 }
             )
 
@@ -1627,6 +1650,7 @@ def lm_perplexity(
     *,
     add_k: int = 1,
     scale_bits: int = 20,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document cross-entropy under an add-k bigram LM trained on
     the corpus itself — the CCNet-style fluency axis: OCR noise,
@@ -1679,11 +1703,16 @@ def lm_perplexity(
             )
         ).alias("p"),
     ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    docbg = (
-        pairs.groupBy("id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
-        .localCheckpoint(eager=False)
+    docbg = pairs.groupBy("id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_doc")
     )
+    if materialize:
+        # the frame feeds both the model build and the scoring join —
+        # without the checkpoint the corpus tokenizes twice. The flag
+        # exists because localCheckpoint REPLACES upstream lineage with
+        # Scan ExistingRDD in explain output; plan-audit tooling passes
+        # materialize=False to see the full lineage (dedup.py precedent).
+        docbg = docbg.localCheckpoint(eager=False)
     big = docbg.groupBy("w1", "w2").agg(F.sum("c_doc").cast("long").alias("c_big"))
     uni = big.groupBy("w1").agg(F.sum("c_big").cast("long").alias("c_uni"))
     vocab = big.agg(F.countDistinct("w2").cast("long").alias("v_size"))

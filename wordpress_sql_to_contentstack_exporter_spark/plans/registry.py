@@ -7417,10 +7417,15 @@ WITH b AS (
     SELECT vec_id, embedding::DOUBLE[] AS cv
     FROM embeddings WHERE vec_id % 50 <> 0
 ), s AS (
+    -- zero-norm guard mirrors operators/similarity.cosine: a bare
+    -- division would yield NULL here where Spark's guard yields 0.0
     SELECT c.vec_id, b.bench_id,
-           list_dot_product(cv, bv)
-             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv)))
-               AS sim
+           CASE WHEN sqrt(list_dot_product(cv, cv))
+                     * sqrt(list_dot_product(bv, bv)) > 0
+                THEN list_dot_product(cv, bv)
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product(bv, bv)))
+                ELSE 0.0 END AS sim
     FROM c CROSS JOIN b
 ), r AS (
     SELECT vec_id, bench_id, sim,
@@ -7553,8 +7558,9 @@ SPARK_QUERIES = {
     "bfs_levels": q_bfs_levels,
     # --- oracle-backed, OUTSIDE the round-10 window ---
     # rotated out in r10 (driver-green r8 on code untouched since);
-    # ship_lag/basket_pairs/ewma/tfidf_pairs fund the four round-10
-    # additions:
+    # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency fund the
+    # five round-10 additions (unicode_clean, rare_token_ratio,
+    # temperature_mixture, semantic_decontaminate, lm_perplexity):
     "salted_agg": q_salted_agg,
     "zorder_layout": q_zorder_layout,
     "interval_overlap": q_interval_overlap,

@@ -111,11 +111,14 @@ def read_jsonl_corpus(
     )
     # from_json leaves the corrupt field NULL for clean rows and puts
     # the raw line there for malformed ones. A malformed row may still
-    # carry nulls in data fields — the corrupt field is the discriminator.
-    clean = parsed.filter(F.col(f"__r.{CORRUPT_COL}").isNull()).select(
+    # carry nulls in data fields — the corrupt field is the
+    # discriminator. Two inputs produce a NULL STRUCT instead (no
+    # corrupt field to inspect): blank/whitespace-only lines and the
+    # JSON literal ``null`` — both are non-documents and belong in the
+    # DLQ, not as phantom all-null rows in the training corpus.
+    is_clean = F.col("__r").isNotNull() & F.col(f"__r.{CORRUPT_COL}").isNull()
+    clean = parsed.filter(is_clean).select(
         *[F.col(f"__r.{f.name}") for f in data_fields]
     )
-    dlq = parsed.filter(F.col(f"__r.{CORRUPT_COL}").isNotNull()).select(
-        F.col("value").alias("raw_line")
-    )
+    dlq = parsed.filter(~is_clean).select(F.col("value").alias("raw_line"))
     return clean, dlq
