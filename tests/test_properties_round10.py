@@ -346,3 +346,35 @@ def test_jsonl_blank_and_null_lines_go_to_dlq(spark, tmp_path):
     # blank, whitespace-only and JSON-null lines are non-documents:
     # they must surface in the DLQ, not as phantom all-null rows
     assert sorted(r.raw_line for r in dlq.collect()) == ["", "   ", "null"]
+
+
+def test_jsonl_streaming_ingest_incremental_and_idempotent(spark, tmp_path):
+    from wordpress_sql_to_contentstack_exporter_spark.streaming.jsonl_ingest import jsonl_ingest
+
+    src = tmp_path / "landing" ; src.mkdir()
+    clean_dir = str(tmp_path / "clean")
+    dlq_dir = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "one"}\nBROKEN\n{"doc_id": 2, "text": "two"}\n'
+    )
+    jsonl_ingest(spark, str(src), schema, clean_dir=clean_dir, dlq_dir=dlq_dir,
+                 checkpoint_dir=ckpt)
+    assert sorted(r.doc_id for r in spark.read.parquet(clean_dir).collect()) == [1, 2]
+    assert [r.raw_line for r in spark.read.parquet(dlq_dir).collect()] == ["BROKEN"]
+
+    # second run with NO new files: checkpoint manifest means nothing
+    # re-processes — outputs unchanged (replay idempotency)
+    jsonl_ingest(spark, str(src), schema, clean_dir=clean_dir, dlq_dir=dlq_dir,
+                 checkpoint_dir=ckpt)
+    assert spark.read.parquet(clean_dir).count() == 2
+    assert spark.read.parquet(dlq_dir).count() == 1
+
+    # a NEW file is picked up incrementally; earlier batches untouched
+    (src / "b.jsonl").write_text('{"doc_id": 3, "text": "three"}\n')
+    jsonl_ingest(spark, str(src), schema, clean_dir=clean_dir, dlq_dir=dlq_dir,
+                 checkpoint_dir=ckpt)
+    assert sorted(r.doc_id for r in spark.read.parquet(clean_dir).collect()) == [1, 2, 3]
+    assert spark.read.parquet(dlq_dir).count() == 1

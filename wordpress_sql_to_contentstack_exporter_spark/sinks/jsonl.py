@@ -91,6 +91,17 @@ def read_jsonl_corpus(
     parser against the same enforced schema, and keeps the whole read
     map-only (text source splits/decompresses identically).
     """
+    return parse_jsonl_lines(spark.read.text(path), schema)
+
+
+def parse_jsonl_lines(
+    lines: DataFrame, schema: StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """Split a ``value: string`` frame of raw JSONL lines into
+    (clean, dlq). Works on batch AND streaming frames (two stateless
+    map-only filters over one ``from_json`` parse) — the streaming
+    ingest (``streaming/jsonl_ingest.py``) reuses it per micro-batch.
+    """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
@@ -101,7 +112,7 @@ def read_jsonl_corpus(
     # would silently grow the caller's schema with the corrupt column
     data_fields = list(schema.fields)
     full = StructType(data_fields + [StructField(CORRUPT_COL, StringType())])
-    parsed = spark.read.text(path).select(
+    parsed = lines.select(
         F.col("value"),
         F.from_json(
             "value",
