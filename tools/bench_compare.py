@@ -75,6 +75,12 @@ def main() -> None:
         # vs window mirror; suffix-explode blocklist vs EXISTS/LIKE
         "embedding_gram", "threshold_sweep", "domain_blocklist",
         "skew_diagnostics",
+        # round-10 additions with real two-engine work: bigram-LM train
+        # + score (joins-on-aggregates both sides), corpus token-DF
+        # rarity join, regex chain + NFC normalization (unicodedata vs
+        # utf8proc), brute-force benchmark cosine scan
+        "lm_perplexity", "rare_token_ratio", "unicode_clean",
+        "semantic_decontaminate",
     ]
     out = {}
     for name in compared:

@@ -940,8 +940,15 @@ def main() -> int:
             print(f"WARN  quantitative evidence failed: {type(e).__name__}: {e}")
             failures.append("quantitative_evidence")
 
+        # scale-suffixed filename for non-driver scales: a full sf0.1
+        # sweep must not clobber the sf0.01 evidence file (it did, once)
+        fname = (
+            "CORRECTNESS_local.json"
+            if sf_dir.rstrip("/").endswith("sf0.01")
+            else f"CORRECTNESS_local_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}.json"
+        )
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "CORRECTNESS_local.json")
+                           fname)
         with open(out, "w") as f:
             json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=2)
         print(f"\nwrote {out} ({len(report)} queries)")

@@ -1206,15 +1206,16 @@ def semantic_decontaminate(
        of vectors exists anywhere in the plan.
     2. scoring is the broadcast join's map-side expression (the
        ``cosine_topk`` fixed-order fold — JVM codegen, no Python).
-    3. per-item argmax is a window over groups of |benchmark| scored
-       rows — bounded by the broadcast side, so no skew hazard; the
-       exchange carries (id, sim, bench_id) triples, never vectors.
+    3. per-item argmax is ``max(struct(sim, -bench_id))`` — an
+       AGGREGATION, not a window: partial aggregation collapses each
+       item's |benchmark| scored rows to ONE row map-side, so the
+       exchange carries |corpus| compact rows (a window would shuffle
+       all |corpus|·|benchmark| scored triples and sort each group).
+       The negated id makes lexicographic struct-max resolve
+       similarity ties to the SMALLEST benchmark id.
     The cosine fold is sequential over the array in BOTH engines, so
     the doubles — and therefore the threshold decision — are
     bit-identical cross-engine (the ann_cosine_topk precedent).
-
-    Tie-break: equal similarities resolve to the smallest benchmark
-    id (total order; the hash gate needs one winner).
 
     Output: (id_col, nearest_bench_id, max_sim, contaminated) —
     ``contaminated`` is an int flag; removal is the caller's anti-join
@@ -1238,23 +1239,19 @@ def semantic_decontaminate(
     # no second, corpus-keyed join needed for row conservation
     scored = c.join(F.broadcast(b), F.lit(True), "left").select(
         "cid",
-        "bench_id",
-        F.when(
-            F.col("bv").isNotNull(), cosine(F.col("cv"), F.col("bv"))
-        ).alias("sim"),
+        F.struct(
+            F.when(
+                F.col("bv").isNotNull(), cosine(F.col("cv"), F.col("bv"))
+            ).alias("sim"),
+            (-F.col("bench_id")).alias("nbid"),
+        ).alias("s"),
     )
-    w = Window.partitionBy("cid").orderBy(
-        F.col("sim").desc(), F.col("bench_id").asc()
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(
-            F.col("cid").alias(id_col),
-            F.col("bench_id").alias("nearest_bench_id"),
-            F.col("sim").alias("max_sim"),
-            F.when(F.col("sim") >= F.lit(threshold), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("contaminated"),
-        )
+    best = scored.groupBy("cid").agg(F.max("s").alias("m"))
+    return best.select(
+        F.col("cid").alias(id_col),
+        (-F.col("m.nbid")).cast("long").alias("nearest_bench_id"),
+        F.col("m.sim").alias("max_sim"),
+        F.when(F.col("m.sim") >= F.lit(threshold), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("contaminated"),
     )
