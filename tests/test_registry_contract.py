@@ -40,7 +40,7 @@ ROUND10_WINDOW_NEW = {
     # round-10 additions (first contact this round, per the r9
     # precedent of windowing same-round additions immediately):
     "unicode_clean", "rare_token_ratio", "temperature_mixture",
-    "semantic_decontaminate", "lm_perplexity",
+    "semantic_decontaminate", "lm_perplexity", "curation_gate",
 }
 ROUND10_WINDOW_CHANGED_IMPL = {
     # changed in r9 with no driver row since: reserved-name guards
@@ -61,7 +61,7 @@ ROUND10_WINDOW_RETAINED = {
     "cluster_keepers", "centroid_similarity",
     "histogram_drift", "grouped_mode", "corr_stats", "vocab_drift",
     "triangle_count", "pagerank",
-    "embedding_norms", "bfs_levels",
+    "embedding_norms",
 }
 
 

@@ -80,7 +80,7 @@ def main() -> None:
         # rarity join, regex chain + NFC normalization (unicodedata vs
         # utf8proc), brute-force benchmark cosine scan
         "lm_perplexity", "rare_token_ratio", "unicode_clean",
-        "semantic_decontaminate",
+        "semantic_decontaminate", "curation_gate",
     ]
     out = {}
     for name in compared:

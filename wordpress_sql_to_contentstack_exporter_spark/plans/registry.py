@@ -7496,6 +7496,145 @@ ORDER BY doc_id
 """
 
 
+def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-BACKED curation composition — the SQL-mirrorable
+    sibling of the rows-only `curation_pipeline` capstone: Unicode NFC
+    clean -> corpus-relative rarity gate -> bigram-LM fluency gate ->
+    exact-dedup keeper, fused into one lazy DAG. Every decision is an
+    exact-integer comparison (cross-multiplied rarity, fixed-point LM
+    threshold ``sum_scaled >= n_bigrams * floor(-3.4 * 2^20)``,
+    min-id keeper), so the composed verdict — not just each stage —
+    hash-matches DuckDB bit-for-bit. The cleaned frame is lazily
+    checkpointed: it feeds three consumers (rarity, LM, dedup) and
+    would otherwise run the Arrow NFC pass three times."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = (
+        tx.unicode_clean(d)
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    rare = tx.rare_token_ratio(cleaned, min_df=3, max_rare_pct=30).select(
+        "doc_id", "n_tokens", "n_rare"
+    )
+    lm = tx.lm_perplexity(cleaned).select(
+        "doc_id", "n_bigrams", "sum_logprob_scaled"
+    )
+    keepers = dd.exact_dedup(cleaned).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(1).alias("is_keeper")
+    )
+    lm_floor = -3565159  # floor(-3.4 * 2^20): nats-per-bigram cutoff
+    return (
+        cleaned.select("doc_id")
+        .join(rare, "doc_id")
+        .join(lm, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            "n_bigrams",
+            "sum_logprob_scaled",
+            F.coalesce("is_keeper", F.lit(0)).cast("int").alias("is_keeper"),
+            F.when(
+                (F.col("n_tokens") >= 10)
+                & (F.col("n_rare") * 100 < F.col("n_tokens") * 30)
+                & (
+                    (F.col("n_bigrams") == 0)
+                    | (
+                        F.col("sum_logprob_scaled")
+                        >= F.col("n_bigrams") * F.lit(lm_floor)
+                    )
+                )
+                & F.col("is_keeper").isNotNull(),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CURATION_GATE = r"""
+WITH cleaned AS (
+    SELECT doc_id,
+           nfc_normalize(
+               regexp_replace(
+                   regexp_replace(text, '\r\n?', chr(10), 'g'),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+           ) AS text
+    FROM documents
+), toks AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+                   '[ \t\n\r\f\x0b]+'),
+               x -> x != '') AS ts
+    FROM cleaned
+), flat AS (
+    SELECT doc_id, unnest(ts) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM flat GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1
+), rare AS (
+    SELECT tf.doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           sum(CASE WHEN df_docs < 3 THEN tf ELSE 0 END)::BIGINT AS n_rare
+    FROM tf JOIN dfreq USING (term) GROUP BY 1
+), t0 AS (
+    SELECT doc_id,
+           [ {'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts)) ] AS gs
+    FROM toks
+), p AS (
+    SELECT doc_id, unnest(gs, recursive := true) FROM t0
+), docbg AS (
+    SELECT doc_id, w1, w2, count(*)::BIGINT AS c_doc FROM p GROUP BY 1, 2, 3
+), big AS (
+    SELECT w1, w2, sum(c_doc)::BIGINT AS c_big FROM docbg GROUP BY 1, 2
+), uni AS (
+    SELECT w1, sum(c_big)::BIGINT AS c_uni FROM big GROUP BY 1
+), vocab AS (
+    SELECT count(DISTINCT w2)::BIGINT AS v_size FROM big
+), term AS (
+    SELECT big.w1, big.w2,
+           floor(ln((c_big + 1)::DOUBLE / (c_uni + v_size)::DOUBLE)
+                 * 1048576.0)::BIGINT AS lp_scaled
+    FROM big JOIN uni USING (w1), vocab
+), lm AS (
+    SELECT doc_id,
+           sum(c_doc)::BIGINT AS n_bigrams,
+           sum(c_doc * lp_scaled)::BIGINT AS sum_logprob_scaled
+    FROM docbg JOIN term USING (w1, w2) GROUP BY 1
+), keepers AS (
+    SELECT min(doc_id) AS doc_id
+    FROM cleaned
+    GROUP BY sha256(regexp_replace(
+        translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+        '[ \t\n\r\f\x0b]+', ' ', 'g'))
+)
+SELECT c.doc_id,
+       coalesce(rare.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(rare.n_rare, 0)::BIGINT AS n_rare,
+       coalesce(lm.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(lm.sum_logprob_scaled, 0)::BIGINT AS sum_logprob_scaled,
+       CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_keeper,
+       CASE WHEN coalesce(rare.n_tokens, 0) >= 10
+             AND coalesce(rare.n_rare, 0) * 100 < coalesce(rare.n_tokens, 0) * 30
+             AND (coalesce(lm.n_bigrams, 0) = 0
+                  OR coalesce(lm.sum_logprob_scaled, 0)
+                     >= coalesce(lm.n_bigrams, 0) * -3565159)
+             AND k.doc_id IS NOT NULL
+            THEN 1 ELSE 0 END AS kept
+FROM cleaned c
+LEFT JOIN rare USING (doc_id)
+LEFT JOIN lm USING (doc_id)
+LEFT JOIN keepers k USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 SPARK_QUERIES = {
     # --- window part (a): r8/r9 additions, zero driver rows (the r9
     # driver artifacts never materialized, so the whole set is still
@@ -7519,6 +7658,7 @@ SPARK_QUERIES = {
     "temperature_mixture": q_temperature_mixture,
     "semantic_decontaminate": q_semantic_decontaminate,
     "lm_perplexity": q_lm_perplexity,
+    "curation_gate": q_curation_gate,
     # --- window part (b): implementations changed in round 9 with no
     # driver row since (source_overlap restructure; range-join
     # reserved-name guards; span_coverage on the input-spread path) ---
@@ -7555,7 +7695,6 @@ SPARK_QUERIES = {
     "triangle_count": q_triangle_count,
     "pagerank": q_pagerank,
     "embedding_norms": q_embedding_norms,
-    "bfs_levels": q_bfs_levels,
     # --- oracle-backed, OUTSIDE the round-10 window ---
     # rotated out in r10 (driver-green r8 on code untouched since);
     # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency fund the
@@ -7571,6 +7710,7 @@ SPARK_QUERIES = {
     "ewma": q_ewma,
     "tfidf_pairs": q_tfidf_pairs,
     "max_concurrency": q_max_concurrency,
+    "bfs_levels": q_bfs_levels,
     # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
@@ -7849,6 +7989,7 @@ ORACLE_SQL = {
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "curation_gate": SQL_CURATION_GATE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
