@@ -20,11 +20,11 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 # materialized (no CORRECTNESS_r09.json was written), so every query
 # the r9 rotation placed for first driver contact is STILL
 # first-contact — they all keep their slots; the five r9-late
-# additions (past the r9 cut) and the five round-10 additions rotate
-# in. The TEN new slots are funded by rotating out ten r8-greens whose
-# code is untouched since r8 (salted_agg, zorder_layout,
+# additions (past the r9 cut) and the six round-10 additions rotate
+# in. The ELEVEN new slots are funded by rotating out eleven r8-greens
+# whose code is untouched since r8 (salted_agg, zorder_layout,
 # interval_overlap, expectations, sentence_split, ship_lag,
-# basket_pairs, ewma, tfidf_pairs, max_concurrency).
+# basket_pairs, ewma, tfidf_pairs, max_concurrency, bfs_levels).
 # Pinned as a SET, not a frozen order, so next round's rotation edits
 # this list deliberately rather than breaking an order assertion by
 # accident.

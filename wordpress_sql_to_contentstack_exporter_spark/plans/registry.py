@@ -7697,9 +7697,10 @@ SPARK_QUERIES = {
     "embedding_norms": q_embedding_norms,
     # --- oracle-backed, OUTSIDE the round-10 window ---
     # rotated out in r10 (driver-green r8 on code untouched since);
-    # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency fund the
-    # five round-10 additions (unicode_clean, rare_token_ratio,
-    # temperature_mixture, semantic_decontaminate, lm_perplexity):
+    # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency/bfs_levels
+    # fund the six round-10 additions (unicode_clean, rare_token_ratio,
+    # temperature_mixture, semantic_decontaminate, lm_perplexity,
+    # curation_gate):
     "salted_agg": q_salted_agg,
     "zorder_layout": q_zorder_layout,
     "interval_overlap": q_interval_overlap,
