@@ -850,6 +850,7 @@ def main() -> int:
             emb.filter("vec_id % 50 <> 0"),
             emb.filter("vec_id % 50 = 0"),
             threshold=0.4,
+            materialize=False,  # expose full lineage past the checkpoints
         )
     )
     no_vec_in_hash_exchange = (

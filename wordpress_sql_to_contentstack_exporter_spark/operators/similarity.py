@@ -1188,6 +1188,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     bench_id_col: str | None = None,
     bench_vec_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-space decontamination: flag every corpus item whose
     nearest benchmark item reaches ``threshold`` cosine similarity —
@@ -1204,8 +1205,23 @@ def semantic_decontaminate(
     1. the benchmark side is BROADCAST — the corpus scan stays fully
        partitioned and is read exactly once; no corpus-keyed shuffle
        of vectors exists anywhere in the plan.
-    2. scoring is the broadcast join's map-side expression (the
-       ``cosine_topk`` fixed-order fold — JVM codegen, no Python).
+    2. scoring is the broadcast join's map-side expression — but NOT
+       the naive ``cosine(cv, bv)``: that recomputes both norms (and
+       re-casts both arrays) for every (corpus, benchmark) PAIR, and
+       higher-order array expressions are interpreted, not codegen'd —
+       measured 5x the whole query wall at sf0.1. Both sides are
+       UNIT-NORMALIZED once per ROW in their own projections, so the
+       per-pair work is exactly one zip_with-multiply + fixed-order
+       fold. The oracle mirrors the same float sequence (per-element
+       divide by the correctly-rounded sqrt norm, then the sequential
+       product sum), so the doubles stay bit-identical. The normalized
+       projections are lazily checkpointed: measured at sf0.1, the
+       engine otherwise re-evaluates the normalization expression per
+       PAIR (8x the query wall — projection collapse across the join);
+       the checkpoint buffers each side once. At real scale the better
+       home for the normalization is the upstream embedding pipeline
+       (store unit vectors); ``materialize=False`` exposes full lineage
+       to plan-audit tooling (dedup.py convention).
     3. per-item argmax is ``max(struct(sim, -bench_id))`` — an
        AGGREGATION, not a window: partial aggregation collapses each
        item's |benchmark| scored rows to ONE row map-side, so the
@@ -1229,10 +1245,21 @@ def semantic_decontaminate(
         raise ValueError("threshold must be in [0, 1]")
     b_id = bench_id_col or id_col
     b_vec = bench_vec_col or vec_col
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+
+    def unit(vec: Column) -> Column:
+        # once per row; a zero-norm vector stays as-is (all products 0,
+        # so sim = 0.0 — the cosine() zero-norm contract)
+        vd = _as_double(vec)
+        n = l2_norm(vd)
+        return F.when(n > 0, F.transform(vd, lambda x: x / n)).otherwise(vd)
+
+    c = corpus.select(F.col(id_col).alias("cid"), unit(F.col(vec_col)).alias("cu"))
     b = benchmark.select(
-        F.col(b_id).alias("bench_id"), F.col(b_vec).alias("bv")
+        F.col(b_id).alias("bench_id"), unit(F.col(b_vec)).alias("bu")
     )
+    if materialize:
+        c = c.localCheckpoint(eager=False)
+        b = b.localCheckpoint(eager=False)
     # LEFT outer on a constant-true condition: still one
     # BroadcastNestedLoopJoin, but an empty benchmark keeps every
     # corpus row (NULL bench side) instead of annihilating the output —
@@ -1241,7 +1268,12 @@ def semantic_decontaminate(
         "cid",
         F.struct(
             F.when(
-                F.col("bv").isNotNull(), cosine(F.col("cv"), F.col("bv"))
+                F.col("bu").isNotNull(),
+                F.aggregate(
+                    F.zip_with(F.col("cu"), F.col("bu"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
             ).alias("sim"),
             (-F.col("bench_id")).alias("nbid"),
         ).alias("s"),

@@ -7411,21 +7411,25 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SEMANTIC_DECONTAMINATE = """
 WITH b AS (
-    SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+    -- unit-normalize once per ROW, mirroring the operator's per-pair
+    -- float sequence exactly: x / sqrt(dot) per element (zero-norm
+    -- vectors stay as-is -> all products 0 -> sim 0.0)
+    SELECT vec_id AS bench_id,
+           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+                THEN [x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      FOR x IN embedding::DOUBLE[]]
+                ELSE embedding::DOUBLE[] END AS bu
     FROM embeddings WHERE vec_id % 50 = 0
 ), c AS (
-    SELECT vec_id, embedding::DOUBLE[] AS cv
+    SELECT vec_id,
+           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+                THEN [x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      FOR x IN embedding::DOUBLE[]]
+                ELSE embedding::DOUBLE[] END AS cu
     FROM embeddings WHERE vec_id % 50 <> 0
 ), s AS (
-    -- zero-norm guard mirrors operators/similarity.cosine: a bare
-    -- division would yield NULL here where Spark's guard yields 0.0
     SELECT c.vec_id, b.bench_id,
-           CASE WHEN sqrt(list_dot_product(cv, cv))
-                     * sqrt(list_dot_product(bv, bv)) > 0
-                THEN list_dot_product(cv, bv)
-                     / (sqrt(list_dot_product(cv, cv))
-                        * sqrt(list_dot_product(bv, bv)))
-                ELSE 0.0 END AS sim
+           list_dot_product(cu, bu) AS sim
     FROM c CROSS JOIN b
 ), r AS (
     SELECT vec_id, bench_id, sim,
