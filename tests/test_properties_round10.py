@@ -378,3 +378,66 @@ def test_jsonl_streaming_ingest_incremental_and_idempotent(spark, tmp_path):
                  checkpoint_dir=ckpt)
     assert sorted(r.doc_id for r in spark.read.parquet(clean_dir).collect()) == [1, 2, 3]
     assert spark.read.parquet(dlq_dir).count() == 1
+
+
+# -------------------------------------------------------------- winnowing
+
+
+def _winnow_pyref(text, k, w):
+    import hashlib
+    import re as _re
+
+    t = _re.sub(r"[ \t\n\r\f\x0b]+", " ", text.strip(" ").lower())
+    grams = [
+        (hashlib.md5(t[i:i + k].encode()).hexdigest(), i + 1)
+        for i in range(len(t) - k + 1)
+    ]
+    picks = set()
+    for j in range(len(grams) - w + 1):
+        best = grams[j]
+        for g in grams[j + 1:j + w]:
+            if g[0] <= best[0]:  # rightmost minimum (paper's tie rule)
+                best = g
+        picks.add(best)
+    return picks
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef \n", min_size=0, max_size=60),
+        min_size=1, max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=6),
+    w=st.integers(min_value=1, max_value=5),
+)
+def test_winnowing_matches_python_reference(spark, texts, k, w):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in tx.winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_hash, r.pos))
+    for i, t in rows:
+        assert got.get(i, set()) == _winnow_pyref(t, k, w), (i, t, k, w)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # any shared substring of length >= w + k - 1 must yield at least
+    # one identical fingerprint HASH in both documents
+    shared = "the quick brown fox jumps over"
+    df = spark.createDataFrame(
+        [(1, "prefix junk " + shared), (2, shared + " totally other tail")],
+        "doc_id long, text string",
+    )
+    out = tx.winnow_fingerprints(df, k=8, w=4)
+    sets = {}
+    for r in out.collect():
+        sets.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert sets[1] & sets[2]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tx.winnow_fingerprints(df, k=1)
+    with _pt.raises(ValueError):
+        tx.winnow_fingerprints(df, w=0)

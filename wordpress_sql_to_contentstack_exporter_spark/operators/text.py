@@ -1757,3 +1757,100 @@ def lm_perplexity(
             / F.col("n_bigrams").cast("double"),
         ).alias("avg_logprob"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every character ``k``-gram of the
+    normalized text, slide a window of ``w`` consecutive gram hashes,
+    and select each window's minimum (rightmost occurrence on ties).
+    The guarantee that makes winnowing THE local fingerprinting scheme:
+    any shared substring of length >= ``w + k - 1`` between two
+    documents produces at least one IDENTICAL selected fingerprint in
+    both — so fingerprint equi-joins find partial overlap (plagiarism,
+    quotation, shared boilerplate) that whole-document hashing and
+    fixed-stride sampling both miss, with output density ~2/(w+1)
+    instead of one hash per position.
+
+    Engine-portable by construction: gram hashes are md5 hex strings
+    (identical in any engine — the sampling family's md5 discipline;
+    an engine-native ``hash()`` would not reproduce cross-engine), the
+    window minimum is a left-to-right fold that replaces on ``<=``
+    (hence RIGHTMOST minimum — the paper's tie rule, mirrored by the
+    oracle's ``list_reduce`` over the same window slice), and positions
+    are exact integers. Normalization (lowercase + whitespace collapse)
+    mirrors the exact-dedup content-hash chain.
+
+    Plan shape at 100 TB: fingerprint SELECTION is entirely map-side
+    higher-order expressions — no exchange until the caller joins or
+    aggregates the exploded (id, fingerprint, pos) rows, and those
+    rows carry an md5-hex + two longs, never text. Selected-set size
+    is bounded by ~2·n_grams/(w+1) per document.
+
+    The sliding minimum is built as ``w - 1`` SHIFTED ``zip_with``
+    folds (running min of windows of growing length), NOT a
+    slice-per-window expression: higher-order lambdas re-evaluate
+    their argument arrays, so the naive per-window ``aggregate(slice(
+    grams, j, w))`` recomputes the whole md5 gram array per WINDOW —
+    O(n^2) hashing that measured minutes-per-500-docs where the
+    shifted form takes seconds (the semantic_decontaminate
+    projection-collapse lesson, one level deeper: inside a single
+    expression tree even CSE won't save you — restructure the
+    algebra so nothing quadratic can be expressed).
+
+    Output: (id_col, fp_hash, pos) — pos is the 1-based gram position,
+    one row per DISTINCT selected (hash, pos) pair, the winnowing
+    fingerprint set.
+    """
+    if k < 2 or w < 1:
+        raise ValueError("k >= 2 and w >= 1 required")
+    norm = F.regexp_replace(
+        portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS, " "
+    )
+    n_grams = F.length(norm) - F.lit(k - 1)
+    # guarded: sequence(1, n) with n < 1 would produce a DESCENDING
+    # sequence (Spark semantics), feeding garbage substrings
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.struct(
+                F.md5(norm.substr(i, F.lit(k))).alias("h"),
+                i.cast("long").alias("p"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,p:bigint>>"))
+
+    # running rightmost-min of windows of growing length: after step s,
+    # m[j] holds the fold of grams[j .. j+s]; the left-to-right replace-
+    # on-<= rule is exactly the paper's rightmost-minimum tie-break.
+    # zip_with pads the shorter (shifted) side with NULLs — keep `a`.
+    def pair(a, g):
+        return F.when(g.isNotNull() & (g["h"] <= a["h"]), g).otherwise(a)
+
+    m = grams
+    for shift in range(1, w):
+        shifted = F.slice(
+            grams, shift + 1, F.greatest(n_grams - shift, F.lit(0))
+        )
+        m = F.zip_with(m, shifted, pair)
+    n_windows = n_grams - F.lit(w - 1)
+    picks = F.array_distinct(
+        F.slice(m, 1, F.greatest(n_windows, F.lit(0)))
+    )
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(picks).alias("fp"),
+    )
+    return rows.select(
+        F.col("id").alias(id_col),
+        F.col("fp.h").alias("fp_hash"),
+        F.col("fp.p").alias("pos"),
+    )

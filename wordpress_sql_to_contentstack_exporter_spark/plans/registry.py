@@ -7639,6 +7639,46 @@ ORDER BY c.doc_id
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.winnow_fingerprints,
+    k=8, w=4 — MOSS): md5 k-gram hashes, rightmost-min-per-window
+    selection, distinct (hash, pos) pairs per document. Any shared
+    substring of >= w+k-1 chars yields an identical fingerprint in
+    both documents. Fully map-side until the exploded output."""
+    return tx.winnow_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=8, w=4
+    ).orderBy("doc_id", "pos")
+
+
+SQL_WINNOWING = r"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_replace(
+               translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+               '[ \t\n\r\f\x0b]+', ' ', 'g') AS t
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           [ {'h': md5(substring(t, i, 8)), 'p': i::BIGINT}
+             for i in range(1, len(t) - 8 + 2) ] AS grams
+    FROM norm WHERE len(t) >= 8
+), p AS (
+    -- list_distinct over STRUCT lists is unimplemented in DuckDB
+    -- (histogram-backed); dedup happens row-wise after the unnest
+    SELECT doc_id,
+           [ list_reduce(grams[j:j+3],
+                         (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)
+             for j in range(1, len(grams) - 4 + 2) ] AS picks
+    FROM g WHERE len(grams) >= 4
+), e AS (
+    SELECT doc_id, unnest(picks) AS fp FROM p
+)
+SELECT DISTINCT doc_id, fp.h AS fp_hash, fp.p AS pos
+FROM e
+ORDER BY doc_id, pos
+"""
+
+
 SPARK_QUERIES = {
     # --- window part (a): r8/r9 additions, zero driver rows (the r9
     # driver artifacts never materialized, so the whole set is still
@@ -7663,6 +7703,7 @@ SPARK_QUERIES = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "lm_perplexity": q_lm_perplexity,
     "curation_gate": q_curation_gate,
+    "winnowing": q_winnowing,
     # --- window part (b): implementations changed in round 9 with no
     # driver row since (source_overlap restructure; range-join
     # reserved-name guards; span_coverage on the input-spread path) ---
@@ -7698,13 +7739,12 @@ SPARK_QUERIES = {
     "vocab_drift": q_vocab_drift,
     "triangle_count": q_triangle_count,
     "pagerank": q_pagerank,
-    "embedding_norms": q_embedding_norms,
     # --- oracle-backed, OUTSIDE the round-10 window ---
     # rotated out in r10 (driver-green r8 on code untouched since);
-    # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency/bfs_levels
-    # fund the six round-10 additions (unicode_clean, rare_token_ratio,
-    # temperature_mixture, semantic_decontaminate, lm_perplexity,
-    # curation_gate):
+    # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency/bfs_levels/
+    # embedding_norms fund the seven round-10 additions (unicode_clean,
+    # rare_token_ratio, temperature_mixture, semantic_decontaminate,
+    # lm_perplexity, curation_gate, winnowing):
     "salted_agg": q_salted_agg,
     "zorder_layout": q_zorder_layout,
     "interval_overlap": q_interval_overlap,
@@ -7716,6 +7756,7 @@ SPARK_QUERIES = {
     "tfidf_pairs": q_tfidf_pairs,
     "max_concurrency": q_max_concurrency,
     "bfs_levels": q_bfs_levels,
+    "embedding_norms": q_embedding_norms,
     # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
@@ -7995,6 +8036,7 @@ ORACLE_SQL = {
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "curation_gate": SQL_CURATION_GATE,
+    "winnowing": SQL_WINNOWING,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
