@@ -7664,9 +7664,12 @@ WITH norm AS (
     FROM norm WHERE len(t) >= 8
 ), p AS (
     -- list_distinct over STRUCT lists is unimplemented in DuckDB
-    -- (histogram-backed); dedup happens row-wise after the unnest
+    -- (histogram-backed), so dedup happens row-wise after the unnest;
+    -- the window is spelled as EXPLICIT element access (w = 4), not a
+    -- bracket slice — slice end-inclusivity is build-sensitive
+    -- (oracle-lint hazard family B)
     SELECT doc_id,
-           [ list_reduce(grams[j:j+3],
+           [ list_reduce([grams[j], grams[j+1], grams[j+2], grams[j+3]],
                          (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)
              for j in range(1, len(grams) - 4 + 2) ] AS picks
     FROM g WHERE len(grams) >= 4
