@@ -441,3 +441,25 @@ def test_winnowing_shared_substring_guarantee(spark):
         tx.winnow_fingerprints(df, k=1)
     with _pt.raises(ValueError):
         tx.winnow_fingerprints(df, w=0)
+
+
+def test_semantic_decontaminate_null_vector_and_id_guard(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r for r in sim.semantic_decontaminate(corpus, bench, threshold=0.5).collect()}
+    # NULL vector -> unscoreable: NULL sim, contaminated 0 (the
+    # engine-wide NULL-propagation discipline; zero-norm != NULL)
+    assert got[2].max_sim is None and got[2].contaminated == 0
+    assert got[1].contaminated == 1
+
+    bench_str = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<double>")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.semantic_decontaminate(corpus, bench_str, threshold=0.5)

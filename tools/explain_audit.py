@@ -839,7 +839,8 @@ def main() -> int:
     # design, not a hazard: |corpus|x|benchmark| with a broadcast build
     # side is how every exact scorer works); the corpus side must never
     # sort-merge and its VECTORS must never ride a hash exchange (the
-    # argmax window shuffles (id, sim, bench_id) triples only).
+    # struct-max argmax aggregation shuffles (id, sim, bench_id)
+    # triples only, partial-combined map-side).
     from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as _simo
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -855,7 +856,7 @@ def main() -> int:
     )
     no_vec_in_hash_exchange = (
         r"\A(?s:(?!.*\(\d+\) Exchange\s*\nInput \[\d+\]: "
-        r"\[[^\]]*(?:embedding|cv)#[^\]]*\]\s*\nArguments: [^\n]*"
+        r"\[[^\]]*(?:embedding|cv|cu|bu)#[^\]]*\]\s*\nArguments: [^\n]*"
         r"(?:hashpartitioning|rangepartitioning)).*)\Z"
     )
     check_plan(

@@ -1239,19 +1239,37 @@ def semantic_decontaminate(
     the output (left join back to the corpus ids): an empty benchmark
     yields NULL nearest/max_sim and contaminated = 0 on every row —
     an all-clean verdict with auditable row conservation, never a
-    silent empty result.
+    silent empty result. A NULL corpus or benchmark VECTOR likewise
+    propagates to NULL sim (unscoreable, contaminated = 0) — the
+    engine-wide NULL-propagation discipline; only a present zero-norm
+    vector gets the cosine() 0.0 contract. Ids must be integral
+    (checked loudly): the tie-break rides a negated id through the
+    struct max.
     """
     if not (0.0 <= threshold <= 1.0):
         raise ValueError("threshold must be in [0, 1]")
     b_id = bench_id_col or id_col
     b_vec = bench_vec_col or vec_col
+    b_id_type = benchmark.schema[b_id].dataType.simpleString()
+    if b_id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"benchmark id column {b_id!r} must be integral for the "
+            f"negation tie-break, got {b_id_type}"
+        )
 
     def unit(vec: Column) -> Column:
-        # once per row; a zero-norm vector stays as-is (all products 0,
-        # so sim = 0.0 — the cosine() zero-norm contract)
+        # the norm must NOT appear inside a per-element lambda body —
+        # higher-order lambdas re-evaluate their body per element, so
+        # transform(v, x -> x / l2_norm(v)) does d folds of d elements
+        # (O(d^2) per row). zip_with against array_repeat(norm, d)
+        # evaluates the norm ONCE per row. A zero-norm vector stays
+        # as-is (all products 0, so sim = 0.0 — the cosine() contract).
         vd = _as_double(vec)
         n = l2_norm(vd)
-        return F.when(n > 0, F.transform(vd, lambda x: x / n)).otherwise(vd)
+        return F.when(
+            n > 0,
+            F.zip_with(vd, F.array_repeat(n, F.size(vd)), lambda x, y: x / y),
+        ).otherwise(vd)
 
     c = corpus.select(F.col(id_col).alias("cid"), unit(F.col(vec_col)).alias("cu"))
     b = benchmark.select(
@@ -1267,14 +1285,11 @@ def semantic_decontaminate(
     scored = c.join(F.broadcast(b), F.lit(True), "left").select(
         "cid",
         F.struct(
-            F.when(
-                F.col("bu").isNotNull(),
-                F.aggregate(
-                    F.zip_with(F.col("cu"), F.col("bu"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            ).alias("sim"),
+            # the module's dot() helper IS the bare zip_with-multiply +
+            # fixed-order fold — one evaluation per pair, no casts
+            F.when(F.col("bu").isNotNull(), dot(F.col("cu"), F.col("bu"))).alias(
+                "sim"
+            ),
             (-F.col("bench_id")).alias("nbid"),
         ).alias("s"),
     )

@@ -7399,7 +7399,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays the benchmark set (the realistic asymmetry — benchmarks are
     tiny, corpora are not), the rest the training corpus; flag corpus
     vectors whose nearest benchmark cosine reaches 0.40. Benchmark
-    broadcast, map-side scoring, argmax window over |benchmark|-bounded
+    broadcast, map-side scoring, partial-aggregating struct-max argmax over |benchmark|-bounded
     groups — the corpus is scanned once and its vectors never shuffle."""
     e = _t(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") % 50 == 0)
@@ -7527,10 +7527,11 @@ def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").alias("doc_id"), F.lit(1).alias("is_keeper")
     )
     lm_floor = -3565159  # floor(-3.4 * 2^20): nats-per-bigram cutoff
+    # rare is TOTAL over cleaned's doc_ids (rare_token_ratio left-joins
+    # its own base internally), so it IS the base frame — a separate
+    # cleaned.select(doc_id) join would add a provably-no-op exchange
     return (
-        cleaned.select("doc_id")
-        .join(rare, "doc_id")
-        .join(lm, "doc_id")
+        rare.join(lm, "doc_id")
         .join(keepers, "doc_id", "left")
         .select(
             "doc_id",

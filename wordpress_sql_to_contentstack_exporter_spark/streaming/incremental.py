@@ -32,23 +32,37 @@ def incremental_export(
     *,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     fmt: str = "parquet",
-) -> None:
-    """Process all not-yet-seen files under ``input_dir`` and stop.
+    reader_options: dict[str, str] | None = None,
+    continuous: bool = False,
+):
+    """Process all not-yet-seen files under ``input_dir`` and stop —
+    or, with ``continuous=True``, keep tailing the directory.
 
     ``batch_fn(batch_df, batch_id)`` receives each micro-batch (already
     ``transform``-ed) — attach any batch sink there. Re-running with the
     same ``checkpoint_dir`` is the resume path: only new files are read.
+
+    Returns the ``StreamingQuery``. In the default AvailableNow mode it
+    has already terminated; in continuous mode the CALLER owns it —
+    discard the handle and the stream dies when the driver process
+    exits, with no way to stop or monitor it short of fishing through
+    ``spark.streams.active``.
     """
-    stream = spark.readStream.schema(schema).format(fmt).load(input_dir)
+    reader = spark.readStream
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.schema(schema).format(fmt).load(input_dir)
     if transform is not None:
         stream = transform(stream)
-    query = (
-        stream.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
     )
-    query.awaitTermination()
+    if not continuous:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if not continuous:
+        query.awaitTermination()
+    return query
 
 
 def windowed_event_counts(

@@ -36,7 +36,7 @@ def jsonl_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     continuous: bool = False,
-) -> None:
+):
     """Ingest JSONL shards from ``input_dir``: clean rows land as
     parquet under ``clean_dir``, malformed lines under ``dlq_dir``.
 
@@ -59,12 +59,16 @@ def jsonl_ingest(
 
     Re-running with the same ``checkpoint_dir`` resumes: only files
     not yet in the checkpoint manifest are read (replay-idempotent by
-    construction — the incremental_export contract).
+    construction). The run scaffolding (readStream + foreachBatch +
+    checkpoint + trigger) is ``incremental.incremental_export`` — one
+    copy of the streaming-run discipline in the package; this function
+    supplies the text source, the parse split and the idempotent dual
+    sink. Returns the ``StreamingQuery`` (terminated in AvailableNow
+    mode; LIVE and caller-owned in continuous mode).
     """
-    reader = spark.readStream
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    lines = reader.text(input_dir)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .incremental import incremental_export
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
@@ -75,12 +79,18 @@ def jsonl_ingest(
         finally:
             batch.unpersist()
 
-    writer = (
-        lines.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger is not None
+        else None
     )
-    if not continuous:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    if not continuous:
-        query.awaitTermination()
+    return incremental_export(
+        spark,
+        input_dir,
+        StructType([StructField("value", StringType())]),
+        write_batch,
+        checkpoint_dir,
+        fmt="text",
+        reader_options=opts,
+        continuous=continuous,
+    )
