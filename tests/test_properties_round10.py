@@ -463,3 +463,31 @@ def test_semantic_decontaminate_null_vector_and_id_guard(spark):
 
     with _pt.raises(ValueError):
         sim.semantic_decontaminate(corpus, bench_str, threshold=0.5)
+
+
+def test_winnow_overlap_detects_planted_pair_and_caps_boilerplate(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = "all rights reserved standard footer text here"
+    rows = [
+        (1, shared + " alpha tail one"),
+        (2, shared + " beta tail two"),       # near-dup of 1 via shared prefix
+        (3, "completely different content with nothing in common zebra"),
+    ] + [(10 + i, f"unique doc {i} body {i * 7} | " + boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = tx.winnow_overlap(df, k=8, w=4, min_shared=2, max_fp_docs=3)
+    pairs = {(r.doc_id_a, r.doc_id_b): r for r in out.collect()}
+    assert (1, 2) in pairs                       # planted pair surfaces
+    assert pairs[(1, 2)].n_shared >= 2
+    assert 0 < pairs[(1, 2)].overlap_pm_a <= 1000
+    # the footer appears in 6 docs > max_fp_docs=3: its fingerprints are
+    # capped away, so the boilerplate docs must NOT pair with each other
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)
+    assert not any(3 in p for p in pairs)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tx.winnow_overlap(df, min_shared=0)
+    with _pt.raises(ValueError):
+        tx.winnow_overlap(df, max_fp_docs=1)

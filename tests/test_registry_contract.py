@@ -20,12 +20,12 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 # materialized (no CORRECTNESS_r09.json was written), so every query
 # the r9 rotation placed for first driver contact is STILL
 # first-contact — they all keep their slots; the five r9-late
-# additions (past the r9 cut) and the seven round-10 additions rotate
-# in. The TWELVE new slots are funded by rotating out twelve r8-greens
-# whose code is untouched since r8 (salted_agg, zorder_layout,
-# interval_overlap, expectations, sentence_split, ship_lag,
-# basket_pairs, ewma, tfidf_pairs, max_concurrency, bfs_levels,
-# embedding_norms).
+# additions (past the r9 cut) and the eight round-10 additions rotate
+# in. The THIRTEEN new slots are funded by rotating out thirteen
+# r8-greens whose code is untouched since r8 (salted_agg,
+# zorder_layout, interval_overlap, expectations, sentence_split,
+# ship_lag, basket_pairs, ewma, tfidf_pairs, max_concurrency,
+# bfs_levels, embedding_norms, pagerank).
 # Pinned as a SET, not a frozen order, so next round's rotation edits
 # this list deliberately rather than breaking an order assertion by
 # accident.
@@ -42,7 +42,7 @@ ROUND10_WINDOW_NEW = {
     # precedent of windowing same-round additions immediately):
     "unicode_clean", "rare_token_ratio", "temperature_mixture",
     "semantic_decontaminate", "lm_perplexity", "curation_gate",
-    "winnowing",
+    "winnowing", "winnow_overlap",
 }
 ROUND10_WINDOW_CHANGED_IMPL = {
     # changed in r9 with no driver row since: reserved-name guards
@@ -62,7 +62,7 @@ ROUND10_WINDOW_RETAINED = {
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
     "cluster_keepers", "centroid_similarity",
     "histogram_drift", "grouped_mode", "corr_stats", "vocab_drift",
-    "triangle_count", "pagerank",
+    "triangle_count",
 }
 
 

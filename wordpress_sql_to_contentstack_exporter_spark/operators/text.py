@@ -1854,3 +1854,78 @@ def winnow_fingerprints(
         F.col("fp.h").alias("fp_hash"),
         F.col("fp.p").alias("pos"),
     )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 50,
+) -> DataFrame:
+    """Document-pair overlap via shared winnowing fingerprints — what
+    MOSS actually reports: pairs ranked by how many selected
+    fingerprints they share. Because the fingerprints are md5 (not an
+    engine-local hash), this is the registry's one FULLY
+    oracle-verifiable near-duplicate PAIR operator — the MinHash/SimHash
+    families are rows-only by construction; this one's exact pair set
+    and counts reproduce bit-for-bit in any engine.
+
+    Pipeline (each stage bounded):
+    1. fingerprints per doc (:func:`winnow_fingerprints`), collapsed to
+       DISTINCT (doc, hash) — position dropped; overlap counts hashes.
+    2. boilerplate cap: fingerprints present in more than
+       ``max_fp_docs`` documents are shared chrome (headers, license
+       blocks) — they would both swamp the pair semantics and create
+       the classic self-join hot key, so they are dropped by an
+       aggregated-frame filter (the LSH ``max_bucket_size`` discipline;
+       the cap is part of the operator's SEMANTICS and the oracle
+       applies the same rule).
+    3. pair generation: fingerprint-keyed self-join with ``id_a <
+       id_b`` — per-hash fan-out bounded by C(max_fp_docs, 2); the
+       exchange carries (md5-hex, id) pairs, never text.
+    4. per-pair shared-fingerprint counts, thresholded at
+       ``min_shared``; each side's total fingerprint count rides along
+       so consumers can compute containment/overlap ratios exactly
+       (``overlap_pm_a`` = shared per-mille of side a's fingerprints —
+       integer arithmetic, the engine's exactness discipline).
+
+    Output: (id_a, id_b, n_shared, n_fp_a, n_fp_b, overlap_pm_a).
+    """
+    if min_shared < 1 or max_fp_docs < 2:
+        raise ValueError("min_shared >= 1 and max_fp_docs >= 2 required")
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), "fp_hash")
+        .distinct()
+    )
+    freq = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = fps.join(
+        freq.filter(F.col("n_docs") <= max_fp_docs).select("fp_hash"),
+        "fp_hash",
+    )
+    totals = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("id").alias("id_a"), "fp_hash")
+    b = kept.select(F.col("id").alias("id_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(totals.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_fp_a")), "id_a")
+        .join(totals.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_fp_b")), "id_b")
+        .select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            "n_shared",
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.col("n_fp_b").cast("long").alias("n_fp_b"),
+            F.expr("(n_shared * 1000) div n_fp_a").cast("long").alias("overlap_pm_a"),
+        )
+    )

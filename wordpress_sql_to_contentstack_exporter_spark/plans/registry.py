@@ -7683,6 +7683,78 @@ ORDER BY doc_id, pos
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully oracle-verifiable near-dup PAIRS via shared winnowing
+    fingerprints (operators/text.winnow_overlap, k=8 w=4 min_shared=3
+    cap=20): corpus = documents + perturbed near-dup copies (+1M ids,
+    appended suffix — the curation_pipeline construction), so every
+    planted pair must surface with high overlap. The MinHash/SimHash
+    families are rows-only by construction; this pair set and its
+    counts reproduce bit-for-bit in DuckDB (md5 fingerprints)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup suffix tail")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return tx.winnow_overlap(
+        corpus, k=8, w=4, min_shared=3, max_fp_docs=20
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+SQL_WINNOW_OVERLAP = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' near dup suffix tail' AS text
+    FROM documents
+), norm AS (
+    SELECT doc_id,
+           regexp_replace(
+               translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+               '[ \t\n\r\f\x0b]+', ' ', 'g') AS t
+    FROM corpus
+), g AS (
+    SELECT doc_id,
+           [ {'h': md5(substring(t, i, 8)), 'p': i::BIGINT}
+             for i in range(1, len(t) - 8 + 2) ] AS grams
+    FROM norm WHERE len(t) >= 8
+), p AS (
+    SELECT doc_id,
+           [ list_reduce([grams[j], grams[j+1], grams[j+2], grams[j+3]],
+                         (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)
+             for j in range(1, len(grams) - 4 + 2) ] AS picks
+    FROM g WHERE len(grams) >= 4
+), e AS (
+    SELECT doc_id, unnest(picks) AS fp FROM p
+), fps AS (
+    SELECT DISTINCT doc_id AS id, fp.h AS fp_hash FROM e
+), freq AS (
+    SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) <= 20
+), kept AS (
+    SELECT fps.id, fps.fp_hash FROM fps JOIN freq USING (fp_hash)
+), totals AS (
+    SELECT id, count(*)::BIGINT AS n_fp FROM kept GROUP BY 1
+), pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+    FROM kept a JOIN kept b USING (fp_hash)
+    WHERE a.id < b.id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+)
+SELECT pairs.id_a AS doc_id_a,
+       pairs.id_b AS doc_id_b,
+       pairs.n_shared,
+       ta.n_fp AS n_fp_a,
+       tb.n_fp AS n_fp_b,
+       ((pairs.n_shared * 1000) // ta.n_fp)::BIGINT AS overlap_pm_a
+FROM pairs
+JOIN totals ta ON ta.id = pairs.id_a
+JOIN totals tb ON tb.id = pairs.id_b
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 SPARK_QUERIES = {
     # --- window part (a): r8/r9 additions, zero driver rows (the r9
     # driver artifacts never materialized, so the whole set is still
@@ -7708,6 +7780,7 @@ SPARK_QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "curation_gate": q_curation_gate,
     "winnowing": q_winnowing,
+    "winnow_overlap": q_winnow_overlap,
     # --- window part (b): implementations changed in round 9 with no
     # driver row since (source_overlap restructure; range-join
     # reserved-name guards; span_coverage on the input-spread path) ---
@@ -7742,13 +7815,13 @@ SPARK_QUERIES = {
     "corr_stats": q_corr_stats,
     "vocab_drift": q_vocab_drift,
     "triangle_count": q_triangle_count,
-    "pagerank": q_pagerank,
     # --- oracle-backed, OUTSIDE the round-10 window ---
     # rotated out in r10 (driver-green r8 on code untouched since);
     # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency/bfs_levels/
-    # embedding_norms fund the seven round-10 additions (unicode_clean,
-    # rare_token_ratio, temperature_mixture, semantic_decontaminate,
-    # lm_perplexity, curation_gate, winnowing):
+    # embedding_norms/pagerank fund the eight round-10 additions
+    # (unicode_clean, rare_token_ratio, temperature_mixture,
+    # semantic_decontaminate, lm_perplexity, curation_gate, winnowing,
+    # winnow_overlap):
     "salted_agg": q_salted_agg,
     "zorder_layout": q_zorder_layout,
     "interval_overlap": q_interval_overlap,
@@ -7761,6 +7834,7 @@ SPARK_QUERIES = {
     "max_concurrency": q_max_concurrency,
     "bfs_levels": q_bfs_levels,
     "embedding_norms": q_embedding_norms,
+    "pagerank": q_pagerank,
     # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
     # embedding_centroids additionally green r7 — their second
     # confirmations are done):
@@ -8041,6 +8115,7 @@ ORACLE_SQL = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "curation_gate": SQL_CURATION_GATE,
     "winnowing": SQL_WINNOWING,
+    "winnow_overlap": SQL_WINNOW_OVERLAP,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
