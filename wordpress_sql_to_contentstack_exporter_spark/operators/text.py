@@ -1865,6 +1865,7 @@ def winnow_overlap(
     w: int = 4,
     min_shared: int = 2,
     max_fp_docs: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Document-pair overlap via shared winnowing fingerprints — what
     MOSS actually reports: pairs ranked by how many selected
@@ -1902,11 +1903,19 @@ def winnow_overlap(
         .select(F.col(id_col).alias("id"), "fp_hash")
         .distinct()
     )
+    if materialize:
+        # fps feeds the frequency build AND the cap join; kept feeds
+        # totals and both self-join sides — without the checkpoints the
+        # md5 fingerprinting pass re-runs once per consumer (the
+        # setsim_join materialization discipline)
+        fps = fps.localCheckpoint(eager=False)
     freq = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("n_docs"))
     kept = fps.join(
         freq.filter(F.col("n_docs") <= max_fp_docs).select("fp_hash"),
         "fp_hash",
     )
+    if materialize:
+        kept = kept.localCheckpoint(eager=False)
     totals = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = kept.select(F.col("id").alias("id_a"), "fp_hash")
     b = kept.select(F.col("id").alias("id_b"), "fp_hash")
