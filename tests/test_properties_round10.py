@@ -221,9 +221,7 @@ def test_semantic_decontaminate_planted(spark):
     assert got[4].max_sim == 0.0
     # zero-norm tie: both benches score 0.0 -> smallest bench id wins
     assert got[4].nearest_bench_id == 100
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         sim.semantic_decontaminate(corpus, bench, threshold=1.5)
 
 
@@ -265,13 +263,11 @@ def test_jsonl_roundtrip_and_dlq(spark, tmp_path):
     assert [r.raw_line for r in dlq2.collect()] == ["NOT JSON AT ALL"]
 
     # reserved-column guards fail loudly
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         jl.write_jsonl_corpus(df.withColumn("_corrupt_record", df.text), out, n_shards=1)
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         jl.read_jsonl_corpus(spark, out, "doc_id long, _corrupt_record string")
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         jl.write_jsonl_corpus(df, out, n_shards=0)
 
 
@@ -308,11 +304,9 @@ def test_lm_perplexity_flags_junk_below_prose(spark):
     out = {r.doc_id: r.avg_logprob for r in tx.lm_perplexity(df).collect()}
     assert out[99] < out[0]
 
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         tx.lm_perplexity(df, add_k=0)
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         tx.lm_perplexity(df, scale_bits=4)
 
 
@@ -435,11 +429,9 @@ def test_winnowing_shared_substring_guarantee(spark):
         sets.setdefault(r.doc_id, set()).add(r.fp_hash)
     assert sets[1] & sets[2]
 
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         tx.winnow_fingerprints(df, k=1)
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         tx.winnow_fingerprints(df, w=0)
 
 
@@ -459,9 +451,7 @@ def test_semantic_decontaminate_null_vector_and_id_guard(spark):
     assert got[1].contaminated == 1
 
     bench_str = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<double>")
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         sim.semantic_decontaminate(corpus, bench_str, threshold=0.5)
 
 
@@ -485,9 +475,7 @@ def test_winnow_overlap_detects_planted_pair_and_caps_boilerplate(spark):
     assert not any(a >= 10 and b >= 10 for a, b in pairs)
     assert not any(3 in p for p in pairs)
 
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         tx.winnow_overlap(df, min_shared=0)
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         tx.winnow_overlap(df, max_fp_docs=1)

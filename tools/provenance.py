@@ -79,7 +79,12 @@ def build_table() -> tuple[str, int]:
         if greens:
             green_cell = ",".join(f"r{r}" for r in greens)
         elif name in window:
-            green_cell = f"local-only (driver row pending, in r{latest + 1} window)"
+            # "current window", not r{latest+1}: the latest committed
+            # artifact's round number does not track rounds whose driver
+            # run never materialized (r9 produced no CORRECTNESS file),
+            # so a computed next-round label goes stale and misattributes
+            # later additions to an earlier window
+            green_cell = "local-only (driver row pending, in current window)"
         else:
             green_cell = "local-only (driver row pending)"
         red_cell = ",".join(f"r{r}" for r in reds)
