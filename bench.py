@@ -700,23 +700,28 @@ def main() -> None:
         # suppress the one stdout line the driver's tail-capture needs
         # (ADVICE r7). Fall back to a minimal parseable headline; the
         # full record is in the detail file either way.
-        # The fallback must have BOUNDED size, so it drops the per-query
-        # dict — the one component that grows as gates accumulate
-        # (ADVICE r8). Totals + stamps only; per-query numbers live in
-        # the detail file.
-        line = json.dumps(
-            {
-                "metric": result["metric"],
-                "value": result["value"],
-                "unit": result["unit"],
-                "sf": result["sf"],
-                "total_cold": result["total_cold"],
-                "polluted": result["polluted"],
-                "detail_file": "BENCH_detail.json",
-                "truncated": True,
-            }
-        )
+        line = fallback_line(result)
     print(line)
+
+
+def fallback_line(result: dict) -> str:
+    """Minimal parseable headline for when the compact line outgrows the
+    tail buffer. BOUNDED by construction: eight fixed scalar fields, no
+    per-query dict — the one component that grows as gates accumulate
+    (ADVICE r8). Per-query numbers live in the detail file.
+    test_bench_contract pins the bound against regression."""
+    return json.dumps(
+        {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "sf": result["sf"],
+            "total_cold": result["total_cold"],
+            "polluted": result["polluted"],
+            "detail_file": "BENCH_detail.json",
+            "truncated": True,
+        }
+    )
 
 
 if __name__ == "__main__":

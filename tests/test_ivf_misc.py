@@ -179,10 +179,11 @@ def test_centroid_similarity_identical_groups_score_one(spark):
 def test_ann_recall_sweep_shape_and_floors(spark):
     """The retrieval-quality gate (VERDICT r8 #8): one row per method,
     possible = |queries| x k from the exact baseline, hits <= returned,
-    and the structured-config methods hold a recall floor at fixture
-    scale. lsh_gate (structure-tuned planes) is exempt from the floor —
-    its near-zero recall on the clusterless Gaussian fixture is the
-    documented worst-case contrast the sweep exists to record."""
+    and every SHIPPED configuration holds a recall floor at fixture
+    scale — including lsh_gate, which since VERDICT r10 #2 measures the
+    exact parameters q_ann_lsh_topk ships (the _lsh_planes() 4x8
+    default). Only lsh_2x8_contrast — the explicitly labeled worst-case
+    contrast row, shipped by no query — is exempt from the floor."""
     from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
 
     rows = {
@@ -191,13 +192,13 @@ def test_ann_recall_sweep_shape_and_floors(spark):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    assert set(rows) == {"lsh_gate", "lsh_4x8", "ivf", "pq", "ivfpq"}
+    assert set(rows) == {"lsh_gate", "lsh_2x8_contrast", "ivf", "pq", "ivfpq"}
     possible = {r["possible"] for r in rows.values()}
     assert len(possible) == 1 and possible.pop() > 0
     for r in rows.values():
         assert 0 <= r["hits"] <= r["returned"]
         assert abs(r["recall_at_k"] - r["hits"] / r["possible"]) < 1e-12
-    for m in ("lsh_4x8", "ivf", "pq", "ivfpq"):
+    for m in ("lsh_gate", "ivf", "pq", "ivfpq"):
         assert rows[m]["recall_at_k"] >= 0.3, (m, rows[m]["recall_at_k"])
 
 

@@ -239,7 +239,9 @@ def test_jsonl_roundtrip_and_dlq(spark, tmp_path):
     import glob
 
     shards = glob.glob(out + "/part-*.json.gz")
-    assert len(shards) == 3  # deterministic, chosen shard count
+    # AT MOST n_shards: Spark emits no file for empty partitions, so
+    # hash-collided/tiny inputs can land on fewer files (ADVICE r10 #3)
+    assert 1 <= len(shards) <= 3
 
     clean, dlq = jl.read_jsonl_corpus(
         spark, out, "doc_id long, text string, lang string, source string"

@@ -29,7 +29,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-TABLE_HEADER = "| Query | Driver-green rounds | Driver-red rounds (resolved) | In r{n} window |"
+# "In current window", not a computed r{latest+1}: the latest committed
+# artifact's round number does not track rounds whose driver run never
+# materialized (r9 produced no CORRECTNESS file), so a computed
+# next-round label goes stale (ADVICE r10 #1).
+TABLE_HEADER = "| Query | Driver-green rounds | Driver-red rounds (resolved) | In current window |"
 
 BEGIN = "| Query | Driver-green rounds |"
 
@@ -66,10 +70,33 @@ def build_table() -> tuple[str, int]:
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
 
-    lines = [TABLE_HEADER.format(n=latest + 1), "|---|---|---|---|"]
+    lines = [TABLE_HEADER, "|---|---|---|---|"]
     for name in names:
         if name not in ORACLE_SQL:
-            continue  # rows-only: evidence lives in CORRECTNESS_local.json
+            # rows-only: hash/oracle evidence lives in
+            # CORRECTNESS_local.json; the driver still records a
+            # rows/err row when a rows-only query holds a window slot
+            # (round-11 rotation, VERDICT r10 ask #3) — surface those
+            # contacts so the table shows the driver environment has
+            # executed the query at least once.
+            contacts = [
+                r
+                for r in sorted(rounds)
+                if name in rounds[r]
+                and rounds[r][name].get("spark_rows") is not None
+                and rounds[r][name].get("err") in (None, "", "no_oracle")
+            ]
+            if not contacts and name not in window:
+                continue
+            if contacts:
+                cell = "rows-only driver contact " + ",".join(
+                    f"r{r}" for r in contacts
+                )
+            else:
+                cell = "rows-only (in window; driver contact pending)"
+            win_cell = "yes" if name in window else ""
+            lines.append(f"| `{name}` | {cell} | | {win_cell} |")
+            continue
         greens = [r for r in sorted(rounds) if is_green(rounds[r].get(name, {}))]
         reds = [
             r

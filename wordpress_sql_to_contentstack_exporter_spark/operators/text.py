@@ -1525,8 +1525,12 @@ def unicode_clean(
         .alias("__jvm_changed"),
     )
 
+    # the id field's type follows the INPUT schema (string doc ids are
+    # as legal as bigint ones) — hardcoding `long` here miscast or
+    # failed non-long ids at runtime (ADVICE r10 #2)
+    id_ddl = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, text_clean string, n_raw_chars long, "
+        f"{id_col} {id_ddl}, text_clean string, n_raw_chars long, "
         "n_clean_chars long, changed int"
     )
 

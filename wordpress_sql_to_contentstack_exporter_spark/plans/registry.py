@@ -2522,7 +2522,15 @@ def _embedding_dim(sf_dir: str) -> int:
     return embedding_dim(f"{sf_dir}/embeddings.parquet")
 
 
-def _lsh_planes(num_tables: int = 2, num_planes: int = 8, dim: int = 16, seed: int = 42):
+def _lsh_planes(num_tables: int = 8, num_planes: int = 4, dim: int = 16, seed: int = 42):
+    """Default configuration = the VALIDATED one (VERDICT r10 #2): short
+    signatures x many tables (4 planes x 8 tables, seed 42), measured at
+    0.9 top-1 agreement / 0.73 recall@5 on the sweep fixture. The old
+    2-tables x 8-planes default measured recall@5 = 0.02 there (near-zero
+    on a clusterless Gaussian: 8-plane signatures split ~uniform vectors
+    into 256 buckets/table, so with 2 tables true neighbors almost never
+    collide); it survives only as ``ann_recall_sweep``'s explicitly
+    labeled worst-case contrast row."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -2534,7 +2542,9 @@ def _lsh_planes(num_tables: int = 2, num_planes: int = 8, dim: int = 16, seed: i
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (rows-only: plane literals make the
-    SQL oracle impractical; recall vs the exact path is unit-tested)."""
+    SQL oracle impractical; recall vs the exact path is unit-tested).
+    Ships ``_lsh_planes()``'s validated 4-planes x 8-tables default — the
+    configuration the evidence block and the recall sweep measure."""
     e = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(sf_dir)
     if dim == 0:
@@ -2743,16 +2753,17 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     methods = {
-        # TWO LSH rows on purpose: the gate default (8 planes x 2
-        # tables) is tuned for corpora with similarity structure and
-        # sits near zero recall on the clusterless Gaussian fixture,
-        # while short-signature x many-table (4 planes x 8 tables, seed
-        # 42 — the configuration the committed test claims are made at)
-        # recovers it. Measuring both keeps the worst-case contrast in
-        # the per-round record instead of a docstring.
+        # TWO LSH rows on purpose: ``lsh_gate`` measures the parameters
+        # ``q_ann_lsh_topk`` actually ships (the ``_lsh_planes()``
+        # default — 4 planes x 8 tables since VERDICT r10 #2, recall@5
+        # ~0.73 here), and ``lsh_2x8_contrast`` keeps the old
+        # long-signature x few-tables configuration as the explicitly
+        # labeled worst-case contrast (recall@5 ~0.02 on this
+        # clusterless Gaussian fixture) so the structure-sensitivity of
+        # hyperplane LSH stays in the per-round record.
         "lsh_gate": sim.lsh_topk(q, e, _lsh_planes(dim=dim), k=k),
-        "lsh_4x8": sim.lsh_topk(
-            q, e, _lsh_planes(num_tables=8, num_planes=4, dim=dim, seed=42), k=k
+        "lsh_2x8_contrast": sim.lsh_topk(
+            q, e, _lsh_planes(num_tables=2, num_planes=8, dim=dim, seed=42), k=k
         ),
         "ivf": sim.ivf_topk(q, e, k=k, n_cells=16, n_probe=6, max_iter=5),
         "pq": sim.pq_topk(q, e, k=k, m=16, n_codes=16, rerank=32),

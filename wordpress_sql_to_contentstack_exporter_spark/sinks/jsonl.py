@@ -42,12 +42,15 @@ def write_jsonl_corpus(
     n_shards: int,
     compression: str | None = "gzip",
 ) -> None:
-    """Write ``df`` as ``n_shards`` JSONL shards under ``path``.
+    """Write ``df`` as AT MOST ``n_shards`` JSONL shards under ``path``.
 
     Sharding is ``repartition(n_shards, xxhash64(id_col))`` — a hash
     exchange of the output rows (the one unavoidable shuffle of a
     sharded write), deterministic in the id so replays are
-    shard-stable. ``n_shards`` has no default on purpose: at 100 TB it
+    shard-stable. Spark emits no file for an empty partition, so tiny
+    or hash-collided inputs legitimately produce FEWER than
+    ``n_shards`` files (ADVICE r10 #3); consumers must glob, never
+    enumerate shard indices. ``n_shards`` has no default on purpose: at 100 TB it
     is a capacity decision (shards ~256 MB-1 GB keep the non-splittable
     gzip readable in parallel), and defaulting it would hide exactly
     the choice that matters.
