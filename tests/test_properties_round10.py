@@ -481,3 +481,39 @@ def test_winnow_overlap_detects_planted_pair_and_caps_boilerplate(spark):
         tx.winnow_overlap(df, min_shared=0)
     with pytest.raises(ValueError):
         tx.winnow_overlap(df, max_fp_docs=1)
+
+
+def test_winnow_dedup_clusters_and_keepers(spark):
+    """winnow_dedup (VERDICT r10 ask #4): near-identical docs co-cluster
+    with the min id as keeper; weak-overlap docs stay singletons
+    (containment gate); transitive closure merges A~B, B~C chains."""
+    base = "the quick brown fox jumps over the lazy dog again and again extra"
+    rows = [
+        (1, base + " alpha"),
+        (2, base + " beta"),                 # near-dup of 1
+        (3, base + " beta gamma"),           # near-dup of 2 -> chain {1,2,3}
+        (4, "completely different content with nothing shared zebra quux"),
+        # shares a few grams with 1 but far below 50% containment:
+        (5, "the quick brown cat sits still while unrelated text dominates "
+            "this much longer document body with many extra unique tokens "
+            "filling space so shared fingerprints stay a small fraction"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.winnow_dedup(
+            df, k=8, w=4, min_shared=2, max_fp_docs=10, min_containment_pm=500
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # transitive chain collapses to cluster 1, keeper = min id
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].is_keeper and not out[2].is_keeper and not out[3].is_keeper
+    # weak-overlap and disjoint docs are singleton keepers
+    assert out[4].cluster_id == 4 and out[4].is_keeper
+    assert out[5].cluster_id == 5 and out[5].is_keeper
+
+    with pytest.raises(ValueError):
+        tx.winnow_dedup(df, min_containment_pm=0)
+    with pytest.raises(ValueError):
+        tx.winnow_dedup(df, min_containment_pm=1001)

@@ -16,47 +16,42 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-10 window contract: the round-9 driver artifacts never
-# materialized (no CORRECTNESS_r09.json was written), so every query
-# the r9 rotation placed for first driver contact is STILL
-# first-contact — they all keep their slots; the five r9-late
-# additions (past the r9 cut) and the eight round-10 additions rotate
-# in. The THIRTEEN new slots are funded by rotating out thirteen
-# r8-greens whose code is untouched since r8 (salted_agg,
-# zorder_layout, interval_overlap, expectations, sentence_split,
-# ship_lag, basket_pairs, ewma, tfidf_pairs, max_concurrency,
-# bfs_levels, embedding_norms, pagerank).
-# Pinned as a SET, not a frozen order, so next round's rotation edits
-# this list deliberately rather than breaking an order assertion by
-# accident.
-ROUND10_WINDOW_NEW = {
-    # r8 additions, never driver-seen:
+# The round-11 window contract (VERDICT r10 asks #3/#4): the 24
+# rows-only queries had NEVER executed in the driver environment (every
+# prior window slot was oracle-backed), and prior rotations surfaced
+# env divergence at ~2-in-30 on first driver contact — so ten of them
+# take deliberate window slots this round (the driver records rows/err
+# even without an oracle). Funded by rotating out eleven r10-greens on
+# code untouched since r10. Pinned as SETS, not a frozen order, so next
+# round's rotation edits these lists deliberately rather than breaking
+# an order assertion by accident.
+ROUND11_WINDOW_NEW = {
+    # round-11 additions (first contact) + impls changed this round:
+    "winnow_dedup",       # new: pairs -> containment -> CC -> keepers
+    "unicode_clean",      # id-type derivation fix (ADVICE r10 #2)
+}
+# Deliberate rows-only window slots (VERDICT r10 ask #3). ann_lsh_topk
+# additionally changed configuration this round (validated 4x8 planes).
+ROUND11_WINDOW_ROWS_ONLY = {
+    "minhash_neardup", "simhash_neardup", "semdedup", "dsir",
+    "bpe_tokenize", "quality_classifier", "ann_recall_sweep",
+    "curation_pipeline", "ann_lsh_topk", "embedding_neardup",
+}
+ROUND11_WINDOW_RETAINED_R10_GREENS = {
+    # r10 first-greens kept for one confirmation on round-10 code,
+    # plus the winnow family that winnow_dedup composes:
     "incremental_dedup", "html_text", "windowed_dedup",
-    "compaction_plan", "expectations_exemplars",
-    # r9-early additions, never driver-seen:
     "incremental_dedup_bucketed", "html_quality",
-    # r9-late additions, never driver-seen:
-    "gapfill_interp", "tokenizer_fertility", "html_links",
-    "bm25_score", "bm25_topk",
-    # round-10 additions (first contact this round, per the r9
-    # precedent of windowing same-round additions immediately):
-    "unicode_clean", "rare_token_ratio", "temperature_mixture",
     "semantic_decontaminate", "lm_perplexity", "curation_gate",
     "winnowing", "winnow_overlap",
 }
-ROUND10_WINDOW_CHANGED_IMPL = {
-    # changed in r9 with no driver row since: reserved-name guards
-    # (range joins), join-free restructure (source_overlap),
-    # input-spread path (span_coverage).
-    "range_join", "range_join_bucketed", "source_overlap",
-    "span_coverage",
-}
-ROUND10_WINDOW_ANCHORS = {
+ROUND11_WINDOW_ANCHORS = {
     "flagship_posts_export", "bloom_prune_join", "shard_manifest",
 }
-ROUND10_WINDOW_RETAINED = {
+ROUND11_WINDOW_RETAINED = {
     "salted_join", "robust_anomaly",
-    "repeated_spans", "audio_features", "frame_sample",
+    "repeated_spans", "span_coverage", "source_overlap",
+    "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
@@ -66,15 +61,36 @@ ROUND10_WINDOW_RETAINED = {
 }
 
 
-def test_round10_window_set():
+def test_round11_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
-        ROUND10_WINDOW_NEW
-        | ROUND10_WINDOW_CHANGED_IMPL
-        | ROUND10_WINDOW_ANCHORS
-        | ROUND10_WINDOW_RETAINED
+        ROUND11_WINDOW_NEW
+        | ROUND11_WINDOW_ROWS_ONLY
+        | ROUND11_WINDOW_RETAINED_R10_GREENS
+        | ROUND11_WINDOW_ANCHORS
+        | ROUND11_WINDOW_RETAINED
     )
+
+
+def test_rotated_out_r11_kept_their_greens():
+    """The eleven queries rotated out this round must all be r10
+    driver-greens — rotation never discards a query whose latest
+    driver contact was red or absent."""
+    import json
+    import os
+
+    rotated_out = {
+        "compaction_plan", "expectations_exemplars", "gapfill_interp",
+        "tokenizer_fertility", "html_links", "bm25_score", "bm25_topk",
+        "rare_token_ratio", "temperature_mixture", "range_join",
+        "range_join_bucketed",
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r10.json")
+    rows = json.load(open(path))
+    for name in rotated_out:
+        e = rows[name]
+        assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
 
 
 def test_repetition_probes_stay_ordered():
@@ -92,38 +108,36 @@ def test_repetition_probes_stay_ordered():
 
 
 def test_oracle_backed_queries_precede_rows_only():
+    """Outside the window, oracle-backed entries still precede the
+    rows-only tail; inside it, only the deliberate
+    ROUND11_WINDOW_ROWS_ONLY slots may be rows-only."""
     names = list(SPARK_QUERIES)
+    tail = names[DRIVER_SNAPSHOT_WINDOW:]
     first_rows_only = next(
-        (i for i, n in enumerate(names) if n not in ORACLE_SQL), len(names)
+        (i for i, n in enumerate(tail) if n not in ORACLE_SQL), len(tail)
     )
-    trailing = names[first_rows_only:]
+    trailing = tail[first_rows_only:]
     assert all(n not in ORACLE_SQL for n in trailing), (
         "oracle-backed query listed after a rows-only one: "
         + str([n for n in trailing if n in ORACLE_SQL])
     )
 
 
-def test_driver_window_is_fully_oracle_backed():
-    """The registry now holds MORE oracle-backed queries than the driver
-    window can snapshot (53 > 50 as of round 4), so "every oracle-backed
-    query fits the window" is no longer satisfiable. The invariant that
-    still matters: no rows-only entry may occupy a window slot while an
-    oracle-backed one sits outside — i.e. the window must be filled with
-    oracle-backed queries first (their green lands in the driver
-    artifact; the overflow's green lands in the committed
-    CORRECTNESS_local.json)."""
+def test_rows_only_window_slots_are_deliberate():
+    """Round 2's regression was rows-only entries ACCIDENTALLY crowding
+    oracle-backed ones out of the window. The round-11 rotation places
+    rows-only queries in the window ON PURPOSE (VERDICT r10 ask #3 —
+    first driver-environment contact); the invariant becomes: every
+    rows-only window slot must be in the pinned allowlist, so any new
+    rows-only entry drifting into the window is still an error."""
     names = list(SPARK_QUERIES)
     in_window = names[:DRIVER_SNAPSHOT_WINDOW]
-    rows_only_inside = [n for n in in_window if n not in ORACLE_SQL]
-    n_oracle = sum(1 for n in names if n in ORACLE_SQL)
-    if n_oracle >= DRIVER_SNAPSHOT_WINDOW:
-        assert not rows_only_inside, (
-            "rows-only queries occupy driver-window slots while "
-            f"oracle-backed ones sit outside: {rows_only_inside}"
-        )
-    else:
-        outside = [n for n in names[DRIVER_SNAPSHOT_WINDOW:] if n in ORACLE_SQL]
-        assert not outside
+    rows_only_inside = {n for n in in_window if n not in ORACLE_SQL}
+    assert rows_only_inside == ROUND11_WINDOW_ROWS_ONLY, (
+        "rows-only window slots diverge from the deliberate allowlist: "
+        f"unexpected={rows_only_inside - ROUND11_WINDOW_ROWS_ONLY}, "
+        f"missing={ROUND11_WINDOW_ROWS_ONLY - rows_only_inside}"
+    )
 
 
 def test_every_oracle_entry_has_a_query():

@@ -884,6 +884,29 @@ def main() -> int:
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
         ("document text never enters a shuffle", no_text_in_exchange),
     )
+    # winnow_overlap (round 10/11; winnow_dedup's expensive stage — the
+    # closure rounds after it exchange (long, long) labels only, behind
+    # checkpoints): the pair build must be a fingerprint-keyed EQUI-join
+    # (no cartesian/nested-loop), and document text must never ride an
+    # exchange — fingerprints are md5-hex + longs by construction.
+    # materialize=False exposes the full lineage past the checkpoints.
+    wo_plan = plan_of(
+        _tx.winnow_overlap(
+            _lt(spark, sf_dir, "documents").select("doc_id", "text"),
+            k=8,
+            w=4,
+            min_shared=3,
+            max_fp_docs=20,
+            materialize=False,
+        )
+    )
+    check_plan(
+        "winnow_overlap",
+        wo_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
+        ("document text never enters a shuffle", no_text_in_exchange),
+    )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
