@@ -517,3 +517,43 @@ def test_winnow_dedup_clusters_and_keepers(spark):
         tx.winnow_dedup(df, min_containment_pm=0)
     with pytest.raises(ValueError):
         tx.winnow_dedup(df, min_containment_pm=1001)
+
+
+def test_semantic_decontaminate_prenormalized_matches_default(spark):
+    """The steady-state shape (VERDICT r10 ask #5): feeding unit vectors
+    with prenormalized=True must reproduce the default path on the raw
+    vectors bit-for-bit — same normalize-then-sequential-fold float
+    sequence, just computed upstream."""
+    import math
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+    raw = [
+        (1, [3.0, 4.0]), (2, [1.0, 0.0]), (3, [-2.0, 2.0]), (4, [0.0, 0.0]),
+    ]
+    bench = [(10, [6.0, 8.0]), (11, [0.0, 1.0])]
+
+    def unit(v):
+        n = math.sqrt(math.fsum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    corpus = spark.createDataFrame(raw, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    corpus_u = spark.createDataFrame(
+        [(i, unit(v)) for i, v in raw], "vec_id long, embedding array<double>"
+    )
+    bdf_u = spark.createDataFrame(
+        [(i, unit(v)) for i, v in bench], "vec_id long, embedding array<double>"
+    )
+    want = sorted(
+        map(tuple, sim.semantic_decontaminate(corpus, bdf, threshold=0.9).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            sim.semantic_decontaminate(
+                corpus_u, bdf_u, threshold=0.9, prenormalized=True, materialize=False
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -110,7 +110,105 @@ def main() -> None:
             entry["comparable"] = False
         out[name] = entry
 
-    comp = [v for v in out.values() if v.get("duckdb_s")]
+    # --- Steady-state A/B (VERDICT r10 ask #5) ---
+    # semantic_decontaminate and curation_gate materialize a lazy
+    # localCheckpoint per BUILD; the loop above rebuilds each query for
+    # its warm run, so their warm walls re-pay that materialization — a
+    # harness rebuild cost, not a steady-state query cost. Two A/B rows:
+    #  * reused_plan_s: second noop write of the SAME DataFrame object
+    #    (checkpoints already materialized) — the long-job steady state.
+    #  * semantic_decontaminate_prenorm: unit vectors stored upstream
+    #    (one-time untimed prep — the operator docstring's recommended
+    #    production shape), prenormalized=True + materialize=False so no
+    #    checkpoint exists at all; DuckDB mirrors with dot-product-only
+    #    SQL over the same prenormalized fixture.
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+    steady = {}
+    for name in ("semantic_decontaminate", "curation_gate"):
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        reused = time.perf_counter() - t0
+        row = {
+            "reused_plan_s": round(reused, 3),
+            "rebuilt_warm_s": out[name]["spark_s"],
+            "duckdb_s": out[name].get("duckdb_s"),
+        }
+        if row["duckdb_s"]:
+            row["steady_ratio"] = round(reused / row["duckdb_s"], 1)
+        steady[name] = row
+
+    with tempfile.TemporaryDirectory() as td:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        n = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+        unit = F.when(
+            n > 0, F.zip_with(vd, F.array_repeat(n, F.size(vd)), lambda x, y: x / y)
+        ).otherwise(vd)
+        prep = os.path.join(td, "unit_embeddings.parquet")
+        emb.select("vec_id", unit.alias("embedding")).write.parquet(prep)
+
+        ue = spark.read.parquet(prep)
+        bench = ue.filter(F.col("vec_id") % 50 == 0)
+        corpus = ue.filter(F.col("vec_id") % 50 != 0)
+
+        def build():
+            return sim.semantic_decontaminate(
+                corpus,
+                bench,
+                threshold=0.40,
+                prenormalized=True,
+                materialize=False,
+            ).orderBy("vec_id")
+
+        build().write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        spark_s = time.perf_counter() - t0
+
+        con.execute(
+            "CREATE VIEW unit_embeddings AS "
+            f"SELECT * FROM read_parquet('{prep}/*.parquet')"
+        )
+        prenorm_sql = """
+WITH b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bu
+           FROM unit_embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cu
+      FROM unit_embeddings WHERE vec_id % 50 <> 0),
+s AS (SELECT c.vec_id, b.bench_id, list_dot_product(cu, bu) AS sim
+      FROM c CROSS JOIN b),
+r AS (SELECT vec_id, bench_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, bench_id ASC) AS rk
+      FROM s)
+SELECT vec_id, bench_id AS nearest_bench_id, sim AS max_sim,
+       CASE WHEN sim >= 0.40 THEN 1 ELSE 0 END AS contaminated
+FROM r WHERE rk = 1 ORDER BY vec_id
+"""
+        con.execute(prenorm_sql).fetchall()
+        t0 = time.perf_counter()
+        duck_rows = len(con.execute(prenorm_sql).fetchall())
+        duck_s = time.perf_counter() - t0
+        steady["semantic_decontaminate_prenorm"] = {
+            "spark_s": round(spark_s, 3),
+            "duckdb_s": round(duck_s, 3),
+            "ratio": round(spark_s / duck_s, 1) if duck_s else None,
+            "oracle_rows": duck_rows,
+        }
+    out["_steady_state"] = steady
+
+    comp = [
+        v
+        for k, v in out.items()
+        if not k.startswith("_") and v.get("duckdb_s")
+    ]
     out["_overall"] = {
         "comparable_queries": len(comp),
         "spark_total_s": round(sum(v["spark_s"] for v in comp), 3),
