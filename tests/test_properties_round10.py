@@ -557,3 +557,52 @@ def test_semantic_decontaminate_prenormalized_matches_default(spark):
         )
     )
     assert got == want
+
+
+def test_winnow_spans_localizes_shared_region(spark):
+    """The shared block between two docs must come back as one merged
+    span on each side, positioned where the block actually sits (start
+    of doc a, after the unique prefix in doc b); unique tails must NOT
+    be covered. Pair qualification mirrors winnow_overlap exactly."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, shared + " unique tail alpha beta gamma delta epsilon"),
+        (2, "totally different prefix here | " + shared),
+        (3, "no overlap with anything else zebra quux corge grault"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.winnow_spans(df, k=8, w=4, min_shared=2, max_fp_docs=10).collect()
+    assert all((r.doc_id_a, r.doc_id_b) == (1, 2) for r in out)  # only pair
+    a_spans = [r for r in out if r.side == "a"]
+    b_spans = [r for r in out if r.side == "b"]
+    assert a_spans and b_spans
+    # side a: the shared block is the doc PREFIX. Spans cover SELECTED
+    # fingerprints, so the edge is fuzzy by up to w-1 grams: the first
+    # window (grams 1..w) guarantees a pick, hence span_start <= w; the
+    # span must not reach into the unique tail
+    assert min(s.span_start for s in a_spans) <= 4  # w = 4
+    assert max(s.span_end for s in a_spans) <= len(shared)
+    # side b: the block sits after the 32-char unique prefix -> every
+    # span starts beyond it and stays inside the doc
+    prefix_len = len("totally different prefix here | ")
+    assert all(s.span_start > prefix_len - 8 for s in b_spans)
+    assert max(s.span_end for s in b_spans) <= prefix_len + len(shared)
+    # spans are disjoint, ordered, with inclusive integer bounds
+    for spans in (a_spans, b_spans):
+        spans = sorted(spans, key=lambda s: s.span_start)
+        for s in spans:
+            assert s.span_start <= s.span_end and s.n_fp >= 1
+        for x, y in zip(spans, spans[1:]):
+            assert x.span_end + 1 < y.span_start  # merged => real gap
+
+    # qualification parity with winnow_overlap: same pairs qualify
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in tx.winnow_overlap(
+            df, k=8, w=4, min_shared=2, max_fp_docs=10
+        ).collect()
+    }
+    assert {(r.doc_id_a, r.doc_id_b) for r in out} == pairs
+
+    with pytest.raises(ValueError):
+        tx.winnow_spans(df, min_shared=0)

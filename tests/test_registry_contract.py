@@ -28,6 +28,7 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 ROUND11_WINDOW_NEW = {
     # round-11 additions (first contact) + impls changed this round:
     "winnow_dedup",       # new: pairs -> containment -> CC -> keepers
+    "winnow_spans",       # new: MOSS-style matched-region localization
     "unicode_clean",      # id-type derivation fix (ADVICE r10 #2)
 }
 # Deliberate rows-only window slots (VERDICT r10 ask #3). ann_lsh_topk
@@ -57,7 +58,6 @@ ROUND11_WINDOW_RETAINED = {
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
     "cluster_keepers", "centroid_similarity",
     "histogram_drift", "grouped_mode", "corr_stats", "vocab_drift",
-    "triangle_count",
 }
 
 
@@ -91,6 +91,10 @@ def test_rotated_out_r11_kept_their_greens():
     for name in rotated_out:
         e = rows[name]
         assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
+    # triangle_count (rotated out to fund winnow_spans) was green in
+    # earlier rounds; its r10 window slot was its latest confirmation
+    e = rows["triangle_count"]
+    assert e["rows_match"] and e["schema_match"] and e["hash_match"]
 
 
 def test_repetition_probes_stay_ordered():

@@ -7766,6 +7766,96 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style matched-region localization
+    (operators/text.winnow_spans): for each qualifying winnow pair, the
+    maximal character spans the shared fingerprints cover on each side
+    — the artifact a span-level cleaner excises instead of dropping
+    whole documents. Same corpus/params as winnow_overlap, so a pair
+    qualifies here iff it pairs there; md5 + integer gaps-and-islands,
+    fully oracle-verifiable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup suffix tail")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return tx.winnow_spans(
+        corpus, k=8, w=4, min_shared=3, max_fp_docs=20
+    ).orderBy("doc_id_a", "doc_id_b", "side", "span_start")
+
+
+SQL_WINNOW_SPANS = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' near dup suffix tail' AS text
+    FROM documents
+), norm AS (
+    SELECT doc_id,
+           regexp_replace(
+               translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+               '[ \t\n\r\f\x0b]+', ' ', 'g') AS t
+    FROM corpus
+), g AS (
+    SELECT doc_id,
+           [ {'h': md5(substring(t, i, 8)), 'p': i::BIGINT}
+             for i in range(1, len(t) - 8 + 2) ] AS grams
+    FROM norm WHERE len(t) >= 8
+), p AS (
+    SELECT doc_id,
+           [ list_reduce([grams[j], grams[j+1], grams[j+2], grams[j+3]],
+                         (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)
+             for j in range(1, len(grams) - 4 + 2) ] AS picks
+    FROM g WHERE len(grams) >= 4
+), e AS (
+    SELECT doc_id, unnest(picks) AS fp FROM p
+), fpsp AS (
+    SELECT DISTINCT doc_id AS id, fp.h AS fp_hash, fp.p AS pos FROM e
+), fpsd AS (
+    SELECT DISTINCT id, fp_hash FROM fpsp
+), freq AS (
+    SELECT fp_hash FROM fpsd GROUP BY 1 HAVING count(*) <= 20
+), kept AS (
+    SELECT fpsd.id, fpsd.fp_hash FROM fpsd JOIN freq USING (fp_hash)
+), shared AS (
+    SELECT a.fp_hash, a.id AS id_a, b.id AS id_b
+    FROM kept a JOIN kept b USING (fp_hash)
+    WHERE a.id < b.id
+), qualifying AS (
+    SELECT id_a, id_b FROM shared GROUP BY 1, 2 HAVING count(*) >= 3
+), qual AS (
+    SELECT shared.* FROM shared JOIN qualifying USING (id_a, id_b)
+), inst AS (
+    SELECT q.id_a, q.id_b, 'a' AS side, f.pos AS s, f.pos + 8 AS e
+    FROM qual q JOIN fpsp f ON f.id = q.id_a AND f.fp_hash = q.fp_hash
+    UNION ALL
+    SELECT q.id_a, q.id_b, 'b' AS side, f.pos AS s, f.pos + 8 AS e
+    FROM qual q JOIN fpsp f ON f.id = q.id_b AND f.fp_hash = q.fp_hash
+), m AS (
+    SELECT id_a, id_b, side, s, e,
+           max(e) OVER (PARTITION BY id_a, id_b, side ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM inst
+), f2 AS (
+    SELECT id_a, id_b, side, s, e,
+           CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+    FROM m
+), g2 AS (
+    SELECT id_a, id_b, side, s, e,
+           sum(flag) OVER (PARTITION BY id_a, id_b, side ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM f2
+)
+SELECT id_a AS doc_id_a, id_b AS doc_id_b, side,
+       min(s)::BIGINT AS span_start,
+       (max(e) - 1)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_fp
+FROM g2 GROUP BY id_a, id_b, side, island
+ORDER BY doc_id_a, doc_id_b, side, span_start
+"""
+
+
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnow pairs -> containment gate -> connected-components ->
     min-id keepers (operators/text.winnow_dedup — VERDICT r10 ask #4):
@@ -7859,6 +7949,7 @@ SPARK_QUERIES = {
     # --- window part (a): round-11 additions (first contact) +
     # implementations changed this round needing a re-green ---
     "winnow_dedup": q_winnow_dedup,
+    "winnow_spans": q_winnow_spans,
     "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
     # --- window part (b): rows-only FIRST driver contact (VERDICT r10
     # ask #3) — every window slot to date was oracle-backed, so these
@@ -7918,11 +8009,11 @@ SPARK_QUERIES = {
     "grouped_mode": q_grouped_mode,
     "corr_stats": q_corr_stats,
     "vocab_drift": q_vocab_drift,
-    "triangle_count": q_triangle_count,
     # --- oracle-backed, OUTSIDE the round-11 window ---
-    # rotated out in r11 (all driver-green r10 on code untouched
-    # since); these 11 fund winnow_dedup + the ten rows-only
+    # rotated out in r11 (all driver-green on code untouched since);
+    # these 12 fund winnow_dedup, winnow_spans and the ten rows-only
     # first-contact slots:
+    "triangle_count": q_triangle_count,
     "compaction_plan": q_compaction_plan,
     "expectations_exemplars": q_expectations_exemplars,
     "gapfill_interp": q_gapfill_interp,
@@ -8226,6 +8317,7 @@ ORACLE_SQL = {
     "winnowing": SQL_WINNOWING,
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "winnow_dedup": SQL_WINNOW_DEDUP,
+    "winnow_spans": SQL_WINNOW_SPANS,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
