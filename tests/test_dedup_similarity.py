@@ -800,3 +800,54 @@ class TestSemDeDup:
     def test_bad_threshold_rejected(self, vecs):
         with pytest.raises(ValueError, match="threshold"):
             sim.semdedup(vecs, threshold=0.0)
+
+
+def test_minhash_portable_pairs_planted_and_capped(spark):
+    """md5 MinHash (the oracle-verifiable variant): a high-Jaccard
+    planted pair surfaces with near-full signature agreement; disjoint
+    docs never pair; a boilerplate bucket over the cap is dropped
+    whole; invalid params raise."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    boiler = "all rights reserved footer " * 3
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "totally different words here nothing shared at all zebra"),
+    ] + [(10 + i, boiler) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+
+    out = {
+        (r.doc_id_a, r.doc_id_b): r
+        for r in dd.minhash_portable_pairs(
+            df, num_hashes=16, bands=4, min_agree=8, max_bucket_size=4
+        ).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.sig_agree >= 8 and abs(r.est_jaccard - r.sig_agree / 16) < 1e-15
+    assert not any(3 in p for p in out)
+    # 5 identical boilerplate docs > cap=4: bucket dropped whole
+    assert not any(a >= 10 and b >= 10 for a, b in out)
+
+    # raising the cap lets the boilerplate cluster pair (sig_agree 16)
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b): r.sig_agree
+        for r in dd.minhash_portable_pairs(
+            df, num_hashes=16, bands=4, min_agree=8, max_bucket_size=50
+        ).collect()
+    }
+    assert uncapped[(10, 11)] == 16
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dd.minhash_portable_pairs(df, num_hashes=16, bands=5)
+    with _pt.raises(ValueError):
+        dd.minhash_portable_pairs(df, min_agree=0)
+    with _pt.raises(ValueError):
+        dd.minhash_portable_pairs(df, max_bucket_size=1)

@@ -29,6 +29,7 @@ ROUND11_WINDOW_NEW = {
     # round-11 additions (first contact) + impls changed this round:
     "winnow_dedup",       # new: pairs -> containment -> CC -> keepers
     "winnow_spans",       # new: MOSS-style matched-region localization
+    "minhash_portable",   # new: md5 MinHash, first oracle-verifiable
     "unicode_clean",      # id-type derivation fix (ADVICE r10 #2)
 }
 # Deliberate rows-only window slots (VERDICT r10 ask #3). ann_lsh_topk
@@ -57,7 +58,7 @@ ROUND11_WINDOW_RETAINED = {
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
     "cluster_keepers", "centroid_similarity",
-    "histogram_drift", "grouped_mode", "corr_stats", "vocab_drift",
+    "histogram_drift", "corr_stats", "vocab_drift",
 }
 
 
@@ -91,10 +92,12 @@ def test_rotated_out_r11_kept_their_greens():
     for name in rotated_out:
         e = rows[name]
         assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
-    # triangle_count (rotated out to fund winnow_spans) was green in
-    # earlier rounds; its r10 window slot was its latest confirmation
-    e = rows["triangle_count"]
-    assert e["rows_match"] and e["schema_match"] and e["hash_match"]
+    # triangle_count / grouped_mode (rotated out to fund winnow_spans
+    # and minhash_portable) were green in earlier rounds; their r10
+    # window slots were their latest confirmations
+    for name in ("triangle_count", "grouped_mode"):
+        e = rows[name]
+        assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
 
 
 def test_repetition_probes_stay_ordered():

@@ -1188,3 +1188,143 @@ def windowed_dedup(
         .withColumn("is_keeper", F.col("__nb") == 1)
         .drop("__nb")
     )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_agree: int = 8,
+    max_bucket_size: int = 50,
+    materialize: bool = True,
+) -> DataFrame:
+    """ENGINE-PORTABLE banded MinHash near-dup pairs — md5 hash family
+    instead of ``xxhash64``, making this the registry's first fully
+    oracle-verifiable MinHash: the exact candidate-pair set, signature
+    agreement counts and band buckets reproduce bit-for-bit in any
+    engine with an md5 (the winnowing-family discipline applied to
+    MinHash). The xxhash64 family (:func:`minhash_lsh_candidates`)
+    stays the throughput path — two longs hashed per (shingle, seed)
+    versus a string md5 here — but portability is what a CROSS-ENGINE
+    dedup manifest needs: signatures written by this operator can be
+    probed by any other engine, and its correctness is gated by hash
+    equality instead of recall statistics.
+
+    Semantics (each step mirrored verbatim by the oracle):
+    1. normalize (lowercase + whitespace collapse — the dedup family's
+       canonical form) and word-shingle: ``shingle_k`` consecutive
+       tokens joined by a single space, DISTINCT per doc. Docs with
+       fewer than ``shingle_k`` tokens have no shingles and never pair.
+    2. per seed ``s`` in 0..num_hashes-1: ``min(md5(s || ':' ||
+       shingle))`` — lexicographic min over lowercase hex, a total
+       order identical in every engine.
+    3. bands of ``num_hashes // bands`` consecutive signature values;
+       bucket = ``md5(band_slice joined by '|')``. Buckets larger than
+       ``max_bucket_size`` docs are dropped whole (boilerplate cap,
+       part of the SEMANTICS, the winnow_overlap discipline).
+    4. candidate pairs from same-(band, bucket) collisions, deduped,
+       with ``sig_agree`` = number of agreeing signature positions
+       (an INTEGER; ``est_jaccard = sig_agree / num_hashes`` rides
+       along as the conventional estimate) thresholded at
+       ``min_agree`` — integer comparison, never a float.
+
+    Plan shape at 100 TB: explode to (id, shingle) rows -> ONE hash
+    aggregation with map-side combine for all ``num_hashes`` mins
+    (signature values stay FLAT columns — the agreement sum on
+    collisions is whole-stage codegen; see minhash_banded on why not
+    arrays) -> band explode carries (id, band, 32-char bucket) -> cap
+    via aggregate + semi-join (never a window over the giant bucket) ->
+    short-key self-join. Text never enters a shuffle.
+
+    Output: (id_a, id_b, sig_agree, est_jaccard), id_a < id_b.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    if not (1 <= min_agree <= num_hashes):
+        raise ValueError("min_agree must be in [1, num_hashes]")
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size >= 2 required")
+    norm = normalize_text(F.col(text_col))
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    n_sh = F.size(toks) - F.lit(shingle_k - 1)
+    shingles = F.array_distinct(
+        F.when(
+            n_sh >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
+    )
+    sigs = exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{i}")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    h_cols = [f"h{i}" for i in range(num_hashes)]
+    banded = sigs.select("id", *h_cols, F.explode(band_struct).alias("bb")).select(
+        "id", *h_cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    small = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    banded = banded.join(small, ["band", "bucket"], "left_semi")
+    if materialize:
+        banded = banded.localCheckpoint(eager=False)
+    left, right = banded.alias("l"), banded.alias("r")
+    agree = None
+    for i in range(num_hashes):
+        piece = (F.col(f"l.h{i}") == F.col(f"r.h{i}")).cast("int")
+        agree = piece if agree is None else agree + piece
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            agree.cast("long").alias("sig_agree"),
+        )
+        .filter(F.col("sig_agree") >= min_agree)
+        .distinct()
+        .select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            "sig_agree",
+            (F.col("sig_agree") / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+    )

@@ -7766,6 +7766,75 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-PORTABLE banded MinHash near-dup pairs
+    (operators/dedup.minhash_portable_pairs): md5 hash family instead of
+    xxhash64, so the exact candidate-pair set + signature agreement
+    counts hash-match DuckDB — the registry's first fully
+    oracle-verifiable MinHash (minhash_neardup stays the xxhash64
+    throughput path with recall evidence). Corpus = documents +
+    perturbed near-dup copies; 16 hashes x 4 bands, agreement
+    threshold 8/16 (integer, never a float compare)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" portable minhash tail")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return dd.minhash_portable_pairs(
+        corpus, num_hashes=16, bands=4, shingle_k=3, min_agree=8,
+        max_bucket_size=50,
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+SQL_MINHASH_PORTABLE = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' portable minhash tail' AS text
+    FROM documents
+), norm AS (
+    SELECT doc_id,
+           regexp_replace(
+               translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+               '[ \t\n\r\f\x0b]+', ' ', 'g') AS t
+    FROM corpus
+), tok AS (
+    SELECT doc_id, list_filter(string_split(t, ' '), x -> x != '') AS toks
+    FROM norm
+), sh AS (
+    -- shingle slice spelled as EXPLICIT element access (k = 3): bracket
+    -- slice end-inclusivity is build-sensitive (oracle-lint hazard B)
+    SELECT doc_id,
+           list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           for i in range(1, len(toks) - 3 + 2) ]) AS shingles
+    FROM tok WHERE len(toks) >= 3
+), sigs AS (
+    SELECT doc_id AS id,
+           [ list_aggregate([ md5(s::VARCHAR || ':' || g) for g in shingles ], 'min')
+             for s in range(0, 16) ] AS sig
+    FROM sh WHERE len(shingles) >= 1
+), banded AS (
+    SELECT id, sig, 0 AS band, md5(sig[1]||'|'||sig[2]||'|'||sig[3]||'|'||sig[4]) AS bucket FROM sigs
+    UNION ALL SELECT id, sig, 1, md5(sig[5]||'|'||sig[6]||'|'||sig[7]||'|'||sig[8]) FROM sigs
+    UNION ALL SELECT id, sig, 2, md5(sig[9]||'|'||sig[10]||'|'||sig[11]||'|'||sig[12]) FROM sigs
+    UNION ALL SELECT id, sig, 3, md5(sig[13]||'|'||sig[14]||'|'||sig[15]||'|'||sig[16]) FROM sigs
+), small AS (
+    SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 50
+), bk AS (
+    SELECT banded.* FROM banded JOIN small USING (band, bucket)
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::BIGINT AS sig_agree
+    FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a AS doc_id_a, id_b AS doc_id_b, sig_agree,
+       (sig_agree::DOUBLE / 16) AS est_jaccard
+FROM cand WHERE sig_agree >= 8
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style matched-region localization
     (operators/text.winnow_spans): for each qualifying winnow pair, the
@@ -7950,6 +8019,7 @@ SPARK_QUERIES = {
     # implementations changed this round needing a re-green ---
     "winnow_dedup": q_winnow_dedup,
     "winnow_spans": q_winnow_spans,
+    "minhash_portable": q_minhash_portable,
     "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
     # --- window part (b): rows-only FIRST driver contact (VERDICT r10
     # ask #3) — every window slot to date was oracle-backed, so these
@@ -8006,14 +8076,14 @@ SPARK_QUERIES = {
     "centroid_similarity": q_centroid_similarity,
     "source_overlap": q_source_overlap,
     "histogram_drift": q_histogram_drift,
-    "grouped_mode": q_grouped_mode,
     "corr_stats": q_corr_stats,
     "vocab_drift": q_vocab_drift,
     # --- oracle-backed, OUTSIDE the round-11 window ---
     # rotated out in r11 (all driver-green on code untouched since);
-    # these 12 fund winnow_dedup, winnow_spans and the ten rows-only
-    # first-contact slots:
+    # these 13 fund winnow_dedup, winnow_spans, minhash_portable and
+    # the ten rows-only first-contact slots:
     "triangle_count": q_triangle_count,
+    "grouped_mode": q_grouped_mode,
     "compaction_plan": q_compaction_plan,
     "expectations_exemplars": q_expectations_exemplars,
     "gapfill_interp": q_gapfill_interp,
@@ -8318,6 +8388,7 @@ ORACLE_SQL = {
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "winnow_dedup": SQL_WINNOW_DEDUP,
     "winnow_spans": SQL_WINNOW_SPANS,
+    "minhash_portable": SQL_MINHASH_PORTABLE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
