@@ -30,6 +30,7 @@ ROUND11_WINDOW_NEW = {
     "winnow_dedup",       # new: pairs -> containment -> CC -> keepers
     "winnow_spans",       # new: MOSS-style matched-region localization
     "minhash_portable",   # new: md5 MinHash, first oracle-verifiable
+    "leakage_safe_split",  # new: cluster-level split, no straddling pair
     "unicode_clean",      # id-type derivation fix (ADVICE r10 #2)
 }
 # Deliberate rows-only window slots (VERDICT r10 ask #3). ann_lsh_topk
@@ -58,7 +59,7 @@ ROUND11_WINDOW_RETAINED = {
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
     "cluster_keepers", "centroid_similarity",
-    "histogram_drift", "corr_stats", "vocab_drift",
+    "corr_stats", "vocab_drift",
 }
 
 
@@ -92,10 +93,10 @@ def test_rotated_out_r11_kept_their_greens():
     for name in rotated_out:
         e = rows[name]
         assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
-    # triangle_count / grouped_mode (rotated out to fund winnow_spans
-    # and minhash_portable) were green in earlier rounds; their r10
-    # window slots were their latest confirmations
-    for name in ("triangle_count", "grouped_mode"):
+    # triangle_count / grouped_mode / histogram_drift (rotated out to
+    # fund winnow_spans, minhash_portable, leakage_safe_split) were
+    # green in earlier rounds; r10 slots were their latest confirmations
+    for name in ("triangle_count", "grouped_mode", "histogram_drift"):
         e = rows[name]
         assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
 

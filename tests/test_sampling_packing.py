@@ -235,3 +235,37 @@ class TestDSIR:
             r["doc_id"] for r in dsir_resample(scores, n=5, seed=7).collect()
         )
         assert c == [0, 1, 2, 3, 4]
+
+
+def test_leakage_safe_split_no_straddling_pair(spark):
+    """The structural guarantee: members of one cluster always land in
+    the SAME split (no near-dup pair straddles train/eval), proportions
+    roughly follow the weights at the cluster level, and singleton
+    clusters split independently."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import leakage_safe_split
+
+    # 200 clusters of 3 members + 100 singletons
+    rows = [(c * 10 + m, c) for c in range(200) for m in range(3)]
+    rows += [(10_000 + i, 10_000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, cluster_id long")
+    out = leakage_safe_split(
+        df, {"train": 0.8, "eval": 0.2}, id_col="id"
+    ).collect()
+    assert len(out) == len(rows)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every cluster's members share ONE verdict
+    assert all(len(v) == 1 for v in by_cluster.values())
+    evals = sum(1 for v in by_cluster.values() if v == {"eval"})
+    # 300 clusters at p=0.2 -> ~60; allow a wide deterministic band
+    assert 30 <= evals <= 95
+
+    # determinism: re-running yields the identical assignment
+    again = {
+        r.id: r.split
+        for r in leakage_safe_split(
+            df, {"train": 0.8, "eval": 0.2}, id_col="id"
+        ).collect()
+    }
+    assert again == {r.id: r.split for r in out}

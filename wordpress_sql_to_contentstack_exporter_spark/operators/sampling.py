@@ -716,3 +716,44 @@ def temperature_allocation(
             ).cast("long"),
         )
     )
+
+
+def leakage_safe_split(
+    assignments: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/eval split at the duplicate-CLUSTER level: every document
+    inherits its cluster's assignment, so a near-duplicate pair can
+    NEVER straddle the split — the leakage guard row-level splitting
+    (``deterministic_split``) cannot give. Splitting rows independently
+    leaks eval content into training whenever near-dups exist: the
+    model trains on one copy and is scored on the other (the
+    contamination measured by Lee et al. 2022's dedup work and the
+    reason benchmark decontamination exists). The fix is structural:
+    draw ONE uniform per cluster (md5 of the cluster id — the sampling
+    family's portable-hash discipline, ``purpose``-salted) and fan the
+    verdict out to members.
+
+    ``assignments`` is the (id, cluster_id) artifact the dedup plane
+    already produces (``graph.dedup_clusters``, ``text.winnow_dedup``);
+    singleton clusters split like ordinary rows.
+
+    Plan shape at 100 TB: one distinct on the cluster key (map-side
+    combine; |clusters| <= |docs|), the md5 verdict is a projection on
+    that compact frame, and the fan-out join keys on cluster_id —
+    already the frame's partitioning if the caller's cluster build just
+    shuffled on it, so AQE plans at most one exchange of (long, short
+    string) rows. No text, no vectors, nothing quadratic.
+
+    Output: ``assignments`` columns + ``out_col``.
+    """
+    clusters = assignments.select(cluster_col).distinct()
+    assigned = deterministic_split(
+        clusters, weights, key_col=cluster_col, seed=seed, out_col=out_col
+    )
+    return assignments.join(assigned, cluster_col)

@@ -74,7 +74,12 @@ from ..operators import similarity as sim
 from ..operators import stats as stats_ops
 from ..operators import text as tx
 from ..operators import sampling
-from ..operators.sampling import deterministic_split, pack_sequences, stratified_sample
+from ..operators.sampling import (
+    deterministic_split,
+    leakage_safe_split,
+    pack_sequences,
+    stratified_sample,
+)
 from ..operators import skew as skew_ops
 from ..operators.skew import salted_agg
 from ..operators.temporal import asof_join, gapfill_buckets, range_join_count
@@ -7925,6 +7930,31 @@ ORDER BY doc_id_a, doc_id_b, side, span_start
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/eval split (operators/sampling.
+    leakage_safe_split over operators/text.winnow_dedup clusters): one
+    md5 uniform PER CLUSTER, fanned out to members, so no near-dup pair
+    can straddle the split — the leakage guard row-level splitting
+    cannot give (train-on-copy / eval-on-copy contamination, Lee et al.
+    2022). Same corpus + cluster build as winnow_dedup, so the whole
+    composition (fingerprints -> closure -> split) hash-matches the
+    recursive DuckDB mirror; 90/10 split, verdicts compared as hex
+    strings, never floats."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup suffix tail")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    clusters = tx.winnow_dedup(
+        corpus, k=8, w=4, min_shared=3, max_fp_docs=20, min_containment_pm=500
+    ).select("doc_id", "cluster_id")
+    out = leakage_safe_split(
+        clusters, {"train": 0.9, "eval": 0.1}, id_col="doc_id"
+    )
+    return out.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnow pairs -> containment gate -> connected-components ->
     min-id keepers (operators/text.winnow_dedup — VERDICT r10 ask #4):
@@ -7954,7 +7984,9 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MATERIALIZED hints are load-bearing: DuckDB inlines plain CTEs, so the
 # recursive `reach` would otherwise re-run the whole md5 fingerprint
 # pipeline once per closure iteration (measured 56 s -> 5 s at sf0.01).
-SQL_WINNOW_DEDUP = r"""
+# Shared by SQL_WINNOW_DEDUP and SQL_LEAKAGE_SAFE_SPLIT (which splits
+# the same clusters instead of marking keepers).
+_SQL_WINNOW_CLUSTER_CTES = r"""
 WITH RECURSIVE corpus AS MATERIALIZED (
     SELECT doc_id, text FROM documents
     UNION ALL
@@ -8006,6 +8038,20 @@ WITH RECURSIVE corpus AS MATERIALIZED (
     UNION
     SELECT e2.src, r.r FROM edges e2 JOIN reach r ON e2.dst = r.id
 ), comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+SQL_LEAKAGE_SAFE_SPLIT = _SQL_WINNOW_CLUSTER_CTES + r"""
+SELECT c.doc_id,
+       coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
+       CASE WHEN substring(md5('deterministic_split:42:' ||
+                 CAST(coalesce(comp.cluster_id, c.doc_id) AS VARCHAR)), 1, 8)
+                 < 'e6666665'
+            THEN 'train' ELSE 'eval' END AS split
+FROM corpus c LEFT JOIN comp ON c.doc_id = comp.id
+ORDER BY doc_id
+"""
+
+SQL_WINNOW_DEDUP = _SQL_WINNOW_CLUSTER_CTES + r"""
 SELECT c.doc_id,
        coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
        c.doc_id = coalesce(comp.cluster_id, c.doc_id) AS is_keeper
@@ -8020,6 +8066,7 @@ SPARK_QUERIES = {
     "winnow_dedup": q_winnow_dedup,
     "winnow_spans": q_winnow_spans,
     "minhash_portable": q_minhash_portable,
+    "leakage_safe_split": q_leakage_safe_split,
     "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
     # --- window part (b): rows-only FIRST driver contact (VERDICT r10
     # ask #3) — every window slot to date was oracle-backed, so these
@@ -8075,7 +8122,6 @@ SPARK_QUERIES = {
     "cluster_keepers": q_cluster_keepers,
     "centroid_similarity": q_centroid_similarity,
     "source_overlap": q_source_overlap,
-    "histogram_drift": q_histogram_drift,
     "corr_stats": q_corr_stats,
     "vocab_drift": q_vocab_drift,
     # --- oracle-backed, OUTSIDE the round-11 window ---
@@ -8084,6 +8130,7 @@ SPARK_QUERIES = {
     # the ten rows-only first-contact slots:
     "triangle_count": q_triangle_count,
     "grouped_mode": q_grouped_mode,
+    "histogram_drift": q_histogram_drift,
     "compaction_plan": q_compaction_plan,
     "expectations_exemplars": q_expectations_exemplars,
     "gapfill_interp": q_gapfill_interp,
@@ -8389,6 +8436,7 @@ ORACLE_SQL = {
     "winnow_dedup": SQL_WINNOW_DEDUP,
     "winnow_spans": SQL_WINNOW_SPANS,
     "minhash_portable": SQL_MINHASH_PORTABLE,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
