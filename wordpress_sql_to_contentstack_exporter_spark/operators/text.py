@@ -1809,6 +1809,24 @@ def winnow_fingerprints(
     expression tree even CSE won't save you — restructure the
     algebra so nothing quadratic can be expressed).
 
+    Two further measured lessons in the same family (round 11, sf0.1,
+    10k docs — 78 s down to 13 s, now within 1.3x of a window-function
+    formulation WITHOUT its shuffle; a windowed ``min(struct(h,-pos))``
+    over exploded gram rows is faster locally but exchanges ~50 bytes
+    per CHARACTER of corpus text, indefensible at 100 TB where this
+    form is map-only):
+    1. the empty-doc guard must be a FILTER on a projected frame, not
+       a ``when(...)`` wrapper around the gram array — Spark's
+       subexpression elimination refuses to hoist expressions that sit
+       under a conditional branch (they may legally never execute), so
+       the guarded gram array was re-evaluated once per shifted slice:
+       4x the md5 work.
+    2. bind the gram array to a NAMED column in a prior select and
+       reference the column in the folds — even though Catalyst
+       collapses the projections, the named reference deduplicates the
+       subtree reliably (measured 17.3 s -> 13.4 s vs repeating the
+       expression tree).
+
     Output: (id_col, fp_hash, pos) — pos is the 1-based gram position,
     one row per DISTINCT selected (hash, pos) pair, the winnowing
     fingerprint set.
@@ -1818,19 +1836,23 @@ def winnow_fingerprints(
     norm = F.regexp_replace(
         portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS, " "
     )
-    n_grams = F.length(norm) - F.lit(k - 1)
-    # guarded: sequence(1, n) with n < 1 would produce a DESCENDING
-    # sequence (Spark semantics), feeding garbage substrings
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.struct(
-                F.md5(norm.substr(i, F.lit(k))).alias("h"),
-                i.cast("long").alias("p"),
-            ),
+    # filter, not when-guard (lesson 1 above); also keeps sequence(1, n)
+    # from producing a DESCENDING sequence when n < 1 (Spark semantics)
+    base = (
+        df.select(F.col(id_col).alias("__wid"), norm.alias("__wt"))
+        .withColumn("__wng", F.length("__wt") - F.lit(k - 1))
+        .filter(F.col("__wng") >= 1)
+    )
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.col("__wng")),
+        lambda i: F.struct(
+            F.md5(F.col("__wt").substr(i, F.lit(k))).alias("h"),
+            i.cast("long").alias("p"),
         ),
-    ).otherwise(F.array().cast("array<struct<h:string,p:bigint>>"))
+    )
+    bound = base.select("__wid", "__wng", grams_expr.alias("__wgrams"))
+    grams = F.col("__wgrams")
+    n_grams = F.col("__wng")
 
     # running rightmost-min of windows of growing length: after step s,
     # m[j] holds the fold of grams[j .. j+s]; the left-to-right replace-
@@ -1849,12 +1871,9 @@ def winnow_fingerprints(
     picks = F.array_distinct(
         F.slice(m, 1, F.greatest(n_windows, F.lit(0)))
     )
-    rows = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(picks).alias("fp"),
-    )
+    rows = bound.select("__wid", F.explode(picks).alias("fp"))
     return rows.select(
-        F.col("id").alias(id_col),
+        F.col("__wid").alias(id_col),
         F.col("fp.h").alias("fp_hash"),
         F.col("fp.p").alias("pos"),
     )
