@@ -46,13 +46,40 @@ def exact_dedup(
     )
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE per
+    row and hand the value to ``body`` as a lambda variable.
+
+    Spark evaluates every non-lambda-variable subexpression inside a
+    higher-order-function lambda PER ELEMENT — a computed string or
+    array referenced in a ``transform`` body is recomputed for every
+    index, turning an O(n) shingle pass into O(n^2) normalize/tokenize
+    work (measured 15.1 s -> 2.8 s on the sf0.1 char-shingle explode;
+    the round-11 winnow-fingerprint find, packaged). There is no native
+    ``let`` in Spark's expression language, so this wraps the value in
+    a single-element array and binds it through a one-iteration
+    ``transform``: references to the lambda variable are cheap bound
+    attributes, and NULL propagates exactly as the raw expression would
+    (``array(x)[0]`` is ``x``)."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-char shingles of normalized text (shorter texts yield the
-    whole text as a single shingle)."""
-    norm = normalize_text(text)
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+    whole text as a single shingle). The normalized string is let-bound
+    (``_let``) so the per-index lambda references a bound value instead
+    of re-running the normalization regex per character."""
+    return _let(
+        normalize_text(text),
+        lambda norm: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
+                ),
+                lambda i: norm.substr(i, F.lit(k)),
+            )
+        ),
+    )
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -62,15 +89,21 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     shingle — the unfiltered form made two empty documents Jaccard-1.0
     "near-dups" and let an empty doc count as benchmark-contaminated;
     caught by tests/test_portable_text.py). Docs with 1..k-1 tokens
-    keep one partial shingle so short docs stay comparable."""
-    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
-    n = F.size(toks)
-    idx = F.when(
-        n > 0, F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    keep one partial shingle so short docs stay comparable. The token
+    array is let-bound (``_let``) so the per-index lambda slices a
+    bound value instead of re-tokenizing per shingle."""
+    toks_expr = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.when(
+            n > 0, F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        )
+
+    return _let(toks_expr, body)
 
 
 def _rotl64(v: Column, s: int) -> Column:
@@ -1248,17 +1281,23 @@ def minhash_portable_pairs(
         raise ValueError("min_agree must be in [1, num_hashes]")
     if max_bucket_size < 2:
         raise ValueError("max_bucket_size >= 2 required")
-    norm = normalize_text(F.col(text_col))
-    toks = F.filter(F.split(norm, " "), lambda t: t != "")
-    n_sh = F.size(toks) - F.lit(shingle_k - 1)
-    shingles = F.array_distinct(
-        F.when(
-            n_sh >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    # tokens let-bound (_let): a computed array inside the transform
+    # lambda would re-tokenize per shingle (the O(n^2) HOF hazard)
+    def shingles_of(toks: Column) -> Column:
+        n_sh = F.size(toks) - F.lit(shingle_k - 1)
+        return F.array_distinct(
+            F.when(
+                n_sh >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    shingles = _let(
+        F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""),
+        shingles_of,
     )
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
