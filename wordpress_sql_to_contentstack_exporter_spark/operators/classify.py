@@ -86,29 +86,39 @@ def featurize_hashed_bow(
 
     if n_features < 2:
         raise ValueError("n_features >= 2 required")
-    toks = tokens(portable_lower(F.col(text_col)))
-    bucketed = F.transform(
-        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_features)).cast("int")
+    from .dedup import _let
+
+    bucketed_expr = F.transform(
+        tokens(portable_lower(F.col(text_col))),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(n_features)).cast("int"),
     )
+
     # per-row (distinct bucket, count) as parallel arrays in a
     # DETERMINISTIC order (array_sort pins what map_keys would leave
-    # engine-internal). The count-per-distinct filter is O(distinct x
-    # tokens) per row of cheap JVM comparisons — the per-row costs that
-    # matter happen inside one codegen projection, no shuffle.
-    feats = F.array_sort(F.array_distinct(bucketed))
-    n_toks = F.size(toks)
-    counts = lambda k: F.size(F.filter(bucketed, lambda b: b == k)).cast("double")  # noqa: E731
-    if l1_normalize:
-        vals = F.transform(
-            feats,
-            lambda k: counts(k) / F.greatest(n_toks, F.lit(1)).cast("double"),
-        )
-    else:
-        vals = F.transform(feats, counts)
+    # engine-internal). The bucketed array is LET-BOUND: referencing
+    # the computed expression inside the count-per-distinct lambda
+    # would re-tokenize and re-hash the whole document once per
+    # DISTINCT bucket (the O(n^2) HOF hazard, round 11) — bound, the
+    # filter really is O(distinct x tokens) cheap comparisons inside
+    # one codegen projection, no shuffle.
+    def arrays(bucketed: Column) -> Column:
+        feats = F.array_sort(F.array_distinct(bucketed))
+        n_toks = F.size(bucketed)
+        counts = lambda k: F.size(F.filter(bucketed, lambda b: b == k)).cast("double")  # noqa: E731
+        if l1_normalize:
+            vals = F.transform(
+                feats,
+                lambda k: counts(k) / F.greatest(n_toks, F.lit(1)).cast("double"),
+            )
+        else:
+            vals = F.transform(feats, counts)
+        return F.struct(feats.alias("f"), vals.alias("v"))
+
+    fv = _let(bucketed_expr, arrays)
     cols = [
         F.col(id_col),
-        feats.alias("feats"),
-        vals.alias("vals"),
+        fv["f"].alias("feats"),
+        fv["v"].alias("vals"),
     ]
     if label_col is not None:
         cols.append(F.col(label_col).cast("int").alias("label"))

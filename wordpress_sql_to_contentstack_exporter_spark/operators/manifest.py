@@ -757,12 +757,22 @@ SEMDEDUP_MANIFEST_SCHEMA = T.StructType(
 def _unit_vector(vec):
     """L2-normalized copy as a Column expression (zero vectors stay
     zero — cosine 0 to everything, the semdedup convention, so they can
-    never be dropped as a dup of anything)."""
+    never be dropped as a dup of anything). The cast vector is
+    let-bound and the norm rides an array_repeat argument (evaluated
+    once): a computed ``n`` inside the per-element lambda re-ran the
+    O(d) dot product per ELEMENT — O(d^2) per row (the round-11 HOF
+    hazard; similarity.unit dodged it the same way)."""
+    from .dedup import _let
     from .similarity import _as_double, dot
 
-    v = _as_double(vec)
-    n = F.sqrt(dot(v, v))
-    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    def body(v):
+        n = F.sqrt(dot(v, v))
+        return F.when(
+            n > 0,
+            F.zip_with(v, F.array_repeat(n, F.size(v)), lambda x, y: x / y),
+        ).otherwise(v)
+
+    return _let(_as_double(vec), body)
 
 
 def build_semdedup_manifest(
