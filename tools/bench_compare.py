@@ -81,6 +81,14 @@ def main() -> None:
         # utf8proc), brute-force benchmark cosine scan
         "lm_perplexity", "rare_token_ratio", "unicode_clean",
         "semantic_decontaminate", "curation_gate",
+        # round-11 additions with real two-engine work: md5 winnowing
+        # fingerprint pair detection and the md5 MinHash band pipeline —
+        # both engines hash every gram/shingle, so these are genuine
+        # marginal-cost rows (the heavier iterative compositions
+        # winnow_dedup/leakage_safe_split are measured in SCALE.md
+        # instead: ~20 s per engine per run is too much to pay four
+        # times per compare for a parity result)
+        "winnow_overlap", "minhash_portable",
     ]
     out = {}
     for name in compared:

@@ -7743,11 +7743,14 @@ WITH corpus AS (
     FROM g WHERE len(grams) >= 4
 ), e AS (
     SELECT doc_id, unnest(picks) AS fp FROM p
-), fps AS (
+), fps AS MATERIALIZED (
+    -- MATERIALIZED: fps feeds freq AND kept, kept feeds totals AND both
+    -- self-join sides; plain CTEs re-inline the md5 pipeline per
+    -- consumer (measured 77 s -> 21 s at sf0.1)
     SELECT DISTINCT doc_id AS id, fp.h AS fp_hash FROM e
 ), freq AS (
     SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) <= 20
-), kept AS (
+), kept AS MATERIALIZED (
     SELECT fps.id, fps.fp_hash FROM fps JOIN freq USING (fp_hash)
 ), totals AS (
     SELECT id, count(*)::BIGINT AS n_fp FROM kept GROUP BY 1
@@ -7814,12 +7817,14 @@ WITH corpus AS (
            list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                            for i in range(1, len(toks) - 3 + 2) ]) AS shingles
     FROM tok WHERE len(toks) >= 3
-), sigs AS (
+), sigs AS MATERIALIZED (
+    -- MATERIALIZED: four band branches reference sigs; inlined, the
+    -- 16-seed md5 signature build runs once per branch
     SELECT doc_id AS id,
            [ list_aggregate([ md5(s::VARCHAR || ':' || g) for g in shingles ], 'min')
              for s in range(0, 16) ] AS sig
     FROM sh WHERE len(shingles) >= 1
-), banded AS (
+), banded AS MATERIALIZED (
     SELECT id, sig, 0 AS band, md5(sig[1]||'|'||sig[2]||'|'||sig[3]||'|'||sig[4]) AS bucket FROM sigs
     UNION ALL SELECT id, sig, 1, md5(sig[5]||'|'||sig[6]||'|'||sig[7]||'|'||sig[8]) FROM sigs
     UNION ALL SELECT id, sig, 2, md5(sig[9]||'|'||sig[10]||'|'||sig[11]||'|'||sig[12]) FROM sigs
@@ -7884,15 +7889,18 @@ WITH corpus AS (
     FROM g WHERE len(grams) >= 4
 ), e AS (
     SELECT doc_id, unnest(picks) AS fp FROM p
-), fpsp AS (
+), fpsp AS MATERIALIZED (
+    -- MATERIALIZED: fpsp feeds fpsd AND both position joins; shared
+    -- feeds qualification AND the qualified join (the winnow_overlap
+    -- re-inlining hazard)
     SELECT DISTINCT doc_id AS id, fp.h AS fp_hash, fp.p AS pos FROM e
-), fpsd AS (
+), fpsd AS MATERIALIZED (
     SELECT DISTINCT id, fp_hash FROM fpsp
 ), freq AS (
     SELECT fp_hash FROM fpsd GROUP BY 1 HAVING count(*) <= 20
 ), kept AS (
     SELECT fpsd.id, fpsd.fp_hash FROM fpsd JOIN freq USING (fp_hash)
-), shared AS (
+), shared AS MATERIALIZED (
     SELECT a.fp_hash, a.id AS id_a, b.id AS id_b
     FROM kept a JOIN kept b USING (fp_hash)
     WHERE a.id < b.id
@@ -8011,11 +8019,13 @@ WITH RECURSIVE corpus AS MATERIALIZED (
     FROM g WHERE len(grams) >= 4
 ), e AS (
     SELECT doc_id, unnest(picks) AS fp FROM p
-), fps AS (
+), fps AS MATERIALIZED (
+    -- MATERIALIZED: fps/kept are multi-consumer (the winnow_overlap
+    -- re-inlining hazard, same fix)
     SELECT DISTINCT doc_id AS id, fp.h AS fp_hash FROM e
 ), freq AS (
     SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) <= 20
-), kept AS (
+), kept AS MATERIALIZED (
     SELECT fps.id, fps.fp_hash FROM fps JOIN freq USING (fp_hash)
 ), totals AS (
     SELECT id, count(*)::BIGINT AS n_fp FROM kept GROUP BY 1
