@@ -606,3 +606,27 @@ def test_winnow_spans_localizes_shared_region(spark):
 
     with pytest.raises(ValueError):
         tx.winnow_spans(df, min_shared=0)
+
+
+def test_winnow_dedup_containment_gate_is_id_independent(spark):
+    """Review r11 #4: an excerpt fully contained in a long article must
+    co-cluster with it whichever document holds the lower id — the gate
+    tests the SMALLER side's fingerprint count."""
+    article = " ".join(f"word{i} token{i} item{i}" for i in range(60))
+    excerpt = " ".join(f"word{i} token{i} item{i}" for i in range(6))
+    for ids in ((1, 2), (2, 1)):
+        art_id, exc_id = ids
+        df = spark.createDataFrame(
+            [(art_id, article), (exc_id, excerpt),
+             (9, "entirely unrelated filler content zebra quux corge")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in tx.winnow_dedup(
+                df, k=8, w=4, min_shared=2, max_fp_docs=10,
+                min_containment_pm=500,
+            ).collect()
+        }
+        assert out[art_id] == out[exc_id] == min(art_id, exc_id), ids
+        assert out[9] == 9

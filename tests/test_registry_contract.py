@@ -21,8 +21,9 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 # prior window slot was oracle-backed), and prior rotations surfaced
 # env divergence at ~2-in-30 on first driver contact — so ten of them
 # take deliberate window slots this round (the driver records rows/err
-# even without an oracle). Funded by rotating out eleven r10-greens on
-# code untouched since r10. Pinned as SETS, not a frozen order, so next
+# even without an oracle). The fourteen new slots (four additions + ten
+# rows-only) are funded by rotating out fourteen driver-greens on code
+# untouched since their last green. Pinned as SETS, not a frozen order, so next
 # round's rotation edits these lists deliberately rather than breaking
 # an order assertion by accident.
 ROUND11_WINDOW_NEW = {
@@ -76,7 +77,7 @@ def test_round11_window_set():
 
 
 def test_rotated_out_r11_kept_their_greens():
-    """The eleven queries rotated out this round must all be r10
+    """The fourteen queries rotated out this round must all be r10
     driver-greens — rotation never discards a query whose latest
     driver contact was red or absent."""
     import json

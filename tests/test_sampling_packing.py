@@ -269,3 +269,16 @@ def test_leakage_safe_split_no_straddling_pair(spark):
         ).collect()
     }
     assert again == {r.id: r.split for r in out}
+
+    # NULL cluster ids are conserved (null-safe fan-out, review r11 #3):
+    # all NULL-cluster rows share one verdict, none silently vanish
+    withnull = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, None), (4, None)],
+        "id long, cluster_id long",
+    )
+    nout = leakage_safe_split(
+        withnull, {"train": 0.5, "eval": 0.5}, id_col="id"
+    ).collect()
+    assert len(nout) == 4
+    null_splits = {r.split for r in nout if r.cluster_id is None}
+    assert len(null_splits) == 1

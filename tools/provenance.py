@@ -79,23 +79,33 @@ def build_table() -> tuple[str, int]:
             # (round-11 rotation, VERDICT r10 ask #3) — surface those
             # contacts so the table shows the driver environment has
             # executed the query at least once.
-            contacts = [
-                r
-                for r in sorted(rounds)
-                if name in rounds[r]
-                and rounds[r][name].get("spark_rows") is not None
-                and rounds[r][name].get("err") in (None, "", "no_oracle")
-            ]
-            if not contacts and name not in window:
+            # a contact is CLEAN when the query produced rows and the
+            # only "error" is the absence of an oracle; any other err is
+            # a RED — the env-divergence signal the deliberate rows-only
+            # window slots exist to surface (review r11 #2: hiding an
+            # errored contact as "pending" would defeat the rotation)
+            contacts, reds = [], []
+            for r in sorted(rounds):
+                if name not in rounds[r]:
+                    continue
+                entry = rounds[r][name]
+                clean = entry.get("spark_rows") is not None and entry.get(
+                    "err"
+                ) in (None, "", "no_oracle")
+                (contacts if clean else reds).append(r)
+            if not contacts and not reds and name not in window:
                 continue
             if contacts:
                 cell = "rows-only driver contact " + ",".join(
                     f"r{r}" for r in contacts
                 )
+            elif reds:
+                cell = "rows-only (driver contact FAILED — see red column)"
             else:
                 cell = "rows-only (in window; driver contact pending)"
+            red_cell = ",".join(f"r{r}" for r in reds)
             win_cell = "yes" if name in window else ""
-            lines.append(f"| `{name}` | {cell} | | {win_cell} |")
+            lines.append(f"| `{name}` | {cell} | {red_cell} | {win_cell} |")
             continue
         greens = [r for r in sorted(rounds) if is_green(rounds[r].get(name, {}))]
         reds = [

@@ -86,7 +86,7 @@ def featurize_hashed_bow(
 
     if n_features < 2:
         raise ValueError("n_features >= 2 required")
-    from .dedup import _let
+    from ..functions.expr import let as _let
 
     bucketed_expr = F.transform(
         tokens(portable_lower(F.col(text_col))),

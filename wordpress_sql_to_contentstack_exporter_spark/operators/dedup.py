@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import let as _let
 from ..functions.portable import PORTABLE_WS_PLUS, portable_lower
 from ..sources.catalog import spread_small_scan
 
@@ -46,22 +47,6 @@ def exact_dedup(
     )
 
 
-def _let(bound: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``bound`` ONCE per
-    row and hand the value to ``body`` as a lambda variable.
-
-    Spark evaluates every non-lambda-variable subexpression inside a
-    higher-order-function lambda PER ELEMENT — a computed string or
-    array referenced in a ``transform`` body is recomputed for every
-    index, turning an O(n) shingle pass into O(n^2) normalize/tokenize
-    work (measured 15.1 s -> 2.8 s on the sf0.1 char-shingle explode;
-    the round-11 winnow-fingerprint find, packaged). There is no native
-    ``let`` in Spark's expression language, so this wraps the value in
-    a single-element array and binds it through a one-iteration
-    ``transform``: references to the lambda variable are cheap bound
-    attributes, and NULL propagates exactly as the raw expression would
-    (``array(x)[0]`` is ``x``)."""
-    return F.transform(F.array(bound), body)[0]
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
@@ -1275,6 +1260,8 @@ def minhash_portable_pairs(
 
     Output: (id_a, id_b, sig_agree, est_jaccard), id_a < id_b.
     """
+    if bands < 1:
+        raise ValueError("bands >= 1 required")
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     if not (1 <= min_agree <= num_hashes):
@@ -1328,9 +1315,19 @@ def minhash_portable_pairs(
             for b in range(bands)
         ]
     )
-    h_cols = [f"h{i}" for i in range(num_hashes)]
-    banded = sigs.select("id", *h_cols, F.explode(band_struct).alias("bb")).select(
-        "id", *h_cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    if materialize:
+        # sigs feeds the band explode AND both agreement joins below —
+        # one signature build, three consumers
+        sigs = sigs.localCheckpoint(eager=False)
+    # the band frame carries (id, band, 32-char bucket) ONLY: replicating
+    # the full num_hashes x 32-byte signature once per band through the
+    # cap exchange and both self-join sides would make the signatures the
+    # dominant shuffle payload (~2 KB/doc/side vs ~40 B here; review r11
+    # #6) — agreement counts come from joining the DEDUPED pair set back
+    # to the compact sigs frame instead, so signatures cross the wire
+    # once per SURVIVING candidate, not once per (band, collision)
+    banded = sigs.select("id", F.explode(band_struct).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     small = (
         banded.groupBy("band", "bucket")
@@ -1339,27 +1336,34 @@ def minhash_portable_pairs(
         .select("band", "bucket")
     )
     banded = banded.join(small, ["band", "bucket"], "left_semi")
-    if materialize:
-        banded = banded.localCheckpoint(eager=False)
-    left, right = banded.alias("l"), banded.alias("r")
-    agree = None
-    for i in range(num_hashes):
-        piece = (F.col(f"l.h{i}") == F.col(f"r.h{i}")).cast("int")
-        agree = piece if agree is None else agree + piece
-    return (
-        left.join(
-            right,
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            agree.cast("long").alias("sig_agree"),
-        )
-        .filter(F.col("sig_agree") >= min_agree)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    agree = None
+    for i in range(num_hashes):
+        piece = (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        agree = piece if agree is None else agree + piece
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", agree.cast("long").alias("sig_agree"))
+        .filter(F.col("sig_agree") >= min_agree)
         .select(
             F.col("id_a").alias(f"{id_col}_a"),
             F.col("id_b").alias(f"{id_col}_b"),

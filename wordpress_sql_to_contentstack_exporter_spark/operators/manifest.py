@@ -762,7 +762,7 @@ def _unit_vector(vec):
     once): a computed ``n`` inside the per-element lambda re-ran the
     O(d) dot product per ELEMENT — O(d^2) per row (the round-11 HOF
     hazard; similarity.unit dodged it the same way)."""
-    from .dedup import _let
+    from ..functions.expr import let as _let
     from .similarity import _as_double, dot
 
     def body(v):

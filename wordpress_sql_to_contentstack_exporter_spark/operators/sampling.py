@@ -741,7 +741,13 @@ def leakage_safe_split(
 
     ``assignments`` is the (id, cluster_id) artifact the dedup plane
     already produces (``graph.dedup_clusters``, ``text.winnow_dedup``);
-    singleton clusters split like ordinary rows.
+    singleton clusters split like ordinary rows. A NULL cluster id is
+    kept, not dropped (null-safe fan-out join — row conservation, the
+    semantic_decontaminate discipline): all NULL-cluster rows share ONE
+    verdict (md5 of NULL hashes as one value), so a caller who really
+    means "unclustered docs split independently" must
+    ``coalesce(cluster_id, id)`` upstream — exactly what
+    ``dedup_clusters`` already emits.
 
     Plan shape at 100 TB: one distinct on the cluster key (map-side
     combine; |clusters| <= |docs|), the md5 verdict is a projection on
@@ -755,5 +761,8 @@ def leakage_safe_split(
     clusters = assignments.select(cluster_col).distinct()
     assigned = deterministic_split(
         clusters, weights, key_col=cluster_col, seed=seed, out_col=out_col
+    ).select(F.col(cluster_col).alias("__lss_c"), out_col)
+    joined = assignments.join(
+        assigned, F.col(cluster_col).eqNullSafe(F.col("__lss_c"))
     )
-    return assignments.join(assigned, cluster_col)
+    return joined.select(*assignments.columns, out_col)

@@ -1993,12 +1993,17 @@ def winnow_dedup(
     raw ``min_shared``-fingerprint pairs chain a small-vocabulary
     corpus into one giant component (measured at sf0.01: a 667-member
     cluster from 3-fingerprint noise edges), while requiring
-    ``n_shared * 1000 >= min_containment_pm * n_fp_a`` (side a's
-    shared-fingerprint per-mille, default >= 500 = half of a's
-    fingerprint set also in b) keeps only genuine near-dup/containment
-    edges (same run: max component 8, 98.6% of planted near-dup pairs
-    co-clustered). Integer cross-multiplication — no float ratio, the
-    engine's exactness discipline.
+    ``n_shared * 1000 >= min_containment_pm * least(n_fp_a, n_fp_b)``
+    (the SMALLER side's shared per-mille, default >= 500 = half of the
+    contained document's fingerprints also in the other) keeps only
+    genuine near-dup/containment edges (same run: max component 8,
+    98.6% of planted near-dup pairs co-clustered). The gate tests the
+    smaller side ON PURPOSE (round-11 review #4): a 50-fingerprint
+    excerpt fully contained in a 1000-fingerprint article must cluster
+    with it regardless of which document got the lower id — gating on
+    side a alone made survival depend on arbitrary id assignment.
+    Integer cross-multiplication — no float ratio, the engine's
+    exactness discipline.
 
     Plan shape at 100 TB: the pair build is winnow_overlap's (bounded
     fan-out, md5+long exchanges); the gated pair set is
@@ -2026,7 +2031,8 @@ def winnow_dedup(
     strong = (
         pairs.filter(
             F.col("n_shared") * 1000
-            >= F.lit(min_containment_pm) * F.col("n_fp_a")
+            >= F.lit(min_containment_pm)
+            * F.least(F.col("n_fp_a"), F.col("n_fp_b"))
         )
         .select(f"{id_col}_a", f"{id_col}_b")
         .localCheckpoint(eager=False)

@@ -7970,11 +7970,13 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEDUP (md5 fingerprints + exact-integer containment + recursive-CTE
     closure on the DuckDB side). Same corpus construction as
     winnow_overlap (documents + perturbed +1M copies), so each planted
-    pair must co-cluster; the >= 500-per-mille containment gate is what
-    keeps transitive closure from chaining 3-fingerprint noise edges
-    into a mega-component (measured: 667-member blob without it, max 8
-    with it). Iterative operator (label-propagation rounds), exempt
-    from the laziness contract like dedup_clusters."""
+    pair must co-cluster; the >= 500-per-mille containment gate (tested
+    against the SMALLER side's fingerprint count, so the verdict is
+    id-assignment-independent) is what keeps transitive closure from
+    chaining 3-fingerprint noise edges into a mega-component (measured:
+    667-member blob without it, max 8 with it). Iterative operator
+    (label-propagation rounds), exempt from the laziness contract like
+    dedup_clusters."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -8036,10 +8038,12 @@ WITH RECURSIVE corpus AS MATERIALIZED (
     GROUP BY 1, 2
     HAVING count(*) >= 3
 ), pairs AS MATERIALIZED (
-    -- containment gate: n_shared*1000 >= 500*n_fp_a == 2*n_shared >= n_fp_a
+    -- containment gate on the SMALLER side (id-assignment-independent,
+    -- review r11 #4): n_shared*1000 >= 500*least(n_fp_a, n_fp_b)
     SELECT id_a, id_b FROM pairs0
     JOIN totals ta ON pairs0.id_a = ta.id
-    WHERE pairs0.n_shared * 1000 >= 500 * ta.n_fp
+    JOIN totals tb ON pairs0.id_b = tb.id
+    WHERE pairs0.n_shared * 1000 >= 500 * least(ta.n_fp, tb.n_fp)
 ), edges AS MATERIALIZED (
     SELECT id_a AS src, id_b AS dst FROM pairs
     UNION ALL SELECT id_b, id_a FROM pairs
@@ -8136,8 +8140,9 @@ SPARK_QUERIES = {
     "vocab_drift": q_vocab_drift,
     # --- oracle-backed, OUTSIDE the round-11 window ---
     # rotated out in r11 (all driver-green on code untouched since);
-    # these 13 fund winnow_dedup, winnow_spans, minhash_portable and
-    # the ten rows-only first-contact slots:
+    # these FOURTEEN fund the fourteen new window slots: winnow_dedup,
+    # winnow_spans, minhash_portable, leakage_safe_split + the ten
+    # rows-only first-contact slots (unicode_clean kept its r10 slot):
     "triangle_count": q_triangle_count,
     "grouped_mode": q_grouped_mode,
     "histogram_drift": q_histogram_drift,
