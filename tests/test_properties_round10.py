@@ -630,3 +630,42 @@ def test_winnow_dedup_containment_gate_is_id_independent(spark):
         }
         assert out[art_id] == out[exc_id] == min(art_id, exc_id), ids
         assert out[9] == 9
+
+
+def test_excise_spans_surgery_and_row_conservation(spark):
+    """excise_spans: inclusive ranges cut from NORMALIZED text, touching
+    and overlapping spans merged first, docs without spans pass through
+    normalized, exact removed-char accounting."""
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA keep1 BBBB keep2 CCCC"),
+            (2, "untouched document"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 1, 4),     # 'aaaa'
+            (1, 12, 13),   # overlapping + touching pieces of 'bbbb'
+            (1, 14, 15),
+            (1, 13, 14),
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r.doc_id: r for r in tx.excise_spans(docs, spans).collect()}
+    assert set(out) == {1, 2, 3}  # row conservation incl. NULL text
+    # normalized: 'aaaa keep1 bbbb keep2 cccc'; spans merge to [1,4]+[12,15]
+    assert out[1].text_clean == " keep1  keep2 cccc"
+    assert out[1].n_spans == 2 and out[1].n_removed_chars == 8
+    assert out[2].text_clean == "untouched document"
+    assert out[2].n_spans == 0 and out[2].n_removed_chars == 0
+    assert out[3].text_clean is None
+
+    # span covering the doc PREFIX and SUFFIX edges
+    docs2 = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    spans2 = spark.createDataFrame(
+        [(1, 1, 2), (1, 5, 6)], "doc_id long, span_start long, span_end long"
+    )
+    r1 = tx.excise_spans(docs2, spans2).first()
+    assert r1.text_clean == "cd" and r1.n_removed_chars == 4

@@ -2158,3 +2158,112 @@ def winnow_spans(
         (F.col("interval_end") - 1).cast("long").alias("span_end"),
         F.col("n_fp").cast("long").alias("n_fp"),
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Span-level EXCISION: remove the given inclusive character ranges
+    from each document's NORMALIZED text — the payoff of span
+    localization (:func:`winnow_spans`, ``repeated_spans``): a shared
+    quotation or boilerplate block is cut out while the document
+    survives, instead of the whole-doc drop coarse dedup forces.
+
+    ``spans`` holds (id, start, end) rows with INCLUSIVE 1-based bounds
+    into the winnow normalization of the text (lowercase + whitespace
+    collapse — span producers and this consumer must agree on the
+    coordinate system, so the excision normalizes with the same chain).
+    Overlapping or touching spans are merged first (the
+    ``merge_intervals`` gaps-and-islands pass — exact integers, so
+    engines cannot disagree); documents with no spans pass through
+    normalized but uncut (left join — row conservation).
+
+    Plan shape at 100 TB: merge shuffles (id, two longs) rows; the
+    merged spans aggregate to ONE array per doc (collect_list +
+    array_sort — bounded by spans-per-doc, not corpus size); the cut
+    itself is a map-side fold over that array building the kept
+    segments (let-bound text, lambda-var arithmetic only — the round-11
+    HOF discipline). Text crosses exactly one exchange: the docs-side
+    join on id.
+
+    Output: (id_col, text_clean, n_spans, n_removed_chars) —
+    ``text_clean`` is the normalized text with spans cut and the cut
+    edges joined directly (no replacement marker); counts are exact
+    integers for auditability.
+    """
+    from .temporal import merge_intervals
+
+    norm = F.regexp_replace(
+        portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS, " "
+    )
+    base = docs.select(F.col(id_col).alias("__xid"), norm.alias("__xt"))
+    iv = spans.select(
+        F.col(id_col).alias("__xid"),
+        F.col(start_col).cast("long").alias("__s"),
+        # half-open for the merge (touching spans coalesce), back to
+        # inclusive arithmetic in the cut below
+        (F.col(end_col).cast("long") + 1).alias("__e"),
+    )
+    merged = merge_intervals(
+        iv, keys=["__xid"], start_col="__s", end_col="__e", count_alias="__n"
+    )
+    per_doc = merged.groupBy("__xid").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("interval_start").alias("s"),
+                    F.col("interval_end").alias("e"),
+                )
+            )
+        ).alias("__spans")
+    )
+    joined = base.join(per_doc, "__xid", "left")
+
+    def cut(t: Column, sp: Column) -> Column:
+        # kept segments: before the first span, between spans, after the
+        # last — n_spans + 1 pieces, each a substr with integer bounds.
+        # piece i (0-based): [prev_end, next_start) in half-open coords
+        # where prev_end = sp[i-1].e (or 1) and next_start = sp[i].s
+        # (or len+1). Everything references lambda vars / bound attrs.
+        n = F.size(sp)
+        pieces = F.transform(
+            F.sequence(F.lit(0), n),
+            lambda i: t.substr(
+                F.when(i == 0, F.lit(1)).otherwise(
+                    F.element_at(sp, i)["e"]
+                ),
+                F.when(i == n, F.length(t) + 1)
+                .otherwise(F.element_at(sp, i + 1)["s"])
+                - F.when(i == 0, F.lit(1)).otherwise(F.element_at(sp, i)["e"]),
+            ),
+        )
+        return F.concat_ws("", pieces)
+
+    from ..functions.expr import let
+
+    cleaned = F.when(F.col("__spans").isNull(), F.col("__xt")).otherwise(
+        let(
+            F.col("__xt"),
+            lambda t: let(F.col("__spans"), lambda sp: cut(t, sp)),
+        )
+    )
+    removed = F.coalesce(
+        F.aggregate(
+            F.col("__spans"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x["e"] - x["s"]),
+        ),
+        F.lit(0).cast("long"),
+    )
+    return joined.select(
+        F.col("__xid").alias(id_col),
+        cleaned.alias("text_clean"),
+        F.coalesce(F.size("__spans"), F.lit(0)).cast("long").alias("n_spans"),
+        removed.alias("n_removed_chars"),
+    )

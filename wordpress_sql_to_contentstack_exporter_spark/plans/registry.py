@@ -7864,7 +7864,9 @@ def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_a", "doc_id_b", "side", "span_start")
 
 
-SQL_WINNOW_SPANS = r"""
+# Shared by SQL_WINNOW_SPANS and SQL_SPAN_EXCISE (which cuts the
+# side-b spans back out of the corpus text).
+_SQL_WINNOW_SPAN_CTES = r"""
 WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
@@ -7928,12 +7930,18 @@ WITH corpus AS (
            sum(flag) OVER (PARTITION BY id_a, id_b, side ORDER BY s, e
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
     FROM f2
+), spansq AS (
+    SELECT id_a, id_b, side,
+           min(s)::BIGINT AS span_start,
+           (max(e) - 1)::BIGINT AS span_end,
+           count(*)::BIGINT AS n_fp
+    FROM g2 GROUP BY id_a, id_b, side, island
 )
-SELECT id_a AS doc_id_a, id_b AS doc_id_b, side,
-       min(s)::BIGINT AS span_start,
-       (max(e) - 1)::BIGINT AS span_end,
-       count(*)::BIGINT AS n_fp
-FROM g2 GROUP BY id_a, id_b, side, island
+"""
+
+SQL_WINNOW_SPANS = _SQL_WINNOW_SPAN_CTES + r"""
+SELECT id_a AS doc_id_a, id_b AS doc_id_b, side, span_start, span_end, n_fp
+FROM spansq
 ORDER BY doc_id_a, doc_id_b, side, span_start
 """
 
@@ -7961,6 +7969,83 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters, {"train": 0.9, "eval": 0.1}, id_col="doc_id"
     )
     return out.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
+def q_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cleaning end-to-end (operators/text.excise_spans over
+    winnow_spans side-b spans): the detect -> localize -> EXCISE loop —
+    shared blocks are cut out of the higher-id document while the
+    document survives (vs the whole-doc drop of coarse dedup). Spans
+    from different pairs merge per doc (gaps-and-islands, exact
+    integers); the oracle reconstructs the identical cleaned strings in
+    DuckDB, so the full text surgery hash-matches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup suffix tail")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    spans = tx.winnow_spans(corpus, k=8, w=4, min_shared=3, max_fp_docs=20)
+    bspans = spans.filter(F.col("side") == "b").select(
+        F.col("doc_id_b").alias("doc_id"), "span_start", "span_end"
+    )
+    return tx.excise_spans(corpus, bspans).orderBy("doc_id")
+
+
+SQL_SPAN_EXCISE = _SQL_WINNOW_SPAN_CTES + r"""
+, bs AS (
+    -- DISTINCT is load-bearing, not hygiene: duplicate (s, e) rows
+    -- (the same span reached via two different pair partners) make the
+    -- island windows' ORDER BY non-total, and DuckDB's parallel window
+    -- execution returns NONDETERMINISTIC islands on tied rows (measured
+    -- 11/12 unstable repeated executions without this, 0/12 with; the
+    -- merge result is provably duplicate-insensitive, so DISTINCT
+    -- cannot change the correct answer — it removes the ties that
+    -- trigger the instability)
+    SELECT DISTINCT id_b AS doc_id, span_start AS s, span_end + 1 AS e
+    FROM spansq
+    WHERE side = 'b'
+), m2 AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM bs
+), f3 AS (
+    SELECT doc_id, s, e,
+           CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+    FROM m2
+), g3 AS (
+    SELECT doc_id, s, e,
+           sum(flag) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM f3
+), islands AS (
+    SELECT doc_id, min(s) AS lo, max(e) AS hi FROM g3 GROUP BY doc_id, island
+), perdoc AS (
+    -- merged islands are DISJOINT, so independently sorted lo/hi lists
+    -- stay aligned pairs
+    SELECT doc_id,
+           list_sort(list(lo)) AS los,
+           list_sort(list(hi)) AS his
+    FROM islands GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CASE WHEN p.los IS NULL THEN n.t
+            ELSE array_to_string(
+                [ substring(n.t,
+                            CASE WHEN i = 1 THEN 1 ELSE p.his[i-1] END,
+                            (CASE WHEN i = len(p.los) + 1 THEN len(n.t) + 1
+                                  ELSE p.los[i] END)
+                            - (CASE WHEN i = 1 THEN 1 ELSE p.his[i-1] END))
+                  for i in range(1, len(p.los) + 2) ], '')
+       END AS text_clean,
+       coalesce(len(p.los), 0)::BIGINT AS n_spans,
+       coalesce(list_aggregate([ p.his[i] - p.los[i]
+                                 for i in range(1, len(p.los) + 1) ], 'sum'),
+                0)::BIGINT AS n_removed_chars
+FROM norm n LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8081,6 +8166,7 @@ SPARK_QUERIES = {
     "winnow_spans": q_winnow_spans,
     "minhash_portable": q_minhash_portable,
     "leakage_safe_split": q_leakage_safe_split,
+    "span_excise": q_span_excise,
     "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
     # --- window part (b): rows-only FIRST driver contact (VERDICT r10
     # ask #3) — every window slot to date was oracle-backed, so these
@@ -8136,7 +8222,6 @@ SPARK_QUERIES = {
     "cluster_keepers": q_cluster_keepers,
     "centroid_similarity": q_centroid_similarity,
     "source_overlap": q_source_overlap,
-    "corr_stats": q_corr_stats,
     "vocab_drift": q_vocab_drift,
     # --- oracle-backed, OUTSIDE the round-11 window ---
     # rotated out in r11 (all driver-green on code untouched since);
@@ -8146,6 +8231,7 @@ SPARK_QUERIES = {
     "triangle_count": q_triangle_count,
     "grouped_mode": q_grouped_mode,
     "histogram_drift": q_histogram_drift,
+    "corr_stats": q_corr_stats,
     "compaction_plan": q_compaction_plan,
     "expectations_exemplars": q_expectations_exemplars,
     "gapfill_interp": q_gapfill_interp,
@@ -8452,6 +8538,7 @@ ORACLE_SQL = {
     "winnow_spans": SQL_WINNOW_SPANS,
     "minhash_portable": SQL_MINHASH_PORTABLE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+    "span_excise": SQL_SPAN_EXCISE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
 }
 
