@@ -116,3 +116,26 @@ def test_scalar_functions_match_js_ports(spark):
         assert r["dec"] == js_decode(t), repr(t)
         assert r["base"] == js_basename(t), repr(t)
         assert r["split"] == "\x00".join(t.split(",")), repr(t)
+
+
+def test_let_binding_is_value_and_null_transparent(spark):
+    """functions.expr.let: let(x, f) must equal f(x) for values AND for
+    NULL (array(x)[0] is x) — the transparency that makes it safe to
+    wrap any expression purely for evaluation-count reasons."""
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.functions.expr import let
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "")], "id long, s string"
+    )
+    out = df.select(
+        "id",
+        let(F.upper(F.col("s")), lambda v: F.concat(v, v)).alias("via_let"),
+        F.concat(F.upper(F.col("s")), F.upper(F.col("s"))).alias("direct"),
+        let(F.split(F.col("s"), ""), lambda a: F.size(a)).alias("arr_let"),
+        F.size(F.split(F.col("s"), "")).alias("arr_direct"),
+    ).collect()
+    for r in out:
+        assert r.via_let == r.direct, r
+        assert r.arr_let == r.arr_direct, r
