@@ -21,9 +21,9 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 # prior window slot was oracle-backed), and prior rotations surfaced
 # env divergence at ~2-in-30 on first driver contact — so ten of them
 # take deliberate window slots this round (the driver records rows/err
-# even without an oracle). The fourteen new slots (four additions + ten
-# rows-only, plus span_excise) are funded by rotating out fifteen
-# driver-greens on code untouched since their last green. Pinned as SETS, not a frozen order, so next
+# even without an oracle). The fifteen new slots (five additions + ten
+# rows-only) are funded by rotating out fifteen driver-greens on code
+# untouched since their last green. Pinned as SETS, not a frozen order, so next
 # round's rotation edits these lists deliberately rather than breaking
 # an order assertion by accident.
 ROUND11_WINDOW_NEW = {

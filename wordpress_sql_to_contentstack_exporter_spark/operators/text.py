@@ -2199,10 +2199,14 @@ def excise_spans(
     """
     from .temporal import merge_intervals
 
-    norm = F.regexp_replace(
-        portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS, " "
+    # the named helper, not a copy of its expression: span producers and
+    # this consumer agree on the coordinate system STRUCTURALLY (review
+    # r11b #2 — a drift between two spelled-out copies would silently
+    # shift every span)
+    base = docs.select(
+        F.col(id_col).alias("__xid"),
+        normalize_for_rep(F.col(text_col)).alias("__xt"),
     )
-    base = docs.select(F.col(id_col).alias("__xid"), norm.alias("__xt"))
     iv = spans.select(
         F.col(id_col).alias("__xid"),
         F.col(start_col).cast("long").alias("__s"),
@@ -2264,6 +2268,12 @@ def excise_spans(
     return joined.select(
         F.col("__xid").alias(id_col),
         cleaned.alias("text_clean"),
-        F.coalesce(F.size("__spans"), F.lit(0)).cast("long").alias("n_spans"),
+        # when/isNull, not coalesce(size(...), 0): legacy (non-ANSI)
+        # sessions return -1 for size(NULL), which coalesce passes
+        # through (review r11b #1)
+        F.when(F.col("__spans").isNull(), F.lit(0))
+        .otherwise(F.size("__spans"))
+        .cast("long")
+        .alias("n_spans"),
         removed.alias("n_removed_chars"),
     )
