@@ -851,3 +851,55 @@ def test_minhash_portable_pairs_planted_and_capped(spark):
         dd.minhash_portable_pairs(df, min_agree=0)
     with _pt.raises(ValueError):
         dd.minhash_portable_pairs(df, max_bucket_size=1)
+
+
+def test_simhash_portable_pairs_exact_hamming_and_blocks(spark):
+    """Portable SimHash: identical docs at hamming 0; a lightly edited
+    copy within the threshold; disjoint docs never pair; pigeonhole
+    blocks give EXACT candidate recall (every true pair within
+    max_hamming survives); boilerplate block cap; validation."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    rows = [
+        (1, base),
+        (2, base),                      # exact copy -> hamming 0
+        (3, base + " tiny edit"),       # light edit -> small hamming
+        (4, "completely different unrelated words entirely elsewhere "
+            "nothing shared whatsoever zebra quux corge grault garply"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+
+    out = {
+        (r.doc_id_a, r.doc_id_b): r
+        for r in dd.simhash_portable_pairs(df, max_hamming=10).collect()
+    }
+    assert out[(1, 2)].hamming == 0
+    assert out[(1, 2)].simhash_a == out[(1, 2)].simhash_b
+    assert (1, 3) in out and 0 < out[(1, 3)].hamming <= 10
+    assert not any(4 in p for p in out)
+
+    # exactness: brute-force hamming from the per-pair simhash values
+    # agrees with the operator's own reported hamming
+    for r in out.values():
+        assert bin(r.simhash_a ^ r.simhash_b).count("1") == r.hamming
+
+    # block cap: 5 identical boilerplate docs > cap=4 are dropped whole
+    boiler = [(10 + i, "all rights reserved footer " * 4) for i in range(5)]
+    df2 = spark.createDataFrame(rows + boiler, "doc_id long, text string")
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.simhash_portable_pairs(
+            df2, max_hamming=10, max_block_size=4
+        ).collect()
+    }
+    assert not any(a >= 10 and b >= 10 for a, b in capped)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dd.simhash_portable_pairs(df, max_hamming=0)
+    with _pt.raises(ValueError):
+        dd.simhash_portable_pairs(df, max_hamming=60)
+    with _pt.raises(ValueError):
+        dd.simhash_portable_pairs(df, max_block_size=1)

@@ -21,8 +21,8 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 # prior window slot was oracle-backed), and prior rotations surfaced
 # env divergence at ~2-in-30 on first driver contact — so ten of them
 # take deliberate window slots this round (the driver records rows/err
-# even without an oracle). The fifteen new slots (five additions + ten
-# rows-only) are funded by rotating out fifteen driver-greens on code
+# even without an oracle). The sixteen new slots (six additions + ten
+# rows-only) are funded by rotating out sixteen driver-greens on code
 # untouched since their last green. Pinned as SETS, not a frozen order, so next
 # round's rotation edits these lists deliberately rather than breaking
 # an order assertion by accident.
@@ -31,6 +31,7 @@ ROUND11_WINDOW_NEW = {
     "winnow_dedup",       # new: pairs -> containment -> CC -> keepers
     "winnow_spans",       # new: MOSS-style matched-region localization
     "minhash_portable",   # new: md5 MinHash, first oracle-verifiable
+    "simhash_portable",   # new: exact-Hamming SimHash, hash-verified
     "leakage_safe_split",  # new: cluster-level split, no straddling pair
     "span_excise",        # new: detect -> localize -> excise, oracle
     "unicode_clean",      # id-type derivation fix (ADVICE r10 #2)
@@ -61,7 +62,6 @@ ROUND11_WINDOW_RETAINED = {
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
     "cluster_keepers", "centroid_similarity",
-    "vocab_drift",
 }
 
 
@@ -78,7 +78,7 @@ def test_round11_window_set():
 
 
 def test_rotated_out_r11_kept_their_greens():
-    """The fifteen queries rotated out this round must all be r10
+    """The sixteen queries rotated out this round must all be r10
     driver-greens — rotation never discards a query whose latest
     driver contact was red or absent."""
     import json
@@ -99,7 +99,7 @@ def test_rotated_out_r11_kept_their_greens():
     # fund winnow_spans, minhash_portable, leakage_safe_split) were
     # green in earlier rounds; r10 slots were their latest confirmations
     for name in ("triangle_count", "grouped_mode", "histogram_drift",
-                 "corr_stats"):
+                 "corr_stats", "vocab_drift"):
         e = rows[name]
         assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
 

@@ -1371,3 +1371,145 @@ def minhash_portable_pairs(
             (F.col("sig_agree") / F.lit(num_hashes)).alias("est_jaccard"),
         )
     )
+
+
+SIMHASH_PORTABLE_BITS = 60
+
+
+def _simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per block: ``max_hamming + 1`` near-equal splits
+    of the 60-bit simhash. Pigeonhole: two hashes within ``max_hamming``
+    differing bits agree on at least one block — EXACT candidate recall,
+    not probabilistic."""
+    n = max_hamming + 1
+    base, extra = divmod(SIMHASH_PORTABLE_BITS, n)
+    blocks, off = [], 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        blocks.append((off, w))
+        off += w
+    return blocks
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 7,
+    max_block_size: int = 100,
+    materialize: bool = True,
+) -> DataFrame:
+    """ENGINE-PORTABLE SimHash near-dup pairs with EXACT Hamming
+    semantics — the SimHash analogue of :func:`minhash_portable_pairs`:
+    md5-derived token hashes and integer bit arithmetic end-to-end, so
+    the per-document simhash values, the candidate blocks, and the
+    final pair set reproduce bit-for-bit in any engine. The xxhash64
+    family (:func:`simhash_neardups`) stays the throughput path; this
+    one is the hash-verifiable contract a cross-engine manifest stores.
+
+    Semantics (mirrored verbatim by the oracle):
+    1. tokens of the dedup family's normalized form, with TERM
+       FREQUENCY weights (classic Charikar simhash).
+    2. per token: a 60-bit hash from the first 15 hex chars of
+       ``md5('sh:' || token)`` (60 bits keeps every intermediate inside
+       a signed 64-bit long in both engines).
+    3. per document and bit j: ``s_j = sum(tf * (bit_j ? +1 : -1))``;
+       simhash bit j = 1 iff ``s_j > 0`` (ties -> 0 — exact integer
+       sums, so engines cannot disagree).
+    4. candidate blocks: ``max_hamming + 1`` near-equal bit slices
+       (pigeonhole => any pair within ``max_hamming`` agrees on >= 1
+       block — candidate recall is EXACT, unlike the probabilistic
+       banded families). Blocks holding more than ``max_block_size``
+       docs are dropped whole (boilerplate cap, part of the SEMANTICS).
+    5. verification: ``bit_count(xor(sh_a, sh_b)) <= max_hamming`` on
+       the deduped candidate set.
+
+    Plan shape at 100 TB: one (id, token) explode -> one tf aggregation
+    -> ONE hash aggregation computing all 60 bit-sums map-side (60
+    long sums — wide but single-pass); the block frame carries
+    (id, block_idx, block_val longs); the cap is aggregate + semi-join;
+    candidates dedupe BEFORE the two compact joins back to (id,
+    simhash); text never enters a shuffle.
+
+    Output: (id_a, id_b, hamming, simhash_a, simhash_b), id_a < id_b.
+    """
+    if not (1 <= max_hamming < SIMHASH_PORTABLE_BITS):
+        raise ValueError("max_hamming must be in [1, 60)")
+    if max_block_size < 2:
+        raise ValueError("max_block_size >= 2 required")
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sh:"), F.col("tok"))), 1, 15), 16, 10
+    ).cast("long")
+    per_tok = tf.select("id", "tf", h.alias("h"))
+    sums = per_tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_PORTABLE_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_PORTABLE_BITS):
+        piece = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = piece if simhash is None else simhash + piece
+    sh = sums.select("id", simhash.cast("long").alias("sh"))
+    if materialize:
+        # sh feeds the block explode AND both verification joins
+        sh = sh.localCheckpoint(eager=False)
+    blocks = _simhash_blocks(max_hamming)
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.shiftright(F.col("sh"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("v"),
+            )
+            for i, (off, w) in enumerate(blocks)
+        ]
+    )
+    blocked = sh.select("id", F.explode(block_arr).alias("bb")).select(
+        "id", F.col("bb.b").alias("b"), F.col("bb.v").alias("v")
+    )
+    small = (
+        blocked.groupBy("b", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_block_size)
+        .select("b", "v")
+    )
+    blocked = blocked.join(small, ["b", "v"], "left_semi")
+    cand = (
+        blocked.alias("l")
+        .join(
+            blocked.alias("r"),
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            ham.cast("long").alias("hamming"),
+            F.col("sh_a").alias("simhash_a"),
+            F.col("sh_b").alias("simhash_b"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

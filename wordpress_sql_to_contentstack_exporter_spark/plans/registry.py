@@ -7845,6 +7845,103 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-PORTABLE SimHash near-dup pairs with EXACT Hamming
+    semantics (operators/dedup.simhash_portable_pairs): md5-derived
+    60-bit token hashes, integer bit-sum signs, pigeonhole blocks
+    (max_hamming+1 slices => exact candidate recall), bit_count
+    verification — the SimHash analogue of minhash_portable, and the
+    family's first hash-verified pair set (simhash_neardup stays the
+    xxhash64 throughput path with recall evidence). Corpus = documents
+    + perturbed copies; h <= 7 recovers ~0.93 of planted pairs with the
+    rest quantified in the evidence block."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" portable simhash tail")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return dd.simhash_portable_pairs(
+        corpus, max_hamming=7, max_block_size=200
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def _simhash_portable_sql() -> str:
+    """The DuckDB mirror, generated: 60 bit-sum aggregates and the
+    8-block union are mechanical expansions of the same (offset, width)
+    splits the operator computes (dedup._simhash_blocks), so the two
+    sides cannot drift on block geometry."""
+    bits = dd.SIMHASH_PORTABLE_BITS
+    sums = ",\n           ".join(
+        f"sum(tf * (((h >> {j}) & 1) * 2 - 1))::BIGINT AS s{j}"
+        for j in range(bits)
+    )
+    shbits = "\n             + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1::BIGINT << {j} ELSE 0::BIGINT END)"
+        for j in range(bits)
+    )
+    blocked = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {i} AS b, (sh >> {off}) & {(1 << w) - 1} AS v FROM sh"
+        for i, (off, w) in enumerate(dd._simhash_blocks(7))
+    )
+    return rf"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' portable simhash tail' AS text
+    FROM documents
+), norm AS (
+    SELECT doc_id,
+           regexp_replace(
+               translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+               '[ 	
+]+', ' ', 'g') AS t
+    FROM corpus
+), tokrows AS (
+    SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x != '')) AS tok
+    FROM norm
+), tf AS (
+    SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokrows GROUP BY 1, 2
+), ph AS MATERIALIZED (
+    -- 60-bit hash from the first 15 md5 hex chars (hex-digit fold —
+    -- DuckDB has no hex-string cast; strpos over the digit alphabet)
+    SELECT doc_id, tf,
+           list_aggregate([ (strpos('0123456789abcdef', substring(hx, i, 1)) - 1)::BIGINT
+                              << (4 * (15 - i))
+                            for i in range(1, 16) ], 'sum') AS h
+    FROM (SELECT doc_id, tf, md5('sh:' || tok) AS hx FROM tf)
+), sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM ph GROUP BY 1
+), sh AS MATERIALIZED (
+    SELECT doc_id,
+           ({shbits})::BIGINT AS sh
+    FROM sums
+), blocked AS MATERIALIZED (
+    {blocked}
+), small AS (
+    SELECT b, v FROM blocked GROUP BY 1, 2 HAVING count(*) <= 200
+), bk AS (
+    SELECT blocked.* FROM blocked JOIN small USING (b, v)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM bk a JOIN bk b2 ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+)
+SELECT cand.id_a AS doc_id_a, cand.id_b AS doc_id_b,
+       bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming,
+       sa.sh AS simhash_a, sb.sh AS simhash_b
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.id_a
+JOIN sh sb ON sb.doc_id = cand.id_b
+WHERE bit_count(xor(sa.sh, sb.sh)) <= 7
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+SQL_SIMHASH_PORTABLE = _simhash_portable_sql()
+
+
 def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style matched-region localization
     (operators/text.winnow_spans): for each qualifying winnow pair, the
@@ -8165,6 +8262,7 @@ SPARK_QUERIES = {
     "winnow_dedup": q_winnow_dedup,
     "winnow_spans": q_winnow_spans,
     "minhash_portable": q_minhash_portable,
+    "simhash_portable": q_simhash_portable,
     "leakage_safe_split": q_leakage_safe_split,
     "span_excise": q_span_excise,
     "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
@@ -8222,7 +8320,6 @@ SPARK_QUERIES = {
     "cluster_keepers": q_cluster_keepers,
     "centroid_similarity": q_centroid_similarity,
     "source_overlap": q_source_overlap,
-    "vocab_drift": q_vocab_drift,
     # --- oracle-backed, OUTSIDE the round-11 window ---
     # rotated out in r11 (all driver-green on code untouched since);
     # these FOURTEEN fund the fourteen new window slots: winnow_dedup,
@@ -8232,6 +8329,7 @@ SPARK_QUERIES = {
     "grouped_mode": q_grouped_mode,
     "histogram_drift": q_histogram_drift,
     "corr_stats": q_corr_stats,
+    "vocab_drift": q_vocab_drift,
     "compaction_plan": q_compaction_plan,
     "expectations_exemplars": q_expectations_exemplars,
     "gapfill_interp": q_gapfill_interp,
@@ -8537,6 +8635,7 @@ ORACLE_SQL = {
     "winnow_dedup": SQL_WINNOW_DEDUP,
     "winnow_spans": SQL_WINNOW_SPANS,
     "minhash_portable": SQL_MINHASH_PORTABLE,
+    "simhash_portable": SQL_SIMHASH_PORTABLE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "span_excise": SQL_SPAN_EXCISE,
     # hll_sketches: rows-only (engine-specific estimates; bound in test_approx)
