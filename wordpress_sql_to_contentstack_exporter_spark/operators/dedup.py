@@ -1208,6 +1208,33 @@ def windowed_dedup(
     )
 
 
+def _capped_candidate_pairs(
+    keyed: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame:
+    """Shared candidate-pair plumbing of the portable banded families
+    (review r11c #4 — one copy, not two that drift): drop (key) groups
+    larger than ``cap`` whole (aggregate + semi-join, never a window
+    over the pathological group), self-join on the key with id_a <
+    id_b, and DEDUPE the pair set before any signature join. ``keyed``
+    is (id, *key_cols); output (id_a, id_b) distinct."""
+    small = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= cap)
+        .select(*key_cols)
+    )
+    kept = keyed.join(small, key_cols, "left_semi")
+    cond = F.col("l.id") < F.col("r.id")
+    for k in key_cols:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    return (
+        kept.alias("l")
+        .join(kept.alias("r"), cond)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_portable_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1329,24 +1356,7 @@ def minhash_portable_pairs(
     banded = sigs.select("id", F.explode(band_struct).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    small = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= max_bucket_size)
-        .select("band", "bucket")
-    )
-    banded = banded.join(small, ["band", "bucket"], "left_semi")
-    cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _capped_candidate_pairs(banded, ["band", "bucket"], max_bucket_size)
     sa = sigs.select(
         F.col("id").alias("id_a"),
         *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_hashes)],
@@ -1433,6 +1443,12 @@ def simhash_portable_pairs(
     simhash); text never enters a shuffle.
 
     Output: (id_a, id_b, hamming, simhash_a, simhash_b), id_a < id_b.
+    Documents with ZERO tokens (empty/whitespace-only/NULL text) have
+    no simhash and never pair — deliberate, shared with the shingle
+    families: an empty doc carries no similarity signal, all-empty
+    "clusters" are degenerate, and byte-identical empties are already
+    collapsed by exact_dedup's linear pass (the standard
+    exact-then-near pipeline order).
     """
     if not (1 <= max_hamming < SIMHASH_PORTABLE_BITS):
         raise ValueError("max_hamming must be in [1, 60)")
@@ -1480,24 +1496,7 @@ def simhash_portable_pairs(
     blocked = sh.select("id", F.explode(block_arr).alias("bb")).select(
         "id", F.col("bb.b").alias("b"), F.col("bb.v").alias("v")
     )
-    small = (
-        blocked.groupBy("b", "v")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= max_block_size)
-        .select("b", "v")
-    )
-    blocked = blocked.join(small, ["b", "v"], "left_semi")
-    cand = (
-        blocked.alias("l")
-        .join(
-            blocked.alias("r"),
-            (F.col("l.b") == F.col("r.b"))
-            & (F.col("l.v") == F.col("r.v"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _capped_candidate_pairs(blocked, ["b", "v"], max_block_size)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

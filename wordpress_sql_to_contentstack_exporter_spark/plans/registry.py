@@ -7845,6 +7845,13 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+# ONE home for the simhash gate's parameters: q_simhash_portable and the
+# generated oracle both read these, so a tune cannot drift the two sides
+# (review r11c #3; the block geometry already shares dd._simhash_blocks).
+_SIMHASH_Q_MAX_HAMMING = 7
+_SIMHASH_Q_CAP = 200
+
+
 def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE-PORTABLE SimHash near-dup pairs with EXACT Hamming
     semantics (operators/dedup.simhash_portable_pairs): md5-derived
@@ -7862,7 +7869,9 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(perturbed)
     return dd.simhash_portable_pairs(
-        corpus, max_hamming=7, max_block_size=200
+        corpus,
+        max_hamming=_SIMHASH_Q_MAX_HAMMING,
+        max_block_size=_SIMHASH_Q_CAP,
     ).orderBy("doc_id_a", "doc_id_b")
 
 
@@ -7882,7 +7891,7 @@ def _simhash_portable_sql() -> str:
     )
     blocked = "\n    UNION ALL ".join(
         f"SELECT doc_id, {i} AS b, (sh >> {off}) & {(1 << w) - 1} AS v FROM sh"
-        for i, (off, w) in enumerate(dd._simhash_blocks(7))
+        for i, (off, w) in enumerate(dd._simhash_blocks(_SIMHASH_Q_MAX_HAMMING))
     )
     return rf"""
 WITH corpus AS (
@@ -7895,7 +7904,8 @@ WITH corpus AS (
            regexp_replace(
                translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
                '[ 	
-]+', ' ', 'g') AS t
+
+]+', ' ', 'g') AS t
     FROM corpus
 ), tokrows AS (
     SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x != '')) AS tok
@@ -7921,7 +7931,7 @@ WITH corpus AS (
 ), blocked AS MATERIALIZED (
     {blocked}
 ), small AS (
-    SELECT b, v FROM blocked GROUP BY 1, 2 HAVING count(*) <= 200
+    SELECT b, v FROM blocked GROUP BY 1, 2 HAVING count(*) <= {_SIMHASH_Q_CAP}
 ), bk AS (
     SELECT blocked.* FROM blocked JOIN small USING (b, v)
 ), cand AS (
@@ -7934,7 +7944,7 @@ SELECT cand.id_a AS doc_id_a, cand.id_b AS doc_id_b,
 FROM cand
 JOIN sh sa ON sa.doc_id = cand.id_a
 JOIN sh sb ON sb.doc_id = cand.id_b
-WHERE bit_count(xor(sa.sh, sb.sh)) <= 7
+WHERE bit_count(xor(sa.sh, sb.sh)) <= {_SIMHASH_Q_MAX_HAMMING}
 ORDER BY doc_id_a, doc_id_b
 """
 
@@ -8322,9 +8332,10 @@ SPARK_QUERIES = {
     "source_overlap": q_source_overlap,
     # --- oracle-backed, OUTSIDE the round-11 window ---
     # rotated out in r11 (all driver-green on code untouched since);
-    # these FOURTEEN fund the fourteen new window slots: winnow_dedup,
-    # winnow_spans, minhash_portable, leakage_safe_split + the ten
-    # rows-only first-contact slots (unicode_clean kept its r10 slot):
+    # these SIXTEEN fund the sixteen new window slots: winnow_dedup,
+    # winnow_spans, minhash_portable, simhash_portable,
+    # leakage_safe_split, span_excise + the ten rows-only first-contact
+    # slots (unicode_clean kept its r10 slot):
     "triangle_count": q_triangle_count,
     "grouped_mode": q_grouped_mode,
     "histogram_drift": q_histogram_drift,
