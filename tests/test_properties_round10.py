@@ -669,3 +669,14 @@ def test_excise_spans_surgery_and_row_conservation(spark):
     )
     r1 = tx.excise_spans(docs2, spans2).first()
     assert r1.text_clean == "cd" and r1.n_removed_chars == 4
+
+    # caller spans past the end of the document: the count reflects the
+    # ACTUAL deletion, not the nominal span width (ADVICE r11 — the cut
+    # already degraded safely; the accounting now matches it)
+    spans3 = spark.createDataFrame(
+        [(1, 5, 50), (1, 100, 200)],
+        "doc_id long, span_start long, span_end long",
+    )
+    r2 = tx.excise_spans(docs2, spans3).first()
+    assert r2.text_clean == "abcd"
+    assert r2.n_removed_chars == 2  # only 'ef' actually deleted

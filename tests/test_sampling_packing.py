@@ -282,3 +282,10 @@ def test_leakage_safe_split_no_straddling_pair(spark):
     assert len(nout) == 4
     null_splits = {r.split for r in nout if r.cluster_id is None}
     assert len(null_splits) == 1
+    # ...and the shared verdict is the UNBIASED ''-keyed draw (ADVICE
+    # r11: pre-fix, a NULLed hash made every WHEN comparison NULL and
+    # sent every NULL cluster to the LAST weights entry — here 'eval').
+    # md5('deterministic_split:42:')[:8] = '7ee65cbb' < '7fffffff', so
+    # the ''-keyed uniform lands in the FIRST split: train, which the
+    # biased fallthrough could never produce.
+    assert null_splits == {"train"}

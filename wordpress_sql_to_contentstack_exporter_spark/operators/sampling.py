@@ -99,7 +99,14 @@ def deterministic_split(
     reprocessing, which keeps eval contamination impossible across runs,
     and md5-based, so any engine recomputes the same assignment."""
     total = sum(weights.values())
-    u = _hash_hex8(F.col(key_col), seed, "deterministic_split")
+    # NULL keys hash as '' (domain_mixture's discipline): a concat with
+    # NULL would null the hash, every WHEN comparison would be NULL, and
+    # all NULL-key rows would silently land in the LAST split — a
+    # systematic bias toward the smallest split instead of one shared
+    # uniform draw (ADVICE r11). With the coalesce, NULL-key rows share
+    # md5('deterministic_split:seed:')'s draw — one verdict, unbiased.
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    u = _hash_hex8(key, seed, "deterministic_split")
     expr = None
     acc = 0.0
     items = list(weights.items())
@@ -744,7 +751,9 @@ def leakage_safe_split(
     singleton clusters split like ordinary rows. A NULL cluster id is
     kept, not dropped (null-safe fan-out join — row conservation, the
     semantic_decontaminate discipline): all NULL-cluster rows share ONE
-    verdict (md5 of NULL hashes as one value), so a caller who really
+    verdict — ``deterministic_split`` hashes a NULL key as the empty
+    string, so the whole NULL cluster gets one unbiased uniform draw
+    (ADVICE r11 closed the always-last-split bias). A caller who really
     means "unclustered docs split independently" must
     ``coalesce(cluster_id, id)`` upstream — exactly what
     ``dedup_clusters`` already emits.

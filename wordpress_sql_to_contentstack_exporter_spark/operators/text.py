@@ -2227,7 +2227,13 @@ def excise_spans(
             )
         ).alias("__spans")
     )
-    joined = base.join(per_doc, "__xid", "left")
+    joined = base.join(per_doc, "__xid", "left").withColumn(
+        # half-open end-of-text bound, computed ONCE per row (not inside
+        # the aggregate lambda — the HOF re-eval hazard): clamps caller
+        # spans that extend past the document so n_removed_chars counts
+        # what the cut actually deletes (ADVICE r11)
+        "__xend", F.length(F.col("__xt")) + F.lit(1).cast("long")
+    )
 
     def cut(t: Column, sp: Column) -> Column:
         # kept segments: before the first span, between spans, after the
@@ -2261,7 +2267,17 @@ def excise_spans(
         F.aggregate(
             F.col("__spans"),
             F.lit(0).cast("long"),
-            lambda acc, x: acc + (x["e"] - x["s"]),
+            # clamp both bounds into [1, len+1] so out-of-range spans
+            # contribute their ACTUAL deletion, not their nominal width
+            # (the substr arithmetic already degrades safely; the count
+            # must match it). greatest(0, ...) guards spans entirely
+            # past the end.
+            lambda acc, x: acc
+            + F.greatest(
+                F.lit(0).cast("long"),
+                F.least(x["e"], F.col("__xend"))
+                - F.least(x["s"], F.col("__xend")),
+            ),
         ),
         F.lit(0).cast("long"),
     )

@@ -7865,7 +7865,10 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" portable simhash tail")).alias("text"),
+        # \r\n between words: exercises the CR member of the portable
+        # whitespace class on every run (ADVICE r11 — a \r-less oracle
+        # class was latent until the fixture contained one)
+        F.concat(F.col("text"), F.lit(" portable\r\nsimhash tail")).alias("text"),
     )
     corpus = d.unionByName(perturbed)
     return dd.simhash_portable_pairs(
@@ -7897,15 +7900,14 @@ def _simhash_portable_sql() -> str:
 WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text || ' portable simhash tail' AS text
+    SELECT doc_id + 1000000 AS doc_id,
+           text || ' portable' || chr(13) || chr(10) || 'simhash tail' AS text
     FROM documents
 ), norm AS (
     SELECT doc_id,
            regexp_replace(
                translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
-               '[ 	
-
-]+', ' ', 'g') AS t
+               '{PORTABLE_WS_PLUS}', ' ', 'g') AS t
     FROM corpus
 ), tokrows AS (
     SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x != '')) AS tok
