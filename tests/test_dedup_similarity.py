@@ -161,6 +161,70 @@ def test_simhash_rotation_default_matches_legacy_blocking(docs):
     assert legacy == explicit
 
 
+def test_simhash_blocked_exact_recall_vs_brute_force(spark):
+    """The combination blocking is EXACT: over random-ish signatures,
+    the blocked pair set equals the brute-force set of all pairs within
+    max_hamming — the pigeonhole guarantee (>= combo_r intact blocks)
+    plus the first-intact-combo filter (exactly one emission per pair,
+    no distinct) must lose nothing and duplicate nothing."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(62) for _ in range(20)]
+    sigs_py = []
+    i = 0
+    for b in base:
+        sigs_py.append((i, b)); i += 1
+        # planted neighbors at controlled Hamming distances 1..9
+        for d in (1, 3, 6, 8, 9):
+            flipped = b
+            for bit in rng.sample(range(63), d):
+                flipped ^= 1 << bit
+            sigs_py.append((i, flipped)); i += 1
+    sigs = spark.createDataFrame(sigs_py, "id long, sh long")
+
+    for k in (4, 6, 8):
+        brute = {
+            (a, b)
+            for (a, sa), (b, sb) in itertools.combinations(sigs_py, 2)
+            if bin(sa ^ sb).count("1") <= k
+        }
+        rows = dd.simhash_blocked_pairs_from_sigs(sigs, max_hamming=k).collect()
+        got = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+        assert set(got) == brute, f"k={k}"
+        # hamming column is the true distance
+        by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+        for (a, sa), (b, sb) in itertools.combinations(sigs_py, 2):
+            if (a, b) in by_pair:
+                assert by_pair[(a, b)] == bin(sa ^ sb).count("1")
+
+
+def test_simhash_blocked_cap_and_validation(spark):
+    """The (table, key) cap drops pathological groups whole — an
+    all-identical signature corpus yields zero pairs under a small cap
+    (identical docs belong to exact dedup) — and parameter validation
+    rejects geometries that break the pigeonhole guarantee."""
+    n = 40
+    sigs = spark.createDataFrame(
+        [(i, 123456789) for i in range(n)], "id long, sh long"
+    )
+    uncapped = dd.simhash_blocked_pairs_from_sigs(sigs, max_hamming=4)
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = dd.simhash_blocked_pairs_from_sigs(
+        sigs, max_hamming=4, max_block_size=10
+    )
+    assert capped.count() == 0
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dd.simhash_blocked_pairs_from_sigs(sigs, max_hamming=6, n_blocks=7)
+    with pytest.raises(ValueError, match="combo_r"):
+        dd.simhash_blocked_pairs_from_sigs(sigs, max_hamming=6, combo_r=0)
+    with pytest.raises(ValueError, match="16"):
+        dd.simhash_blocked_pairs_from_sigs(sigs, max_hamming=15, combo_r=2)
+
+
 def test_minhash_bucket_cap_bounds_pathological_corpus(spark):
     """An all-identical corpus puts every doc in one bucket per band ->
     C(n,2) pairs without a cap. max_bucket_size drops the giant buckets

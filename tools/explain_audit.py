@@ -160,6 +160,27 @@ def main() -> int:
         ("block cap is a semi-join", r"LeftSemi"),
         ("block cap is not a window", r"\A(?s:(?!.*\(\d+\) Window).*)\Z"),
     )
+    # Round-12 headline path: exact combination blocking. The defining
+    # plan property is NO pair-level exchange — candidates carry both
+    # signatures through the (table, key) join and the first-intact-
+    # combo filter dedupes map-side, so the plan must contain no
+    # HashAggregate/Exchange ABOVE the join (no distinct) and no
+    # all-pairs join.
+    simhash_blocked_plan = plan_of(
+        dd.simhash_neardups_blocked(
+            docs, max_hamming=6, combo_r=2, max_block_size=1000,
+            materialize=False,
+        )
+    )
+    check_plan(
+        "simhash_neardup[blocked-exact]",
+        simhash_blocked_plan,
+        ("text never enters a shuffle", no_text_in_exchange),
+        ("blocked join, not all-pairs", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
+        ("block cap is a semi-join", r"LeftSemi"),
+        ("no pair-level distinct above the join",
+         r"\A(?s:(?!.*SortMergeJoin.*HashAggregate).*)\Z"),
+    )
 
     # Paragraph dedup: the first-occurrence winner must be an aggregate
     # (map-side combine eats the giant boilerplate-paragraph group), never

@@ -670,13 +670,187 @@ def simhash_neardups(
     """SimHash near-dup pairs: block on the top ``prefix_bits`` bits (a
     cheap LSH — identical prefixes required), then exact Hamming filter.
     See ``simhash_pairs_from_sigs`` for the rotation-sweep recall knob
-    and the ``max_block_size`` quadratic-blowup guard.
+    and the ``max_block_size`` quadratic-blowup guard. For EXACT
+    candidate recall at the same gate, prefer
+    :func:`simhash_blocked_pairs_from_sigs` (the round-12 headline
+    path) — the sweep is kept for parity with permuted-table designs
+    and for corpora where a small rotation count is measurably cheaper.
     """
     return simhash_pairs_from_sigs(
         simhash_df(df, text_col, id_col),
         max_hamming=max_hamming,
         prefix_bits=prefix_bits,
         n_rotations=n_rotations,
+        max_block_size=max_block_size,
+        materialize=materialize,
+    )
+
+
+def _equal_splits(bits: int, n: int) -> list[tuple[int, int]]:
+    """(offset, width) for ``n`` near-equal slices of a ``bits``-wide
+    value — the shared geometry of the pigeonhole families
+    (:func:`_simhash_blocks` delegates here)."""
+    base, extra = divmod(bits, n)
+    out, off = [], 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_blocked_pairs_from_sigs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 8,
+    combo_r: int = 2,
+    n_blocks: int | None = None,
+    max_block_size: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs from (id, sh) rows with EXACT candidate recall:
+    Manku-style combination blocking over the 63-bit signature.
+
+    Split the signature into ``n_blocks`` near-equal slices and key
+    candidates on every ``combo_r``-subset of slices (all values
+    concatenated). Pigeonhole: a pair within ``max_hamming`` differing
+    bits leaves at least ``n_blocks - max_hamming`` slices untouched,
+    so with ``n_blocks >= max_hamming + combo_r`` some keyed subset is
+    fully intact — candidate recall is EXACT by construction, unlike
+    the probabilistic rotation sweep (``simhash_pairs_from_sigs``,
+    measured 0.872 planted recall at the same gate where this path
+    measures the true h<=8 fraction, 0.99).
+
+    Why combinations instead of the portable family's single-block
+    keys: at ``max_hamming=8`` a single 63/9 = 7-bit slice has only 128
+    distinct values — EVERY corpus beyond ~10k docs piles unrelated
+    documents into each bucket and the self-join goes quadratic. Pairs
+    of slices give ~2x-wider keys (12-14 bits) at C(n_blocks, combo_r)
+    exploded rows per doc (45 for the 8/2 default) — the classic
+    precision-vs-table-count dial (Manku et al. 2007's tradeoff,
+    expressed as one exploded join instead of 45 sequential probes).
+
+    Plan shape at 100 TB — ZERO pair-level shuffles: the explode
+    carries (id, sh, table, key) longs — 45 rows/doc of ~32 bytes, far
+    below the text the signature already replaced; ``max_block_size``
+    drops pathological (table, key) groups whole (aggregate +
+    semi-join, the family's shared guard); the self-join on (table,
+    key) carries BOTH signatures, so Hamming verification is a map-side
+    filter — no join back to the signature frame. A qualifying pair is
+    matched by C(intact, combo_r) tables (~30 of 45 at small Hamming),
+    so naive dedup would shuffle the candidate set at ~30x multiplicity
+    (measured 28 s vs 2 s at sf0.1 on the first cut of this operator);
+    instead each survivor passes a FIRST-INTACT-COMBO filter — emitted
+    only by the lexicographically first table whose blocks are all zero
+    in ``sh_a XOR sh_b``, an O(1) lookup into a precomputed
+    2^n_blocks-entry table indexed by the intact-block bitmask —
+    leaving exactly one row per pair with no distinct anywhere.
+    Capping note: under the first-match rule a capped group suppresses
+    the pairs whose FIRST intact combo it is (they are not recovered
+    via a later table) — deterministic, mirrorable semantics; the
+    45-subset spread keeps genuine near-dups rare in hot buckets.
+
+    Output: (id_a, id_b, hamming), id_a < id_b — the
+    ``simhash_pairs_from_sigs`` contract, so callers can swap schemes.
+    """
+    if combo_r < 1:
+        raise ValueError("combo_r >= 1 required")
+    if n_blocks is None:
+        n_blocks = max_hamming + combo_r
+    if n_blocks < max_hamming + combo_r:
+        raise ValueError(
+            f"n_blocks={n_blocks} < max_hamming+combo_r="
+            f"{max_hamming + combo_r}: the pigeonhole guarantee needs "
+            "at least combo_r intact blocks for any qualifying pair"
+        )
+    if n_blocks > 16:
+        # the first-match lookup is 2^n_blocks entries; 16 blocks = 64k
+        # ints is the sensible ceiling (and >16 blocks of a 63-bit hash
+        # are under 4 bits wide — useless keys anyway)
+        raise ValueError("n_blocks must be <= 16")
+    from itertools import combinations
+
+    splits = _equal_splits(SIMHASH_BITS, n_blocks)
+    subsets = list(combinations(range(n_blocks), combo_r))
+    # first_combo[mask] = index of the first subset fully inside the
+    # intact-block bitmask (bit b set <=> block b of sh_a^sh_b is
+    # all-zero); -1 where no subset qualifies (only reachable past the
+    # Hamming gate, which guarantees >= combo_r intact blocks)
+    first_combo = [-1] * (1 << n_blocks)
+    for mask in range(1 << n_blocks):
+        for t, subset in enumerate(subsets):
+            if all(mask & (1 << b) for b in subset):
+                first_combo[mask] = t
+                break
+    combos = []
+    for t, subset in enumerate(subsets):
+        key = None
+        for b in subset:
+            off, w = splits[b]
+            piece = F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
+            key = piece if key is None else F.shiftleft(key, w).bitwiseOR(piece)
+        combos.append(F.struct(F.lit(t).alias("t"), key.alias("v")))
+    keyed = sigs.select("id", "sh", F.explode(F.array(*combos)).alias("tv")).select(
+        "id", "sh", F.col("tv.t").alias("t"), F.col("tv.v").alias("v")
+    )
+    if max_block_size is not None:
+        small = (
+            keyed.groupBy("t", "v")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_block_size)
+            .select("t", "v")
+        )
+        keyed = keyed.join(small, ["t", "v"], "left_semi")
+    if materialize:
+        # keyed feeds both sides of the self-join below
+        keyed = keyed.localCheckpoint(eager=False)
+    left, right = keyed.alias("l"), keyed.alias("r")
+    x = F.col("l.sh").bitwiseXOR(F.col("r.sh"))
+    intact_mask = None
+    for b, (off, w) in enumerate(splits):
+        bit = F.when(
+            F.shiftright(x, off).bitwiseAND(F.lit((1 << w) - 1)) == 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        intact_mask = bit if intact_mask is None else intact_mask + bit
+    return (
+        left.join(
+            right,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(F.bit_count(x) <= max_hamming)
+        .filter(
+            F.col("l.t")
+            == F.element_at(F.lit(first_combo), (intact_mask + 1).cast("int"))
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(x).alias("hamming"),
+        )
+    )
+
+
+def simhash_neardups_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 8,
+    combo_r: int = 2,
+    n_blocks: int | None = None,
+    max_block_size: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """xxhash64 SimHash near-dups via the exact combination blocking —
+    the end-to-end convenience mirroring :func:`simhash_neardups`."""
+    return simhash_blocked_pairs_from_sigs(
+        simhash_df(df, text_col, id_col),
+        max_hamming=max_hamming,
+        combo_r=combo_r,
+        n_blocks=n_blocks,
         max_block_size=max_block_size,
         materialize=materialize,
     )
@@ -1391,14 +1565,7 @@ def _simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
     of the 60-bit simhash. Pigeonhole: two hashes within ``max_hamming``
     differing bits agree on at least one block — EXACT candidate recall,
     not probabilistic."""
-    n = max_hamming + 1
-    base, extra = divmod(SIMHASH_PORTABLE_BITS, n)
-    blocks, off = [], 0
-    for i in range(n):
-        w = base + (1 if i < extra else 0)
-        blocks.append((off, w))
-        off += w
-    return blocks
+    return _equal_splits(SIMHASH_PORTABLE_BITS, max_hamming + 1)
 
 
 def simhash_portable_pairs(
