@@ -324,6 +324,70 @@ def test_incremental_neardup_run_lifecycle(spark, tmp_path):
     assert {r["first_seen_run"] for r in m.collect()} == {"d1", "d2"}
 
 
+def test_incremental_neardup_portable_lifecycle(spark, tmp_path):
+    """The PORTABLE (md5) daily loop mirrors the xxhash64 lifecycle —
+    bootstrap, near-dup drop with an exact integer agreement score,
+    novel survival, day-3 catches near-dups of day-2 keepers — and the
+    persisted artifact is engine-neutral: re-deriving a stored doc's
+    signature from scratch reproduces the manifest rows byte-for-byte
+    (the property the registry gate hash-verifies against DuckDB)."""
+    path = str(tmp_path / "ndp_manifest")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    day1 = _docs(spark, [(1, base), (2, "one two")])  # doc 2: too short to sign
+    out1 = mf.incremental_neardup_run_portable(
+        spark, day1, path, min_agree=10, run_id="d1"
+    )
+    rows1 = {r["doc_id"]: r for r in out1.collect()}
+    assert set(rows1) == {1, 2}
+    assert all(r["is_survivor"] and r["max_agree"] == 0 for r in rows1.values())
+
+    day2 = _docs(
+        spark,
+        [
+            (10, base + " extra"),  # near-dup of day-1 keeper -> dropped
+            (11, "astronomy dataset with galaxies nebulae and very distant quasars observed nightly"),
+        ],
+    )
+    out2 = {r["doc_id"]: r for r in mf.incremental_neardup_run_portable(
+        spark, day2, path, min_agree=10, run_id="d2"
+    ).collect()}
+    assert not out2[10]["is_survivor"] and out2[10]["max_agree"] >= 10
+    assert out2[11]["is_survivor"]
+
+    # day 3: near-dup of the DAY-2 survivor is now also caught
+    day3 = _docs(
+        spark,
+        [(20, "astronomy dataset with galaxies nebulae and very distant quasars observed nightly always")],
+    )
+    out3 = {r["doc_id"]: r for r in mf.incremental_neardup_run_portable(
+        spark, day3, path, min_agree=10, run_id="d3"
+    ).collect()}
+    assert not out3[20]["is_survivor"]
+
+    m = mf.read_neardup_manifest_portable(spark, path)
+    mrows = m.collect()
+    # only signable SURVIVORS persisted: doc 1 (d1) + doc 11 (d2), 4 band
+    # rows each; the dropped near-dups and the unsignable doc never land
+    assert {r["first_seen_run"] for r in mrows} == {"d1", "d2"}
+    assert {r["id"] for r in mrows} == {1, 11}
+    assert len(mrows) == 8
+
+    # engine-neutrality: rebuilding doc 1's rows from its text alone
+    # yields the exact persisted signature + bucket strings
+    rebuilt = {
+        (r["band"], r["bucket"], r["h0"], r["h15"])
+        for r in mf.build_neardup_manifest_portable(
+            _docs(spark, [(1, base)])
+        ).collect()
+    }
+    stored = {
+        (r["band"], r["bucket"], r["h0"], r["h15"])
+        for r in mrows
+        if r["id"] == 1
+    }
+    assert rebuilt == stored
+
+
 def test_bucketed_neardup_manifest_lifecycle(spark, tmp_path):
     """Daily near-dup loop on the bucketed layout mirrors the
     plain-parquet lifecycle: bootstrap, near-dup drop, novel survival,

@@ -1409,6 +1409,85 @@ def _capped_candidate_pairs(
     )
 
 
+def minhash_portable_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The md5 MinHash signature build shared by
+    :func:`minhash_portable_pairs` and the portable cross-run manifest
+    (``operators/manifest.build_neardup_manifest_portable``) — one
+    definition so the pair operator and the persisted artifact cannot
+    drift on normalization, shingling, or the hash family (the same
+    single-source discipline as ``_capped_candidate_pairs``).
+
+    Semantics as documented on ``minhash_portable_pairs`` steps 1-2:
+    normalized word shingles (DISTINCT per doc; docs under ``shingle_k``
+    tokens drop out), per seed ``s``: lexicographic
+    ``min(md5(s || ':' || shingle))``. Output (id, h0..h{n-1}) — flat
+    lowercase-hex string columns, reproducible bit-for-bit by any
+    engine with an md5. One explode + ONE hash aggregation computing
+    all mins map-side.
+    """
+
+    def shingles_of(toks: Column) -> Column:
+        n_sh = F.size(toks) - F.lit(shingle_k - 1)
+        return F.array_distinct(
+            F.when(
+                n_sh >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    shingles = _let(
+        F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""),
+        shingles_of,
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
+    )
+    return exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def portable_band_struct(num_hashes: int, bands: int) -> Column:
+    """Array of (band, bucket) structs over the flat ``h0..h{n-1}``
+    signature columns: bucket = md5 of the band's consecutive signature
+    slice joined by '|' — the LSH key both the portable pair join and
+    the persisted portable manifest store (single source, same
+    no-drift rationale as :func:`minhash_portable_signatures`)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{i}")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_portable_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1471,50 +1550,9 @@ def minhash_portable_pairs(
         raise ValueError("max_bucket_size >= 2 required")
     # tokens let-bound (_let): a computed array inside the transform
     # lambda would re-tokenize per shingle (the O(n^2) HOF hazard)
-    def shingles_of(toks: Column) -> Column:
-        n_sh = F.size(toks) - F.lit(shingle_k - 1)
-        return F.array_distinct(
-            F.when(
-                n_sh >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n_sh),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-
-    shingles = _let(
-        F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""),
-        shingles_of,
-    )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
-    )
-    sigs = exploded.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
-    )
-    rows_per_band = num_hashes // bands
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"h{i}")
-                            for i in range(
-                                b * rows_per_band, (b + 1) * rows_per_band
-                            )
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    sigs = minhash_portable_signatures(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
     )
     if materialize:
         # sigs feeds the band explode AND both agreement joins below —
@@ -1527,7 +1565,10 @@ def minhash_portable_pairs(
     # #6) — agreement counts come from joining the DEDUPED pair set back
     # to the compact sigs frame instead, so signatures cross the wire
     # once per SURVIVING candidate, not once per (band, collision)
-    banded = sigs.select("id", F.explode(band_struct).alias("bb")).select(
+    banded = sigs.select(
+        "id",
+        F.explode(portable_band_struct(num_hashes, bands)).alias("bb"),
+    ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     cand = _capped_candidate_pairs(banded, ["band", "bucket"], max_bucket_size)

@@ -741,6 +741,237 @@ def incremental_neardup_run_bucketed(
 
 
 # ---------------------------------------------------------------------------
+# PORTABLE (md5) cross-run NEAR-dup manifest (round 12, VERDICT r11 #4):
+# the persisted signatures become a cross-engine artifact
+# ---------------------------------------------------------------------------
+
+
+def neardup_manifest_portable_schema(num_hashes: int = 16) -> T.StructType:
+    """Parquet schema of the PORTABLE signature manifest: md5 hex
+    signature strings instead of xxhash64 longs — ~4x the bytes of the
+    throughput manifest (32-char hex per position), bought for engine
+    neutrality: any system with an md5 recomputes identical signatures
+    and probes the same parquet, and the whole daily loop becomes
+    hash-verifiable instead of recall-measured."""
+    return T.StructType(
+        [T.StructField("id", T.LongType(), False)]
+        + [
+            T.StructField(f"h{i}", T.StringType(), True)
+            for i in range(num_hashes)
+        ]
+        + [
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.StringType(), True),
+            T.StructField("first_seen_run", T.StringType(), True),
+        ]
+    )
+
+
+def build_neardup_manifest_portable(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Banded PORTABLE manifest rows for the kept docs — one row per
+    (doc, band) carrying the flat md5 signature plus its LSH key,
+    exactly the frame `minhash_portable_pairs` banded internally
+    (shared builders ``minhash_portable_signatures`` /
+    ``portable_band_struct``, so operator and artifact cannot drift).
+    Docs with fewer than ``shingle_k`` tokens have no signature and no
+    manifest row — they carry no similarity signal (the portable pair
+    family's documented convention)."""
+    from .dedup import minhash_portable_signatures, portable_band_struct
+
+    sigs = minhash_portable_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    )
+    return (
+        sigs.select(
+            "id",
+            *[f"h{i}" for i in range(num_hashes)],
+            F.explode(portable_band_struct(num_hashes, bands)).alias("bb"),
+        )
+        .select(
+            "id",
+            *[f"h{i}" for i in range(num_hashes)],
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        .withColumn("first_seen_run", F.lit(run_id).cast("string"))
+    )
+
+
+def read_neardup_manifest_portable(
+    spark: SparkSession, path: str, *, num_hashes: int = 16
+) -> DataFrame:
+    """Snapshot-pinned load of the portable signature manifest (same
+    read-probe-append rationale as ``read_manifest``); a missing path
+    bootstraps empty."""
+    from pyspark.errors import AnalysisException
+
+    schema = neardup_manifest_portable_schema(num_hashes)
+    try:
+        snapshot = spark.read.schema(schema).parquet(path)
+        files = snapshot.inputFiles()
+    except AnalysisException as e:
+        if _is_path_absent(e):
+            return spark.createDataFrame([], schema)
+        raise
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def neardup_probe_portable(
+    new_docs: DataFrame,
+    manifest: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_agree: int = 8,
+    max_bucket_size: int | None = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe the batch against the portable manifest. Returns
+    ``(probe_rows, scored)``: ``probe_rows`` are the batch's would-be
+    manifest rows (lazily checkpointed — the append step reuses the
+    SAME evaluation, the round-8 single-evaluation discipline), and
+    ``scored`` is one row per batch doc: (id_col, max_agree,
+    is_survivor) — ``max_agree`` the best signature agreement against
+    any colliding manifest doc (0 when no bucket collision, including
+    docs too short to sign), ``is_survivor = max_agree < min_agree``.
+    Integer agreement, never a float threshold.
+
+    Plan shape at 100 TB: collisions join COMPACT (band, bucket)
+    frames — the 16x32-char signatures never ride the bucket exchange
+    (review r11 #6's rule applied to the probe); the deduped collision
+    pair set joins back to one-signature-row-per-doc frames on both
+    sides, so signatures cross the wire once per colliding pair. The
+    ``max_bucket_size`` cap drops pathological MANIFEST buckets whole
+    before the join (the non-portable probe's guard, mirrored in the
+    oracle as part of the semantics)."""
+    probe_rows = build_neardup_manifest_portable(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    ).localCheckpoint(eager=False)
+
+    m_band = manifest.select("id", "band", "bucket")
+    if max_bucket_size is not None:
+        small = (
+            m_band.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        m_band = m_band.join(small, ["band", "bucket"], "left_semi")
+
+    coll = (
+        probe_rows.select(F.col("id").alias("bid"), "band", "bucket")
+        .join(m_band.select(F.col("id").alias("mid"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("bid", "mid")
+        .distinct()
+    )
+    bsig = probe_rows.dropDuplicates(["id"]).select(
+        F.col("id").alias("bid"),
+        *[F.col(f"h{i}").alias(f"__p{i}") for i in range(num_hashes)],
+    )
+    msig = manifest.dropDuplicates(["id"]).select(
+        F.col("id").alias("mid"),
+        *[F.col(f"h{i}").alias(f"__m{i}") for i in range(num_hashes)],
+    )
+    agree = None
+    for i in range(num_hashes):
+        piece = (F.col(f"__p{i}") == F.col(f"__m{i}")).cast("int")
+        agree = piece if agree is None else agree + piece
+    best = (
+        coll.join(bsig, "bid")
+        .join(msig, "mid")
+        .select("bid", agree.alias("__agree"))
+        .groupBy("bid")
+        .agg(F.max("__agree").cast("long").alias("max_agree"))
+    )
+    scored = (
+        new_docs.select(F.col(id_col))
+        .join(best.select(F.col("bid").alias(id_col), "max_agree"),
+              id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("max_agree"), F.lit(0).cast("long")).alias(
+                "max_agree"
+            ),
+            (
+                F.coalesce(F.col("max_agree"), F.lit(0).cast("long"))
+                < F.lit(min_agree)
+            ).alias("is_survivor"),
+        )
+    )
+    return probe_rows, scored
+
+
+def incremental_neardup_run_portable(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    manifest_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_agree: int = 8,
+    max_bucket_size: int | None = 50,
+    run_id: str,
+) -> DataFrame:
+    """The daily PORTABLE near-dup step: read the manifest (pinned
+    snapshot) → probe → EAGER checkpoint of the scores → append the
+    survivors' signature rows → return the scored frame (id, max_agree,
+    is_survivor). Because the artifact stores md5 signatures, ANY
+    engine can audit the manifest, recompute a batch's signatures, and
+    reproduce today's keep/drop decisions bit-for-bit — the property
+    the registry gate `incremental_neardup_portable` hash-verifies
+    against DuckDB across the full write → read → probe round trip."""
+    manifest = read_neardup_manifest_portable(
+        spark, manifest_path, num_hashes=num_hashes
+    )
+    probe_rows, scored = neardup_probe_portable(
+        new_docs,
+        manifest,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        min_agree=min_agree,
+        max_bucket_size=max_bucket_size,
+    )
+    scored = scored.localCheckpoint(eager=True)
+    survivors = scored.filter(F.col("is_survivor")).select(
+        F.col(id_col).alias("id")
+    )
+    new_rows = probe_rows.join(survivors, "id", "left_semi").withColumn(
+        "first_seen_run", F.lit(run_id).cast("string")
+    )
+    new_rows.write.mode("append").parquet(path=manifest_path)
+    return scored
+
+
+# ---------------------------------------------------------------------------
 # Incremental SEMANTIC dedup manifest (round 9): the daily SemDeDup loop
 # ---------------------------------------------------------------------------
 

@@ -7863,6 +7863,121 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def q_incremental_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run NEAR-dup manifest made ENGINE-PORTABLE (VERDICT r11
+    #4, operators/manifest.incremental_neardup_run_portable): the
+    persisted artifact stores md5 MinHash signatures + band buckets
+    (the minhash_portable family), so any engine can audit the manifest
+    and reproduce the daily keep/drop decisions bit-for-bit — unlike
+    the xxhash64 manifest (incremental_neardup), whose signatures only
+    Spark can recompute.
+
+    The gate runs the REAL two-run lifecycle through parquet on disk:
+    run 1 probes yesterday's batch (doc_id%3==0) against an EMPTY
+    manifest (all survive — within-batch dedup is out of scope by the
+    family's documented composition rule) and appends their signature
+    rows; run 2 probes today's batch — the remaining docs plus planted
+    perturbed copies of yesterday's (id+1e6, suffixed text) — against
+    the re-read manifest and returns one row per batch-2 doc:
+    (doc_id, max_agree, is_survivor). Docs too short to sign survive
+    with max_agree 0 (row conservation). The DuckDB mirror recomputes
+    both batches' signatures from scratch — hash equality across the
+    write -> read -> probe round trip IS the portability claim.
+    Self-cleaning: scores are eagerly checkpointed, the temp manifest
+    dir is removed before returning (the bucketed gate's pattern)."""
+    import shutil
+    import tempfile
+
+    from ..operators import manifest as mf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch1 = d.filter(F.col("doc_id") % 3 == 0)
+    batch2 = d.filter(F.col("doc_id") % 3 != 0).unionByName(
+        batch1.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" portable manifest tail")).alias(
+                "text"
+            ),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="neardup_portable_")
+    try:
+        mf.incremental_neardup_run_portable(
+            spark, batch1, path, run_id="day1"
+        )
+        scored = mf.incremental_neardup_run_portable(
+            spark, batch2, path, run_id="day2"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return scored.orderBy("doc_id")
+
+
+SQL_INCREMENTAL_NEARDUP_PORTABLE = r"""
+WITH b1 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+), b2 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' portable manifest tail'
+    FROM documents WHERE doc_id % 3 = 0
+), all_docs AS (
+    SELECT 1 AS batch, doc_id, text FROM b1
+    UNION ALL SELECT 2, doc_id, text FROM b2
+), norm AS (
+    SELECT batch, doc_id,
+           regexp_replace(
+               translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+               '[ \t\n\r\f\x0b]+', ' ', 'g') AS t
+    FROM all_docs
+), tok AS (
+    SELECT batch, doc_id, list_filter(string_split(t, ' '), x -> x != '') AS toks
+    FROM norm
+), sh AS (
+    -- shingle slice spelled as EXPLICIT element access (k = 3): bracket
+    -- slice end-inclusivity is build-sensitive (oracle-lint hazard B)
+    SELECT batch, doc_id,
+           list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           for i in range(1, len(toks) - 3 + 2) ]) AS shingles
+    FROM tok WHERE len(toks) >= 3
+), sigs AS MATERIALIZED (
+    SELECT batch, doc_id AS id,
+           [ list_aggregate([ md5(s::VARCHAR || ':' || g) for g in shingles ], 'min')
+             for s in range(0, 16) ] AS sig
+    FROM sh WHERE len(shingles) >= 1
+), banded AS MATERIALIZED (
+    SELECT batch, id, sig, 0 AS band, md5(sig[1]||'|'||sig[2]||'|'||sig[3]||'|'||sig[4]) AS bucket FROM sigs
+    UNION ALL SELECT batch, id, sig, 1, md5(sig[5]||'|'||sig[6]||'|'||sig[7]||'|'||sig[8]) FROM sigs
+    UNION ALL SELECT batch, id, sig, 2, md5(sig[9]||'|'||sig[10]||'|'||sig[11]||'|'||sig[12]) FROM sigs
+    UNION ALL SELECT batch, id, sig, 3, md5(sig[13]||'|'||sig[14]||'|'||sig[15]||'|'||sig[16]) FROM sigs
+), m AS (
+    -- run-1 appends ALL of batch 1 (empty-manifest probe: everything
+    -- survives), so the manifest run 2 reads is batch 1's banded rows
+    SELECT id, sig, band, bucket FROM banded WHERE batch = 1
+), small AS (
+    SELECT band, bucket FROM m GROUP BY 1, 2 HAVING count(*) <= 50
+), mk AS (
+    SELECT m.* FROM m JOIN small USING (band, bucket)
+), coll AS (
+    SELECT DISTINCT p.id AS bid, mk.id AS mid
+    FROM (SELECT id, band, bucket FROM banded WHERE batch = 2) p
+    JOIN mk USING (band, bucket)
+), best AS (
+    SELECT coll.bid,
+           max(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])))::BIGINT AS max_agree
+    FROM coll
+    JOIN (SELECT id, sig FROM sigs WHERE batch = 2) sa ON sa.id = coll.bid
+    JOIN (SELECT id, sig FROM sigs WHERE batch = 1) sb ON sb.id = coll.mid
+    GROUP BY 1
+)
+SELECT b2.doc_id,
+       coalesce(best.max_agree, 0)::BIGINT AS max_agree,
+       coalesce(best.max_agree, 0) < 8 AS is_survivor
+FROM b2 LEFT JOIN best ON best.bid = b2.doc_id
+ORDER BY doc_id
+"""
+
+
 # ONE home for the simhash gate's parameters: q_simhash_portable and the
 # generated oracle both read these, so a tune cannot drift the two sides
 # (review r11c #3; the block geometry already shares dd._simhash_blocks).
@@ -8293,6 +8408,7 @@ SPARK_QUERIES = {
     "winnow_spans": q_winnow_spans,
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
+    "incremental_neardup_portable": q_incremental_neardup_portable,
     "leakage_safe_split": q_leakage_safe_split,
     "span_excise": q_span_excise,
     "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
@@ -8666,6 +8782,7 @@ ORACLE_SQL = {
     "winnow_dedup": SQL_WINNOW_DEDUP,
     "winnow_spans": SQL_WINNOW_SPANS,
     "minhash_portable": SQL_MINHASH_PORTABLE,
+    "incremental_neardup_portable": SQL_INCREMENTAL_NEARDUP_PORTABLE,
     "simhash_portable": SQL_SIMHASH_PORTABLE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "span_excise": SQL_SPAN_EXCISE,
