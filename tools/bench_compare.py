@@ -153,6 +153,34 @@ def main() -> None:
             row["steady_ratio"] = round(reused / row["duckdb_s"], 1)
         steady[name] = row
 
+    # Round-12 capstone (VERDICT r11 #5): measured ONCE per engine here
+    # rather than in the compare loop — the same exclusion rationale as
+    # winnow_dedup in round 11 (the five-stage composition runs the md5
+    # fingerprint pipeline twice per engine; four timed runs would cost
+    # minutes for a parity result). reused_plan_s is the long-job steady
+    # state (all internal checkpoints materialized by the first write).
+    # the BUILD is part of the measured wall: winnow_dedup's label
+    # propagation and the excision checkpoints run jobs at construction
+    # time, so timing only the final write would claim ~2 s for a ~60 s
+    # composition
+    t0 = time.perf_counter()
+    cap = SPARK_QUERIES["curation_capstone"](spark, sf_dir)
+    cap.write.format("noop").mode("overwrite").save()
+    cap_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cap.write.format("noop").mode("overwrite").save()
+    cap_reused = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    con.execute(ORACLE_SQL["curation_capstone"]).fetchall()
+    cap_duck = time.perf_counter() - t0
+    steady["curation_capstone"] = {
+        "spark_cold_s": round(cap_cold, 3),
+        "reused_plan_s": round(cap_reused, 3),
+        "duckdb_s": round(cap_duck, 3),
+        "steady_ratio": round(cap_reused / cap_duck, 1) if cap_duck else None,
+        "cold_ratio": round(cap_cold / cap_duck, 1) if cap_duck else None,
+    }
+
     with tempfile.TemporaryDirectory() as td:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))

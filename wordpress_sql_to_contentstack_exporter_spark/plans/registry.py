@@ -8401,6 +8401,274 @@ ORDER BY doc_id
 """
 
 
+def q_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone v2 (VERDICT r11 #5): the full LLM-data loop —
+    DETECT shared blocks (winnow_spans) -> EXCISE them from the
+    higher-id side (excise_spans) -> quality-GATE the cleaned text
+    (corpus-relative rarity + bigram-LM fluency, the curation_gate
+    thresholds) -> near-dup DEDUP the cleaned corpus (winnow_dedup:
+    pairs -> smaller-side containment -> connected components -> min-id
+    keepers) -> leakage-safe SPLIT (one md5 uniform per cluster) —
+    fused into ONE lazy DAG whose composed verdicts hash-match the
+    DuckDB mirror end to end. Every stage decision is exact-integer /
+    string (md5 fingerprints, cross-multiplied rarity, fixed-point LM
+    floor, hex split threshold), which is what makes a five-stage
+    composition bit-verifiable rather than approximately-similar.
+
+    Composition notes: the gates and the dedup run on the EXCISED text
+    (excision is the fine-grained dedup; the cluster pass catches
+    near-dups that survive it), the cleaned frame is lazily
+    checkpointed once for its four consumers, and every doc keeps a
+    row (row conservation: short/NULL docs gate to kept=0 and cluster
+    as singletons). Iterative label propagation inside winnow_dedup
+    exempts this gate from the laziness contract, like winnow_dedup
+    itself."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup suffix tail")).alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    spans = tx.winnow_spans(corpus, k=8, w=4, min_shared=3, max_fp_docs=20)
+    bspans = spans.filter(F.col("side") == "b").select(
+        F.col("doc_id_b").alias("doc_id"), "span_start", "span_end"
+    )
+    cleaned = tx.excise_spans(corpus, bspans).localCheckpoint(eager=False)
+    gate_in = cleaned.select("doc_id", F.col("text_clean").alias("text"))
+    rare = tx.rare_token_ratio(gate_in, min_df=3, max_rare_pct=30).select(
+        "doc_id", "n_tokens", "n_rare"
+    )
+    lm = tx.lm_perplexity(gate_in).select(
+        "doc_id", "n_bigrams", "sum_logprob_scaled"
+    )
+    clusters = tx.winnow_dedup(
+        gate_in, k=8, w=4, min_shared=3, max_fp_docs=20,
+        min_containment_pm=500,
+    )
+    split = leakage_safe_split(
+        clusters.select("doc_id", "cluster_id"),
+        {"train": 0.9, "eval": 0.1},
+        id_col="doc_id",
+    )
+    lm_floor = -3565159  # floor(-3.4 * 2^20), the curation_gate cutoff
+    return (
+        cleaned.select(
+            "doc_id",
+            "n_spans",
+            "n_removed_chars",
+            F.length("text_clean").cast("long").alias("clean_chars"),
+        )
+        .join(rare, "doc_id")
+        .join(lm, "doc_id")
+        .join(
+            clusters.select(
+                "doc_id",
+                F.col("is_keeper").cast("boolean").alias("is_keeper"),
+            ),
+            "doc_id",
+        )
+        .join(split.select("doc_id", "cluster_id", "split"), "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_removed_chars",
+            "clean_chars",
+            "n_tokens",
+            "n_rare",
+            "n_bigrams",
+            "sum_logprob_scaled",
+            F.when(
+                (F.col("n_tokens") >= 10)
+                & (F.col("n_rare") * 100 < F.col("n_tokens") * 30)
+                & (
+                    (F.col("n_bigrams") == 0)
+                    | (
+                        F.col("sum_logprob_scaled")
+                        >= F.col("n_bigrams") * F.lit(lm_floor)
+                    )
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("kept"),
+            "cluster_id",
+            "is_keeper",
+            "split",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# The capstone mirror composes the VERIFIED pieces verbatim: the span
+# CTEs (_SQL_WINNOW_SPAN_CTES body), the excision reconstruction
+# (SQL_SPAN_EXCISE body), the curation_gate rarity/LM CTEs over the
+# cleaned text, the winnow cluster chain re-run on the cleaned text
+# (suffix _c — names would otherwise collide with the span chain), and
+# the leakage-safe split. MATERIALIZED hints are load-bearing
+# throughout (multi-consumer CTEs; the recursive closure would re-run
+# the md5 pipeline per iteration without them).
+SQL_CURATION_CAPSTONE = _SQL_WINNOW_SPAN_CTES.replace(
+    "WITH corpus AS (", "WITH RECURSIVE corpus AS MATERIALIZED ("
+) + r"""
+, bs AS (
+    -- DISTINCT is load-bearing (tied-window hazard; see SQL_SPAN_EXCISE)
+    SELECT DISTINCT id_b AS doc_id, span_start AS s, span_end + 1 AS e
+    FROM spansq
+    WHERE side = 'b'
+), m2 AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM bs
+), f3 AS (
+    SELECT doc_id, s, e,
+           CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+    FROM m2
+), g3 AS (
+    SELECT doc_id, s, e,
+           sum(flag) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM f3
+), islands AS (
+    SELECT doc_id, min(s) AS lo, max(e) AS hi FROM g3 GROUP BY doc_id, island
+), perdoc AS (
+    SELECT doc_id,
+           list_sort(list(lo)) AS los,
+           list_sort(list(hi)) AS his
+    FROM islands GROUP BY doc_id
+), cleaned AS MATERIALIZED (
+    SELECT n.doc_id,
+           CASE WHEN p.los IS NULL THEN n.t
+                ELSE array_to_string(
+                    [ substring(n.t,
+                                CASE WHEN i = 1 THEN 1 ELSE p.his[i-1] END,
+                                (CASE WHEN i = len(p.los) + 1 THEN len(n.t) + 1
+                                      ELSE p.los[i] END)
+                                - (CASE WHEN i = 1 THEN 1 ELSE p.his[i-1] END))
+                      for i in range(1, len(p.los) + 2) ], '')
+           END AS tc,
+           coalesce(len(p.los), 0)::BIGINT AS n_spans,
+           coalesce(list_aggregate([ p.his[i] - p.los[i]
+                                     for i in range(1, len(p.los) + 1) ], 'sum'),
+                    0)::BIGINT AS n_removed_chars
+    FROM norm n LEFT JOIN perdoc p USING (doc_id)
+), toks AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   translate(lower(translate(trim(tc, ' '), 'İ', 'i')), 'ς', 'σ'),
+                   '[ \t\n\r\f\x0b]+'),
+               x -> x != '') AS ts
+    FROM cleaned
+), flat AS (
+    SELECT doc_id, unnest(ts) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM flat GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1
+), rare AS (
+    SELECT tf.doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           sum(CASE WHEN df_docs < 3 THEN tf ELSE 0 END)::BIGINT AS n_rare
+    FROM tf JOIN dfreq USING (term) GROUP BY 1
+), t0 AS (
+    SELECT doc_id,
+           [ {'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts)) ] AS gs
+    FROM toks
+), pbg AS (
+    SELECT doc_id, unnest(gs, recursive := true) FROM t0
+), docbg AS (
+    SELECT doc_id, w1, w2, count(*)::BIGINT AS c_doc FROM pbg GROUP BY 1, 2, 3
+), big AS (
+    SELECT w1, w2, sum(c_doc)::BIGINT AS c_big FROM docbg GROUP BY 1, 2
+), uni AS (
+    SELECT w1, sum(c_big)::BIGINT AS c_uni FROM big GROUP BY 1
+), vocab AS (
+    SELECT count(DISTINCT w2)::BIGINT AS v_size FROM big
+), term AS (
+    SELECT big.w1, big.w2,
+           floor(ln((c_big + 1)::DOUBLE / (c_uni + v_size)::DOUBLE)
+                 * 1048576.0)::BIGINT AS lp_scaled
+    FROM big JOIN uni USING (w1), vocab
+), lm AS (
+    SELECT doc_id,
+           sum(c_doc)::BIGINT AS n_bigrams,
+           sum(c_doc * lp_scaled)::BIGINT AS sum_logprob_scaled
+    FROM docbg JOIN term USING (w1, w2) GROUP BY 1
+), normc AS (
+    SELECT doc_id,
+           regexp_replace(
+               translate(lower(translate(trim(tc, ' '), 'İ', 'i')), 'ς', 'σ'),
+               '[ \t\n\r\f\x0b]+', ' ', 'g') AS t
+    FROM cleaned
+), gc AS (
+    SELECT doc_id,
+           [ {'h': md5(substring(t, i, 8)), 'p': i::BIGINT}
+             for i in range(1, len(t) - 8 + 2) ] AS grams
+    FROM normc WHERE len(t) >= 8
+), pc AS (
+    SELECT doc_id,
+           [ list_reduce([grams[j], grams[j+1], grams[j+2], grams[j+3]],
+                         (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)
+             for j in range(1, len(grams) - 4 + 2) ] AS picks
+    FROM gc WHERE len(grams) >= 4
+), ec AS (
+    SELECT doc_id, unnest(picks) AS fp FROM pc
+), fps_c AS MATERIALIZED (
+    SELECT DISTINCT doc_id AS id, fp.h AS fp_hash FROM ec
+), freq_c AS (
+    SELECT fp_hash FROM fps_c GROUP BY 1 HAVING count(*) <= 20
+), kept_c AS MATERIALIZED (
+    SELECT fps_c.id, fps_c.fp_hash FROM fps_c JOIN freq_c USING (fp_hash)
+), totals_c AS (
+    SELECT id, count(*)::BIGINT AS n_fp FROM kept_c GROUP BY 1
+), pairs0_c AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+    FROM kept_c a JOIN kept_c b USING (fp_hash)
+    WHERE a.id < b.id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+), pairs_c AS MATERIALIZED (
+    SELECT id_a, id_b FROM pairs0_c
+    JOIN totals_c ta ON pairs0_c.id_a = ta.id
+    JOIN totals_c tb ON pairs0_c.id_b = tb.id
+    WHERE pairs0_c.n_shared * 1000 >= 500 * least(ta.n_fp, tb.n_fp)
+), edges_c AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs_c
+    UNION ALL SELECT id_b, id_a FROM pairs_c
+), reach(id, r) AS (
+    SELECT DISTINCT src, src FROM edges_c
+    UNION
+    SELECT e2.src, r.r FROM edges_c e2 JOIN reach r ON e2.dst = r.id
+), comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT c.doc_id,
+       c.n_spans,
+       c.n_removed_chars,
+       len(c.tc)::BIGINT AS clean_chars,
+       coalesce(rare.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(rare.n_rare, 0)::BIGINT AS n_rare,
+       coalesce(lm.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(lm.sum_logprob_scaled, 0)::BIGINT AS sum_logprob_scaled,
+       CASE WHEN coalesce(rare.n_tokens, 0) >= 10
+             AND coalesce(rare.n_rare, 0) * 100 < coalesce(rare.n_tokens, 0) * 30
+             AND (coalesce(lm.n_bigrams, 0) = 0
+                  OR coalesce(lm.sum_logprob_scaled, 0)
+                     >= coalesce(lm.n_bigrams, 0) * -3565159)
+            THEN 1 ELSE 0 END AS kept,
+       coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
+       c.doc_id = coalesce(comp.cluster_id, c.doc_id) AS is_keeper,
+       CASE WHEN substring(md5('deterministic_split:42:' ||
+                 CAST(coalesce(comp.cluster_id, c.doc_id) AS VARCHAR)), 1, 8)
+                 < 'e6666665'
+            THEN 'train' ELSE 'eval' END AS split
+FROM cleaned c
+LEFT JOIN rare USING (doc_id)
+LEFT JOIN lm USING (doc_id)
+LEFT JOIN comp ON c.doc_id = comp.id
+ORDER BY doc_id
+"""
+
+
 SPARK_QUERIES = {
     # --- window part (a): round-11 additions (first contact) +
     # implementations changed this round needing a re-green ---
@@ -8409,6 +8677,7 @@ SPARK_QUERIES = {
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
     "incremental_neardup_portable": q_incremental_neardup_portable,
+    "curation_capstone": q_curation_capstone,
     "leakage_safe_split": q_leakage_safe_split,
     "span_excise": q_span_excise,
     "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
@@ -8783,6 +9052,7 @@ ORACLE_SQL = {
     "winnow_spans": SQL_WINNOW_SPANS,
     "minhash_portable": SQL_MINHASH_PORTABLE,
     "incremental_neardup_portable": SQL_INCREMENTAL_NEARDUP_PORTABLE,
+    "curation_capstone": SQL_CURATION_CAPSTONE,
     "simhash_portable": SQL_SIMHASH_PORTABLE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "span_excise": SQL_SPAN_EXCISE,
