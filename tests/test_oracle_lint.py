@@ -268,3 +268,111 @@ def test_family_g_patterns_match_tokenized_spellings():
         assert _G_BANNED.search(code_of(src)), src
     for src in ("x = operand(1)", "r = brand ( 2 )", "y = strand(3)"):
         assert not _G_BANNED.search(code_of(src)), src
+
+
+# Family H: tied window orderings (VERDICT r11 "What's wrong" #1). The
+# span-excision oracle was NONDETERMINISTIC under DuckDB's parallel
+# window execution until a DISTINCT removed the duplicate (s, e) rows —
+# 11/12 repeated runs disagreed, 0/12 after (SCALE.md's round-11 find).
+# The hazard: a TIE-SENSITIVE window function (row_number / lag / lead /
+# a ROWS-framed or collection aggregate) over an ORDER BY that is not
+# total within its partition returns whichever peer order the scheduler
+# produced. Mechanical classification of every `fn(...) OVER (...)`
+# site in every oracle:
+#   * safe if the FINAL ordering expression is a recognized row-unique
+#     tiebreaker column (the repo's id/key columns),
+#   * safe if the function is rank-like (rank / dense_rank /
+#     percent_rank / cume_dist — tie-INsensitive by definition),
+#   * safe if the function is a plain aggregate with a RANGE or default
+#     frame (peers enter the frame together, so ties cannot reorder the
+#     result; list()/string_agg stay tie-sensitive — element ORDER
+#     within the frame is what ties scramble),
+#   * otherwise the site must be in the audited H_ALLOWED list.
+_H_UNIQUE_TIEBREAKERS = {
+    # single-column-per-row keys of the fixture tables and derived
+    # frames; "unique" means row-unique within any partition the
+    # queries use them under (audited when added)
+    "doc_id", "event_id", "vec_id", "bench_id", "neighbor_id",
+    "o_orderkey", "c_custkey", "l_linenumber", "idx", "i", "pos",
+    "term", "path", "domain",
+}
+_H_RANK_LIKE = {"rank", "dense_rank", "percent_rank", "cume_dist"}
+_H_PLAIN_AGGS = {"sum", "count", "min", "max", "avg"}
+H_ALLOWED = {
+    # span/interval gaps-and-islands: (s, e) rows are made DISTINCT (or
+    # are distinct by construction) immediately upstream, so the
+    # ordering is total within (keys) — the DISTINCT is load-bearing
+    # and commented as such at each site (round-11 find):
+    "winnow_spans", "span_excise", "curation_capstone", "merge_intervals",
+    # scd2-style latest-version pick: version is unique per c_custkey
+    # by the fixture's construction (one snapshot row per version);
+    # driver-green since r5
+    "upsert_snapshot",
+}
+
+
+def _h_window_sites():
+    """(oracle, fn, body) for every window call with an ORDER BY."""
+    pat = re.compile(
+        r"(\w+)\s*\((?:[^()]|\([^()]*\))*\)\s*OVER\s*"
+        r"\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for name, sql in ORACLE_SQL.items():
+        for m in pat.finditer(_strip(sql)):
+            body = re.sub(r"\s+", " ", m.group(2)).strip()
+            if re.search(r"ORDER\s+BY", body, re.IGNORECASE):
+                yield name, m.group(1).lower(), body
+
+
+def _h_site_is_safe(fn: str, body: str, allowed: bool) -> bool:
+    if fn in _H_RANK_LIKE:
+        return True
+    has_rows_frame = re.search(r"\bROWS\b", body, re.IGNORECASE) is not None
+    if fn in _H_PLAIN_AGGS and not has_rows_frame:
+        return True  # RANGE/default frame: peers share the frame
+    # final ordering expression (strip any frame clause, then the last
+    # comma-separated item, then ASC/DESC)
+    order = re.split(r"ORDER\s+BY", body, flags=re.IGNORECASE)[1]
+    order = re.split(r"\b(?:ROWS|RANGE)\b", order, flags=re.IGNORECASE)[0]
+    last = order.split(",")[-1].strip()
+    last = re.sub(r"\s+(?:ASC|DESC)\s*$", "", last, flags=re.IGNORECASE)
+    last_ident = last.split(".")[-1].strip().lower()
+    if last_ident in _H_UNIQUE_TIEBREAKERS:
+        return True
+    return allowed
+
+
+def test_family_h_tied_window_orderings_are_audited():
+    offenders = [
+        (name, fn, body)
+        for name, fn, body in _h_window_sites()
+        if not _h_site_is_safe(fn, body, name in H_ALLOWED)
+    ]
+    assert not offenders, (
+        f"window over a potentially tied ORDER BY in an oracle: "
+        f"{offenders} — append a row-unique tiebreaker, DISTINCT the "
+        f"input (and comment it load-bearing), or audit + allowlist. "
+        f"{DOCTRINE}"
+    )
+
+
+def test_family_h_flags_a_seeded_violation():
+    """The classifier must go RED on the exact shape that shipped the
+    round-11 nondeterminism: a ROWS-framed window ordered by non-unique
+    derived columns with no tiebreaker and no allowlist entry."""
+    seeded = (
+        "max(e) OVER (PARTITION BY doc_id ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    m = re.search(
+        r"(\w+)\s*\([^()]*\)\s*OVER\s*\(([^()]*)\)", seeded, re.IGNORECASE
+    )
+    assert not _h_site_is_safe(m.group(1).lower(), m.group(2), allowed=False)
+    # row_number with a tied ordering and default frame is also red
+    assert not _h_site_is_safe("row_number", "PARTITION BY a ORDER BY score DESC", False)
+    # ...while the audited/safe shapes stay green
+    assert _h_site_is_safe("row_number", "PARTITION BY a ORDER BY score DESC, doc_id", False)
+    assert _h_site_is_safe("rank", "PARTITION BY a ORDER BY score DESC", False)
+    assert _h_site_is_safe("sum", "ORDER BY bucket DESC", False)
+    assert not _h_site_is_safe("list", "ORDER BY bucket DESC", False)
