@@ -16,92 +16,95 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-11 window contract (VERDICT r10 asks #3/#4): the 24
-# rows-only queries had NEVER executed in the driver environment (every
-# prior window slot was oracle-backed), and prior rotations surfaced
-# env divergence at ~2-in-30 on first driver contact — so ten of them
-# take deliberate window slots this round (the driver records rows/err
-# even without an oracle). The sixteen new slots (six additions + ten
-# rows-only) are funded by rotating out sixteen driver-greens on code
-# untouched since their last green. Pinned as SETS, not a frozen order, so next
-# round's rotation edits these lists deliberately rather than breaking
-# an order assertion by accident.
-ROUND11_WINDOW_NEW = {
-    # round-11 additions (first contact) + impls changed this round:
-    "winnow_dedup",       # new: pairs -> containment -> CC -> keepers
-    "winnow_spans",       # new: MOSS-style matched-region localization
-    "minhash_portable",   # new: md5 MinHash, first oracle-verifiable
-    "simhash_portable",   # new: exact-Hamming SimHash, hash-verified
-    "leakage_safe_split",  # new: cluster-level split, no straddling pair
-    "span_excise",        # new: detect -> localize -> excise, oracle
-    "unicode_clean",      # id-type derivation fix (ADVICE r10 #2)
+# The round-12 window contract (VERDICT r11 asks #2-#5): the two new
+# oracle-backed compositions (portable near-dup manifest, curation
+# capstone) take first-contact slots; the three ADVICE-touched
+# oracle-backed impls re-green; simhash_neardup re-contacts rows-only
+# with its changed (exact combination blocking) implementation; and the
+# REMAINING 14 rows-only queries get their first driver-environment
+# execution, closing the 24-query set the r10/r11 rotations started.
+# Funded by rotating out seven r11 oracle-greens on untouched code plus
+# the nine rows-only queries whose first contact landed clean in r11.
+# Pinned as SETS, not a frozen order, so next round's rotation edits
+# these lists deliberately rather than breaking an order assertion by
+# accident.
+ROUND12_WINDOW_NEW = {
+    "incremental_neardup_portable",  # new: md5 manifest round trip
+    "curation_capstone",   # new: detect->excise->gate->dedup->split
+    "simhash_portable",    # changed: CR in portable ws class + CRLF corpus
+    "leakage_safe_split",  # changed: NULL-key coalesce in the split hash
+    "span_excise",         # changed: removed-char clamp
 }
-# Deliberate rows-only window slots (VERDICT r10 ask #3). ann_lsh_topk
-# additionally changed configuration this round (validated 4x8 planes).
-ROUND11_WINDOW_ROWS_ONLY = {
-    "minhash_neardup", "simhash_neardup", "semdedup", "dsir",
-    "bpe_tokenize", "quality_classifier", "ann_recall_sweep",
-    "curation_pipeline", "ann_lsh_topk", "embedding_neardup",
+# Deliberate rows-only window slots: the 14 remaining first contacts
+# (VERDICT r11 ask #2) + simhash_neardup (implementation changed to the
+# exact combination blocking this round).
+ROUND12_WINDOW_ROWS_ONLY = {
+    "simhash_neardup", "kcore", "sentence_chunks", "dedup_calibration",
+    "incremental_neardup", "sliding_hll", "compression_ratio",
+    "approx_aggs", "hll_sketches", "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivfpq_topk", "freq_items", "image_neardup", "audio_neardup",
 }
-ROUND11_WINDOW_RETAINED_R10_GREENS = {
-    # r10 first-greens kept for one confirmation on round-10 code,
-    # plus the winnow family that winnow_dedup composes:
-    "incremental_dedup", "html_text", "windowed_dedup",
-    "incremental_dedup_bucketed", "html_quality",
-    "semantic_decontaminate", "lm_perplexity", "curation_gate",
-    "winnowing", "winnow_overlap",
+ROUND12_WINDOW_RETAINED_R11_GREENS = {
+    # r11 first-greens kept for one confirmation (minhash_portable's
+    # signature build moved into shared helpers this round):
+    "winnow_dedup", "winnow_spans", "minhash_portable", "unicode_clean",
 }
-ROUND11_WINDOW_ANCHORS = {
+ROUND12_WINDOW_ANCHORS = {
     "flagship_posts_export", "bloom_prune_join", "shard_manifest",
 }
-ROUND11_WINDOW_RETAINED = {
+ROUND12_WINDOW_RETAINED = {
+    # the capstone component family (bisection on a capstone red):
+    "winnowing", "winnow_overlap", "curation_gate", "lm_perplexity",
+    "semantic_decontaminate",
+    # stable retained greens:
     "salted_join", "robust_anomaly",
     "repeated_spans", "span_coverage", "source_overlap",
     "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
     "event_pattern", "record_linkage", "winsorize", "time_rollup",
-    "cluster_keepers", "centroid_similarity",
 }
 
 
-def test_round11_window_set():
+def test_round12_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
-        ROUND11_WINDOW_NEW
-        | ROUND11_WINDOW_ROWS_ONLY
-        | ROUND11_WINDOW_RETAINED_R10_GREENS
-        | ROUND11_WINDOW_ANCHORS
-        | ROUND11_WINDOW_RETAINED
+        ROUND12_WINDOW_NEW
+        | ROUND12_WINDOW_ROWS_ONLY
+        | ROUND12_WINDOW_RETAINED_R11_GREENS
+        | ROUND12_WINDOW_ANCHORS
+        | ROUND12_WINDOW_RETAINED
     )
 
 
-def test_rotated_out_r11_kept_their_greens():
-    """The sixteen queries rotated out this round must all be r10
-    driver-greens — rotation never discards a query whose latest
-    driver contact was red or absent."""
+def test_rotated_out_r12_kept_their_greens():
+    """The seven oracle-backed queries rotated out this round must all
+    be r11 driver-greens — rotation never discards a query whose latest
+    driver contact was red or absent. (The nine rows-only rotations
+    have no hash row by construction; their r11 first contacts were
+    clean rows/no-error, recorded in CORRECTNESS_r11.json.)"""
     import json
     import os
 
     rotated_out = {
-        "compaction_plan", "expectations_exemplars", "gapfill_interp",
-        "tokenizer_fertility", "html_links", "bm25_score", "bm25_topk",
-        "rare_token_ratio", "temperature_mixture", "range_join",
-        "range_join_bucketed",
+        "incremental_dedup", "html_text", "windowed_dedup",
+        "incremental_dedup_bucketed", "html_quality",
+        "cluster_keepers", "centroid_similarity",
     }
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r10.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r11.json")
     rows = json.load(open(path))
     for name in rotated_out:
         e = rows[name]
         assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
-    # triangle_count / grouped_mode / histogram_drift (rotated out to
-    # fund winnow_spans, minhash_portable, leakage_safe_split) were
-    # green in earlier rounds; r10 slots were their latest confirmations
-    for name in ("triangle_count", "grouped_mode", "histogram_drift",
-                 "corr_stats", "vocab_drift"):
+    rows_only_out = {
+        "minhash_neardup", "semdedup", "dsir", "bpe_tokenize",
+        "quality_classifier", "ann_recall_sweep", "curation_pipeline",
+        "ann_lsh_topk", "embedding_neardup",
+    }
+    for name in rows_only_out:
         e = rows[name]
-        assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
+        assert e["err"] == "no_oracle" and e["spark_rows"] >= 1, name
 
 
 def test_repetition_probes_stay_ordered():
@@ -121,7 +124,7 @@ def test_repetition_probes_stay_ordered():
 def test_oracle_backed_queries_precede_rows_only():
     """Outside the window, oracle-backed entries still precede the
     rows-only tail; inside it, only the deliberate
-    ROUND11_WINDOW_ROWS_ONLY slots may be rows-only."""
+    ROUND12_WINDOW_ROWS_ONLY slots may be rows-only."""
     names = list(SPARK_QUERIES)
     tail = names[DRIVER_SNAPSHOT_WINDOW:]
     first_rows_only = next(
@@ -144,10 +147,10 @@ def test_rows_only_window_slots_are_deliberate():
     names = list(SPARK_QUERIES)
     in_window = names[:DRIVER_SNAPSHOT_WINDOW]
     rows_only_inside = {n for n in in_window if n not in ORACLE_SQL}
-    assert rows_only_inside == ROUND11_WINDOW_ROWS_ONLY, (
+    assert rows_only_inside == ROUND12_WINDOW_ROWS_ONLY, (
         "rows-only window slots diverge from the deliberate allowlist: "
-        f"unexpected={rows_only_inside - ROUND11_WINDOW_ROWS_ONLY}, "
-        f"missing={ROUND11_WINDOW_ROWS_ONLY - rows_only_inside}"
+        f"unexpected={rows_only_inside - ROUND12_WINDOW_ROWS_ONLY}, "
+        f"missing={ROUND12_WINDOW_ROWS_ONLY - rows_only_inside}"
     )
 
 

@@ -8670,55 +8670,60 @@ ORDER BY doc_id
 
 
 SPARK_QUERIES = {
-    # --- window part (a): round-11 additions (first contact) +
-    # implementations changed this round needing a re-green ---
+    # --- window part (a): round-12 additions (first contact) +
+    # oracle-backed implementations changed this round needing a
+    # re-green (simhash_portable: CR joined the portable whitespace
+    # class + CRLF planted in the corpus; leakage_safe_split:
+    # deterministic_split NULL-key coalesce; span_excise: removed-char
+    # clamp — all ADVICE r11) ---
+    "incremental_neardup_portable": q_incremental_neardup_portable,
+    "curation_capstone": q_curation_capstone,
+    "simhash_portable": q_simhash_portable,
+    "leakage_safe_split": q_leakage_safe_split,
+    "span_excise": q_span_excise,
+    # --- window part (b): the REMAINING 14 rows-only first driver
+    # contacts (VERDICT r11 ask #2 — the first ten went clean in r11;
+    # this closes the set), plus simhash_neardup whose implementation
+    # changed this round (exact combination blocking, VERDICT r11 #3) ---
+    "simhash_neardup": q_simhash_neardup,
+    "kcore": q_kcore,
+    "sentence_chunks": q_sentence_chunks,
+    "dedup_calibration": q_dedup_calibration,
+    "incremental_neardup": q_incremental_neardup,
+    "sliding_hll": q_sliding_hll,
+    "compression_ratio": q_compression_ratio,
+    "approx_aggs": q_approx_aggs,
+    "hll_sketches": q_hll_sketches,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "freq_items": q_freq_items,
+    "image_neardup": q_image_neardup,
+    "audio_neardup": q_audio_neardup,
+    # --- window part (c): r11 first-greens kept for one confirmation
+    # (minhash_portable's signature build was refactored into shared
+    # helpers this round — same semantics, re-green deliberate) ---
     "winnow_dedup": q_winnow_dedup,
     "winnow_spans": q_winnow_spans,
     "minhash_portable": q_minhash_portable,
-    "simhash_portable": q_simhash_portable,
-    "incremental_neardup_portable": q_incremental_neardup_portable,
-    "curation_capstone": q_curation_capstone,
-    "leakage_safe_split": q_leakage_safe_split,
-    "span_excise": q_span_excise,
-    "unicode_clean": q_unicode_clean,  # id-type derivation (ADVICE r10 #2)
-    # --- window part (b): rows-only FIRST driver contact (VERDICT r10
-    # ask #3) — every window slot to date was oracle-backed, so these
-    # 24-strong family members have never executed in the driver
-    # environment; the driver records rows/err even without an oracle,
-    # and prior rotations surfaced env divergence at ~2-in-30 on first
-    # contact. ann_lsh_topk additionally changed config this round
-    # (validated 4x8 planes default). Funded by rotating out the 11
-    # r10-greens on code untouched since (listed below the window). ---
-    "minhash_neardup": q_minhash_neardup,
-    "simhash_neardup": q_simhash_neardup,
-    "semdedup": q_semdedup,
-    "dsir": q_dsir,
-    "bpe_tokenize": q_bpe_tokenize,
-    "quality_classifier": q_quality_classifier,
-    "ann_recall_sweep": q_ann_recall_sweep,
-    "curation_pipeline": q_curation_pipeline,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "embedding_neardup": q_embedding_neardup,
-    # --- window part (c): retained r10 first-greens on round-10 code
-    # (one confirmation each) + the winnow family winnow_dedup composes ---
-    "incremental_dedup": q_incremental_dedup,
-    "html_text": q_html_text,
-    "windowed_dedup": q_windowed_dedup,
-    "incremental_dedup_bucketed": q_incremental_dedup_bucketed,
-    "html_quality": q_html_quality,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "lm_perplexity": q_lm_perplexity,
-    "curation_gate": q_curation_gate,
-    "winnowing": q_winnowing,
-    "winnow_overlap": q_winnow_overlap,
-    # --- window part (d): retained anchors + prior first-greens ---
+    "unicode_clean": q_unicode_clean,
+    # --- window part (d): retained anchors ---
     "flagship_posts_export": q_flagship_posts_export,
     "bloom_prune_join": q_bloom_prune_join,
     "shard_manifest": q_shard_manifest,
+    # --- window part (e): the capstone's component family (kept inside
+    # the window while the composition is new, for bisection on a
+    # capstone red) + retained greens ---
+    "winnowing": q_winnowing,
+    "winnow_overlap": q_winnow_overlap,
+    "curation_gate": q_curation_gate,
+    "lm_perplexity": q_lm_perplexity,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "salted_join": q_salted_join,
     "robust_anomaly": q_robust_anomaly,
     "repeated_spans": q_repeated_spans,
     "span_coverage": q_span_coverage,
+    "source_overlap": q_source_overlap,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
     "quantile_buckets": q_quantile_buckets,
@@ -8732,15 +8737,18 @@ SPARK_QUERIES = {
     "record_linkage": q_record_linkage,
     "winsorize": q_winsorize,
     "time_rollup": q_time_rollup,
+    # --- oracle-backed, OUTSIDE the round-12 window ---
+    # rotated out in r12 (all driver-green r11 on code untouched
+    # since); these SEVEN plus the nine rows-only r11 first-contacts
+    # below fund the sixteen new slots (2 additions + 14 rows-only):
+    "incremental_dedup": q_incremental_dedup,
+    "html_text": q_html_text,
+    "windowed_dedup": q_windowed_dedup,
+    "incremental_dedup_bucketed": q_incremental_dedup_bucketed,
+    "html_quality": q_html_quality,
     "cluster_keepers": q_cluster_keepers,
     "centroid_similarity": q_centroid_similarity,
-    "source_overlap": q_source_overlap,
-    # --- oracle-backed, OUTSIDE the round-11 window ---
-    # rotated out in r11 (all driver-green on code untouched since);
-    # these SIXTEEN fund the sixteen new window slots: winnow_dedup,
-    # winnow_spans, minhash_portable, simhash_portable,
-    # leakage_safe_split, span_excise + the ten rows-only first-contact
-    # slots (unicode_clean kept its r10 slot):
+    # rotated out in r11 (all driver-green on code untouched since):
     "triangle_count": q_triangle_count,
     "grouped_mode": q_grouped_mode,
     "histogram_drift": q_histogram_drift,
@@ -8870,24 +8878,18 @@ SPARK_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
     # --- rows-only queries (no SQL oracle possible) below this line ---
-    # (minhash_neardup, simhash_neardup, semdedup, dsir, bpe_tokenize,
-    # quality_classifier, ann_recall_sweep, curation_pipeline,
-    # ann_lsh_topk, embedding_neardup hold round-11 window slots above
-    # — the rows-only first-contact rotation, VERDICT r10 ask #3)
-    "kcore": q_kcore,
-    "sentence_chunks": q_sentence_chunks,
-    "dedup_calibration": q_dedup_calibration,
-    "incremental_neardup": q_incremental_neardup,
-    "sliding_hll": q_sliding_hll,
-    "compression_ratio": q_compression_ratio,
-    "approx_aggs": q_approx_aggs,
-    "hll_sketches": q_hll_sketches,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,
-    "freq_items": q_freq_items,
-    "image_neardup": q_image_neardup,
-    "audio_neardup": q_audio_neardup,
+    # (the remaining 14 rows-only first contacts hold round-12 window
+    # slots above — VERDICT r11 ask #2; these nine got their first
+    # driver contact in r11, all clean, and rotate out to fund them)
+    "minhash_neardup": q_minhash_neardup,
+    "semdedup": q_semdedup,
+    "dsir": q_dsir,
+    "bpe_tokenize": q_bpe_tokenize,
+    "quality_classifier": q_quality_classifier,
+    "ann_recall_sweep": q_ann_recall_sweep,
+    "curation_pipeline": q_curation_pipeline,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLE_SQL = {
