@@ -778,6 +778,45 @@ def main() -> int:
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
     )
 
+    # incremental_neardup_portable (round 12): the probe's collision
+    # join is a compact (band, bucket) equi-join — the 16x32-char md5
+    # signature columns must NOT ride it (review r11 #6's rule applied
+    # to the probe: signatures join back once per colliding pair).
+    from wordpress_sql_to_contentstack_exporter_spark.operators import manifest as _mf
+
+    _pm_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    _pm_manifest = _mf.build_neardup_manifest_portable(
+        _pm_docs.filter("doc_id % 3 = 0"), run_id="audit"
+    )
+    _, _pm_scored = _mf.neardup_probe_portable(
+        _pm_docs.filter("doc_id % 3 <> 0"), _pm_manifest
+    )
+    # auto-broadcast OFF for this plan: at fixture scale every side
+    # broadcasts and no hashpartitioning(band, bucket) exchange exists
+    # for the signature check to inspect (verified: with broadcast on,
+    # even a deliberately signature-laden bucket join reads green) —
+    # forcing the shuffle shape makes the check test what 100 TB runs
+    _abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _pm_plan = plan_of(_pm_scored)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _abj)
+    check_plan(
+        "incremental_neardup_portable[probe]",
+        _pm_plan,
+        ("band-bucket equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+        ("raw text never rides a key exchange", no_text_in_exchange),
+        ("signatures never ride the bucket exchange",
+         r"\A(?s:(?!.*\(\d+\) Exchange\s*\nInput \[\d+\]: "
+         r"\[[^\]]*h0#[^\]]*\]\s*\nArguments: [^\n]*hashpartitioning"
+         r"\([^\n]*band[^\n]*bucket).*)\Z"),
+    )
+
     # bm25_topk (round 9): the query-term batch and df/totals frames must
     # BROADCAST (a shuffled join of a 6-row frame would re-shuffle the
     # corpus-side term rows), and no theta-join shape anywhere.
