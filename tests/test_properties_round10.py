@@ -680,3 +680,14 @@ def test_excise_spans_surgery_and_row_conservation(spark):
     r2 = tx.excise_spans(docs2, spans3).first()
     assert r2.text_clean == "abcd"
     assert r2.n_removed_chars == 2  # only 'ef' actually deleted
+
+    # ...and below position 1 (review r12 #2: the first clamp cut only
+    # the high side): a 0-based caller's span (0, 2) deletes 'ab' — two
+    # chars, not its nominal three
+    spans4 = spark.createDataFrame(
+        [(1, 0, 2), (1, -5, -2)],
+        "doc_id long, span_start long, span_end long",
+    )
+    r3 = tx.excise_spans(docs2, spans4).first()
+    assert r3.text_clean == "cdef"
+    assert r3.n_removed_chars == 2

@@ -170,6 +170,10 @@ def main() -> None:
     t0 = time.perf_counter()
     cap.write.format("noop").mode("overwrite").save()
     cap_reused = time.perf_counter() - t0
+    # warm-up run first — every other steady row divides by a WARM
+    # DuckDB wall, and a cold-vs-warm mix would bias the recorded ratio
+    # in Spark's favor (review r12 #4)
+    con.execute(ORACLE_SQL["curation_capstone"]).fetchall()
     t0 = time.perf_counter()
     con.execute(ORACLE_SQL["curation_capstone"]).fetchall()
     cap_duck = time.perf_counter() - t0

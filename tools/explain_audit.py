@@ -178,8 +178,12 @@ def main() -> int:
         ("text never enters a shuffle", no_text_in_exchange),
         ("blocked join, not all-pairs", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
         ("block cap is a semi-join", r"LeftSemi"),
-        ("no pair-level distinct above the join",
-         r"\A(?s:(?!.*SortMergeJoin.*HashAggregate).*)\Z"),
+        # a pair-level distinct shows up as a HashAggregate KEYED on
+        # (id_a, id_b) — match the aggregate keys, not operator text
+        # order (review r12 #1: the tree-order regex was green/red by
+        # join strategy, not by the property it claimed to check)
+        ("no pair-keyed distinct aggregate",
+         r"\A(?s:(?!.*Keys \[2\]: \[id_a#\d+L?, id_b#\d+).*)\Z"),
     )
 
     # Paragraph dedup: the first-occurrence winner must be an aggregate

@@ -2241,16 +2241,33 @@ def excise_spans(
         # piece i (0-based): [prev_end, next_start) in half-open coords
         # where prev_end = sp[i-1].e (or 1) and next_start = sp[i].s
         # (or len+1). Everything references lambda vars / bound attrs.
+        # Both positions clamp to >= 1 (review r12 #2 follow-up): a
+        # caller span reaching below position 1 would otherwise hand
+        # substr a NEGATIVE position, which Spark reads END-RELATIVE —
+        # resurrecting tail characters into the cleaned text instead of
+        # degrading to an empty piece.
         n = F.size(sp)
+
+        def pos1(c: Column) -> Column:
+            return F.greatest(c, F.lit(1).cast("long"))
+
         pieces = F.transform(
             F.sequence(F.lit(0), n),
             lambda i: t.substr(
-                F.when(i == 0, F.lit(1)).otherwise(
-                    F.element_at(sp, i)["e"]
+                pos1(
+                    F.when(i == 0, F.lit(1).cast("long")).otherwise(
+                        F.element_at(sp, i)["e"]
+                    )
                 ),
-                F.when(i == n, F.length(t) + 1)
-                .otherwise(F.element_at(sp, i + 1)["s"])
-                - F.when(i == 0, F.lit(1)).otherwise(F.element_at(sp, i)["e"]),
+                pos1(
+                    F.when(i == n, F.length(t).cast("long") + 1)
+                    .otherwise(F.element_at(sp, i + 1)["s"])
+                )
+                - pos1(
+                    F.when(i == 0, F.lit(1).cast("long")).otherwise(
+                        F.element_at(sp, i)["e"]
+                    )
+                ),
             ),
         )
         return F.concat_ws("", pieces)
@@ -2270,13 +2287,17 @@ def excise_spans(
             # clamp both bounds into [1, len+1] so out-of-range spans
             # contribute their ACTUAL deletion, not their nominal width
             # (the substr arithmetic already degrades safely; the count
-            # must match it). greatest(0, ...) guards spans entirely
-            # past the end.
+            # must match it): upper via least(x, len+1), LOWER via
+            # greatest(x, 1) — a span starting below 1 deletes only
+            # from position 1 (review r12 #2 caught the one-sided first
+            # cut). greatest(0, ...) guards spans entirely out of range.
             lambda acc, x: acc
             + F.greatest(
                 F.lit(0).cast("long"),
                 F.least(x["e"], F.col("__xend"))
-                - F.least(x["s"], F.col("__xend")),
+                - F.greatest(
+                    F.least(x["s"], F.col("__xend")), F.lit(1).cast("long")
+                ),
             ),
         ),
         F.lit(0).cast("long"),
