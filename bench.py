@@ -599,6 +599,12 @@ def main() -> None:
         "queries_cold": timings_cold,
         "total_cold": round(sum(timings_cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r12: simhash_neardup switched to EXACT combination blocking —
+        # the line buys exact candidate recall (returns the complete
+        # h<=6 pair set, 1.9x the rotation sweep's pairs at the same
+        # gate; planted recall 0.957 vs 0.847) at ~2x the r11 wall;
+        # the headline delta vs r11 is entirely this line (SCALE.md A/B)
+        "notes": "simhash_neardup r12: exact pair set, semantics-changed line",
     }
 
     # Flagship-pipeline scale tier (SPARK_GRAFT_POSTS=0 disables). Runs
