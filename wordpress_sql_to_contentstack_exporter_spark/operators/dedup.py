@@ -689,7 +689,7 @@ def simhash_neardups(
 def _equal_splits(bits: int, n: int) -> list[tuple[int, int]]:
     """(offset, width) for ``n`` near-equal slices of a ``bits``-wide
     value — the shared geometry of the pigeonhole families
-    (:func:`_simhash_blocks` delegates here)."""
+    (consumed via :func:`simhash_combo_tables`)."""
     base, extra = divmod(bits, n)
     out, off = [], 0
     for i in range(n):
@@ -699,14 +699,52 @@ def _equal_splits(bits: int, n: int) -> list[tuple[int, int]]:
     return out
 
 
+def simhash_combo_tables(
+    bits: int, max_hamming: int, combo_r: int, n_blocks: int | None = None
+) -> tuple[list[tuple[int, int]], list[tuple[int, ...]], list[int]]:
+    """The shared geometry of the combination blocking: (block splits,
+    combo subsets, first-intact-combo lookup). ONE definition consumed
+    by the Spark operator AND the generated DuckDB mirror of the
+    portable family, so the two sides cannot drift on block widths,
+    subset order, or the first-match rule."""
+    if combo_r < 1:
+        raise ValueError("combo_r >= 1 required")
+    if n_blocks is None:
+        n_blocks = max_hamming + combo_r
+    if n_blocks < max_hamming + combo_r:
+        raise ValueError(
+            f"n_blocks={n_blocks} < max_hamming+combo_r="
+            f"{max_hamming + combo_r}: the pigeonhole guarantee needs "
+            "at least combo_r intact blocks for any qualifying pair"
+        )
+    if n_blocks > 16:
+        # the first-match lookup is 2^n_blocks entries; 16 blocks = 64k
+        # ints is the sensible ceiling (and >16 blocks of a <=63-bit
+        # hash are under 4 bits wide — useless keys anyway)
+        raise ValueError("n_blocks must be <= 16")
+    from itertools import combinations
+
+    splits = _equal_splits(bits, n_blocks)
+    subsets = list(combinations(range(n_blocks), combo_r))
+    first_combo = [-1] * (1 << n_blocks)
+    for mask in range(1 << n_blocks):
+        for t, subset in enumerate(subsets):
+            if all(mask & (1 << b) for b in subset):
+                first_combo[mask] = t
+                break
+    return splits, subsets, first_combo
+
+
 def simhash_blocked_pairs_from_sigs(
     sigs: DataFrame,
     *,
+    bits: int = SIMHASH_BITS,
     max_hamming: int = 8,
     combo_r: int = 2,
     n_blocks: int | None = None,
     max_block_size: int | None = None,
     materialize: bool = True,
+    include_signatures: bool = False,
 ) -> DataFrame:
     """Near-dup pairs from (id, sh) rows with EXACT candidate recall:
     Manku-style combination blocking over the 63-bit signature.
@@ -751,37 +789,17 @@ def simhash_blocked_pairs_from_sigs(
     45-subset spread keeps genuine near-dups rare in hot buckets.
 
     Output: (id_a, id_b, hamming), id_a < id_b — the
-    ``simhash_pairs_from_sigs`` contract, so callers can swap schemes.
+    ``simhash_pairs_from_sigs`` contract, so callers can swap schemes;
+    ``include_signatures=True`` appends (sh_a, sh_b) for callers whose
+    contract carries the signatures (the portable gate).
     """
-    if combo_r < 1:
-        raise ValueError("combo_r >= 1 required")
-    if n_blocks is None:
-        n_blocks = max_hamming + combo_r
-    if n_blocks < max_hamming + combo_r:
-        raise ValueError(
-            f"n_blocks={n_blocks} < max_hamming+combo_r="
-            f"{max_hamming + combo_r}: the pigeonhole guarantee needs "
-            "at least combo_r intact blocks for any qualifying pair"
-        )
-    if n_blocks > 16:
-        # the first-match lookup is 2^n_blocks entries; 16 blocks = 64k
-        # ints is the sensible ceiling (and >16 blocks of a 63-bit hash
-        # are under 4 bits wide — useless keys anyway)
-        raise ValueError("n_blocks must be <= 16")
-    from itertools import combinations
-
-    splits = _equal_splits(SIMHASH_BITS, n_blocks)
-    subsets = list(combinations(range(n_blocks), combo_r))
     # first_combo[mask] = index of the first subset fully inside the
     # intact-block bitmask (bit b set <=> block b of sh_a^sh_b is
     # all-zero); -1 where no subset qualifies (only reachable past the
     # Hamming gate, which guarantees >= combo_r intact blocks)
-    first_combo = [-1] * (1 << n_blocks)
-    for mask in range(1 << n_blocks):
-        for t, subset in enumerate(subsets):
-            if all(mask & (1 << b) for b in subset):
-                first_combo[mask] = t
-                break
+    splits, subsets, first_combo = simhash_combo_tables(
+        bits, max_hamming, combo_r, n_blocks
+    )
     combos = []
     for t, subset in enumerate(subsets):
         key = None
@@ -813,6 +831,13 @@ def simhash_blocked_pairs_from_sigs(
             F.lit(1 << b),
         ).otherwise(F.lit(0))
         intact_mask = bit if intact_mask is None else intact_mask + bit
+    out_cols = [
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.bit_count(x).alias("hamming"),
+    ]
+    if include_signatures:
+        out_cols += [F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b")]
     return (
         left.join(
             right,
@@ -825,11 +850,7 @@ def simhash_blocked_pairs_from_sigs(
             F.col("l.t")
             == F.element_at(F.lit(first_combo), (intact_mask + 1).cast("int"))
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.bit_count(x).alias("hamming"),
-        )
+        .select(*out_cols)
     )
 
 
@@ -1601,67 +1622,18 @@ def minhash_portable_pairs(
 SIMHASH_PORTABLE_BITS = 60
 
 
-def _simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
-    """(offset, width) per block: ``max_hamming + 1`` near-equal splits
-    of the 60-bit simhash. Pigeonhole: two hashes within ``max_hamming``
-    differing bits agree on at least one block — EXACT candidate recall,
-    not probabilistic."""
-    return _equal_splits(SIMHASH_PORTABLE_BITS, max_hamming + 1)
 
 
-def simhash_portable_pairs(
+def simhash_portable_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    *,
-    max_hamming: int = 7,
-    max_block_size: int = 100,
-    materialize: bool = True,
 ) -> DataFrame:
-    """ENGINE-PORTABLE SimHash near-dup pairs with EXACT Hamming
-    semantics — the SimHash analogue of :func:`minhash_portable_pairs`:
-    md5-derived token hashes and integer bit arithmetic end-to-end, so
-    the per-document simhash values, the candidate blocks, and the
-    final pair set reproduce bit-for-bit in any engine. The xxhash64
-    family (:func:`simhash_neardups`) stays the throughput path; this
-    one is the hash-verifiable contract a cross-engine manifest stores.
-
-    Semantics (mirrored verbatim by the oracle):
-    1. tokens of the dedup family's normalized form, with TERM
-       FREQUENCY weights (classic Charikar simhash).
-    2. per token: a 60-bit hash from the first 15 hex chars of
-       ``md5('sh:' || token)`` (60 bits keeps every intermediate inside
-       a signed 64-bit long in both engines).
-    3. per document and bit j: ``s_j = sum(tf * (bit_j ? +1 : -1))``;
-       simhash bit j = 1 iff ``s_j > 0`` (ties -> 0 — exact integer
-       sums, so engines cannot disagree).
-    4. candidate blocks: ``max_hamming + 1`` near-equal bit slices
-       (pigeonhole => any pair within ``max_hamming`` agrees on >= 1
-       block — candidate recall is EXACT, unlike the probabilistic
-       banded families). Blocks holding more than ``max_block_size``
-       docs are dropped whole (boilerplate cap, part of the SEMANTICS).
-    5. verification: ``bit_count(xor(sh_a, sh_b)) <= max_hamming`` on
-       the deduped candidate set.
-
-    Plan shape at 100 TB: one (id, token) explode -> one tf aggregation
-    -> ONE hash aggregation computing all 60 bit-sums map-side (60
-    long sums — wide but single-pass); the block frame carries
-    (id, block_idx, block_val longs); the cap is aggregate + semi-join;
-    candidates dedupe BEFORE the two compact joins back to (id,
-    simhash); text never enters a shuffle.
-
-    Output: (id_a, id_b, hamming, simhash_a, simhash_b), id_a < id_b.
-    Documents with ZERO tokens (empty/whitespace-only/NULL text) have
-    no simhash and never pair — deliberate, shared with the shingle
-    families: an empty doc carries no similarity signal, all-empty
-    "clusters" are degenerate, and byte-identical empties are already
-    collapsed by exact_dedup's linear pass (the standard
-    exact-then-near pipeline order).
-    """
-    if not (1 <= max_hamming < SIMHASH_PORTABLE_BITS):
-        raise ValueError("max_hamming must be in [1, 60)")
-    if max_block_size < 2:
-        raise ValueError("max_block_size >= 2 required")
+    """The md5 60-bit SimHash signature build (id, sh) — steps 1-3 of
+    :func:`simhash_portable_pairs`'s documented semantics, factored out
+    so the pair operator and any persisted artifact share one
+    definition. One (id, token) explode -> one tf aggregation -> ONE
+    hash aggregation computing all 60 bit-sums map-side."""
     toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
@@ -1685,38 +1657,83 @@ def simhash_portable_pairs(
     for j in range(SIMHASH_PORTABLE_BITS):
         piece = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = piece if simhash is None else simhash + piece
-    sh = sums.select("id", simhash.cast("long").alias("sh"))
-    if materialize:
-        # sh feeds the block explode AND both verification joins
-        sh = sh.localCheckpoint(eager=False)
-    blocks = _simhash_blocks(max_hamming)
-    block_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("b"),
-                F.shiftright(F.col("sh"), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("v"),
-            )
-            for i, (off, w) in enumerate(blocks)
-        ]
+    return sums.select("id", simhash.cast("long").alias("sh"))
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 7,
+    combo_r: int = 2,
+    max_block_size: int = 100,
+    materialize: bool = True,
+) -> DataFrame:
+    """ENGINE-PORTABLE SimHash near-dup pairs with EXACT Hamming
+    semantics — the SimHash analogue of :func:`minhash_portable_pairs`:
+    md5-derived token hashes and integer bit arithmetic end-to-end, so
+    the per-document simhash values, the candidate blocks, and the
+    final pair set reproduce bit-for-bit in any engine. The xxhash64
+    family (:func:`simhash_neardups_blocked`) stays the throughput
+    path; this one is the hash-verifiable contract a cross-engine
+    manifest stores.
+
+    Semantics (mirrored verbatim by the generated oracle):
+    1. tokens of the dedup family's normalized form, with TERM
+       FREQUENCY weights (classic Charikar simhash).
+    2. per token: a 60-bit hash from the first 15 hex chars of
+       ``md5('sh:' || token)`` (60 bits keeps every intermediate inside
+       a signed 64-bit long in both engines).
+    3. per document and bit j: ``s_j = sum(tf * (bit_j ? +1 : -1))``;
+       simhash bit j = 1 iff ``s_j > 0`` (ties -> 0 — exact integer
+       sums, so engines cannot disagree).
+    4. candidates from the COMBINATION blocking (round 12, unified with
+       the throughput family): ``max_hamming + combo_r`` near-equal bit
+       slices, keys on every ``combo_r``-subset — pigeonhole gives
+       exact candidate recall at 12-14-bit keys instead of the round-11
+       single-slice scheme's 7-bit keys, which go quadratic on any
+       corpus beyond ~10k docs. (table, key) groups above
+       ``max_block_size`` drop whole, and a pair is emitted ONLY at its
+       first intact subset (integer lookup over the intact-block
+       bitmask) — so under capping a pair survives iff its FIRST intact
+       subset's bucket is under the cap: deterministic, engine-neutral
+       semantics both sides implement from the same generated tables
+       (``simhash_combo_tables``).
+    5. verification: ``bit_count(xor(sh_a, sh_b)) <= max_hamming``.
+
+    Plan shape at 100 TB: the keyed frame carries (id, sh, table, key)
+    longs; the cap is aggregate + semi-join; the self-join carries both
+    signatures so verification and first-match dedup are MAP-SIDE
+    filters — zero pair-level exchanges (the r12 headline design); text
+    never enters a shuffle.
+
+    Output: (id_a, id_b, hamming, simhash_a, simhash_b), id_a < id_b.
+    Documents with ZERO tokens (empty/whitespace-only/NULL text) have
+    no simhash and never pair — deliberate, shared with the shingle
+    families: an empty doc carries no similarity signal, all-empty
+    "clusters" are degenerate, and byte-identical empties are already
+    collapsed by exact_dedup's linear pass (the standard
+    exact-then-near pipeline order).
+    """
+    if not (1 <= max_hamming < SIMHASH_PORTABLE_BITS):
+        raise ValueError("max_hamming must be in [1, 60)")
+    if max_block_size < 2:
+        raise ValueError("max_block_size >= 2 required")
+    sh = simhash_portable_signatures(df, text_col, id_col)
+    out = simhash_blocked_pairs_from_sigs(
+        sh,
+        bits=SIMHASH_PORTABLE_BITS,
+        max_hamming=max_hamming,
+        combo_r=combo_r,
+        max_block_size=max_block_size,
+        materialize=materialize,
+        include_signatures=True,
     )
-    blocked = sh.select("id", F.explode(block_arr).alias("bb")).select(
-        "id", F.col("bb.b").alias("b"), F.col("bb.v").alias("v")
-    )
-    cand = _capped_candidate_pairs(blocked, ["b", "v"], max_block_size)
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            F.col("id_a").alias(f"{id_col}_a"),
-            F.col("id_b").alias(f"{id_col}_b"),
-            ham.cast("long").alias("hamming"),
-            F.col("sh_a").alias("simhash_a"),
-            F.col("sh_b").alias("simhash_b"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    return out.select(
+        F.col("id_a").alias(f"{id_col}_a"),
+        F.col("id_b").alias(f"{id_col}_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+        F.col("sh_a").alias("simhash_a"),
+        F.col("sh_b").alias("simhash_b"),
     )

@@ -7980,8 +7980,10 @@ ORDER BY doc_id
 
 # ONE home for the simhash gate's parameters: q_simhash_portable and the
 # generated oracle both read these, so a tune cannot drift the two sides
-# (review r11c #3; the block geometry already shares dd._simhash_blocks).
+# (review r11c #3; the block geometry/lookup additionally shares
+# dd.simhash_combo_tables since round 12).
 _SIMHASH_Q_MAX_HAMMING = 7
+_SIMHASH_Q_COMBO_R = 2
 _SIMHASH_Q_CAP = 200
 
 
@@ -8007,16 +8009,24 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_portable_pairs(
         corpus,
         max_hamming=_SIMHASH_Q_MAX_HAMMING,
+        combo_r=_SIMHASH_Q_COMBO_R,
         max_block_size=_SIMHASH_Q_CAP,
     ).orderBy("doc_id_a", "doc_id_b")
 
 
 def _simhash_portable_sql() -> str:
-    """The DuckDB mirror, generated: 60 bit-sum aggregates and the
-    8-block union are mechanical expansions of the same (offset, width)
-    splits the operator computes (dedup._simhash_blocks), so the two
-    sides cannot drift on block geometry."""
+    """The DuckDB mirror, generated: the 60 bit-sum aggregates, the
+    combination-blocking branches, the intact-block bitmask and the
+    first-intact-combo lookup are all mechanical expansions of the SAME
+    geometry tables the operator uses (``dd.simhash_combo_tables``), so
+    the two sides cannot drift on block widths, subset order, key
+    composition, or the first-match cap semantics (round 12 upgraded
+    the portable family from single 7-bit slices — quadratic beyond
+    ~10k docs — to the headline family's pair-of-slices keys)."""
     bits = dd.SIMHASH_PORTABLE_BITS
+    splits, subsets, first_combo = dd.simhash_combo_tables(
+        bits, _SIMHASH_Q_MAX_HAMMING, _SIMHASH_Q_COMBO_R
+    )
     sums = ",\n           ".join(
         f"sum(tf * (((h >> {j}) & 1) * 2 - 1))::BIGINT AS s{j}"
         for j in range(bits)
@@ -8025,10 +8035,26 @@ def _simhash_portable_sql() -> str:
         f"(CASE WHEN s{j} > 0 THEN 1::BIGINT << {j} ELSE 0::BIGINT END)"
         for j in range(bits)
     )
+
+    def key_expr(subset: tuple[int, ...]) -> str:
+        # mirrors the operator's fold: key = (key << w_b) | piece_b,
+        # spelled arithmetically (piece_b < 2^w_b, so | == +)
+        expr = None
+        for b in subset:
+            off, w = splits[b]
+            piece = f"((sh >> {off}) & {(1 << w) - 1})"
+            expr = piece if expr is None else f"({expr} * {1 << w} + {piece})"
+        return expr
+
     blocked = "\n    UNION ALL ".join(
-        f"SELECT doc_id, {i} AS b, (sh >> {off}) & {(1 << w) - 1} AS v FROM sh"
-        for i, (off, w) in enumerate(dd._simhash_blocks(_SIMHASH_Q_MAX_HAMMING))
+        f"SELECT doc_id, {t} AS t, {key_expr(subset)} AS v FROM sh"
+        for t, subset in enumerate(subsets)
     )
+    imask = "\n             + ".join(
+        f"(CASE WHEN (x >> {off}) & {(1 << w) - 1} = 0 THEN {1 << b} ELSE 0 END)"
+        for b, (off, w) in enumerate(splits)
+    )
+    lookup = ", ".join(str(v) for v in first_combo)
     return rf"""
 WITH corpus AS (
     SELECT doc_id, text FROM documents
@@ -8066,20 +8092,29 @@ WITH corpus AS (
 ), blocked AS MATERIALIZED (
     {blocked}
 ), small AS (
-    SELECT b, v FROM blocked GROUP BY 1, 2 HAVING count(*) <= {_SIMHASH_Q_CAP}
+    SELECT t, v FROM blocked GROUP BY 1, 2 HAVING count(*) <= {_SIMHASH_Q_CAP}
 ), bk AS (
-    SELECT blocked.* FROM blocked JOIN small USING (b, v)
+    SELECT blocked.* FROM blocked JOIN small USING (t, v)
 ), cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-    FROM bk a JOIN bk b2 ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+    -- one row per (pair, table): the first-match filter below keeps
+    -- exactly one, so no DISTINCT is needed (the operator's zero
+    -- pair-level-exchange design, mirrored)
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.t AS t
+    FROM bk a JOIN bk b2 ON a.t = b2.t AND a.v = b2.v AND a.doc_id < b2.doc_id
+), scored AS (
+    SELECT cand.id_a, cand.id_b, cand.t,
+           xor(sa.sh, sb.sh) AS x,
+           bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming,
+           sa.sh AS simhash_a, sb.sh AS simhash_b
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+    WHERE bit_count(xor(sa.sh, sb.sh)) <= {_SIMHASH_Q_MAX_HAMMING}
 )
-SELECT cand.id_a AS doc_id_a, cand.id_b AS doc_id_b,
-       bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming,
-       sa.sh AS simhash_a, sb.sh AS simhash_b
-FROM cand
-JOIN sh sa ON sa.doc_id = cand.id_a
-JOIN sh sb ON sb.doc_id = cand.id_b
-WHERE bit_count(xor(sa.sh, sb.sh)) <= {_SIMHASH_Q_MAX_HAMMING}
+SELECT id_a AS doc_id_a, id_b AS doc_id_b, hamming, simhash_a, simhash_b
+FROM scored
+WHERE t = ([{lookup}])[
+          ({imask}) + 1]
 ORDER BY doc_id_a, doc_id_b
 """
 
