@@ -1,0 +1,222 @@
+"""Round-12 additions: the portable sign-plane LSH top-k and the
+distributed exact-contract Lloyd k-means.
+
+Both operators' REAL gate is the DuckDB oracle (registry entries
+``ann_lsh_portable`` / ``kmeans_lloyd``, hash-compared by the driver);
+these tests pin the properties the oracle cannot see — agreement with
+an independent plain-Python reference (different evaluation substrate,
+same contract), recall against the exact path, determinism across
+re-runs, and the Lloyd descent invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+SCALE = 2**20
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+
+
+def _pyvecs(vectors) -> dict[int, list[float]]:
+    return {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in vectors.collect()
+    }
+
+
+def _sgn(t: int, p: int, d: int) -> int:
+    return 1 if hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[0] in "89abcdef" else -1
+
+
+def _py_bucket(v: list[float], t: int, num_planes: int) -> str:
+    bits = []
+    for p in range(num_planes):
+        acc = 0
+        for d, x in enumerate(v):
+            acc += _sgn(t, p, d) * math.floor(float(x) * SCALE)
+        bits.append("1" if acc >= 0 else "0")
+    return "".join(bits)
+
+
+def test_sign_planes_match_hashlib_reference():
+    planes = sim.portable_sign_planes(2, 3, 5)
+    for t in range(2):
+        for p in range(3):
+            for d in range(5):
+                assert planes[t][p][d] == _sgn(t, p, d)
+                assert planes[t][p][d] in (-1, 1)
+
+
+def test_lsh_portable_topk_properties(spark, vectors):
+    dim = len(vectors.select("embedding").first()["embedding"])
+    q = vectors.filter(F.col("vec_id") < 5)
+    out = sim.lsh_topk_portable(q, vectors, dim=dim, k=5).collect()
+    pv = _pyvecs(vectors)
+
+    # every returned neighbor genuinely collides with its query in >= 1
+    # table under the plain-Python bucket definition (the cross-engine
+    # contract re-derived on a third substrate)
+    for r in out:
+        qid, nid = int(r["query_id"]), int(r["neighbor_id"])
+        assert qid != nid
+        assert any(
+            _py_bucket(pv[qid], t, 4) == _py_bucket(pv[nid], t, 4)
+            for t in range(8)
+        ), (qid, nid)
+
+    # ranks are 1..n contiguous per query, ordered by descending cosine
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [int(r["rank"]) for r in rows] == list(range(1, len(rows) + 1))
+        sims = [float(r["cos_sim"]) for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) <= 5
+
+
+def test_lsh_portable_recall_floor_vs_exact(spark, vectors):
+    """Measured recall@5 of the shipped 4x8 sign-plane geometry vs the
+    exact brute-force top-5, on the sf0.001 fixture (500 Gaussian
+    vectors): measured 0.72 at authoring time (0.73 at sf0.01, 0.75 at
+    sf0.1 — on par with the Gaussian-plane lsh_gate's 0.73, i.e. the
+    ±1 sign degradation costs nothing at this geometry); pinned at 0.6
+    so a plane-family regression trips loudly while normal fixture
+    drift does not."""
+    dim = len(vectors.select("embedding").first()["embedding"])
+    q = vectors.filter(F.col("vec_id") < 20)
+    approx = sim.lsh_topk_portable(q, vectors, dim=dim, k=5).collect()
+    exact = sim.cosine_topk(q, vectors, k=5).collect()
+    ap = {(int(r["query_id"]), int(r["neighbor_id"])) for r in approx}
+    ex = {(int(r["query_id"]), int(r["neighbor_id"])) for r in exact}
+    recall = len(ap & ex) / len(ex)
+    assert recall >= 0.6, recall
+
+
+def test_lsh_portable_is_deterministic(spark, vectors):
+    dim = len(vectors.select("embedding").first()["embedding"])
+    q = vectors.filter(F.col("vec_id") < 5)
+
+    def snap():
+        return sorted(
+            (int(r["query_id"]), int(r["neighbor_id"]), int(r["rank"]), float(r["cos_sim"]))
+            for r in sim.lsh_topk_portable(q, vectors, dim=dim, k=5).collect()
+        )
+
+    assert snap() == snap()
+
+
+def _py_lloyd(pv: dict[int, list[float]], k: int, iters: int):
+    """Plain-Python replica of the exact contract: sequential dot folds,
+    integer-scaled centroid sums, (dist, cluster) lexicographic argmin.
+    Every arithmetic step mirrors the operator's, so agreement is exact
+    — not approximate — by construction."""
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cents = {j: (list(pv[j]), dot(pv[j], pv[j])) for j in sorted(pv) if j < k}
+
+    def assign():
+        out = {}
+        for vid, v in pv.items():
+            vv = dot(v, v)
+            best = None
+            for j, (c, cc) in sorted(cents.items()):
+                dist = (vv - 2.0 * dot(v, c)) + cc
+                key = (dist, j)
+                if best is None or key < best:
+                    best = key
+            out[vid] = best
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums: dict[int, list[int]] = {}
+        ns: dict[int, int] = {}
+        for vid, (_, j) in a.items():
+            sv = [math.floor(x * SCALE) for x in pv[vid]]
+            if j not in sums:
+                sums[j] = [0] * len(sv)
+                ns[j] = 0
+            ns[j] += 1
+            for d, s in enumerate(sv):
+                sums[j][d] += s
+        cents = {}
+        for j, s in sums.items():
+            c = [float(x) / ns[j] / float(SCALE) for x in s]
+            cents[j] = (c, dot(c, c))
+    return assign()
+
+
+def test_kmeans_matches_python_reference_exactly(spark, vectors):
+    pv = _pyvecs(vectors)
+    ref = _py_lloyd(pv, k=8, iters=2)
+    got = {
+        int(r["vec_id"]): (float(r["sq_dist"]), int(r["cluster"]))
+        for r in sim.kmeans_lloyd_distributed(vectors, k=8, iters=2).collect()
+    }
+    assert set(got) == set(ref)
+    for vid in ref:
+        assert got[vid][1] == ref[vid][1], vid
+        # bit-identical distances: both substrates run the same
+        # correctly-rounded op sequence on the same operands
+        assert got[vid][0] == ref[vid][0], vid
+
+
+def test_kmeans_descends_and_is_deterministic(spark, vectors):
+    def mean_dist(iters: int) -> float:
+        rows = sim.kmeans_lloyd_distributed(vectors, k=8, iters=iters).collect()
+        return sum(float(r["sq_dist"]) for r in rows) / len(rows)
+
+    d0, d2 = mean_dist(0), mean_dist(2)
+    # Lloyd descent; the 2^-20 centroid quantization can cost at most a
+    # hair, so allow an epsilon rather than asserting strict decrease
+    assert d2 <= d0 + 1e-6, (d0, d2)
+
+    a = sorted(
+        (int(r["vec_id"]), int(r["cluster"]))
+        for r in sim.kmeans_lloyd_distributed(vectors, k=8, iters=2).collect()
+    )
+    b = sorted(
+        (int(r["vec_id"]), int(r["cluster"]))
+        for r in sim.kmeans_lloyd_distributed(vectors, k=8, iters=2).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_partitioning_invariance(spark, vectors):
+    """The exact integer-sum contract's whole point: assignments and
+    distances must be identical under a different physical partitioning
+    (combine-order wobble in a naive double-avg update would flip
+    boundary assignments by iteration 2)."""
+    one = vectors.coalesce(1)
+    many = vectors.repartition(7)
+    ra = sorted(
+        (int(r["vec_id"]), int(r["cluster"]), float(r["sq_dist"]))
+        for r in sim.kmeans_lloyd_distributed(one, k=8, iters=2).collect()
+    )
+    rb = sorted(
+        (int(r["vec_id"]), int(r["cluster"]), float(r["sq_dist"]))
+        for r in sim.kmeans_lloyd_distributed(many, k=8, iters=2).collect()
+    )
+    assert ra == rb

@@ -295,6 +295,11 @@ _H_UNIQUE_TIEBREAKERS = {
     "doc_id", "event_id", "vec_id", "bench_id", "neighbor_id",
     "o_orderkey", "c_custkey", "l_linenumber", "idx", "i", "pos",
     "term", "path", "domain",
+    # kmeans_lloyd's assignment windows partition by vec_id over the
+    # e CROSS JOIN centroids frame: exactly one row per (vec_id,
+    # cluster) by construction, so cluster is row-unique within every
+    # partition it tiebreaks (audited r12)
+    "cluster",
 }
 _H_RANK_LIKE = {"rank", "dense_rank", "percent_rank", "cume_dist"}
 _H_PLAIN_AGGS = {"sum", "count", "min", "max", "avg"}

@@ -972,6 +972,37 @@ def main() -> int:
         ("document text never enters a shuffle", no_text_in_exchange),
     )
 
+    # ann_lsh_portable (round 12): the compact-bucket discipline — the
+    # bucket self-join exchanges (id, table, bit-string) keys only;
+    # vectors must never ride a HASH exchange (they join back by id
+    # AFTER the deduped pair set; the tiny query side broadcasts), and
+    # there is no cartesian anywhere.
+    lshp_plan = plan_of(
+        _simo.lsh_topk_portable(
+            emb.filter("vec_id < 5"), emb, dim=64, k=5
+        )
+    )
+    check_plan(
+        "ann_lsh_portable",
+        lshp_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
+        ("vectors never ride a hash exchange", no_vec_in_hash_exchange),
+    )
+    # kmeans_lloyd (round 12): assignment is MAP-ONLY — centroids are
+    # driver-side literals, so the returned frame's plan has NO join and
+    # NO exchange at all (updates ran as separate bounded jobs; the
+    # final frame is scan + project).
+    km_plan = plan_of(
+        _simo.kmeans_lloyd_distributed(emb, k=8, iters=0)
+    )
+    check_plan(
+        "kmeans_lloyd",
+        km_plan,
+        ("assignment is map-only (no exchange)", r"\A(?s:(?!.*Exchange).*)\Z"),
+        ("no join in assignment", r"\A(?s:(?!.*Join).*)\Z"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

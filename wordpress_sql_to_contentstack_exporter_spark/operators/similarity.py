@@ -1313,3 +1313,273 @@ def semantic_decontaminate(
         .otherwise(F.lit(0))
         .alias("contaminated"),
     )
+
+
+def portable_sign_planes(
+    num_tables: int, num_planes: int, dim: int
+) -> list[list[list[int]]]:
+    """±1 hyperplanes derived from md5 — the ENGINE-PORTABLE plane
+    family (the minhash_portable discipline applied to hyperplane LSH).
+
+    Gaussian planes (``_lsh_planes``) live only as driver-side float
+    literals: no other engine can re-derive them, so LSH results are
+    checkable only by recall statistics. Sign planes sidestep that:
+    plane value for (table t, plane p, dim d) is ``+1`` iff the first
+    hex digit of ``md5("t:p:d")`` has its high bit set, else ``-1`` —
+    a definition ANY engine with an md5 reproduces symbol-for-symbol
+    (DuckDB: ``substr(md5(t || ':' || p || ':' || d), 1, 1)``). Sign
+    projections are the classic SRP degradation: E[cos angle] is
+    unchanged, variance slightly above Gaussian planes; recall is
+    re-measured per-round by the registry evidence block rather than
+    assumed.
+    """
+    import hashlib
+
+    def sgn(t: int, p: int, d: int) -> int:
+        first = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[0]
+        return 1 if first in "89abcdef" else -1
+
+    return [
+        [[sgn(t, p, d) for d in range(dim)] for p in range(num_planes)]
+        for t in range(num_tables)
+    ]
+
+
+def lsh_topk_portable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    dim: int,
+    num_tables: int = 8,
+    num_planes: int = 4,
+    k: int = 5,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH approximate top-k whose ENTIRE result — buckets,
+    candidate set, cosines, ranks — reproduces bit-for-bit in any
+    engine with an md5, making approximate NN hash-verifiable for the
+    first time in this registry (every prior ANN gate was rows-only).
+
+    Two exactness devices compose:
+
+    1. planes are md5-derived ±1 signs (:func:`portable_sign_planes`);
+    2. the projection is an INTEGER: each component is floored at
+       ``2**scale_bits`` (exact float->double widening, exact
+       power-of-two multiply, exact floor — the embedding_centroids
+       contract), so the per-plane accumulator is an exact long sum
+       and the bucket bit ``acc >= 0`` is an integer comparison, never
+       a float sign at a rounding boundary.
+
+    The verify stage is the proven ``cosine`` tree (ann_cosine_topk's
+    oracle-green fold) ranked with the key-unique
+    ``(cos_sim DESC, neighbor_id)`` window.
+
+    Plan shape at 100 TB: signatures are per-row expressions (map-side,
+    whole-stage); the bucket frame carries (id, table, bit-string) ONLY
+    — vectors do NOT ride the bucket exchange (unlike ``lsh_topk``,
+    which carries them; at billions of rows the T-way explode would
+    multiply vector payload by T) — the deduped candidate pairs join
+    vectors back by id. One shuffle on ~10-byte keys, one on the pair
+    ids.
+    """
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    if dim < 1:
+        raise ValueError("dim >= 1 required (caller short-circuits empty tables)")
+    planes = portable_sign_planes(num_tables, num_planes, dim)
+    scale = F.lit(float(2**scale_bits))
+
+    def buckets_expr() -> Column:
+        # sv let-bound: the scaled array is referenced by T*P aggregate
+        # folds — unbound it would re-floor the vector per fold term
+        # (the O(n^2) HOF hazard, functions/expr.let)
+        from ..functions.expr import let
+
+        def body(sv: Column) -> Column:
+            tables = []
+            for t in range(num_tables):
+                bits = []
+                for p in range(num_planes):
+                    signs = F.array(
+                        *[F.lit(int(s)) for s in planes[t][p]]
+                    )
+                    acc = F.aggregate(
+                        F.zip_with(sv, signs, lambda x, y: x * y),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    )
+                    bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
+                tables.append(
+                    F.struct(
+                        F.lit(t).cast("long").alias("t"),
+                        F.concat(*bits).alias("bucket"),
+                    )
+                )
+            return F.array(*tables)
+
+        return let(
+            F.transform(
+                _as_double(F.col("__vec")), lambda x: F.floor(x * scale)
+            ),
+            body,
+        )
+
+    def bucket_frame(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id), F.col(vec_col).alias("__vec")
+            )
+            .select(out_id, F.explode(buckets_expr()).alias("__b"))
+            .select(out_id, F.col("__b.t").alias("t"), F.col("__b.bucket").alias("bucket"))
+        )
+
+    qb = bucket_frame(queries, "query_id")
+    cb = bucket_frame(candidates, "neighbor_id")
+    cand = (
+        qb.join(
+            cb,
+            (qb["t"] == cb["t"])
+            & (qb["bucket"] == cb["bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def kmeans_lloyd_distributed(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Lloyd's k-means as a DISTRIBUTED DataFrame loop with an exact
+    cross-engine contract — the registry's first hash-verifiable
+    ITERATIVE algorithm (kcore/pagerank stay rows-only; their float
+    state drifts per engine, this one cannot):
+
+    - init: the ``k`` vectors with the smallest ids (deterministic, no
+      RNG — both engines pick the identical seed set);
+    - assignment: argmin over ``||v||^2 - 2 v·c + ||c||^2`` with the
+      proven sequential dot fold; ties (exact-duplicate centroids)
+      break on cluster id via struct-min — the same total order as the
+      oracle's ``ORDER BY dist, cluster`` window;
+    - update: :func:`embedding_centroids`' exact integer-sum contract —
+      per-dimension ``floor(v * 2^scale_bits)`` longs summed exactly,
+      divided once in fixed order (sum / n / 2^bits) — so the new
+      centroids are bit-identical REGARDLESS of partitioning, which is
+      what makes an iterative float algorithm oracle-able at all: any
+      combine-order wobble in iteration 1 would amplify through
+      assignment flips by iteration N.
+
+    Plan shape at 100 TB (the Spark-ML-KMeans shape): centroids are a
+    k x dim driver-side bounded fit (the quantizer-sample discipline)
+    embedded as literals, so ASSIGNMENT IS MAP-ONLY — no shuffle, no
+    join; each update is ONE exchange of (cluster, dim, long) triples
+    with map-side combine (|k| x dims rows per mapper, independent of
+    input rows). ``iters`` update steps -> ``iters`` small jobs, then
+    the returned frame computes the final assignment lazily.
+
+    A cluster that loses every member simply drops out of the next
+    centroid set (mirrored by the oracle's inner groupBy); callers that
+    need constant k re-seed explicitly.
+
+    Output: (id_col, cluster, sq_dist) — sq_dist is the mirrored
+    squared-distance tree, emitted unrounded per the float discipline.
+    """
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = (
+        df.select(
+            F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__vv", dot(F.col("__v"), F.col("__v")))
+        .localCheckpoint(eager=False)  # scanned once; reused by every job
+    )
+
+    def collect_cents(frame: DataFrame) -> list[tuple[int, list[float], float]]:
+        rows = frame.collect()
+        return [(int(r["cluster"]), list(r["__c"]), float(r["__cc"])) for r in rows]
+
+    cents = collect_cents(
+        e.filter(F.col("__vid") < k).select(
+            F.col("__vid").cast("long").alias("cluster"),
+            F.col("__v").alias("__c"),
+            F.col("__vv").alias("__cc"),
+        )
+    )
+
+    def argmin_struct(cent_list) -> Column:
+        # centroid literals ride the plan (broadcast by closure); the
+        # struct-min is (dist, cluster) lexicographic = the oracle's
+        # ORDER BY dist, cluster LIMIT 1
+        structs = [
+            F.struct(
+                (
+                    (
+                        F.col("__vv")
+                        - F.lit(2.0)
+                        * dot(
+                            F.col("__v"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        )
+                    )
+                    + F.lit(float(cc))
+                ).alias("sq_dist"),
+                F.lit(int(j)).cast("long").alias("cluster"),
+            )
+            for j, c, cc in cent_list
+        ]
+        return F.array_min(F.array(*structs))
+
+    for _ in range(iters):
+        assigned = e.select(
+            argmin_struct(cents)["cluster"].alias("cluster"), "__v"
+        )
+        stats = embedding_centroids(
+            assigned, group_col="cluster", vec_col="__v", scale_bits=scale_bits
+        )
+        arrs = stats.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("centroid")))),
+                lambda x: x["centroid"],
+            ).alias("__c")
+        )
+        cents = collect_cents(
+            arrs.withColumn("__cc", dot(F.col("__c"), F.col("__c")))
+        )
+
+    final = e.select(F.col("__vid"), argmin_struct(cents).alias("__m"))
+    return final.select(
+        F.col("__vid").alias(id_col),
+        F.col("__m.cluster").alias("cluster"),
+        F.col("__m.sq_dist").alias("sq_dist"),
+    )

@@ -2581,6 +2581,171 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with the md5 sign-plane family
+    (operators/similarity.lsh_topk_portable) — the first ORACLE-BACKED
+    approximate-NN gate: buckets come from exact integer sign sums of
+    md5-derived ±1 planes, so DuckDB reproduces the entire approximate
+    result (candidate set, cosines, ranks) bit-for-bit. Same validated
+    4-planes x 8-tables geometry as ann_lsh_topk; recall vs the exact
+    path is measured by the evidence block and unit-pinned."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos_sim double"
+        )
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.lsh_topk_portable(q, e, dim=dim, num_tables=8, num_planes=4, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+# Mirrors lsh_topk_portable symbol-for-symbol: sign = high bit of the
+# first hex digit of md5("t:p:d") (t=table, p=plane, d=0-based dim);
+# component quantization floor(v * 2^20) (family-A floor form); bucket
+# bits from EXACT integer sums; verify with the ann_cosine fold; rank
+# window key-unique on (cos_sim DESC, neighbor_id).
+SQL_ANN_LSH_PORTABLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p0 AS (
+    SELECT vec_id,
+           [{'d': i - 1, 'sv': CAST(floor(v[i] * 1048576) AS BIGINT)}
+            for i in range(1, len(v) + 1)] AS pairs
+    FROM e
+), ex AS (
+    SELECT vec_id, unnest(pairs, recursive := true) FROM p0
+), tp AS (
+    SELECT t, p, d,
+           CASE WHEN substr(md5(CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR)
+                                 || ':' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END AS sgn
+    FROM (SELECT unnest(range(0, 8)) AS t),
+         (SELECT unnest(range(0, 4)) AS p),
+         (SELECT DISTINCT d FROM ex) dims
+), acc AS (
+    SELECT ex.vec_id, tp.t, tp.p, sum(tp.sgn * ex.sv)::BIGINT AS a
+    FROM ex JOIN tp USING (d)
+    GROUP BY ex.vec_id, tp.t, tp.p
+), bkt AS (
+    SELECT vec_id, t,
+           max(CASE WHEN p = 0 THEN b END) || max(CASE WHEN p = 1 THEN b END)
+             || max(CASE WHEN p = 2 THEN b END) || max(CASE WHEN p = 3 THEN b END)
+             AS bucket
+    FROM (SELECT vec_id, t, p, CASE WHEN a >= 0 THEN '1' ELSE '0' END AS b FROM acc)
+    GROUP BY vec_id, t
+), cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bkt q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
+    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+), s AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cos_sim
+    FROM cand
+    JOIN e a ON a.vec_id = cand.query_id
+    JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM s
+) WHERE rank <= 5
+"""
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, k=8, 2 update iterations, deterministic
+    lowest-id init (operators/similarity.kmeans_lloyd_distributed) — the
+    registry's first hash-verified ITERATIVE algorithm: the exact
+    integer-sum centroid contract keeps every iteration bit-identical
+    across engines and partitionings, so the DuckDB mirror replays the
+    same two iterations as a CTE chain and must land on the identical
+    final assignment and squared distance."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(sf_dir)
+    if dim == 0:
+        return spark.createDataFrame([], "vec_id long, cluster long, sq_dist double")
+    out = sim.kmeans_lloyd_distributed(e, k=8, iters=2)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "cluster", "sq_dist")
+
+
+# Mirrors kmeans_lloyd_distributed iteration-for-iteration. Distance
+# tree parenthesized exactly as the Spark expression:
+# (vv - 2.0 * dot(v, c)) + cc, all folds sequential; centroid update is
+# the embedding_centroids contract (exact long sums of floor(v * 2^20),
+# one fixed division order sum/n/2^20); assignment windows are
+# key-unique on (dist, cluster).
+SQL_KMEANS_LLOYD = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+    FROM embeddings
+), p0 AS (
+    SELECT vec_id,
+           [{'d': i - 1, 'sv': CAST(floor(v[i] * 1048576) AS BIGINT)}
+            for i in range(1, len(v) + 1)] AS pairs
+    FROM e
+), ex AS (
+    SELECT vec_id, unnest(pairs, recursive := true) FROM p0
+), c0 AS (
+    SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c, vv AS cc
+    FROM e WHERE vec_id < 8
+), d1 AS (
+    SELECT e.vec_id, c0.cluster,
+           (e.vv - 2.0 * list_dot_product(e.v, c0.c)) + c0.cc AS dist
+    FROM e CROSS JOIN c0
+), a1 AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d1
+    ) WHERE rn = 1
+), m1 AS (
+    SELECT a1.cluster, ex.d, sum(ex.sv)::BIGINT AS s, count(*) AS n
+    FROM a1 JOIN ex USING (vec_id)
+    GROUP BY a1.cluster, ex.d
+), c1 AS (
+    SELECT cluster, list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY d) AS c
+    FROM m1 GROUP BY cluster
+), c1x AS (
+    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c1
+), d2 AS (
+    SELECT e.vec_id, c1x.cluster,
+           (e.vv - 2.0 * list_dot_product(e.v, c1x.c)) + c1x.cc AS dist
+    FROM e CROSS JOIN c1x
+), a2 AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d2
+    ) WHERE rn = 1
+), m2 AS (
+    SELECT a2.cluster, ex.d, sum(ex.sv)::BIGINT AS s, count(*) AS n
+    FROM a2 JOIN ex USING (vec_id)
+    GROUP BY a2.cluster, ex.d
+), c2 AS (
+    SELECT cluster, list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY d) AS c
+    FROM m2 GROUP BY cluster
+), c2x AS (
+    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c2
+), d3 AS (
+    SELECT e.vec_id, c2x.cluster,
+           (e.vv - 2.0 * list_dot_product(e.v, c2x.c)) + c2x.cc AS dist
+    FROM e CROSS JOIN c2x
+)
+SELECT vec_id, cluster, dist AS sq_dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d3
+) WHERE rn = 1
+"""
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit sequence packing of documents into 512-token packs
     (LLM pretraining batch shaping); modulo sharding here so the DuckDB
@@ -8713,6 +8878,8 @@ SPARK_QUERIES = {
     # clamp — all ADVICE r11) ---
     "incremental_neardup_portable": q_incremental_neardup_portable,
     "curation_capstone": q_curation_capstone,
+    "ann_lsh_portable": q_ann_lsh_portable,
+    "kmeans_lloyd": q_kmeans_lloyd,
     "simhash_portable": q_simhash_portable,
     "leakage_safe_split": q_leakage_safe_split,
     "span_excise": q_span_excise,
@@ -8770,12 +8937,12 @@ SPARK_QUERIES = {
     "url_normalize": q_url_normalize,
     "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
-    "winsorize": q_winsorize,
-    "time_rollup": q_time_rollup,
     # --- oracle-backed, OUTSIDE the round-12 window ---
     # rotated out in r12 (all driver-green r11 on code untouched
-    # since); these SEVEN plus the nine rows-only r11 first-contacts
-    # below fund the sixteen new slots (2 additions + 14 rows-only):
+    # since); these NINE plus the nine rows-only r11 first-contacts
+    # below fund the eighteen new slots (4 additions + 14 rows-only):
+    "winsorize": q_winsorize,
+    "time_rollup": q_time_rollup,
     "incremental_dedup": q_incremental_dedup,
     "html_text": q_html_text,
     "windowed_dedup": q_windowed_dedup,
@@ -9001,6 +9168,8 @@ ORACLE_SQL = {
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "ann_cosine_topk": SQL_ANN_COSINE,
+    "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
+    "kmeans_lloyd": SQL_KMEANS_LLOYD,
     # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
     "sequence_packing": SQL_SEQUENCE_PACKING,
