@@ -989,6 +989,22 @@ def main() -> int:
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
         ("vectors never ride a hash exchange", no_vec_in_hash_exchange),
     )
+    # ann_ivf_portable (round 12): the probe is an EQUI-join on the
+    # cell id (the IVF inverted-list scan) with the tiny probe side
+    # broadcast — never a cartesian/nested-loop; corpus vectors join
+    # back only for the per-candidate verify.
+    ivfp_plan = plan_of(
+        _simo.ivf_topk_portable(
+            emb.filter("vec_id < 5"), emb, kcells=8, iters=2, nprobe=2, k=5
+        )
+    )
+    check_plan(
+        "ann_ivf_portable",
+        ivfp_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
+        ("probe side broadcast", r"BroadcastHashJoin"),
+    )
     # kmeans_lloyd (round 12): assignment is MAP-ONLY — centroids are
     # driver-side literals, so the returned frame's plan has NO join and
     # NO exchange at all (updates ran as separate bounded jobs; the

@@ -1515,15 +1515,76 @@ def kmeans_lloyd_distributed(
     """
     if k < 1:
         raise ValueError("k >= 1 required")
-    if iters < 0:
-        raise ValueError("iters >= 0 required")
-    e = (
+    e = _kmeans_frame(df, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_centroid_list(
+        e, k=k, iters=iters, scale_bits=scale_bits, prepared=True
+    )
+    final = e.select(F.col("__vid"), _dist_argmin_struct(cents).alias("__m"))
+    return final.select(
+        F.col("__vid").alias(id_col),
+        F.col("__m.cluster").alias("cluster"),
+        F.col("__m.sq_dist").alias("sq_dist"),
+    )
+
+
+def _kmeans_frame(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+    """(__vid, __v double-array, __vv) — checkpointed once, reused by
+    every k-means/IVF job against the same input."""
+    return (
         df.select(
             F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
         )
         .withColumn("__vv", dot(F.col("__v"), F.col("__v")))
-        .localCheckpoint(eager=False)  # scanned once; reused by every job
+        .localCheckpoint(eager=False)
     )
+
+
+def _dist_argmin_struct(cent_list) -> Column:
+    """min over centroid literals of struct((vv - 2 v·c) + cc, cluster)
+    — (dist, cluster) lexicographic = the oracle's ORDER BY dist,
+    cluster LIMIT 1. Expects the :func:`_kmeans_frame` columns."""
+    return F.array_min(F.array(*_dist_structs(cent_list)))
+
+
+def _dist_structs(cent_list) -> list[Column]:
+    return [
+        F.struct(
+            (
+                (
+                    F.col("__vv")
+                    - F.lit(2.0)
+                    * dot(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    )
+                )
+                + F.lit(float(cc))
+            ).alias("sq_dist"),
+            F.lit(int(j)).cast("long").alias("cluster"),
+        )
+        for j, c, cc in cent_list
+    ]
+
+
+def kmeans_centroid_list(
+    df: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prepared: bool = False,
+) -> list[tuple[int, list[float], float]]:
+    """The Lloyd loop of :func:`kmeans_lloyd_distributed`, returning the
+    final centroids as a driver-side bounded fit (k x dim — the
+    quantizer-sample discipline): (cluster, centroid, ||centroid||^2)
+    triples whose every float is bit-identical across engines and
+    partitionings (exact integer-sum updates). Shared by the k-means
+    gate and the portable IVF index."""
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = df if prepared else _kmeans_frame(df, id_col=id_col, vec_col=vec_col)
 
     def collect_cents(frame: DataFrame) -> list[tuple[int, list[float], float]]:
         rows = frame.collect()
@@ -1536,33 +1597,9 @@ def kmeans_lloyd_distributed(
             F.col("__vv").alias("__cc"),
         )
     )
-
-    def argmin_struct(cent_list) -> Column:
-        # centroid literals ride the plan (broadcast by closure); the
-        # struct-min is (dist, cluster) lexicographic = the oracle's
-        # ORDER BY dist, cluster LIMIT 1
-        structs = [
-            F.struct(
-                (
-                    (
-                        F.col("__vv")
-                        - F.lit(2.0)
-                        * dot(
-                            F.col("__v"),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                        )
-                    )
-                    + F.lit(float(cc))
-                ).alias("sq_dist"),
-                F.lit(int(j)).cast("long").alias("cluster"),
-            )
-            for j, c, cc in cent_list
-        ]
-        return F.array_min(F.array(*structs))
-
     for _ in range(iters):
         assigned = e.select(
-            argmin_struct(cents)["cluster"].alias("cluster"), "__v"
+            _dist_argmin_struct(cents)["cluster"].alias("cluster"), "__v"
         )
         stats = embedding_centroids(
             assigned, group_col="cluster", vec_col="__v", scale_bits=scale_bits
@@ -1576,10 +1613,84 @@ def kmeans_lloyd_distributed(
         cents = collect_cents(
             arrs.withColumn("__cc", dot(F.col("__c"), F.col("__c")))
         )
+    return cents
 
-    final = e.select(F.col("__vid"), argmin_struct(cents).alias("__m"))
-    return final.select(
-        F.col("__vid").alias(id_col),
-        F.col("__m.cluster").alias("cluster"),
-        F.col("__m.sq_dist").alias("sq_dist"),
+
+def ivf_topk_portable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    kcells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k on the exact-contract coarse quantizer —
+    the third portable-ANN member (LSH buckets, k-means cells, IVF
+    probe): because :func:`kmeans_centroid_list` is bit-identical
+    cross-engine, the cell assignment, the probe set, and therefore the
+    ENTIRE approximate result are hash-verifiable; the xxhash-era IVF
+    (``ivf_topk``, numpy Lloyd on a driver sample) stays the throughput
+    path, this is the verifiable one.
+
+    Semantics (mirrored by the oracle CTE chain): train k-means
+    (``kcells``, ``iters``) on the candidate corpus; each corpus vector
+    lives in its argmin cell; each query probes its ``nprobe`` nearest
+    cells (by the same (dist, cluster) total order); exact cosine
+    re-rank inside the probed cells.
+
+    Plan shape at 100 TB: cell assignment is MAP-ONLY (centroid
+    literals); the probe is ONE equi-join on the cell id — the classic
+    IVF inverted-list scan, reading |corpus|/kcells * nprobe of the
+    data per query batch instead of all of it; vectors ride only the
+    final per-candidate verify.
+    """
+    if not (1 <= nprobe <= kcells):
+        raise ValueError("1 <= nprobe <= kcells required")
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    c_frame = _kmeans_frame(candidates, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_centroid_list(
+        c_frame, k=kcells, iters=iters, scale_bits=scale_bits, prepared=True
+    )
+    cells = c_frame.select(
+        F.col("__vid").alias("neighbor_id"),
+        _dist_argmin_struct(cents)["cluster"].alias("cluster"),
+    )
+    q_frame = _kmeans_frame(queries, id_col=id_col, vec_col=vec_col)
+    probes = q_frame.select(
+        F.col("__vid").alias("query_id"),
+        F.explode(
+            F.slice(F.array_sort(F.array(*_dist_structs(cents))), 1, nprobe)
+        ).alias("__p"),
+    ).select("query_id", F.col("__p.cluster").alias("cluster"))
+    cand = (
+        cells.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

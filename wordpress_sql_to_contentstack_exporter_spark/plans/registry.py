@@ -2679,8 +2679,9 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (vv - 2.0 * dot(v, c)) + cc, all folds sequential; centroid update is
 # the embedding_centroids contract (exact long sums of floor(v * 2^20),
 # one fixed division order sum/n/2^20); assignment windows are
-# key-unique on (dist, cluster).
-SQL_KMEANS_LLOYD = """
+# key-unique on (dist, cluster). The chain through d3 (distances to the
+# final centroids) is shared with the portable IVF oracle.
+_SQL_KMEANS_CHAIN = """
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
@@ -2738,11 +2739,72 @@ WITH e AS (
            (e.vv - 2.0 * list_dot_product(e.v, c2x.c)) + c2x.cc AS dist
     FROM e CROSS JOIN c2x
 )
+"""
+
+SQL_KMEANS_LLOYD = _SQL_KMEANS_CHAIN + """
 SELECT vec_id, cluster, dist AS sq_dist FROM (
     SELECT vec_id, cluster, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
     FROM d3
 ) WHERE rn = 1
+"""
+
+
+def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k on the exact-contract coarse quantizer
+    (operators/similarity.ivf_topk_portable): kmeans_lloyd's
+    bit-identical centroids make the cell assignment, the nprobe=2
+    probe set, and hence the whole approximate result oracle-checkable
+    — the ANN family's second hash-verified member. Geometry kcells=8 /
+    iters=2 / nprobe=2 over the same fixture as ann_ivf_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos_sim double"
+        )
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.ivf_topk_portable(q, e, kcells=8, iters=2, nprobe=2, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+# Same kmeans chain; cells = rn=1 assignment of the corpus, probes =
+# each query's rn<=2 nearest cells under the identical (dist, cluster)
+# total order, candidates from the cell equi-join, ann_cosine verify.
+SQL_ANN_IVF_PORTABLE = _SQL_KMEANS_CHAIN + """
+, cells AS (
+    SELECT vec_id AS neighbor_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d3
+    ) WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d3 WHERE vec_id < 5
+    ) WHERE rn <= 2
+), cand AS (
+    SELECT DISTINCT probes.query_id, cells.neighbor_id
+    FROM probes JOIN cells USING (cluster)
+    WHERE cells.neighbor_id <> probes.query_id
+), s AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cos_sim
+    FROM cand
+    JOIN e a ON a.vec_id = cand.query_id
+    JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM s
+) WHERE rank <= 5
 """
 
 
@@ -2957,6 +3019,13 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq": sim.pq_topk(q, e, k=k, m=16, n_codes=16, rerank=32),
         "ivfpq": sim.ivfpq_topk(
             q, e, k=k, n_cells=16, n_probe=8, m=16, rerank=32
+        ),
+        # round-12 portable members at their shipped gate geometry —
+        # their recall rides the same per-round record even though
+        # their CORRECTNESS gate is the stronger hash match
+        "lsh_portable": sim.lsh_topk_portable(q, e, dim=dim, k=k),
+        "ivf_portable": sim.ivf_topk_portable(
+            q, e, kcells=8, iters=2, nprobe=2, k=k
         ),
     }
     return sim.recall_sweep(
@@ -8880,6 +8949,7 @@ SPARK_QUERIES = {
     "curation_capstone": q_curation_capstone,
     "ann_lsh_portable": q_ann_lsh_portable,
     "kmeans_lloyd": q_kmeans_lloyd,
+    "ann_ivf_portable": q_ann_ivf_portable,
     "simhash_portable": q_simhash_portable,
     "leakage_safe_split": q_leakage_safe_split,
     "span_excise": q_span_excise,
@@ -8936,11 +9006,11 @@ SPARK_QUERIES = {
     "ngram_lm": q_ngram_lm,
     "url_normalize": q_url_normalize,
     "event_pattern": q_event_pattern,
-    "record_linkage": q_record_linkage,
     # --- oracle-backed, OUTSIDE the round-12 window ---
     # rotated out in r12 (all driver-green r11 on code untouched
-    # since); these NINE plus the nine rows-only r11 first-contacts
-    # below fund the eighteen new slots (4 additions + 14 rows-only):
+    # since); these TEN plus the nine rows-only r11 first-contacts
+    # below fund the nineteen new slots (5 additions + 14 rows-only):
+    "record_linkage": q_record_linkage,
     "winsorize": q_winsorize,
     "time_rollup": q_time_rollup,
     "incremental_dedup": q_incremental_dedup,
@@ -9170,6 +9240,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE,
     "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
     "kmeans_lloyd": SQL_KMEANS_LLOYD,
+    "ann_ivf_portable": SQL_ANN_IVF_PORTABLE,
     # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
     "sequence_packing": SQL_SEQUENCE_PACKING,
