@@ -134,7 +134,7 @@ def _py_lloyd(pv: dict[int, list[float]], k: int, iters: int):
             acc += x * y
         return acc
 
-    cents = {j: (list(pv[j]), dot(pv[j], pv[j])) for j in sorted(pv) if j < k}
+    cents = {j: (list(pv[j]), dot(pv[j], pv[j])) for j in sorted(pv)[:k]}
 
     def assign():
         out = {}
@@ -275,3 +275,25 @@ def test_ivf_portable_is_deterministic(spark, vectors):
         )
 
     assert snap() == snap()
+
+
+def test_kmeans_seed_contract_is_smallest_ids_not_dense_zero_based(spark, vectors):
+    """Review r12b #1: ids need not be dense 0-based. Shifting every id
+    by +1000 must yield the SAME clustering — seeds are the k smallest
+    ids (the same vectors), cluster labels are those seed ids (shifted
+    by +1000), distances bit-identical. The old `id < k` filter would
+    find zero seeds here and raise."""
+    shifted = vectors.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    base = {
+        int(r["vec_id"]): (int(r["cluster"]), float(r["sq_dist"]))
+        for r in sim.kmeans_lloyd_distributed(vectors, k=8, iters=2).collect()
+    }
+    got = {
+        int(r["vec_id"]): (int(r["cluster"]), float(r["sq_dist"]))
+        for r in sim.kmeans_lloyd_distributed(shifted, k=8, iters=2).collect()
+    }
+    assert set(got) == {vid + 1000 for vid in base}
+    for vid, (c, d) in base.items():
+        assert got[vid + 1000] == (c + 1000, d), vid

@@ -295,11 +295,6 @@ _H_UNIQUE_TIEBREAKERS = {
     "doc_id", "event_id", "vec_id", "bench_id", "neighbor_id",
     "o_orderkey", "c_custkey", "l_linenumber", "idx", "i", "pos",
     "term", "path", "domain",
-    # kmeans_lloyd's assignment windows partition by vec_id over the
-    # e CROSS JOIN centroids frame: exactly one row per (vec_id,
-    # cluster) by construction, so cluster is row-unique within every
-    # partition it tiebreaks (audited r12)
-    "cluster",
 }
 _H_RANK_LIKE = {"rank", "dense_rank", "percent_rank", "cume_dist"}
 _H_PLAIN_AGGS = {"sum", "count", "min", "max", "avg"}
@@ -313,6 +308,13 @@ H_ALLOWED = {
     # by the fixture's construction (one snapshot row per version);
     # driver-green since r5
     "upsert_snapshot",
+    # kmeans/IVF assignment windows tiebreak on `cluster`, which is
+    # row-unique within every vec_id partition BY CONSTRUCTION of the
+    # `e CROSS JOIN centroids` frames (exactly one row per (vec_id,
+    # cluster)) — audited per-oracle here rather than adding `cluster`
+    # to the GLOBAL tiebreaker set, where a future oracle with
+    # non-unique clusters would ride it silently (review r12b #3)
+    "kmeans_lloyd", "ann_ivf_portable",
 }
 
 

@@ -973,21 +973,39 @@ def main() -> int:
     )
 
     # ann_lsh_portable (round 12): the compact-bucket discipline — the
-    # bucket self-join exchanges (id, table, bit-string) keys only;
-    # vectors must never ride a HASH exchange (they join back by id
-    # AFTER the deduped pair set; the tiny query side broadcasts), and
-    # there is no cartesian anywhere.
-    lshp_plan = plan_of(
-        _simo.lsh_topk_portable(
-            emb.filter("vec_id < 5"), emb, dim=64, k=5
-        )
+    # BUCKET join exchanges (id, table, bit-string) keys only; vectors
+    # join back by id AFTER the deduped pair set (that verify join IS
+    # one id-keyed vector exchange at scale — the minhash_portable
+    # join-back discipline — so the audited invariant is scoped to the
+    # bucket exchange, review r12b #2). Broadcast is disabled for the
+    # plan build: at fixture scale every side broadcasts and the
+    # bucket-payload check would be vacuous (the manifest-probe rule).
+    # dim derived from the fixture (review r12b #6: a hardcoded 64
+    # degrades to an all-collide bucket graph if the fixture widens).
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import (
+        embedding_dim as _emb_dim,
     )
+
+    _fixture_dim = _emb_dim(f"{sf_dir}/embeddings.parquet")
+    _lshp_df = _simo.lsh_topk_portable(
+        emb.filter("vec_id < 5"), emb, dim=_fixture_dim, k=5
+    )
+    _abj12 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lshp_plan = plan_of(_lshp_df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _abj12)
     check_plan(
         "ann_lsh_portable",
         lshp_plan,
         ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
-        ("vectors never ride a hash exchange", no_vec_in_hash_exchange),
+        ("bucket join is a shuffled equi-join here", r"SortMergeJoin|ShuffledHashJoin"),
+        ("vectors never ride the bucket exchange",
+         r"\A(?s:(?!.*\(\d+\) Exchange\s*\nInput \[\d+\]: "
+         r"\[[^\]]*(?:embedding|__vec|__qv|__cv)#[^\]]*\]\s*\n"
+         r"Arguments: [^\n]*hashpartitioning\([^\n]*bucket).*)\Z"),
     )
     # ann_ivf_portable (round 12): the probe is an EQUI-join on the
     # cell id (the IVF inverted-list scan) with the tiny probe side
@@ -1008,9 +1026,12 @@ def main() -> int:
     # kmeans_lloyd (round 12): assignment is MAP-ONLY — centroids are
     # driver-side literals, so the returned frame's plan has NO join and
     # NO exchange at all (updates ran as separate bounded jobs; the
-    # final frame is scan + project).
+    # final frame is scan + project). materialize=False exposes the full
+    # input-prep lineage past the localCheckpoint — with the checkpoint
+    # the plan starts at Scan ExistingRDD and the no-exchange check
+    # would be vacuous (review r12b #5, the lm_perplexity rule).
     km_plan = plan_of(
-        _simo.kmeans_lloyd_distributed(emb, k=8, iters=0)
+        _simo.kmeans_lloyd_distributed(emb, k=8, iters=0, materialize=False)
     )
     check_plan(
         "kmeans_lloyd",

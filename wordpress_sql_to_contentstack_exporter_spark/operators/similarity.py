@@ -1380,9 +1380,10 @@ def lsh_topk_portable(
     whole-stage); the bucket frame carries (id, table, bit-string) ONLY
     — vectors do NOT ride the bucket exchange (unlike ``lsh_topk``,
     which carries them; at billions of rows the T-way explode would
-    multiply vector payload by T) — the deduped candidate pairs join
-    vectors back by id. One shuffle on ~10-byte keys, one on the pair
-    ids.
+    multiply vector payload by T). The deduped candidate pairs then
+    join vectors back by id — ONE id-keyed vector exchange, once per
+    surviving candidate rather than once per (table, collision)
+    (:func:`_cosine_rank_topk`).
     """
     if k < 1:
         raise ValueError("k >= 1 required")
@@ -1447,6 +1448,29 @@ def lsh_topk_portable(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return _cosine_rank_topk(
+        cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _cosine_rank_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared verify tail of the portable ANN family (review r12b #4 —
+    one copy): join vectors back onto the deduped (query_id,
+    neighbor_id) candidate set, score with the proven ``cosine`` fold,
+    rank with the key-unique (cos_sim DESC, neighbor_id) window.
+
+    The corpus-vector join IS one id-keyed hash exchange of vectors at
+    scale — once per SURVIVING candidate, the same discipline as
+    minhash_portable's signature join-back (versus riding every
+    (table, collision) through the bucket exchange)."""
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     cv = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -1478,6 +1502,7 @@ def kmeans_lloyd_distributed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = 20,
+    materialize: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means as a DISTRIBUTED DataFrame loop with an exact
     cross-engine contract — the registry's first hash-verifiable
@@ -1515,7 +1540,7 @@ def kmeans_lloyd_distributed(
     """
     if k < 1:
         raise ValueError("k >= 1 required")
-    e = _kmeans_frame(df, id_col=id_col, vec_col=vec_col)
+    e = _kmeans_frame(df, id_col=id_col, vec_col=vec_col, materialize=materialize)
     cents = kmeans_centroid_list(
         e, k=k, iters=iters, scale_bits=scale_bits, prepared=True
     )
@@ -1527,16 +1552,18 @@ def kmeans_lloyd_distributed(
     )
 
 
-def _kmeans_frame(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+def _kmeans_frame(
+    df: DataFrame, *, id_col: str, vec_col: str, materialize: bool = True
+) -> DataFrame:
     """(__vid, __v double-array, __vv) — checkpointed once, reused by
-    every k-means/IVF job against the same input."""
-    return (
-        df.select(
-            F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
-        )
-        .withColumn("__vv", dot(F.col("__v"), F.col("__v")))
-        .localCheckpoint(eager=False)
-    )
+    every k-means/IVF job against the same input. ``materialize=False``
+    exposes the full lineage for the plan audit (the lm_perplexity
+    rule: a checkpoint truncates everything upstream into a Scan
+    ExistingRDD, making upstream plan checks vacuous)."""
+    out = df.select(
+        F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__vv", dot(F.col("__v"), F.col("__v")))
+    return out.localCheckpoint(eager=False) if materialize else out
 
 
 def _dist_argmin_struct(cent_list) -> Column:
@@ -1590,13 +1617,20 @@ def kmeans_centroid_list(
         rows = frame.collect()
         return [(int(r["cluster"]), list(r["__c"]), float(r["__cc"])) for r in rows]
 
+    # the k SMALLEST ids, not "id < k" (review r12b #1: ids need not be
+    # dense 0-based; the exposed id_col contract is any orderable id) —
+    # a bounded global top-k, and the cluster labels ARE the seed ids
     cents = collect_cents(
-        e.filter(F.col("__vid") < k).select(
+        e.orderBy(F.col("__vid").asc())
+        .limit(k)
+        .select(
             F.col("__vid").cast("long").alias("cluster"),
             F.col("__v").alias("__c"),
             F.col("__vv").alias("__cc"),
         )
     )
+    if not cents:
+        raise ValueError("k-means on an empty input (no seed vectors)")
     for _ in range(iters):
         assigned = e.select(
             _dist_argmin_struct(cents)["cluster"].alias("cluster"), "__v"
@@ -1673,24 +1707,6 @@ def ivf_topk_portable(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    return _cosine_rank_topk(
+        cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
     )

@@ -2694,8 +2694,13 @@ WITH e AS (
 ), ex AS (
     SELECT vec_id, unnest(pairs, recursive := true) FROM p0
 ), c0 AS (
+    -- seeds are the k SMALLEST ids (mirrors kmeans_centroid_list's
+    -- orderBy + limit; ids need not be dense 0-based)
     SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c, vv AS cc
-    FROM e WHERE vec_id < 8
+    FROM (SELECT vec_id, v, vv,
+                 row_number() OVER (ORDER BY vec_id) AS seed_rn
+          FROM e)
+    WHERE seed_rn <= 8
 ), d1 AS (
     SELECT e.vec_id, c0.cluster,
            (e.vv - 2.0 * list_dot_product(e.v, c0.c)) + c0.cc AS dist
