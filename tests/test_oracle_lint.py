@@ -314,7 +314,7 @@ H_ALLOWED = {
     # cluster)) — audited per-oracle here rather than adding `cluster`
     # to the GLOBAL tiebreaker set, where a future oracle with
     # non-unique clusters would ride it silently (review r12b #3)
-    "kmeans_lloyd", "ann_ivf_portable",
+    "kmeans_lloyd", "ann_ivf_portable", "ann_pq_portable",
 }
 
 

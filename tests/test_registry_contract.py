@@ -23,7 +23,7 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 # with its changed (exact combination blocking) implementation; and the
 # REMAINING 14 rows-only queries get their first driver-environment
 # execution, closing the 24-query set the r10/r11 rotations started.
-# Funded by rotating out ten r11 oracle-greens on untouched code plus
+# Funded by rotating out eleven r11 oracle-greens on untouched code plus
 # the nine rows-only queries whose first contact landed clean in r11.
 # Pinned as SETS, not a frozen order, so next round's rotation edits
 # these lists deliberately rather than breaking an order assertion by
@@ -34,6 +34,7 @@ ROUND12_WINDOW_NEW = {
     "ann_lsh_portable",    # new: md5 sign-plane LSH, first oracle-backed ANN
     "kmeans_lloyd",        # new: first oracle-backed iterative algorithm
     "ann_ivf_portable",    # new: IVF on the exact-contract quantizer
+    "ann_pq_portable",     # new: PQ on exact-contract subspace codebooks
     "simhash_portable",    # changed: CR in portable ws class + CRLF corpus
     "leakage_safe_split",  # changed: NULL-key coalesce in the split hash
     "span_excise",         # changed: removed-char clamp
@@ -65,7 +66,6 @@ ROUND12_WINDOW_RETAINED = {
     "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
-    "event_pattern",
 }
 
 
@@ -82,7 +82,7 @@ def test_round12_window_set():
 
 
 def test_rotated_out_r12_kept_their_greens():
-    """The ten oracle-backed queries rotated out this round must all
+    """The eleven oracle-backed queries rotated out this round must all
     be r11 driver-greens — rotation never discards a query whose latest
     driver contact was red or absent. (The nine rows-only rotations
     have no hash row by construction; their r11 first contacts were
@@ -94,7 +94,7 @@ def test_rotated_out_r12_kept_their_greens():
         "incremental_dedup", "html_text", "windowed_dedup",
         "incremental_dedup_bucketed", "html_quality",
         "cluster_keepers", "centroid_similarity",
-        "winsorize", "time_rollup", "record_linkage",
+        "winsorize", "time_rollup", "record_linkage", "event_pattern",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r11.json")
     rows = json.load(open(path))

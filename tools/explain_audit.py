@@ -1023,6 +1023,34 @@ def main() -> int:
         ("no nested-loop join", r"\A(?s:(?!.*BroadcastNestedLoop).*)\Z"),
         ("probe side broadcast", r"BroadcastHashJoin"),
     )
+    # ann_pq_portable (round 12): encoding is MAP-ONLY (codebook
+    # literals, the kmeans assignment discipline) and the ADC scoring
+    # join BROADCASTS the tiny query side over the code scan — the
+    # BroadcastNestedLoopJoin IS the design (the semantic_decontaminate
+    # rule: a scan-scorer with a broadcast build side); what must never
+    # appear is an un-broadcast theta join or a vector column in a hash
+    # exchange before the rerank survivors.
+    pqp_plan = plan_of(
+        _simo.pq_topk_portable(
+            emb.filter("vec_id < 5"), emb, dim=_fixture_dim,
+            m=8, ncodes=16, iters=1, rerank=64, k=5,
+        )
+    )
+    check_plan(
+        "ann_pq_portable",
+        pqp_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("query side broadcast for ADC scan", r"BroadcastNestedLoopJoin"),
+        # the rerank window exchange (hashpartitioning(query_id)) must
+        # carry (ids, adc) only — not the ~1 KB/row qtab arrays or raw
+        # vectors (a genuine any-scale claim, unlike a blanket
+        # no-vectors-on-hash-exchange check that only holds while the
+        # verify join-back broadcasts at fixture scale)
+        ("rerank exchange carries ids+adc only",
+         r"\A(?s:(?!.*\(\d+\) Exchange\s*\nInput \[\d+\]: "
+         r"\[[^\]]*(?:__qt|embedding|__vec|__qv|__cv|__v)#[^\]]*\]\s*\n"
+         r"Arguments: [^\n]*hashpartitioning\(query_id).*)\Z"),
+    )
     # kmeans_lloyd (round 12): assignment is MAP-ONLY — centroids are
     # driver-side literals, so the returned frame's plan has NO join and
     # NO exchange at all (updates ran as separate bounded jobs; the

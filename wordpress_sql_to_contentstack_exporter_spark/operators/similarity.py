@@ -1453,6 +1453,145 @@ def lsh_topk_portable(
     )
 
 
+def pq_topk_portable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    dim: int,
+    m: int = 4,
+    ncodes: int = 16,
+    iters: int = 1,
+    rerank: int = 32,
+    k: int = 5,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization top-k on exact-contract subspace codebooks —
+    the portable-ANN family's third member (LSH buckets, IVF cells, PQ
+    codes). Every stage is bit-identical cross-engine, so the WHOLE
+    approximate result is hash-verifiable: the per-subspace codebooks
+    come from :func:`kmeans_centroid_list` (exact integer-sum updates,
+    k-smallest-id seeds), encoding is the same (dist, code) lexicographic
+    argmin, and the ADC score is a fixed-order sum of ``m`` exact
+    table-lookup doubles — never a float whose combine order an engine
+    could choose.
+
+    Semantics: split ``dim`` into ``m`` equal slices; train a
+    ``ncodes``-word codebook per slice (``iters`` Lloyd updates);
+    encode every corpus vector as its argmin code per slice;
+    ADC-score each (query, corpus) pair as ``sum_s dot(q_s,
+    codeword(code_s))`` — the classic asymmetric-distance
+    approximation of the dot product; keep the ``rerank`` best by
+    (adc DESC, id); exact-cosine re-rank those to top ``k``.
+
+    Plan shape at 100 TB: codebooks are m x ncodes x (dim/m) driver-side
+    bounded fits; ENCODING IS MAP-ONLY (code literals in expressions,
+    the kmeans assignment discipline) and emits m small ints per vector
+    — the 64x compression that lets a scan-heavy top-k run over codes
+    instead of raw vectors; the scoring join broadcasts the tiny query
+    side (|Q| rows carrying m x ncodes lookup arrays); only the
+    ``rerank`` survivors per query touch raw vectors again.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    if not (1 <= k <= rerank):
+        raise ValueError("1 <= k <= rerank required")
+    from ..functions.expr import let
+
+    width = dim // m
+    books = []
+    for s in range(m):
+        sub = candidates.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * width + 1, width).alias(vec_col),
+        )
+        book = kmeans_centroid_list(
+            sub,
+            k=ncodes,
+            iters=iters,
+            scale_bits=scale_bits,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        # ascending label order: the encode structs tiebreak on the
+        # INDEX into this list, which therefore equals the oracle's
+        # ORDER BY dist, cluster(label) order
+        books.append(sorted(book))
+
+    def code_expr(s: int) -> Column:
+        sl = F.slice(F.col("__v"), s * width + 1, width)
+
+        def argmin(sv: Column, vv: Column) -> Column:
+            structs = [
+                F.struct(
+                    (
+                        (
+                            vv
+                            - F.lit(2.0)
+                            * dot(sv, F.array(*[F.lit(float(x)) for x in c]))
+                        )
+                        + F.lit(float(cc))
+                    ).alias("sq_dist"),
+                    F.lit(int(idx)).cast("long").alias("code"),
+                )
+                for idx, (_label, c, cc) in enumerate(books[s])
+            ]
+            return F.array_min(F.array(*structs))
+
+        return let(sl, lambda sv: let(dot(sv, sv), lambda vv: argmin(sv, vv)))[
+            "code"
+        ]
+
+    enc = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__v")
+    ).select(
+        "neighbor_id", *[code_expr(s).alias(f"__code{s}") for s in range(m)]
+    )
+
+    def qtab_expr(s: int) -> Column:
+        sl = F.slice(F.col("__v"), s * width + 1, width)
+        return let(
+            sl,
+            lambda sv: F.array(
+                *[
+                    dot(sv, F.array(*[F.lit(float(x)) for x in c]))
+                    for (_label, c, _cc) in books[s]
+                ]
+            ),
+        )
+
+    qf = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__v")
+    ).select("query_id", *[qtab_expr(s).alias(f"__qt{s}") for s in range(m)])
+
+    paired = enc.join(
+        F.broadcast(qf), F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"__qt{s}"), F.col(f"__code{s}").cast("int") + 1
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        # project BEFORE the window: the rerank exchange must carry
+        # (query_id, neighbor_id, adc) triples only — un-projected, the
+        # m x ncodes qtab arrays (~1 KB/row) would ride it once per
+        # (query, corpus) pair
+        paired.select("query_id", "neighbor_id", adc.alias("__adc"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _cosine_rank_topk(
+        cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def _cosine_rank_topk(
     cand: DataFrame,
     queries: DataFrame,

@@ -2813,6 +2813,159 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+# shipped geometry: measured recall@5 0.86/0.77/0.68 (sf0.001/0.01/0.1)
+# at m=8 x 16 codes, rerank=64; the authoring-time sweep also measured
+# m=4/rerank=32 at 0.56/0.64/0.44 and m=4/rerank=64 at 0.80/0.55 —
+# the wider rerank is what pays on the larger fixture
+_PQ_M = 8
+_PQ_NCODES = 16
+_PQ_RERANK = 64
+
+
+def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k on exact-contract subspace codebooks
+    (operators/similarity.pq_topk_portable) — the portable-ANN family's
+    third member: subspace k-means codebooks, argmin encoding, ADC
+    scoring and the rerank window are all bit-identical cross-engine,
+    so the full approximate result hash-matches the generated DuckDB
+    mirror. Geometry m=8 x 16 codes, 1 Lloyd update, rerank=64 — a
+    coarser codebook than the xxhash-era pq gate (m=16) because every
+    subspace chain is mirrored as CTEs; recall rides ann_recall_sweep."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos_sim double"
+        )
+    q = e.filter(F.col("vec_id") < 5)
+    out = sim.pq_topk_portable(
+        q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=1,
+        rerank=_PQ_RERANK, k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+def _pq_portable_sql(m: int = _PQ_M, ncodes: int = _PQ_NCODES,
+                     rerank: int = _PQ_RERANK) -> str:
+    """The DuckDB mirror, generated: one kmeans-chain block per
+    subspace (slice -> seed -> assign -> exact integer-sum update ->
+    re-encode), the per-query lookup tables, and the fixed-order ADC
+    sum are mechanical expansions over the SAME geometry constants the
+    operator uses, so the two sides cannot drift on slice bounds, seed
+    rule, tiebreak order, or addition parenthesization. Subvector
+    slices use explicit-argument list_slice (family-B rule); every
+    window ordering carries a row-unique tiebreaker (family H:
+    vec_id / neighbor_id, and `cluster` audited via H_ALLOWED)."""
+    blocks = []
+    for s in range(m):
+        lo = f"{s} * (len(v) // {m}) + 1"
+        hi = f"({s} + 1) * (len(v) // {m})"
+        blocks.append(f"""
+es{s} AS MATERIALIZED (
+    SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM e
+), evs{s} AS MATERIALIZED (
+    SELECT vec_id, sv, list_dot_product(sv, sv) AS svv FROM es{s}
+), p{s} AS (
+    SELECT vec_id,
+           [{{'d': i - 1, 'sv': CAST(floor(sv[i] * 1048576) AS BIGINT)}}
+            for i in range(1, len(sv) + 1)] AS pairs
+    FROM es{s}
+), ex{s} AS MATERIALIZED (
+    SELECT vec_id, unnest(pairs, recursive := true) FROM p{s}
+), c0_{s} AS MATERIALIZED (
+    SELECT CAST(vec_id AS BIGINT) AS cluster, sv AS c, svv AS cc
+    FROM (SELECT vec_id, sv, svv,
+                 row_number() OVER (ORDER BY vec_id) AS seed_rn
+          FROM evs{s})
+    WHERE seed_rn <= {ncodes}
+), d1_{s} AS (
+    SELECT evs{s}.vec_id, c0_{s}.cluster,
+           (evs{s}.svv - 2.0 * list_dot_product(evs{s}.sv, c0_{s}.c)) + c0_{s}.cc AS dist
+    FROM evs{s} CROSS JOIN c0_{s}
+), a1_{s} AS MATERIALIZED (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d1_{s}
+    ) WHERE rn = 1
+), m1_{s} AS (
+    SELECT a1_{s}.cluster, ex{s}.d, sum(ex{s}.sv)::BIGINT AS ssum, count(*) AS n
+    FROM a1_{s} JOIN ex{s} USING (vec_id)
+    GROUP BY a1_{s}.cluster, ex{s}.d
+), c1_{s} AS (
+    SELECT cluster, list(CAST(ssum AS DOUBLE) / n / 1048576.0 ORDER BY d) AS c
+    FROM m1_{s} GROUP BY cluster
+), c1x_{s} AS MATERIALIZED (
+    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c1_{s}
+), d2_{s} AS (
+    SELECT evs{s}.vec_id, c1x_{s}.cluster,
+           (evs{s}.svv - 2.0 * list_dot_product(evs{s}.sv, c1x_{s}.c)) + c1x_{s}.cc AS dist
+    FROM evs{s} CROSS JOIN c1x_{s}
+), enc{s} AS MATERIALIZED (
+    SELECT vec_id, cluster AS code{s} FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d2_{s}
+    ) WHERE rn = 1
+), qt{s} AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, cb.cluster AS code{s},
+           list_dot_product(q.sv, cb.c) AS val{s}
+    FROM evs{s} q CROSS JOIN c1x_{s} cb WHERE q.vec_id < 5
+)""".strip())
+    qt_joins = "\n    ".join(
+        f"JOIN qt{s} ON qt{s}.query_id = qt0.query_id AND qt{s}.code{s} = enc.code{s}"
+        for s in range(1, m)
+    )
+    enc_joins = "\n    ".join(
+        f"JOIN enc{s} ON enc{s}.vec_id = e.vec_id" for s in range(m)
+    )
+    enc_cols = ", ".join(f"enc{s}.code{s}" for s in range(m))
+    adc = "qt0.val0"
+    for s in range(1, m):
+        adc = f"({adc} + qt{s}.val{s})"
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{",".join(blocks)},
+enc AS MATERIALIZED (
+    SELECT e.vec_id AS neighbor_id, {enc_cols}
+    FROM e
+    {enc_joins}
+), scores AS (
+    SELECT qt0.query_id, enc.neighbor_id, {adc} AS adc
+    FROM enc
+    JOIN qt0 ON qt0.code0 = enc.code0
+    {qt_joins}
+    WHERE qt0.query_id <> enc.neighbor_id
+), cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS rn
+        FROM scores
+    ) WHERE rn <= {rerank}
+), s AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cos_sim
+    FROM cand
+    JOIN e a ON a.vec_id = cand.query_id
+    JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM s
+) WHERE rank <= 5
+"""
+
+
+SQL_ANN_PQ_PORTABLE = _pq_portable_sql()
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit sequence packing of documents into 512-token packs
     (LLM pretraining batch shaping); modulo sharding here so the DuckDB
@@ -3031,6 +3184,10 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_portable": sim.lsh_topk_portable(q, e, dim=dim, k=k),
         "ivf_portable": sim.ivf_topk_portable(
             q, e, kcells=8, iters=2, nprobe=2, k=k
+        ),
+        "pq_portable": sim.pq_topk_portable(
+            q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=1,
+            rerank=_PQ_RERANK, k=k,
         ),
     }
     return sim.recall_sweep(
@@ -8955,6 +9112,7 @@ SPARK_QUERIES = {
     "ann_lsh_portable": q_ann_lsh_portable,
     "kmeans_lloyd": q_kmeans_lloyd,
     "ann_ivf_portable": q_ann_ivf_portable,
+    "ann_pq_portable": q_ann_pq_portable,
     "simhash_portable": q_simhash_portable,
     "leakage_safe_split": q_leakage_safe_split,
     "span_excise": q_span_excise,
@@ -9010,11 +9168,11 @@ SPARK_QUERIES = {
     "fd_profile": q_fd_profile,
     "ngram_lm": q_ngram_lm,
     "url_normalize": q_url_normalize,
-    "event_pattern": q_event_pattern,
     # --- oracle-backed, OUTSIDE the round-12 window ---
     # rotated out in r12 (all driver-green r11 on code untouched
-    # since); these TEN plus the nine rows-only r11 first-contacts
-    # below fund the nineteen new slots (5 additions + 14 rows-only):
+    # since); these ELEVEN plus the nine rows-only r11 first-contacts
+    # below fund the twenty new slots (6 additions + 14 rows-only):
+    "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
     "winsorize": q_winsorize,
     "time_rollup": q_time_rollup,
@@ -9246,6 +9404,7 @@ ORACLE_SQL = {
     "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
     "kmeans_lloyd": SQL_KMEANS_LLOYD,
     "ann_ivf_portable": SQL_ANN_IVF_PORTABLE,
+    "ann_pq_portable": SQL_ANN_PQ_PORTABLE,
     # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
     "sequence_packing": SQL_SEQUENCE_PACKING,
