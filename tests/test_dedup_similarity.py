@@ -967,3 +967,24 @@ def test_simhash_portable_pairs_exact_hamming_and_blocks(spark):
         dd.simhash_portable_pairs(df, max_hamming=60)
     with _pt.raises(ValueError):
         dd.simhash_portable_pairs(df, max_block_size=1)
+
+
+def test_soft_dedup_weights_conserve_unit_mass_per_cluster(docs):
+    """SoftDeDup reweighting (round 12): every input row survives, each
+    content cluster's weights sum to exactly 1 document of training
+    mass, and singletons carry weight 1.0."""
+    out = dd.soft_dedup_weights(docs).collect()
+    assert len(out) == len(DOCS)  # nothing dropped
+    by_hash: dict[str, list] = {}
+    for r in out:
+        by_hash.setdefault(r["content_hash"], []).append(r)
+    # docs 1 and 4 normalize to the same content -> one 2-copy cluster
+    sizes = sorted(len(v) for v in by_hash.values())
+    assert sizes == [1, 1, 1, 2]
+    for rows in by_hash.values():
+        n = rows[0]["n_copies"]
+        assert n == len(rows)
+        for r in rows:
+            assert float(r["weight"]) == 1.0 / n
+        # unit mass per cluster (n * (1/n) exact for small n)
+        assert abs(sum(float(r["weight"]) for r in rows) - 1.0) < 1e-12

@@ -1737,3 +1737,38 @@ def simhash_portable_pairs(
         F.col("sh_a").alias("simhash_a"),
         F.col("sh_b").alias("simhash_b"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SoftDeDup-style duplicate DOWN-WEIGHTING: instead of dropping
+    duplicates (``exact_dedup``'s keeper semantics), every copy stays
+    in the corpus carrying a sampling weight of ``1 / n_copies``, so a
+    content cluster contributes exactly one document's worth of
+    expected training mass however many times it was crawled — the
+    soft alternative pretraining pipelines use when hard removal would
+    discard attestation/provenance diversity (cf. the SoftDeDup idea
+    of reweighting over removal).
+
+    Cross-engine contract: ``n_copies`` is an exact integer and the
+    weight is ONE IEEE division of exact integers (1.0 / n) — correctly
+    rounded, bit-identical everywhere, per the float discipline's
+    unrounded-ratio rule.
+
+    Plan shape at 100 TB: the exact_dedup discipline — one shuffle on
+    the 32-byte content hash (never bodies) for the count, then the
+    weight joins back to ids by hash. Output: (id, content_hash,
+    n_copies, weight), one row per INPUT document.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    hashed = df.select(F.col(id_col), h.alias("content_hash"))
+    counts = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return hashed.join(counts, "content_hash").select(
+        id_col,
+        "content_hash",
+        "n_copies",
+        (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+    )

@@ -1036,6 +1036,29 @@ FROM documents GROUP BY 1
 """
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style duplicate down-weighting
+    (operators/dedup.soft_dedup_weights): every copy kept with weight
+    1/n_copies — one document's worth of expected training mass per
+    content cluster. Weight is one IEEE division of exact integers
+    (unrounded-ratio rule)."""
+    return dd.soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOFT_DEDUP_WEIGHTS = r"""
+WITH hashed AS (
+    SELECT doc_id,
+           sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash
+    FROM documents
+), counts AS (
+    SELECT content_hash, count(*) AS n_copies FROM hashed GROUP BY content_hash
+)
+SELECT hashed.doc_id, hashed.content_hash, counts.n_copies,
+       CAST(1.0 AS DOUBLE) / counts.n_copies AS weight
+FROM hashed JOIN counts USING (content_hash)
+"""
+
+
 def q_expectations_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The expectations suite with violation EXEMPLARS
     (operators/expectations.run_expectations(exemplar_key=...)): each
@@ -9298,6 +9321,7 @@ SPARK_QUERIES = {
     "topk_per_group": q_topk_per_group,
     "distinct_count": q_distinct_count,
     "dedup_exact": q_dedup_exact,
+    "soft_dedup_weights": q_soft_dedup_weights,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -9379,6 +9403,7 @@ ORACLE_SQL = {
     "distinct_count": SQL_DISTINCT_COUNT,
     "salted_agg": SQL_COUNT_GROUP_BY,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     # same relational semantics through the bucketed saved-table path —
     # the layout changes the plan (zero manifest-side Exchange), never
