@@ -988,3 +988,23 @@ def test_soft_dedup_weights_conserve_unit_mass_per_cluster(docs):
             assert float(r["weight"]) == 1.0 / n
         # unit mass per cluster (n * (1/n) exact for small n)
         assert abs(sum(float(r["weight"]) for r in rows) - 1.0) < 1e-12
+
+
+def test_soft_dedup_weights_keeps_null_text_rows(spark):
+    """Review r12c #1: NULL text coalesces to the empty-content hash —
+    every input row survives (the old count-join dropped NULL keys),
+    and NULL/empty share one cluster by the documented contract."""
+    df = spark.createDataFrame(
+        [(1, "real content here"), (2, None), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = dd.soft_dedup_weights(df).collect()
+    assert len(out) == 4
+    by_id = {int(r["doc_id"]): r for r in out}
+    empty_cluster = {2, 3, 4}
+    hashes = {by_id[i]["content_hash"] for i in empty_cluster}
+    assert len(hashes) == 1  # NULL and "" share the empty-content hash
+    for i in empty_cluster:
+        assert int(by_id[i]["n_copies"]) == 3
+        assert float(by_id[i]["weight"]) == 1.0 / 3
+    assert int(by_id[1]["n_copies"]) == 1 and float(by_id[1]["weight"]) == 1.0

@@ -1754,21 +1754,26 @@ def soft_dedup_weights(
     Cross-engine contract: ``n_copies`` is an exact integer and the
     weight is ONE IEEE division of exact integers (1.0 / n) — correctly
     rounded, bit-identical everywhere, per the float discipline's
-    unrounded-ratio rule.
+    unrounded-ratio rule. NULL text coalesces to the empty string
+    BEFORE hashing (review r12c #1: a NULL hash key would fall out of
+    a count join and the operator whose whole point is keeping every
+    row would drop rows) — so NULL-text and empty-text documents share
+    one "empty content" cluster, deliberately.
 
-    Plan shape at 100 TB: the exact_dedup discipline — one shuffle on
-    the 32-byte content hash (never bodies) for the count, then the
-    weight joins back to ids by hash. Output: (id, content_hash,
+    Plan shape at 100 TB: ONE shuffle on the 32-byte content hash
+    (never bodies) — the count is an unordered window over the hash
+    partition, which both keeps every input row by construction and
+    saves the groupBy+join-back exchange. Output: (id, content_hash,
     n_copies, weight), one row per INPUT document.
     """
-    h = F.sha2(normalize_text(F.col(text_col)), 256)
-    hashed = df.select(F.col(id_col), h.alias("content_hash"))
-    counts = hashed.groupBy("content_hash").agg(
-        F.count(F.lit(1)).alias("n_copies")
+    from pyspark.sql import Window
+
+    h = F.sha2(
+        F.coalesce(normalize_text(F.col(text_col)), F.lit("")), 256
     )
-    return hashed.join(counts, "content_hash").select(
-        id_col,
-        "content_hash",
-        "n_copies",
-        (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+    n = F.count(F.lit(1)).over(Window.partitionBy("content_hash"))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("n_copies", n)
+        .withColumn("weight", F.lit(1.0) / F.col("n_copies"))
     )

@@ -1500,20 +1500,35 @@ def pq_topk_portable(
     from ..functions.expr import let
 
     width = dim // m
+    # ONE shared checkpointed frame + ONE seed collect feed all m
+    # subspace codebooks (review r12c #3: m private _kmeans_frames cost
+    # m checkpoints and m identical global seed sorts). Seed subvectors
+    # and their ||.||^2 are sliced/folded on the driver — a plain
+    # sequential float fold, bit-identical to the JVM fold (pinned by
+    # the _py_lloyd parity test).
+    base = _kmeans_frame(candidates, id_col=id_col, vec_col=vec_col)
+    seed_rows = (
+        base.orderBy(F.col("__vid").asc())
+        .limit(ncodes)
+        .select("__vid", "__v")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("PQ on an empty corpus (no seed vectors)")
     books = []
     for s in range(m):
-        sub = candidates.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * width + 1, width).alias(vec_col),
-        )
-        book = kmeans_centroid_list(
-            sub,
-            k=ncodes,
-            iters=iters,
-            scale_bits=scale_bits,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
+        lo = s * width
+        sub = base.select(
+            "__vid", F.slice(F.col("__v"), lo + 1, width).alias("__v")
+        ).withColumn("__vv", dot(F.col("__v"), F.col("__v")))
+        cents0 = []
+        for r in seed_rows:
+            c = [float(x) for x in r["__v"][lo : lo + width]]
+            cc = 0.0
+            for x in c:
+                cc += x * x
+            cents0.append((int(r["__vid"]), c, cc))
+        book = _lloyd_updates(sub, cents0, iters=iters, scale_bits=scale_bits)
         # ascending label order: the encode structs tiebreak on the
         # INDEX into this list, which therefore equals the oracle's
         # ORDER BY dist, cluster(label) order
@@ -1521,27 +1536,20 @@ def pq_topk_portable(
 
     def code_expr(s: int) -> Column:
         sl = F.slice(F.col("__v"), s * width + 1, width)
-
-        def argmin(sv: Column, vv: Column) -> Column:
-            structs = [
-                F.struct(
-                    (
-                        (
-                            vv
-                            - F.lit(2.0)
-                            * dot(sv, F.array(*[F.lit(float(x)) for x in c]))
-                        )
-                        + F.lit(float(cc))
-                    ).alias("sq_dist"),
-                    F.lit(int(idx)).cast("long").alias("code"),
-                )
-                for idx, (_label, c, cc) in enumerate(books[s])
-            ]
-            return F.array_min(F.array(*structs))
-
-        return let(sl, lambda sv: let(dot(sv, sv), lambda vv: argmin(sv, vv)))[
-            "code"
+        idx_book = [
+            (idx, c, cc) for idx, (_label, c, cc) in enumerate(books[s])
         ]
+        return let(
+            sl,
+            lambda sv: let(
+                dot(sv, sv),
+                # the shared distance-tree contract (_dist_structs),
+                # applied to the let-bound subvector
+                lambda vv: F.array_min(
+                    F.array(*_dist_structs(idx_book, v=sv, vv=vv))
+                ),
+            ),
+        )["cluster"]
 
     enc = candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__v")
@@ -1712,17 +1720,23 @@ def _dist_argmin_struct(cent_list) -> Column:
     return F.array_min(F.array(*_dist_structs(cent_list)))
 
 
-def _dist_structs(cent_list) -> list[Column]:
+def _dist_structs(
+    cent_list, v: Column | None = None, vv: Column | None = None
+) -> list[Column]:
+    """THE distance-tree contract, in one place (review r12c #4): the
+    ``(vv - 2.0 * dot(v, c)) + cc`` parenthesization and the
+    (sq_dist, cluster) struct order every oracle mirrors. ``v``/``vv``
+    default to the :func:`_kmeans_frame` columns; PQ passes let-bound
+    subvector expressions instead."""
+    v = F.col("__v") if v is None else v
+    vv = F.col("__vv") if vv is None else vv
     return [
         F.struct(
             (
                 (
-                    F.col("__vv")
+                    vv
                     - F.lit(2.0)
-                    * dot(
-                        F.col("__v"),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                    )
+                    * dot(v, F.array(*[F.lit(float(x)) for x in c]))
                 )
                 + F.lit(float(cc))
             ).alias("sq_dist"),
@@ -1752,14 +1766,10 @@ def kmeans_centroid_list(
         raise ValueError("iters >= 0 required")
     e = df if prepared else _kmeans_frame(df, id_col=id_col, vec_col=vec_col)
 
-    def collect_cents(frame: DataFrame) -> list[tuple[int, list[float], float]]:
-        rows = frame.collect()
-        return [(int(r["cluster"]), list(r["__c"]), float(r["__cc"])) for r in rows]
-
     # the k SMALLEST ids, not "id < k" (review r12b #1: ids need not be
     # dense 0-based; the exposed id_col contract is any orderable id) —
     # a bounded global top-k, and the cluster labels ARE the seed ids
-    cents = collect_cents(
+    cents = _collect_cents(
         e.orderBy(F.col("__vid").asc())
         .limit(k)
         .select(
@@ -1770,6 +1780,27 @@ def kmeans_centroid_list(
     )
     if not cents:
         raise ValueError("k-means on an empty input (no seed vectors)")
+    return _lloyd_updates(e, cents, iters=iters, scale_bits=scale_bits)
+
+
+def _collect_cents(frame: DataFrame) -> list[tuple[int, list[float], float]]:
+    rows = frame.collect()
+    return [(int(r["cluster"]), list(r["__c"]), float(r["__cc"])) for r in rows]
+
+
+def _lloyd_updates(
+    e: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    *,
+    iters: int,
+    scale_bits: int,
+) -> list[tuple[int, list[float], float]]:
+    """``iters`` exact-contract Lloyd update rounds over a prepared
+    (__vid, __v, __vv) frame, starting from ``cents`` — split out of
+    :func:`kmeans_centroid_list` so PQ's per-subspace codebooks can
+    run the update loop against projections of ONE shared checkpointed
+    frame instead of re-checkpointing and re-seeding per subspace
+    (review r12c #3)."""
     for _ in range(iters):
         assigned = e.select(
             _dist_argmin_struct(cents)["cluster"].alias("cluster"), "__v"
@@ -1783,7 +1814,7 @@ def kmeans_centroid_list(
                 lambda x: x["centroid"],
             ).alias("__c")
         )
-        cents = collect_cents(
+        cents = _collect_cents(
             arrs.withColumn("__cc", dot(F.col("__c"), F.col("__c")))
         )
     return cents

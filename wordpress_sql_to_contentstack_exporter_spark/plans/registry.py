@@ -1048,14 +1048,16 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SOFT_DEDUP_WEIGHTS = r"""
 WITH hashed AS (
     SELECT doc_id,
-           sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash
+           sha256(coalesce(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g'), '')) AS content_hash
     FROM documents
-), counts AS (
-    SELECT content_hash, count(*) AS n_copies FROM hashed GROUP BY content_hash
+), counted AS (
+    SELECT doc_id, content_hash,
+           count(*) OVER (PARTITION BY content_hash) AS n_copies
+    FROM hashed
 )
-SELECT hashed.doc_id, hashed.content_hash, counts.n_copies,
-       CAST(1.0 AS DOUBLE) / counts.n_copies AS weight
-FROM hashed JOIN counts USING (content_hash)
+SELECT doc_id, content_hash, n_copies,
+       CAST(1.0 AS DOUBLE) / n_copies AS weight
+FROM counted
 """
 
 
