@@ -89,6 +89,13 @@ def main() -> None:
         # instead: ~20 s per engine per run is too much to pay four
         # times per compare for a parity result)
         "winnow_overlap", "minhash_portable",
+        # round-12 portable-ANN additions: BOTH engines re-train the
+        # exact-contract quantizers inside the measured run (Spark:
+        # driver-looped update jobs; DuckDB: the mirrored CTE chains),
+        # so these are symmetric marginal-cost rows, not JVM-floor
+        # noise; soft_dedup_weights is one hash window on both sides
+        "kmeans_lloyd", "ann_lsh_portable", "ann_ivf_portable",
+        "ann_pq_portable", "soft_dedup_weights",
     ]
     out = {}
     for name in compared:
