@@ -1390,42 +1390,35 @@ def lsh_topk_portable(
     if dim < 1:
         raise ValueError("dim >= 1 required (caller short-circuits empty tables)")
     planes = portable_sign_planes(num_tables, num_planes, dim)
-    scale = F.lit(float(2**scale_bits))
 
     def buckets_expr() -> Column:
         # sv let-bound: the scaled array is referenced by T*P aggregate
         # folds — unbound it would re-floor the vector per fold term
-        # (the O(n^2) HOF hazard, functions/expr.let)
-        from ..functions.expr import let
+        # (the O(n^2) HOF hazard, functions/expr.let). SQL-text
+        # construction (the builder block above): the T*P fold
+        # expressions cost seconds of py4j chatter as Column objects.
+        def bit(t: int, p: int) -> str:
+            signs = "array(" + ", ".join(
+                str(int(s)) for s in planes[t][p]
+            ) + ")"
+            acc = (
+                f"aggregate(zip_with(sv, {signs}, (x, y) -> x * y),"
+                f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            return f"CASE WHEN {acc} >= 0 THEN '1' ELSE '0' END"
 
-        def body(sv: Column) -> Column:
-            tables = []
-            for t in range(num_tables):
-                bits = []
-                for p in range(num_planes):
-                    signs = F.array(
-                        *[F.lit(int(s)) for s in planes[t][p]]
-                    )
-                    acc = F.aggregate(
-                        F.zip_with(sv, signs, lambda x, y: x * y),
-                        F.lit(0).cast("long"),
-                        lambda a, x: a + x,
-                    )
-                    bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
-                tables.append(
-                    F.struct(
-                        F.lit(t).cast("long").alias("t"),
-                        F.concat(*bits).alias("bucket"),
-                    )
-                )
-            return F.array(*tables)
-
-        return let(
-            F.transform(
-                _as_double(F.col("__vec")), lambda x: F.floor(x * scale)
-            ),
-            body,
+        tables = ", ".join(
+            f"named_struct('t', CAST({t} AS BIGINT), 'bucket',"
+            " concat("
+            + ", ".join(bit(t, p) for p in range(num_planes))
+            + "))"
+            for t in range(num_tables)
         )
+        bound = (
+            "transform(transform(__vec, x -> CAST(x AS DOUBLE)),"
+            f" x -> floor(x * {_dlit(2**scale_bits)}))"
+        )
+        return F.expr(_let_sql(bound, "sv", f"array({tables})"))
 
     def bucket_frame(df: DataFrame, out_id: str) -> DataFrame:
         return (
@@ -1451,6 +1444,20 @@ def lsh_topk_portable(
     return _cosine_rank_topk(
         cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def _subspace_argmin(lo: int, width: int, book) -> Column:
+    """(dist, cluster) struct-argmin of the let-bound ``__v`` slice
+    ``[lo+1 .. lo+width]`` against a codebook — the distance-tree
+    contract applied to PQ's slices; shared by the batched training
+    assignment and the encode stage. SQL-text construction (see the
+    builder block above)."""
+    body = _let_sql(
+        _dot_sql("sv", "sv"), "vv", _argmin_sql(book, "sv", "vv")
+    )
+    return F.expr(
+        _let_sql(f"slice(__v, {lo + 1}, {width})", "sv", body)
+    )["cluster"]
 
 
 def pq_topk_portable(
@@ -1497,8 +1504,6 @@ def pq_topk_portable(
         raise ValueError("dim must be divisible by m")
     if not (1 <= k <= rerank):
         raise ValueError("1 <= k <= rerank required")
-    from ..functions.expr import let
-
     width = dim // m
     # ONE shared checkpointed frame + ONE seed collect feed all m
     # subspace codebooks (review r12c #3: m private _kmeans_frames cost
@@ -1518,9 +1523,6 @@ def pq_topk_portable(
     books = []
     for s in range(m):
         lo = s * width
-        sub = base.select(
-            "__vid", F.slice(F.col("__v"), lo + 1, width).alias("__v")
-        ).withColumn("__vv", dot(F.col("__v"), F.col("__v")))
         cents0 = []
         for r in seed_rows:
             c = [float(x) for x in r["__v"][lo : lo + width]]
@@ -1528,28 +1530,77 @@ def pq_topk_portable(
             for x in c:
                 cc += x * x
             cents0.append((int(r["__vid"]), c, cc))
-        book = _lloyd_updates(sub, cents0, iters=iters, scale_bits=scale_bits)
-        # ascending label order: the encode structs tiebreak on the
-        # INDEX into this list, which therefore equals the oracle's
-        # ORDER BY dist, cluster(label) order
-        books.append(sorted(book))
+        books.append(cents0)
+
+    # ONE batched update job per Lloyd round trains ALL m codebooks
+    # (profiled: m sequential _lloyd_updates cost ~1.5 s of per-job
+    # scheduling/codegen EACH — 12 s of the gate's 15 s wall at m=8 —
+    # while the batched rows are the same N x dim triples one full-dim
+    # update would shuffle). Per subspace: assignment argmin (the
+    # _dist_structs contract on the let-bound slice), explode to
+    # (s, cluster, subvec) -> posexplode dims -> one (s, cluster, dim)
+    # exact integer-sum exchange mirroring the embedding_centroids
+    # formula verbatim (floor(v * 2^bits) longs; centroid =
+    # sum / n / 2^bits in that order), one collect for all m books.
+    scale = F.lit(float(2**scale_bits))
+    for _ in range(iters):
+        structs = []
+        for s in range(m):
+            sl = F.slice(F.col("__v"), s * width + 1, width)
+            code = _subspace_argmin(s * width, width, books[s])
+            structs.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    code.alias("cluster"),
+                    sl.alias("sv"),
+                )
+            )
+        exploded = (
+            base.select(F.explode(F.array(*structs)).alias("x"))
+            .select("x.s", "x.cluster", F.posexplode("x.sv").alias("dim", "val"))
+        )
+        stats = (
+            exploded.select(
+                "s",
+                "cluster",
+                F.col("dim").cast("long").alias("dim"),
+                F.floor(F.col("val").cast("double") * scale)
+                .cast("long")
+                .alias("sv"),
+            )
+            .groupBy("s", "cluster", "dim")
+            .agg(F.sum("sv").alias("sum_scaled"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "centroid",
+                F.col("sum_scaled").cast("double") / F.col("n") / scale,
+            )
+        )
+        arrs = stats.groupBy("s", "cluster").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+                ),
+                lambda x: x["centroid"],
+            ).alias("__c")
+        )
+        rows = arrs.withColumn("__cc", dot(F.col("__c"), F.col("__c"))).collect()
+        newbooks: list[list[tuple[int, list[float], float]]] = [[] for _ in range(m)]
+        for r in rows:
+            newbooks[int(r["s"])].append(
+                (int(r["cluster"]), list(r["__c"]), float(r["__cc"]))
+            )
+        books = newbooks
+
+    # ascending label order: the encode structs tiebreak on the INDEX
+    # into this list, which therefore equals the oracle's ORDER BY
+    # dist, cluster(label) order
+    books = [sorted(b) for b in books]
 
     def code_expr(s: int) -> Column:
-        sl = F.slice(F.col("__v"), s * width + 1, width)
         idx_book = [
             (idx, c, cc) for idx, (_label, c, cc) in enumerate(books[s])
         ]
-        return let(
-            sl,
-            lambda sv: let(
-                dot(sv, sv),
-                # the shared distance-tree contract (_dist_structs),
-                # applied to the let-bound subvector
-                lambda vv: F.array_min(
-                    F.array(*_dist_structs(idx_book, v=sv, vv=vv))
-                ),
-            ),
-        )["cluster"]
+        return _subspace_argmin(s * width, width, idx_book)
 
     enc = candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__v")
@@ -1558,15 +1609,11 @@ def pq_topk_portable(
     )
 
     def qtab_expr(s: int) -> Column:
-        sl = F.slice(F.col("__v"), s * width + 1, width)
-        return let(
-            sl,
-            lambda sv: F.array(
-                *[
-                    dot(sv, F.array(*[F.lit(float(x)) for x in c]))
-                    for (_label, c, _cc) in books[s]
-                ]
-            ),
+        arr = "array(" + ", ".join(
+            _dot_sql("sv", _darr_sql(c)) for (_label, c, _cc) in books[s]
+        ) + ")"
+        return F.expr(
+            _let_sql(f"slice(__v, {s * width + 1}, {width})", "sv", arr)
         )
 
     qf = queries.select(
@@ -1713,37 +1760,67 @@ def _kmeans_frame(
     return out.localCheckpoint(eager=False) if materialize else out
 
 
+# --- SQL-text expression builders -------------------------------------
+# The centroid-literal expressions below are built as SQL STRINGS parsed
+# by ONE F.expr call instead of composed Column objects: every F.lit /
+# F.struct / zip_with is a py4j round trip, and a single 16-codeword
+# argmin costs ~1 s of pure driver-side construction that way (profiled
+# r12; PQ's 24 such expressions put ~10 s of py4j chatter in a 15 s
+# gate wall). The parsed trees are operator-for-operator the trees the
+# Column API built — same zip_with/aggregate folds, same literal
+# doubles (repr() emits the shortest round-trip decimal, and Spark's
+# parser is correctly rounded, so the bits survive) — pinned by the
+# plain-Python bit-parity tests and the DuckDB hash gates.
+
+
+def _dlit(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """The dot() fold, as SQL text: sequential left-to-right double
+    accumulation, identical to the Column form and the oracle's
+    list_dot_product order."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _darr_sql(vals) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _dist_structs_sql(cent_list, v: str, vv: str) -> str:
+    """THE distance-tree contract, in one place: the
+    ``((vv - 2.0 * dot(v, c)) + cc, cluster)`` parenthesization and
+    (sq_dist, cluster) struct order every oracle mirrors, emitted as a
+    comma-joined SQL struct list."""
+    return ", ".join(
+        "named_struct('sq_dist',"
+        f" (({vv} - (2.0D * {_dot_sql(v, _darr_sql(c))})) + {_dlit(cc)}),"
+        f" 'cluster', CAST({int(j)} AS BIGINT))"
+        for j, c, cc in cent_list
+    )
+
+
+def _argmin_sql(cent_list, v: str, vv: str) -> str:
+    """array_min over the distance structs — (dist, cluster)
+    lexicographic, the oracle's ORDER BY dist, cluster LIMIT 1."""
+    return f"array_min(array({_dist_structs_sql(cent_list, v, vv)}))"
+
+
+def _let_sql(bound: str, var: str, body: str) -> str:
+    """functions/expr.let as SQL text: transform(array(bound),
+    var -> body)[0] — same GetArrayItem(0) binding."""
+    return f"transform(array({bound}), {var} -> {body})[0]"
+
+
 def _dist_argmin_struct(cent_list) -> Column:
     """min over centroid literals of struct((vv - 2 v·c) + cc, cluster)
     — (dist, cluster) lexicographic = the oracle's ORDER BY dist,
     cluster LIMIT 1. Expects the :func:`_kmeans_frame` columns."""
-    return F.array_min(F.array(*_dist_structs(cent_list)))
-
-
-def _dist_structs(
-    cent_list, v: Column | None = None, vv: Column | None = None
-) -> list[Column]:
-    """THE distance-tree contract, in one place (review r12c #4): the
-    ``(vv - 2.0 * dot(v, c)) + cc`` parenthesization and the
-    (sq_dist, cluster) struct order every oracle mirrors. ``v``/``vv``
-    default to the :func:`_kmeans_frame` columns; PQ passes let-bound
-    subvector expressions instead."""
-    v = F.col("__v") if v is None else v
-    vv = F.col("__vv") if vv is None else vv
-    return [
-        F.struct(
-            (
-                (
-                    vv
-                    - F.lit(2.0)
-                    * dot(v, F.array(*[F.lit(float(x)) for x in c]))
-                )
-                + F.lit(float(cc))
-            ).alias("sq_dist"),
-            F.lit(int(j)).cast("long").alias("cluster"),
-        )
-        for j, c, cc in cent_list
-    ]
+    return F.expr(_argmin_sql(cent_list, "__v", "__vv"))
 
 
 def kmeans_centroid_list(
@@ -1868,7 +1945,10 @@ def ivf_topk_portable(
     probes = q_frame.select(
         F.col("__vid").alias("query_id"),
         F.explode(
-            F.slice(F.array_sort(F.array(*_dist_structs(cents))), 1, nprobe)
+            F.expr(
+                f"slice(array_sort(array("
+                f"{_dist_structs_sql(cents, '__v', '__vv')})), 1, {nprobe})"
+            )
         ).alias("__p"),
     ).select("query_id", F.col("__p.cluster").alias("cluster"))
     cand = (
