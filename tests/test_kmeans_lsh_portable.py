@@ -342,3 +342,16 @@ def test_pq_portable_rejects_bad_geometry(spark, vectors):
         sim.pq_topk_portable(vectors, vectors, dim=64, m=7)
     with pytest.raises(ValueError):
         sim.pq_topk_portable(vectors, vectors, dim=64, m=8, k=10, rerank=5)
+
+
+def test_pq_portable_validates_scale_bits_and_finite_literals(spark, vectors):
+    """Review r12d: the batched training re-checks the
+    embedding_centroids scale_bits bound, and _dlit refuses non-finite
+    components loudly instead of emitting unparseable SQL."""
+    with pytest.raises(ValueError):
+        sim.pq_topk_portable(vectors, vectors, dim=64, m=8, scale_bits=31)
+    with pytest.raises(ValueError):
+        sim._dlit(float("inf"))
+    with pytest.raises(ValueError):
+        sim._dlit(float("nan"))
+    assert sim._dlit(0.5) == "0.5D"

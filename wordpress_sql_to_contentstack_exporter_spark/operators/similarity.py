@@ -1504,6 +1504,10 @@ def pq_topk_portable(
         raise ValueError("dim must be divisible by m")
     if not (1 <= k <= rerank):
         raise ValueError("1 <= k <= rerank required")
+    if not (1 <= scale_bits <= 30):
+        # the embedding_centroids bound, re-checked here because the
+        # batched training no longer routes through it (review r12d #1)
+        raise ValueError("scale_bits in [1, 30] required")
     width = dim // m
     # ONE shared checkpointed frame + ONE seed collect feed all m
     # subspace codebooks (review r12c #3: m private _kmeans_frames cost
@@ -1774,6 +1778,17 @@ def _kmeans_frame(
 
 
 def _dlit(x: float) -> str:
+    import math
+
+    if not math.isfinite(float(x)):
+        # loud and named: interpolating repr(inf/nan) would surface as
+        # an opaque SQL ParseException far from the offending row
+        # (review r12d #3); a non-finite centroid/codeword component
+        # means a non-finite input vector upstream
+        raise ValueError(
+            f"non-finite centroid component {x!r} — the exact-contract "
+            "expression families require finite inputs"
+        )
     return repr(float(x)) + "D"
 
 
