@@ -177,7 +177,10 @@ def main() -> int:
         simhash_blocked_plan,
         ("text never enters a shuffle", no_text_in_exchange),
         ("blocked join, not all-pairs", r"\A(?s:(?!.*(?:CartesianProduct|BroadcastNestedLoopJoin)).*)\Z"),
-        ("block cap is a semi-join", r"LeftSemi"),
+        # round 13: the cap became a broadcast ANTI join against the
+        # hot-key list (usually empty) instead of a semi-join against
+        # the full key census
+        ("block cap is a broadcast anti-join", r"LeftAnti"),
         # a pair-level distinct shows up as a HashAggregate KEYED on
         # (id_a, id_b) — match the aggregate keys, not operator text
         # order (review r12 #1: the tree-order regex was green/red by

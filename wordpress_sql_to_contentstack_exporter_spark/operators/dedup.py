@@ -479,29 +479,41 @@ def simhash_df(
     (id, token) rows -> per-bit +1/-1 sums as 63 aggregate columns ->
     fold the sign bits into one long.
 
-    Measured dead end (round 4, don't re-attempt): packing the 63 bit
-    counters into 16 longs of 4x16-bit lanes (fewer aggregation buffers,
-    shift/or update expressions) was timing-identical at 200k docs
-    (1.84 s vs 1.82 s) — the per-row getbit work dominates, not the
-    aggregation state, and the lane packing only obfuscates.
+    Measured dead ends (don't re-attempt):
+    - round 4: packing the 63 bit counters into 16 longs of 4x16-bit
+      lanes (fewer aggregation buffers, shift/or update expressions)
+      was timing-identical at 200k docs (1.84 s vs 1.82 s) — the
+      per-row bit work dominates, not the aggregation state.
+    - round 13: a carry-save (bit-sliced popcount) adder inside
+      ``F.aggregate`` over the token-hash array — ~2 bitwise ops per
+      counter level for all 63 bit positions at once, zero shuffles —
+      measured 110 s vs 1.8 s at 10k docs: higher-order functions
+      re-materialize the 21-field struct accumulator per token instead
+      of fusing into codegen. HOFs are for small arrays, not hot
+      reductions.
+
+    Round 13: the per-bit term is the branch-free ``sum((th >> b) & 1)``
+    against a shared token count (bit b set iff ``2*ones_b > n``) —
+    bit-identical to the original ±1-sum form (``sum(±1) > 0`` ⇔
+    ``2*ones > n``), measured ~1.15x faster (no WHEN branch per bit per
+    token), and the n column doubles as free token-count telemetry.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("th"))
     bit_sums = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.getbit("th", F.lit(b)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright("th", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(SIMHASH_BITS)
-        ]
+        ],
     )
     value = None
     for b in range(SIMHASH_BITS):
-        piece = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        piece = F.when(
+            F.col(f"b{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         value = piece if value is None else value + piece
     return bit_sums.select("id", value.alias(out_col))
 
@@ -771,9 +783,10 @@ def simhash_blocked_pairs_from_sigs(
     Plan shape at 100 TB — ZERO pair-level shuffles: the explode
     carries (id, sh, table, key) longs — 45 rows/doc of ~32 bytes, far
     below the text the signature already replaced; ``max_block_size``
-    drops pathological (table, key) groups whole (aggregate +
-    semi-join, the family's shared guard); the self-join on (table,
-    key) carries BOTH signatures, so Hamming verification is a map-side
+    drops pathological (table, key) groups whole (aggregate + broadcast
+    ANTI join against the usually-empty hot-key list — round 13, was a
+    semi-join against the full key census); the self-join on the fused
+    (table, key) long carries BOTH signatures, so Hamming verification is a map-side
     filter — no join back to the signature frame. A qualifying pair is
     matched by C(intact, combo_r) tables (~30 of 45 at small Hamming),
     so naive dedup would shuffle the candidate set at ~30x multiplicity
@@ -800,6 +813,21 @@ def simhash_blocked_pairs_from_sigs(
     splits, subsets, first_combo = simhash_combo_tables(
         bits, max_hamming, combo_r, n_blocks
     )
+    # Round 13: fold (table, key) into ONE long join key, t in the high
+    # bits above the widest combo key. Spark's hash join specializes on
+    # a single long key (LongHashedRelation: open-addressed long->rows
+    # map) vs the generic UnsafeRow relation for multi-column keys —
+    # measured 2.4x on the candidate probe (9.07M candidates at sf0.1:
+    # 2.5-3.0 s two-column vs 1.0-1.4 s composite long). Every geometry
+    # the n_blocks <= 16 guard admits fits: key width <= bits (63) only
+    # when combo_r == n_blocks, and the shifted table index is checked
+    # below.
+    key_width = max(sum(splits[b][1] for b in s) for s in subsets)
+    if key_width + max(1, len(subsets) - 1).bit_length() > 63:
+        raise ValueError(
+            f"combo keys ({key_width} bits) + table index do not fit a "
+            "long — lower combo_r or n_blocks"
+        )
     combos = []
     for t, subset in enumerate(subsets):
         key = None
@@ -807,21 +835,26 @@ def simhash_blocked_pairs_from_sigs(
             off, w = splits[b]
             piece = F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
             key = piece if key is None else F.shiftleft(key, w).bitwiseOR(piece)
-        combos.append(F.struct(F.lit(t).alias("t"), key.alias("v")))
-    keyed = sigs.select("id", "sh", F.explode(F.array(*combos)).alias("tv")).select(
-        "id", "sh", F.col("tv.t").alias("t"), F.col("tv.v").alias("v")
-    )
-    if max_block_size is not None:
-        small = (
-            keyed.groupBy("t", "v")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_block_size)
-            .select("t", "v")
-        )
-        keyed = keyed.join(small, ["t", "v"], "left_semi")
+        combos.append(F.shiftleft(F.lit(t).cast("long"), key_width).bitwiseOR(key))
+    keyed = sigs.select("id", "sh", F.explode(F.array(*combos)).alias("k"))
     if materialize:
-        # keyed feeds both sides of the self-join below
+        # keyed feeds the cap count AND both sides of the self-join —
+        # checkpoint BEFORE the cap so the explode runs once, not three
+        # times (round 13: the cap previously recomputed signatures per
+        # consumer; reordering cut its cost ~1.3 s -> ~0.15 s at sf0.1)
         keyed = keyed.localCheckpoint(eager=False)
+    if max_block_size is not None:
+        # drop over-cap (table, key) groups whole — phrased as an ANTI
+        # join against the HOT keys (usually none) rather than a semi
+        # join against every small key: the broadcast build is a handful
+        # of longs instead of the whole key census
+        hot = (
+            keyed.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .select("k")
+        )
+        keyed = keyed.join(F.broadcast(hot), ["k"], "left_anti")
     left, right = keyed.alias("l"), keyed.alias("r")
     x = F.col("l.sh").bitwiseXOR(F.col("r.sh"))
     intact_mask = None
@@ -841,14 +874,14 @@ def simhash_blocked_pairs_from_sigs(
     return (
         left.join(
             right,
-            (F.col("l.t") == F.col("r.t"))
-            & (F.col("l.v") == F.col("r.v"))
-            & (F.col("l.id") < F.col("r.id")),
+            (F.col("l.k") == F.col("r.k")) & (F.col("l.id") < F.col("r.id")),
         )
         .filter(F.bit_count(x) <= max_hamming)
         .filter(
-            F.col("l.t")
-            == F.element_at(F.lit(first_combo), (intact_mask + 1).cast("int"))
+            F.shiftright(F.col("l.k"), key_width)
+            == F.element_at(F.lit(first_combo), (intact_mask + 1).cast("int")).cast(
+                "long"
+            )
         )
         .select(*out_cols)
     )
@@ -1702,11 +1735,12 @@ def simhash_portable_pairs(
        (``simhash_combo_tables``).
     5. verification: ``bit_count(xor(sh_a, sh_b)) <= max_hamming``.
 
-    Plan shape at 100 TB: the keyed frame carries (id, sh, table, key)
-    longs; the cap is aggregate + semi-join; the self-join carries both
-    signatures so verification and first-match dedup are MAP-SIDE
-    filters — zero pair-level exchanges (the r12 headline design); text
-    never enters a shuffle.
+    Plan shape at 100 TB: the keyed frame carries (id, sh, fused
+    table+key) longs; the cap is aggregate + broadcast anti-join
+    against the hot keys; the self-join carries both signatures so
+    verification and first-match dedup are MAP-SIDE filters — zero
+    pair-level exchanges (the r12 headline design); text never enters
+    a shuffle.
 
     Output: (id_a, id_b, hamming, simhash_a, simhash_b), id_a < id_b.
     Documents with ZERO tokens (empty/whitespace-only/NULL text) have
