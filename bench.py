@@ -563,6 +563,10 @@ def main() -> None:
     # compile-time regressions stay visible.
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
+    # all three warm walls per line (VERDICT r12 #4: the per-line spread
+    # must be readable from the artifact so round-over-round drift can
+    # be separated from VM noise without a footnote)
+    timings_runs: dict[str, list] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
         t0 = time.perf_counter()
@@ -577,8 +581,9 @@ def main() -> None:
         for _ in range(3):
             t1 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm.append(time.perf_counter() - t1)
-        timings[name] = round(sorted(warm)[1], 3)
+            warm.append(round(time.perf_counter() - t1, 3))
+        timings[name] = sorted(warm)[1]
+        timings_runs[name] = warm
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -597,14 +602,16 @@ def main() -> None:
         ),
         "queries": timings,
         "queries_cold": timings_cold,
+        "queries_runs": timings_runs,
         "total_cold": round(sum(timings_cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # r12: simhash_neardup switched to EXACT combination blocking —
-        # the line buys exact candidate recall (returns the complete
-        # h<=6 pair set, 1.9x the rotation sweep's pairs at the same
-        # gate; planted recall 0.957 vs 0.847) at ~2x the r11 wall;
-        # the headline delta vs r11 is entirely this line (SCALE.md A/B)
-        "notes": "simhash_neardup r12: exact pair set, semantics-changed line",
+        # r13: simhash_neardup keeps the r12 EXACT pair-set semantics
+        # (byte-identical output, 86,952 pairs at sf0.1) on a 1.6x
+        # faster path (composite long join key + anti-join cap +
+        # branch-free signature sums — SCALE.md round-13 A/B), so the
+        # r13 line is same-semantics comparable to r12's 5.744 s and
+        # the r12 "semantics-changed" footnote is retired.
+        "notes": "simhash_neardup r13: same exact-pair semantics as r12, optimized path",
     }
 
     # Flagship-pipeline scale tier (SPARK_GRAFT_POSTS=0 disables). Runs

@@ -245,3 +245,34 @@ def test_kcore_canonicalizes_and_validates(spark):
 
     with _pytest.raises(ValueError, match="k >= 1"):
         kcore(messy, k=0)
+
+
+def test_kcore_fixed_rounds_equals_fixpoint(spark):
+    """Round 13: the fixed-round peel (the oracle-mirrorable form) must
+    EQUAL the fixpoint peel once rounds >= the graph's peel depth, and
+    extra rounds must be idempotent. Runs on the registry's synthetic
+    graph (depth 10) at the gate's 12 rounds, plus a small handworked
+    graph at an absurd surplus."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.graph import kcore
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
+        _graph_edges,
+    )
+
+    edges = _graph_edges(spark, "/root/testdata/sf0.001")
+    fixed = {(r["node"], r["degree"]) for r in kcore(edges, k=3, rounds=12).collect()}
+    fixpoint = {(r["node"], r["degree"]) for r in kcore(edges, k=3).collect()}
+    assert fixed == fixpoint and len(fixed) > 0
+    more = {(r["node"], r["degree"]) for r in kcore(edges, k=3, rounds=15).collect()}
+    assert more == fixed
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)],
+        "src long, dst long",
+    )
+    assert {
+        (r["node"], r["degree"]) for r in kcore(clique, k=3, rounds=30).collect()
+    } == {(0, 3), (1, 3), (2, 3), (3, 3)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rounds"):
+        kcore(clique, k=3, rounds=0)

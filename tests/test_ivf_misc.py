@@ -194,8 +194,8 @@ def test_ann_recall_sweep_shape_and_floors(spark):
     }
     assert set(rows) == {
         "lsh_gate", "lsh_2x8_contrast", "ivf", "pq", "ivfpq",
-        # round-12 portable members at their shipped gate geometry
-        "lsh_portable", "ivf_portable", "pq_portable",
+        # round-12/13 portable members at their shipped gate geometry
+        "lsh_portable", "ivf_portable", "pq_portable", "ivfpq_portable",
     }
     possible = {r["possible"] for r in rows.values()}
     assert len(possible) == 1 and possible.pop() > 0
@@ -204,7 +204,7 @@ def test_ann_recall_sweep_shape_and_floors(spark):
         assert abs(r["recall_at_k"] - r["hits"] / r["possible"]) < 1e-12
     for m in (
         "lsh_gate", "ivf", "pq", "ivfpq",
-        "lsh_portable", "ivf_portable", "pq_portable",
+        "lsh_portable", "ivf_portable", "pq_portable", "ivfpq_portable",
     ):
         assert rows[m]["recall_at_k"] >= 0.3, (m, rows[m]["recall_at_k"])
 

@@ -303,7 +303,10 @@ H_ALLOWED = {
     # are distinct by construction) immediately upstream, so the
     # ordering is total within (keys) — the DISTINCT is load-bearing
     # and commented as such at each site (round-11 find):
-    "winnow_spans", "span_excise", "curation_capstone", "merge_intervals",
+    "winnow_spans", "span_excise", "curation_capstone",
+    "curation_capstone_soft",  # textual variant of the capstone: same
+    # span chain, only the dedup verdict differs (r13)
+    "merge_intervals",
     # scd2-style latest-version pick: version is unique per c_custkey
     # by the fixture's construction (one snapshot row per version);
     # driver-green since r5
@@ -315,6 +318,7 @@ H_ALLOWED = {
     # to the GLOBAL tiebreaker set, where a future oracle with
     # non-unique clusters would ride it silently (review r12b #3)
     "kmeans_lloyd", "ann_ivf_portable", "ann_pq_portable",
+    "ann_ivfpq_portable",
 }
 
 

@@ -16,48 +16,47 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-12 window contract (VERDICT r11 asks #2-#5): the two new
-# oracle-backed compositions (portable near-dup manifest, curation
-# capstone) take first-contact slots; the three ADVICE-touched
-# oracle-backed impls re-green; simhash_neardup re-contacts rows-only
-# with its changed (exact combination blocking) implementation; and the
-# REMAINING 14 rows-only queries get their first driver-environment
-# execution, closing the 24-query set the r10/r11 rotations started.
-# Funded by rotating out eleven r11 oracle-greens on untouched code plus
-# the nine rows-only queries whose first contact landed clean in r11.
-# Pinned as SETS, not a frozen order, so next round's rotation edits
-# these lists deliberately rather than breaking an order assertion by
-# accident.
-ROUND12_WINDOW_NEW = {
-    "incremental_neardup_portable",  # new: md5 manifest round trip
-    "curation_capstone",   # new: detect->excise->gate->dedup->split
-    "ann_lsh_portable",    # new: md5 sign-plane LSH, first oracle-backed ANN
-    "kmeans_lloyd",        # new: first oracle-backed iterative algorithm
-    "ann_ivf_portable",    # new: IVF on the exact-contract quantizer
-    "ann_pq_portable",     # new: PQ on exact-contract subspace codebooks
-    "simhash_portable",    # changed: CR in portable ws class + CRLF corpus
-    "leakage_safe_split",  # changed: NULL-key coalesce in the split hash
-    "span_excise",         # changed: removed-char clamp
+# The round-13 window contract (VERDICT r12 asks #3, #5, #6): the five
+# new/converted oracle-backed gates take first-contact slots (the
+# IVF+PQ composition, the soft-dedup capstone variant, and the three
+# rows-only->oracle conversions); every oracle-backed gate whose
+# implementation OR generated mirror changed this round re-greens
+# (simhash family: composite-key join + anti-cap; kmeans/PQ/LSH/
+# sweep/sentence mirrors regenerated from shared geometry constants —
+# ADVICE r12 #2); simhash_neardup re-contacts rows-only on its
+# optimized path. Funded by rotating out the twelve r12 rows-only
+# first contacts plus unicode_clean, all clean in CORRECTNESS_r12.json
+# on code untouched since. Pinned as SETS, not a frozen order, so next
+# round's rotation edits these lists deliberately rather than breaking
+# an order assertion by accident.
+ROUND13_WINDOW_NEW = {
+    "ann_ivfpq_portable",     # new: IVF+PQ composition of exact halves
+    "curation_capstone_soft", # new: capstone with soft-dedup weights
+    "kcore",                  # converted: fixed-round peel, unrolled mirror
+    "sentence_chunks",        # converted: recursive-CTE chunk walk mirror
+    "dedup_calibration",      # converted: portable-minhash upstream
 }
-# Deliberate rows-only window slots: the 14 remaining first contacts
-# (VERDICT r11 ask #2) + simhash_neardup (implementation changed to the
-# exact combination blocking this round).
-ROUND12_WINDOW_ROWS_ONLY = {
-    "simhash_neardup", "kcore", "sentence_chunks", "dedup_calibration",
-    "incremental_neardup", "sliding_hll", "compression_ratio",
-    "approx_aggs", "hll_sketches", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk", "freq_items", "image_neardup", "audio_neardup",
+ROUND13_WINDOW_REGREENS = {
+    # implementation changed (r13 simhash optimization):
+    "simhash_portable",
+    # gate refactored through the shared capstone frame:
+    "curation_capstone",
+    # generated mirrors / shared-constant refactors (same semantics,
+    # different SQL text — re-green deliberate):
+    "minhash_portable", "threshold_sweep", "sentence_split",
+    "kmeans_lloyd", "ann_lsh_portable", "ann_ivf_portable",
+    "ann_pq_portable",
+    # semantics feed the soft capstone; r12 first-greens confirmed once:
+    "soft_dedup_weights", "incremental_neardup_portable",
 }
-ROUND12_WINDOW_RETAINED_R11_GREENS = {
-    # r11 first-greens kept for one confirmation (minhash_portable's
-    # signature build moved into shared helpers this round):
-    "winnow_dedup", "winnow_spans", "minhash_portable", "unicode_clean",
-}
-ROUND12_WINDOW_ANCHORS = {
+# Deliberate rows-only window slots.
+ROUND13_WINDOW_ROWS_ONLY = {"simhash_neardup", "ann_recall_sweep"}
+ROUND13_WINDOW_ANCHORS = {
     "flagship_posts_export", "bloom_prune_join", "shard_manifest",
 }
-ROUND12_WINDOW_RETAINED = {
+ROUND13_WINDOW_RETAINED = {
     # the capstone component family (bisection on a capstone red):
+    "winnow_dedup", "winnow_spans", "leakage_safe_split", "span_excise",
     "winnowing", "winnow_overlap", "curation_gate", "lm_perplexity",
     "semantic_decontaminate",
     # stable retained greens:
@@ -66,23 +65,52 @@ ROUND12_WINDOW_RETAINED = {
     "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
+    # reference-core greens rotated back in:
+    "eav_pivot", "group_concat", "hierarchy_parent", "broadcast_lookup",
+    "semi_join", "anti_join",
 }
 
 
-def test_round12_window_set():
+def test_round13_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
-        ROUND12_WINDOW_NEW
-        | ROUND12_WINDOW_ROWS_ONLY
-        | ROUND12_WINDOW_RETAINED_R11_GREENS
-        | ROUND12_WINDOW_ANCHORS
-        | ROUND12_WINDOW_RETAINED
+        ROUND13_WINDOW_NEW
+        | ROUND13_WINDOW_REGREENS
+        | ROUND13_WINDOW_ROWS_ONLY
+        | ROUND13_WINDOW_ANCHORS
+        | ROUND13_WINDOW_RETAINED
     )
 
 
+def test_rotated_out_r13_were_clean_in_r12():
+    """The thirteen queries rotated out this round must all have clean
+    r12 driver rows — rotation never discards a query whose latest
+    driver contact was red or absent. (Twelve are rows-only first
+    contacts: clean rows, no error; unicode_clean was an r12
+    oracle-green.)"""
+    import json
+    import os
+
+    rotated_out = {
+        "incremental_neardup", "sliding_hll", "compression_ratio",
+        "approx_aggs", "hll_sketches", "ann_ivf_topk", "ann_pq_topk",
+        "ann_ivfpq_topk", "freq_items", "image_neardup", "audio_neardup",
+        "unicode_clean",
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r12.json")
+    rows = json.load(open(path))
+    for name in rotated_out:
+        e = rows[name]
+        # rows-only entries record err='no_oracle' by design; anything
+        # else is a real failure
+        assert e["err"] in (None, "no_oracle"), (name, e)
+        assert e["spark_rows"] > 0, (name, e)
+    assert rows["unicode_clean"]["hash_match"] is True
+
+
 def test_rotated_out_r12_kept_their_greens():
-    """The eleven oracle-backed queries rotated out this round must all
+    """The eleven oracle-backed queries rotated out in r12 must all
     be r11 driver-greens — rotation never discards a query whose latest
     driver contact was red or absent. (The nine rows-only rotations
     have no hash row by construction; their r11 first contacts were
@@ -128,7 +156,7 @@ def test_repetition_probes_stay_ordered():
 def test_oracle_backed_queries_precede_rows_only():
     """Outside the window, oracle-backed entries still precede the
     rows-only tail; inside it, only the deliberate
-    ROUND12_WINDOW_ROWS_ONLY slots may be rows-only."""
+    ROUND13_WINDOW_ROWS_ONLY slots may be rows-only."""
     names = list(SPARK_QUERIES)
     tail = names[DRIVER_SNAPSHOT_WINDOW:]
     first_rows_only = next(
@@ -151,10 +179,10 @@ def test_rows_only_window_slots_are_deliberate():
     names = list(SPARK_QUERIES)
     in_window = names[:DRIVER_SNAPSHOT_WINDOW]
     rows_only_inside = {n for n in in_window if n not in ORACLE_SQL}
-    assert rows_only_inside == ROUND12_WINDOW_ROWS_ONLY, (
+    assert rows_only_inside == ROUND13_WINDOW_ROWS_ONLY, (
         "rows-only window slots diverge from the deliberate allowlist: "
-        f"unexpected={rows_only_inside - ROUND12_WINDOW_ROWS_ONLY}, "
-        f"missing={ROUND12_WINDOW_ROWS_ONLY - rows_only_inside}"
+        f"unexpected={rows_only_inside - ROUND13_WINDOW_ROWS_ONLY}, "
+        f"missing={ROUND13_WINDOW_ROWS_ONLY - rows_only_inside}"
     )
 
 

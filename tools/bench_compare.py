@@ -96,6 +96,14 @@ def main() -> None:
         # noise; soft_dedup_weights is one hash window on both sides
         "kmeans_lloyd", "ann_lsh_portable", "ann_ivf_portable",
         "ann_pq_portable", "soft_dedup_weights",
+        # round-13 additions: the IVF+PQ composition (both engines run
+        # coarse chain + subspace chains), the three rows-only->oracle
+        # conversions (unrolled peel, recursive chunk walk, portable
+        # sweep — real work both sides). curation_capstone_soft is
+        # measured in _steady_state like the capstone (same five-stage
+        # composition; four timed runs would cost minutes for parity).
+        "ann_ivfpq_portable", "kcore", "sentence_chunks",
+        "dedup_calibration",
     ]
     out = {}
     for name in compared:
@@ -170,27 +178,59 @@ def main() -> None:
     # propagation and the excision checkpoints run jobs at construction
     # time, so timing only the final write would claim ~2 s for a ~60 s
     # composition
-    t0 = time.perf_counter()
-    cap = SPARK_QUERIES["curation_capstone"](spark, sf_dir)
-    cap.write.format("noop").mode("overwrite").save()
-    cap_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cap.write.format("noop").mode("overwrite").save()
-    cap_reused = time.perf_counter() - t0
-    # warm-up run first — every other steady row divides by a WARM
-    # DuckDB wall, and a cold-vs-warm mix would bias the recorded ratio
-    # in Spark's favor (review r12 #4)
-    con.execute(ORACLE_SQL["curation_capstone"]).fetchall()
-    t0 = time.perf_counter()
-    con.execute(ORACLE_SQL["curation_capstone"]).fetchall()
-    cap_duck = time.perf_counter() - t0
-    steady["curation_capstone"] = {
-        "spark_cold_s": round(cap_cold, 3),
-        "reused_plan_s": round(cap_reused, 3),
-        "duckdb_s": round(cap_duck, 3),
-        "steady_ratio": round(cap_reused / cap_duck, 1) if cap_duck else None,
-        "cold_ratio": round(cap_cold / cap_duck, 1) if cap_duck else None,
-    }
+    for cap_name in ("curation_capstone", "curation_capstone_soft"):
+        t0 = time.perf_counter()
+        cap = SPARK_QUERIES[cap_name](spark, sf_dir)
+        cap.write.format("noop").mode("overwrite").save()
+        cap_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cap.write.format("noop").mode("overwrite").save()
+        cap_reused = time.perf_counter() - t0
+        # warm-up run first — every other steady row divides by a WARM
+        # DuckDB wall, and a cold-vs-warm mix would bias the recorded
+        # ratio in Spark's favor (review r12 #4)
+        con.execute(ORACLE_SQL[cap_name]).fetchall()
+        t0 = time.perf_counter()
+        con.execute(ORACLE_SQL[cap_name]).fetchall()
+        cap_duck = time.perf_counter() - t0
+        steady[cap_name] = {
+            "spark_cold_s": round(cap_cold, 3),
+            "reused_plan_s": round(cap_reused, 3),
+            "duckdb_s": round(cap_duck, 3),
+            "steady_ratio": round(cap_reused / cap_duck, 1) if cap_duck else None,
+            "cold_ratio": round(cap_cold / cap_duck, 1) if cap_duck else None,
+        }
+
+    # Round-13 (VERDICT r12 #7): the portable ANN gates' 11-14x fixture
+    # ratios were adjudicated as per-action floor (codebook training /
+    # centroid fits run as driver-loop jobs at BUILD time); one
+    # reused-plan number per gate makes that adjudication measured
+    # instead of argued. Same capstone pattern: the BUILD is part of the
+    # cold wall (k-means collects run at construction), reused_plan_s is
+    # the long-job steady state with books/centroids already fit and
+    # checkpoints materialized.
+    for name in (
+        "ann_lsh_portable", "ann_ivf_portable", "ann_pq_portable",
+        "ann_ivfpq_portable",
+    ):
+        t0 = time.perf_counter()
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        ann_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        ann_reused = time.perf_counter() - t0
+        con.execute(ORACLE_SQL[name]).fetchall()
+        t0 = time.perf_counter()
+        con.execute(ORACLE_SQL[name]).fetchall()
+        ann_duck = time.perf_counter() - t0
+        steady[name] = {
+            "spark_cold_s": round(ann_cold, 3),
+            "reused_plan_s": round(ann_reused, 3),
+            "duckdb_s": round(ann_duck, 3),
+            "steady_ratio": round(ann_reused / ann_duck, 1) if ann_duck else None,
+            "cold_ratio": round(ann_cold / ann_duck, 1) if ann_duck else None,
+        }
 
     with tempfile.TemporaryDirectory() as td:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -1054,6 +1054,29 @@ def main() -> int:
          r"\[[^\]]*(?:__qt|embedding|__vec|__qv|__cv|__v)#[^\]]*\]\s*\n"
          r"Arguments: [^\n]*hashpartitioning\(query_id).*)\Z"),
     )
+    # ann_ivfpq_portable (round 13): the composition must inherit BOTH
+    # halves' disciplines — the IVF probe broadcast restricts candidates
+    # BEFORE ADC scoring (no query-x-corpus nested loop anywhere: the
+    # candidate set arrives by equi-joins), and the rerank exchange
+    # carries (ids, adc) only.
+    ivfpq_plan = plan_of(
+        _simo.ivfpq_topk_portable(
+            emb.filter("vec_id < 5"), emb, dim=_fixture_dim,
+            kcells=8, coarse_iters=2, nprobe=2,
+            m=8, ncodes=16, iters=1, rerank=64, k=5,
+        )
+    )
+    check_plan(
+        "ann_ivfpq_portable",
+        ivfpq_plan,
+        ("no cartesian product", r"\A(?s:(?!.*CartesianProduct).*)\Z"),
+        ("no query-x-corpus nested loop (IVF restricts before ADC)",
+         r"\A(?s:(?!.*BroadcastNestedLoopJoin).*)\Z"),
+        ("rerank exchange carries ids+adc only",
+         r"\A(?s:(?!.*\(\d+\) Exchange\s*\nInput \[\d+\]: "
+         r"\[[^\]]*(?:__qt|embedding|__vec|__qv|__cv|__v)#[^\]]*\]\s*\n"
+         r"Arguments: [^\n]*hashpartitioning\(query_id).*)\Z"),
+    )
     # kmeans_lloyd (round 12): assignment is MAP-ONLY — centroids are
     # driver-side literals, so the returned frame's plan has NO join and
     # NO exchange at all (updates ran as separate bounded jobs; the

@@ -369,6 +369,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    rounds: int | None = None,
 ) -> DataFrame:
     """The k-core of an undirected simple graph: the maximal subgraph
     in which every node has degree >= k — the standard peel for
@@ -391,6 +392,17 @@ def kcore(
     Input may contain duplicate/reversed/self-loop edges (canonicalized
     away). Output: ``(node, degree)`` — nodes of the k-core with their
     degree WITHIN the core.
+
+    ``rounds`` (round 13, VERDICT r12 #5): run EXACTLY that many peel
+    rounds with no fixpoint detection — once the peel converges, extra
+    rounds are idempotent (degree set unchanged -> keep set unchanged),
+    so with ``rounds`` >= the graph's peel depth the result EQUALS the
+    fixpoint k-core (pinned in tests), and the fixed round count is
+    what lets a DuckDB oracle mirror the peel as an unrolled CTE chain
+    — the same fixed-iteration device as the kmeans/PQ mirrors. With
+    ``rounds`` short of convergence both engines compute the same
+    partially-peeled set (still hash-equal), it is just not yet the
+    k-core.
     """
     if k < 1:
         raise ValueError("k >= 1 required")
@@ -401,6 +413,26 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if rounds is not None:
+        if rounds < 1:
+            raise ValueError("rounds >= 1 required")
+        keep = None
+        for _ in range(rounds):
+            deg = (
+                e.select(F.col("u").alias("n"))
+                .unionAll(e.select(F.col("v").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            )
+            keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+            ku = keep.select(F.col("n").alias("u"))
+            kv = keep.select(F.col("n").alias("v"))
+            e = (
+                e.join(ku, "u", "left_semi")
+                .join(kv, "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        return keep.select(F.col("n").alias("node"), "degree")
     prev_nodes = -1
     for _ in range(max_iter):
         deg = (

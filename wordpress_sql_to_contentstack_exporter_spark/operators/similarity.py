@@ -1389,6 +1389,10 @@ def lsh_topk_portable(
         raise ValueError("k >= 1 required")
     if dim < 1:
         raise ValueError("dim >= 1 required (caller short-circuits empty tables)")
+    if not (1 <= scale_bits <= 30):
+        # the embedding_centroids bound, re-checked like the PQ family
+        # (ADVICE r13: this gate accepted any scale_bits)
+        raise ValueError("scale_bits in [1, 30] required")
     planes = portable_sign_planes(num_tables, num_planes, dim)
 
     def buckets_expr() -> Column:
@@ -1414,9 +1418,19 @@ def lsh_topk_portable(
             + "))"
             for t in range(num_tables)
         )
-        bound = (
+        scaled = (
             "transform(transform(__vec, x -> CAST(x AS DOUBLE)),"
             f" x -> floor(x * {_dlit(2**scale_bits)}))"
+        )
+        # Guard the declared dim LOUDLY (ADVICE r13): a row whose vector
+        # length disagrees would zip_with against NULL-padded planes,
+        # NULL the sign sums, and emit the all-zero bucket in every
+        # table — all mismatched rows silently colliding while the
+        # DuckDB mirror (which derives dims from the data) diverges.
+        bound = (
+            f"CASE WHEN size(__vec) = {dim} THEN {scaled} "
+            "ELSE raise_error(concat('lsh_topk_portable: vector length ',"
+            f" CAST(size(__vec) AS STRING), ' != dim={dim}')) END"
         )
         return F.expr(_let_sql(bound, "sv", f"array({tables})"))
 
@@ -1509,13 +1523,40 @@ def pq_topk_portable(
         # batched training no longer routes through it (review r12d #1)
         raise ValueError("scale_bits in [1, 30] required")
     width = dim // m
+    base = _kmeans_frame(candidates, id_col=id_col, vec_col=vec_col)
+    books = _pq_codebooks(
+        base, m=m, width=width, ncodes=ncodes, iters=iters, scale_bits=scale_bits
+    )
+    enc = _pq_encode(candidates, books, m=m, width=width,
+                     id_col=id_col, vec_col=vec_col)
+    qf = _pq_query_tables(queries, books, m=m, width=width,
+                          id_col=id_col, vec_col=vec_col)
+    paired = enc.join(
+        F.broadcast(qf), F.col("query_id") != F.col("neighbor_id")
+    )
+    cand = _pq_adc_rerank(paired, m=m, rerank=rerank)
+    return _cosine_rank_topk(
+        cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _pq_codebooks(
+    base: DataFrame, *, m: int, width: int, ncodes: int, iters: int,
+    scale_bits: int,
+) -> list:
+    """Train the ``m`` subspace codebooks on the prepared
+    :func:`_kmeans_frame` — the shared definition behind
+    :func:`pq_topk_portable` and :func:`ivfpq_topk_portable` (round 13:
+    the IVF+PQ composition must quantize with byte-identical books, so
+    the training was factored out rather than duplicated). Returns the
+    label-ascending-sorted books, each entry (label, centroid, ||c||²).
+    """
     # ONE shared checkpointed frame + ONE seed collect feed all m
     # subspace codebooks (review r12c #3: m private _kmeans_frames cost
     # m checkpoints and m identical global seed sorts). Seed subvectors
     # and their ||.||^2 are sliced/folded on the driver — a plain
     # sequential float fold, bit-identical to the JVM fold (pinned by
     # the _py_lloyd parity test).
-    base = _kmeans_frame(candidates, id_col=id_col, vec_col=vec_col)
     seed_rows = (
         base.orderBy(F.col("__vid").asc())
         .limit(ncodes)
@@ -1598,20 +1639,35 @@ def pq_topk_portable(
     # ascending label order: the encode structs tiebreak on the INDEX
     # into this list, which therefore equals the oracle's ORDER BY
     # dist, cluster(label) order
-    books = [sorted(b) for b in books]
+    return [sorted(b) for b in books]
 
+
+def _pq_encode(
+    candidates: DataFrame, books: list, *, m: int, width: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """MAP-ONLY PQ encode: (neighbor_id, __code0..__code{m-1}) — the
+    argmin code per subspace against the trained books; shared by the
+    flat-PQ and IVF+PQ gates."""
     def code_expr(s: int) -> Column:
         idx_book = [
             (idx, c, cc) for idx, (_label, c, cc) in enumerate(books[s])
         ]
         return _subspace_argmin(s * width, width, idx_book)
 
-    enc = candidates.select(
+    return candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__v")
     ).select(
         "neighbor_id", *[code_expr(s).alias(f"__code{s}") for s in range(m)]
     )
 
+
+def _pq_query_tables(
+    queries: DataFrame, books: list, *, m: int, width: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup tables: (query_id, __qt0..__qt{m-1}), each
+    __qt{s} an ncodes-long array of exact dot(q_s, codeword) doubles."""
     def qtab_expr(s: int) -> Column:
         arr = "array(" + ", ".join(
             _dot_sql("sv", _darr_sql(c)) for (_label, c, _cc) in books[s]
@@ -1620,13 +1676,14 @@ def pq_topk_portable(
             _let_sql(f"slice(__v, {s * width + 1}, {width})", "sv", arr)
         )
 
-    qf = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__v")
     ).select("query_id", *[qtab_expr(s).alias(f"__qt{s}") for s in range(m)])
 
-    paired = enc.join(
-        F.broadcast(qf), F.col("query_id") != F.col("neighbor_id")
-    )
+
+def _pq_adc_rerank(paired: DataFrame, *, m: int, rerank: int) -> DataFrame:
+    """Fixed-parenthesization ADC sum + the (adc DESC, neighbor_id)
+    rerank window over a frame carrying codes and query tables."""
     adc = None
     for s in range(m):
         term = F.element_at(
@@ -1636,7 +1693,7 @@ def pq_topk_portable(
     w = Window.partitionBy("query_id").orderBy(
         F.col("__adc").desc(), F.col("neighbor_id").asc()
     )
-    cand = (
+    return (
         # project BEFORE the window: the rerank exchange must carry
         # (query_id, neighbor_id, adc) triples only — un-projected, the
         # m x ncodes qtab arrays (~1 KB/row) would ride it once per
@@ -1646,6 +1703,103 @@ def pq_topk_portable(
         .filter(F.col("__rn") <= rerank)
         .select("query_id", "neighbor_id")
     )
+
+
+def ivfpq_topk_portable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    dim: int,
+    kcells: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    ncodes: int = 16,
+    iters: int = 1,
+    rerank: int = 32,
+    k: int = 5,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ approximate top-k — the composition of the two
+    exact-contract halves (round 13, VERDICT r12 #3): the IVF coarse
+    quantizer (:func:`kmeans_centroid_list` cells, ``nprobe`` probes)
+    restricts WHICH corpus vectors each query scores, and the PQ
+    codebooks (:func:`_pq_codebooks`) decide HOW those survivors are
+    scored (fixed-order ADC over argmin codes), so the whole two-level
+    index — the classic IVFPQ layout of Jégou et al. — is
+    hash-verifiable cross-engine.
+
+    Codes quantize the RAW vectors, not the per-cell residuals
+    (FAISS ``IndexIVFPQ(by_residual=False)`` semantics): residual
+    encoding would need a per-(query, cell) lookup table — m x ncodes
+    doubles per probed cell — and couples the mirror's PQ chain to the
+    coarse chain; the raw-vector form keeps the two halves exactly the
+    committed, oracle-green building blocks. The recall cost of
+    skipping residuals is measured, not assumed, in ann_recall_sweep.
+
+    Exactness composition: at ``nprobe = kcells`` the IVF restriction
+    is lossless (every cell probed — pinned by the IVF tests), and at
+    ``rerank >= |corpus|`` the ADC order is fully re-ranked by exact
+    cosine — so with both maxed this returns exactly the brute-force
+    top-k (pinned in tests), and the shipped geometry trades each down
+    independently.
+
+    Plan shape at 100 TB: cell assignment and PQ encode are MAP-ONLY
+    projections of the corpus (centroid/code literals — one scan, no
+    shuffle); the probe set (|Q| x nprobe rows) broadcasts onto the
+    cells; the ADC join carries (neighbor_id, m codes) — never raw
+    vectors; the rerank exchange carries (query_id, neighbor_id, adc)
+    triples; only rerank survivors touch vectors again
+    (:func:`_cosine_rank_topk`).
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    if not (1 <= k <= rerank):
+        raise ValueError("1 <= k <= rerank required")
+    if not (1 <= nprobe <= kcells):
+        raise ValueError("1 <= nprobe <= kcells required")
+    if not (1 <= scale_bits <= 30):
+        raise ValueError("scale_bits in [1, 30] required")
+    width = dim // m
+    c_frame = _kmeans_frame(candidates, id_col=id_col, vec_col=vec_col)
+    # coarse quantizer: cells for the corpus, nprobe probes per query
+    cents = kmeans_centroid_list(
+        c_frame, k=kcells, iters=coarse_iters, scale_bits=scale_bits,
+        prepared=True,
+    )
+    cells = c_frame.select(
+        F.col("__vid").alias("neighbor_id"),
+        _dist_argmin_struct(cents)["cluster"].alias("cluster"),
+    )
+    q_frame = _kmeans_frame(queries, id_col=id_col, vec_col=vec_col)
+    probes = q_frame.select(
+        F.col("__vid").alias("query_id"),
+        F.explode(
+            F.expr(
+                f"slice(array_sort(array("
+                f"{_dist_structs_sql(cents, '__v', '__vv')})), 1, {nprobe})"
+            )
+        ).alias("__p"),
+    ).select("query_id", F.col("__p.cluster").alias("cluster"))
+    ivf_cand = (
+        cells.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # PQ scoring of the probed survivors only
+    books = _pq_codebooks(
+        c_frame, m=m, width=width, ncodes=ncodes, iters=iters,
+        scale_bits=scale_bits,
+    )
+    enc = _pq_encode(candidates, books, m=m, width=width,
+                     id_col=id_col, vec_col=vec_col)
+    qf = _pq_query_tables(queries, books, m=m, width=width,
+                          id_col=id_col, vec_col=vec_col)
+    paired = ivf_cand.join(enc, "neighbor_id").join(F.broadcast(qf), "query_id")
+    cand = _pq_adc_rerank(paired, m=m, rerank=rerank)
     return _cosine_rank_topk(
         cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
     )

@@ -2606,6 +2606,42 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- shared portable-ANN geometry (ADVICE r12 #2: ONE definition
+# feeds the q_ wrappers' operator calls AND the SQL generators below,
+# so a geometry bump cannot flip a gate red with the two sides silently
+# disagreeing — previously 4x8 planes / k=8 / iters=2 / 2^20 / vec_id<5
+# were re-spelled as literals inside each hand-written mirror) ----
+_ANN_NQ = 5           # queries are vec_id < _ANN_NQ
+_ANN_K = 5            # final top-k
+_KM_SCALE_BITS = 20   # floor(v * 2^scale_bits) quantization
+_KM_SCALE = 1 << _KM_SCALE_BITS
+_KM_K = 8             # coarse k-means cells / kmeans_lloyd k
+_KM_ITERS = 2         # Lloyd updates in the coarse quantizer
+_IVF_NPROBE = 2
+_LSH_TABLES = 8
+_LSH_PLANES = 4
+
+# The shared verify/rank tail every portable-ANN mirror ends with:
+# exact-cosine over the candidate set, key-unique rank window.
+_SQL_ANN_VERIFY_TAIL = f"""
+, s AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cos_sim
+    FROM cand
+    JOIN e a ON a.vec_id = cand.query_id
+    JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM s
+) WHERE rank <= {_ANN_K}
+"""
+
+
 def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k with the md5 sign-plane family
     (operators/similarity.lsh_topk_portable) — the first ORACLE-BACKED
@@ -2620,8 +2656,11 @@ def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cos_sim double"
         )
-    q = e.filter(F.col("vec_id") < 5)
-    out = sim.lsh_topk_portable(q, e, dim=dim, num_tables=8, num_planes=4, k=5)
+    q = e.filter(F.col("vec_id") < _ANN_NQ)
+    out = sim.lsh_topk_portable(
+        q, e, dim=dim, num_tables=_LSH_TABLES, num_planes=_LSH_PLANES,
+        k=_ANN_K, scale_bits=_KM_SCALE_BITS,
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
     )
@@ -2632,11 +2671,11 @@ def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # component quantization floor(v * 2^20) (family-A floor form); bucket
 # bits from EXACT integer sums; verify with the ann_cosine fold; rank
 # window key-unique on (cos_sim DESC, neighbor_id).
-SQL_ANN_LSH_PORTABLE = """
+SQL_ANN_LSH_PORTABLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p0 AS (
     SELECT vec_id,
-           [{'d': i - 1, 'sv': CAST(floor(v[i] * 1048576) AS BIGINT)}
+           [{{'d': i - 1, 'sv': CAST(floor(v[i] * {_KM_SCALE}) AS BIGINT)}}
             for i in range(1, len(v) + 1)] AS pairs
     FROM e
 ), ex AS (
@@ -2647,8 +2686,8 @@ p0 AS (
                                  || ':' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('8','9','a','b','c','d','e','f')
                 THEN 1 ELSE -1 END AS sgn
-    FROM (SELECT unnest(range(0, 8)) AS t),
-         (SELECT unnest(range(0, 4)) AS p),
+    FROM (SELECT unnest(range(0, {_LSH_TABLES})) AS t),
+         (SELECT unnest(range(0, {_LSH_PLANES})) AS p),
          (SELECT DISTINCT d FROM ex) dims
 ), acc AS (
     SELECT ex.vec_id, tp.t, tp.p, sum(tp.sgn * ex.sv)::BIGINT AS a
@@ -2656,31 +2695,15 @@ p0 AS (
     GROUP BY ex.vec_id, tp.t, tp.p
 ), bkt AS (
     SELECT vec_id, t,
-           max(CASE WHEN p = 0 THEN b END) || max(CASE WHEN p = 1 THEN b END)
-             || max(CASE WHEN p = 2 THEN b END) || max(CASE WHEN p = 3 THEN b END)
+           {" || ".join(f"max(CASE WHEN p = {p} THEN b END)" for p in range(_LSH_PLANES))}
              AS bucket
     FROM (SELECT vec_id, t, p, CASE WHEN a >= 0 THEN '1' ELSE '0' END AS b FROM acc)
     GROUP BY vec_id, t
 ), cand AS (
     SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
     FROM bkt q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
-    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
-), s AS (
-    SELECT cand.query_id, cand.neighbor_id,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             AS cos_sim
-    FROM cand
-    JOIN e a ON a.vec_id = cand.query_id
-    JOIN e b ON b.vec_id = cand.neighbor_id
-)
-SELECT query_id, neighbor_id, rank, cos_sim FROM (
-    SELECT query_id, neighbor_id, cos_sim,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, neighbor_id) AS rank
-    FROM s
-) WHERE rank <= 5
-"""
+    WHERE q.vec_id < {_ANN_NQ} AND q.vec_id <> c.vec_id
+){_SQL_ANN_VERIFY_TAIL}"""
 
 
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2695,87 +2718,85 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _embedding_dim(sf_dir)
     if dim == 0:
         return spark.createDataFrame([], "vec_id long, cluster long, sq_dist double")
-    out = sim.kmeans_lloyd_distributed(e, k=8, iters=2)
+    out = sim.kmeans_lloyd_distributed(
+        e, k=_KM_K, iters=_KM_ITERS, scale_bits=_KM_SCALE_BITS
+    )
     return out.select(F.col("vec_id").cast("long").alias("vec_id"), "cluster", "sq_dist")
 
 
-# Mirrors kmeans_lloyd_distributed iteration-for-iteration. Distance
-# tree parenthesized exactly as the Spark expression:
-# (vv - 2.0 * dot(v, c)) + cc, all folds sequential; centroid update is
-# the embedding_centroids contract (exact long sums of floor(v * 2^20),
-# one fixed division order sum/n/2^20); assignment windows are
-# key-unique on (dist, cluster). The chain through d3 (distances to the
-# final centroids) is shared with the portable IVF oracle.
-_SQL_KMEANS_CHAIN = """
+def _kmeans_chain_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """The exact-contract Lloyd WITH-chain, GENERATED per iteration
+    from the same constants the operator calls use (ADVICE r12 #2: the
+    r12 chain hand-wrote k=8 / iters=2 / 2^20 as literals, so a
+    geometry bump would flip the gate red with no lint hint). Mirrors
+    kmeans_lloyd_distributed iteration-for-iteration: distance tree
+    parenthesized exactly as the Spark expression
+    ``(vv - 2.0 * dot(v, c)) + cc``; centroid update is the
+    embedding_centroids contract (exact long sums of
+    ``floor(v * 2^scale)``, one fixed division order sum/n/scale);
+    assignment windows key-unique on (dist, cluster). Ends with
+    ``d_final`` = distances to the final centroids — shared by the
+    kmeans gate and the portable IVF / IVF+PQ oracles."""
+    parts = [f"""
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
     FROM embeddings
 ), p0 AS (
     SELECT vec_id,
-           [{'d': i - 1, 'sv': CAST(floor(v[i] * 1048576) AS BIGINT)}
+           [{{'d': i - 1, 'sv': CAST(floor(v[i] * {_KM_SCALE}) AS BIGINT)}}
             for i in range(1, len(v) + 1)] AS pairs
     FROM e
 ), ex AS (
     SELECT vec_id, unnest(pairs, recursive := true) FROM p0
-), c0 AS (
+), c0x AS (
     -- seeds are the k SMALLEST ids (mirrors kmeans_centroid_list's
     -- orderBy + limit; ids need not be dense 0-based)
     SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c, vv AS cc
     FROM (SELECT vec_id, v, vv,
                  row_number() OVER (ORDER BY vec_id) AS seed_rn
           FROM e)
-    WHERE seed_rn <= 8
-), d1 AS (
-    SELECT e.vec_id, c0.cluster,
-           (e.vv - 2.0 * list_dot_product(e.v, c0.c)) + c0.cc AS dist
-    FROM e CROSS JOIN c0
-), a1 AS (
+    WHERE seed_rn <= {k}
+)"""]
+    prev = "c0x"
+    for i in range(1, iters + 1):
+        parts.append(f""", d{i} AS (
+    SELECT e.vec_id, {prev}.cluster,
+           (e.vv - 2.0 * list_dot_product(e.v, {prev}.c)) + {prev}.cc AS dist
+    FROM e CROSS JOIN {prev}
+), a{i} AS (
     SELECT vec_id, cluster FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-        FROM d1
+        FROM d{i}
     ) WHERE rn = 1
-), m1 AS (
-    SELECT a1.cluster, ex.d, sum(ex.sv)::BIGINT AS s, count(*) AS n
-    FROM a1 JOIN ex USING (vec_id)
-    GROUP BY a1.cluster, ex.d
-), c1 AS (
-    SELECT cluster, list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY d) AS c
-    FROM m1 GROUP BY cluster
-), c1x AS (
-    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c1
-), d2 AS (
-    SELECT e.vec_id, c1x.cluster,
-           (e.vv - 2.0 * list_dot_product(e.v, c1x.c)) + c1x.cc AS dist
-    FROM e CROSS JOIN c1x
-), a2 AS (
-    SELECT vec_id, cluster FROM (
-        SELECT vec_id, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-        FROM d2
-    ) WHERE rn = 1
-), m2 AS (
-    SELECT a2.cluster, ex.d, sum(ex.sv)::BIGINT AS s, count(*) AS n
-    FROM a2 JOIN ex USING (vec_id)
-    GROUP BY a2.cluster, ex.d
-), c2 AS (
-    SELECT cluster, list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY d) AS c
-    FROM m2 GROUP BY cluster
-), c2x AS (
-    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c2
-), d3 AS (
-    SELECT e.vec_id, c2x.cluster,
-           (e.vv - 2.0 * list_dot_product(e.v, c2x.c)) + c2x.cc AS dist
-    FROM e CROSS JOIN c2x
+), m{i} AS (
+    SELECT a{i}.cluster, ex.d, sum(ex.sv)::BIGINT AS s, count(*) AS n
+    FROM a{i} JOIN ex USING (vec_id)
+    GROUP BY a{i}.cluster, ex.d
+), c{i} AS (
+    SELECT cluster, list(CAST(s AS DOUBLE) / n / {_KM_SCALE}.0 ORDER BY d) AS c
+    FROM m{i} GROUP BY cluster
+), c{i}x AS (
+    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c{i}
+)""")
+        prev = f"c{i}x"
+    parts.append(f""", d_final AS (
+    SELECT e.vec_id, {prev}.cluster,
+           (e.vv - 2.0 * list_dot_product(e.v, {prev}.c)) + {prev}.cc AS dist
+    FROM e CROSS JOIN {prev}
 )
-"""
+""")
+    return "".join(parts)
+
+
+_SQL_KMEANS_CHAIN = _kmeans_chain_sql()
 
 SQL_KMEANS_LLOYD = _SQL_KMEANS_CHAIN + """
 SELECT vec_id, cluster, dist AS sq_dist FROM (
     SELECT vec_id, cluster, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-    FROM d3
+    FROM d_final
 ) WHERE rn = 1
 """
 
@@ -2793,49 +2814,45 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cos_sim double"
         )
-    q = e.filter(F.col("vec_id") < 5)
-    out = sim.ivf_topk_portable(q, e, kcells=8, iters=2, nprobe=2, k=5)
+    q = e.filter(F.col("vec_id") < _ANN_NQ)
+    out = sim.ivf_topk_portable(
+        q, e, kcells=_KM_K, iters=_KM_ITERS, nprobe=_IVF_NPROBE, k=_ANN_K,
+        scale_bits=_KM_SCALE_BITS,
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
     )
 
 
 # Same kmeans chain; cells = rn=1 assignment of the corpus, probes =
-# each query's rn<=2 nearest cells under the identical (dist, cluster)
-# total order, candidates from the cell equi-join, ann_cosine verify.
-SQL_ANN_IVF_PORTABLE = _SQL_KMEANS_CHAIN + """
+# each query's rn<=nprobe nearest cells under the identical
+# (dist, cluster) total order, candidates from the cell equi-join,
+# ann_cosine verify. The cells/probes block is shared with the IVF+PQ
+# composition below.
+_SQL_IVF_CELLS_PROBES = f"""
 , cells AS (
     SELECT vec_id AS neighbor_id, cluster FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-        FROM d3
+        FROM d_final
     ) WHERE rn = 1
 ), probes AS (
     SELECT vec_id AS query_id, cluster FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-        FROM d3 WHERE vec_id < 5
-    ) WHERE rn <= 2
-), cand AS (
+        FROM d_final WHERE vec_id < {_ANN_NQ}
+    ) WHERE rn <= {_IVF_NPROBE}
+), ivf_cand AS (
     SELECT DISTINCT probes.query_id, cells.neighbor_id
     FROM probes JOIN cells USING (cluster)
     WHERE cells.neighbor_id <> probes.query_id
-), s AS (
-    SELECT cand.query_id, cand.neighbor_id,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             AS cos_sim
-    FROM cand
-    JOIN e a ON a.vec_id = cand.query_id
-    JOIN e b ON b.vec_id = cand.neighbor_id
+)"""
+SQL_ANN_IVF_PORTABLE = (
+    _SQL_KMEANS_CHAIN
+    + _SQL_IVF_CELLS_PROBES
+    + ", cand AS (SELECT query_id, neighbor_id FROM ivf_cand)"
+    + _SQL_ANN_VERIFY_TAIL
 )
-SELECT query_id, neighbor_id, rank, cos_sim FROM (
-    SELECT query_id, neighbor_id, cos_sim,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, neighbor_id) AS rank
-    FROM s
-) WHERE rank <= 5
-"""
 
 
 # shipped geometry: measured recall@5 0.86/0.77/0.68 (sf0.001/0.01/0.1)
@@ -2845,6 +2862,9 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 _PQ_M = 8
 _PQ_NCODES = 16
 _PQ_RERANK = 64
+_PQ_ITERS = 1  # Lloyd updates per subspace codebook (ADVICE r12 #2:
+# was a loose literal in the q_ wrapper while the SQL hardcoded exactly
+# one update block — now both sides expand from this constant)
 
 
 def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2862,83 +2882,102 @@ def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cos_sim double"
         )
-    q = e.filter(F.col("vec_id") < 5)
+    q = e.filter(F.col("vec_id") < _ANN_NQ)
     out = sim.pq_topk_portable(
-        q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=1,
-        rerank=_PQ_RERANK, k=5,
+        q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=_PQ_ITERS,
+        rerank=_PQ_RERANK, k=_ANN_K, scale_bits=_KM_SCALE_BITS,
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
     )
 
 
-def _pq_portable_sql(m: int = _PQ_M, ncodes: int = _PQ_NCODES,
-                     rerank: int = _PQ_RERANK) -> str:
-    """The DuckDB mirror, generated: one kmeans-chain block per
-    subspace (slice -> seed -> assign -> exact integer-sum update ->
-    re-encode), the per-query lookup tables, and the fixed-order ADC
-    sum are mechanical expansions over the SAME geometry constants the
-    operator uses, so the two sides cannot drift on slice bounds, seed
-    rule, tiebreak order, or addition parenthesization. Subvector
-    slices use explicit-argument list_slice (family-B rule); every
-    window ordering carries a row-unique tiebreaker (family H:
-    vec_id / neighbor_id, and `cluster` audited via H_ALLOWED)."""
+def _pq_blocks_sql(m: int = _PQ_M, ncodes: int = _PQ_NCODES,
+                   iters: int = _PQ_ITERS) -> str:
+    """The per-subspace PQ codebook chains (slice -> seed -> ``iters``
+    exact integer-sum Lloyd updates -> encode -> per-query lookup
+    table), generated from the SAME geometry constants the operator
+    calls use (ADVICE r12 #2: the r12 text hardcoded exactly one update
+    while the wrapper passed iters=1 as a loose literal). CTE names are
+    chain-safe — the per-dim explode is ``pp{s}``, never the coarse
+    chain's ``p0`` — so the blocks compose with ``_kmeans_chain_sql``
+    in the IVF+PQ mirror. Subvector slices use explicit-argument
+    list_slice (family-B rule); every window ordering carries a
+    row-unique tiebreaker (family H: vec_id / neighbor_id, `cluster`
+    audited via H_ALLOWED)."""
     blocks = []
     for s in range(m):
         lo = f"{s} * (len(v) // {m}) + 1"
         hi = f"({s} + 1) * (len(v) // {m})"
-        blocks.append(f"""
+        head = f"""
 es{s} AS MATERIALIZED (
     SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM e
 ), evs{s} AS MATERIALIZED (
     SELECT vec_id, sv, list_dot_product(sv, sv) AS svv FROM es{s}
-), p{s} AS (
+), pp{s} AS (
     SELECT vec_id,
-           [{{'d': i - 1, 'sv': CAST(floor(sv[i] * 1048576) AS BIGINT)}}
+           [{{'d': i - 1, 'sv': CAST(floor(sv[i] * {_KM_SCALE}) AS BIGINT)}}
             for i in range(1, len(sv) + 1)] AS pairs
     FROM es{s}
 ), ex{s} AS MATERIALIZED (
-    SELECT vec_id, unnest(pairs, recursive := true) FROM p{s}
-), c0_{s} AS MATERIALIZED (
+    SELECT vec_id, unnest(pairs, recursive := true) FROM pp{s}
+), c0x_{s} AS MATERIALIZED (
     SELECT CAST(vec_id AS BIGINT) AS cluster, sv AS c, svv AS cc
     FROM (SELECT vec_id, sv, svv,
                  row_number() OVER (ORDER BY vec_id) AS seed_rn
           FROM evs{s})
     WHERE seed_rn <= {ncodes}
-), d1_{s} AS (
-    SELECT evs{s}.vec_id, c0_{s}.cluster,
-           (evs{s}.svv - 2.0 * list_dot_product(evs{s}.sv, c0_{s}.c)) + c0_{s}.cc AS dist
-    FROM evs{s} CROSS JOIN c0_{s}
-), a1_{s} AS MATERIALIZED (
+)""".strip()
+        parts = [head]
+        prev = f"c0x_{s}"
+        for i in range(1, iters + 1):
+            parts.append(f""", d{i}_{s} AS (
+    SELECT evs{s}.vec_id, {prev}.cluster,
+           (evs{s}.svv - 2.0 * list_dot_product(evs{s}.sv, {prev}.c)) + {prev}.cc AS dist
+    FROM evs{s} CROSS JOIN {prev}
+), a{i}_{s} AS MATERIALIZED (
     SELECT vec_id, cluster FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-        FROM d1_{s}
+        FROM d{i}_{s}
     ) WHERE rn = 1
-), m1_{s} AS (
-    SELECT a1_{s}.cluster, ex{s}.d, sum(ex{s}.sv)::BIGINT AS ssum, count(*) AS n
-    FROM a1_{s} JOIN ex{s} USING (vec_id)
-    GROUP BY a1_{s}.cluster, ex{s}.d
-), c1_{s} AS (
-    SELECT cluster, list(CAST(ssum AS DOUBLE) / n / 1048576.0 ORDER BY d) AS c
-    FROM m1_{s} GROUP BY cluster
-), c1x_{s} AS MATERIALIZED (
-    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c1_{s}
-), d2_{s} AS (
-    SELECT evs{s}.vec_id, c1x_{s}.cluster,
-           (evs{s}.svv - 2.0 * list_dot_product(evs{s}.sv, c1x_{s}.c)) + c1x_{s}.cc AS dist
-    FROM evs{s} CROSS JOIN c1x_{s}
+), m{i}_{s} AS (
+    SELECT a{i}_{s}.cluster, ex{s}.d, sum(ex{s}.sv)::BIGINT AS ssum, count(*) AS n
+    FROM a{i}_{s} JOIN ex{s} USING (vec_id)
+    GROUP BY a{i}_{s}.cluster, ex{s}.d
+), c{i}_{s} AS (
+    SELECT cluster, list(CAST(ssum AS DOUBLE) / n / {_KM_SCALE}.0 ORDER BY d) AS c
+    FROM m{i}_{s} GROUP BY cluster
+), c{i}x_{s} AS MATERIALIZED (
+    SELECT cluster, c, list_dot_product(c, c) AS cc FROM c{i}_{s}
+)""")
+            prev = f"c{i}x_{s}"
+        parts.append(f""", d{iters + 1}_{s} AS (
+    SELECT evs{s}.vec_id, {prev}.cluster,
+           (evs{s}.svv - 2.0 * list_dot_product(evs{s}.sv, {prev}.c)) + {prev}.cc AS dist
+    FROM evs{s} CROSS JOIN {prev}
 ), enc{s} AS MATERIALIZED (
     SELECT vec_id, cluster AS code{s} FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-        FROM d2_{s}
+        FROM d{iters + 1}_{s}
     ) WHERE rn = 1
 ), qt{s} AS MATERIALIZED (
     SELECT q.vec_id AS query_id, cb.cluster AS code{s},
            list_dot_product(q.sv, cb.c) AS val{s}
-    FROM evs{s} q CROSS JOIN c1x_{s} cb WHERE q.vec_id < 5
-)""".strip())
+    FROM evs{s} q CROSS JOIN {prev} cb WHERE q.vec_id < {_ANN_NQ}
+)""")
+        blocks.append("".join(parts))
+    return ",".join(blocks)
+
+
+def _pq_assembly_sql(m: int = _PQ_M, rerank: int = _PQ_RERANK,
+                     cand_restrict: str | None = None) -> str:
+    """The shared PQ tail: full-corpus encode, relational ADC lookup
+    (qt{s} joined on (query_id, code{s})), fixed-parenthesization adc
+    sum, rerank window, exact-cosine verify. ``cand_restrict`` injects
+    the IVF candidate restriction as an extra join (the IVF+PQ
+    composition); None scores every (query, corpus) pair (flat PQ)."""
     qt_joins = "\n    ".join(
         f"JOIN qt{s} ON qt{s}.query_id = qt0.query_id AND qt{s}.code{s} = enc.code{s}"
         for s in range(1, m)
@@ -2950,10 +2989,15 @@ es{s} AS MATERIALIZED (
     adc = "qt0.val0"
     for s in range(1, m):
         adc = f"({adc} + qt{s}.val{s})"
+    if cand_restrict is None:
+        restrict = "WHERE qt0.query_id <> enc.neighbor_id"
+    else:
+        restrict = (
+            f"JOIN {cand_restrict} ON {cand_restrict}.query_id = qt0.query_id"
+            f" AND {cand_restrict}.neighbor_id = enc.neighbor_id"
+        )
     return f"""
-WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{",".join(blocks)},
-enc AS MATERIALIZED (
+, enc AS MATERIALIZED (
     SELECT e.vec_id AS neighbor_id, {enc_cols}
     FROM e
     {enc_joins}
@@ -2962,7 +3006,7 @@ enc AS MATERIALIZED (
     FROM enc
     JOIN qt0 ON qt0.code0 = enc.code0
     {qt_joins}
-    WHERE qt0.query_id <> enc.neighbor_id
+    {restrict}
 ), cand AS (
     SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -2970,25 +3014,76 @@ enc AS MATERIALIZED (
                                   ORDER BY adc DESC, neighbor_id) AS rn
         FROM scores
     ) WHERE rn <= {rerank}
-), s AS (
-    SELECT cand.query_id, cand.neighbor_id,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             AS cos_sim
-    FROM cand
-    JOIN e a ON a.vec_id = cand.query_id
-    JOIN e b ON b.vec_id = cand.neighbor_id
-)
-SELECT query_id, neighbor_id, rank, cos_sim FROM (
-    SELECT query_id, neighbor_id, cos_sim,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, neighbor_id) AS rank
-    FROM s
-) WHERE rank <= 5
-"""
+)""" + _SQL_ANN_VERIFY_TAIL
+
+
+def _pq_portable_sql(m: int = _PQ_M, ncodes: int = _PQ_NCODES,
+                     rerank: int = _PQ_RERANK, iters: int = _PQ_ITERS) -> str:
+    """The flat-PQ DuckDB mirror: subspace chains + full-pairing ADC
+    assembly, all expanded from the shared geometry constants so the
+    Spark operator call and the mirror cannot drift on slice bounds,
+    seed rule, iteration count, tiebreak order, or addition
+    parenthesization."""
+    return (
+        "\nWITH e AS MATERIALIZED "
+        "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        + _pq_blocks_sql(m, ncodes, iters)
+        + _pq_assembly_sql(m, rerank)
+    )
 
 
 SQL_ANN_PQ_PORTABLE = _pq_portable_sql()
+
+
+# IVF+PQ composition geometry: the coarse quantizer reuses the IVF
+# gate's constants, the codebooks reuse the PQ gate's — the whole point
+# of the gate is that the composition adds NO new contract surface.
+def q_ann_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ approximate top-k (operators/similarity.ivfpq_topk_portable)
+    — round 13, the LAST ANN family member without a hash-verified
+    variant (VERDICT r12 #3): the exact-contract coarse quantizer
+    (ann_ivf_portable's cells/probes) restricts WHICH corpus vectors
+    each query scores, the exact-contract subspace codebooks
+    (ann_pq_portable's books) decide HOW — raw-vector codes, FAISS
+    IndexIVFPQ(by_residual=False) semantics — so the classic two-level
+    IVFPQ index (Jégou et al.) reproduces bit-for-bit in DuckDB.
+    Lossless composition pinned in tests (nprobe=kcells + rerank>=N
+    equals brute force); shipped-geometry recall rides
+    ann_recall_sweep's evidence block."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos_sim double"
+        )
+    q = e.filter(F.col("vec_id") < _ANN_NQ)
+    out = sim.ivfpq_topk_portable(
+        q, e, dim=dim, kcells=_KM_K, coarse_iters=_KM_ITERS,
+        nprobe=_IVF_NPROBE, m=_PQ_M, ncodes=_PQ_NCODES, iters=_PQ_ITERS,
+        rerank=_PQ_RERANK, k=_ANN_K, scale_bits=_KM_SCALE_BITS,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+def _ivfpq_portable_sql() -> str:
+    """The IVF+PQ mirror IS the composition of the committed halves:
+    the coarse kmeans chain + cells/probes (shared text with
+    SQL_ANN_IVF_PORTABLE) provides ``ivf_cand``; the PQ subspace blocks
+    (shared generator with SQL_ANN_PQ_PORTABLE) provide codes and
+    lookup tables; the assembly restricts ADC scoring to ``ivf_cand``.
+    The chain's ``e`` carries (v, vv); the PQ blocks read only ``v``."""
+    return (
+        _SQL_KMEANS_CHAIN
+        + _SQL_IVF_CELLS_PROBES
+        + ",\n"
+        + _pq_blocks_sql()
+        + _pq_assembly_sql(cand_restrict="ivf_cand")
+    )
+
+
+SQL_ANN_IVFPQ_PORTABLE = _ivfpq_portable_sql()
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3211,8 +3306,14 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, e, kcells=8, iters=2, nprobe=2, k=k
         ),
         "pq_portable": sim.pq_topk_portable(
-            q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=1,
+            q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=_PQ_ITERS,
             rerank=_PQ_RERANK, k=k,
+        ),
+        # round 13: the IVF+PQ composition at its shipped gate geometry
+        "ivfpq_portable": sim.ivfpq_topk_portable(
+            q, e, dim=dim, kcells=_KM_K, coarse_iters=_KM_ITERS,
+            nprobe=_IVF_NPROBE, m=_PQ_M, ncodes=_PQ_NCODES,
+            iters=_PQ_ITERS, rerank=_PQ_RERANK, k=k,
         ),
     }
     return sim.recall_sweep(
@@ -6820,15 +6921,18 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_THRESHOLD_SWEEP = """
-WITH d AS (
-    SELECT CAST(floor(value * 1024) AS BIGINT) AS sv,
-           (event_type = 'purchase') AS y
-    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-), bounds AS (SELECT min(sv) AS lo, max(sv) AS hi FROM d),
+def _threshold_sweep_sql(src_d_cte: str, n_buckets: int) -> str:
+    """The sweep mirror, generated from a source CTE body that yields
+    ``d (sv BIGINT, y BOOLEAN)`` — one definition serves the events
+    gate (256 buckets) and the dedup-calibration composition (32
+    buckets over portable MinHash scores), so the bucket arithmetic
+    (floor-scaled score, overflow-safe span // B + 1 width, DESC
+    cumulative confusion windows) cannot drift between them."""
+    return f"""
+WITH {src_d_cte}, bounds AS (SELECT min(sv) AS lo, max(sv) AS hi FROM d),
 b AS (
-    SELECT (sv - lo) // (((hi - lo) // 256) + 1) AS bucket,
-           ((hi - lo) // 256) + 1 AS width, lo, y
+    SELECT (sv - lo) // (((hi - lo) // {n_buckets}) + 1) AS bucket,
+           ((hi - lo) // {n_buckets}) + 1 AS width, lo, y
     FROM d CROSS JOIN bounds
 ), pb AS (
     SELECT bucket, min(lo) AS lo, min(width) AS width,
@@ -6850,6 +6954,16 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(tot_neg - fp AS BIGINT) AS tn
 FROM c
 """
+
+
+SQL_THRESHOLD_SWEEP = _threshold_sweep_sql(
+    """d AS (
+    SELECT CAST(floor(value * 1024) AS BIGINT) AS sv,
+           (event_type = 'purchase') AS y
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+)""",
+    256,
+)
 
 
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6953,16 +7067,74 @@ def _graph_edges(spark: SparkSession, sf_dir: str):
     return chain.unionByName(scatter).unionByName(chords)
 
 
+# The synthetic graph's measured peel depth is 10 rounds (stable at 10,
+# confirmed at 11; the 500-node construction is identical at every sf,
+# so the depth is too). 12 unrolled rounds = margin; extra rounds are
+# idempotent on both engines, and the fixpoint-equality is pinned in
+# tests/test_graph.py.
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the synthetic doc graph (operators/graph.kcore):
     iterative distributed peel — degree agg → keep >= k → semi-join
-    edges → repeat to fixpoint, with only a scalar count per round on
-    the driver. Rows-only (the iterate-until-fixpoint peel has no
-    closed SQL form; recursive CTEs cannot re-aggregate per round);
-    evidence = EXACT node/degree agreement with an independent Python
-    peel over the same edges, recorded by tools/oracle_check.py, plus
-    handworked clique/cascade tests."""
-    return gr.kcore(_graph_edges(spark, sf_dir), k=3)
+    edges → repeat. ORACLE-BACKED since round 13 (VERDICT r12 #5): the
+    gate runs a FIXED 12-round peel (>= the graph's measured depth 10;
+    rounds past convergence are idempotent, equality with the fixpoint
+    peel pinned in tests), which the DuckDB mirror unrolls as a
+    generated CTE chain — the kmeans/PQ fixed-iteration device applied
+    to graph peeling. The independent-Python-peel evidence block
+    remains as defense in depth."""
+    return gr.kcore(_graph_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """The unrolled peel mirror, generated from the SAME (k, rounds)
+    constants the gate passes to the operator. Each round: degree over
+    the surviving edge set (both endpoints unioned), keep nodes with
+    degree >= k, restrict edges to kept endpoints. The synthetic graph
+    is _graph_edges spelled in SQL (chain + scatter + chorded pocket,
+    canonicalized to distinct undirected (u < v) pairs, self-loops
+    dropped)."""
+    parts = [f"""
+WITH nodes AS (
+    SELECT doc_id AS node FROM documents WHERE doc_id < 500
+), raw AS (
+    SELECT node AS src, (node + 1) % 500 AS dst FROM nodes
+    UNION ALL
+    SELECT node, (node * 7 + 3) % 500 FROM nodes WHERE node % 3 != 0
+    UNION ALL
+    SELECT node, (node + 2) % 50 FROM nodes WHERE node < 50
+), e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM raw WHERE src != dst
+)"""]
+    # MATERIALIZED hints are load-bearing: each round references the
+    # previous edge set three times (two degree branches + the
+    # restriction join) — inlined, the chain re-expands 3^rounds times
+    # (observed as an out-of-file-handles parquet re-scan storm)
+    prev_e = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f""", deg{r} AS (
+    SELECT n, count(*)::BIGINT AS degree FROM (
+        SELECT u AS n FROM {prev_e} UNION ALL SELECT v FROM {prev_e}
+    ) GROUP BY n
+), keep{r} AS MATERIALIZED (
+    SELECT n, degree FROM deg{r} WHERE degree >= {k}
+), e{r} AS MATERIALIZED (
+    SELECT e.u, e.v FROM {prev_e} e
+    JOIN keep{r} a ON e.u = a.n
+    JOIN keep{r} b ON e.v = b.n
+)""")
+        prev_e = f"e{r}"
+    parts.append(f"""
+SELECT n AS node, degree FROM keep{rounds}
+""")
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_sql()
 
 
 def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6986,8 +7158,10 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.sentence_split(stitched)
 
 
-SQL_SENTENCE_SPLIT = r"""
-WITH d AS (
+# Shared by the sentence_split gate and the sentence_chunks mirror
+# (round 13: the chunker's recursive walk consumes exactly this output,
+# so the two gates must share one sentence definition).
+_SQL_SENTENCE_CTES = r"""d AS (
     SELECT doc_id, text || '. ' || text || '! ' || text || '?' AS text
     FROM documents WHERE text IS NOT NULL
 ),
@@ -7006,17 +7180,22 @@ m AS (
     SELECT doc_id, unnest(es, recursive := true) FROM ix
 ), f AS (
     SELECT doc_id, i, s AS sentence FROM u WHERE s != ''
+), sents AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT)
+               AS sent_idx,
+           sentence,
+           CAST(len(list_filter(string_split(
+               replace(replace(replace(replace(replace(sentence,
+                   chr(10), ' '), chr(9), ' '), chr(13), ' '), chr(12), ' '),
+                   chr(11), ' '), ' '), x -> x != '')) AS BIGINT) AS n_tokens
+    FROM f
+)"""
+
+SQL_SENTENCE_SPLIT = (
+    "WITH " + _SQL_SENTENCE_CTES
+    + "\nSELECT doc_id, sent_idx, sentence, n_tokens FROM sents\n"
 )
-SELECT doc_id,
-       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT)
-           AS sent_idx,
-       sentence,
-       CAST(len(list_filter(string_split(
-           replace(replace(replace(replace(replace(sentence,
-               chr(10), ' '), chr(9), ' '), chr(13), ' '), chr(12), ' '),
-               chr(11), ' '), ' '), x -> x != '')) AS BIGINT) AS n_tokens
-FROM f
-"""
 
 
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7048,43 +7227,51 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Detector-threshold calibration as a COMPOSITION: the MinHash
-    candidate pairs (min_est_jaccard=0 so the full score range
-    survives) feed operators/stats.threshold_sweep with score =
-    est_jaccard and label = is-planted-pair — the confusion curve a
-    pipeline owner reads to pick the dedup threshold from planted
-    ground truth instead of folklore. Rows-only (MinHash upstream);
-    the sweep itself is the oracle-gated threshold_sweep operator, and
-    the planted-separation property (top score bucket >= 80% planted —
-    the fixture also holds NATURAL duplicate texts, so perfect purity
-    is not the right spec) is pinned in tests."""
+    """Detector-threshold calibration as a COMPOSITION: MinHash
+    candidate pairs (min_agree=1 so the full score range survives)
+    feed operators/stats.threshold_sweep with score = est_jaccard and
+    label = is-planted-pair — the confusion curve a pipeline owner
+    reads to pick the dedup threshold from planted ground truth instead
+    of folklore. ORACLE-BACKED since round 13 (VERDICT r12 #5): the
+    upstream moved from the xxhash64 LSH to the PORTABLE md5 family
+    (minhash_portable_pairs, 16 hashes x 4 bands), whose est_jaccard
+    (sig_agree / 16 — an exact power-of-two division) reproduces
+    bit-for-bit in DuckDB, so the whole curve hash-matches instead of
+    riding a planted-separation statistic. The planted-separation
+    property stays pinned in tests."""
     d = _t(spark, sf_dir, "documents")
     perturbed = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near-dup-suffix")).alias("text"),
     )
     both = d.select("doc_id", "text").unionByName(perturbed)
-    pairs = dd.minhash_lsh_candidates(
-        both, num_hashes=16, bands=2, shingle_k=3, min_est_jaccard=0.0
+    pairs = dd.minhash_portable_pairs(
+        both, num_hashes=16, bands=4, shingle_k=3, min_agree=1,
+        max_bucket_size=50,
     )
     scored = pairs.select(
         F.col("est_jaccard").alias("score"),
-        (F.col("id_b") - F.col("id_a") == 1_000_000).alias("label"),
+        (F.col("doc_id_b") - F.col("doc_id_a") == 1_000_000).alias("label"),
     )
     return stats_ops.threshold_sweep(
         scored, score_col="score", label_col="label", n_buckets=32
     )
 
 
+_CHUNK_MAX_TOKENS = 64
+
+
 def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sentence-preserving chunking
     (operators/text.sentence_chunks, max_tokens=64) over the
-    oracle-verified sentence_split output. Rows-only: the greedy
-    running-total-with-reset fold has no closed SQL form; evidence is
-    EXACT agreement with an independent Python greedy packer over the
-    same sentences (tools/oracle_check.py) plus invariant tests (no
-    chunk except oversize singletons exceeds the budget; every
-    sentence lands in exactly one chunk, in order)."""
+    oracle-verified sentence_split output. ORACLE-BACKED since round 13
+    (VERDICT r12 #5): the greedy running-total-with-reset fold has no
+    closed single-pass SQL form, but it IS a linear recurrence over
+    (doc, sent_idx) — the mirror walks it as a recursive CTE advancing
+    every document one sentence per step (state = (chunk id, running
+    count), exactly the Spark fold's accumulator), then re-aggregates
+    chunks. The independent-Python-packer evidence block remains as
+    defense in depth."""
     d = _t(spark, sf_dir, "documents")
     stitched = d.select(
         "doc_id",
@@ -7093,7 +7280,42 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit("?"),
         ).alias("text"),
     )
-    return tx.sentence_chunks(tx.sentence_split(stitched), max_tokens=64)
+    return tx.sentence_chunks(
+        tx.sentence_split(stitched), max_tokens=_CHUNK_MAX_TOKENS
+    )
+
+
+# The chunk walk: base = sent_idx 0 opens chunk 0 with its own count
+# (the Spark fold's init cnt=0 means the first sentence NEVER opens a
+# new chunk, even oversize); step = sentence i+1 either extends the
+# chunk or opens chunk cid+1, mirroring `(cnt > 0) AND (cnt + n > max)`
+# verbatim. string_agg orders by sent_idx (row-unique within the
+# partition by construction of the renumbering window).
+SQL_SENTENCE_CHUNKS = (
+    "WITH RECURSIVE " + _SQL_SENTENCE_CTES
+    + f""",
+walk(doc_id, sent_idx, cid, cnt) AS (
+    SELECT doc_id, sent_idx, CAST(0 AS BIGINT), n_tokens
+    FROM sents WHERE sent_idx = 0
+    UNION ALL
+    SELECT s.doc_id, s.sent_idx,
+           CASE WHEN w.cnt > 0 AND w.cnt + s.n_tokens > {_CHUNK_MAX_TOKENS}
+                THEN w.cid + 1 ELSE w.cid END,
+           CASE WHEN w.cnt > 0 AND w.cnt + s.n_tokens > {_CHUNK_MAX_TOKENS}
+                THEN s.n_tokens ELSE w.cnt + s.n_tokens END
+    FROM walk w
+    JOIN sents s ON s.doc_id = w.doc_id AND s.sent_idx = w.sent_idx + 1
+)
+SELECT s.doc_id,
+       w.cid AS chunk_id,
+       count(*)::BIGINT AS n_sentences,
+       sum(s.n_tokens)::BIGINT AS n_tokens,
+       string_agg(s.sentence, ' ' ORDER BY s.sent_idx) AS chunk_text
+FROM walk w
+JOIN sents s ON s.doc_id = w.doc_id AND s.sent_idx = w.sent_idx
+GROUP BY 1, 2
+"""
+)
 
 
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8234,11 +8456,14 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_a", "doc_id_b")
 
 
-SQL_MINHASH_PORTABLE = r"""
-WITH corpus AS (
+# CTE chain through `cand` (id_a, id_b, sig_agree), parameterized on
+# the perturbation suffix — shared by the minhash_portable gate and the
+# dedup_calibration composition (round 13), so the two gates cannot
+# drift on normalization, shingling, seeds, banding, or the cap.
+_MINHASH_PORTABLE_CTES = r"""corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text || ' portable minhash tail' AS text
+    SELECT doc_id + 1000000 AS doc_id, text || '__SUFFIX__' AS text
     FROM documents
 ), norm AS (
     SELECT doc_id,
@@ -8276,12 +8501,38 @@ WITH corpus AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::BIGINT AS sig_agree
     FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-)
+)"""
+
+
+def _minhash_portable_ctes(suffix: str) -> str:
+    assert "'" not in suffix
+    return _MINHASH_PORTABLE_CTES.replace("__SUFFIX__", suffix)
+
+
+SQL_MINHASH_PORTABLE = (
+    "WITH " + _minhash_portable_ctes(" portable minhash tail")
+    + """
 SELECT id_a AS doc_id_a, id_b AS doc_id_b, sig_agree,
        (sig_agree::DOUBLE / 16) AS est_jaccard
 FROM cand WHERE sig_agree >= 8
 ORDER BY doc_id_a, doc_id_b
 """
+)
+
+# dedup_calibration's mirror: the SAME portable-pair CTEs (different
+# perturbation suffix) feeding the SAME sweep chain the events gate
+# uses, at 32 buckets. floor((sig_agree/16) * 1024) is exact
+# (power-of-two scale on a power-of-two ratio), so the whole curve is
+# integer-exact cross-engine.
+SQL_DEDUP_CALIBRATION = _threshold_sweep_sql(
+    _minhash_portable_ctes(" near-dup-suffix")
+    + """, d AS (
+    SELECT CAST(floor((sig_agree::DOUBLE / 16) * 1024) AS BIGINT) AS sv,
+           (id_b - id_a = 1000000) AS y
+    FROM cand WHERE sig_agree >= 1
+)""",
+    32,
+)
 
 
 def q_incremental_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8879,6 +9130,28 @@ def q_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     as singletons). Iterative label propagation inside winnow_dedup
     exempts this gate from the laziness contract, like winnow_dedup
     itself."""
+    return _curation_capstone_frame(spark, sf_dir, soft=False)
+
+
+def q_curation_capstone_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone, SOFT-dedup variant (VERDICT r12 #6): the ONLY
+    diff vs q_curation_capstone is the dedup stage's verdict — instead
+    of the hard min-id ``is_keeper`` removal flag, every document keeps
+    a sampling weight of ``1 / |cluster|`` (the soft_dedup_weights
+    discipline lifted from exact-hash clusters to the winnow near-dup
+    clusters), so a near-dup cluster contributes one document's worth
+    of expected training mass without discarding provenance diversity —
+    the modern LLM-data default. n_copies is the exact cluster size
+    (an unordered count window over the cluster partition — no extra
+    exchange beyond the split's own cluster partitioning) and the
+    weight is ONE IEEE division of exact integers, bit-identical
+    cross-engine."""
+    return _curation_capstone_frame(spark, sf_dir, soft=True)
+
+
+def _curation_capstone_frame(
+    spark: SparkSession, sf_dir: str, *, soft: bool
+) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -8907,6 +9180,20 @@ def q_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     lm_floor = -3565159  # floor(-3.4 * 2^20), the curation_gate cutoff
+    if soft:
+        from pyspark.sql import Window as _W
+
+        n_copies = F.count(F.lit(1)).over(_W.partitionBy("cluster_id"))
+        dedup_cols = [
+            n_copies.cast("long").alias("n_copies"),
+            (F.lit(1.0) / n_copies).alias("weight"),
+        ]
+        dedup_src = clusters.select("doc_id")
+    else:
+        dedup_cols = [F.col("is_keeper")]
+        dedup_src = clusters.select(
+            "doc_id", F.col("is_keeper").cast("boolean").alias("is_keeper")
+        )
     return (
         cleaned.select(
             "doc_id",
@@ -8916,13 +9203,7 @@ def q_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(rare, "doc_id")
         .join(lm, "doc_id")
-        .join(
-            clusters.select(
-                "doc_id",
-                F.col("is_keeper").cast("boolean").alias("is_keeper"),
-            ),
-            "doc_id",
-        )
+        .join(dedup_src, "doc_id")
         .join(split.select("doc_id", "cluster_id", "split"), "doc_id")
         .select(
             "doc_id",
@@ -8948,7 +9229,7 @@ def q_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("kept"),
             "cluster_id",
-            "is_keeper",
+            *dedup_cols,
             "split",
         )
         .orderBy("doc_id")
@@ -9124,56 +9405,68 @@ LEFT JOIN comp ON c.doc_id = comp.id
 ORDER BY doc_id
 """
 
+# The soft variant's mirror IS the capstone mirror with ONLY the dedup
+# verdict swapped: is_keeper -> (n_copies, weight). A guarded textual
+# swap keeps the other four stages literally the same SQL (they cannot
+# drift); the count window is unordered over the cluster partition
+# (family-H safe: plain aggregate, default frame).
+_CAPSTONE_KEEPER_LINE = (
+    "       c.doc_id = coalesce(comp.cluster_id, c.doc_id) AS is_keeper,\n"
+)
+_CAPSTONE_SOFT_LINES = (
+    "       count(*) OVER (PARTITION BY coalesce(comp.cluster_id, c.doc_id))"
+    "::BIGINT AS n_copies,\n"
+    "       CAST(1.0 AS DOUBLE) / count(*) OVER"
+    " (PARTITION BY coalesce(comp.cluster_id, c.doc_id)) AS weight,\n"
+)
+if _CAPSTONE_KEEPER_LINE not in SQL_CURATION_CAPSTONE:  # pragma: no cover
+    raise AssertionError(
+        "capstone keeper line drifted — update _CAPSTONE_KEEPER_LINE"
+    )
+SQL_CURATION_CAPSTONE_SOFT = SQL_CURATION_CAPSTONE.replace(
+    _CAPSTONE_KEEPER_LINE, _CAPSTONE_SOFT_LINES
+)
+
 
 SPARK_QUERIES = {
-    # --- window part (a): round-12 additions (first contact) +
-    # oracle-backed implementations changed this round needing a
-    # re-green (simhash_portable: CR joined the portable whitespace
-    # class + CRLF planted in the corpus; leakage_safe_split:
-    # deterministic_split NULL-key coalesce; span_excise: removed-char
-    # clamp — all ADVICE r11) ---
-    "incremental_neardup_portable": q_incremental_neardup_portable,
-    "curation_capstone": q_curation_capstone,
-    "ann_lsh_portable": q_ann_lsh_portable,
-    "kmeans_lloyd": q_kmeans_lloyd,
-    "ann_ivf_portable": q_ann_ivf_portable,
-    "ann_pq_portable": q_ann_pq_portable,
-    "simhash_portable": q_simhash_portable,
-    "leakage_safe_split": q_leakage_safe_split,
-    "span_excise": q_span_excise,
-    # --- window part (b): the REMAINING 14 rows-only first driver
-    # contacts (VERDICT r11 ask #2 — the first ten went clean in r11;
-    # this closes the set), plus simhash_neardup whose implementation
-    # changed this round (exact combination blocking, VERDICT r11 #3) ---
-    "simhash_neardup": q_simhash_neardup,
+    # --- window part (a): round-13 additions (first contact: the
+    # IVF+PQ composition, the soft-dedup capstone variant, and the
+    # three rows-only->oracle conversions) + oracle-backed gates
+    # whose implementation or GENERATED mirror changed this round
+    # (simhash family: composite-key join + anti-cap; the
+    # kmeans/PQ/LSH/sweep/sentence mirrors now expand from shared
+    # geometry constants - ADVICE r12 #2) ---
+    "ann_ivfpq_portable": q_ann_ivfpq_portable,
+    "curation_capstone_soft": q_curation_capstone_soft,
     "kcore": q_kcore,
     "sentence_chunks": q_sentence_chunks,
     "dedup_calibration": q_dedup_calibration,
-    "incremental_neardup": q_incremental_neardup,
-    "sliding_hll": q_sliding_hll,
-    "compression_ratio": q_compression_ratio,
-    "approx_aggs": q_approx_aggs,
-    "hll_sketches": q_hll_sketches,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,
-    "freq_items": q_freq_items,
-    "image_neardup": q_image_neardup,
-    "audio_neardup": q_audio_neardup,
-    # --- window part (c): r11 first-greens kept for one confirmation
-    # (minhash_portable's signature build was refactored into shared
-    # helpers this round — same semantics, re-green deliberate) ---
-    "winnow_dedup": q_winnow_dedup,
-    "winnow_spans": q_winnow_spans,
+    "curation_capstone": q_curation_capstone,
+    "simhash_portable": q_simhash_portable,
     "minhash_portable": q_minhash_portable,
-    "unicode_clean": q_unicode_clean,
-    # --- window part (d): retained anchors ---
+    "threshold_sweep": q_threshold_sweep,
+    "sentence_split": q_sentence_split,
+    "kmeans_lloyd": q_kmeans_lloyd,
+    "ann_lsh_portable": q_ann_lsh_portable,
+    "ann_ivf_portable": q_ann_ivf_portable,
+    "ann_pq_portable": q_ann_pq_portable,
+    "soft_dedup_weights": q_soft_dedup_weights,
+    "incremental_neardup_portable": q_incremental_neardup_portable,
+    # --- window part (b): deliberate rows-only slots (simhash_neardup
+    # re-contacts its r13-optimized path; ann_recall_sweep's evidence
+    # block now carries the ivfpq_portable recall row) ---
+    "simhash_neardup": q_simhash_neardup,
+    "ann_recall_sweep": q_ann_recall_sweep,
+    # --- window part (c): retained anchors ---
     "flagship_posts_export": q_flagship_posts_export,
     "bloom_prune_join": q_bloom_prune_join,
     "shard_manifest": q_shard_manifest,
-    # --- window part (e): the capstone's component family (kept inside
-    # the window while the composition is new, for bisection on a
-    # capstone red) + retained greens ---
+    # --- window part (d): the capstone component family (bisection
+    # on a capstone red) + retained greens ---
+    "winnow_dedup": q_winnow_dedup,
+    "winnow_spans": q_winnow_spans,
+    "leakage_safe_split": q_leakage_safe_split,
+    "span_excise": q_span_excise,
     "winnowing": q_winnowing,
     "winnow_overlap": q_winnow_overlap,
     "curation_gate": q_curation_gate,
@@ -9192,11 +9485,24 @@ SPARK_QUERIES = {
     "setsim_join": q_setsim_join,
     "fd_profile": q_fd_profile,
     "ngram_lm": q_ngram_lm,
+    # --- window part (e): reference-core greens rotated back in
+    # (funded by the twelve r12 rows-only first contacts rotating
+    # out, all clean in CORRECTNESS_r12.json) ---
     "url_normalize": q_url_normalize,
-    # --- oracle-backed, OUTSIDE the round-12 window ---
-    # rotated out in r12 (all driver-green r11 on code untouched
-    # since); these ELEVEN plus the nine rows-only r11 first-contacts
-    # below fund the twenty new slots (6 additions + 14 rows-only):
+    "eav_pivot": q_eav_pivot,
+    "group_concat": q_group_concat,
+    "hierarchy_parent": q_hierarchy_parent,
+    "broadcast_lookup": q_broadcast_lookup,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    # --- oracle-backed / rows-only, OUTSIDE the round-13 window ---
+    # rotated out in r13: the twelve r12 rows-only first contacts
+    # (incremental_neardup, sliding_hll, compression_ratio,
+    # approx_aggs, hll_sketches, ann_{ivf,pq,ivfpq}_topk, freq_items,
+    # image_neardup, audio_neardup) plus unicode_clean - all clean
+    # in CORRECTNESS_r12.json on code untouched since. Oracle-backed
+    # tail entries precede the rows-only tail (ordering contract).
+    "unicode_clean": q_unicode_clean,
     "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
     "winsorize": q_winsorize,
@@ -9208,7 +9514,6 @@ SPARK_QUERIES = {
     "html_quality": q_html_quality,
     "cluster_keepers": q_cluster_keepers,
     "centroid_similarity": q_centroid_similarity,
-    # rotated out in r11 (all driver-green on code untouched since):
     "triangle_count": q_triangle_count,
     "grouped_mode": q_grouped_mode,
     "histogram_drift": q_histogram_drift,
@@ -9225,14 +9530,10 @@ SPARK_QUERIES = {
     "temperature_mixture": q_temperature_mixture,
     "range_join": q_range_join,
     "range_join_bucketed": q_range_join_bucketed,
-    # rotated out in r10 (driver-green r8 on code untouched since);
-    # ship_lag/basket_pairs/ewma/tfidf_pairs/max_concurrency/bfs_levels/
-    # embedding_norms/pagerank funded the eight round-10 additions:
     "salted_agg": q_salted_agg,
     "zorder_layout": q_zorder_layout,
     "interval_overlap": q_interval_overlap,
     "expectations": q_expectations,
-    "sentence_split": q_sentence_split,
     "ship_lag": q_ship_lag,
     "basket_pairs": q_basket_pairs,
     "ewma": q_ewma,
@@ -9241,42 +9542,28 @@ SPARK_QUERIES = {
     "bfs_levels": q_bfs_levels,
     "embedding_norms": q_embedding_norms,
     "pagerank": q_pagerank,
-    # rotated out in r9 (driver-green r8; repetition/rolling_anomaly/
-    # embedding_centroids additionally green r7 — their second
-    # confirmations are done):
-    "threshold_sweep": q_threshold_sweep,
     "domain_blocklist": q_domain_blocklist,
     "skew_diagnostics": q_skew_diagnostics,
     "embedding_gram": q_embedding_gram,
     "repetition": q_repetition,
     "rolling_anomaly": q_rolling_anomaly,
     "embedding_centroids": q_embedding_centroids,
-    # rotated out in r8, all driver-green in r7 (the probes' parent
-    # gates kept their window slots; probes stay ordered coarse-to-fine
-    # so a future re-rotation preserves the bisection):
     "repetition_corpus_echo": q_repetition_corpus_echo,
     "repetition_lines": q_repetition_lines,
     "repetition_tokens": q_repetition_tokens,
     "repetition_grams": q_repetition_grams,
     "rolling_values_echo": q_rolling_values_echo,
     "rolling_window_sums": q_rolling_window_sums,
-    "eav_pivot": q_eav_pivot,
     "containment": q_containment,
     "ngram_novelty": q_ngram_novelty,
     "dataset_card": q_dataset_card,
-    # driver-green in r1-r7 (provenance in COVERAGE.md):
-    "group_concat": q_group_concat,
-    "hierarchy_parent": q_hierarchy_parent,
     "date_permalink": q_date_permalink,
     "scalar_strings": q_scalar_strings,
     "entity_decode_split": q_entity_decode_split,
     "filter_project": q_filter_project,
     "in_list_filter": q_in_list_filter,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
     "left_outer_join": q_left_outer_join,
     "inner_join": q_inner_join,
-    "broadcast_lookup": q_broadcast_lookup,
     "count_group_by": q_count_group_by,
     "sort_limit": q_sort_limit,
     "paragraph_dedup": q_paragraph_dedup,
@@ -9323,7 +9610,6 @@ SPARK_QUERIES = {
     "topk_per_group": q_topk_per_group,
     "distinct_count": q_distinct_count,
     "dedup_exact": q_dedup_exact,
-    "soft_dedup_weights": q_soft_dedup_weights,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -9338,20 +9624,28 @@ SPARK_QUERIES = {
     "sequence_packing_sorted": q_sequence_packing_sorted,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
-    # --- rows-only queries (no SQL oracle possible) below this line ---
-    # (the remaining 14 rows-only first contacts hold round-12 window
-    # slots above — VERDICT r11 ask #2; these nine got their first
-    # driver contact in r11, all clean, and rotate out to fund them)
+    "incremental_neardup": q_incremental_neardup,
+    "sliding_hll": q_sliding_hll,
+    "compression_ratio": q_compression_ratio,
+    "approx_aggs": q_approx_aggs,
+    "hll_sketches": q_hll_sketches,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "freq_items": q_freq_items,
+    "image_neardup": q_image_neardup,
+    "audio_neardup": q_audio_neardup,
     "minhash_neardup": q_minhash_neardup,
     "semdedup": q_semdedup,
     "dsir": q_dsir,
     "bpe_tokenize": q_bpe_tokenize,
     "quality_classifier": q_quality_classifier,
-    "ann_recall_sweep": q_ann_recall_sweep,
     "curation_pipeline": q_curation_pipeline,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
 }
+
+
 
 ORACLE_SQL = {
     "repetition_corpus_echo": SQL_REPETITION_CORPUS_ECHO,
@@ -9365,12 +9659,14 @@ ORACLE_SQL = {
     "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "shard_manifest": SQL_SHARD_MANIFEST,
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
+    "kcore": SQL_KCORE,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "skew_diagnostics": SQL_SKEW_DIAGNOSTICS,
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "expectations": SQL_EXPECTATIONS,
     "sentence_split": SQL_SENTENCE_SPLIT,
+    "sentence_chunks": SQL_SENTENCE_CHUNKS,
     "filter_project": SQL_FILTER_PROJECT,
     "in_list_filter": SQL_IN_LIST,
     "semi_join": SQL_SEMI_JOIN,
@@ -9432,6 +9728,7 @@ ORACLE_SQL = {
     "kmeans_lloyd": SQL_KMEANS_LLOYD,
     "ann_ivf_portable": SQL_ANN_IVF_PORTABLE,
     "ann_pq_portable": SQL_ANN_PQ_PORTABLE,
+    "ann_ivfpq_portable": SQL_ANN_IVFPQ_PORTABLE,
     # embedding_neardup: rows-only (LSH scale path; recall-tested vs exact)
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
     "sequence_packing": SQL_SEQUENCE_PACKING,
@@ -9519,8 +9816,10 @@ ORACLE_SQL = {
     "winnow_dedup": SQL_WINNOW_DEDUP,
     "winnow_spans": SQL_WINNOW_SPANS,
     "minhash_portable": SQL_MINHASH_PORTABLE,
+    "dedup_calibration": SQL_DEDUP_CALIBRATION,
     "incremental_neardup_portable": SQL_INCREMENTAL_NEARDUP_PORTABLE,
     "curation_capstone": SQL_CURATION_CAPSTONE,
+    "curation_capstone_soft": SQL_CURATION_CAPSTONE_SOFT,
     "simhash_portable": SQL_SIMHASH_PORTABLE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "span_excise": SQL_SPAN_EXCISE,
