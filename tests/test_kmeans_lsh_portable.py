@@ -445,3 +445,15 @@ def test_lsh_portable_guards_dim_and_scale_bits(spark, vectors):
         sim.lsh_topk_portable(q, vectors, dim=63).collect()
     with pytest.raises(ValueError, match="scale_bits"):
         sim.lsh_topk_portable(q, vectors, dim=64, scale_bits=31)
+
+
+def test_pq_family_guards_dim_mismatch(spark, vectors):
+    """Review r13 #3: a wrong dim used to make Spark encode from a
+    PREFIX of each vector while the mirror slices by len(v)//m — a
+    silent cross-engine divergence. Both PQ entry points now raise
+    loudly from the guarded vector projection."""
+    q = vectors.filter(F.col("vec_id") < 2)
+    with pytest.raises(Exception, match="vector length"):
+        sim.pq_topk_portable(q, vectors, dim=32, m=8).collect()
+    with pytest.raises(Exception, match="vector length"):
+        sim.ivfpq_topk_portable(q, vectors, dim=32, m=8).collect()

@@ -24,7 +24,7 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 # (simhash family: composite-key join + anti-cap; kmeans/PQ/LSH/
 # sweep/sentence mirrors regenerated from shared geometry constants —
 # ADVICE r12 #2); simhash_neardup re-contacts rows-only on its
-# optimized path. Funded by rotating out the twelve r12 rows-only
+# optimized path. Funded by rotating out the eleven r12 rows-only
 # first contacts plus unicode_clean, all clean in CORRECTNESS_r12.json
 # on code untouched since. Pinned as SETS, not a frozen order, so next
 # round's rotation edits these lists deliberately rather than breaking
@@ -84,9 +84,9 @@ def test_round13_window_set():
 
 
 def test_rotated_out_r13_were_clean_in_r12():
-    """The thirteen queries rotated out this round must all have clean
+    """The twelve queries rotated out this round must all have clean
     r12 driver rows — rotation never discards a query whose latest
-    driver contact was red or absent. (Twelve are rows-only first
+    driver contact was red or absent. (Eleven are rows-only first
     contacts: clean rows, no error; unicode_clean was an r12
     oracle-green.)"""
     import json

@@ -108,13 +108,34 @@ def build_table() -> tuple[str, int]:
             lines.append(f"| `{name}` | {cell} | {red_cell} | {win_cell} |")
             continue
         greens = [r for r in sorted(rounds) if is_green(rounds[r].get(name, {}))]
+        # a clean rows-only contact from BEFORE a rows-only -> oracle
+        # conversion (err='no_oracle', rows produced) is neither a green
+        # nor a red for the oracle gate — classify by the row's own
+        # content, not by the query's CURRENT oracle membership
+        # (round 13: kcore/sentence_chunks/dedup_calibration converted)
+        pre_conv = [
+            r
+            for r in sorted(rounds)
+            if name in rounds[r]
+            and rounds[r][name].get("err") == "no_oracle"
+            and rounds[r][name].get("spark_rows") is not None
+        ]
         reds = [
             r
             for r in sorted(rounds)
-            if name in rounds[r] and not is_green(rounds[r][name])
+            if name in rounds[r]
+            and not is_green(rounds[r][name])
+            and r not in pre_conv
         ]
         if greens:
             green_cell = ",".join(f"r{r}" for r in greens)
+        elif pre_conv:
+            green_cell = (
+                "rows-only contact "
+                + ",".join(f"r{r}" for r in pre_conv)
+                + " (pre-conversion); oracle driver row pending"
+                + (", in current window" if name in window else "")
+            )
         elif name in window:
             # "current window", not r{latest+1}: the latest committed
             # artifact's round number does not track rounds whose driver

@@ -1642,6 +1642,24 @@ def _pq_codebooks(
     return [sorted(b) for b in books]
 
 
+def _dim_guarded(vec_col: str, dim: int, op: str) -> Column:
+    """``__v`` with a LOUD length check: Spark slices PQ subspaces by
+    the declared dim while the generated mirrors derive widths from
+    ``len(v)`` in the data, so a wrong dim would silently diverge the
+    two engines (codes built from a prefix of each vector vs the full
+    vector) — the ADVICE r13 LSH hazard applied to the PQ family."""
+    v = F.col(vec_col)
+    return F.when(F.size(v) == dim, _as_double(v)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: vector length "),
+                F.size(v).cast("string"),
+                F.lit(f" != dim={dim}"),
+            )
+        ).cast("array<double>")
+    )
+
+
 def _pq_encode(
     candidates: DataFrame, books: list, *, m: int, width: int,
     id_col: str, vec_col: str,
@@ -1656,7 +1674,8 @@ def _pq_encode(
         return _subspace_argmin(s * width, width, idx_book)
 
     return candidates.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__v")
+        F.col(id_col).alias("neighbor_id"),
+        _dim_guarded(vec_col, m * width, "pq encode").alias("__v"),
     ).select(
         "neighbor_id", *[code_expr(s).alias(f"__code{s}") for s in range(m)]
     )
@@ -1677,7 +1696,8 @@ def _pq_query_tables(
         )
 
     return queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__v")
+        F.col(id_col).alias("query_id"),
+        _dim_guarded(vec_col, m * width, "pq query tables").alias("__v"),
     ).select("query_id", *[qtab_expr(s).alias(f"__qt{s}") for s in range(m)])
 
 
@@ -1763,31 +1783,12 @@ def ivfpq_topk_portable(
     if not (1 <= scale_bits <= 30):
         raise ValueError("scale_bits in [1, 30] required")
     width = dim // m
-    c_frame = _kmeans_frame(candidates, id_col=id_col, vec_col=vec_col)
-    # coarse quantizer: cells for the corpus, nprobe probes per query
-    cents = kmeans_centroid_list(
-        c_frame, k=kcells, iters=coarse_iters, scale_bits=scale_bits,
-        prepared=True,
-    )
-    cells = c_frame.select(
-        F.col("__vid").alias("neighbor_id"),
-        _dist_argmin_struct(cents)["cluster"].alias("cluster"),
-    )
-    q_frame = _kmeans_frame(queries, id_col=id_col, vec_col=vec_col)
-    probes = q_frame.select(
-        F.col("__vid").alias("query_id"),
-        F.explode(
-            F.expr(
-                f"slice(array_sort(array("
-                f"{_dist_structs_sql(cents, '__v', '__vv')})), 1, {nprobe})"
-            )
-        ).alias("__p"),
-    ).select("query_id", F.col("__p.cluster").alias("cluster"))
-    ivf_cand = (
-        cells.join(F.broadcast(probes), "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    # coarse quantizer: cells for the corpus, nprobe probes per query —
+    # the SAME construction the IVF gate runs (shared helper)
+    ivf_cand, c_frame = _ivf_candidates(
+        queries, candidates, kcells=kcells, iters=coarse_iters,
+        nprobe=nprobe, scale_bits=scale_bits, id_col=id_col,
+        vec_col=vec_col,
     )
     # PQ scoring of the probed survivors only
     books = _pq_codebooks(
@@ -2102,6 +2103,33 @@ def ivf_topk_portable(
         raise ValueError("1 <= nprobe <= kcells required")
     if k < 1:
         raise ValueError("k >= 1 required")
+    cand, _ = _ivf_candidates(
+        queries, candidates, kcells=kcells, iters=iters, nprobe=nprobe,
+        scale_bits=scale_bits, id_col=id_col, vec_col=vec_col,
+    )
+    return _cosine_rank_topk(
+        cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _ivf_candidates(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    kcells: int,
+    iters: int,
+    nprobe: int,
+    scale_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The coarse-quantizer candidate construction shared by
+    :func:`ivf_topk_portable` and :func:`ivfpq_topk_portable` (review
+    r13 #4: a duplicated copy would let a probe-tiebreak or
+    cell-assignment edit silently decouple the composition from its
+    half). Returns ``(cand, c_frame)`` — the deduped (query_id,
+    neighbor_id) probe candidates and the prepared corpus frame (the
+    IVF+PQ gate trains its codebooks on the same frame)."""
     c_frame = _kmeans_frame(candidates, id_col=id_col, vec_col=vec_col)
     cents = kmeans_centroid_list(
         c_frame, k=kcells, iters=iters, scale_bits=scale_bits, prepared=True
@@ -2126,6 +2154,4 @@ def ivf_topk_portable(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    return _cosine_rank_topk(
-        cand, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
-    )
+    return cand, c_frame

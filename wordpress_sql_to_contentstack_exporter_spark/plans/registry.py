@@ -3301,9 +3301,13 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-12 portable members at their shipped gate geometry —
         # their recall rides the same per-round record even though
         # their CORRECTNESS gate is the stronger hash match
-        "lsh_portable": sim.lsh_topk_portable(q, e, dim=dim, k=k),
+        "lsh_portable": sim.lsh_topk_portable(
+            q, e, dim=dim, num_tables=_LSH_TABLES, num_planes=_LSH_PLANES,
+            k=k, scale_bits=_KM_SCALE_BITS,
+        ),
         "ivf_portable": sim.ivf_topk_portable(
-            q, e, kcells=8, iters=2, nprobe=2, k=k
+            q, e, kcells=_KM_K, iters=_KM_ITERS, nprobe=_IVF_NPROBE, k=k,
+            scale_bits=_KM_SCALE_BITS,
         ),
         "pq_portable": sim.pq_topk_portable(
             q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=_PQ_ITERS,
@@ -9486,7 +9490,7 @@ SPARK_QUERIES = {
     "fd_profile": q_fd_profile,
     "ngram_lm": q_ngram_lm,
     # --- window part (e): reference-core greens rotated back in
-    # (funded by the twelve r12 rows-only first contacts rotating
+    # (funded by the eleven r12 rows-only first contacts rotating
     # out, all clean in CORRECTNESS_r12.json) ---
     "url_normalize": q_url_normalize,
     "eav_pivot": q_eav_pivot,
@@ -9496,7 +9500,7 @@ SPARK_QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     # --- oracle-backed / rows-only, OUTSIDE the round-13 window ---
-    # rotated out in r13: the twelve r12 rows-only first contacts
+    # rotated out in r13: the eleven r12 rows-only first contacts
     # (incremental_neardup, sliding_hll, compression_ratio,
     # approx_aggs, hll_sketches, ann_{ivf,pq,ivfpq}_topk, freq_items,
     # image_neardup, audio_neardup) plus unicode_clean - all clean
