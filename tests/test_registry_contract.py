@@ -32,6 +32,7 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 ROUND13_WINDOW_NEW = {
     "ann_ivfpq_portable",     # new: IVF+PQ composition of exact halves
     "curation_capstone_soft", # new: capstone with soft-dedup weights
+    "sequence_packing_ffd",   # new: first-fit-decreasing bin packing
     "kcore",                  # converted: fixed-round peel, unrolled mirror
     "sentence_chunks",        # converted: recursive-CTE chunk walk mirror
     "dedup_calibration",      # converted: portable-minhash upstream
@@ -65,9 +66,10 @@ ROUND13_WINDOW_RETAINED = {
     "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
     "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
-    # reference-core greens rotated back in:
+    # reference-core greens rotated back in (anti_join yielded its slot
+    # to the new FFD gate — it stays an r<=11 green on untouched code):
     "eav_pivot", "group_concat", "hierarchy_parent", "broadcast_lookup",
-    "semi_join", "anti_join",
+    "semi_join",
 }
 
 

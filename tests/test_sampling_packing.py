@@ -289,3 +289,65 @@ def test_leakage_safe_split_no_straddling_pair(spark):
     # the ''-keyed uniform lands in the FIRST split: train, which the
     # biased fallthrough could never produce.
     assert null_splits == {"train"}
+
+
+def test_pack_sequences_ffd_budget_coverage_and_efficiency(spark):
+    """Round 13: FFD packs under the STRICT budget (no pack exceeds it —
+    unlike the next-fit window approximation's <2x bound), covers every
+    doc exactly once, and uses no more bins than either next-fit
+    variant on the same corpus/sharding (first-fit with all bins open
+    dominates next-fit's single open bin)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import token_count_ws
+
+    d = docs(spark)
+    with_toks = d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+    shard = F.pmod(F.col("doc_id"), F.lit(4))
+    ffd = pack_sequences_ffd(
+        with_toks, token_col="n_tokens", max_tokens=256, key_col="doc_id",
+        shard_expr=shard,
+    )
+    assert ffd.count() == with_toks.count()
+    assert ffd.select("doc_id").distinct().count() == with_toks.count()
+    sums = (
+        ffd.withColumn("capped", F.least(F.col("n_tokens"), F.lit(256)))
+        .groupBy("pack_id")
+        .agg(F.sum("capped").alias("s"))
+    )
+    # STRICT budget: capped per-pack sums never exceed it
+    assert sums.filter(F.col("s") > 256).count() == 0
+    n_ffd = sums.count()
+    for sort in (False, True):
+        nf = pack_sequences(
+            with_toks, token_col="n_tokens", max_tokens=256, key_col="doc_id",
+            shard_expr=shard, strict=True, order_by_length=sort,
+        )
+        assert n_ffd <= nf.select("pack_id").distinct().count()
+
+
+def test_pack_sequences_ffd_handworked_and_oversize(spark):
+    """Hand-worked FFD on one shard (budget 100, lengths 90/80/30/20/110).
+    The 110 doc CAPS to 100 and therefore sorts FIRST: 100->bin0 (full),
+    90->bin1, 80->bin2, 30 fits nowhere (100/90/80 all overflow)->bin3,
+    20->bin2 (80+20=100 exactly)."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
+        pack_sequences_ffd,
+    )
+
+    rows = [(1, 90), (2, 80), (3, 30), (4, 20), (5, 110)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences_ffd(
+            df, token_col="n_tokens", max_tokens=100, key_col="doc_id",
+            shard_expr=F.lit(0),
+        ).collect()
+    }
+    assert out == {5: "0-0", 1: "0-1", 2: "0-2", 3: "0-3", 4: "0-2"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences_ffd(df, token_col="n_tokens", max_tokens=0, key_col="doc_id")

@@ -295,6 +295,84 @@ def weighted_sample_wor_exact(
     )
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    *,
+    token_col: str,
+    max_tokens: int,
+    key_col: str,
+    n_shards: int = 32,
+    out_pack_col: str = "pack_id",
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """FIRST-FIT-DECREASING sequence packing — true bin packing with
+    MULTIPLE open bins per shard, vs :func:`pack_sequences`'s single
+    open bin (next-fit). Docs sort by (capped tokens DESC, key ASC) and
+    each goes into the FIRST bin it fits; none fits -> open a new bin.
+    FFD's classic guarantee (<= 11/9 OPT + 2/3 bins) is what the
+    next-fit family cannot give: next-fit abandons a bin the moment one
+    doc overflows it, so mixed-length corpora fragment (measured on the
+    documents fixture: FFD packs the same tokens into fewer bins than
+    both next-fit variants — pinned in tests, bin-count comparison in
+    the gate's evidence).
+
+    The per-shard fold keeps a VARIABLE set of open-bin loads — a
+    data-dependent list state no window or fixed-width fold expresses —
+    so this is the documented Arrow `applyInPandas` path (the
+    pack_sequences strict=True discipline: shard hash bounds per-shard
+    state, the per-shard loop is the Arrow batch, one shuffle total).
+    A per-element `F.aggregate` fold was measured and rejected for the
+    carry-save reason (simhash_df docstring): HOFs re-materialize the
+    list accumulator per element.
+
+    Every decision is integer (capped token sums vs budget, first-fit
+    index), so the DuckDB mirror — a recursive CTE advancing each shard
+    one doc per step, carrying the bin-load list — reproduces the
+    assignment bit-for-bit. Oversized docs are capped at the budget
+    (the family's shared rule: they pack alone rather than poison a
+    bin).
+
+    Output: input columns + ``out_pack_col`` = "<shard>-<bin index>".
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens >= 1 required")
+    if shard_expr is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    sharded = df.withColumn("__shard", shard_expr)
+
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    schema_str = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + f", {out_pack_col} string"
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            __cap=pdf[token_col].clip(upper=max_tokens)
+        ).sort_values(
+            ["__cap", key_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard_id = pdf["__shard"].iloc[0]
+        loads: list[int] = []
+        packs = []
+        for t in pdf["__cap"]:
+            t = int(t)
+            for i, load in enumerate(loads):
+                if load + t <= max_tokens:
+                    loads[i] = load + t
+                    packs.append(f"{shard_id}-{i}")
+                    break
+            else:
+                loads.append(t)
+                packs.append(f"{shard_id}-{len(loads) - 1}")
+        pdf[out_pack_col] = packs
+        return pdf.drop(columns=["__shard", "__cap"])
+
+    return sharded.groupBy("__shard").applyInPandas(pack_group, schema_str)
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -78,6 +78,7 @@ from ..operators.sampling import (
     deterministic_split,
     leakage_safe_split,
     pack_sequences,
+    pack_sequences_ffd,
     stratified_sample,
 )
 from ..operators import skew as skew_ops
@@ -3162,6 +3163,66 @@ WITH t AS (
 SELECT doc_id, n_tokens,
        shard || '-' || CAST(floor(run_before / 512) AS BIGINT) AS pack_id
 FROM s
+"""
+
+
+def q_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-FIT-DECREASING packing (operators/sampling.pack_sequences_ffd)
+    — true bin packing with multiple open bins per shard, round 13's
+    packing-efficiency upgrade over the next-fit family (FFD <= 11/9
+    OPT + 2/3; bin-count improvement over both next-fit gates pinned in
+    tests). Every decision is integer (capped sums vs the 512 budget,
+    first-fit index), so the recursive-CTE mirror — one doc per step per
+    shard, carrying the open-bin load list — reproduces the assignment
+    bit-for-bit; same modulo sharding as the sibling gates."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tx.token_count_ws(F.col("text")).alias("n_tokens")
+    with_toks = d.select("doc_id", toks)
+    packed = pack_sequences_ffd(
+        with_toks,
+        token_col="n_tokens",
+        max_tokens=512,
+        key_col="doc_id",
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return packed.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id"
+    )
+
+
+# The FFD walk: rank per shard by (capped tokens DESC, doc_id), advance
+# every shard one doc per recursion step; p = first bin the doc fits
+# (list_position over the load list, 0 = none -> open a new bin). All
+# integer state, so the assignment hash-matches the Arrow fold.
+SQL_SEQUENCE_PACKING_FFD = r"""
+WITH RECURSIVE t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text, ' ') = '' THEN 0
+                ELSE len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
+           doc_id % 8 AS shard
+    FROM documents
+), ranked AS MATERIALIZED (
+    SELECT doc_id, n_tokens, shard, least(n_tokens, 512) AS ct,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY least(n_tokens, 512) DESC, doc_id) AS rn
+    FROM t
+), walk(shard, rn, bin_idx, loads) AS (
+    SELECT shard, rn, CAST(0 AS BIGINT), [ct] FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn,
+           CAST(CASE WHEN p = 0 THEN len(w.loads) ELSE p - 1 END AS BIGINT),
+           CASE WHEN p = 0 THEN list_append(w.loads, d.ct)
+                ELSE list_transform(w.loads,
+                         (l, i) -> CASE WHEN i = p THEN l + d.ct ELSE l END)
+           END
+    FROM walk w
+    JOIN ranked d ON d.shard = w.shard AND d.rn = w.rn + 1,
+    LATERAL (SELECT list_position(
+                 list_transform(w.loads, l -> l + d.ct <= 512), true) AS p) q
+)
+SELECT d.doc_id, d.n_tokens,
+       d.shard || '-' || CAST(w.bin_idx AS BIGINT) AS pack_id
+FROM walk w JOIN ranked d ON d.shard = w.shard AND d.rn = w.rn
 """
 
 
@@ -9445,6 +9506,7 @@ SPARK_QUERIES = {
     "kcore": q_kcore,
     "sentence_chunks": q_sentence_chunks,
     "dedup_calibration": q_dedup_calibration,
+    "sequence_packing_ffd": q_sequence_packing_ffd,
     "curation_capstone": q_curation_capstone,
     "simhash_portable": q_simhash_portable,
     "minhash_portable": q_minhash_portable,
@@ -9498,7 +9560,6 @@ SPARK_QUERIES = {
     "hierarchy_parent": q_hierarchy_parent,
     "broadcast_lookup": q_broadcast_lookup,
     "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
     # --- oracle-backed / rows-only, OUTSIDE the round-13 window ---
     # rotated out in r13: the eleven r12 rows-only first contacts
     # (incremental_neardup, sliding_hll, compression_ratio,
@@ -9626,6 +9687,7 @@ SPARK_QUERIES = {
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "sequence_packing": q_sequence_packing,
     "sequence_packing_sorted": q_sequence_packing_sorted,
+    "anti_join": q_anti_join,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
     "incremental_neardup": q_incremental_neardup,
@@ -9737,6 +9799,7 @@ ORACLE_SQL = {
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_sorted": SQL_SEQUENCE_PACKING_SORTED,
+    "sequence_packing_ffd": SQL_SEQUENCE_PACKING_FFD,
     "multimodal_decode": SQL_MULTIMODAL,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "token_topk": SQL_TOKEN_TOPK,
