@@ -3226,6 +3226,67 @@ FROM walk w JOIN ranked d ON d.shard = w.shard AND d.rn = w.rn
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report across the three packing strategies
+    (round 13): one row per strategy with pack count, total capped
+    tokens, and fill rate — the table a pipeline owner reads to decide
+    whether FFD's strict-budget bins are worth the key-order locality
+    the next-fit variants keep. fill_permille is an exact integer
+    (total*1000 div (n_packs*budget)), so the whole report
+    hash-matches; the window-approximation strategies may exceed 1000
+    (their packs can overflow the budget by < 1 doc — the documented
+    <2x bound), the FFD row cannot."""
+    frames = []
+    for strategy, fn in (
+        ("next_fit", q_sequence_packing),
+        ("next_fit_sorted", q_sequence_packing_sorted),
+        ("ffd", q_sequence_packing_ffd),
+    ):
+        packed = fn(spark, sf_dir)
+        frames.append(
+            packed.agg(
+                F.countDistinct("pack_id").alias("n_packs"),
+                F.sum(F.least(F.col("n_tokens"), F.lit(512)))
+                .cast("long")
+                .alias("total_capped_tokens"),
+            ).select(
+                F.lit(strategy).alias("strategy"),
+                F.col("n_packs").cast("long").alias("n_packs"),
+                "total_capped_tokens",
+                F.expr("total_capped_tokens * 1000 div (n_packs * 512)")
+                .cast("long")
+                .alias("fill_permille"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _packing_efficiency_sql() -> str:
+    """One subquery per strategy around the existing (already
+    hash-verified) packing mirrors — the report cannot drift from the
+    per-doc gates because it aggregates their literal SQL."""
+    parts = []
+    for strategy, sql in (
+        ("next_fit", SQL_SEQUENCE_PACKING),
+        ("next_fit_sorted", SQL_SEQUENCE_PACKING_SORTED),
+        ("ffd", SQL_SEQUENCE_PACKING_FFD),
+    ):
+        parts.append(f"""
+SELECT '{strategy}' AS strategy,
+       count(DISTINCT pack_id)::BIGINT AS n_packs,
+       sum(least(n_tokens, 512))::BIGINT AS total_capped_tokens,
+       (sum(least(n_tokens, 512)) * 1000 // (count(DISTINCT pack_id) * 512))::BIGINT
+           AS fill_permille
+FROM ({sql})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PACKING_EFFICIENCY = _packing_efficiency_sql()
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based stratified sampling + deterministic train/val/test split.
     Oracle-checkable since round 2: selection moved from xxhash64
@@ -9687,6 +9748,7 @@ SPARK_QUERIES = {
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "sequence_packing": q_sequence_packing,
     "sequence_packing_sorted": q_sequence_packing_sorted,
+    "packing_efficiency": q_packing_efficiency,
     "anti_join": q_anti_join,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
@@ -9800,6 +9862,7 @@ ORACLE_SQL = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_sorted": SQL_SEQUENCE_PACKING_SORTED,
     "sequence_packing_ffd": SQL_SEQUENCE_PACKING_FFD,
+    "packing_efficiency": SQL_PACKING_EFFICIENCY,
     "multimodal_decode": SQL_MULTIMODAL,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "token_topk": SQL_TOKEN_TOPK,
