@@ -294,9 +294,15 @@ def test_leakage_safe_split_no_straddling_pair(spark):
 def test_pack_sequences_ffd_budget_coverage_and_efficiency(spark):
     """Round 13: FFD packs under the STRICT budget (no pack exceeds it —
     unlike the next-fit window approximation's <2x bound), covers every
-    doc exactly once, and uses no more bins than either next-fit
-    variant on the same corpus/sharding (first-fit with all bins open
-    dominates next-fit's single open bin)."""
+    doc exactly once, and satisfies FFD's SOUND structural guarantees:
+    at most one bin at most half full (the any-fit property — two such
+    bins would have been merged), and the bin count is at least the
+    capacity lower bound ceil(total/budget). (Review r13b #3: the
+    earlier cross-variant assertion 'FFD <= next-fit bins' is NOT a
+    theorem — a lucky key order can let next-fit beat FFD's re-sorted
+    order — and the next-fit GATES use the overflow-window
+    approximation whose counts aren't comparable under the same
+    constraint, so that pin was fixture luck, not a property.)"""
     from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
         pack_sequences,
         pack_sequences_ffd,
@@ -319,13 +325,33 @@ def test_pack_sequences_ffd_budget_coverage_and_efficiency(spark):
     )
     # STRICT budget: capped per-pack sums never exceed it
     assert sums.filter(F.col("s") > 256).count() == 0
-    n_ffd = sums.count()
-    for sort in (False, True):
-        nf = pack_sequences(
-            with_toks, token_col="n_tokens", max_tokens=256, key_col="doc_id",
-            shard_expr=shard, strict=True, order_by_length=sort,
+    # any-fit property: at most one bin PER SHARD is <= half full
+    # (a doc only opens a new bin when it fits no existing one, so two
+    # half-empty bins in a shard cannot coexist)
+    half_empty = (
+        sums.filter(F.col("s") * 2 <= 256)
+        .select(F.split(F.col("pack_id"), "-")[0].alias("shard"))
+        .groupBy("shard")
+        .count()
+    )
+    assert half_empty.filter(F.col("count") > 1).count() == 0
+    # capacity lower bound per shard: n_bins >= ceil(total/budget)
+    per_shard = (
+        ffd.withColumn("capped", F.least(F.col("n_tokens"), F.lit(256)))
+        .withColumn("shard", F.split(F.col("pack_id"), "-")[0])
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("pack_id").alias("bins"),
+            F.sum("capped").alias("total"),
         )
-        assert n_ffd <= nf.select("pack_id").distinct().count()
+    )
+    bad = per_shard.filter(
+        F.col("bins") < F.ceil(F.col("total") / F.lit(256))
+    ).count()
+    assert bad == 0
+    # unused import guard: pack_sequences still referenced for the
+    # efficiency REPORT comparison, which lives in the registry gate
+    assert pack_sequences is not None
 
 
 def test_pack_sequences_ffd_handworked_and_oversize(spark):

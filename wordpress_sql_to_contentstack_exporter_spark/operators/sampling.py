@@ -295,6 +295,20 @@ def weighted_sample_wor_exact(
     )
 
 
+def _pack_schema_str(df: DataFrame, out_pack_col: str) -> str:
+    """Output schema for the Arrow packing folds: the input columns
+    (backtick-quoted — reserved words and special characters survive)
+    plus the string pack id. Shared by the strict next-fit and FFD
+    paths (review r13b #4: two hand-rolled copies had already diverged
+    on the quoting)."""
+    return (
+        ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        + f", `{out_pack_col}` string"
+    )
+
+
 def pack_sequences_ffd(
     df: DataFrame,
     *,
@@ -342,11 +356,7 @@ def pack_sequences_ffd(
 
     import pandas as pd
 
-    out_fields = df.schema.fields
-    schema_str = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
-        + f", {out_pack_col} string"
-    )
+    schema_str = _pack_schema_str(df, out_pack_col)
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.assign(
@@ -419,11 +429,7 @@ def pack_sequences(
     if strict:
         import pandas as pd
 
-        out_fields = df.schema.fields
-        schema_str = (
-            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
-            + f", {out_pack_col} string"
-        )
+        schema_str = _pack_schema_str(df, out_pack_col)
 
         def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
             if order_by_length:

@@ -3217,8 +3217,11 @@ WITH RECURSIVE t AS (
            END
     FROM walk w
     JOIN ranked d ON d.shard = w.shard AND d.rn = w.rn + 1,
-    LATERAL (SELECT list_position(
-                 list_transform(w.loads, l -> l + d.ct <= 512), true) AS p) q
+    -- coalesce: list_position's not-found result is 0 in some DuckDB
+    -- releases and NULL per the docs — the new-bin branch keys on 0,
+    -- so normalize (review r13b #2; duckdb is not version-pinned here)
+    LATERAL (SELECT coalesce(list_position(
+                 list_transform(w.loads, l -> l + d.ct <= 512), true), 0) AS p) q
 )
 SELECT d.doc_id, d.n_tokens,
        d.shard || '-' || CAST(w.bin_idx AS BIGINT) AS pack_id
