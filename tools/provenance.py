@@ -118,7 +118,11 @@ def build_table() -> tuple[str, int]:
             for r in sorted(rounds)
             if name in rounds[r]
             and rounds[r][name].get("err") == "no_oracle"
-            and rounds[r][name].get("spark_rows") is not None
+            # spark_rows > 0, matching the rotation tests' cleanliness
+            # bar — a zero-row pre-conversion contact is a real red for
+            # a gate that must emit data, and must land in the red
+            # column, not this cell (review r13c #5)
+            and (rounds[r][name].get("spark_rows") or 0) > 0
         ]
         reds = [
             r

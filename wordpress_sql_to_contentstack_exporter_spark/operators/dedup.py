@@ -496,7 +496,8 @@ def simhash_df(
     against a shared token count (bit b set iff ``2*ones_b > n``) —
     bit-identical to the original ±1-sum form (``sum(±1) > 0`` ⇔
     ``2*ones > n``), measured ~1.15x faster (no WHEN branch per bit per
-    token), and the n column doubles as free token-count telemetry.
+    token). The internal ``__n`` count exists only to decide the bits
+    and is not part of the output contract.
     """
     toks = df.select(
         F.col(id_col).alias("id"),

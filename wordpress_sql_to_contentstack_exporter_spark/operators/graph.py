@@ -417,7 +417,7 @@ def kcore(
         if rounds < 1:
             raise ValueError("rounds >= 1 required")
         keep = None
-        for _ in range(rounds):
+        for r in range(rounds):
             deg = (
                 e.select(F.col("u").alias("n"))
                 .unionAll(e.select(F.col("v").alias("n")))
@@ -434,6 +434,11 @@ def kcore(
             # (The fixpoint loop below keeps both eager: its keep feeds
             # the per-round count action anyway.)
             keep = deg.filter(F.col("degree") >= k)
+            if r == rounds - 1:
+                # the final round's output is keep itself — building
+                # (and eagerly checkpointing) the restricted edge set
+                # would be one whole discarded job (review r13c #1)
+                break
             ku = keep.select(F.col("n").alias("u"))
             kv = keep.select(F.col("n").alias("v"))
             e = (

@@ -3087,6 +3087,13 @@ def _ivfpq_portable_sql() -> str:
 SQL_ANN_IVFPQ_PORTABLE = _ivfpq_portable_sql()
 
 
+# Shared packing-gate geometry (review r13c #3: the budget and the
+# modulo shard were re-spelled as literals in each wrapper AND its
+# mirror — the drift hazard the _KM_*/_CHUNK_* constants exist to kill).
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit sequence packing of documents into 512-token packs
     (LLM pretraining batch shaping); modulo sharding here so the DuckDB
@@ -3098,9 +3105,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(
         with_toks,
         token_col="n_tokens",
-        max_tokens=512,
+        max_tokens=_PACK_BUDGET,
         key_col="doc_id",
-        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)),
     )
     return packed.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id")
 
@@ -3115,9 +3122,9 @@ def q_sequence_packing_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(
         with_toks,
         token_col="n_tokens",
-        max_tokens=512,
+        max_tokens=_PACK_BUDGET,
         key_col="doc_id",
-        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)),
         order_by_length=True,
     )
     return packed.select(
@@ -3125,43 +3132,43 @@ def q_sequence_packing_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SEQUENCE_PACKING_SORTED = r"""
+SQL_SEQUENCE_PACKING_SORTED = rf"""
 WITH t AS (
     SELECT doc_id,
            CASE WHEN trim(text, ' ') = '' THEN 0
                 ELSE len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
-           doc_id % 8 AS shard
+           doc_id % {_PACK_SHARDS} AS shard
     FROM documents
 ), s AS (
     SELECT doc_id, n_tokens, shard,
-           coalesce(sum(least(n_tokens, 512)) OVER (
+           coalesce(sum(least(n_tokens, {_PACK_BUDGET})) OVER (
                PARTITION BY shard
-               ORDER BY least(n_tokens, 512) DESC, doc_id
+               ORDER BY least(n_tokens, {_PACK_BUDGET}) DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
     FROM t
 )
 SELECT doc_id, n_tokens,
-       shard || '-' || CAST(floor(run_before / 512) AS BIGINT) AS pack_id
+       shard || '-' || CAST(floor(run_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id
 FROM s
 """
 
 
-SQL_SEQUENCE_PACKING = r"""
+SQL_SEQUENCE_PACKING = rf"""
 WITH t AS (
     SELECT doc_id,
            CASE WHEN trim(text, ' ') = '' THEN 0
                 ELSE len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
-           doc_id % 8 AS shard
+           doc_id % {_PACK_SHARDS} AS shard
     FROM documents
 ), s AS (
     SELECT doc_id, n_tokens, shard,
-           coalesce(sum(least(n_tokens, 512)) OVER (
+           coalesce(sum(least(n_tokens, {_PACK_BUDGET})) OVER (
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
     FROM t
 )
 SELECT doc_id, n_tokens,
-       shard || '-' || CAST(floor(run_before / 512) AS BIGINT) AS pack_id
+       shard || '-' || CAST(floor(run_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id
 FROM s
 """
 
@@ -3181,9 +3188,9 @@ def q_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences_ffd(
         with_toks,
         token_col="n_tokens",
-        max_tokens=512,
+        max_tokens=_PACK_BUDGET,
         key_col="doc_id",
-        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)),
     )
     return packed.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id"
@@ -3194,17 +3201,17 @@ def q_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every shard one doc per recursion step; p = first bin the doc fits
 # (list_position over the load list, 0 = none -> open a new bin). All
 # integer state, so the assignment hash-matches the Arrow fold.
-SQL_SEQUENCE_PACKING_FFD = r"""
+SQL_SEQUENCE_PACKING_FFD = rf"""
 WITH RECURSIVE t AS (
     SELECT doc_id,
            CASE WHEN trim(text, ' ') = '' THEN 0
                 ELSE len(list_filter(string_split_regex(trim(text, ' '), '[ \t\n\r\f\x0b]+'), x -> x != '')) END AS n_tokens,
-           doc_id % 8 AS shard
+           doc_id % {_PACK_SHARDS} AS shard
     FROM documents
 ), ranked AS MATERIALIZED (
-    SELECT doc_id, n_tokens, shard, least(n_tokens, 512) AS ct,
+    SELECT doc_id, n_tokens, shard, least(n_tokens, {_PACK_BUDGET}) AS ct,
            row_number() OVER (PARTITION BY shard
-                              ORDER BY least(n_tokens, 512) DESC, doc_id) AS rn
+                              ORDER BY least(n_tokens, {_PACK_BUDGET}) DESC, doc_id) AS rn
     FROM t
 ), walk(shard, rn, bin_idx, loads) AS (
     SELECT shard, rn, CAST(0 AS BIGINT), [ct] FROM ranked WHERE rn = 1
@@ -3221,7 +3228,7 @@ WITH RECURSIVE t AS (
     -- releases and NULL per the docs — the new-bin branch keys on 0,
     -- so normalize (review r13b #2; duckdb is not version-pinned here)
     LATERAL (SELECT coalesce(list_position(
-                 list_transform(w.loads, l -> l + d.ct <= 512), true), 0) AS p) q
+                 list_transform(w.loads, l -> l + d.ct <= {_PACK_BUDGET}), true), 0) AS p) q
 )
 SELECT d.doc_id, d.n_tokens,
        d.shard || '-' || CAST(w.bin_idx AS BIGINT) AS pack_id
@@ -3249,14 +3256,14 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.append(
             packed.agg(
                 F.countDistinct("pack_id").alias("n_packs"),
-                F.sum(F.least(F.col("n_tokens"), F.lit(512)))
+                F.sum(F.least(F.col("n_tokens"), F.lit(_PACK_BUDGET)))
                 .cast("long")
                 .alias("total_capped_tokens"),
             ).select(
                 F.lit(strategy).alias("strategy"),
                 F.col("n_packs").cast("long").alias("n_packs"),
                 "total_capped_tokens",
-                F.expr("total_capped_tokens * 1000 div (n_packs * 512)")
+                F.expr(f"total_capped_tokens * 1000 div (n_packs * {_PACK_BUDGET})")
                 .cast("long")
                 .alias("fill_permille"),
             )
@@ -3280,8 +3287,9 @@ def _packing_efficiency_sql() -> str:
         parts.append(f"""
 SELECT '{strategy}' AS strategy,
        count(DISTINCT pack_id)::BIGINT AS n_packs,
-       sum(least(n_tokens, 512))::BIGINT AS total_capped_tokens,
-       (sum(least(n_tokens, 512)) * 1000 // (count(DISTINCT pack_id) * 512))::BIGINT
+       sum(least(n_tokens, {_PACK_BUDGET}))::BIGINT AS total_capped_tokens,
+       (sum(least(n_tokens, {_PACK_BUDGET})) * 1000
+           // (count(DISTINCT pack_id) * {_PACK_BUDGET}))::BIGINT
            AS fill_permille
 FROM ({sql})""")
     return "\nUNION ALL\n".join(parts)
@@ -3436,13 +3444,14 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq_portable": sim.pq_topk_portable(
             q, e, dim=dim, m=_PQ_M, ncodes=_PQ_NCODES, iters=_PQ_ITERS,
-            rerank=_PQ_RERANK, k=k,
+            rerank=_PQ_RERANK, k=k, scale_bits=_KM_SCALE_BITS,
         ),
         # round 13: the IVF+PQ composition at its shipped gate geometry
         "ivfpq_portable": sim.ivfpq_topk_portable(
             q, e, dim=dim, kcells=_KM_K, coarse_iters=_KM_ITERS,
             nprobe=_IVF_NPROBE, m=_PQ_M, ncodes=_PQ_NCODES,
             iters=_PQ_ITERS, rerank=_PQ_RERANK, k=k,
+            scale_bits=_KM_SCALE_BITS,
         ),
     }
     return sim.recall_sweep(
