@@ -824,7 +824,11 @@ def simhash_blocked_pairs_from_sigs(
     # when combo_r == n_blocks, and the shifted table index is checked
     # below.
     key_width = max(sum(splits[b][1] for b in s) for s in subsets)
-    if key_width + max(1, len(subsets) - 1).bit_length() > 63:
+    # ADVICE r13: a single-table geometry (combo_r == n_blocks) needs
+    # ZERO index bits — (0).bit_length() == 0 — so a full-63-bit key is
+    # legal there; multi-table geometries reserve exactly the bits the
+    # largest index t = len(subsets)-1 occupies.
+    if key_width + (len(subsets) - 1).bit_length() > 63:
         raise ValueError(
             f"combo keys ({key_width} bits) + table index do not fit a "
             "long — lower combo_r or n_blocks"

@@ -352,7 +352,9 @@ def pack_sequences_ffd(
         raise ValueError("max_tokens >= 1 required")
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-    sharded = df.withColumn("__shard", shard_expr)
+    # ADVICE r13: pin the pack-id prefix to an integer — a float or
+    # decimal shard_expr would otherwise format ids like "3.0-0".
+    sharded = df.withColumn("__shard", shard_expr.cast("long"))
 
     import pandas as pd
 
@@ -424,7 +426,9 @@ def pack_sequences(
     """
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-    sharded = df.withColumn("__shard", shard_expr)
+    # ADVICE r13: pin the pack-id prefix to an integer — a float or
+    # decimal shard_expr would otherwise format ids like "3.0-0".
+    sharded = df.withColumn("__shard", shard_expr.cast("long"))
 
     if strict:
         import pandas as pd

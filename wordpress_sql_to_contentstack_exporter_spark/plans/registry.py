@@ -7384,8 +7384,9 @@ def q_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = d.select("doc_id", "text").unionByName(perturbed)
     pairs = dd.minhash_portable_pairs(
-        both, num_hashes=16, bands=4, shingle_k=3, min_agree=1,
-        max_bucket_size=50,
+        both, num_hashes=_MH_NUM_HASHES, bands=_MH_BANDS,
+        shingle_k=_MH_SHINGLE_K, min_agree=1,
+        max_bucket_size=_MH_BUCKET_CAP,
     )
     scored = pairs.select(
         F.col("est_jaccard").alias("score"),
@@ -8589,9 +8590,39 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(perturbed)
     return dd.minhash_portable_pairs(
-        corpus, num_hashes=16, bands=4, shingle_k=3, min_agree=8,
-        max_bucket_size=50,
+        corpus, num_hashes=_MH_NUM_HASHES, bands=_MH_BANDS,
+        shingle_k=_MH_SHINGLE_K, min_agree=_MH_MIN_AGREE,
+        max_bucket_size=_MH_BUCKET_CAP,
     ).orderBy("doc_id_a", "doc_id_b")
+
+
+# Shared geometry for the portable MinHash family (ADVICE r13: one
+# source of truth — these constants generate BOTH the Spark wrapper
+# calls and the DuckDB CTE text below, like _PACK_*/_KM_*, so editing
+# the cap or band shape in one place cannot silently diverge).
+_MH_NUM_HASHES = 16
+_MH_BANDS = 4
+_MH_BUCKET_CAP = 50
+_MH_SHINGLE_K = 3
+_MH_MIN_AGREE = 8  # the minhash_portable gate's threshold (8/16)
+_MH_ROWS_PER_BAND = _MH_NUM_HASHES // _MH_BANDS
+assert _MH_ROWS_PER_BAND * _MH_BANDS == _MH_NUM_HASHES
+
+
+def _mh_banded_lines() -> str:
+    lines = []
+    for b in range(_MH_BANDS):
+        cols = "||'|'||".join(
+            f"sig[{b * _MH_ROWS_PER_BAND + i + 1}]"
+            for i in range(_MH_ROWS_PER_BAND)
+        )
+        if b == 0:
+            lines.append(
+                f"    SELECT id, sig, 0 AS band, md5({cols}) AS bucket FROM sigs"
+            )
+        else:
+            lines.append(f"    UNION ALL SELECT id, sig, {b}, md5({cols}) FROM sigs")
+    return "\n".join(lines)
 
 
 # CTE chain through `cand` (id_a, id_b, sig_agree), parameterized on
@@ -8613,33 +8644,44 @@ _MINHASH_PORTABLE_CTES = r"""corpus AS (
     SELECT doc_id, list_filter(string_split(t, ' '), x -> x != '') AS toks
     FROM norm
 ), sh AS (
-    -- shingle slice spelled as EXPLICIT element access (k = 3): bracket
-    -- slice end-inclusivity is build-sensitive (oracle-lint hazard B)
+    -- shingle slice spelled as EXPLICIT element access (k = __K__):
+    -- bracket slice end-inclusivity is build-sensitive (oracle-lint
+    -- hazard B)
     SELECT doc_id,
-           list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                           for i in range(1, len(toks) - 3 + 2) ]) AS shingles
-    FROM tok WHERE len(toks) >= 3
+           list_distinct([ __SHINGLE__
+                           for i in range(1, len(toks) - __K__ + 2) ]) AS shingles
+    FROM tok WHERE len(toks) >= __K__
 ), sigs AS MATERIALIZED (
-    -- MATERIALIZED: four band branches reference sigs; inlined, the
-    -- 16-seed md5 signature build runs once per branch
+    -- MATERIALIZED: the band branches reference sigs; inlined, the
+    -- __H__-seed md5 signature build runs once per branch
     SELECT doc_id AS id,
            [ list_aggregate([ md5(s::VARCHAR || ':' || g) for g in shingles ], 'min')
-             for s in range(0, 16) ] AS sig
+             for s in range(0, __H__) ] AS sig
     FROM sh WHERE len(shingles) >= 1
 ), banded AS MATERIALIZED (
-    SELECT id, sig, 0 AS band, md5(sig[1]||'|'||sig[2]||'|'||sig[3]||'|'||sig[4]) AS bucket FROM sigs
-    UNION ALL SELECT id, sig, 1, md5(sig[5]||'|'||sig[6]||'|'||sig[7]||'|'||sig[8]) FROM sigs
-    UNION ALL SELECT id, sig, 2, md5(sig[9]||'|'||sig[10]||'|'||sig[11]||'|'||sig[12]) FROM sigs
-    UNION ALL SELECT id, sig, 3, md5(sig[13]||'|'||sig[14]||'|'||sig[15]||'|'||sig[16]) FROM sigs
+__BANDED__
 ), small AS (
-    SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 50
+    SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= __CAP__
 ), bk AS (
     SELECT banded.* FROM banded JOIN small USING (band, bucket)
 ), cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::BIGINT AS sig_agree
+           len(list_filter(range(1, __H__ + 1), i -> a.sig[i] = b.sig[i]))::BIGINT AS sig_agree
     FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 )"""
+
+_MINHASH_PORTABLE_CTES = (
+    _MINHASH_PORTABLE_CTES.replace(
+        "__SHINGLE__",
+        " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                           for j in range(_MH_SHINGLE_K)),
+    )
+    .replace("__BANDED__", _mh_banded_lines())
+    .replace("__K__", str(_MH_SHINGLE_K))
+    .replace("__H__ + 1", str(_MH_NUM_HASHES + 1))
+    .replace("__H__", str(_MH_NUM_HASHES))
+    .replace("__CAP__", str(_MH_BUCKET_CAP))
+)
 
 
 def _minhash_portable_ctes(suffix: str) -> str:
@@ -8651,10 +8693,10 @@ SQL_MINHASH_PORTABLE = (
     "WITH " + _minhash_portable_ctes(" portable minhash tail")
     + """
 SELECT id_a AS doc_id_a, id_b AS doc_id_b, sig_agree,
-       (sig_agree::DOUBLE / 16) AS est_jaccard
-FROM cand WHERE sig_agree >= 8
+       (sig_agree::DOUBLE / {H}) AS est_jaccard
+FROM cand WHERE sig_agree >= {A}
 ORDER BY doc_id_a, doc_id_b
-"""
+""".format(H=_MH_NUM_HASHES, A=_MH_MIN_AGREE)
 )
 
 # dedup_calibration's mirror: the SAME portable-pair CTEs (different
@@ -8665,10 +8707,10 @@ ORDER BY doc_id_a, doc_id_b
 SQL_DEDUP_CALIBRATION = _threshold_sweep_sql(
     _minhash_portable_ctes(" near-dup-suffix")
     + """, d AS (
-    SELECT CAST(floor((sig_agree::DOUBLE / 16) * 1024) AS BIGINT) AS sv,
+    SELECT CAST(floor((sig_agree::DOUBLE / {H}) * 1024) AS BIGINT) AS sv,
            (id_b - id_a = 1000000) AS y
     FROM cand WHERE sig_agree >= 1
-)""",
+)""".format(H=_MH_NUM_HASHES),
     32,
 )
 
