@@ -487,6 +487,93 @@ def _cpu_calibration() -> dict:
     }
 
 
+def _calib_reference() -> dict | None:
+    """Latest driver-committed BENCH_r{N}.json at the repo root — the
+    reference walls + machine calibration for calib-adjusted deltas
+    (VERDICT r13 #4). Self-maintaining: every round the driver commits
+    its artifact, so the next run compares against it mechanically."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), f)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as fh:
+            parsed = json.load(fh).get("parsed") or {}
+    except Exception:
+        return None
+    q, c = parsed.get("queries"), parsed.get("cpu_calib")
+    if not (isinstance(q, dict) and isinstance(c, dict)):
+        return None
+    return {
+        "round": best[0],
+        "file": os.path.basename(best[1]),
+        "queries": q,
+        "cpu_calib": c,
+        "value": parsed.get("value"),
+    }
+
+
+def _calib_meta(timings: dict, cpu_calib: dict) -> dict | None:
+    """Calibration-normalized round-over-round deltas (VERDICT r13 #4).
+
+    Rounds 11-13 each spent verdict space re-litigating uniform wall
+    drift that the in-artifact calibration already explained (the
+    assigned VM's CPU class moves between rounds; r13 ran 18-24% slower
+    probes than r12). This makes the separation mechanical:
+    ``machine_factor`` is the geometric mean of this run's two probe
+    ratios vs the reference round's, and each headline line carries
+    ``raw_ratio`` (wall / ref_wall — what a naive compare reads) next
+    to ``calib_adjusted_ratio`` (raw_ratio / machine_factor — the
+    code-attributable delta). A real regression moves the adjusted
+    number; a VM spell moves only the raw one."""
+    ref = _calib_reference()
+    if ref is None:
+        return None
+    rc, tc = ref["cpu_calib"], cpu_calib
+    try:
+        f_sha = tc["sha256_256mib_s"] / rc["sha256_256mib_s"]
+        f_loop = tc["pyloop_20m_s"] / rc["pyloop_20m_s"]
+    except (KeyError, ZeroDivisionError):
+        return None
+    machine_factor = round((f_sha * f_loop) ** 0.5, 4)
+    per_query = {}
+    shared_this = shared_ref = 0.0
+    for name, wall in timings.items():
+        rw = ref["queries"].get(name)
+        if not isinstance(rw, (int, float)) or rw <= 0:
+            continue
+        shared_this += wall
+        shared_ref += rw
+        per_query[name] = {
+            "wall": wall,
+            "ref_wall": rw,
+            "raw_ratio": round(wall / rw, 3),
+            "calib_adjusted_ratio": round(wall / rw / machine_factor, 3),
+        }
+    if not per_query:
+        return None
+    return {
+        "ref_round": ref["round"],
+        "ref_file": ref["file"],
+        "machine_factor": machine_factor,
+        "probe_ratios": {"sha256": round(f_sha, 4), "pyloop": round(f_loop, 4)},
+        "per_query": per_query,
+        "shared_total": round(shared_this, 3),
+        "shared_ref_total": round(shared_ref, 3),
+        "shared_raw_ratio": round(shared_this / shared_ref, 3),
+        "shared_calib_adjusted_ratio": round(
+            shared_this / shared_ref / machine_factor, 3
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -605,13 +692,29 @@ def main() -> None:
         "queries_runs": timings_runs,
         "total_cold": round(sum(timings_cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # r13: simhash_neardup keeps the r12 EXACT pair-set semantics
-        # (byte-identical output, 86,952 pairs at sf0.1) on a 1.6x
-        # faster path (composite long join key + anti-join cap +
-        # branch-free signature sums — SCALE.md round-13 A/B), so the
-        # r13 line is same-semantics comparable to r12's 5.744 s and
-        # the r12 "semantics-changed" footnote is retired.
-        "notes": "simhash_neardup r13: same exact-pair semantics as r12, optimized path",
+        # r14 REBASELINE (VERDICT r13 #2, option c — recorded, not
+        # silent): the exact-recall blocked simhash headline is accepted
+        # at its measured wall ± session spread; the ≤3 s ABSOLUTE bar
+        # is retired. Evidence: (1) the remaining wall decomposes into
+        # an irreducible 9.07M-candidate probe + signature build +
+        # per-action floor (SCALE.md round 13); (2) the prescribed
+        # final attack — an Arrow mapInPandas numpy-popcount signature
+        # build, byte-identical outputs — was implemented and A/B'd
+        # this round: 1.6x faster in isolation at 10k docs but
+        # equal-to-WORSE end-to-end and 1.5-4x slower at the 200k-doc
+        # dedup tier (SCALE.md round 14), so the JVM partial-agg build
+        # stays shipped; (3) the same shipped code measured 1.5-1.9 s
+        # on the r14 session vs 3.6-5.7 s on the r13 session — the bar
+        # was tracking VM class, not code. Going forward the line is
+        # judged by calib_vs_prev.per_query.simhash_neardup
+        # .calib_adjusted_ratio (~1.0 = no code regression), the
+        # measure this artifact now carries for every headline line.
+        "notes": (
+            "simhash_neardup r14: exact-recall wall rebaselined; <=3s "
+            "absolute bar retired in favor of calib_adjusted_ratio "
+            "(see calib_vs_prev); Arrow numpy sig-build A/B rejected "
+            "at tier scale (SCALE.md round 14)"
+        ),
     }
 
     # Flagship-pipeline scale tier (SPARK_GRAFT_POSTS=0 disables). Runs
@@ -657,6 +760,12 @@ def main() -> None:
     # still visible as an end-load far above bench's own tail (~5), but
     # the stamp keys on the one number bench cannot self-inflate.
     result["polluted"] = polluted
+    # VERDICT r13 #4: calib-adjusted deltas vs the previous round's
+    # committed driver artifact, so VM-class drift separates from code
+    # regressions mechanically instead of by per-round adjudication.
+    calib_meta = _calib_meta(result["queries"], cpu_calib)
+    if calib_meta is not None:
+        result["calib_vs_prev"] = calib_meta
 
     # Two-artifact emission (VERDICT r6 #3): BENCH_r06's final JSON line
     # outgrew the driver's tail capture as tiers were added ("parsed":
@@ -711,6 +820,11 @@ def main() -> None:
             compact[f"{tier}_total"] = tier_total(tier, result[tier])
     if "posts_tier" in result:
         compact["posts_entries_per_s"] = result["posts_tier"]["entries_per_s"]
+    if "calib_vs_prev" in result:
+        cm = result["calib_vs_prev"]
+        compact["calib_ref_round"] = cm["ref_round"]
+        compact["calib_machine_factor"] = cm["machine_factor"]
+        compact["calib_adj_total_ratio"] = cm["shared_calib_adjusted_ratio"]
     line = json.dumps(compact)
     if len(line) >= 1500:
         # NEVER raise here: asserting after a ~12-minute run would

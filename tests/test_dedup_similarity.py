@@ -1008,3 +1008,51 @@ def test_soft_dedup_weights_keeps_null_text_rows(spark):
         assert int(by_id[i]["n_copies"]) == 3
         assert float(by_id[i]["weight"]) == 1.0 / 3
     assert int(by_id[1]["n_copies"]) == 1 and float(by_id[1]["weight"]) == 1.0
+
+
+def test_simhash_arrow_build_byte_identical(spark):
+    """The Arrow mapInPandas numpy-popcount signature build (round 14,
+    VERDICT r13 #2 A/B) must reproduce simhash_df bit-for-bit: same
+    normalize/split/xxhash64 front half, per-bit majority via
+    unpackbits + add.reduceat instead of 63 codegen sum columns. Pins
+    fixture docs AND the sf0.001 corpus, plus a long-doc corpus that
+    forces the chunked (>1 doc per reduceat slab boundary) path."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = dd.simhash_df(d).orderBy("id").collect()
+    b = dd.simhash_df_arrow(d).orderBy("id").collect()
+    assert len(a) == len(b) > 0
+    assert a == b
+    # long docs: 50x repetition pushes single documents across the
+    # 1M-token chunk budget's doc-boundary arithmetic
+    big = d.limit(20).select(
+        "doc_id",
+        F.concat_ws(" ", F.array_repeat(F.col("text"), 50)).alias("text"),
+    )
+    assert (
+        dd.simhash_df(big).orderBy("id").collect()
+        == dd.simhash_df_arrow(big).orderBy("id").collect()
+    )
+
+
+def test_simhash_arrow_blocked_pairs_identical(spark):
+    """End-to-end: the blocked-exact pair set is invariant to which
+    signature build feeds it (the A/B's semantic precondition)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pert = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    both = d.unionByName(pert)
+    a = dd.simhash_blocked_pairs_from_sigs(
+        dd.simhash_df(both), max_hamming=6, combo_r=2, max_block_size=1000
+    )
+    b = dd.simhash_blocked_pairs_from_sigs(
+        dd.simhash_df_arrow(both), max_hamming=6, combo_r=2, max_block_size=1000
+    )
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and len(ra) > 0
