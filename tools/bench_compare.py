@@ -194,10 +194,15 @@ def main() -> None:
     # measured here; the portable ANN gates (VERDICT r12 #7) reuse the
     # compared loop's recorded cold wall and only pay the reused-plan
     # write here.
+    # kcore added round 14 (VERDICT r13 #5): the newest driver-loop
+    # gate gets the same recorded steady-state row the ANN gates got in
+    # r13 — its fixture-scale cold ratio (~57x) is a per-round peel
+    # driver-action floor, and reused_plan_s is the number that shows
+    # what remains once the peel's localCheckpoints are materialized.
     for name in (
         "curation_capstone", "curation_capstone_soft",
         "ann_lsh_portable", "ann_ivf_portable", "ann_pq_portable",
-        "ann_ivfpq_portable",
+        "ann_ivfpq_portable", "kcore",
     ):
         if name in warm_dfs:
             df = warm_dfs[name]
