@@ -16,28 +16,30 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-13 window contract (VERDICT r12 asks #3, #5, #6): the five
-# new/converted oracle-backed gates take first-contact slots (the
-# IVF+PQ composition, the soft-dedup capstone variant, and the three
-# rows-only->oracle conversions); every oracle-backed gate whose
-# implementation OR generated mirror changed this round re-greens
-# (simhash family: composite-key join + anti-cap; kmeans/PQ/LSH/
-# sweep/sentence mirrors regenerated from shared geometry constants —
-# ADVICE r12 #2); simhash_neardup re-contacts rows-only on its
-# optimized path. Funded by rotating out the eleven r12 rows-only
-# first contacts plus unicode_clean, all clean in CORRECTNESS_r12.json
-# on code untouched since. Pinned as SETS, not a frozen order, so next
-# round's rotation edits these lists deliberately rather than breaking
-# an order assertion by accident.
-ROUND13_WINDOW_NEW = {
-    "ann_ivfpq_portable",     # new: IVF+PQ composition of exact halves
-    "curation_capstone_soft", # new: capstone with soft-dedup weights
-    "sequence_packing_ffd",   # new: first-fit-decreasing bin packing
-    "kcore",                  # converted: fixed-round peel, unrolled mirror
-    "sentence_chunks",        # converted: recursive-CTE chunk walk mirror
-    "dedup_calibration",      # converted: portable-minhash upstream
+# The round-14 window contract (VERDICT r13 asks #3, #6): the two r14
+# first contacts take slots (packing_efficiency — added after the r13
+# window pinned; curation_pipeline — rows-only->oracle conversion via
+# the portable MinHash upstream + recursive-CTE components mirror);
+# the r13 first contacts are retained one more round per the standing
+# rotation; every oracle-backed gate whose implementation or generated
+# mirror changed in r13/r14 re-greens (shared MinHash geometry
+# constants now generate the portable CTE chain; the simhash key-width
+# guard; the FFD shard-id cast). Funded by rotating out url_normalize
+# and fd_profile — both r13 oracle-green on code untouched since.
+# Pinned as SETS, not a frozen order, so next round's rotation edits
+# these lists deliberately rather than breaking an order assertion by
+# accident.
+ROUND14_WINDOW_NEW = {
+    "packing_efficiency",     # new gate: first driver contact (r13 #3)
+    "curation_pipeline",      # converted: portable upstream + CC mirror
+    "ann_ivfpq_portable",     # r13 first contact, retained
+    "curation_capstone_soft", # r13 first contact, retained
+    "sequence_packing_ffd",   # r13 first contact, retained
+    "kcore",                  # r13 conversion, retained
+    "sentence_chunks",        # r13 conversion, retained
+    "dedup_calibration",      # r13 conversion; r14 shared-constant regen
 }
-ROUND13_WINDOW_REGREENS = {
+ROUND14_WINDOW_REGREENS = {
     # implementation changed (r13 simhash optimization):
     "simhash_portable",
     # gate refactored through the shared capstone frame:
@@ -51,11 +53,11 @@ ROUND13_WINDOW_REGREENS = {
     "soft_dedup_weights", "incremental_neardup_portable",
 }
 # Deliberate rows-only window slots.
-ROUND13_WINDOW_ROWS_ONLY = {"simhash_neardup", "ann_recall_sweep"}
-ROUND13_WINDOW_ANCHORS = {
+ROUND14_WINDOW_ROWS_ONLY = {"simhash_neardup", "ann_recall_sweep"}
+ROUND14_WINDOW_ANCHORS = {
     "flagship_posts_export", "bloom_prune_join", "shard_manifest",
 }
-ROUND13_WINDOW_RETAINED = {
+ROUND14_WINDOW_RETAINED = {
     # the capstone component family (bisection on a capstone red):
     "winnow_dedup", "winnow_spans", "leakage_safe_split", "span_excise",
     "winnowing", "winnow_overlap", "curation_gate", "lm_perplexity",
@@ -65,7 +67,7 @@ ROUND13_WINDOW_RETAINED = {
     "repeated_spans", "span_coverage", "source_overlap",
     "audio_features", "frame_sample",
     "quantile_buckets", "global_rank", "join_blowup",
-    "setsim_join", "fd_profile", "ngram_lm", "url_normalize",
+    "setsim_join", "ngram_lm",
     # reference-core greens rotated back in (anti_join yielded its slot
     # to the new FFD gate — it stays an r<=11 green on untouched code):
     "eav_pivot", "group_concat", "hierarchy_parent", "broadcast_lookup",
@@ -73,15 +75,15 @@ ROUND13_WINDOW_RETAINED = {
 }
 
 
-def test_round13_window_set():
+def test_round14_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
-        ROUND13_WINDOW_NEW
-        | ROUND13_WINDOW_REGREENS
-        | ROUND13_WINDOW_ROWS_ONLY
-        | ROUND13_WINDOW_ANCHORS
-        | ROUND13_WINDOW_RETAINED
+        ROUND14_WINDOW_NEW
+        | ROUND14_WINDOW_REGREENS
+        | ROUND14_WINDOW_ROWS_ONLY
+        | ROUND14_WINDOW_ANCHORS
+        | ROUND14_WINDOW_RETAINED
     )
 
 
@@ -141,6 +143,20 @@ def test_rotated_out_r12_kept_their_greens():
         assert e["err"] == "no_oracle" and e["spark_rows"] >= 1, name
 
 
+def test_rotated_out_r14_were_clean_in_r13():
+    """url_normalize and fd_profile funded the two r14 first-contact
+    slots; both must have clean r13 oracle-green driver rows — rotation
+    never discards a query whose latest contact was red or absent."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r13.json")
+    rows = json.load(open(path))
+    for name in ("url_normalize", "fd_profile"):
+        e = rows[name]
+        assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
+
+
 def test_repetition_probes_stay_ordered():
     """The probes rotated out of the window in round 8 and the gate
     followed in round 9 (driver-green r7 AND r8 — its confirmations are
@@ -158,7 +174,7 @@ def test_repetition_probes_stay_ordered():
 def test_oracle_backed_queries_precede_rows_only():
     """Outside the window, oracle-backed entries still precede the
     rows-only tail; inside it, only the deliberate
-    ROUND13_WINDOW_ROWS_ONLY slots may be rows-only."""
+    ROUND14_WINDOW_ROWS_ONLY slots may be rows-only."""
     names = list(SPARK_QUERIES)
     tail = names[DRIVER_SNAPSHOT_WINDOW:]
     first_rows_only = next(
@@ -181,10 +197,10 @@ def test_rows_only_window_slots_are_deliberate():
     names = list(SPARK_QUERIES)
     in_window = names[:DRIVER_SNAPSHOT_WINDOW]
     rows_only_inside = {n for n in in_window if n not in ORACLE_SQL}
-    assert rows_only_inside == ROUND13_WINDOW_ROWS_ONLY, (
+    assert rows_only_inside == ROUND14_WINDOW_ROWS_ONLY, (
         "rows-only window slots diverge from the deliberate allowlist: "
-        f"unexpected={rows_only_inside - ROUND13_WINDOW_ROWS_ONLY}, "
-        f"missing={ROUND13_WINDOW_ROWS_ONLY - rows_only_inside}"
+        f"unexpected={rows_only_inside - ROUND14_WINDOW_ROWS_ONLY}, "
+        f"missing={ROUND14_WINDOW_ROWS_ONLY - rows_only_inside}"
     )
 
 

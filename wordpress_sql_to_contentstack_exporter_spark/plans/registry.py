@@ -6188,10 +6188,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus: documents + perturbed near-dup copies (+1M ids, the
     minhash gate's construction) so every stage has real work. Output:
     one row of exact stage counts — n_input, n_quality (>= 30 BPE
-    tokens), n_after_exact (content-hash keepers), n_pairs (LSH
-    candidates among survivors), n_clusters, n_final (near-dup cluster
-    keepers by n_chars). Rows-only (xxhash64 signatures have no DuckDB
-    mirror); determinism + the monotone ladder are pinned by test."""
+    tokens), n_after_exact (content-hash keepers), n_pairs (portable
+    MinHash candidates among survivors), n_clusters, n_final (near-dup
+    cluster keepers by n_chars; one keeper per cluster, so n_final ==
+    n_clusters in both engines by construction).
+
+    ORACLE-BACKED since round 14 (VERDICT r13 #6, the census's last
+    convertible row): the near-dup stage moved from the xxhash64 LSH
+    to the PORTABLE md5 MinHash family at the shared 16x4 geometry
+    (min_agree 15 ~ the old min_est_jaccard 0.9 as an integer gate),
+    the same upstream swap dedup_calibration made in round 13 — so
+    every stage now has a DuckDB mirror: the text_quality BPE-regex
+    gate, the sha256 exact-dedup keeper join, the shared
+    _MH_PAIR_CHAIN signature/band/candidate CTEs over the SURVIVOR
+    corpus, and connected components as a recursive-CTE min-label
+    transitive closure (exact fixpoint — UNION-dedup recursion, no
+    fixed-round approximation needed at fixture cluster sizes).
+    Determinism + the monotone ladder remain pinned by test."""
     d = _t(spark, sf_dir, "documents")
     perturbed = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -6207,9 +6220,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.select(F.col("keeper_id").alias("doc_id")), "doc_id", "left_semi"
     )
 
-    pairs = dd.minhash_lsh_candidates(
-        exact_kept, num_hashes=16, bands=2, min_est_jaccard=0.9
-    )
+    pairs = dd.minhash_portable_pairs(
+        exact_kept, num_hashes=_MH_NUM_HASHES, bands=_MH_BANDS,
+        shingle_k=_MH_SHINGLE_K, min_agree=_CP_MIN_AGREE,
+        max_bucket_size=_MH_BUCKET_CAP,
+    ).select(F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b"))
     clusters = gr.dedup_clusters(
         pairs.select("id_a", "id_b"), exact_kept.select("doc_id")
     ).select(F.col("id").alias("doc_id"), "cluster_id")
@@ -8629,12 +8644,11 @@ def _mh_banded_lines() -> str:
 # the perturbation suffix — shared by the minhash_portable gate and the
 # dedup_calibration composition (round 13), so the two gates cannot
 # drift on normalization, shingling, seeds, banding, or the cap.
-_MINHASH_PORTABLE_CTES = r"""corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text || '__SUFFIX__' AS text
-    FROM documents
-), norm AS (
+# The signature/band/candidate chain alone (norm -> cand), reusable
+# over ANY corpus CTE exposing (doc_id, text) — round 14: the
+# curation_pipeline conversion feeds it the post-gate post-exact-dedup
+# survivor set instead of the suffix-perturbed fixture corpus.
+_MH_PAIR_CHAIN = r""", norm AS (
     SELECT doc_id,
            regexp_replace(
                translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
@@ -8670,8 +8684,8 @@ __BANDED__
     FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 )"""
 
-_MINHASH_PORTABLE_CTES = (
-    _MINHASH_PORTABLE_CTES.replace(
+_MH_PAIR_CHAIN = (
+    _MH_PAIR_CHAIN.replace(
         "__SHINGLE__",
         " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
                            for j in range(_MH_SHINGLE_K)),
@@ -8681,6 +8695,16 @@ _MINHASH_PORTABLE_CTES = (
     .replace("__H__ + 1", str(_MH_NUM_HASHES + 1))
     .replace("__H__", str(_MH_NUM_HASHES))
     .replace("__CAP__", str(_MH_BUCKET_CAP))
+)
+
+_MINHASH_PORTABLE_CTES = (
+    r"""corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || '__SUFFIX__' AS text
+    FROM documents
+)"""
+    + _MH_PAIR_CHAIN
 )
 
 
@@ -8712,6 +8736,74 @@ SQL_DEDUP_CALIBRATION = _threshold_sweep_sql(
     FROM cand WHERE sig_agree >= 1
 )""".format(H=_MH_NUM_HASHES),
     32,
+)
+
+# curation_pipeline's near-dup gate: min_agree 15/16 is the integer
+# spelling of the old min_est_jaccard=0.9 threshold (ceil(0.9 * 16)).
+# Shared between the Spark wrapper and the SQL mirror below.
+_CP_MIN_AGREE = 15
+
+# The full curation-pipeline mirror (round 14, VERDICT r13 #6): every
+# stage of the capstone composition spelled in DuckDB — the
+# text_quality BPE-regex gate, sha256 exact-dedup keepers, the shared
+# _MH_PAIR_CHAIN over the SURVIVOR corpus (this is why the chain was
+# split from its fixture-corpus header), and connected components as a
+# recursive min-label transitive closure: labels propagate along
+# bidirected edges, UNION-dedup recursion reaches the exact fixpoint,
+# min(label) per node IS the component's canonical id (the same
+# min-id convention dedup_clusters uses). One keeper per cluster makes
+# n_final == n_clusters in both engines by construction; the mirror
+# still derives n_final from its own keeper-count subquery so the
+# equality is computed, not assumed.
+SQL_CURATION_PIPELINE = (
+    """
+WITH RECURSIVE base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' near-dup-suffix' AS text
+    FROM documents
+), quality AS MATERIALIZED (
+    SELECT doc_id, text, length(text)::BIGINT AS n_chars
+    FROM base
+    WHERE len(regexp_extract_all(text,
+          '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0b]')) >= 30
+), exact AS (
+    SELECT min(doc_id) AS keeper_id
+    FROM quality
+    GROUP BY sha256(regexp_replace(
+        translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
+        '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))
+), corpus AS MATERIALIZED (
+    SELECT q.doc_id, q.text, q.n_chars
+    FROM quality q JOIN exact e ON q.doc_id = e.keeper_id
+)"""
+    + _MH_PAIR_CHAIN
+    + """, pairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM cand WHERE sig_agree >= {A}
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM corpus
+    UNION
+    SELECT e.u AS node, r.label FROM edges e JOIN reach r ON r.node = e.v
+), comp AS MATERIALIZED (
+    SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+), keepers AS (
+    SELECT cluster_id,
+           min(struct_pack(neg_chars := -c.n_chars, id := c.doc_id)) AS pick
+    FROM comp JOIN corpus c USING (doc_id)
+    GROUP BY cluster_id
+)
+SELECT
+    (SELECT count(*) FROM base)::BIGINT AS n_input,
+    (SELECT count(*) FROM quality)::BIGINT AS n_quality,
+    (SELECT count(*) FROM corpus)::BIGINT AS n_after_exact,
+    (SELECT count(*) FROM pairs)::BIGINT AS n_pairs,
+    (SELECT count(DISTINCT cluster_id) FROM comp)::BIGINT AS n_clusters,
+    (SELECT count(*) FROM keepers)::BIGINT AS n_final
+""".format(A=_CP_MIN_AGREE)
 )
 
 
@@ -9609,13 +9701,16 @@ SQL_CURATION_CAPSTONE_SOFT = SQL_CURATION_CAPSTONE.replace(
 
 
 SPARK_QUERIES = {
-    # --- window part (a): round-13 additions (first contact: the
-    # IVF+PQ composition, the soft-dedup capstone variant, and the
-    # three rows-only->oracle conversions) + oracle-backed gates
-    # whose implementation or GENERATED mirror changed this round
-    # (simhash family: composite-key join + anti-cap; the
-    # kmeans/PQ/LSH/sweep/sentence mirrors now expand from shared
-    # geometry constants - ADVICE r12 #2) ---
+    # --- window part (a): round-14 first contacts (packing_efficiency
+    # was added after the r13 window pinned — VERDICT r13 #3;
+    # curation_pipeline converted rows-only->oracle this round —
+    # VERDICT r13 #6) + retained r13 first contacts and every
+    # oracle-backed gate whose implementation or generated mirror
+    # changed in r13/r14 (shared MinHash geometry constants now
+    # generate the portable CTE chain; the simhash key-width guard;
+    # the FFD shard-id cast) ---
+    "packing_efficiency": q_packing_efficiency,
+    "curation_pipeline": q_curation_pipeline,
     "ann_ivfpq_portable": q_ann_ivfpq_portable,
     "curation_capstone_soft": q_curation_capstone_soft,
     "kcore": q_kcore,
@@ -9664,12 +9759,10 @@ SPARK_QUERIES = {
     "global_rank": q_global_rank,
     "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
-    "fd_profile": q_fd_profile,
     "ngram_lm": q_ngram_lm,
-    # --- window part (e): reference-core greens rotated back in
-    # (funded by the eleven r12 rows-only first contacts rotating
-    # out, all clean in CORRECTNESS_r12.json) ---
-    "url_normalize": q_url_normalize,
+    # --- window part (e): reference-core greens (retained; funded in
+    # r14 by rotating out url_normalize and fd_profile — both r13
+    # oracle-green on code untouched since) ---
     "eav_pivot": q_eav_pivot,
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
@@ -9682,6 +9775,8 @@ SPARK_QUERIES = {
     # image_neardup, audio_neardup) plus unicode_clean - all clean
     # in CORRECTNESS_r12.json on code untouched since. Oracle-backed
     # tail entries precede the rows-only tail (ordering contract).
+    "url_normalize": q_url_normalize,
+    "fd_profile": q_fd_profile,
     "unicode_clean": q_unicode_clean,
     "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
@@ -9802,7 +9897,6 @@ SPARK_QUERIES = {
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "sequence_packing": q_sequence_packing,
     "sequence_packing_sorted": q_sequence_packing_sorted,
-    "packing_efficiency": q_packing_efficiency,
     "anti_join": q_anti_join,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
@@ -9822,7 +9916,6 @@ SPARK_QUERIES = {
     "dsir": q_dsir,
     "bpe_tokenize": q_bpe_tokenize,
     "quality_classifier": q_quality_classifier,
-    "curation_pipeline": q_curation_pipeline,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
 }
@@ -10001,6 +10094,7 @@ ORACLE_SQL = {
     "winnow_spans": SQL_WINNOW_SPANS,
     "minhash_portable": SQL_MINHASH_PORTABLE,
     "dedup_calibration": SQL_DEDUP_CALIBRATION,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "incremental_neardup_portable": SQL_INCREMENTAL_NEARDUP_PORTABLE,
     "curation_capstone": SQL_CURATION_CAPSTONE,
     "curation_capstone_soft": SQL_CURATION_CAPSTONE_SOFT,
