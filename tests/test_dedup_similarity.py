@@ -1024,16 +1024,30 @@ def test_simhash_arrow_build_byte_identical(spark):
     b = dd.simhash_df_arrow(d).orderBy("id").collect()
     assert len(a) == len(b) > 0
     assert a == b
-    # long docs: 50x repetition pushes single documents across the
-    # 1M-token chunk budget's doc-boundary arithmetic
+    # forced multi-chunk path (review r14a #3: at the default 1M-token
+    # budget no test corpus ever crossed a chunk boundary, leaving the
+    # lo>0 branch — relative starts, searchsorted boundary, base offset
+    # — untested): a tiny budget makes EVERY doc cross it, including
+    # docs larger than the whole budget (the hi = max(hi, lo+1) path)
     big = d.limit(20).select(
         "doc_id",
         F.concat_ws(" ", F.array_repeat(F.col("text"), 50)).alias("text"),
     )
     assert (
         dd.simhash_df(big).orderBy("id").collect()
-        == dd.simhash_df_arrow(big).orderBy("id").collect()
+        == dd.simhash_df_arrow(big, max_chunk_tokens=8).orderBy("id").collect()
     )
+    # NULL text drops the row in BOTH paths (review r14a #1: the Arrow
+    # path crashed on the None token array instead of matching the
+    # aggregate path's explode-drop)
+    withnull = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    a2 = dd.simhash_df(withnull).orderBy("id").collect()
+    b2 = dd.simhash_df_arrow(withnull).orderBy("id").collect()
+    assert [r["id"] for r in a2] == [1, 3]
+    assert a2 == b2
 
 
 def test_simhash_arrow_blocked_pairs_identical(spark):

@@ -1,0 +1,76 @@
+"""grouped_quantiles_scalable: the exact rank-select quantile path
+(round 14) — identical results to the collect_list form on every
+corpus, one-exchange plan, discrete lower-rank contract by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+    grouped_quantiles_scalable,
+)
+from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+
+
+def test_matches_collect_list_gate_on_fixture(spark):
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        tuple(r) for r in SPARK_QUERIES["percentiles"](spark, sf).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in SPARK_QUERIES["percentiles_scalable"](spark, sf).collect()
+    )
+    assert len(a) == len(b) > 0
+    assert a == b
+
+
+def test_handworked_lower_rank_and_ties(spark):
+    # group g: values 1..10 -> ranks p25=(9)//4=2 -> 3, p50=4 -> 5,
+    # p75=27//4=6 -> 7, p90=81//10=8 -> 9
+    rows = [("g", float(v)) for v in range(1, 11)]
+    # group h: all-equal values (ties) — every quantile is 7.0
+    rows += [("h", 7.0)] * 5
+    # group s: singleton — every rank is 0
+    rows += [("s", 42.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {
+        r["k"]: r
+        for r in grouped_quantiles_scalable(df, ["k"], "value").collect()
+    }
+    g = out["g"]
+    assert (g["n"], g["p25"], g["p50"], g["p75"], g["p90"]) == (10, 3.0, 5.0, 7.0, 9.0)
+    h = out["h"]
+    assert (h["n"], h["p25"], h["p50"], h["p75"], h["p90"]) == (5, 7.0, 7.0, 7.0, 7.0)
+    s = out["s"]
+    assert (s["n"], s["p25"], s["p50"], s["p75"], s["p90"]) == (1, 42.0, 42.0, 42.0, 42.0)
+
+
+def test_null_values_excluded_and_all_null_group_vanishes(spark):
+    # review r14a #2: collect_list drops NULLs, row_number ranked them,
+    # DuckDB list() keeps them — the contract now EXCLUDES null values
+    # explicitly: n counts non-null only, ranks run over non-null only,
+    # an all-NULL group disappears.
+    rows = [("g", None), ("g", 10.0), ("g", 20.0), ("g", 30.0), ("z", None)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {
+        r["k"]: r
+        for r in grouped_quantiles_scalable(df, ["k"], "value").collect()
+    }
+    assert "z" not in out
+    g = out["g"]
+    # ranks over [10, 20, 30]: p25 -> (2*1) div 4 = 0, p50 -> 1,
+    # p75 -> (2*3) div 4 = 1, p90 -> (2*9) div 10 = 1
+    assert (g["n"], g["p25"], g["p50"], g["p75"], g["p90"]) == (3, 10.0, 20.0, 20.0, 20.0)
+
+
+def test_single_exchange_plan(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") * 13 % 101).cast("double").alias("value"),
+    )
+    plan = grouped_quantiles_scalable(
+        df, ["k"], "value"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "collect_list" not in plan

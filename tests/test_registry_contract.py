@@ -32,6 +32,7 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 ROUND14_WINDOW_NEW = {
     "packing_efficiency",     # new gate: first driver contact (r13 #3)
     "curation_pipeline",      # converted: portable upstream + CC mirror
+    "percentiles_scalable",   # new gate: exact quantiles, unbounded groups
     "ann_ivfpq_portable",     # r13 first contact, retained
     "curation_capstone_soft", # r13 first contact, retained
     "sequence_packing_ffd",   # r13 first contact, retained
@@ -66,7 +67,7 @@ ROUND14_WINDOW_RETAINED = {
     "salted_join", "robust_anomaly",
     "repeated_spans", "span_coverage", "source_overlap",
     "audio_features", "frame_sample",
-    "quantile_buckets", "global_rank", "join_blowup",
+    "quantile_buckets", "global_rank",
     "setsim_join", "ngram_lm",
     # reference-core greens rotated back in (anti_join yielded its slot
     # to the new FFD gate — it stays an r<=11 green on untouched code):
@@ -144,15 +145,16 @@ def test_rotated_out_r12_kept_their_greens():
 
 
 def test_rotated_out_r14_were_clean_in_r13():
-    """url_normalize and fd_profile funded the two r14 first-contact
-    slots; both must have clean r13 oracle-green driver rows — rotation
-    never discards a query whose latest contact was red or absent."""
+    """url_normalize, fd_profile and join_blowup funded the three r14
+    first-contact slots; all must have clean r13 oracle-green driver
+    rows — rotation never discards a query whose latest contact was red
+    or absent."""
     import json
     import os
 
     path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r13.json")
     rows = json.load(open(path))
-    for name in ("url_normalize", "fd_profile"):
+    for name in ("url_normalize", "fd_profile", "join_blowup"):
         e = rows[name]
         assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
 

@@ -377,3 +377,48 @@ def test_pack_sequences_ffd_handworked_and_oversize(spark):
 
     with _pytest.raises(ValueError, match="max_tokens"):
         pack_sequences_ffd(df, token_col="n_tokens", max_tokens=0, key_col="doc_id")
+
+
+def test_pack_id_prefix_float_and_string_shards(spark):
+    """Review r14a #4: the pack-id prefix rule — integral floats spell
+    as integers (no '3.0-0' ids), strings pass through, and the
+    GROUPING key stays the raw expression (the first fix cast the key
+    to long, which nulled string shards into one serial group)."""
+    from pyspark.sql import functions as F
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10, "us-east" if i % 2 else "eu-west") for i in range(8)],
+        "doc_id long, n_tokens long, region string",
+    )
+    # float shard expr, integral values -> integer prefixes
+    for fn, kwargs in (
+        (pack_sequences, {"strict": True}),
+        (pack_sequences, {"strict": False}),
+        (pack_sequences_ffd, {}),
+    ):
+        out = fn(
+            df,
+            max_tokens=20,
+            key_col="doc_id",
+            token_col="n_tokens",
+            shard_expr=(F.col("doc_id") % 2).cast("double"),
+            **kwargs,
+        ).collect()
+        prefixes = {r["pack_id"].rsplit("-", 1)[0] for r in out}
+        assert prefixes <= {"0", "1"}, prefixes
+    # string shard expr keeps both shards separate and readable
+    out = pack_sequences(
+        df,
+        max_tokens=20,
+        key_col="doc_id",
+        token_col="n_tokens",
+        shard_expr=F.col("region"),
+        strict=True,
+    ).collect()
+    prefixes = {r["pack_id"].rsplit("-", 1)[0] for r in out}
+    assert prefixes == {"us-east", "eu-west"}, prefixes

@@ -1,0 +1,52 @@
+"""Pin every SQL-mirror spelling of the shared cross-engine expressions
+to the canonical constants (round 14, review r14a #5): the BPE token
+regex and the normalize_text mirror each appear in many oracle strings;
+this test canonicalizes whitespace and asserts every occurrence equals
+_SQL_BPE_TOKEN_RE / _SQL_NORM_TEXT — editing one spelling fails the
+suite until all match, which is the drift protection the shared
+_MH_*/_KM_*/_PACK_* constants give their families."""
+
+from __future__ import annotations
+
+import re
+
+from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
+    ORACLE_SQL,
+    _SQL_BPE_TOKEN_RE,
+    _SQL_NORM_TEXT,
+)
+
+
+def _squash(s: str) -> str:
+    # collapse formatting whitespace (indentation/line breaks around
+    # parens) without touching spaces inside SQL string literals' char
+    # classes — multi-line spellings canonicalize, literal-content
+    # differences do not
+    s = re.sub(r"[ \n]+", " ", s)
+    return re.sub(r"\( ", "(", s)
+
+
+def test_bpe_token_regex_spellings_are_canonical():
+    finder = re.compile(r"\[A-Za-z0-9\]\+\|\[\^A-Za-z0-9[^\]]*\]")
+    hits = 0
+    for name, sql in ORACLE_SQL.items():
+        for m in finder.finditer(sql):
+            assert m.group(0) == _SQL_BPE_TOKEN_RE, (name, m.group(0))
+            hits += 1
+    assert hits >= 4  # html_quality, text_quality, fertility, pipeline
+
+
+def test_normalize_text_spellings_are_canonical():
+    # anchor on the inner translate chain, capture through the closing
+    # regexp_replace args
+    finder = re.compile(
+        r"regexp_replace\(\s*translate\(lower\(translate\(trim\(text, ' '\), "
+        r"'İ', 'i'\)\), 'ς', 'σ'\),\s*'\[ [^\]]*\]\+', ' ', 'g'\)"
+    )
+    canon = _squash(_SQL_NORM_TEXT)
+    hits = 0
+    for name, sql in ORACLE_SQL.items():
+        for m in finder.finditer(sql):
+            assert _squash(m.group(0)) == canon, (name, m.group(0)[:120])
+            hits += 1
+    assert hits >= 6  # dedup_exact, soft_dedup, windowed, portable CTE x2, pipeline

@@ -1094,6 +1094,23 @@ def main() -> int:
         ("no join in assignment", r"\A(?s:(?!.*Join).*)\Z"),
     )
 
+    # percentiles_scalable (round 14): the whole point of the gate is
+    # the plan — rank-select must ride ONE hash exchange (window sort +
+    # count window + final aggregate all reuse the event_type
+    # partitioning) and must NOT materialize groups via collect_list.
+    ps_plan = plan_of(SPARK_QUERIES["percentiles_scalable"](spark, sf_dir))
+    check_plan(
+        "percentiles_scalable",
+        ps_plan,
+        # formatted rendering: each plan NODE appears once as "(n) Op";
+        # count those, not raw substrings (the details section repeats
+        # operator names)
+        ("exactly one exchange",
+         r"\A(?s:(?!.*\(\d+\) Exchange.*\(\d+\) Exchange).*\(\d+\) Exchange.*)\Z"),
+        ("no collect_list group materialization", r"\A(?s:(?!.*collect_list).*)\Z"),
+        ("spillable window sort present", r"\(\d+\) Sort\b"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -525,6 +525,7 @@ def simhash_df_arrow(
     id_col: str = "doc_id",
     *,
     out_col: str = "sh",
+    max_chunk_tokens: int = 1 << 20,
 ) -> DataFrame:
     """SimHash signatures via an Arrow ``mapInPandas`` numpy popcount —
     byte-identical to :func:`simhash_df`, ZERO shuffle (VERDICT r13 #2).
@@ -557,20 +558,27 @@ def simhash_df_arrow(
     import numpy as np
     import pandas as pd
 
+    # NULL text: simhash_df's explode drops the row (explode of a NULL
+    # array emits nothing), so the doc has no signature; mirror that by
+    # filtering NULL token arrays BEFORE the Python stage (review r14a
+    # #1: np.fromiter crashed on the None instead of matching).
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             F.split(normalize_text(F.col(text_col)), " "),
             lambda t: F.xxhash64(t),
         ).alias("__ths"),
-    )
+    ).filter(F.col("__ths").isNotNull())
 
-    # Peak-memory bound for the unpacked bit matrix: 1 M tokens x 64
-    # uint8 = 64 MB per in-flight chunk per Python worker (the first
-    # cut astype(int64)'d the matrix — 512 B/token, ~2.5 GB per 10k-doc
-    # Arrow batch, and 32 concurrent workers GC-thrashed the tier run
-    # to 3x the aggregate path; measured, SCALE.md round 14).
-    max_chunk_tokens = 1 << 20
+    # Peak-memory bound for the unpacked bit matrix: the default 1 M
+    # tokens x 64 uint8 = 64 MB per in-flight chunk per Python worker
+    # (the first cut astype(int64)'d the matrix — 512 B/token, ~2.5 GB
+    # per 10k-doc Arrow batch, and 32 concurrent workers GC-thrashed
+    # the tier run to 3x the aggregate path; measured, SCALE.md round
+    # 14). Parameterized so tests can force the multi-chunk path
+    # (review r14a #3).
+    if max_chunk_tokens < 1:
+        raise ValueError("max_chunk_tokens >= 1 required")
 
     def build(batches):
         for pdf in batches:

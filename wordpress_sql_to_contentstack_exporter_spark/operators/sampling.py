@@ -309,6 +309,30 @@ def _pack_schema_str(df: DataFrame, out_pack_col: str) -> str:
     )
 
 
+def _shard_prefix_py(v) -> str:
+    """Pack-id prefix for one shard value (Python side): integral
+    floats spell as integers (ADVICE r13: '3.0-0' ids), every other
+    value keeps its exact string form — so distinct shard values always
+    map to distinct prefixes and non-numeric shard expressions (e.g. a
+    region string) keep working (review r14a #4: the first fix cast the
+    GROUPING key to long, which nulled string shards into one giant
+    serial group)."""
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _shard_prefix_col(col: Column, dtype) -> Column:
+    """The same prefix rule as a Column expression (window path)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return F.when(
+            col == F.floor(col), F.floor(col).cast("long").cast("string")
+        ).otherwise(col.cast("string"))
+    return col.cast("string")
+
+
 def pack_sequences_ffd(
     df: DataFrame,
     *,
@@ -352,9 +376,11 @@ def pack_sequences_ffd(
         raise ValueError("max_tokens >= 1 required")
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-    # ADVICE r13: pin the pack-id prefix to an integer — a float or
-    # decimal shard_expr would otherwise format ids like "3.0-0".
-    sharded = df.withColumn("__shard", shard_expr.cast("long"))
+    # ADVICE r13 + review r14a #4: the pack-id PREFIX is integral for
+    # integral numerics (no "3.0-0" ids) via _shard_prefix_py /
+    # _shard_prefix_col; the GROUPING key stays the raw expression so
+    # string or non-integral shards group correctly.
+    sharded = df.withColumn("__shard", shard_expr)
 
     import pandas as pd
 
@@ -366,7 +392,7 @@ def pack_sequences_ffd(
         ).sort_values(
             ["__cap", key_col], ascending=[False, True]
         ).reset_index(drop=True)
-        shard_id = pdf["__shard"].iloc[0]
+        shard_id = _shard_prefix_py(pdf["__shard"].iloc[0])
         loads: list[int] = []
         packs = []
         for t in pdf["__cap"]:
@@ -426,9 +452,11 @@ def pack_sequences(
     """
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-    # ADVICE r13: pin the pack-id prefix to an integer — a float or
-    # decimal shard_expr would otherwise format ids like "3.0-0".
-    sharded = df.withColumn("__shard", shard_expr.cast("long"))
+    # ADVICE r13 + review r14a #4: the pack-id PREFIX is integral for
+    # integral numerics (no "3.0-0" ids) via _shard_prefix_py /
+    # _shard_prefix_col; the GROUPING key stays the raw expression so
+    # string or non-integral shards group correctly.
+    sharded = df.withColumn("__shard", shard_expr)
 
     if strict:
         import pandas as pd
@@ -444,7 +472,7 @@ def pack_sequences(
                 ).drop(columns="__cap").reset_index(drop=True)
             else:
                 pdf = pdf.sort_values(key_col).reset_index(drop=True)
-            shard_id = pdf["__shard"].iloc[0]
+            shard_id = _shard_prefix_py(pdf["__shard"].iloc[0])
             packs, pack_idx, acc = [], 0, 0
             for t in pdf[token_col]:
                 t = min(int(t), max_tokens)
@@ -469,7 +497,13 @@ def pack_sequences(
     local_pack = F.floor(running_before / F.lit(max_tokens))
     return sharded.withColumn(
         out_pack_col,
-        F.concat_ws("-", F.col("__shard").cast("string"), local_pack.cast("string")),
+        F.concat_ws(
+            "-",
+            _shard_prefix_col(
+                F.col("__shard"), sharded.schema["__shard"].dataType
+            ),
+            local_pack.cast("string"),
+        ),
     ).drop("__shard")
 
 

@@ -618,3 +618,68 @@ def sliding_hll_distinct(
         )
     )
     return out
+
+
+def grouped_quantiles_scalable(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    quantiles: tuple[tuple[int, int, str], ...] = (
+        (1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90"),
+    ),
+) -> DataFrame:
+    """EXACT grouped quantiles at unbounded group size — the scale path
+    the ``percentiles`` gate's docstring deferred to approximate
+    sketches (round 14): rank-select via a window sort instead of
+    ``sort_array(collect_list(...))``.
+
+    Same contract as the collect_list form: discrete LOWER-RANK
+    definition — the value at 0-indexed rank ``(num * (n-1)) div den``
+    of the group's NON-NULL values sorted ascending — an actual element
+    of the data, so the result is bit-exact cross-engine with zero
+    interpolation arithmetic. Ranks are integer ``div`` end to end.
+    NULL values are dropped BEFORE ranking and ``n`` counts the
+    non-null values only (review r14a #2: collect_list silently drops
+    nulls while row_number ranks them, and DuckDB ``list()`` keeps
+    them — three different answers unless the contract excludes NULLs
+    explicitly; groups that are all-NULL vanish from the output).
+
+    Why this scales where collect_list cannot: the window sort is a
+    per-partition SPILLABLE sort after ONE hash exchange on the group
+    keys — no executor ever holds a whole group as an in-memory array,
+    so a billion-row group costs disk, not OOM. The group count rides
+    the SAME exchange (an unordered count window over the same
+    partitioning — Catalyst plans both Window operators over one
+    Exchange). The rank filter then keeps <= |quantiles| rows per group
+    and a final |groups|-row aggregation assembles the columns.
+
+    One caveat mirrored from the sibling: per-group parallelism is
+    sort-bounded by the partition holding the group (the skew story of
+    every per-group total order); the quantile_buckets docstring's
+    range-partition + cumulative-offset decomposition applies if one
+    group dominates the corpus.
+    """
+    if not keys:
+        raise ValueError("at least one grouping key required")
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*keys)
+    ranked = (
+        df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn("__rk", F.row_number().over(w) - 1)
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    )
+    targets = {
+        name: F.expr(f"((__n - 1) * {num}) div {den}")
+        for num, den, name in quantiles
+    }
+    keep = None
+    for t in targets.values():
+        cond = F.col("__rk") == t
+        keep = cond if keep is None else (keep | cond)
+    picked = ranked.filter(keep)
+    aggs = [F.max("__n").cast("long").alias("n")] + [
+        F.max(F.when(F.col("__rk") == t, F.col(value_col))).alias(name)
+        for name, t in targets.items()
+    ]
+    return picked.groupBy(*keys).agg(*aggs)

@@ -1030,6 +1030,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+# Canonical cross-engine expression spellings (round 14, review r14a
+# #5): the BPE token regex and the normalize_text mirror appear in a
+# dozen SQL mirrors; these constants are the single source of truth.
+# Existing green mirrors keep their literal spellings for artifact
+# stability, but tests/test_sql_shared_expressions.py mechanically
+# asserts every occurrence in this module canonicalizes to THESE
+# strings — an edit to one spelling fails the suite until all match.
+_SQL_BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
+_SQL_NORM_TEXT = (
+    r"regexp_replace(translate(lower(translate(trim(text, ' '), "
+    r"'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')"
+)
+# curation_pipeline's quality gate threshold (Spark wrapper + mirror).
+_CP_MIN_BPE = 30
+
 SQL_DEDUP_EXACT = r"""
 SELECT sha256(regexp_replace(translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS content_hash,
        min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -4246,8 +4261,16 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: sort_array(collect_list) materializes each group's values
     on one executor — same memory shape as Spark's own exact
     ``percentile`` aggregate (it also buffers the group); groups here are
-    event types. For unbounded groups use approx_aggs' KLL/HLL path."""
-    e = _t(spark, sf_dir, "events")
+    event types. For unbounded groups the EXACT answer is
+    ``percentiles_scalable`` (round 14); approx_aggs' KLL/HLL path
+    remains the sketch option.
+
+    NULL values are excluded explicitly (round 14, review r14a #2):
+    collect_list drops them silently while DuckDB ``list()`` keeps
+    them, so without the filter the two engines would count ranks over
+    DIFFERENT multisets the moment a null value appears — the fixture
+    has none, which is exactly how such a divergence stays latent."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     arr = F.sort_array(F.collect_list("value"))
     n1 = F.count(F.lit(1)) - 1
     return e.groupBy("event_type").agg(
@@ -4256,6 +4279,24 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, (F.floor(n1 / 2) + 1).cast("int")).alias("p50"),
         F.element_at(arr, (F.floor(n1 * 3 / 4) + 1).cast("int")).alias("p75"),
         F.element_at(arr, (F.floor(n1 * 9 / 10) + 1).cast("int")).alias("p90"),
+    )
+
+
+def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME discrete lower-rank percentile contract as
+    ``percentiles``, on the UNBOUNDED-group-size plan
+    (operators/stats.grouped_quantiles_scalable, round 14): rank-select
+    via a spillable window sort + same-exchange count window — no
+    ``collect_list`` group materialization, so the one scale caveat the
+    sibling gate documents ("for unbounded groups use approx") now has
+    an EXACT answer. Shares the sibling's oracle verbatim: identical
+    results by contract, different physical plan — that equality is the
+    point of the gate."""
+    from ..operators.stats import grouped_quantiles_scalable
+
+    e = _t(spark, sf_dir, "events")
+    return grouped_quantiles_scalable(
+        e.select("event_type", "value"), keys=["event_type"], value_col="value"
     )
 
 
@@ -4298,7 +4339,7 @@ FROM d JOIN md USING (event_type)
 SQL_PERCENTILES = """
 WITH s AS (
     SELECT event_type, count(*) AS n, list_sort(list(value)) AS vs
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 SELECT event_type, n,
        vs[CAST((n - 1) // 4 AS BIGINT) + 1] AS p25,
@@ -6212,7 +6253,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.select("doc_id", "text").unionByName(perturbed)
 
-    quality = tx.quality_features(corpus).filter(F.col("q_bpe_tokens") >= 30)
+    quality = tx.quality_features(corpus).filter(
+        F.col("q_bpe_tokens") >= _CP_MIN_BPE
+    )
     survivors = quality.select("doc_id", "text", F.length("text").alias("n_chars"))
 
     exact = dd.exact_dedup(survivors)  # (content_hash, keeper_id, n_copies)
@@ -8765,14 +8808,11 @@ WITH RECURSIVE base AS (
 ), quality AS MATERIALIZED (
     SELECT doc_id, text, length(text)::BIGINT AS n_chars
     FROM base
-    WHERE len(regexp_extract_all(text,
-          '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0b]')) >= 30
+    WHERE len(regexp_extract_all(text, '__BPE_RE__')) >= __MIN_BPE__
 ), exact AS (
     SELECT min(doc_id) AS keeper_id
     FROM quality
-    GROUP BY sha256(regexp_replace(
-        translate(lower(translate(trim(text, ' '), 'İ', 'i')), 'ς', 'σ'),
-        '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))
+    GROUP BY sha256(__NORM_TEXT__)
 ), corpus AS MATERIALIZED (
     SELECT q.doc_id, q.text, q.n_chars
     FROM quality q JOIN exact e ON q.doc_id = e.keeper_id
@@ -8804,6 +8844,12 @@ SELECT
     (SELECT count(DISTINCT cluster_id) FROM comp)::BIGINT AS n_clusters,
     (SELECT count(*) FROM keepers)::BIGINT AS n_final
 """.format(A=_CP_MIN_AGREE)
+)
+SQL_CURATION_PIPELINE = (
+    SQL_CURATION_PIPELINE
+    .replace("__BPE_RE__", _SQL_BPE_TOKEN_RE)
+    .replace("__MIN_BPE__", str(_CP_MIN_BPE))
+    .replace("__NORM_TEXT__", _SQL_NORM_TEXT)
 )
 
 
@@ -9711,6 +9757,7 @@ SPARK_QUERIES = {
     # the FFD shard-id cast) ---
     "packing_efficiency": q_packing_efficiency,
     "curation_pipeline": q_curation_pipeline,
+    "percentiles_scalable": q_percentiles_scalable,
     "ann_ivfpq_portable": q_ann_ivfpq_portable,
     "curation_capstone_soft": q_curation_capstone_soft,
     "kcore": q_kcore,
@@ -9757,7 +9804,6 @@ SPARK_QUERIES = {
     "frame_sample": q_frame_sample,
     "quantile_buckets": q_quantile_buckets,
     "global_rank": q_global_rank,
-    "join_blowup": q_join_blowup,
     "setsim_join": q_setsim_join,
     "ngram_lm": q_ngram_lm,
     # --- window part (e): reference-core greens (retained; funded in
@@ -9777,6 +9823,7 @@ SPARK_QUERIES = {
     # tail entries precede the rows-only tail (ordering contract).
     "url_normalize": q_url_normalize,
     "fd_profile": q_fd_profile,
+    "join_blowup": q_join_blowup,
     "unicode_clean": q_unicode_clean,
     "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
@@ -10017,6 +10064,9 @@ ORACLE_SQL = {
     "url_parse": SQL_URL_PARSE,
     "gapfill": SQL_GAPFILL,
     "percentiles": SQL_PERCENTILES,
+    # percentiles_scalable: SAME oracle text deliberately — the gate
+    # claims plan-level divergence with result-level identity
+    "percentiles_scalable": SQL_PERCENTILES,
     "quality_filter": SQL_QUALITY_FILTER,
     "funnel": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
