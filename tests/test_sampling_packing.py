@@ -411,6 +411,38 @@ def test_pack_id_prefix_float_and_string_shards(spark):
         ).collect()
         prefixes = {r["pack_id"].rsplit("-", 1)[0] for r in out}
         assert prefixes <= {"0", "1"}, prefixes
+    # review r14b #1/#2: FloatType arrives in pandas as np.float32
+    # (NOT a Python float) and DecimalType str()s with its scale — the
+    # prefix is now computed Spark-side by one shared expression, so
+    # every numeric fractional type spells integrally in every mode
+    for cast_to in ("float", "decimal(10,1)"):
+        for fn, kwargs in (
+            (pack_sequences, {"strict": True}),
+            (pack_sequences, {"strict": False}),
+            (pack_sequences_ffd, {}),
+        ):
+            out = fn(
+                df,
+                max_tokens=20,
+                key_col="doc_id",
+                token_col="n_tokens",
+                shard_expr=(F.col("doc_id") % 2).cast(cast_to),
+                **kwargs,
+            ).collect()
+            prefixes = {r["pack_id"].rsplit("-", 1)[0] for r in out}
+            assert prefixes <= {"0", "1"}, (cast_to, fn.__name__, prefixes)
+    # review r14b #3: non-integral shard values spell IDENTICALLY
+    # across the strict and window modes (both read the same Spark
+    # cast), so the cross-mode id contract holds off the happy path too
+    frac = (F.col("doc_id") % 2).cast("double") + F.lit(0.5)
+    spellings = []
+    for kwargs in ({"strict": True}, {"strict": False}):
+        out = pack_sequences(
+            df, max_tokens=20, key_col="doc_id", token_col="n_tokens",
+            shard_expr=frac, **kwargs,
+        ).collect()
+        spellings.append({r["pack_id"].rsplit("-", 1)[0] for r in out})
+    assert spellings[0] == spellings[1] == {"0.5", "1.5"}, spellings
     # string shard expr keeps both shards separate and readable
     out = pack_sequences(
         df,

@@ -33,7 +33,11 @@ def test_bpe_token_regex_spellings_are_canonical():
         for m in finder.finditer(sql):
             assert m.group(0) == _SQL_BPE_TOKEN_RE, (name, m.group(0))
             hits += 1
-    assert hits >= 4  # html_quality, text_quality, fertility, pipeline
+    # EXACT count (review r14b #4): a drifted spelling that escapes the
+    # finder would silently shrink the hit count under a >= floor; a
+    # new mirror that adds an occurrence updates this number
+    # deliberately.
+    assert hits == 4  # html_quality, text_quality, fertility, pipeline
 
 
 def test_normalize_text_spellings_are_canonical():
@@ -49,4 +53,7 @@ def test_normalize_text_spellings_are_canonical():
         for m in finder.finditer(sql):
             assert _squash(m.group(0)) == canon, (name, m.group(0)[:120])
             hits += 1
-    assert hits >= 6  # dedup_exact, soft_dedup, windowed, portable CTE x2, pipeline
+    # EXACT count — same rationale as the BPE gate above. 22 = the
+    # normalize_text mirror's full census across ORACLE_SQL (dedup /
+    # winnow / minhash-portable families + capstones + pipeline).
+    assert hits == 22

@@ -104,6 +104,14 @@ def main() -> None:
         # composition; four timed runs would cost minutes for parity).
         "ann_ivfpq_portable", "kcore", "sentence_chunks",
         "dedup_calibration",
+        # round-14 addition: rank-select exact quantiles — symmetric
+        # marginal cost (both engines sort every group's values; the
+        # shared oracle is the percentiles mirror). curation_pipeline
+        # (also converted r14) follows the capstone pattern instead:
+        # measured once per engine in _steady_state, since its
+        # five-stage composition costs too much to time four times for
+        # a parity row.
+        "percentiles_scalable",
     ]
     out = {}
     # warm DataFrame objects kept for the steady-state loop below, so
@@ -200,7 +208,7 @@ def main() -> None:
     # driver-action floor, and reused_plan_s is the number that shows
     # what remains once the peel's localCheckpoints are materialized.
     for name in (
-        "curation_capstone", "curation_capstone_soft",
+        "curation_capstone", "curation_capstone_soft", "curation_pipeline",
         "ann_lsh_portable", "ann_ivf_portable", "ann_pq_portable",
         "ann_ivfpq_portable", "kcore",
     ):

@@ -309,24 +309,25 @@ def _pack_schema_str(df: DataFrame, out_pack_col: str) -> str:
     )
 
 
-def _shard_prefix_py(v) -> str:
-    """Pack-id prefix for one shard value (Python side): integral
-    floats spell as integers (ADVICE r13: '3.0-0' ids), every other
-    value keeps its exact string form — so distinct shard values always
-    map to distinct prefixes and non-numeric shard expressions (e.g. a
-    region string) keep working (review r14a #4: the first fix cast the
-    GROUPING key to long, which nulled string shards into one giant
-    serial group)."""
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
-    return str(v)
-
-
 def _shard_prefix_col(col: Column, dtype) -> Column:
-    """The same prefix rule as a Column expression (window path)."""
-    from pyspark.sql.types import DoubleType, FloatType
+    """Pack-id prefix rule as ONE Column expression shared by every
+    packing path: integral fractional numerics (float/double/decimal)
+    spell as integers (ADVICE r13: no '3.0-0' ids), everything else
+    keeps Spark's string cast — so distinct shard values always map to
+    distinct prefixes and non-numeric shard expressions (e.g. a region
+    string) keep working (review r14a #4: casting the GROUPING key to
+    long nulled string shards into one giant serial group).
 
-    if isinstance(dtype, (DoubleType, FloatType)):
+    Review r14b #1-#3: the rule is computed Spark-side for the
+    applyInPandas paths TOO (a __shard_str column read by the Python
+    workers), because a Python-side str() disagrees with Spark's cast
+    spelling exactly where it matters — np.float32 is not a Python
+    float, Decimal('1.0') str()s with its scale, and non-integral
+    doubles render '15000000.5' vs Spark's '1.50000005E7'. One
+    expression, one spelling, every mode."""
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    if isinstance(dtype, (DoubleType, FloatType, DecimalType)):
         return F.when(
             col == F.floor(col), F.floor(col).cast("long").cast("string")
         ).otherwise(col.cast("string"))
@@ -376,11 +377,15 @@ def pack_sequences_ffd(
         raise ValueError("max_tokens >= 1 required")
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-    # ADVICE r13 + review r14a #4: the pack-id PREFIX is integral for
-    # integral numerics (no "3.0-0" ids) via _shard_prefix_py /
-    # _shard_prefix_col; the GROUPING key stays the raw expression so
-    # string or non-integral shards group correctly.
+    # ADVICE r13 + reviews r14a #4 / r14b #1-#3: the pack-id PREFIX is
+    # the shared _shard_prefix_col spelling for every mode; the
+    # GROUPING key stays the raw expression so string or non-integral
+    # shards group correctly.
     sharded = df.withColumn("__shard", shard_expr)
+    sharded = sharded.withColumn(
+        "__shard_str",
+        _shard_prefix_col(F.col("__shard"), sharded.schema["__shard"].dataType),
+    )
 
     import pandas as pd
 
@@ -392,7 +397,7 @@ def pack_sequences_ffd(
         ).sort_values(
             ["__cap", key_col], ascending=[False, True]
         ).reset_index(drop=True)
-        shard_id = _shard_prefix_py(pdf["__shard"].iloc[0])
+        shard_id = pdf["__shard_str"].iloc[0]
         loads: list[int] = []
         packs = []
         for t in pdf["__cap"]:
@@ -406,7 +411,7 @@ def pack_sequences_ffd(
                 loads.append(t)
                 packs.append(f"{shard_id}-{len(loads) - 1}")
         pdf[out_pack_col] = packs
-        return pdf.drop(columns=["__shard", "__cap"])
+        return pdf.drop(columns=["__shard", "__shard_str", "__cap"])
 
     return sharded.groupBy("__shard").applyInPandas(pack_group, schema_str)
 
@@ -452,11 +457,15 @@ def pack_sequences(
     """
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-    # ADVICE r13 + review r14a #4: the pack-id PREFIX is integral for
-    # integral numerics (no "3.0-0" ids) via _shard_prefix_py /
-    # _shard_prefix_col; the GROUPING key stays the raw expression so
-    # string or non-integral shards group correctly.
+    # ADVICE r13 + reviews r14a #4 / r14b #1-#3: the pack-id PREFIX is
+    # the shared _shard_prefix_col spelling for every mode; the
+    # GROUPING key stays the raw expression so string or non-integral
+    # shards group correctly.
     sharded = df.withColumn("__shard", shard_expr)
+    sharded = sharded.withColumn(
+        "__shard_str",
+        _shard_prefix_col(F.col("__shard"), sharded.schema["__shard"].dataType),
+    )
 
     if strict:
         import pandas as pd
@@ -472,7 +481,7 @@ def pack_sequences(
                 ).drop(columns="__cap").reset_index(drop=True)
             else:
                 pdf = pdf.sort_values(key_col).reset_index(drop=True)
-            shard_id = _shard_prefix_py(pdf["__shard"].iloc[0])
+            shard_id = pdf["__shard_str"].iloc[0]
             packs, pack_idx, acc = [], 0, 0
             for t in pdf[token_col]:
                 t = min(int(t), max_tokens)
@@ -481,7 +490,7 @@ def pack_sequences(
                 acc += t
                 packs.append(f"{shard_id}-{pack_idx}")
             pdf[out_pack_col] = packs
-            return pdf.drop(columns=["__shard"])
+            return pdf.drop(columns=["__shard", "__shard_str"])
 
         return sharded.groupBy("__shard").applyInPandas(pack_group, schema_str)
 
@@ -497,14 +506,8 @@ def pack_sequences(
     local_pack = F.floor(running_before / F.lit(max_tokens))
     return sharded.withColumn(
         out_pack_col,
-        F.concat_ws(
-            "-",
-            _shard_prefix_col(
-                F.col("__shard"), sharded.schema["__shard"].dataType
-            ),
-            local_pack.cast("string"),
-        ),
-    ).drop("__shard")
+        F.concat_ws("-", F.col("__shard_str"), local_pack.cast("string")),
+    ).drop("__shard", "__shard_str")
 
 
 def epoch_upsample(
