@@ -496,28 +496,40 @@ def _calib_reference() -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    cands: list[tuple[int, str]] = []
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", f)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), f)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as fh:
-            parsed = json.load(fh).get("parsed") or {}
-    except Exception:
-        return None
-    q, c = parsed.get("queries"), parsed.get("cpu_calib")
-    if not (isinstance(q, dict) and isinstance(c, dict)):
-        return None
-    return {
-        "round": best[0],
-        "file": os.path.basename(best[1]),
-        "queries": q,
-        "cpu_calib": c,
-        "value": parsed.get("value"),
-    }
+        if m:
+            cands.append((int(m.group(1)), f))
+    # newest first; SKIP polluted references (review r14c #1: a
+    # load-contaminated baseline's walls and single-thread probes are
+    # contaminated DIFFERENTLY, so the machine factor would mis-correct
+    # and every adjusted ratio would read as a spurious code delta —
+    # the exact misreading this mechanism exists to prevent)
+    for rnd, f in sorted(cands, reverse=True):
+        try:
+            with open(f) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("polluted"):
+            continue
+        q, c = parsed.get("queries"), parsed.get("cpu_calib")
+        if not (isinstance(q, dict) and isinstance(c, dict)):
+            continue
+        if not all(
+            isinstance(v, (int, float)) and v > 0 for v in c.values()
+        ):
+            continue  # review r14c #2: a null/string probe value must
+            # not crash a 12-minute run at its final step
+        return {
+            "round": rnd,
+            "file": os.path.basename(f),
+            "queries": q,
+            "cpu_calib": c,
+            "value": parsed.get("value"),
+        }
+    return None
 
 
 def _calib_meta(timings: dict, cpu_calib: dict) -> dict | None:
@@ -540,7 +552,8 @@ def _calib_meta(timings: dict, cpu_calib: dict) -> dict | None:
     try:
         f_sha = tc["sha256_256mib_s"] / rc["sha256_256mib_s"]
         f_loop = tc["pyloop_20m_s"] / rc["pyloop_20m_s"]
-    except (KeyError, ZeroDivisionError):
+    except (KeyError, ZeroDivisionError, TypeError):
+        # never let the calib annotation kill the run's one stdout line
         return None
     machine_factor = round((f_sha * f_loop) ** 0.5, 4)
     per_query = {}

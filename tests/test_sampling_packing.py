@@ -443,6 +443,19 @@ def test_pack_id_prefix_float_and_string_shards(spark):
         ).collect()
         spellings.append({r["pack_id"].rsplit("-", 1)[0] for r in out})
     assert spellings[0] == spellings[1] == {"0.5", "1.5"}, spellings
+    # review r14c #3: integral doubles beyond long range must NOT
+    # overflow the prefix cast to NULL (which would collide distinct
+    # shards on an empty prefix) — they fall back to the plain string
+    # spelling, which stays distinct
+    big = F.when(F.col("doc_id") % 2 == 0, F.lit(9.3e18)).otherwise(
+        F.lit(1.86e19)
+    )
+    out = pack_sequences(
+        df, max_tokens=20, key_col="doc_id", token_col="n_tokens",
+        shard_expr=big, strict=False,
+    ).collect()
+    prefixes = {r["pack_id"].rsplit("-", 1)[0] for r in out}
+    assert len(prefixes) == 2 and all(p and p != "null" for p in prefixes), prefixes
     # string shard expr keeps both shards separate and readable
     out = pack_sequences(
         df,

@@ -223,13 +223,21 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         reused = time.perf_counter() - t0
-        # warm-up run first — every other steady row divides by a WARM
-        # DuckDB wall, and a cold-vs-warm mix would bias the recorded
-        # ratio in Spark's favor (review r12 #4)
-        con.execute(ORACLE_SQL[name]).fetchall()
-        t0 = time.perf_counter()
-        con.execute(ORACLE_SQL[name]).fetchall()
-        duck = time.perf_counter() - t0
+        if name in warm_dfs and out[name].get("duckdb_s"):
+            # the compared loop measured this oracle's WARM wall moments
+            # ago on the same connection — reuse it instead of paying
+            # the mirror twice more (review r14c #4: kcore's unrolled
+            # 12-round peel mirror was running 2 extra times per gate
+            # for a number already recorded)
+            duck = out[name]["duckdb_s"]
+        else:
+            # warm-up run first — every other steady row divides by a
+            # WARM DuckDB wall, and a cold-vs-warm mix would bias the
+            # recorded ratio in Spark's favor (review r12 #4)
+            con.execute(ORACLE_SQL[name]).fetchall()
+            t0 = time.perf_counter()
+            con.execute(ORACLE_SQL[name]).fetchall()
+            duck = time.perf_counter() - t0
         steady[name] = {
             "spark_cold_s": cold,
             "reused_plan_s": round(reused, 3),

@@ -328,8 +328,15 @@ def _shard_prefix_col(col: Column, dtype) -> Column:
     from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
     if isinstance(dtype, (DoubleType, FloatType, DecimalType)):
+        # |v| < 2^62: integral values outside long range would overflow
+        # the cast to NULL under non-ANSI mode and collide distinct
+        # shards on an empty prefix (review r14c #3); out-of-range
+        # integral values fall through to the plain string cast, which
+        # keeps prefixes distinct (just not integral-spelled).
+        bound = F.lit(float(1 << 62))
         return F.when(
-            col == F.floor(col), F.floor(col).cast("long").cast("string")
+            (col == F.floor(col)) & (col < bound) & (col > -bound),
+            F.floor(col).cast("long").cast("string"),
         ).otherwise(col.cast("string"))
     return col.cast("string")
 
