@@ -496,10 +496,28 @@ def _calib_reference() -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # ADVICE r14 #3: once the CURRENT round's own BENCH_r{N}.json
+    # exists (the driver writes it before the next session opens), the
+    # newest-file rule would compare a re-run against itself (machine
+    # factor ~1, labeled a prior-round reference). The round being
+    # produced is VERDICT.md's round + 1 (the judge writes VERDICT for
+    # round N after round N's driver artifacts land), overridable via
+    # SPARK_GRAFT_ROUND; skip candidates at or past it.
+    cur_round = 0
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        cur_round = int(os.environ["SPARK_GRAFT_ROUND"])
+    else:
+        try:
+            with open(os.path.join(here, "VERDICT.md")) as fh:
+                m = re.search(r"round (\d+)", fh.readline())
+                if m:
+                    cur_round = int(m.group(1)) + 1
+        except OSError:
+            pass
     cands: list[tuple[int, str]] = []
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", f)
-        if m:
+        if m and not (cur_round and int(m.group(1)) >= cur_round):
             cands.append((int(m.group(1)), f))
     # newest first; SKIP polluted references (review r14c #1: a
     # load-contaminated baseline's walls and single-thread probes are

@@ -74,3 +74,18 @@ def test_single_exchange_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "collect_list" not in plan
+
+
+def test_build_time_validation_of_quantile_spec():
+    # ADVICE r14 #2: empty quantiles left the rank filter None
+    # (opaque filter(None) error) and den<1 div-by-zeroed inside the
+    # SQL expr at run time — both now fail at build time, pre-Spark
+    # (df=None proves no session is touched).
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        grouped_quantiles_scalable(None, ["k"], "value", quantiles=())
+    with pytest.raises(ValueError, match="denominators"):
+        grouped_quantiles_scalable(
+            None, ["k"], "value", quantiles=((1, 0, "p0"),)
+        )

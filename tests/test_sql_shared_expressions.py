@@ -26,6 +26,23 @@ def _squash(s: str) -> str:
     return re.sub(r"\( ", "(", s)
 
 
+def test_sql_constants_derive_from_spark_side():
+    """ADVICE r14 #1: the registry constants must BE the Spark-side
+    spellings, not parallel literals — otherwise an edit to TOKEN_RE or
+    PORTABLE_WS_PLUS drifts the two engines while the occurrence tests
+    below stay green (they only pin mirror-vs-registry agreement)."""
+    from wordpress_sql_to_contentstack_exporter_spark.functions.portable import (
+        PORTABLE_WS_PLUS,
+    )
+    from wordpress_sql_to_contentstack_exporter_spark.operators.text import TOKEN_RE
+
+    assert _SQL_BPE_TOKEN_RE is TOKEN_RE
+    assert PORTABLE_WS_PLUS in _SQL_NORM_TEXT
+    # the translate hazards in the SQL mirror match portable_lower's:
+    # İ→i before lower, ς→σ after (functions/portable.py docstring)
+    assert "'İ', 'i'" in _SQL_NORM_TEXT and "'ς', 'σ'" in _SQL_NORM_TEXT
+
+
 def test_bpe_token_regex_spellings_are_canonical():
     finder = re.compile(r"\[A-Za-z0-9\]\+\|\[\^A-Za-z0-9[^\]]*\]")
     hits = 0

@@ -661,6 +661,13 @@ def grouped_quantiles_scalable(
     """
     if not keys:
         raise ValueError("at least one grouping key required")
+    # ADVICE r14 #2: an empty tuple would leave the rank filter None
+    # (opaque ``filter(None)`` error) and den<1 div-by-zeroes inside
+    # the SQL expr at run time — validate at build time like the keys.
+    if not quantiles:
+        raise ValueError("at least one (num, den, name) quantile required")
+    if any(den < 1 for _num, den, _name in quantiles):
+        raise ValueError(f"quantile denominators must be >= 1: {quantiles}")
     w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
     wn = Window.partitionBy(*keys)
     ranked = (

@@ -1037,10 +1037,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stability, but tests/test_sql_shared_expressions.py mechanically
 # asserts every occurrence in this module canonicalizes to THESE
 # strings — an edit to one spelling fails the suite until all match.
-_SQL_BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
+# Both derive from the SPARK-side spellings (ADVICE r14 #1): the token
+# regex IS operators.text.TOKEN_RE and the whitespace class IS
+# functions.portable.PORTABLE_WS_PLUS, so an edit to either Spark-side
+# constant changes these mirrors too (and trips the occurrence tests
+# until every literal SQL spelling is updated to match) instead of
+# silently diverging the two engines.
+_SQL_BPE_TOKEN_RE = tx.TOKEN_RE
 _SQL_NORM_TEXT = (
     r"regexp_replace(translate(lower(translate(trim(text, ' '), "
-    r"'İ', 'i')), 'ς', 'σ'), '[ \t\n\r\f\x0b]+', ' ', 'g')"
+    r"'İ', 'i')), 'ς', 'σ'), '" + PORTABLE_WS_PLUS + r"', ' ', 'g')"
 )
 # curation_pipeline's quality gate threshold (Spark wrapper + mirror).
 _CP_MIN_BPE = 30
@@ -9807,8 +9813,9 @@ SPARK_QUERIES = {
     "setsim_join": q_setsim_join,
     "ngram_lm": q_ngram_lm,
     # --- window part (e): reference-core greens (retained; funded in
-    # r14 by rotating out url_normalize and fd_profile — both r13
-    # oracle-green on code untouched since) ---
+    # r14 by rotating out url_normalize, fd_profile AND join_blowup —
+    # all three r13 oracle-green on code untouched since, pinned by
+    # test_rotated_out_r14_were_clean_in_r13) ---
     "eav_pivot": q_eav_pivot,
     "group_concat": q_group_concat,
     "hierarchy_parent": q_hierarchy_parent,
