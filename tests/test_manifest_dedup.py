@@ -587,3 +587,50 @@ class TestSemdedupManifest:
         )
         with pytest.raises(ValueError, match="prefit centers"):
             sim.semdedup(vecs, n_cells=4, centers=np.zeros((2, 2))).collect()
+
+
+def test_manifest_diff_three_statuses(spark):
+    """added / removed / retained classification over two snapshots."""
+    old = spark.createDataFrame(
+        [("h1",), ("h2",), ("h3",)], "content_hash string"
+    )
+    new = spark.createDataFrame(
+        [("h2",), ("h3",), ("h4",)], "content_hash string"
+    )
+    got = {r["content_hash"]: r["status"] for r in mf.manifest_diff(old, new).collect()}
+    assert got == {
+        "h1": "removed", "h2": "retained", "h3": "retained", "h4": "added"
+    }
+
+
+def test_manifest_diff_append_only_run_yields_no_removed(spark, tmp_path):
+    """The audit contract: an append-only incremental loop's snapshots
+    diff to added/retained ONLY — a 'removed' row is the signal the
+    diff exists to catch."""
+    docs1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    docs2 = spark.createDataFrame(
+        [(1, "alpha"), (3, "gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "m")
+    mf.incremental_dedup_run(spark, docs1, path, run_id="r1")
+    snap1 = mf.read_manifest(spark, path).select("content_hash")
+    snap1.cache().count()  # pin the pre-append snapshot
+    mf.incremental_dedup_run(spark, docs2, path, run_id="r2")
+    snap2 = mf.read_manifest(spark, path).select("content_hash")
+    statuses = {r["status"] for r in mf.manifest_diff(snap1, snap2).collect()}
+    assert "removed" not in statuses
+    assert statuses == {"retained", "added"}
+    snap1.unpersist()
+
+
+def test_manifest_diff_dedups_raw_survivor_logs(spark):
+    """Safe over non-distinct inputs: duplicate keys on either side
+    collapse before the join, so the diff stays one-row-per-key."""
+    old = spark.createDataFrame(
+        [("h1",), ("h1",), ("h2",)], "content_hash string"
+    )
+    new = spark.createDataFrame([("h1",), ("h1",)], "content_hash string")
+    got = sorted(tuple(r) for r in mf.manifest_diff(old, new).collect())
+    assert got == [("h1", "retained"), ("h2", "removed")]

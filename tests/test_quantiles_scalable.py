@@ -89,3 +89,68 @@ def test_build_time_validation_of_quantile_spec():
         grouped_quantiles_scalable(
             None, ["k"], "value", quantiles=((1, 0, "p0"),)
         )
+
+
+def test_skew_variant_matches_on_dominant_group_fixture(spark):
+    """VERDICT r14 #2's done-condition: result identity between the
+    skew decomposition and the sibling (which shares SQL_PERCENTILES)
+    on a fixture where one group holds 90% of the rows."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        grouped_quantiles_skewed,
+    )
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise((F.col("id") % 10).cast("string"))
+        .alias("k"),
+        ((F.col("id") * 2654435761 % 1000003) / 7.0).alias("value"),
+    )
+    a = sorted(tuple(r) for r in grouped_quantiles_scalable(df, ["k"], "value").collect())
+    b = sorted(tuple(r) for r in grouped_quantiles_skewed(df, ["k"], "value").collect())
+    assert a == b
+    assert len(a) == 2  # 'hot' (90%) + '9'
+
+
+def test_skew_variant_nulls_and_gate_parity(spark):
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        grouped_quantiles_skewed,
+    )
+
+    rows = [("g", None), ("g", 10.0), ("g", 20.0), ("g", 30.0), ("z", None)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {r["k"]: r for r in grouped_quantiles_skewed(df, ["k"], "value").collect()}
+    assert "z" not in out
+    g = out["g"]
+    assert (g["n"], g["p25"], g["p50"], g["p75"], g["p90"]) == (3, 10.0, 20.0, 20.0, 20.0)
+    # gate parity on the real fixture: third plan, same rows
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in SPARK_QUERIES["percentiles"](spark, sf).collect())
+    c = sorted(tuple(r) for r in SPARK_QUERIES["percentiles_skew"](spark, sf).collect())
+    assert a == c
+
+
+def test_skew_variant_hot_sort_is_partitioned(spark):
+    """The point of the variant: the dominant group's window sort must
+    be PARTITIONED by (keys, bucket), never by keys alone — a
+    keys-only sort partition is exactly the serialization the plan
+    exists to remove. The offset window runs over the tiny per-bucket
+    count relation, so its keys-only partitioning is fine; assert the
+    row_number window (the corpus-scale one) carries the bucket."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        grouped_quantiles_skewed,
+    )
+
+    df = spark.range(1000).select(
+        F.lit("hot").alias("k"),
+        (F.col("id") * 13 % 101).cast("double").alias("value"),
+    )
+    plan = (
+        grouped_quantiles_skewed(df, ["k"], "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    rn_windows = [
+        ln for ln in plan.splitlines() if "row_number()" in ln
+    ]
+    assert rn_windows and all("__bkt" in ln for ln in rn_windows), rn_windows

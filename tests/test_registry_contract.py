@@ -16,76 +16,94 @@ from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
 )
 
 
-# The round-14 window contract (VERDICT r13 asks #3, #6): the two r14
-# first contacts take slots (packing_efficiency — added after the r13
-# window pinned; curation_pipeline — rows-only->oracle conversion via
-# the portable MinHash upstream + recursive-CTE components mirror);
-# the r13 first contacts are retained one more round per the standing
-# rotation; every oracle-backed gate whose implementation or generated
-# mirror changed in r13/r14 re-greens (shared MinHash geometry
-# constants now generate the portable CTE chain; the simhash key-width
-# guard; the FFD shard-id cast). Funded by rotating out url_normalize
-# and fd_profile — both r13 oracle-green on code untouched since.
-# Pinned as SETS, not a frozen order, so next round's rotation edits
-# these lists deliberately rather than breaking an order assertion by
-# accident.
-ROUND14_WINDOW_NEW = {
-    "packing_efficiency",     # new gate: first driver contact (r13 #3)
-    "curation_pipeline",      # converted: portable upstream + CC mirror
-    "percentiles_scalable",   # new gate: exact quantiles, unbounded groups
-    "ann_ivfpq_portable",     # r13 first contact, retained
-    "curation_capstone_soft", # r13 first contact, retained
-    "sequence_packing_ffd",   # r13 first contact, retained
-    "kcore",                  # r13 conversion, retained
-    "sentence_chunks",        # r13 conversion, retained
-    "dedup_calibration",      # r13 conversion; r14 shared-constant regen
+# The round-15 window contract (VERDICT r14 asks #2, #6): r15 first
+# contacts take slots; the r14 first contacts (packing_efficiency,
+# curation_pipeline, percentiles_scalable) are retained one more round
+# per the standing rotation; every oracle-backed gate whose
+# implementation or generated mirror the r15 diff touches re-greens
+# (the stats module grew the skew variant + shared validation — the
+# sibling percentiles gates and robust_anomaly/quantile_buckets sit in
+# the window as the stats-family re-greens). Funded by rotating out
+# r14 oracle-greens on code untouched since (pinned clean by
+# test_rotated_out_r15_were_clean_in_r14). Pinned as SETS, not a
+# frozen order, so next round's rotation edits these lists
+# deliberately rather than breaking an order assertion by accident.
+ROUND15_WINDOW_NEW = {
+    "percentiles_skew",       # new gate: dominant-group skew quantiles
+    "posts_export_sharded",   # new gate: flagship export, no-collect path
+    "grouped_topk_skew",      # new gate: sharded per-group top-k
+    "manifest_diff",          # new gate: snapshot diff for cross-run manifests
 }
-ROUND14_WINDOW_REGREENS = {
-    # implementation changed (r13 simhash optimization):
-    "simhash_portable",
-    # gate refactored through the shared capstone frame:
-    "curation_capstone",
-    # generated mirrors / shared-constant refactors (same semantics,
-    # different SQL text — re-green deliberate):
-    "minhash_portable", "threshold_sweep", "sentence_split",
-    "kmeans_lloyd", "ann_lsh_portable", "ann_ivf_portable",
-    "ann_pq_portable",
-    # semantics feed the soft capstone; r12 first-greens confirmed once:
-    "soft_dedup_weights", "incremental_neardup_portable",
+ROUND15_WINDOW_RETAINED_R14_FIRSTS = {
+    "packing_efficiency",     # r14 first contact, retained
+    "curation_pipeline",      # r14 conversion, retained
+    "percentiles_scalable",   # r14 first contact; r15 stats-family regreen
+}
+ROUND15_WINDOW_REGREENS = {
+    # stats module changed in r15 (shared quantile-spec validation +
+    # the skew variant lives beside these implementations):
+    "robust_anomaly", "quantile_buckets",
+    # relational.global_rank is the device the skew variant reuses —
+    # its gate re-greens beside it:
+    "global_rank",
 }
 # Deliberate rows-only window slots.
-ROUND14_WINDOW_ROWS_ONLY = {"simhash_neardup", "ann_recall_sweep"}
-ROUND14_WINDOW_ANCHORS = {
+ROUND15_WINDOW_ROWS_ONLY = {"simhash_neardup", "ann_recall_sweep"}
+ROUND15_WINDOW_ANCHORS = {
     "flagship_posts_export", "bloom_prune_join", "shard_manifest",
 }
-ROUND14_WINDOW_RETAINED = {
+ROUND15_WINDOW_RETAINED = {
+    # r13 first contacts / conversions on their final confirmation pass:
+    "ann_ivfpq_portable", "curation_capstone_soft", "sequence_packing_ffd",
+    "kcore", "sentence_chunks", "dedup_calibration",
+    # the portable/generated-mirror family (r14 regreens, kept while the
+    # shared-constant derivation settles — registry constants now derive
+    # from the Spark-side spellings, same values by test):
+    "simhash_portable", "minhash_portable", "curation_capstone",
+    "threshold_sweep", "sentence_split", "kmeans_lloyd",
+    "ann_lsh_portable", "ann_ivf_portable", "ann_pq_portable",
+    "soft_dedup_weights", "incremental_neardup_portable",
     # the capstone component family (bisection on a capstone red):
     "winnow_dedup", "winnow_spans", "leakage_safe_split", "span_excise",
     "winnowing", "winnow_overlap", "curation_gate", "lm_perplexity",
     "semantic_decontaminate",
     # stable retained greens:
-    "salted_join", "robust_anomaly",
-    "repeated_spans", "span_coverage", "source_overlap",
-    "audio_features", "frame_sample",
-    "quantile_buckets", "global_rank",
-    "setsim_join", "ngram_lm",
-    # reference-core greens rotated back in (anti_join yielded its slot
-    # to the new FFD gate — it stays an r<=11 green on untouched code):
+    "salted_join", "repeated_spans", "setsim_join", "ngram_lm",
+    # reference-core greens (anchor family):
     "eav_pivot", "group_concat", "hierarchy_parent", "broadcast_lookup",
     "semi_join",
 }
+# Funded by rotating out these r14 oracle-greens on untouched code:
+ROUND15_ROTATED_OUT = {
+    "span_coverage", "source_overlap", "audio_features", "frame_sample",
+}
 
 
-def test_round14_window_set():
+def test_round15_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
-        ROUND14_WINDOW_NEW
-        | ROUND14_WINDOW_REGREENS
-        | ROUND14_WINDOW_ROWS_ONLY
-        | ROUND14_WINDOW_ANCHORS
-        | ROUND14_WINDOW_RETAINED
+        ROUND15_WINDOW_NEW
+        | ROUND15_WINDOW_RETAINED_R14_FIRSTS
+        | ROUND15_WINDOW_REGREENS
+        | ROUND15_WINDOW_ROWS_ONLY
+        | ROUND15_WINDOW_ANCHORS
+        | ROUND15_WINDOW_RETAINED
     )
+
+
+def test_rotated_out_r15_were_clean_in_r14():
+    """Every query rotated out of the r15 window must have a clean r14
+    oracle-green driver row — rotation never discards a query whose
+    latest driver contact was red or absent."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r14.json")
+    rows = json.load(open(path))
+    for name in ROUND15_ROTATED_OUT:
+        e = rows[name]
+        assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
 
 
 def test_rotated_out_r13_were_clean_in_r12():
@@ -176,7 +194,7 @@ def test_repetition_probes_stay_ordered():
 def test_oracle_backed_queries_precede_rows_only():
     """Outside the window, oracle-backed entries still precede the
     rows-only tail; inside it, only the deliberate
-    ROUND14_WINDOW_ROWS_ONLY slots may be rows-only."""
+    ROUND15_WINDOW_ROWS_ONLY slots may be rows-only."""
     names = list(SPARK_QUERIES)
     tail = names[DRIVER_SNAPSHOT_WINDOW:]
     first_rows_only = next(
@@ -199,10 +217,10 @@ def test_rows_only_window_slots_are_deliberate():
     names = list(SPARK_QUERIES)
     in_window = names[:DRIVER_SNAPSHOT_WINDOW]
     rows_only_inside = {n for n in in_window if n not in ORACLE_SQL}
-    assert rows_only_inside == ROUND14_WINDOW_ROWS_ONLY, (
+    assert rows_only_inside == ROUND15_WINDOW_ROWS_ONLY, (
         "rows-only window slots diverge from the deliberate allowlist: "
-        f"unexpected={rows_only_inside - ROUND14_WINDOW_ROWS_ONLY}, "
-        f"missing={ROUND14_WINDOW_ROWS_ONLY - rows_only_inside}"
+        f"unexpected={rows_only_inside - ROUND15_WINDOW_ROWS_ONLY}, "
+        f"missing={ROUND15_WINDOW_ROWS_ONLY - rows_only_inside}"
     )
 
 

@@ -70,7 +70,8 @@ def test_normalize_text_spellings_are_canonical():
         for m in finder.finditer(sql):
             assert _squash(m.group(0)) == canon, (name, m.group(0)[:120])
             hits += 1
-    # EXACT count — same rationale as the BPE gate above. 22 = the
+    # EXACT count — same rationale as the BPE gate above. 24 = the
     # normalize_text mirror's full census across ORACLE_SQL (dedup /
-    # winnow / minhash-portable families + capstones + pipeline).
-    assert hits == 22
+    # winnow / minhash-portable families + capstones + pipeline,
+    # + 2 in r15's manifest_diff snapshot CTEs).
+    assert hits == 24

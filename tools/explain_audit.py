@@ -1111,6 +1111,79 @@ def main() -> int:
         ("spillable window sort present", r"\(\d+\) Sort\b"),
     )
 
+    # percentiles_skew (round 15 — VERDICT r14 #2's done-condition):
+    # the dominant group's CORPUS-SCALE sort must be partitioned by
+    # (keys, __bkt), never keys alone — a keys-only row_number window
+    # over the raw rows is exactly the serialization the variant
+    # removes. The offset running-sum window runs over the tiny
+    # per-bucket count relation (keys-only partitioning there is fine
+    # and expected). Catalyst also prunes the corpus window from the
+    # counts side (row_number doesn't affect counts) — pin that: the
+    # plan carries exactly ONE row_number window, and it is bucketed.
+    psk_plan = plan_of(SPARK_QUERIES["percentiles_skew"](spark, sf_dir))
+    check_plan(
+        "percentiles_skew",
+        psk_plan,
+        ("hot-group row_number window carries the bucket",
+         r"row_number\(\) windowspecdefinition\(event_type#\d+, __bkt#\d+L"),
+        ("no keys-only corpus row_number window",
+         r"\A(?s:(?!.*row_number\(\) windowspecdefinition\(event_type#\d+, value#).*)\Z"),
+        ("exactly one row_number window (counts side pruned)",
+         r"\A(?s:(?!.*row_number.*row_number).*row_number.*)\Z"),
+        ("bucket offsets broadcast back (no corpus re-shuffle for rank)",
+         r"\(\d+\) BroadcastHashJoin"),
+        ("no collect_list group materialization", r"\A(?s:(?!.*collect_list).*)\Z"),
+    )
+
+    # grouped_topk_skew (round 15): same bucket device for per-group
+    # top-k. The corpus window must carry the bucket, and Spark's
+    # WindowGroupLimit rewrite (bounded per-partition top-k heaps, no
+    # full partition sort) must hold for BOTH windows — losing it
+    # silently re-inflates the exchange to corpus scale.
+    tk_plan = plan_of(SPARK_QUERIES["grouped_topk_skew"](spark, sf_dir))
+    check_plan(
+        "grouped_topk_skew",
+        tk_plan,
+        ("local top-k window carries the bucket",
+         r"row_number\(\) windowspecdefinition\(event_type#\d+, __bkt#\d+L"),
+        ("WindowGroupLimit on the corpus window (partial)",
+         r"Arguments: \[event_type#\d+, __bkt#\d+L\], \[value#\d+ DESC NULLS LAST, event_id#\d+L ASC NULLS FIRST\], row_number\(\), 5, Partial"),
+        ("WindowGroupLimit on the final window too",
+         r"Arguments: \[event_type#\d+\], \[value#\d+ DESC NULLS LAST, event_id#\d+L ASC NULLS FIRST\], row_number\(\), 5, Final"),
+    )
+
+    # manifest_diff (round 15): the diff's exchanges carry 32-byte
+    # content hashes ONLY — document text must never shuffle (the
+    # projection-then-distinct happens under the scan, so each side's
+    # Exchange input is the single hash column).
+    md_plan = plan_of(SPARK_QUERIES["manifest_diff"](spark, sf_dir))
+    check_plan(
+        "manifest_diff",
+        md_plan,
+        ("full outer join on the hash key", r"Join type: FullOuter"),
+        ("exchanges partition by content_hash", r"hashpartitioning\(content_hash#\d+"),
+        ("no text column crosses an exchange",
+         r"\A(?s:(?!.*\(\d+\) Exchange\s*\nInput[^\n]*text#).*)\Z"),
+        ("distinct is partially aggregated before the shuffle",
+         r"\(\d+\) HashAggregate[^()]*\nInput \[1\]: \[content_hash#\d+\]"),
+    )
+
+    # posts_export_sharded (round 15 — VERDICT r14 #5): the no-collect
+    # export path's semantics. Entries must render to JSON on
+    # executors (StructsToJson inside a Project), dimension joins stay
+    # broadcast, and the per-shard manifest is a partially-aggregated
+    # groupBy — zero driver collect anywhere (it's a pure DataFrame,
+    # but pin the render/join shape).
+    pes_plan = plan_of(SPARK_QUERIES["posts_export_sharded"](spark, sf_dir))
+    check_plan(
+        "posts_export_sharded",
+        pes_plan,
+        ("entries render executor-side", r"StructsToJson"),
+        ("dimension joins broadcast", r"\(\d+\) BroadcastHashJoin"),
+        ("no sort-merge join", r"\A(?s:(?!.*SortMergeJoin).*)\Z"),
+        ("shard manifest partially aggregated", r"partial_count"),
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PLAN CHECKS OK")
     return 1 if failures else 0
 

@@ -1171,3 +1171,42 @@ def incremental_semdedup_run(
     ).localCheckpoint(eager=False)
     append_semdedup_survivors(survivors, path, run_id=run_id)
     return survivors
+
+
+def manifest_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str = "content_hash",
+) -> DataFrame:
+    """Snapshot diff between two manifest versions (round 15): one row
+    per key present in either snapshot with its lifecycle ``status`` —
+    ``added`` (new only), ``removed`` (old only), ``retained`` (both).
+
+    This is the audit step the cross-run manifest family was missing:
+    the incremental loops PROVE idempotence and survivor correctness
+    per run, but a release review asks a between-release question —
+    "what changed between snapshot N and N+1, and was anything
+    removed?" (an append-only manifest must never produce ``removed``
+    rows; a compaction or re-bootstrap legitimately does, and the diff
+    is how that is signed off). Works over any of the family's
+    manifests — the exact, bucketed and portable variants all carry
+    ``content_hash``; pass ``key`` for the semantic manifest's id.
+
+    Shape: distinct on each side (manifests are distinct-by-contract
+    already; the projection keeps the diff safe over raw survivor
+    logs too), then a full outer join on the key — one hash-keyed
+    exchange per side, carrying 32-byte keys only. At 100 TB the
+    snapshots are the SMALL data (one row per distinct content), and
+    the join keys co-partition; nothing here touches document text.
+    """
+    o = old.select(F.col(key)).distinct().withColumn("__old", F.lit(True))
+    n = new.select(F.col(key)).distinct().withColumn("__new", F.lit(True))
+    j = o.join(n, key, "full_outer")
+    return j.select(
+        key,
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+    )

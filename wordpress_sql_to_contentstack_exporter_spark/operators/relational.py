@@ -443,3 +443,75 @@ def global_rank(
         out_col, (F.col("__off") + F.col("__lr")).cast("long")
     )
     return out.drop("__bkt", "__lr", "__off", "__lo", "__hi", "__vm", "__width")
+
+
+def grouped_topk_skew(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str,
+    tiebreak: list[str],
+    k: int,
+    n_buckets: int = 64,
+    scale: int = 1000,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """EXACT per-group top-k by (value DESC, tiebreak ASC) when one
+    group dominates — the ``row_number() OVER (PARTITION BY keys ORDER
+    BY value DESC)`` answer without serializing the dominant group's
+    sort on the one reducer holding it (round 15; same skew story as
+    ``grouped_quantiles_skewed``, same ``global_rank`` bucket device).
+
+    1. per-group value-range bucketing (scaled [min, max] from one
+       tiny broadcast aggregate; ``width = span div B + 1`` — the
+       overflow-safe form above). Bucketing is MONOTONE in the raw
+       value, so every global top-k row is also in its own bucket's
+       local top-k: fewer than k rows precede it group-globally, hence
+       fewer than k precede it within its bucket.
+    2. local top-k: a window PARTITIONED by (keys, bucket) ordered by
+       (value DESC, tiebreak ASC), keep local rank <= k — the dominant
+       group's sort runs B-way parallel and emits <= B*k candidates.
+    3. final rank: the same window PARTITIONED by keys alone over the
+       candidate set — per group <= B*k rows, bounded by construction,
+       so this second sort never sees corpus-scale data.
+
+    NULL values are dropped before ranking (the global_rank contract —
+    a plain window would rank them NULLS-FIRST into the top-k).
+    Determinism requires ``tiebreak`` to reach a total order within
+    equal values (the oracle's ORDER BY is the same spelling). ``scale``
+    only affects BUCKETING (exact below 2^53/scale; a lossy bucket key
+    still yields correct results as long as rounding stays monotone,
+    which it is — ranking itself uses the raw value).
+    """
+    if not keys:
+        raise ValueError("at least one grouping key required")
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    if n_buckets < 2:
+        raise ValueError("n_buckets >= 2 required")
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn(
+            "__vm", F.round(F.col(value_col).cast("double") * scale).cast("long")
+        )
+    )
+    bounds = d.groupBy(*keys).agg(
+        F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")
+    )
+    b = (
+        d.join(F.broadcast(bounds), keys)
+        .withColumn(
+            "__width", F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L")
+        )
+        .withColumn("__bkt", F.expr("(__vm - __lo) div __width"))
+    )
+    order = [F.col(value_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    w_local = Window.partitionBy(*keys, "__bkt").orderBy(*order)
+    cand = b.withColumn("__lr", F.row_number().over(w_local)).filter(
+        F.col("__lr") <= k
+    )
+    w_final = Window.partitionBy(*keys).orderBy(*order)
+    out = cand.withColumn(rank_col, F.row_number().over(w_final)).filter(
+        F.col(rank_col) <= k
+    )
+    return out.drop("__vm", "__lo", "__hi", "__width", "__bkt", "__lr")

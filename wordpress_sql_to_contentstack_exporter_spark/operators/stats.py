@@ -664,10 +664,7 @@ def grouped_quantiles_scalable(
     # ADVICE r14 #2: an empty tuple would leave the rank filter None
     # (opaque ``filter(None)`` error) and den<1 div-by-zeroes inside
     # the SQL expr at run time — validate at build time like the keys.
-    if not quantiles:
-        raise ValueError("at least one (num, den, name) quantile required")
-    if any(den < 1 for _num, den, _name in quantiles):
-        raise ValueError(f"quantile denominators must be >= 1: {quantiles}")
+    _validate_quantile_spec(quantiles)
     w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
     wn = Window.partitionBy(*keys)
     ranked = (
@@ -685,6 +682,122 @@ def grouped_quantiles_scalable(
         cond = F.col("__rk") == t
         keep = cond if keep is None else (keep | cond)
     picked = ranked.filter(keep)
+    aggs = [F.max("__n").cast("long").alias("n")] + [
+        F.max(F.when(F.col("__rk") == t, F.col(value_col))).alias(name)
+        for name, t in targets.items()
+    ]
+    return picked.groupBy(*keys).agg(*aggs)
+
+
+def _validate_quantile_spec(
+    quantiles: tuple[tuple[int, int, str], ...],
+) -> None:
+    if not quantiles:
+        raise ValueError("at least one (num, den, name) quantile required")
+    if any(den < 1 for _num, den, _name in quantiles):
+        raise ValueError(f"quantile denominators must be >= 1: {quantiles}")
+
+
+def grouped_quantiles_skewed(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    quantiles: tuple[tuple[int, int, str], ...] = (
+        (1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90"),
+    ),
+    n_buckets: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """EXACT grouped quantiles when ONE group dominates the corpus —
+    the skew decomposition ``grouped_quantiles_scalable``'s docstring
+    deferred (VERDICT r14 #2). Same contract, third physical plan:
+    discrete lower-rank selection over NON-NULL values, bit-exact
+    against the shared ``SQL_PERCENTILES`` oracle.
+
+    The sibling's one caveat is that its per-group window sort is
+    bounded by the partition holding the group: at 100 TB with a
+    handful of event types, one group IS the corpus and one reducer
+    sorts it (spillable, so it completes — but serially). This variant
+    shards that sort with the device ``relational.global_rank`` already
+    ships, applied per group:
+
+    1. per-group value-range bucketing: one |groups|-row aggregate
+       computes each group's scaled [min, max] and non-null count n
+       (broadcast back); ``bucket = (vm - lo) div width`` with
+       ``width = span div B + 1`` — pure arithmetic, deterministic (no
+       sampling), overflow-safe (global_rank's round-6 width form), and
+       MONOTONE in the raw value (round(v*scale) is non-decreasing in
+       v), so global per-group order == (bucket, value-within-bucket)
+       order even though ranking uses the raw value, not the scaled
+       key.
+    2. local rank: a window PARTITIONED by (keys, bucket) ordered by
+       the raw value — the dominant group's sort runs B-way parallel.
+    3. bucket offsets: per-(group, bucket) counts (|groups| x B rows),
+       running-summed per group over buckets (a window over the tiny
+       count relation), broadcast-joined back. Global 0-indexed rank
+       within the group = offset + local_rank - 1; the quantile rows
+       are filtered and assembled exactly as the sibling does.
+
+    Scope bounds, stated: the offsets relation is |groups| x B rows —
+    broadcast-trivial in the dominant-group regime this variant exists
+    for (few huge groups); with millions of small groups use the
+    sibling, whose single exchange is strictly cheaper than the three
+    here (bounds agg + bucketed window + offset join). And value-range
+    bucketing shards by VALUE spread, not frequency: a group whose
+    values are all equal still lands in one bucket (the quantiles of a
+    constant group cost nothing anyway). ``scale`` follows global_rank:
+    round(v * scale) keys are exact below 2^53/scale; ties in the raw
+    value share a bucket by construction, and quantile selection is
+    tie-permutation-invariant (the sorted multiset is unique), so
+    arbitrary row_number tie order cannot change the selected value.
+    """
+    if not keys:
+        raise ValueError("at least one grouping key required")
+    _validate_quantile_spec(quantiles)
+    if n_buckets < 2:
+        raise ValueError("n_buckets >= 2 required")
+    d = (
+        df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn(
+            "__vm", F.round(F.col(value_col).cast("double") * scale).cast("long")
+        )
+    )
+    bounds = d.groupBy(*keys).agg(
+        F.min("__vm").alias("__lo"),
+        F.max("__vm").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    b = (
+        d.join(F.broadcast(bounds), keys)
+        .withColumn(
+            "__width", F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L")
+        )
+        .withColumn("__bkt", F.expr("(__vm - __lo) div __width"))
+    )
+    w_local = Window.partitionBy(*keys, "__bkt").orderBy(F.col(value_col).asc())
+    ranked = b.withColumn("__lr", F.row_number().over(w_local))
+    counts = ranked.groupBy(*keys, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).cast("long")
+    ).select(*keys, "__bkt", "__off")
+    r = ranked.join(F.broadcast(offsets), [*keys, "__bkt"]).withColumn(
+        "__rk", F.col("__off") + F.col("__lr") - 1
+    )
+    targets = {
+        name: F.expr(f"((__n - 1) * {num}) div {den}")
+        for num, den, name in quantiles
+    }
+    keep = None
+    for t in targets.values():
+        cond = F.col("__rk") == t
+        keep = cond if keep is None else (keep | cond)
+    picked = r.filter(keep)
     aggs = [F.max("__n").cast("long").alias("n")] + [
         F.max(F.when(F.col("__rk") == t, F.col(value_col))).alias(name)
         for name, t in targets.items()

