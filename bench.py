@@ -757,6 +757,19 @@ def main() -> None:
     if tier_posts > 0:
         result["posts_tier"] = posts_tier(spark, tier_posts)
 
+    # Posts-tier slope point (VERDICT r14 #5): the flagship pipeline at
+    # 10x the standard tier, recorded beside it so entries/s carries a
+    # second scale point every round (expect near-flat — the plan is
+    # one broadcast join + one shuffled agg per post; a sublinear
+    # entries/s drop means a new scale bound crept in). Both points
+    # measure the PLAN through a noop sink (executor-side, like the
+    # sharded keyed-JSON production path); the human-scale document
+    # mode's driver collect is deliberately not in this wall — it is
+    # the documented non-scale path.
+    tier_posts_slope = int(os.environ.get("SPARK_GRAFT_POSTS_SLOPE", "1000000"))
+    if tier_posts > 0 and tier_posts_slope > 0:
+        result["posts_tier_slope"] = posts_tier(spark, tier_posts_slope)
+
     # Large-corpus dedup tier (SPARK_GRAFT_DEDUP_BASE=0 disables). Reported
     # separately from "queries" so the headline total stays comparable
     # across rounds. Composition is pinned (base_docs x variants), not
@@ -851,6 +864,10 @@ def main() -> None:
             compact[f"{tier}_total"] = tier_total(tier, result[tier])
     if "posts_tier" in result:
         compact["posts_entries_per_s"] = result["posts_tier"]["entries_per_s"]
+    if "posts_tier_slope" in result:
+        compact["posts_slope_entries_per_s"] = result["posts_tier_slope"][
+            "entries_per_s"
+        ]
     if "calib_vs_prev" in result:
         cm = result["calib_vs_prev"]
         compact["calib_ref_round"] = cm["ref_round"]

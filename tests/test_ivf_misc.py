@@ -263,3 +263,67 @@ class TestAnnIndexPersistence:
             sim.ivf_topk(
                 vecs.limit(1), vecs, n_cells=4, centers=np.zeros((3, 8))
             ).collect()
+
+
+class TestIvfpqBuildProbeSplit:
+    """Round 15: ivfpq_topk == ivfpq_index ∘ ivfpq_probe, and a
+    persisted index round-trips into the probe bit-exactly — the
+    build-once/probe-many production shape."""
+
+    def test_split_identical_to_composed(self, spark):
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 40 == 0)
+        composed = sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(
+                q, e, k=5, n_cells=8, n_probe=4, m=16, rerank=16
+            ).collect()
+        )
+        idx, centers, books = sim.ivfpq_index(e, n_cells=8, m=16)
+        split = sorted(
+            tuple(r)
+            for r in sim.ivfpq_probe(
+                q, idx, centers, books, candidates=e, k=5, n_probe=4, rerank=16
+            ).collect()
+        )
+        assert composed == split and len(split) > 0
+
+    def test_persisted_index_reproduces_probe(self, spark, tmp_path):
+        import numpy as np
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 40 == 0)
+        idx, centers, books = sim.ivfpq_index(e, n_cells=8, m=16)
+        base = sorted(
+            tuple(r)
+            for r in sim.ivfpq_probe(
+                q, idx, centers, books, candidates=e, k=5, n_probe=4, rerank=16
+            ).collect()
+        )
+        # persist fit + encoded table; reload into a fresh probe
+        sim.save_ann_index(
+            spark, str(tmp_path / "fit"), centers=centers, codebooks=books
+        )
+        idx.write.parquet(str(tmp_path / "enc"))
+        loaded = sim.load_ann_index(spark, str(tmp_path / "fit"))
+        assert np.array_equal(loaded["centers"], centers)
+        assert np.array_equal(loaded["codebooks"], books)
+        idx2 = spark.read.parquet(str(tmp_path / "enc"))
+        again = sorted(
+            tuple(r)
+            for r in sim.ivfpq_probe(
+                q, idx2, loaded["centers"], loaded["codebooks"],
+                candidates=e, k=5, n_probe=4, rerank=16,
+            ).collect()
+        )
+        assert again == base
+
+    def test_prefit_skips_refit(self, spark):
+        import numpy as np
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        _, centers, books = sim.ivfpq_index(e, n_cells=8, m=16)
+        _, c2, b2 = sim.ivfpq_index(
+            e, n_cells=8, m=16, centers=centers, codebooks=books
+        )
+        assert np.array_equal(centers, c2) and np.array_equal(books, b2)

@@ -6,7 +6,14 @@ path). Spark on tiny local data pays fixed JVM/scheduling overhead per
 action — the interesting number at sf0.1 is the *marginal* gap on the
 heavier queries, and whether it shrinks as data grows. Usage:
 
-    python tools/bench_compare.py [sf_dir]
+    python tools/bench_compare.py [sf_dir] [--runs N]
+
+With ``--runs N`` (the artifact convention since round 15 — VERDICT r14
+#3) the whole compare executes N times in one session and the run whose
+``_overall.overall_ratio`` is the MEDIAN is emitted as the artifact
+body, with every run's ratio recorded in ``_meta.runs_this_session`` —
+the same median-of-N discipline the headline tiers use, so artifact
+selection is mechanical, never a per-round judgment call.
 """
 
 from __future__ import annotations
@@ -18,26 +25,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-
-    import duckdb
-
+def one_run(spark, con, sf_dir: str) -> dict:
     from wordpress_sql_to_contentstack_exporter_spark.plans.registry import ORACLE_SQL, SPARK_QUERIES
-    from wordpress_sql_to_contentstack_exporter_spark.session import get_spark
     from bench import HEADLINE
-
-    spark = get_spark("bench_compare")
-    spark.read.parquet(f"{sf_dir}/orders.parquet").count()  # warm up
-
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
 
     # Steady-state comparison: both engines run each query twice and the
     # second (warm) run is timed — Spark's first run pays ~1 s of
@@ -112,6 +102,14 @@ def main() -> None:
         # five-stage composition costs too much to time four times for
         # a parity row.
         "percentiles_scalable",
+        # round-15 additions, all symmetric marginal cost: the skew
+        # decompositions (both engines sort/rank every group's values —
+        # the oracle IS the naive window), the sharded export (both
+        # engines render + sha256 every entry line), and the manifest
+        # diff (both engines normalize + sha256 every doc, then
+        # distinct + full outer join)
+        "percentiles_skew", "grouped_topk_skew", "posts_export_sharded",
+        "manifest_diff",
     ]
     out = {}
     # warm DataFrame objects kept for the steady-state loop below, so
@@ -317,6 +315,59 @@ FROM r WHERE rk = 1 ORDER BY vec_id
         "overall_ratio": round(
             sum(v["spark_s"] for v in comp) / sum(v["duckdb_s"] for v in comp), 3
         ),
+    }
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    n_runs = 1
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--runs":
+            n_runs = int(sys.argv[1:][i + 1])
+        elif a.startswith("--runs="):
+            n_runs = int(a.split("=", 1)[1])
+    if n_runs < 1:
+        raise SystemExit("--runs must be >= 1")
+
+    import duckdb
+
+    from wordpress_sql_to_contentstack_exporter_spark.session import get_spark
+
+    spark = get_spark("bench_compare")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()  # warm up
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    runs = []
+    for i in range(n_runs):
+        print(f"run {i + 1}/{n_runs} ...", file=sys.stderr, flush=True)
+        runs.append(one_run(spark, con, sf_dir))
+
+    ratios = [r["_overall"]["overall_ratio"] for r in runs]
+    # median selection is by rank, not averaging — the artifact must be
+    # one REAL run's rows (per-query walls from a run that happened),
+    # so for even N the lower-middle run is taken
+    order = sorted(range(n_runs), key=lambda i: ratios[i])
+    pick = order[(n_runs - 1) // 2]
+    out = runs[pick]
+    out["_meta"] = {
+        "convention": (
+            "median-of-N run emitted as artifact body (VERDICT r14 #3); "
+            "selection by _overall.overall_ratio rank — mechanical, no "
+            "per-round judgment"
+        ),
+        "runs_this_session": ratios,
+        "picked_run_index": pick,
+        "sf_dir": sf_dir,
     }
     print(json.dumps(out, indent=2))
 

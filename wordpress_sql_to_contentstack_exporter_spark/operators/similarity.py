@@ -605,34 +605,117 @@ def ivfpq_topk(
     (tiny |Q|×n_cells cross join, carrying ``dot(q, centroid)``) → ADC
     scan joins (query, cell) against the probed cells' codes on the
     cell key → exact cosine re-rank of the top ``rerank`` pool.
+
+    Round 15: split into :func:`ivfpq_index` (build side) and
+    :func:`ivfpq_probe` (query side) — the build-once/probe-many shape
+    production vector search actually runs (persist centers+codebooks
+    with ``save_ann_index`` and the encoded table as parquet; tomorrow's
+    queries pay only the probe). This wrapper composes the halves
+    unchanged — same plan, same rows.
     """
-    # --- index build: coarse quantizer + PQ codebooks from ONE collected
-    # sample (one Spark job), one distributed encode pass
-    sample = _collect_fit_sample(candidates, vec_col, fit_sample, id_col=id_col)
-    dim = sample.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"embedding dim ({dim}) must be divisible by m ({m})")
-    centers = _lloyd(sample, n_cells, np.random.default_rng(seed), max_iter)
-    if by_residual:
-        c2 = (centers**2).sum(axis=1)
-        assign = (c2[None, :] - 2.0 * (sample @ centers.T)).argmin(axis=1)
-        fit_x = sample - centers[assign]
-    else:
-        fit_x = sample
-    books = _pq_fit_codebooks(fit_x, m, n_codes, seed=seed, max_iter=max_iter)
+    assigned, centers, books = ivfpq_index(
+        candidates,
+        n_cells=n_cells, m=m, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col,
+        seed=seed, max_iter=max_iter, fit_sample=fit_sample,
+        by_residual=by_residual,
+    )
+    return ivfpq_probe(
+        queries, assigned, centers, books,
+        candidates=candidates,
+        k=k, n_probe=n_probe, rerank=rerank,
+        id_col=id_col, vec_col=vec_col, by_residual=by_residual,
+    )
+
+
+def ivfpq_index(
+    candidates: DataFrame,
+    *,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+    fit_sample: int = 2048,
+    by_residual: bool = True,
+    centers: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+):
+    """Build side of IVF-PQ (round 15): coarse + PQ fit from ONE
+    driver-side hash-ordered sample, then the distributed encode pass.
+    Returns ``(index_df, centers, codebooks)`` where ``index_df`` is
+    (neighbor_id, cell, codes array<int>, recon_norm) — 1/32 the bytes
+    of the raw vectors, the table a production job writes once and
+    probes daily. Pass prefit ``centers``/``codebooks`` (e.g. from
+    :func:`load_ann_index`) to skip the fit — the cell layout and
+    quantization grid are part of a persisted index's identity, so
+    re-fitting on a grown corpus would silently reshape cells.
+
+    The corpus-scale cost here is the encode pass: one Arrow map over
+    the candidates, no shuffle at all (assignment and encoding are
+    row-local given the broadcast-sized centers/books) — it scales with
+    the scan, which is the build-side slope evidence SCALE.md records.
+    """
+    if centers is None or codebooks is None:
+        sample = _collect_fit_sample(candidates, vec_col, fit_sample, id_col=id_col)
+        dim = sample.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"embedding dim ({dim}) must be divisible by m ({m})")
+        if centers is None:
+            centers = _lloyd(sample, n_cells, np.random.default_rng(seed), max_iter)
+        if codebooks is None:
+            if by_residual:
+                c2 = (centers**2).sum(axis=1)
+                assign = (c2[None, :] - 2.0 * (sample @ centers.T)).argmin(axis=1)
+                fit_x = sample - centers[assign]
+            else:
+                fit_x = sample
+            codebooks = _pq_fit_codebooks(
+                fit_x, m, n_codes, seed=seed, max_iter=max_iter
+            )
+    centers = np.asarray(centers, dtype=np.float64)
+    codebooks = np.asarray(codebooks, dtype=np.float64)
 
     # the PQ index: (neighbor_id, cell, codes, recon_norm) — no raw vectors
     assigned = candidates.select(
         F.col(id_col).alias("neighbor_id"),
-        ivfpq_encode_pandas(vec_col, centers, books, by_residual=by_residual).alias(
-            "enc"
-        ),
+        ivfpq_encode_pandas(
+            vec_col, centers, codebooks, by_residual=by_residual
+        ).alias("enc"),
     ).select(
         "neighbor_id",
         F.col("enc.cell").alias("cell"),
         F.col("enc.codes").alias("codes"),
         F.col("enc.recon_norm").alias("recon_norm"),
     )
+    return assigned, centers, codebooks
+
+
+def ivfpq_probe(
+    queries: DataFrame,
+    index_df: DataFrame,
+    centers: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    candidates: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_residual: bool = True,
+) -> DataFrame:
+    """Query side of IVF-PQ (round 15): probe ``n_probe`` nearest cells,
+    ADC-scan the probed cells' codes, exact-rerank the top ``rerank``
+    pool against ``candidates`` (the raw-vector table — only the
+    |Q|*rerank pool rows are ever fetched from it). Cost scales with
+    probed-cell volume, |corpus| * n_probe / n_cells — NOT with pairs;
+    that proportionality is the query-side slope SCALE.md records."""
+    m = int(codebooks.shape[0])
+    books = codebooks
+    assigned = index_df
 
     centers_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
     centers_df = queries.sparkSession.createDataFrame(
