@@ -327,3 +327,23 @@ class TestIvfpqBuildProbeSplit:
             e, n_cells=8, m=16, centers=centers, codebooks=books
         )
         assert np.array_equal(centers, c2) and np.array_equal(books, b2)
+
+    def test_prefit_geometry_mismatch_is_loud(self, spark):
+        import numpy as np
+        import pytest
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        _, centers, books = sim.ivfpq_index(e, n_cells=8, m=16)
+        with pytest.raises(ValueError, match="prefit centers"):
+            sim.ivfpq_index(e, n_cells=16, m=16, centers=centers, codebooks=books)
+        with pytest.raises(ValueError, match="prefit codebooks"):
+            sim.ivfpq_index(e, n_cells=8, m=8, centers=centers, codebooks=books)
+        with pytest.raises(ValueError, match="prefit codebooks"):
+            sim.ivfpq_index(
+                e, n_cells=8, m=16, centers=centers, codebooks=books[:, :4]
+            )
+        with pytest.raises(ValueError, match="disagree"):
+            sim.ivfpq_index(
+                e, n_cells=8, m=16, centers=centers,
+                codebooks=np.concatenate([books, books], axis=2),
+            )

@@ -154,3 +154,51 @@ def test_skew_variant_hot_sort_is_partitioned(spark):
         ln for ln in plan.splitlines() if "row_number()" in ln
     ]
     assert rn_windows and all("__bkt" in ln for ln in rn_windows), rn_windows
+
+
+def test_skew_variant_keeps_null_group_keys(spark):
+    """Round-15 review fix: a NULL grouping key is a real group —
+    PARTITION BY (both engines) and groupBy treat it as one; the skew
+    variant's bounds/offsets joins must be null-safe or the group
+    silently vanishes."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        grouped_quantiles_skewed,
+    )
+
+    rows = [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 5.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    a = sorted(
+        (tuple(r) for r in grouped_quantiles_scalable(df, ["k"], "value").collect()),
+        key=str,
+    )
+    b = sorted(
+        (tuple(r) for r in grouped_quantiles_skewed(df, ["k"], "value").collect()),
+        key=str,
+    )
+    assert a == b
+    assert len(a) == 2 and any(r[0] is None for r in a)
+
+
+def test_skew_variant_survives_nan_and_infinity(spark):
+    """Round-15 review fix: one NaN anywhere used to kill the whole
+    job with ANSI CAST_OVERFLOW (round(v*scale).cast('long')); the
+    clamped bucket key keeps NaN/Inf monotone at the extremes and the
+    raw-value ranking matches the sibling."""
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        grouped_quantiles_skewed,
+    )
+
+    rows = [
+        ("g", float("nan")), ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+        ("h", float("inf")), ("h", float("-inf")), ("h", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    a = sorted(
+        str(tuple(r))
+        for r in grouped_quantiles_scalable(df, ["k"], "value").collect()
+    )
+    b = sorted(
+        str(tuple(r))
+        for r in grouped_quantiles_skewed(df, ["k"], "value").collect()
+    )
+    assert a == b

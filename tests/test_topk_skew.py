@@ -111,3 +111,55 @@ def test_corpus_scale_sort_carries_bucket(spark):
     # optimization pinned; losing it silently re-inflates the shuffle
     assert plan.count("WindowGroupLimit") >= 2, plan.count("WindowGroupLimit")
     assert "__lr" in plan
+
+
+def test_null_group_key_is_a_group(spark):
+    """Round-15 review fix: row_number() OVER (PARTITION BY k) ranks
+    NULL-key rows as their own partition; the bucket decomposition's
+    bounds join must be null-safe to match."""
+    rows = [(None, 1, 1.0), (None, 2, 2.0), ("a", 3, 5.0)]
+    df = spark.createDataFrame(rows, "k string, event_id int, value double")
+    a = sorted(
+        (
+            (r["k"], r["event_id"], r["rk"])
+            for r in _naive(df, ["k"], "value", ["event_id"], 2)
+            .select("k", "event_id", "rk")
+            .collect()
+        ),
+        key=str,
+    )
+    b = sorted(
+        (
+            (r["k"], r["event_id"], r["rk"])
+            for r in grouped_topk_skew(
+                df, keys=["k"], value_col="value", tiebreak=["event_id"], k=2
+            ).collect()
+        ),
+        key=str,
+    )
+    assert a == b and len(b) == 3
+
+
+def test_nan_and_infinity_match_naive_window(spark):
+    """Round-15 review fix: NaN/Inf clamp into the extreme buckets
+    instead of raising CAST_OVERFLOW; ranking is by the raw value, so
+    NaN ranks first under DESC (Spark's double order: NaN > +Inf)."""
+    rows = [
+        ("g", 1, float("nan")), ("g", 2, float("inf")),
+        ("g", 3, float("-inf")), ("g", 4, 1.0), ("g", 5, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, event_id int, value double")
+    a = sorted(
+        (r["k"], r["event_id"], r["rk"])
+        for r in _naive(df, ["k"], "value", ["event_id"], 3)
+        .select("k", "event_id", "rk")
+        .collect()
+    )
+    b = sorted(
+        (r["k"], r["event_id"], r["rk"])
+        for r in grouped_topk_skew(
+            df, keys=["k"], value_col="value", tiebreak=["event_id"], k=3
+        ).collect()
+    )
+    assert a == b
+    assert ("g", 1, 1) in b  # NaN outranks +Inf under DESC

@@ -320,14 +320,26 @@ FROM r WHERE rk = 1 ORDER BY vec_id
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    positional: list[str] = []
     n_runs = 1
-    for i, a in enumerate(sys.argv[1:]):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a == "--runs":
-            n_runs = int(sys.argv[1:][i + 1])
+            if i + 1 >= len(argv):
+                raise SystemExit("--runs requires a value")
+            n_runs = int(argv[i + 1])
+            i += 2
         elif a.startswith("--runs="):
             n_runs = int(a.split("=", 1)[1])
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag: {a}")
+        else:
+            positional.append(a)
+            i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
     if n_runs < 1:
         raise SystemExit("--runs must be >= 1")
 

@@ -1168,6 +1168,89 @@ def main() -> int:
          r"\(\d+\) HashAggregate[^()]*\nInput \[1\]: \[content_hash#\d+\]"),
     )
 
+    # embedding_neardup (round 15 fix): the LSH bucket self-join must
+    # move (id, t, sig) rows ONLY — the raw embedding must never ride
+    # the |tables|-way signature explode through an exchange (the old
+    # shape shuffled 16x the corpus's vector bytes and OOMed the slope
+    # harness at 400k vectors via an AQE broadcast misestimate).
+    # Vectors legitimately cross ONE exchange per pair side (the id-key
+    # fetch join after candidate dedup), so the invariant is typed and
+    # node-local: no exchange output may carry an ARRAY column together
+    # with the exploded signature keys. The formatted plan prints
+    # attribute NAMES only, so this check walks the physical plan tree
+    # and reads each exchange's output dataTypes (a name regex cannot
+    # see an aliased vector — round-15 review finding, demonstrated by
+    # the self-test below).
+    def exchange_outputs(df):
+        out = []
+
+        def walk(node):
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.inputPlan())
+                return
+            if "ShuffleExchangeExec" in cls or "BroadcastExchangeExec" in cls:
+                attrs = node.output()
+                out.append(
+                    (
+                        cls,
+                        [
+                            (
+                                attrs.apply(i).name(),
+                                attrs.apply(i).dataType().typeName(),
+                            )
+                            for i in range(attrs.size())
+                        ],
+                    )
+                )
+            kids = node.children()
+            for i in range(kids.size()):
+                walk(kids.apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return out
+
+    def sig_exchange_with_array(exchanges):
+        return [
+            cols
+            for _cls, cols in exchanges
+            if any(t == "array" for _n, t in cols)
+            and any(n in ("sig", "s", "t", "tb", "sigb") for n, _t in cols)
+        ]
+
+    # self-test: the detector MUST fire on the rejected shape (vector
+    # riding an exploded-signature shuffle) before its pass means
+    # anything
+    from pyspark.sql import functions as F
+
+    bad_shape = (
+        spark.range(8)
+        .select(
+            F.col("id"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("vv"),
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("sig"),
+        )
+        .repartition(4, "sig")
+    )
+    det_ok = bool(sig_exchange_with_array(exchange_outputs(bad_shape)))
+    print(f"{'ok  ' if det_ok else 'FAIL'}  embedding_neardup: detector self-test fires on bad shape")
+    if not det_ok:
+        failures.append(("embedding_neardup", "detector self-test"))
+
+    en_df = SPARK_QUERIES["embedding_neardup"](spark, sf_dir)
+    offenders = sig_exchange_with_array(exchange_outputs(en_df))
+    print(
+        f"{'ok  ' if not offenders else 'FAIL'}  embedding_neardup: no exchange carries vectors alongside signature keys"
+    )
+    if offenders:
+        failures.append(("embedding_neardup", f"vector in sig exchange: {offenders}"))
+    check_plan(
+        "embedding_neardup",
+        plan_of(en_df),
+        ("no cartesian / nested-loop join",
+         r"\A(?s:(?!.*CartesianProduct)(?!.*BroadcastNestedLoopJoin).*)\Z"),
+    )
+
     # posts_export_sharded (round 15 — VERDICT r14 #5): the no-collect
     # export path's semantics. Entries must render to JSON on
     # executors (StructsToJson inside a Project), dimension joins stay

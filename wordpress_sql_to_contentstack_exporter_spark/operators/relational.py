@@ -411,7 +411,12 @@ def global_rank(
             )
         vm = F.col(value_col).cast("long")
     else:
-        vm = F.round(F.col(value_col).cast("double") * scale).cast("long")
+        # NaN/Infinity-safe (round-15 review fix: the bare cast raised
+        # ANSI CAST_OVERFLOW on one NaN anywhere). global_rank RANKS by
+        # __vm, so values scaled beyond the clamp tie and fall to the
+        # tiebreak — the same documented lossiness class as the 2^53
+        # precision bound, now crash-free for non-finite doubles.
+        vm = scaled_bucket_key(value_col, scale)
     d = df.filter(F.col(value_col).isNotNull()).withColumn("__vm", vm)
     bounds = d.agg(
         F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")
@@ -445,6 +450,79 @@ def global_rank(
     return out.drop("__bkt", "__lr", "__off", "__lo", "__hi", "__vm", "__width")
 
 
+# Clamp bound for the scaled bucket key: < 2^53, so it is exact in a
+# double AND casts to long without ANSI overflow. Values scaled beyond
+# it (and +/-Infinity, and NaN — which Spark's double ordering places
+# ABOVE +Infinity, so the TOP clamp keeps monotonicity) collapse into
+# the extreme buckets; bucketing only needs a NON-DECREASING key, and
+# the operators that rank by the raw value stay exact under clamping.
+_BUCKET_CLAMP = 9.0e15
+
+
+def scaled_bucket_key(value_col: str, scale: int):
+    """NaN/Infinity/overflow-safe monotone long bucket key (round-15
+    review fix: ``round(v * scale).cast('long')`` raises ANSI
+    CAST_OVERFLOW on one NaN anywhere in the corpus). ``greatest`` and
+    ``least`` order doubles the same way sorts do (NaN greatest), so
+    NaN and +Infinity clamp to the top key, -Infinity to the bottom —
+    preserving the non-decreasing property bucketing requires."""
+    v = F.col(value_col).cast("double") * scale
+    clamped = F.least(F.greatest(v, F.lit(-_BUCKET_CLAMP)), F.lit(_BUCKET_CLAMP))
+    return F.round(clamped).cast("long")
+
+
+def nullsafe_broadcast_join(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Broadcast equi-join where NULL keys MATCH (``eqNullSafe``) —
+    the join the skew decompositions need to re-attach per-group
+    bounds/offsets without silently dropping the NULL-key group that
+    ``groupBy``/``PARTITION BY`` (Spark and every SQL oracle) treats as
+    a real group (round-15 review fix). The right side's key columns
+    are renamed before the join so self-derived aggregates never hit
+    ambiguous-attribute resolution, then dropped."""
+    renamed = right.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(F.col(f"__r_{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(renamed), cond).drop(
+        *[f"__r_{k}" for k in keys]
+    )
+
+
+def bucket_by_value_range(
+    d: DataFrame,
+    keys: list[str],
+    n_buckets: int,
+    *,
+    extra_aggs: dict | None = None,
+) -> DataFrame:
+    """The shared per-group value-range bucket device (round-15 review
+    fix: this scaffold was copy-pasted across global_rank and both skew
+    decompositions). ``d`` must carry ``__vm`` (a monotone long key, see
+    :func:`scaled_bucket_key`); appends ``__bkt`` in [0, n_buckets) via
+    one broadcast [min, max] bounds aggregate per group —
+    ``width = span div B + 1`` keeps every intermediate <= span (the
+    overflow-safe form global_rank established in round 6). Extra
+    per-group aggregates (e.g. the non-null count the quantile variant
+    needs) ride the same bounds frame via ``extra_aggs``."""
+    aggs = [F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")] + [
+        expr.alias(name) for name, expr in (extra_aggs or {}).items()
+    ]
+    bounds = d.groupBy(*keys).agg(*aggs)
+    return (
+        nullsafe_broadcast_join(d, bounds, keys)
+        .withColumn(
+            "__width", F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L")
+        )
+        .withColumn("__bkt", F.expr("(__vm - __lo) div __width"))
+    )
+
+
 def grouped_topk_skew(
     df: DataFrame,
     *,
@@ -475,8 +553,12 @@ def grouped_topk_skew(
        candidate set — per group <= B*k rows, bounded by construction,
        so this second sort never sees corpus-scale data.
 
-    NULL values are dropped before ranking (the global_rank contract —
-    a plain window would rank them NULLS-FIRST into the top-k).
+    NULL VALUES are dropped before ranking (the global_rank contract —
+    a plain window would rank them NULLS-FIRST into the top-k); NULL
+    GROUP KEYS are a real group, exactly as ``PARTITION BY`` treats
+    them (null-safe bounds join — round-15 review fix). NaN/Infinity
+    values clamp into the extreme buckets (see ``scaled_bucket_key``)
+    and rank by Spark's raw double ordering, same as the naive window.
     Determinism requires ``tiebreak`` to reach a total order within
     equal values (the oracle's ORDER BY is the same spelling). ``scale``
     only affects BUCKETING (exact below 2^53/scale; a lossy bucket key
@@ -489,22 +571,10 @@ def grouped_topk_skew(
         raise ValueError("k >= 1 required")
     if n_buckets < 2:
         raise ValueError("n_buckets >= 2 required")
-    d = (
-        df.filter(F.col(value_col).isNotNull())
-        .withColumn(
-            "__vm", F.round(F.col(value_col).cast("double") * scale).cast("long")
-        )
+    d = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "__vm", scaled_bucket_key(value_col, scale)
     )
-    bounds = d.groupBy(*keys).agg(
-        F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")
-    )
-    b = (
-        d.join(F.broadcast(bounds), keys)
-        .withColumn(
-            "__width", F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L")
-        )
-        .withColumn("__bkt", F.expr("(__vm - __lo) div __width"))
-    )
+    b = bucket_by_value_range(d, keys, n_buckets)
     order = [F.col(value_col).desc()] + [F.col(c).asc() for c in tiebreak]
     w_local = Window.partitionBy(*keys, "__bkt").orderBy(*order)
     cand = b.withColumn("__lr", F.row_number().over(w_local)).filter(

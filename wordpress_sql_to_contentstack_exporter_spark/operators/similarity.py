@@ -111,29 +111,54 @@ def embedding_neardup_pairs(
         # of scope, and unlike eager=True, query construction stays
         # job-free. Executor-loss tradeoff documented at
         # minhash_lsh_candidates (dedup.py).
+        #
+        # The bucket self-join carries IDS ONLY (round-15 fix): the
+        # earlier shape dragged the raw vector through the signature
+        # explode, so the exchange moved |tables| x the corpus's vector
+        # bytes and the join sides were GBs (AQE then broadcast a
+        # misestimated checkpoint side and OOMed at 400k vectors in the
+        # slope harness — the measured failure that forced this). Now
+        # the exchange rows are (id, t, sig) = 24 bytes; vectors are
+        # fetched ONCE per pair side by id-joins against the corpus
+        # below, which at 100 TB is two co-partitioned hash joins
+        # instead of 16x vector volume through a bucket shuffle.
         sigs = vectors.select(
             F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vv"),
             F.posexplode(
                 hyperplane_signatures_pandas(vec_col, planes_tables)
             ).alias("t", "sig"),
         ).localCheckpoint(eager=False)
-        a_sig = sigs.select(
-            F.col("vid").alias("id_a"), F.col("vv").alias("va"), "t", "sig"
-        )
         b_sig = sigs.select(
-            F.col("vid").alias("id_b"), F.col("vv").alias("vb"),
+            F.col("vid").alias("id_b"),
             F.col("t").alias("tb"), F.col("sig").alias("sigb"),
         )
+        # Explicit WIDE repartition between candidate dedup and the
+        # fetch/rescore joins: the deduped pair rows are 16 bytes but
+        # each costs ~2 KB of downstream work (two vector fetches + a
+        # 3-fold HOF cosine), so AQE's size-targeted coalescing
+        # (parallelismFirst=false) funnels the whole rescore through a
+        # handful of reducers — measured 366 s -> 47 s at 200k vectors
+        # / 10.9M candidates on local[32] from this one exchange of
+        # id-pairs. The explicit partition count (the session's
+        # shuffle.partitions) is respected by AQE, unlike an implicit
+        # ENSURE_REQUIREMENTS exchange.
+        n_part = int(
+            vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
         paired = (
-            a_sig.join(
+            sigs.select(F.col("vid").alias("id_a"), "t", "sig")
+            .join(
                 b_sig,
                 (F.col("t") == F.col("tb"))
                 & (F.col("sig") == F.col("sigb"))
                 & (F.col("id_a") < F.col("id_b")),
             )
-            .select("id_a", "va", "id_b", "vb")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+            .repartition(n_part, "id_a")
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "va", "id_b", "vb")
         )
     # unrounded: the HOF fold is bit-identical cross-engine (see module
     # docstring); a round(x, 6) re-round is the only 1-ULP divergence
@@ -658,11 +683,40 @@ def ivfpq_index(
     row-local given the broadcast-sized centers/books) — it scales with
     the scan, which is the build-side slope evidence SCALE.md records.
     """
+    # prefit inputs validate LOUDLY against the requested geometry
+    # (round-15 review fix, matching ivf_topk/semdedup's guards): a
+    # persisted 8-cell index passed alongside n_cells=16 must never
+    # silently reshape the cell layout or quantization grid.
+    if centers is not None:
+        centers = np.asarray(centers, dtype=np.float64)
+        if centers.ndim != 2 or len(centers) != n_cells:
+            raise ValueError(
+                f"prefit centers must be (n_cells={n_cells}, dim); "
+                f"got {centers.shape}"
+            )
+    if codebooks is not None:
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+        if codebooks.ndim != 3 or codebooks.shape[:2] != (m, n_codes):
+            raise ValueError(
+                f"prefit codebooks must be (m={m}, n_codes={n_codes}, d_sub); "
+                f"got {codebooks.shape}"
+            )
+    if centers is not None and codebooks is not None:
+        dim = centers.shape[1]
+        if dim % m != 0 or codebooks.shape[2] != dim // m:
+            raise ValueError(
+                f"prefit centers dim ({dim}) and codebooks d_sub "
+                f"({codebooks.shape[2]}) disagree for m={m}"
+            )
     if centers is None or codebooks is None:
         sample = _collect_fit_sample(candidates, vec_col, fit_sample, id_col=id_col)
         dim = sample.shape[1]
         if dim % m != 0:
             raise ValueError(f"embedding dim ({dim}) must be divisible by m ({m})")
+        if centers is not None and centers.shape[1] != dim:
+            raise ValueError(
+                f"prefit centers dim ({centers.shape[1]}) != corpus dim ({dim})"
+            )
         if centers is None:
             centers = _lloyd(sample, n_cells, np.random.default_rng(seed), max_iter)
         if codebooks is None:
@@ -675,8 +729,6 @@ def ivfpq_index(
             codebooks = _pq_fit_codebooks(
                 fit_x, m, n_codes, seed=seed, max_iter=max_iter
             )
-    centers = np.asarray(centers, dtype=np.float64)
-    codebooks = np.asarray(codebooks, dtype=np.float64)
 
     # the PQ index: (neighbor_id, cell, codes, recon_norm) — no raw vectors
     assigned = candidates.select(
@@ -898,26 +950,30 @@ def lsh_topk(
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # The bucket join moves (id, t, sig) rows ONLY — the corpus vector
+    # must not ride the |tables|-way explode through the exchange
+    # (round-15 fix, same shape as embedding_neardup_pairs: the old
+    # plan shuffled tables x the corpus's vector bytes). Vectors join
+    # back by id once per side after candidate dedup; the query side is
+    # small, so its re-join broadcasts.
     q_b = q.select(
         "query_id",
-        "qv",
         F.array(
             *[
                 F.struct(F.lit(t).alias("t"), hyperplane_signature(F.col("qv"), planes).alias("sig"))
                 for t, planes in enumerate(planes_tables)
             ]
         ).alias("sigs"),
-    ).select("query_id", "qv", F.explode("sigs").alias("s"))
+    ).select("query_id", F.explode("sigs").alias("s"))
     c_b = c.select(
         "neighbor_id",
-        "cv",
         F.array(
             *[
                 F.struct(F.lit(t).alias("t"), hyperplane_signature(F.col("cv"), planes).alias("sig"))
                 for t, planes in enumerate(planes_tables)
             ]
         ).alias("sigs"),
-    ).select("neighbor_id", "cv", F.explode("sigs").alias("s"))
+    ).select("neighbor_id", F.explode("sigs").alias("s"))
 
     paired = (
         q_b.join(
@@ -926,8 +982,10 @@ def lsh_topk(
             & (q_b["s.sig"] == c_b["s.sig"])
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(q, "query_id")
+        .join(c, "neighbor_id")
     )
     scored = paired.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")

@@ -673,6 +673,31 @@ def grouped_quantiles_scalable(
         .withColumn("__rk", F.row_number().over(w) - 1)
         .withColumn("__n", F.count(F.lit(1)).over(wn))
     )
+    return _quantile_rank_select(ranked, keys, value_col, quantiles)
+
+
+def _validate_quantile_spec(
+    quantiles: tuple[tuple[int, int, str], ...],
+) -> None:
+    if not quantiles:
+        raise ValueError("at least one (num, den, name) quantile required")
+    if any(den < 1 for _num, den, _name in quantiles):
+        raise ValueError(f"quantile denominators must be >= 1: {quantiles}")
+
+
+def _quantile_rank_select(
+    ranked: DataFrame,
+    keys: list[str],
+    value_col: str,
+    quantiles: tuple[tuple[int, int, str], ...],
+) -> DataFrame:
+    """Shared rank-target selection (round-15 review fix: this block
+    was duplicated verbatim across the scalable and skewed variants —
+    a change to the rank formula had to be made twice or the two plans
+    would silently diverge on the shared oracle). ``ranked`` must carry
+    ``__rk`` (0-indexed rank of the non-null value within its group,
+    ascending) and ``__n`` (the group's non-null count); how those two
+    columns were computed IS the variants' entire difference."""
     targets = {
         name: F.expr(f"((__n - 1) * {num}) div {den}")
         for num, den, name in quantiles
@@ -687,15 +712,6 @@ def grouped_quantiles_scalable(
         for name, t in targets.items()
     ]
     return picked.groupBy(*keys).agg(*aggs)
-
-
-def _validate_quantile_spec(
-    quantiles: tuple[tuple[int, int, str], ...],
-) -> None:
-    if not quantiles:
-        raise ValueError("at least one (num, den, name) quantile required")
-    if any(den < 1 for _num, den, _name in quantiles):
-        raise ValueError(f"quantile denominators must be >= 1: {quantiles}")
 
 
 def grouped_quantiles_skewed(
@@ -750,7 +766,21 @@ def grouped_quantiles_skewed(
     value share a bucket by construction, and quantile selection is
     tie-permutation-invariant (the sorted multiset is unique), so
     arbitrary row_number tie order cannot change the selected value.
+
+    Round-15 review fixes: NULL GROUP KEYS are a real group (null-safe
+    bounds/offsets joins — a plain equi-join silently dropped them
+    while the sibling, ``PARTITION BY``, and every SQL oracle keep
+    them), and NaN/Infinity VALUES clamp into the extreme buckets
+    instead of raising ANSI CAST_OVERFLOW (``scaled_bucket_key``);
+    ranking still uses the raw value, so results stay identical to the
+    sibling's.
     """
+    from .relational import (
+        bucket_by_value_range,
+        nullsafe_broadcast_join,
+        scaled_bucket_key,
+    )
+
     if not keys:
         raise ValueError("at least one grouping key required")
     _validate_quantile_spec(quantiles)
@@ -759,21 +789,10 @@ def grouped_quantiles_skewed(
     d = (
         df.select(*keys, value_col)
         .filter(F.col(value_col).isNotNull())
-        .withColumn(
-            "__vm", F.round(F.col(value_col).cast("double") * scale).cast("long")
-        )
+        .withColumn("__vm", scaled_bucket_key(value_col, scale))
     )
-    bounds = d.groupBy(*keys).agg(
-        F.min("__vm").alias("__lo"),
-        F.max("__vm").alias("__hi"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    b = (
-        d.join(F.broadcast(bounds), keys)
-        .withColumn(
-            "__width", F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L")
-        )
-        .withColumn("__bkt", F.expr("(__vm - __lo) div __width"))
+    b = bucket_by_value_range(
+        d, keys, n_buckets, extra_aggs={"__n": F.count(F.lit(1))}
     )
     w_local = Window.partitionBy(*keys, "__bkt").orderBy(F.col(value_col).asc())
     ranked = b.withColumn("__lr", F.row_number().over(w_local))
@@ -786,20 +805,7 @@ def grouped_quantiles_skewed(
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).cast("long")
     ).select(*keys, "__bkt", "__off")
-    r = ranked.join(F.broadcast(offsets), [*keys, "__bkt"]).withColumn(
-        "__rk", F.col("__off") + F.col("__lr") - 1
-    )
-    targets = {
-        name: F.expr(f"((__n - 1) * {num}) div {den}")
-        for num, den, name in quantiles
-    }
-    keep = None
-    for t in targets.values():
-        cond = F.col("__rk") == t
-        keep = cond if keep is None else (keep | cond)
-    picked = r.filter(keep)
-    aggs = [F.max("__n").cast("long").alias("n")] + [
-        F.max(F.when(F.col("__rk") == t, F.col(value_col))).alias(name)
-        for name, t in targets.items()
-    ]
-    return picked.groupBy(*keys).agg(*aggs)
+    r = nullsafe_broadcast_join(
+        ranked, offsets, [*keys, "__bkt"]
+    ).withColumn("__rk", F.col("__off") + F.col("__lr") - 1)
+    return _quantile_rank_select(r, keys, value_col, quantiles)
