@@ -59,13 +59,23 @@ def synth_vectors(spark, n: int, variants: int = 10):
     return ids.select("vec_id", vec.alias("embedding"))
 
 
-def warm_wall(df) -> tuple[float, float]:
+def warm_wall(df, label: str = "") -> tuple[float, float]:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     cold = time.perf_counter() - t0
     t1 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return round(cold, 2), round(time.perf_counter() - t1, 2)
+    warm = time.perf_counter() - t1
+    if label:
+        # per-op progress line (round-15 lesson: a crashed cell that
+        # only prints at cell end hides WHICH op died and loses the
+        # finished ops' numbers)
+        print(
+            json.dumps({"op": label, "cold_s": round(cold, 2), "warm_s": round(warm, 2)}),
+            file=sys.stderr,
+            flush=True,
+        )
+    return round(cold, 2), round(warm, 2)
 
 
 def main() -> None:
@@ -88,7 +98,8 @@ def main() -> None:
         # --- semdedup: n_cells scales with corpus (bounded cells) ---
         n_cells = 128 * mult
         cold, warm = warm_wall(
-            sim.semdedup(vecs, n_cells=n_cells, threshold=0.95, fit_sample=4096)
+            sim.semdedup(vecs, n_cells=n_cells, threshold=0.95, fit_sample=4096),
+            label=f"semdedup@{n}",
         )
         row["semdedup"] = {"n_cells": n_cells, "cold_s": cold, "warm_s": warm}
 
@@ -98,7 +109,8 @@ def main() -> None:
         cold, warm = warm_wall(
             sim.embedding_neardup_pairs(
                 vecs, threshold=0.9, exact=False, planes_tables=planes
-            )
+            ),
+            label=f"embedding_neardup@{n}",
         )
         row["embedding_neardup"] = {
             "num_planes": n_planes, "cold_s": cold, "warm_s": warm,
@@ -126,7 +138,7 @@ def main() -> None:
             queries, idx_mat, centers, books,
             candidates=vecs, k=5, n_probe=4, rerank=32,
         )
-        cold, warm = warm_wall(probe)
+        cold, warm = warm_wall(probe, label=f"ivfpq_probe@{n}")
         row["ivfpq_probe"] = {"n_queries": 500, "cold_s": cold, "warm_s": warm}
 
         out[str(n)] = row
