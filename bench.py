@@ -508,10 +508,15 @@ def _calib_reference() -> dict | None:
         cur_round = int(os.environ["SPARK_GRAFT_ROUND"])
     else:
         try:
+            # case-insensitive over the first few lines, not line 1
+            # only: a judge retitling "# Round 15 VERDICT" or moving
+            # the number down a line must not silently disable the
+            # own-round skip (review r15)
             with open(os.path.join(here, "VERDICT.md")) as fh:
-                m = re.search(r"round (\d+)", fh.readline())
-                if m:
-                    cur_round = int(m.group(1)) + 1
+                head = "".join(fh.readline() for _ in range(5))
+            m = re.search(r"round (\d+)", head, re.IGNORECASE)
+            if m:
+                cur_round = int(m.group(1)) + 1
         except OSError:
             pass
     cands: list[tuple[int, str]] = []

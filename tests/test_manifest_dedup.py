@@ -615,14 +615,16 @@ def test_manifest_diff_append_only_run_yields_no_removed(spark, tmp_path):
     )
     path = str(tmp_path / "m")
     mf.incremental_dedup_run(spark, docs1, path, run_id="r1")
-    snap1 = mf.read_manifest(spark, path).select("content_hash")
-    snap1.cache().count()  # pin the pre-append snapshot
+    # localCheckpoint (eager): a cache() pin can be EVICTED and lazily
+    # recomputed from the path AFTER run r2 appends to it, collapsing
+    # the diff to {'retained'} (review r15) — the checkpoint severs
+    # lineage so the pre-append snapshot is immutable
+    snap1 = mf.read_manifest(spark, path).select("content_hash").localCheckpoint()
     mf.incremental_dedup_run(spark, docs2, path, run_id="r2")
     snap2 = mf.read_manifest(spark, path).select("content_hash")
     statuses = {r["status"] for r in mf.manifest_diff(snap1, snap2).collect()}
     assert "removed" not in statuses
     assert statuses == {"retained", "added"}
-    snap1.unpersist()
 
 
 def test_manifest_diff_dedups_raw_survivor_logs(spark):

@@ -147,7 +147,10 @@ def main() -> None:
     if len(mults) >= 2:
         a, b = out[str(base_n * mults[0])], out[str(base_n * mults[-1])]
         slopes = {
-            op: round(b[op]["warm_s"] / a[op]["warm_s"], 2)
+            # max() guard: a sub-5ms warm wall rounds to 0.0 at small
+            # base_n and a bare division would ZeroDivisionError away
+            # the summary line (review r15)
+            op: round(b[op]["warm_s"] / max(a[op]["warm_s"], 0.01), 2)
             for op in ("semdedup", "embedding_neardup", "ivfpq_build", "ivfpq_probe")
         }
         print(json.dumps({"data_ratio": mults[-1] / mults[0], "warm_slopes": slopes}))

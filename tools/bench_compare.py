@@ -273,7 +273,12 @@ def one_run(spark, con, sf_dir: str) -> dict:
         spark_s = time.perf_counter() - t0
 
         con.execute(
-            "CREATE VIEW unit_embeddings AS "
+            # OR REPLACE: with --runs N the same connection runs this
+            # block once per run against a fresh temp dir (review r15:
+            # a bare CREATE VIEW raised CatalogException on run 2 and
+            # lost both completed runs); the recreate must stay before
+            # first use since the prior run's temp dir is deleted
+            "CREATE OR REPLACE VIEW unit_embeddings AS "
             f"SELECT * FROM read_parquet('{prep}/*.parquet')"
         )
         prenorm_sql = """

@@ -84,7 +84,10 @@ def scaffold(n: int) -> str:
     green, rows_only, red = [], [], []
     for name, e in rows.items():
         if e.get("err") == "no_oracle":
-            (rows_only if e.get("spark_rows", 0) >= 0 else red).append(name)
+            # a rows-only slot is healthy only if it actually produced
+            # rows — `>= 0` was always true and scaffolded empty/failed
+            # results as healthy (review r15)
+            (rows_only if (e.get("spark_rows") or 0) > 0 else red).append(name)
         elif e.get("hash_match") and e.get("rows_match") and not e.get("err"):
             green.append(name)
         else:
@@ -114,6 +117,14 @@ def scaffold(n: int) -> str:
 
 
 def main() -> int:
+    # unknown flags must not fall through to the mutating default path:
+    # `open_round.py --help` once git-staged a 0-byte artifact (r15 —
+    # the same lesson as the stray `bench.py --help` full run)
+    unknown = [a for a in sys.argv[1:] if a != "--check"]
+    if unknown:
+        print(__doc__)
+        print(f"unknown argument(s): {unknown}; accepted: --check")
+        return 2
     check_only = "--check" in sys.argv
     pend = pending_artifacts()
     prov_stale = subprocess.run(

@@ -418,21 +418,12 @@ def global_rank(
         # precision bound, now crash-free for non-finite doubles.
         vm = scaled_bucket_key(value_col, scale)
     d = df.filter(F.col(value_col).isNotNull()).withColumn("__vm", vm)
-    bounds = d.agg(
-        F.min("__vm").alias("__lo"), F.max("__vm").alias("__hi")
-    )
-    # bucket via a precomputed width, NOT (vm-lo)*B/(span+1): the
-    # multiply overflows int64 whenever the scaled span exceeds 2^63/B —
-    # exactly the large-value regime this operator exists for (round-6
-    # code-review finding). width = span//B + 1 keeps every intermediate
-    # <= span and still yields buckets in [0, B): (vm-lo)//width <=
-    # span//width < B because width*B > span.
-    b = d.join(F.broadcast(bounds)).withColumn(
-        "__width",
-        F.expr(f"((__hi - __lo) div {int(n_buckets)}) + 1L"),
-    ).withColumn(
-        "__bkt", F.expr("(__vm - __lo) div __width")
-    )
+    # the shared bucket device (keys=[] -> one global bounds row); its
+    # width = span//B + 1 form is the round-6 overflow-safe spelling —
+    # (vm-lo)*B/(span+1) would overflow int64 whenever the scaled span
+    # exceeds 2^63/B, exactly the large-value regime this operator
+    # exists for. Extracted r15 so the formula lives ONCE.
+    b = bucket_by_value_range(d, [], n_buckets)
     w_local = Window.partitionBy("__bkt").orderBy(
         F.col("__vm").asc(), *[F.col(c).asc() for c in tiebreak]
     )
@@ -481,6 +472,10 @@ def nullsafe_broadcast_join(
     a real group (round-15 review fix). The right side's key columns
     are renamed before the join so self-derived aggregates never hit
     ambiguous-attribute resolution, then dropped."""
+    if not keys:
+        # keyless caller (global_rank): the right side is ONE global
+        # row — a plain broadcast cross join, no condition needed
+        return left.join(F.broadcast(right))
     renamed = right.select(
         *[F.col(k).alias(f"__r_{k}") for k in keys],
         *[c for c in right.columns if c not in keys],

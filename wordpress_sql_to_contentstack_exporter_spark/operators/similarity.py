@@ -717,6 +717,14 @@ def ivfpq_index(
             raise ValueError(
                 f"prefit centers dim ({centers.shape[1]}) != corpus dim ({dim})"
             )
+        # codebooks-only prefit: d_sub must still match the corpus
+        # geometry, or the mismatch dies as an opaque numpy broadcast
+        # error inside the executor-side encode (review r15)
+        if codebooks is not None and codebooks.shape[2] != dim // m:
+            raise ValueError(
+                f"prefit codebooks d_sub ({codebooks.shape[2]}) != corpus "
+                f"dim // m ({dim // m})"
+            )
         if centers is None:
             centers = _lloyd(sample, n_cells, np.random.default_rng(seed), max_iter)
         if codebooks is None:
