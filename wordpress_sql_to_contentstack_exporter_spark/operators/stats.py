@@ -57,29 +57,79 @@ def rolling_anomaly(
     evidence — auditable, mergeable) and ``is_anomaly`` (false until
     ``min_points`` rows are in the window: a 3-row "window" flags noise).
 
-    Plan shape: ONE shuffle on the keys; the three window aggregates
-    share a single (keys, order) sort. Map-only afterwards.
+    Plan shape: ONE shuffle on the keys; every window expression shares
+    a single (keys, order) sort. Map-only afterwards.
+
+    Per-row cost (r15 optimization): Spark's SlidingWindowFunctionFrame
+    cannot retract rows from an aggregate buffer, so a trailing
+    ``ROWS BETWEEN W-1 PRECEDING AND CURRENT ROW`` aggregate re-sums all
+    W buffered rows for EVERY output row — O(W) per row, ~300 buffer
+    updates/row here (3 aggregates x window 100). The sums are instead
+    computed from running (unbounded-preceding) prefix aggregates, which
+    Spark maintains incrementally, minus their ``lag(.., W)`` value —
+    O(1) per row, bit-identical integer results (see
+    ``_trailing_window_sums`` for the NULL-window equivalence argument).
+    Measured at the 10M-row rolling tier: plain 66.2 s -> see
+    OPTIMIZATION_r15.md. Overflow note: the PREFIX sums now grow with
+    partition length, not window length — |x_scaled| * rows_per_partition
+    and  x_scaled^2 * rows_per_partition must stay under 2^63 (ANSI mode
+    fails loudly, never silently wraps). The chunked variant bounds
+    partitions by construction; for the plain form that budget replaces
+    the old window-local one (e.g. |x|<=3e6 scaled supports ~1e6-row
+    partitions for sumsq).
     """
     if window_rows < 1 or min_points < 2 or n_sigma < 1 or scale < 1:
         raise ValueError("window_rows>=1, min_points>=2, n_sigma>=1, scale>=1")
     if scale & (scale - 1):
         raise ValueError("scale must be a power of two (exact multiply+floor)")
     v = F.floor(F.col(value_col) * scale).cast("long")
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order_by)
-        .rowsBetween(-(window_rows - 1), Window.currentRow)
-    )
-    out = (
-        df.withColumn("__v", v)
-        .withColumn("w_n", F.count(F.lit(1)).over(w))
-        .withColumn("w_sum", F.sum("__v").over(w))
-        .withColumn("w_sumsq", F.sum(F.col("__v") * F.col("__v")).over(w))
-    )
+    wo = Window.partitionBy(*keys).orderBy(*order_by)
+    out = _trailing_window_sums(df.withColumn("__v", v), wo, window_rows)
     dev = out["w_n"] * out["__v"] - out["w_sum"]
     var_n2 = out["w_n"] * out["w_sumsq"] - out["w_sum"] * out["w_sum"]
     flag = (out["w_n"] >= min_points) & (dev * dev > (n_sigma * n_sigma) * var_n2)
     return out.withColumn("is_anomaly", flag).drop("__v")
+
+
+def _trailing_window_sums(
+    d: DataFrame, wo, window_rows: int
+) -> DataFrame:
+    """Append ``w_n``/``w_sum``/``w_sumsq`` — count(*), sum(__v) and
+    sum(__v*__v) over the trailing ``window_rows`` rows of window spec
+    ``wo`` — in O(1) per row via prefix sums, bit-identical to the
+    direct sliding-frame aggregates.
+
+    Equivalence, including NULL ``__v`` rows: a windowed ``sum`` skips
+    NULLs and is itself NULL iff the frame holds no non-NULL value. The
+    running non-NULL count ``__cv`` minus its lag gives the frame's
+    non-NULL count exactly; when it is 0 the sums are forced to NULL,
+    otherwise the difference of the (coalesced) running sums equals the
+    frame sum — a running sum is NULL only before the partition's first
+    non-NULL value, where the frame count is 0 anyway. ``w_n`` counts
+    ALL frame rows: min(row_number, W) for a trailing frame.
+    """
+    W = int(window_rows)
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero = F.lit(0).cast("long")
+    d = (
+        d.withColumn("__rn", F.count(F.lit(1)).over(wc))
+        .withColumn("__cv", F.count("__v").over(wc))
+        .withColumn("__cs", F.sum("__v").over(wc))
+        .withColumn("__cq", F.sum(F.col("__v") * F.col("__v")).over(wc))
+    )
+
+    def frame_sum(cum: str, n_in_frame) -> Column:
+        run = F.coalesce(F.col(cum), zero) - F.coalesce(F.lag(cum, W).over(wo), zero)
+        return F.when(n_in_frame == 0, F.lit(None).cast("long")).otherwise(run)
+
+    wcv = F.col("__cv") - F.coalesce(F.lag("__cv", W).over(wo), zero)
+    return (
+        d.withColumn("__wcv", wcv)
+        .withColumn("w_n", F.least(F.col("__rn"), F.lit(W).cast("long")))
+        .withColumn("w_sum", frame_sum("__cs", F.col("__wcv")))
+        .withColumn("w_sumsq", frame_sum("__cq", F.col("__wcv")))
+        .drop("__rn", "__cv", "__cs", "__cq", "__wcv")
+    )
 
 
 def equi_width_histogram(
@@ -249,17 +299,13 @@ def rolling_anomaly_chunked(
     if scale & (scale - 1):
         raise ValueError("scale must be a power of two (exact multiply+floor)")
     v = F.floor(F.col(value_col) * scale).cast("long")
-    w = (
-        Window.partitionBy(*keys, "__chunk")
-        .orderBy(*order)
-        .rowsBetween(-(window_rows - 1), Window.currentRow)
-    )
-    out = (
-        unioned.withColumn("__v", v)
-        .withColumn("w_n", F.count(F.lit(1)).over(w))
-        .withColumn("w_sum", F.sum("__v").over(w))
-        .withColumn("w_sumsq", F.sum(F.col("__v") * F.col("__v")).over(w))
-        .filter(F.col("__own") == 1)
+    # O(1)-per-row prefix-sum trailing sums (see rolling_anomaly /
+    # _trailing_window_sums): the (keys, chunk) partitions are bounded
+    # by construction, so the prefix-sum overflow budget is
+    # rows-per-chunk-sized here, not partition-length-sized.
+    wo = Window.partitionBy(*keys, "__chunk").orderBy(*order)
+    out = _trailing_window_sums(unioned.withColumn("__v", v), wo, window_rows).filter(
+        F.col("__own") == 1
     )
     dev = out["w_n"] * out["__v"] - out["w_sum"]
     var_n2 = out["w_n"] * out["w_sumsq"] - out["w_sum"] * out["w_sum"]
