@@ -1,0 +1,113 @@
+"""Focused equivalence pins for the round-15 optimizations.
+
+Each r15 rewrite keeps an operator's output bit-identical while changing
+its physical execution; these tests pin the old semantics as an inline
+reference model so a future edit cannot silently drift the new form.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+    rolling_anomaly,
+)
+
+
+def _old_anchored_spans(df, *, text_col, id_col, span):
+    """The pre-r15 positional anchor scan (sequence + per-position
+    substr), kept verbatim as the reference model for the regex form."""
+    t = F.col(text_col)
+    n = F.length(t)
+    last_start = n - span + 1
+    positions = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(last_start, F.lit(0))),
+            lambda i: F.when((i == 1) | (t.substr(i - 1, F.lit(1)) == " "), i),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    spans = F.when(
+        n >= span, F.transform(positions, lambda p: t.substr(p, F.lit(span)))
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(spans).alias("s"))
+
+
+ADVERSARIAL = [
+    (1, " leading space " + "x" * 40),
+    (2, "short"),
+    (3, "a" * 15),            # len == span - 1
+    (4, "a" * 16),            # len == span exactly
+    (5, ("word " * 12) + "\nnew line here " + ("tok " * 8)),  # newline inside spans
+    (6, "double  space " + "y " * 20),
+    (7, None),
+    (8, ""),
+    (9, " " * 20),            # all spaces
+    (10, "café résumé " * 6),  # multi-byte chars
+    (11, "t" * 16 + " tail"),
+]
+
+
+def test_anchored_spans_regex_equals_positional(spark):
+    """The r15 regex extraction (`(?s)(?= (.{span}))` + position-1
+    prepend) yields exactly the positional form's span multiset per doc
+    on adversarial rows: leading/double spaces, len < / == span,
+    newlines crossing spans, NULL/empty/all-space text, multi-byte
+    characters."""
+    df = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+    span = 16
+    new = tx._anchored_spans(df, text_col="text", id_col="doc_id", span=span)
+    old = _old_anchored_spans(df, text_col="text", id_col="doc_id", span=span)
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # and the fused-hash path hashes exactly those strings
+    hashes = tx._anchored_span_hashes(
+        df, text_col="text", id_col="doc_id", span=span
+    )
+    ref = old.select("id", F.xxhash64("s").alias("h"))
+    assert hashes.exceptAll(ref).count() == 0
+    assert ref.exceptAll(hashes).count() == 0
+
+
+def _old_rolling_anomaly(df, *, keys, order_by, value_col, window_rows=100,
+                         min_points=30, n_sigma=3, scale=1024):
+    """The pre-r15 sliding-frame form (O(window) per row), kept verbatim
+    as the reference model for the prefix-sum rewrite."""
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    out = (
+        df.withColumn("__v", v)
+        .withColumn("w_n", F.count(F.lit(1)).over(w))
+        .withColumn("w_sum", F.sum("__v").over(w))
+        .withColumn("w_sumsq", F.sum(F.col("__v") * F.col("__v")).over(w))
+    )
+    dev = out["w_n"] * out["__v"] - out["w_sum"]
+    var_n2 = out["w_n"] * out["w_sumsq"] - out["w_sum"] * out["w_sum"]
+    flag = (out["w_n"] >= min_points) & (dev * dev > (n_sigma * n_sigma) * var_n2)
+    return out.withColumn("is_anomaly", flag).drop("__v")
+
+
+def test_rolling_prefix_sums_equal_sliding_frame_with_nulls(spark):
+    """The r15 prefix-sum rolling windows equal the direct sliding-frame
+    aggregates row for row, including NULL values (windowed sum is NULL
+    iff the frame holds no non-NULL value), partition heads shorter than
+    the window, and all-NULL leading runs."""
+    rows = []
+    for i in range(400):
+        key = "a" if i % 3 else "b"
+        # key 'b' starts with a long NULL run; scattered NULLs elsewhere
+        val = None if (key == "b" and i < 90) or i % 17 == 0 else (i % 50) / 4.0
+        rows.append((i, key, val))
+    df = spark.createDataFrame(rows, "event_id long, k string, value double")
+    kw = dict(keys=["k"], order_by=["event_id"], value_col="value",
+              window_rows=8, min_points=3, n_sigma=3)
+    new = rolling_anomaly(df, **kw)
+    old = _old_rolling_anomaly(df, **kw)
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0

@@ -998,29 +998,65 @@ def bpe_apply(
 
 
 
+def _anchored_span_arrays(
+    df: DataFrame, *, text_col: str, id_col: str, span: int
+) -> DataFrame:
+    """(id, sp) rows where ``sp`` is the array of every ``span``-char
+    slice starting at a word boundary (position 1 or any position
+    following a single space, 0x20). Shared geometry of the span family
+    so detector and decider can never disagree on what a span is.
+
+    r15 optimization (guide §1.2 step 2 — per-task work): anchors were
+    previously found by a ``sequence(1, n-span+1)`` transform that ran
+    ``t.substr(i-1, 1) == " "`` per POSITION — one UTF8String allocation
+    per character of corpus text — then a second transform sliced the
+    spans. The anchors-after-spaces are now extracted in one native
+    regex scan: ``(?s)(?= (.{span}))`` matches zero-width at every space
+    followed by ``span`` chars and captures the slice (``(?s)`` because
+    raw text may contain newlines and the slice must cross them exactly
+    like ``substr`` did); position 1 is prepended as a literal
+    ``substr``. Equality with the positional form is pinned by test on
+    fixture text plus adversarial rows (leading/double spaces,
+    len < span, len == span, newlines, NULL). Measured at the 200k-doc
+    dedup tier (interleaved A/B, 3 rounds): span_coverage 21.7 -> 12.6 s
+    (it consumes the anchor pass three times), repeated_spans
+    14.3 -> 13.4 s (aggregation-bound; see OPTIMIZATION_r15.md);
+    the regex scan also dodges a projection-shape hazard where the
+    WHEN-guarded positions transform re-evaluates under a bound column
+    (the winnow_fingerprints lesson-1 family).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    after_space = F.regexp_extract_all(t, F.lit(f"(?s)(?= (.{{{span}}}))"), 1)
+    spans = F.when(
+        n >= span, F.concat(F.array(t.substr(F.lit(1), F.lit(span))), after_space)
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), spans.alias("sp"))
+
+
 def _anchored_spans(
     df: DataFrame, *, text_col: str, id_col: str, span: int
 ) -> DataFrame:
-    """(id, s) rows: every ``span``-char slice starting at a word
-    boundary (position 1 or any position following a space). Shared by
-    repeated_spans and span_coverage so detector and decider can never
-    disagree on what a span is."""
-    t = F.col(text_col)
-    n = F.length(t)
-    last_start = n - span + 1
-    positions = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(last_start, F.lit(0))),
-            lambda i: F.when(
-                (i == 1) | (t.substr(i - 1, F.lit(1)) == " "), i
-            ),
-        ),
-        lambda p: p.isNotNull(),
+    """(id, s) rows — the exploded string form of
+    :func:`_anchored_span_arrays` (used where the span TEXT is needed,
+    e.g. the exemplar-recovery pass over a handful of documents)."""
+    return _anchored_span_arrays(
+        df, text_col=text_col, id_col=id_col, span=span
+    ).select("id", F.explode("sp").alias("s"))
+
+
+def _anchored_span_hashes(
+    df: DataFrame, *, text_col: str, id_col: str, span: int
+) -> DataFrame:
+    """(id, h) rows: ``xxhash64`` of each anchored span, hashed INSIDE
+    the span array before the explode so the 64-char span strings are
+    never materialized as row fields — the counting passes only ever
+    consume the hash (r15; the explode emits 8-byte longs instead of
+    ~``span``-byte strings)."""
+    arr = _anchored_span_arrays(df, text_col=text_col, id_col=id_col, span=span)
+    return arr.select(
+        "id", F.explode(F.transform("sp", lambda s: F.xxhash64(s))).alias("h")
     )
-    spans = F.when(
-        n >= span, F.transform(positions, lambda p: t.substr(p, F.lit(span)))
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("id"), F.explode(spans).alias("s"))
 
 
 def repeated_spans(
@@ -1071,8 +1107,7 @@ def repeated_spans(
     (collisions aside, every string sharing a hash IS the span, so the
     exemplar recovery is exact).
     """
-    exploded = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span)
-    hashed = exploded.select("id", F.xxhash64("s").alias("h"))
+    hashed = _anchored_span_hashes(df, text_col=text_col, id_col=id_col, span=span)
     per_doc = hashed.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
     counts = (
         per_doc.groupBy("h")
@@ -1156,9 +1191,7 @@ def span_coverage(
     # shuffle cost, so they deliberately do NOT spread. No-op on any
     # multi-partition input — see sources/catalog.spread_small_scan.
     df = spread_small_scan(df)
-    ex = _anchored_spans(df, text_col=text_col, id_col=id_col, span=span).select(
-        "id", F.xxhash64("s").alias("h")
-    )
+    ex = _anchored_span_hashes(df, text_col=text_col, id_col=id_col, span=span)
     per_doc_span = ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
     rep = (
         per_doc_span.groupBy("h")
