@@ -122,15 +122,31 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
         # Spark's plan-equality cache lookup (measured 12.5 s -> 1.5 s),
         # and a cache-hit wall is not a steady-state wall. Nothing else
         # in this tier caches, so the clear has no collateral.
-        walls = []
+        #
+        # r15 MEASUREMENT FIX (guide §1.4, disclosed in
+        # OPTIMIZATION_r15.md): the timer now starts BEFORE build().
+        # Under AQE, ``localCheckpoint(eager=False)`` executes every
+        # upstream shuffle stage when the plan is converted to an RDD —
+        # i.e. at CONSTRUCTION — so operators built around internal
+        # checkpoints (setsim_join, simhash/minhash candidate gens) ran
+        # most of their work outside the old timed region (measured:
+        # setsim_join construct 48-51 s vs action 12-15 s at the 200k-doc
+        # tier). ``key`` is now the honest end-to-end wall;
+        # ``{key}_action`` keeps the pre-r15 action-only convention so
+        # cross-round tables remain comparable.
+        walls, walls_action = [], []
         for _ in range(3):
             spark.catalog.clearCache()
-            df = build()
             t0 = time.perf_counter()
+            df = build()
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            walls.append(round(time.perf_counter() - t0, 3))
+            t2 = time.perf_counter()
+            walls.append(round(t2 - t0, 3))
+            walls_action.append(round(t2 - t1, 3))
         out[key] = sorted(walls)[1]
         out[f"{key}_runs"] = walls
+        out[f"{key}_action"] = sorted(walls_action)[1]
 
     # same shapes as the SCALE.md probe (16 hashes / 2 bands; hamming<=3
     # at a 20-bit block)

@@ -4071,19 +4071,42 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
         es.alias("epoch_sec"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("epoch_sec")
-        .rangeBetween(-3599, Window.currentRow)
+    # r15: the trailing RANGE frame is computed as the difference of two
+    # GROWING range frames instead of one sliding frame. Spark's
+    # SlidingWindowFunctionFrame cannot retract rows, so the direct
+    # ``RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW`` aggregate re-sums
+    # the whole frame every time it moves — O(frame) per row, which on a
+    # dense key is O(events-per-hour) per event. Growing frames
+    # (UNBOUNDED PRECEDING upper-bound-moving) are maintained
+    # incrementally — O(1) amortized — and
+    # frame(-3599..0) == {t <= cur} minus {t <= cur-3600} exactly
+    # (integer seconds, RANGE peers included at both ends in both
+    # forms). v_milli is non-null by construction (round of a non-null
+    # double; NULL ts rows are absent from events fixtures), and n_1h
+    # >= 1 because the frame always contains the current row, so the
+    # plain difference needs no NULL guard. Measured on a dense probe
+    # (1M rows, 100 keys, ~60 rows/frame; interleaved medians):
+    # 4.0 -> 2.6 s — the gap grows with frame density, which is the
+    # 100 TB case; fixture frames are tiny so the sf0.1 wall is
+    # unchanged. Exact equality pinned (exceptAll 0/0 on the dense
+    # probe); oracle hash-match re-verified at sf0.01 and sf0.1 (the
+    # mirror keeps the direct sliding spelling — plan-independence of
+    # the result IS the gate).
+    wo = Window.partitionBy("user_id").orderBy("epoch_sec")
+    w_cur = wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w_old = wo.rangeBetween(Window.unboundedPreceding, -3600)
+    s_1h = F.sum("v_milli").over(w_cur) - F.coalesce(
+        F.sum("v_milli").over(w_old), F.lit(0).cast("long")
+    )
+    n_1h = F.count(F.lit(1)).over(w_cur) - F.coalesce(
+        F.count(F.lit(1)).over(w_old), F.lit(0).cast("long")
     )
     return base.select(
         "event_id",
         "user_id",
         "epoch_sec",
-        (F.sum("v_milli").over(w) / F.lit(1000.0) / F.count(F.lit(1)).over(w)).alias(
-            "ma_1h"
-        ),
-        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (s_1h / F.lit(1000.0) / n_1h).alias("ma_1h"),
+        n_1h.alias("n_1h"),
     )
 
 
