@@ -70,6 +70,72 @@ def test_anchored_spans_regex_equals_positional(spark):
     assert ref.exceptAll(hashes).count() == 0
 
 
+def _old_winnow_fingerprints(df, text_col="text", id_col="doc_id", *, k=8, w=4):
+    """The pre-r15 hex-string winnow fold, kept verbatim as the
+    reference model for the 16-byte-binary fold (binary byte order ==
+    lowercase-hex lexicographic order, so selections must agree)."""
+    from wordpress_sql_to_contentstack_exporter_spark.functions.portable import (
+        PORTABLE_WS_PLUS,
+        portable_lower,
+    )
+
+    norm = F.regexp_replace(
+        portable_lower(F.trim(F.col(text_col))), PORTABLE_WS_PLUS, " "
+    )
+    base = (
+        df.select(F.col(id_col).alias("__wid"), norm.alias("__wt"))
+        .withColumn("__wng", F.length("__wt") - F.lit(k - 1))
+        .filter(F.col("__wng") >= 1)
+    )
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.col("__wng")),
+        lambda i: F.struct(
+            F.md5(F.col("__wt").substr(i, F.lit(k))).alias("h"),
+            i.cast("long").alias("p"),
+        ),
+    )
+    bound = base.select("__wid", "__wng", grams_expr.alias("__wgrams"))
+    grams = F.col("__wgrams")
+    n_grams = F.col("__wng")
+
+    def pair(a, g):
+        return F.when(g.isNotNull() & (g["h"] <= a["h"]), g).otherwise(a)
+
+    m = grams
+    for shift in range(1, w):
+        shifted = F.slice(grams, shift + 1, F.greatest(n_grams - shift, F.lit(0)))
+        m = F.zip_with(m, shifted, pair)
+    n_windows = n_grams - F.lit(w - 1)
+    picks = F.array_distinct(F.slice(m, 1, F.greatest(n_windows, F.lit(0))))
+    rows = bound.select("__wid", F.explode(picks).alias("fp"))
+    return rows.select(
+        F.col("__wid").alias(id_col),
+        F.col("fp.h").alias("fp_hash"),
+        F.col("fp.p").alias("pos"),
+    )
+
+
+def test_winnow_binary_fold_equals_hex_fold(spark):
+    """The r15 binary-md5 winnow fold selects exactly the fingerprints
+    the hex-string fold selects (including ties, short docs, and
+    multi-byte text) and emits identical lowercase-hex output."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "aaaaaaaaaaaaaaaaaaaaaa"),          # maximal gram ties
+        (3, "short"),                            # < k after normalize
+        (4, "  Padded   WS\tand\nlines  " * 4),  # ws collapse + case
+        (5, "café résumé naïve " * 5),           # multi-byte
+        (6, None),
+        (7, "exactly8"),                         # len == k exactly
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = tx.winnow_fingerprints(df, k=8, w=4)
+    old = _old_winnow_fingerprints(df, k=8, w=4)
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def _old_rolling_anomaly(df, *, keys, order_by, value_col, window_rows=100,
                          min_points=30, n_sigma=3, scale=1024):
     """The pre-r15 sliding-frame form (O(window) per row), kept verbatim

@@ -1876,10 +1876,20 @@ def winnow_fingerprints(
         .withColumn("__wng", F.length("__wt") - F.lit(k - 1))
         .filter(F.col("__wng") >= 1)
     )
+    # r15: the gram hash rides the folds as 16-byte BINARY
+    # (unhex(md5(..))), not the 32-char hex string. Byte-wise binary
+    # comparison is order-identical to lexicographic comparison of the
+    # lowercase hex (each byte maps monotonically to its two hex chars:
+    # 0x00 -> "00" ... 0xff -> "ff", and "0".."9" < "a".."f" in ASCII),
+    # so the rightmost-minimum selection picks the same grams; the
+    # output converts the few SELECTED fingerprints back to lowercase
+    # hex. Halves the bytes the w-1 zip_with folds copy and compare —
+    # measured 13.5 -> 10.4 s on the fingerprint stage of the 10k-doc
+    # winnow_overlap corpus (exceptAll 0/0; see OPTIMIZATION_r15.md).
     grams_expr = F.transform(
         F.sequence(F.lit(1), F.col("__wng")),
         lambda i: F.struct(
-            F.md5(F.col("__wt").substr(i, F.lit(k))).alias("h"),
+            F.unhex(F.md5(F.col("__wt").substr(i, F.lit(k)))).alias("h"),
             i.cast("long").alias("p"),
         ),
     )
@@ -1907,7 +1917,8 @@ def winnow_fingerprints(
     rows = bound.select("__wid", F.explode(picks).alias("fp"))
     return rows.select(
         F.col("__wid").alias(id_col),
-        F.col("fp.h").alias("fp_hash"),
+        # back to the public lowercase-hex contract, selected picks only
+        F.lower(F.hex(F.col("fp.h"))).alias("fp_hash"),
         F.col("fp.p").alias("pos"),
     )
 
