@@ -136,6 +136,94 @@ def test_winnow_binary_fold_equals_hex_fold(spark):
     assert old.exceptAll(new).count() == 0
 
 
+def _old_moving_average(base):
+    """The pre-r15 sliding RANGE frame, kept verbatim as the reference
+    model for the growing-frame difference."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "epoch_sec",
+        (F.sum("v_milli").over(w) / F.lit(1000.0) / F.count(F.lit(1)).over(w)).alias(
+            "ma_1h"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+def test_moving_average_growing_frames_equal_sliding_range(spark):
+    """The r15 two-growing-frame difference equals the direct sliding
+    RANGE frame row for row, including boundary seconds exactly 3599 /
+    3600 apart, same-second peers, and NULL values (an all-NULL frame
+    after earlier non-NULL rows must stay NULL, not become 0.0)."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
+        q_moving_average,
+    )
+
+    rows = []
+    for i in range(300):
+        user = i % 3
+        # clustered seconds with exact 3599/3600 gaps and peer ties
+        sec = 1_000_000 + (i // 3) * 450 + (0 if i % 7 else 3599 - (i % 2))
+        # user 2 has a long all-NULL stretch after one non-null row
+        val = None if (user == 2 and 5 < i < 200) or i % 13 == 0 else i * 7 % 900
+        rows.append((i, user, val, sec))
+    base = spark.createDataFrame(
+        rows, "event_id long, user_id long, v_milli long, epoch_sec long"
+    )
+    wo = Window.partitionBy("user_id").orderBy("epoch_sec")
+    w_cur = wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w_old = wo.rangeBetween(Window.unboundedPreceding, -3600)
+    zero = F.lit(0).cast("long")
+    cv_1h = F.count("v_milli").over(w_cur) - F.count("v_milli").over(w_old)
+    s_diff = F.coalesce(F.sum("v_milli").over(w_cur), zero) - F.coalesce(
+        F.sum("v_milli").over(w_old), zero
+    )
+    s_1h = F.when(cv_1h == 0, F.lit(None).cast("long")).otherwise(s_diff)
+    n_1h = F.count(F.lit(1)).over(w_cur) - F.count(F.lit(1)).over(w_old)
+    new = base.select(
+        "event_id", "user_id", "epoch_sec",
+        (s_1h / F.lit(1000.0) / n_1h).alias("ma_1h"), n_1h.alias("n_1h"),
+    )
+    old = _old_moving_average(base)
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_q_moving_average_matches_sliding_range_on_fixture(spark):
+    """The shipped registry query (growing-frame form) equals the old
+    sliding-RANGE spelling on the sf0.001 fixture — pins the -3600
+    boundary of the subtracted frame against off-by-one edits."""
+    from wordpress_sql_to_contentstack_exporter_spark.plans.registry import (
+        SPARK_QUERIES,
+    )
+    from wordpress_sql_to_contentstack_exporter_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = SPARK_QUERIES["moving_average"](spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    es = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+    ).cast("long")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+        es.alias("epoch_sec"),
+    )
+    want = _old_moving_average(base)
+    assert got.schema == want.schema
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def _old_rolling_anomaly(df, *, keys, order_by, value_col, window_rows=100,
                          min_points=30, n_sigma=3, scale=1024):
     """The pre-r15 sliding-frame form (O(window) per row), kept verbatim

@@ -70,13 +70,14 @@ def rolling_anomaly(
     O(1) per row, bit-identical integer results (see
     ``_trailing_window_sums`` for the NULL-window equivalence argument).
     Measured at the 10M-row rolling tier: plain 66.2 s -> see
-    OPTIMIZATION_r15.md. Overflow note: the PREFIX sums now grow with
-    partition length, not window length — |x_scaled| * rows_per_partition
-    and  x_scaled^2 * rows_per_partition must stay under 2^63 (ANSI mode
-    fails loudly, never silently wraps). The chunked variant bounds
-    partitions by construction; for the plain form that budget replaces
-    the old window-local one (e.g. |x|<=3e6 scaled supports ~1e6-row
-    partitions for sumsq).
+    OPTIMIZATION_r15.md. Overflow note: prefix sums grow with partition
+    length, not window length, so the square-sum prefix accumulates as
+    decimal(38,0) (no realistic partition can overflow it) and only the
+    window-bounded frame difference casts back to long — the WINDOW
+    budget (``(n*x - s)^2 < 2^63``) is unchanged from the sliding form.
+    The plain long value-prefix needs |x_scaled| * rows_per_partition
+    < 2^63 (~3e12 rows/partition at |x| <= 3e6 — beyond any physical
+    partition; ANSI fails loudly, never silently wraps).
     """
     if window_rows < 1 or min_points < 2 or n_sigma < 1 or scale < 1:
         raise ValueError("window_rows>=1, min_points>=2, n_sigma>=1, scale>=1")
@@ -111,23 +112,45 @@ def _trailing_window_sums(
     W = int(window_rows)
     wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     zero = F.lit(0).cast("long")
+    # The SQUARE-sum prefix is the overflow-critical one (x^2 amplifies
+    # the per-row magnitude ~scale^2): it accumulates as decimal(38,0),
+    # which holds any realistic partition (10^38 >> 2^63), and only the
+    # frame DIFFERENCE — bounded by the window budget the sliding form
+    # always had — casts back to long (ANSI: a genuinely over-long
+    # window sum fails loudly, exactly as the old sliding long sum
+    # did). The plain value prefix stays long: |x_scaled| * rows per
+    # partition < 2^63 allows ~3e12 rows/partition at the documented
+    # |x| <= 3e6 budget — beyond any physical partition. (r15 review
+    # fix: the first cut kept the square prefix in long, which turned
+    # the old window-local budget into a partition-length budget and
+    # would abort the plain form on ~1e6-row partitions at budget-edge
+    # values.)
+    dec = "decimal(38,0)"
     d = (
         d.withColumn("__rn", F.count(F.lit(1)).over(wc))
         .withColumn("__cv", F.count("__v").over(wc))
         .withColumn("__cs", F.sum("__v").over(wc))
-        .withColumn("__cq", F.sum(F.col("__v") * F.col("__v")).over(wc))
+        .withColumn(
+            "__cq", F.sum((F.col("__v") * F.col("__v")).cast(dec)).over(wc)
+        )
     )
 
-    def frame_sum(cum: str, n_in_frame) -> Column:
-        run = F.coalesce(F.col(cum), zero) - F.coalesce(F.lag(cum, W).over(wo), zero)
-        return F.when(n_in_frame == 0, F.lit(None).cast("long")).otherwise(run)
+    def frame_sum(cum: str, n_in_frame, zero_lit) -> Column:
+        run = F.coalesce(F.col(cum), zero_lit) - F.coalesce(
+            F.lag(cum, W).over(wo), zero_lit
+        )
+        return F.when(n_in_frame == 0, F.lit(None).cast("long")).otherwise(
+            run.cast("long")
+        )
 
     wcv = F.col("__cv") - F.coalesce(F.lag("__cv", W).over(wo), zero)
     return (
         d.withColumn("__wcv", wcv)
         .withColumn("w_n", F.least(F.col("__rn"), F.lit(W).cast("long")))
-        .withColumn("w_sum", frame_sum("__cs", F.col("__wcv")))
-        .withColumn("w_sumsq", frame_sum("__cq", F.col("__wcv")))
+        .withColumn("w_sum", frame_sum("__cs", F.col("__wcv"), zero))
+        .withColumn(
+            "w_sumsq", frame_sum("__cq", F.col("__wcv"), F.lit(0).cast(dec))
+        )
         .drop("__rn", "__cv", "__cs", "__cq", "__wcv")
     )
 

@@ -1816,14 +1816,19 @@ def winnow_fingerprints(
     fixed-stride sampling both miss, with output density ~2/(w+1)
     instead of one hash per position.
 
-    Engine-portable by construction: gram hashes are md5 hex strings
-    (identical in any engine — the sampling family's md5 discipline;
-    an engine-native ``hash()`` would not reproduce cross-engine), the
-    window minimum is a left-to-right fold that replaces on ``<=``
-    (hence RIGHTMOST minimum — the paper's tie rule, mirrored by the
-    oracle's ``list_reduce`` over the same window slice), and positions
-    are exact integers. Normalization (lowercase + whitespace collapse)
-    mirrors the exact-dedup content-hash chain.
+    Engine-portable by construction: gram hashes are md5 (identical in
+    any engine — the sampling family's md5 discipline; an engine-native
+    ``hash()`` would not reproduce cross-engine), the window minimum is
+    a left-to-right fold that replaces on ``<=`` (hence RIGHTMOST
+    minimum — the paper's tie rule, mirrored by the oracle's
+    ``list_reduce`` over the same window slice), and positions are
+    exact integers. Since r15 the fold carries the md5 as its 16-byte
+    BINARY form (byte-wise comparison is order-identical to
+    lexicographic comparison of the lowercase hex, so the selection is
+    unchanged — pinned by test); the OUTPUT contract stays the
+    lowercase-hex string, converted for the selected picks only.
+    Normalization (lowercase + whitespace collapse) mirrors the
+    exact-dedup content-hash chain.
 
     Plan shape at 100 TB: fingerprint SELECTION is entirely map-side
     higher-order expressions — no exchange until the caller joins or

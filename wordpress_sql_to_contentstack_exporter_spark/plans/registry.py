@@ -4081,10 +4081,13 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incrementally — O(1) amortized — and
     # frame(-3599..0) == {t <= cur} minus {t <= cur-3600} exactly
     # (integer seconds, RANGE peers included at both ends in both
-    # forms). v_milli is non-null by construction (round of a non-null
-    # double; NULL ts rows are absent from events fixtures), and n_1h
-    # >= 1 because the frame always contains the current row, so the
-    # plain difference needs no NULL guard. Measured on a dense probe
+    # forms). NULL semantics preserved without relying on the fixture
+    # (r15 review fix): a windowed sum is NULL iff the frame holds no
+    # non-NULL value, so the difference of running non-null COUNTS of
+    # v_milli gates the sum-difference to NULL — otherwise an all-NULL
+    # hour after earlier non-NULL rows would read 0.0 instead of NULL.
+    # n_1h needs no guard (the frame always contains the current row).
+    # Measured on a dense probe
     # (1M rows, 100 keys, ~60 rows/frame; interleaved medians):
     # 4.0 -> 2.6 s — the gap grows with frame density, which is the
     # 100 TB case; fixture frames are tiny so the sf0.1 wall is
@@ -4095,12 +4098,13 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = Window.partitionBy("user_id").orderBy("epoch_sec")
     w_cur = wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     w_old = wo.rangeBetween(Window.unboundedPreceding, -3600)
-    s_1h = F.sum("v_milli").over(w_cur) - F.coalesce(
-        F.sum("v_milli").over(w_old), F.lit(0).cast("long")
+    zero = F.lit(0).cast("long")
+    cv_1h = F.count("v_milli").over(w_cur) - F.count("v_milli").over(w_old)
+    s_diff = F.coalesce(F.sum("v_milli").over(w_cur), zero) - F.coalesce(
+        F.sum("v_milli").over(w_old), zero
     )
-    n_1h = F.count(F.lit(1)).over(w_cur) - F.coalesce(
-        F.count(F.lit(1)).over(w_old), F.lit(0).cast("long")
-    )
+    s_1h = F.when(cv_1h == 0, F.lit(None).cast("long")).otherwise(s_diff)
+    n_1h = F.count(F.lit(1)).over(w_cur) - F.count(F.lit(1)).over(w_old)
     return base.select(
         "event_id",
         "user_id",
