@@ -78,8 +78,24 @@ ROUND15_ROTATED_OUT = {
     "span_coverage", "source_overlap", "audio_features", "frame_sample",
 }
 
+# The round-16 window contract (VERDICT r15 asks #1, #2): the three
+# queries whose physical plans the r15 optimizations changed AFTER the
+# r15 window was pinned rotate in for independent driver re-proof
+# (span_coverage, rolling_anomaly, moving_average); everything the r16
+# optimization session touches (setsim_join, the winnow family,
+# repeated_spans, span_coverage, the rolling family) holds a window
+# slot. Funded by rotating out three r15 oracle-greens on code
+# untouched in r15 AND r16 (pinned by
+# test_rotated_out_r16_were_clean_in_r15).
+ROUND16_WINDOW_REGREENS = {
+    "span_coverage", "rolling_anomaly", "moving_average",
+}
+ROUND16_ROTATED_OUT = {
+    "kmeans_lloyd", "ann_ivf_portable", "ann_pq_portable",
+}
 
-def test_round15_window_set():
+
+def test_round16_window_set():
     names = list(SPARK_QUERIES)
     window = set(names[:DRIVER_SNAPSHOT_WINDOW])
     assert window == (
@@ -88,8 +104,23 @@ def test_round15_window_set():
         | ROUND15_WINDOW_REGREENS
         | ROUND15_WINDOW_ROWS_ONLY
         | ROUND15_WINDOW_ANCHORS
-        | ROUND15_WINDOW_RETAINED
+        | (ROUND15_WINDOW_RETAINED - ROUND16_ROTATED_OUT)
+        | ROUND16_WINDOW_REGREENS
     )
+
+
+def test_rotated_out_r16_were_clean_in_r15():
+    """Every query rotated out of the r16 window must have a clean r15
+    oracle-green driver row — rotation never discards a query whose
+    latest driver contact was red or absent."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r15.json")
+    rows = json.load(open(path))
+    for name in ROUND16_ROTATED_OUT:
+        e = rows[name]
+        assert e["rows_match"] and e["schema_match"] and e["hash_match"], name
 
 
 def test_rotated_out_r15_were_clean_in_r14():

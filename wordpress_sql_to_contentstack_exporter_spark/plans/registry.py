@@ -9983,11 +9983,20 @@ SPARK_QUERIES = {
     "minhash_portable": q_minhash_portable,
     "threshold_sweep": q_threshold_sweep,
     "sentence_split": q_sentence_split,
-    "kmeans_lloyd": q_kmeans_lloyd,
     "ann_lsh_portable": q_ann_lsh_portable,
-    "ann_ivf_portable": q_ann_ivf_portable,
-    "ann_pq_portable": q_ann_pq_portable,
     "soft_dedup_weights": q_soft_dedup_weights,
+    # --- r16 re-green slots (VERDICT r15 correctness-gate residual):
+    # the three r15-optimized queries whose physical plans changed
+    # AFTER the r15 window was pinned — rotated in so the r16 driver
+    # run independently re-proves them (span_coverage: regex anchor
+    # scan + hash-fused explode; rolling_anomaly: O(1) prefix-sum
+    # trailing windows; moving_average: growing-frame difference).
+    # Funded by rotating out kmeans_lloyd / ann_ivf_portable /
+    # ann_pq_portable — all r15 oracle-green on code untouched since
+    # (pinned by test_rotated_out_r16_were_clean_in_r15) ---
+    "span_coverage": q_span_coverage,
+    "rolling_anomaly": q_rolling_anomaly,
+    "moving_average": q_moving_average,
     "incremental_neardup_portable": q_incremental_neardup_portable,
     # --- window part (b): deliberate rows-only slots (simhash_neardup
     # re-contacts its r13-optimized path; ann_recall_sweep's evidence
@@ -10035,10 +10044,15 @@ SPARK_QUERIES = {
     "url_normalize": q_url_normalize,
     "fd_profile": q_fd_profile,
     "join_blowup": q_join_blowup,
+    # rotated out in r16 (funded the three r16 re-green slots) — all
+    # r15 oracle-green on code untouched since, pinned by
+    # test_rotated_out_r16_were_clean_in_r15:
+    "kmeans_lloyd": q_kmeans_lloyd,
+    "ann_ivf_portable": q_ann_ivf_portable,
+    "ann_pq_portable": q_ann_pq_portable,
     # rotated out in r15 (funded the four r15 first-contact slots) —
     # all r14 oracle-green on code untouched since, pinned by
     # test_rotated_out_r15_were_clean_in_r14:
-    "span_coverage": q_span_coverage,
     "source_overlap": q_source_overlap,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
@@ -10086,7 +10100,6 @@ SPARK_QUERIES = {
     "skew_diagnostics": q_skew_diagnostics,
     "embedding_gram": q_embedding_gram,
     "repetition": q_repetition,
-    "rolling_anomaly": q_rolling_anomaly,
     "embedding_centroids": q_embedding_centroids,
     "repetition_corpus_echo": q_repetition_corpus_echo,
     "repetition_lines": q_repetition_lines,
@@ -10117,7 +10130,6 @@ SPARK_QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
     "weighted_sample": q_weighted_sample,
-    "moving_average": q_moving_average,
     "pivot_unpivot": q_pivot_unpivot,
     "row_checksum": q_row_checksum,
     "doc_chunks": q_doc_chunks,
