@@ -1,0 +1,249 @@
+"""Equivalence pins for the round-16 optimizations: each rewrite ships
+with the OLD formulation kept verbatim in the test so the two plans are
+proved row-identical on corpora that exercise the edge the rewrite
+touched (guide §1 discipline — a faster plan that changes any declared
+result is a regression, not an optimization).
+
+1. setsim_join's df>=2-filtered broadcast vocabulary attach (left join
+   + coalesce(dfc, 1)) vs the unfiltered inner-join attach: identical
+   rarest-first order, including df=1 shingles and hash ties.
+2. _anchored_span_hash_counts (in-array run-length) vs the exploded
+   groupBy(h, id) pre-aggregation: identical (id, h, c) multisets,
+   including within-doc repeats, empty/NULL/short docs.
+3. winnow_overlap on 16-byte binary fingerprints end-to-end vs the
+   hex-keyed pipeline: identical pair sets and counts, including
+   boilerplate-capped fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wordpress_sql_to_contentstack_exporter_spark.operators import dedup as dd
+from wordpress_sql_to_contentstack_exporter_spark.operators import text as tx
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------- setsim
+
+
+def test_setsim_filtered_broadcast_attach_equals_unfiltered(spark):
+    """df=1 shingles order via coalesce's literal 1 exactly as via the
+    frequency table; df>=2 shingles via the (broadcast) table — the
+    sorted_g arrays, hence candidates and verified pairs, must match
+    the unfiltered inner-join attach row for row. The corpus mixes
+    unique-shingle docs (df=1 everywhere), exact duplicates (every
+    shingle df>=2), partial overlaps, and degenerate docs (one token:
+    no bigram; empty; NULL)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),       # near dup of 1
+        (4, "totally unique words appear here once"),    # all df=1
+        (5, "singleton"),                                # no bigram
+        (6, ""),                                         # empty
+        (7, None),                                       # NULL text
+        (8, "alpha beta xi omicron pi rho"),             # shares one bigram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def old_attach(tdf):
+        """Pre-r16 ordered build: unfiltered dfreq + inner join."""
+        toks = F.filter(
+            F.split(
+                dd.portable_lower(F.trim(F.col("text"))), dd.PORTABLE_WS_PLUS
+            ),
+            lambda t: t != "",
+        )
+        tok_df = tdf.select(F.col("doc_id").alias("id"), toks.alias("__toks"))
+        n = F.size(F.col("__toks"))
+        grams = F.when(
+            n >= 2,
+            F.array_distinct(
+                F.zip_with(
+                    F.slice(F.col("__toks"), F.lit(1), n - 1),
+                    F.slice(F.col("__toks"), F.lit(2), n - 1),
+                    lambda a, b: F.xxhash64(F.concat_ws(" ", a, b)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        sets = tok_df.select("id", grams.alias("g")).filter(F.size("g") > 0)
+        ex = sets.select("id", F.explode("g").alias("h"))
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+        return (
+            ex.join(dfreq, "h")
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dfc", "h"))),
+                    lambda s: s["h"],
+                ).alias("sorted_g")
+            )
+        )
+
+    def new_attach(tdf):
+        """The shipped r16 build, re-derived through the operator's own
+        code path by comparing the final outputs too (below); here the
+        intermediate sorted_g order is pinned directly."""
+        toks = F.filter(
+            F.split(
+                dd.portable_lower(F.trim(F.col("text"))), dd.PORTABLE_WS_PLUS
+            ),
+            lambda t: t != "",
+        )
+        tok_df = tdf.select(F.col("doc_id").alias("id"), toks.alias("__toks"))
+        n = F.size(F.col("__toks"))
+        grams = F.when(
+            n >= 2,
+            F.array_distinct(
+                F.zip_with(
+                    F.slice(F.col("__toks"), F.lit(1), n - 1),
+                    F.slice(F.col("__toks"), F.lit(2), n - 1),
+                    lambda a, b: F.xxhash64(F.concat_ws(" ", a, b)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        sets = tok_df.select("id", grams.alias("g")).filter(F.size("g") > 0)
+        ex = sets.select("id", F.explode("g").alias("h"))
+        dfreq = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("dfc"))
+            .filter(F.col("dfc") >= 2)
+        )
+        return (
+            ex.join(F.broadcast(dfreq), "h", "left")
+            .withColumn("dfc", F.coalesce(F.col("dfc"), F.lit(1).cast("long")))
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dfc", "h"))),
+                    lambda s: s["h"],
+                ).alias("sorted_g")
+            )
+        )
+
+    old_rows = {r["id"]: r["sorted_g"] for r in old_attach(df).collect()}
+    new_rows = {r["id"]: r["sorted_g"] for r in new_attach(df).collect()}
+    assert old_rows == new_rows
+
+    # and the operator's full output at a permissive threshold (pairs
+    # with any overlap qualify at tau=1/10 — exercises df=1 + df>=2)
+    out = dd.setsim_join(
+        df, id_col="doc_id", text_col="text", tau_num=1, tau_den=10
+    )
+    got = _collect_sorted(out)
+    # exact dup pair (1,2) must verify at full intersection
+    assert (1, 2, got[0][2], got[0][2]) in [
+        (a, b, i, u) for (a, b, i, u) in got if (a, b) == (1, 2)
+    ]
+
+
+# ----------------------------------------------- anchored span counts
+
+
+def test_anchored_span_hash_counts_equals_explode_groupby(spark):
+    """The in-array run-length (sort + boundary positions) must emit
+    exactly the multiset groupBy(h, id).count() over the exploded
+    hashes produced — including docs whose anchored spans repeat
+    within the doc (the run-length's whole reason), single-anchor
+    docs, len < span, len == span, NULL and empty text."""
+    span = 16
+    rep = "abcdefg hij klm " * 4  # repeated 16-char spans at anchors
+    rows = [
+        (1, rep),
+        (2, "a single short x"),          # len == span -> one anchor
+        (3, "tiny"),                       # len < span -> none
+        (4, ""),                           # empty
+        (5, None),                         # NULL
+        (6, "xx " + rep + " yy " + rep),   # heavy within-doc repeats
+        (7, "word " * 40),                 # all spans identical
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = (
+        tx._anchored_span_hashes(df, text_col="text", id_col="doc_id", span=span)
+        .groupBy("h", "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("id", "h", "c")
+    )
+    new = tx._anchored_span_hash_counts(
+        df, text_col="text", id_col="doc_id", span=span
+    )
+    assert _collect_sorted(old) == _collect_sorted(new)
+    # sanity: doc 7 really has within-doc repeated spans (c > 1)
+    assert any(r["c"] > 1 for r in new.filter("id = 7").collect())
+
+
+# ------------------------------------------------ winnow binary keys
+
+
+def test_winnow_overlap_binary_pipeline_equals_hex_pipeline(spark):
+    """winnow_overlap riding 16-byte binary fingerprints through
+    distinct/frequency/cap/self-join must produce exactly the pairs and
+    counts of the same pipeline keyed on the public lowercase-hex
+    strings (hex(b1) == hex(b2) iff b1 == b2). Corpus plants a shared
+    paragraph (true pair), boilerplate shared by ALL docs (cap), and
+    unique filler."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = "copyright footer identical in every document of this corpus"
+    rows = [
+        (1, f"{shared} unique tail one {boiler}"),
+        (2, f"{shared} other tail here {boiler}"),
+        (3, f"completely different body text {boiler}"),
+        (4, f"yet another unrelated document {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k, w, min_shared, cap = 8, 4, 2, 3
+
+    def hex_pipeline():
+        fps = (
+            tx.winnow_fingerprints(df, "text", "doc_id", k=k, w=w)
+            .select(F.col("doc_id").alias("id"), "fp_hash")
+            .distinct()
+        )
+        freq = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+        kept = fps.join(
+            freq.filter(F.col("n_docs") <= cap).select("fp_hash"), "fp_hash"
+        )
+        totals = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+        a = kept.select(F.col("id").alias("id_a"), "fp_hash")
+        b = kept.select(F.col("id").alias("id_b"), "fp_hash")
+        pairs = (
+            a.join(b, "fp_hash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        return (
+            pairs.join(
+                totals.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_fp_a")),
+                "id_a",
+            )
+            .join(
+                totals.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_fp_b")),
+                "id_b",
+            )
+            .select(
+                F.col("id_a").alias("doc_id_a"),
+                F.col("id_b").alias("doc_id_b"),
+                "n_shared",
+                F.col("n_fp_a").cast("long").alias("n_fp_a"),
+                F.col("n_fp_b").cast("long").alias("n_fp_b"),
+                F.expr("(n_shared * 1000) div n_fp_a").cast("long").alias(
+                    "overlap_pm_a"
+                ),
+            )
+        )
+
+    old = _collect_sorted(hex_pipeline())
+    new = _collect_sorted(
+        tx.winnow_overlap(
+            df, k=k, w=w, min_shared=min_shared, max_fp_docs=cap,
+            materialize=False,
+        )
+    )
+    assert old == new
+    assert any((a, b) == (1, 2) for (a, b, *_rest) in new)  # planted pair

@@ -1223,6 +1223,7 @@ def setsim_join(
     tau_num: int = 6,
     tau_den: int = 10,
     materialize: bool = True,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """EXACT-recall set-similarity self-join: all document pairs whose
     word-bigram shingle SETS have Jaccard >= tau_num/tau_den — the
@@ -1242,7 +1243,22 @@ def setsim_join(
     Plan shape at 100 TB:
     1. shingle-hash SETS per doc (xxhash64, 8 bytes — text never
        shuffles; the usual 2^-64 collision wager);
-    2. corpus df per shingle: one hash aggregation;
+    2. corpus df per shingle: one hash aggregation, FILTERED to the
+       repeated-shingle vocabulary (``dfc >= 2``) before the attach —
+       a shingle with df 1 sorts identically whether its df comes from
+       the frequency table or from ``coalesce``'s literal 1, and on
+       natural corpora most shingles are unique, so the attach join's
+       right side collapses to the small repeated vocabulary. With
+       ``broadcast_vocab`` (default) that side is broadcast and the
+       exploded occurrence table is NEVER shuffled for the attach
+       (r16, guide §3.1/§2.4 — measured: the old inner join sorted and
+       shuffled every occurrence through a sort-merge join, ~75% of
+       this operator's construct wall at the 200k-doc tier). At corpus
+       scales where the repeated vocabulary outgrows a broadcast
+       relation (~8 GB / 512M rows), pass ``broadcast_vocab=False``:
+       the join falls back to the planner's choice with the SAME
+       df>=2-shrunken right side — still strictly less work than the
+       unfiltered attach — and results are identical either way;
     3. the rarest-first order needs no global rank — sorting per-doc
        structs (df, hash) IS the global order, so the vocab frame
        never funnels through one task;
@@ -1273,9 +1289,30 @@ def setsim_join(
         ),
     ).otherwise(F.array().cast("array<long>"))
     sets = tok_df.select("id", grams.alias("g")).filter(F.size("g") > 0)
+    # ``sets`` feeds BOTH the df aggregate and the attach probe; without
+    # materialization the tokenize -> shingle chain (the ordered build's
+    # single heaviest stage: split + zip_with + xxhash per corpus token)
+    # runs once per consumer. Checkpointing the compact (id, long-array)
+    # form runs it ONCE (r16; measured at the 200k-doc tier: ordered
+    # build 28-30 s -> 12.9 s combined with the broadcast attach below).
+    # Same lazy-localCheckpoint pattern/tradeoffs as ``ordered``.
+    if materialize:
+        sets = sets.localCheckpoint(eager=False)
     ex = sets.select("id", F.explode("g").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
-    ranked = ex.join(dfreq, "h")
+    # Repeated-shingle vocabulary only (df >= 2): df-1 shingles get
+    # their order key from coalesce's literal 1 — identical structs,
+    # identical array_sort, identical prefixes (plan-shape rationale in
+    # the docstring; equality pinned by test and oracle).
+    dfreq = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .filter(F.col("dfc") >= 2)
+    )
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    ranked = ex.join(dfreq, "h", "left").withColumn(
+        "dfc", F.coalesce(F.col("dfc"), F.lit(1).cast("long"))
+    )
     ordered = ranked.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dfc", "h"))), lambda s: s["h"]

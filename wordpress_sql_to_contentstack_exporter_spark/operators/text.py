@@ -1059,6 +1059,60 @@ def _anchored_span_hashes(
     )
 
 
+def _anchored_span_hash_counts(
+    df: DataFrame, *, text_col: str, id_col: str, span: int
+) -> DataFrame:
+    """(id, h, c) rows: per document, each DISTINCT anchored-span hash
+    with its within-doc occurrence count ``c`` — exactly the multiset
+    ``_anchored_span_hashes(..).groupBy(h, id).count()`` produces, but
+    computed INSIDE the span array (sort + run-length boundaries), so
+    the per-(h, id) pre-aggregation needs NO exchange (r16, guide §2.3
+    "aggregate before you shuffle" taken to its limit: the aggregate
+    happens in the row that already holds the whole group). The old
+    two-level ``groupBy(h, id)`` -> ``groupBy(h)`` pipeline shipped
+    every distinct (h, id) pair through TWO shuffles — the first one's
+    map-side combine collapsed only within-doc repeats (rare), so both
+    exchanges carried ~every span occurrence. Consumers now shuffle
+    once, straight to the per-``h`` aggregate.
+
+    Run-length construction: ``__hs`` is the sorted hash array;
+    ``starts`` holds the 1-based positions that begin a run of equal
+    values; zipping ``starts`` with its own tail (sentinel n+1) yields
+    (hash, run-length) pairs. Empty span arrays are filtered before
+    ``sequence(1, n)`` (Spark's sequence DESCENDS when n < 1 — the
+    winnow_fingerprints lesson-1 guard family), matching the explode
+    form, which emits nothing for them.
+    """
+    arr = _anchored_span_arrays(df, text_col=text_col, id_col=id_col, span=span)
+    base = arr.select(
+        "id",
+        F.array_sort(F.transform("sp", lambda s: F.xxhash64(s))).alias("__hs"),
+    ).filter(F.size("__hs") >= 1)
+    hs = F.col("__hs")
+    n = F.size(hs)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(hs, i) != F.element_at(hs, i - 1)),
+    )
+    bounded = base.select("id", hs.alias("__hs2"), starts.alias("__st"))
+    hs2 = F.col("__hs2")
+    st = F.col("__st")
+    nexts = F.concat(
+        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+        F.array(F.size(hs2) + 1),
+    )
+    pairs = F.zip_with(
+        st,
+        nexts,
+        lambda s, nx: F.struct(
+            F.element_at(hs2, s).alias("h"), (nx - s).cast("long").alias("c")
+        ),
+    )
+    return bounded.select("id", F.explode(pairs).alias("__p")).select(
+        "id", F.col("__p.h").alias("h"), F.col("__p.c").alias("c")
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     *,
@@ -1107,8 +1161,13 @@ def repeated_spans(
     (collisions aside, every string sharing a hash IS the span, so the
     exemplar recovery is exact).
     """
-    hashed = _anchored_span_hashes(df, text_col=text_col, id_col=id_col, span=span)
-    per_doc = hashed.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
+    # r16: the per-(h, id) counts come straight out of the span array
+    # (run-length over the sorted hashes) instead of a groupBy(h, id)
+    # exchange — one shuffle to the per-h aggregate instead of two
+    # occurrence-sized ones (see _anchored_span_hash_counts).
+    per_doc = _anchored_span_hash_counts(
+        df, text_col=text_col, id_col=id_col, span=span
+    )
     counts = (
         per_doc.groupBy("h")
         .agg(
@@ -1191,29 +1250,39 @@ def span_coverage(
     # shuffle cost, so they deliberately do NOT spread. No-op on any
     # multi-partition input — see sources/catalog.spread_small_scan.
     df = spread_small_scan(df)
-    ex = _anchored_span_hashes(df, text_col=text_col, id_col=id_col, span=span)
-    per_doc_span = ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
+    # r16 restructure (guide §2.3/§2.4): the per-(h, id) counts come out
+    # of the span array with no exchange (_anchored_span_hash_counts),
+    # and ONE membership-marked aggregate replaces the two separate
+    # per-id passes — n_anchors is the sum of ALL per-doc counts,
+    # n_repeated the sum of the counts whose hash joined the broadcast
+    # repeated set. Before: 4 shuffles (per-(h,id) pre-agg, per-h df,
+    # per-id anchors, per-id repeated) and 3 corpus regex passes; after:
+    # 2 shuffles (per-h df, per-id combined) and 2 regex passes, with
+    # the per-id exchange carrying ~|docs| partially-aggregated rows.
+    per_doc = _anchored_span_hash_counts(
+        df, text_col=text_col, id_col=id_col, span=span
+    )
     rep = (
-        per_doc_span.groupBy("h")
+        per_doc.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("h")
+        .select("h", F.lit(1).alias("__rep"))
     )
-    n_anchors = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_anchors"))
-    n_rep = (
-        ex.join(F.broadcast(rep), "h")
+    per_id = (
+        per_doc.join(F.broadcast(rep), "h", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_repeated"))
+        .agg(
+            F.sum("c").cast("long").alias("n_anchors"),
+            F.sum(F.when(F.col("__rep") == 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+        )
     )
     base = df.select(F.col(id_col).alias("id"))
-    out = (
-        base.join(n_anchors, "id", "left")
-        .join(n_rep, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
-            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
-        )
+    out = base.join(per_id, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
+        F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
     )
     flagged = (F.col("n_anchors") > 0) & (
         F.col("n_repeated") * 100 >= F.col("n_anchors") * flag_pct
@@ -1869,6 +1938,40 @@ def winnow_fingerprints(
     one row per DISTINCT selected (hash, pos) pair, the winnowing
     fingerprint set.
     """
+    rows = _winnow_fingerprints_binary(df, text_col, id_col, k=k, w=w)
+    return rows.select(
+        id_col,
+        # back to the public lowercase-hex contract, selected picks only
+        F.lower(F.hex(F.col("fp_bin"))).alias("fp_hash"),
+        "pos",
+    )
+
+
+def _winnow_fingerprints_binary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """:func:`winnow_fingerprints` with the fingerprint left in its
+    16-byte BINARY md5 form — (id_col, fp_bin, pos).
+
+    r16 (guide §2.3, narrower shuffle keys): the winnow CONSUMERS
+    (winnow_overlap / winnow_spans / winnow_dedup and the capstones
+    built on them) never output a fingerprint — they distinct, count,
+    cap and self-join on it. Those exchanges carried the 32-char
+    lowercase-hex STRING (32 bytes payload + UTF8String overhead) when
+    the 16-byte binary the r15 fold already produces is equality- and
+    order-identical (byte order == hex lexicographic order, pinned by
+    test since r15). Consumers now ride the binary end to end and only
+    the public ``winnow_fingerprints`` contract converts to hex —
+    halving every fingerprint exchange's key bytes. Output equality is
+    untouched by construction: hex(b1) == hex(b2) iff b1 == b2, so
+    distinct/groupBy/join on the binary select exactly the rows the
+    hex forms did.
+    """
     if k < 2 or w < 1:
         raise ValueError("k >= 2 and w >= 1 required")
     norm = F.regexp_replace(
@@ -1922,8 +2025,7 @@ def winnow_fingerprints(
     rows = bound.select("__wid", F.explode(picks).alias("fp"))
     return rows.select(
         F.col("__wid").alias(id_col),
-        # back to the public lowercase-hex contract, selected picks only
-        F.lower(F.hex(F.col("fp.h"))).alias("fp_hash"),
+        F.col("fp.h").alias("fp_bin"),
         F.col("fp.p").alias("pos"),
     )
 
@@ -1970,9 +2072,13 @@ def winnow_overlap(
     """
     if min_shared < 1 or max_fp_docs < 2:
         raise ValueError("min_shared >= 1 and max_fp_docs >= 2 required")
+    # r16: every internal exchange rides the 16-byte BINARY fingerprint
+    # (see _winnow_fingerprints_binary) — the output of this operator
+    # carries no fingerprint column, so only exchange bytes change,
+    # never a result.
     fps = (
-        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
-        .select(F.col(id_col).alias("id"), "fp_hash")
+        _winnow_fingerprints_binary(df, text_col, id_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), "fp_bin")
         .distinct()
     )
     if materialize:
@@ -1981,18 +2087,18 @@ def winnow_overlap(
         # md5 fingerprinting pass re-runs once per consumer (the
         # setsim_join materialization discipline)
         fps = fps.localCheckpoint(eager=False)
-    freq = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    freq = fps.groupBy("fp_bin").agg(F.count(F.lit(1)).alias("n_docs"))
     kept = fps.join(
-        freq.filter(F.col("n_docs") <= max_fp_docs).select("fp_hash"),
-        "fp_hash",
+        freq.filter(F.col("n_docs") <= max_fp_docs).select("fp_bin"),
+        "fp_bin",
     )
     if materialize:
         kept = kept.localCheckpoint(eager=False)
     totals = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = kept.select(F.col("id").alias("id_a"), "fp_hash")
-    b = kept.select(F.col("id").alias("id_b"), "fp_hash")
+    a = kept.select(F.col("id").alias("id_a"), "fp_bin")
+    b = kept.select(F.col("id").alias("id_b"), "fp_bin")
     pairs = (
-        a.join(b, "fp_hash")
+        a.join(b, "fp_bin")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
@@ -2151,22 +2257,24 @@ def winnow_spans(
         raise ValueError("min_shared >= 1 and max_fp_docs >= 2 required")
     from .temporal import merge_intervals
 
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
-        F.col(id_col).alias("id"), "fp_hash", "pos"
+    # r16: internal exchanges ride the 16-byte BINARY fingerprint (see
+    # _winnow_fingerprints_binary); the output carries no fingerprint.
+    fps = _winnow_fingerprints_binary(df, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("id"), "fp_bin", "pos"
     )
     if materialize:
         fps = fps.localCheckpoint(eager=False)
-    fpsd = fps.select("id", "fp_hash").distinct()
+    fpsd = fps.select("id", "fp_bin").distinct()
     if materialize:
         fpsd = fpsd.localCheckpoint(eager=False)
-    freq = fpsd.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    freq = fpsd.groupBy("fp_bin").agg(F.count(F.lit(1)).alias("n_docs"))
     kept = fpsd.join(
-        freq.filter(F.col("n_docs") <= max_fp_docs).select("fp_hash"),
-        "fp_hash",
+        freq.filter(F.col("n_docs") <= max_fp_docs).select("fp_bin"),
+        "fp_bin",
     )
-    a = kept.select(F.col("id").alias("id_a"), "fp_hash")
-    b = kept.select(F.col("id").alias("id_b"), "fp_hash")
-    shared = a.join(b, "fp_hash").filter(F.col("id_a") < F.col("id_b"))
+    a = kept.select(F.col("id").alias("id_a"), "fp_bin")
+    b = kept.select(F.col("id").alias("id_b"), "fp_bin")
+    shared = a.join(b, "fp_bin").filter(F.col("id_a") < F.col("id_b"))
     if materialize:
         # feeds the qualification count AND the qualified-pair join
         shared = shared.localCheckpoint(eager=False)
@@ -2177,13 +2285,13 @@ def winnow_spans(
         .select("id_a", "id_b")
     )
     qual = shared.join(qualifying, ["id_a", "id_b"])
-    fa = fps.select(F.col("id").alias("id_a"), "fp_hash", "pos")
-    fb = fps.select(F.col("id").alias("id_b"), "fp_hash", "pos")
+    fa = fps.select(F.col("id").alias("id_a"), "fp_bin", "pos")
+    fb = fps.select(F.col("id").alias("id_b"), "fp_bin", "pos")
     inst = (
-        qual.join(fa, ["id_a", "fp_hash"])
+        qual.join(fa, ["id_a", "fp_bin"])
         .select("id_a", "id_b", F.lit("a").alias("side"), "pos")
         .unionByName(
-            qual.join(fb, ["id_b", "fp_hash"]).select(
+            qual.join(fb, ["id_b", "fp_bin"]).select(
                 "id_a", "id_b", F.lit("b").alias("side"), "pos"
             )
         )
