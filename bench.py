@@ -106,6 +106,13 @@ def dedup_tier(spark, sf_dir: str, base_docs: int, variants: int) -> dict:
         "base_docs": base_docs,
         "variants": variants,
         "docs": base_docs * variants,
+        # Schema marker (ADVICE r15 #1): since r15 the bare ``{key}``
+        # walls are END-TO-END (build + action; the build executes
+        # checkpointed shuffle stages under AQE) while ``{key}_action``
+        # keeps the pre-r15 action-only convention. Cross-round tooling
+        # must compare bare keys only against artifacts carrying this
+        # marker, and pre-r15 bare keys against ``{key}_action``.
+        "wall_convention": "e2e_build_plus_action_since_r15",
     }
 
     def timed(key: str, build) -> None:

@@ -247,3 +247,50 @@ def test_winnow_overlap_binary_pipeline_equals_hex_pipeline(spark):
     )
     assert old == new
     assert any((a, b) == (1, 2) for (a, b, *_rest) in new)  # planted pair
+
+
+# -------------------------------------------- trailing sums tie order
+
+
+def test_trailing_sums_with_duplicate_order_keys(spark):
+    """ADVICE r15 #2: _trailing_window_sums' two Window passes must
+    stay equivalent to the one-pass sliding frame when the order_by
+    keys carry DUPLICATES. With ties the per-row walk order is
+    engine-chosen, so the pinned property is MULTISET equality of the
+    full output (exceptAll both ways) on rows that duplicate (key,
+    order) heavily — including NULL values inside tie groups."""
+    from pyspark.sql import Window
+
+    from wordpress_sql_to_contentstack_exporter_spark.operators.stats import (
+        _trailing_window_sums,
+    )
+
+    rows = []
+    for k in ("a", "b"):
+        for t in range(12):
+            for dup in range(5):  # 5 identical rows per (key, t)
+                v = None if (t % 4 == 3) else float(t * 7 % 11)
+                rows.append((k, t, v))
+    df = spark.createDataFrame(rows, ["k", "t", "value"])
+    W_ROWS = 7
+    d = df.withColumn("__v", F.floor(F.col("value") * 1024).cast("long"))
+    wo = Window.partitionBy("k").orderBy("t")
+
+    new = _trailing_window_sums(d, wo, W_ROWS).select(
+        "k", "t", "__v", "w_n", "w_sum", "w_sumsq"
+    )
+    sliding = wo.rowsBetween(-(W_ROWS - 1), Window.currentRow)
+    dec = "decimal(38,0)"
+    old = d.select(
+        "k",
+        "t",
+        "__v",
+        F.count(F.lit(1)).over(sliding).alias("w_n"),
+        F.sum("__v").over(sliding).alias("w_sum"),
+        F.sum((F.col("__v") * F.col("__v")).cast(dec))
+        .over(sliding)
+        .cast("long")
+        .alias("w_sumsq"),
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0

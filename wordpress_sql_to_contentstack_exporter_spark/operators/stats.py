@@ -108,6 +108,21 @@ def _trailing_window_sums(
     frame sum — a running sum is NULL only before the partition's first
     non-NULL value, where the frame count is 0 anyway. ``w_n`` counts
     ALL frame rows: min(row_number, W) for a trailing frame.
+
+    TIE-ORDER ASSUMPTION (ADVICE r15 #2): the prefix aggregates and the
+    ``lag(.., W)`` references are evaluated in two Window passes over
+    the SAME spec ``wo``; with duplicate order keys their equivalence
+    to the one-pass sliding frame relies on both passes walking the
+    partition in the same tie order. Spark guarantees this here because
+    same-spec Window operators chain over ONE sort (no re-shuffle, no
+    re-sort between them) — and even under a tie-permuted sort the
+    RESULT would match the sliding frame evaluated in that same order
+    (both forms are functions of the walk order alone). Every caller
+    in this module nevertheless passes a unique tiebreak column
+    (event_id) so the walk order itself is total; callers with genuine
+    duplicate order keys get SOME consistent tie order, exactly like
+    the sliding frame they replace (pinned by
+    test_trailing_sums_with_duplicate_order_keys).
     """
     W = int(window_rows)
     wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
