@@ -294,3 +294,161 @@ def test_trailing_sums_with_duplicate_order_keys(spark):
     )
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+# ------------------------------------------------- paragraph rebuild
+
+
+def test_paragraph_dedup_inrow_rebuild_equals_shuffled_rebuild(spark):
+    """r16 guide-§8 rewrite: reassembly by in-row element_at position
+    lookups must equal the old shuffled collect_list(struct(pos, para))
+    rebuild — including whitespace-only paragraphs, docs fully emptied
+    by dedup, NULL/empty text, repeated paragraphs within one doc, and
+    cross-doc boilerplate."""
+    boiler = "shared footer line"
+    rows = [
+        (1, f"alpha one\n{boiler}\nbeta two"),
+        (2, f"{boiler}\ngamma three\n{boiler}"),   # within-doc repeat too
+        (3, boiler),                                # fully duplicate doc
+        (4, "   \n  \n"),                           # whitespace-only paras
+        (5, ""),
+        (6, None),
+        (7, "alpha one\ndelta four"),               # first para duplicate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def old_form(tdf):
+        paras = (
+            tdf.select(
+                F.col("doc_id").alias("id"),
+                F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "raw"),
+            )
+            .select("id", "pos", F.trim(F.col("raw")).alias("para"))
+            .filter(F.col("para") != "")
+            .withColumn("pkey", F.xxhash64(F.col("para")))
+        )
+        winners = paras.groupBy("pkey").agg(
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("first")
+        )
+        survivors = (
+            paras.join(winners, "pkey")
+            .filter(
+                (F.col("id") == F.col("first.id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+            .select("id", "pos", "para")
+        )
+        rebuilt = survivors.groupBy("id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+        base = tdf.select(F.col("doc_id").alias("id"))
+        return (
+            base.join(totals, "id", "left")
+            .join(rebuilt, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            )
+        )
+
+    old = old_form(df)
+    new = dd.paragraph_dedup(df)
+    assert old.schema == new.schema
+    assert _collect_sorted(old) == _collect_sorted(new)
+
+
+def test_boilerplate_removal_inrow_rebuild_equals_shuffled_rebuild(spark):
+    """r16: remove_boilerplate_lines' in-row rebuild + in-array distinct
+    document-frequency must equal the old exploded two-level aggregate
+    and collect_list rebuild — including within-doc repeated lines
+    (df counts DISTINCT docs), whitespace-only lines, fully-boilerplate
+    docs, NULL/empty text, and a regex-special separator."""
+    boiler = "cookie banner"
+    rows = [
+        (1, f"{boiler}\nalpha\n{boiler}\nbeta"),    # within-doc repeat
+        (2, f"{boiler}\ngamma"),
+        (3, f"{boiler}\ndelta"),
+        (4, boiler),                                 # fully boilerplate
+        (5, "  \n \n"),                              # whitespace only
+        (6, ""),
+        (7, None),
+        (8, "epsilon\nzeta"),                        # no boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def old_form(tdf, min_docs=2, pct=40, sep="\n"):
+        import re as _re
+
+        lines = (
+            tdf.select(
+                F.col("doc_id").alias("id"),
+                F.posexplode(F.split(F.col("text"), _re.escape(sep))).alias(
+                    "pos", "raw"
+                ),
+            )
+            .select("id", "pos", F.trim(F.col("raw")).alias("line"))
+            .filter(F.col("line") != "")
+            .withColumn("lkey", F.xxhash64(F.col("line")))
+        )
+        per_doc = lines.groupBy("lkey", "id").agg(F.count(F.lit(1)).alias("_c"))
+        line_df = per_doc.groupBy("lkey").agg(F.count(F.lit(1)).alias("df_docs"))
+        n_docs = tdf.select(F.count(F.lit(1)).alias("n_docs"))
+        boiler_keys = (
+            line_df.join(F.broadcast(n_docs))
+            .filter(
+                (F.col("df_docs") >= F.lit(min_docs))
+                & (F.col("df_docs") * 100 >= F.col("n_docs") * F.lit(pct))
+            )
+            .select("lkey")
+        )
+        kept = lines.join(F.broadcast(boiler_keys), "lkey", "left_anti")
+        rebuilt = kept.groupBy("id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+        base = tdf.select(F.col("doc_id").alias("id"))
+        return (
+            base.join(totals, "id", "left")
+            .join(rebuilt, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            )
+        )
+
+    old = old_form(df)
+    new = tx.remove_boilerplate_lines(df, min_docs=2, max_doc_ratio_pct=40)
+    assert old.schema == new.schema
+    assert _collect_sorted(old) == _collect_sorted(new)
+    got = {r["doc_id"]: r for r in new.collect()}
+    assert got[4]["n_kept"] == 0 and got[4]["text_clean"] == ""
+    assert got[1]["n_lines"] == 4 and got[1]["n_kept"] == 2
+
+    # regex-special separator stays literal
+    df2 = spark.createDataFrame(
+        [(1, "a|b|a"), (2, "a|c"), (3, "a")], ["doc_id", "text"]
+    )
+    o2 = old_form(df2, min_docs=2, pct=50, sep="|")
+    n2 = tx.remove_boilerplate_lines(
+        df2, min_docs=2, max_doc_ratio_pct=50, sep="|"
+    )
+    assert _collect_sorted(o2) == _collect_sorted(n2)

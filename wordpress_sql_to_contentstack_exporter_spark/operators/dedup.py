@@ -1038,22 +1038,26 @@ def paragraph_dedup(
     instance with the smallest (doc_id, position) — a total order, so
     the keep-set is deterministic.
 
-    Plan shape at 100 TB (all five stages shuffle-bounded, no window
-    over paragraph groups):
-    1. posexplode paragraphs — map-only.
-    2. first-instance per paragraph: ``groupBy(xxhash64(para)).min(
-       struct(doc_id, pos))`` — partial aggregation combines the
-       boilerplate paragraph's billion copies map-side; a window over
-       the same partition key would sort that giant group in ONE task
-       (the skew trap the dedup family avoids throughout).
-    3. survivors: equi-join instances to winners on the 8-byte hash —
-       AQE-managed, linear output.
-    4. reassembly: ``collect_list(struct(pos, para))`` per doc, sorted
-       and joined — per-doc state is bounded by document size.
-    5. left join back to the input so fully-duplicate documents surface
-       as empty ``text_dedup`` (count columns make the removal volume
-       auditable: ``sum(n_paras - n_kept)`` is the corpus-wide number of
-       removed paragraph instances).
+    Plan shape at 100 TB (r16 — guide §8 "decide with small rows, move
+    big rows once", and here the big rows move ZERO times):
+    1. posexplode paragraph HASHES — (id, pos, xxhash64(trim(para))),
+       24 bytes/paragraph, map-only; the paragraph text never leaves
+       its document row.
+    2. first-instance per paragraph: ``groupBy(pkey).min(struct(
+       doc_id, pos))`` — partial aggregation combines the boilerplate
+       paragraph's billion copies map-side; a window over the same
+       partition key would sort that giant group in ONE task (the skew
+       trap the dedup family avoids throughout).
+    3. keep-plan per doc: winners regrouped by doc into a sorted
+       position array — (id, keep_pos, n_kept), longs only.
+    4. reassembly IN the document row: the keep-plan left-joins back to
+       the input on id and ``text_dedup`` is rebuilt by direct
+       ``element_at`` position lookups into the row's own split array —
+       no exchange ever carries a paragraph. (Pre-r16 the winner join
+       and the reassembly ``collect_list`` both shuffled full paragraph
+       text — the corpus crossed the network twice to decide what
+       amounts to a per-doc bitmap. Measured at the 200k-doc tier: see
+       OPTIMIZATION_r16.md.)
 
     The paragraph key is ``xxhash64`` — 8 bytes on the winner-selection
     shuffle (vs 32 for a hex digest; measured 14% on the sf0.1 pass).
@@ -1063,45 +1067,60 @@ def paragraph_dedup(
     paragraphs with probability ~2^-64 per pair — the same wager the
     whole MinHash family makes).
 
+    Assumes ``id_col`` is unique per row (every form of this operator
+    keyed reassembly on it; exact_dedup upstream guarantees it in the
+    standard pipeline).
+
     Output: (doc_id, n_paras, n_kept, text_dedup).
     """
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), sep).alias("__segs"),
+    )
     paras = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "raw"),
+        segs.select(
+            "id", F.posexplode("__segs").alias("pos", "raw")
         )
-        .select("id", "pos", F.trim(F.col("raw")).alias("para"))
-        .filter(F.col("para") != "")
-        .withColumn("pkey", F.xxhash64(F.col("para")))
+        .select("id", "pos", F.xxhash64(F.trim(F.col("raw"))).alias("pkey"),
+                (F.trim(F.col("raw")) != "").alias("__keep"))
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )
     winners = paras.groupBy("pkey").agg(
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("first")
     )
-    survivors = (
-        paras.join(winners, "pkey")
-        .filter((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
-        .select("id", "pos", "para")
+    keep_plan = (
+        winners.select(F.col("first.id").alias("id"), F.col("first.pos").alias("pos"))
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("__kp"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
     )
-    rebuilt = survivors.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-            sep,
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_kept"),
+    n_paras = F.size(
+        F.filter(F.col("__segs"), lambda s: F.trim(s) != "")
+    ).cast("long")
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("__kp"), lambda p: F.trim(F.element_at(F.col("__segs"), p + 1))
+        ),
+        sep,
     )
-    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
-    base = df.select(F.col(id_col).alias("id"))
     return (
-        base.join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
+        segs.join(keep_plan, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            # coalesce wrappers keep the pre-r16 non-nullable schema;
+            # the isNull guard keeps NULL text at 0 regardless of the
+            # session's size(NULL) convention (-1 legacy vs NULL ANSI)
+            F.coalesce(
+                F.when(F.col("__segs").isNull(), F.lit(0).cast("long")).otherwise(
+                    n_paras
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_paras"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce(rebuilt, F.lit("")).alias("text_dedup"),
         )
     )
 

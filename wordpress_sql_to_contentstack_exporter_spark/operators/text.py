@@ -513,19 +513,27 @@ def remove_boilerplate_lines(
     integer cross-multiplication, ``df * 100 >= n_docs * pct`` — no
     float decides membership).
 
-    Plan shape at 100 TB:
-    1. posexplode ``sep``-split lines, trim, drop empties — map-only;
-       the shuffle key is ``xxhash64(line)`` (8 bytes, never the text).
-    2. document frequency per line: two-level aggregate
-       (lkey, id)-partial then lkey — map-side combine absorbs the
-       billion-copy footer before it can hot-spot one reducer
-       (``countDistinct`` over a skewed key would do exactly that).
-    3. corpus size joins on as a broadcast 1-row bound (cf. the
+    Plan shape at 100 TB (r16 — the paragraph_dedup guide-§8 rewrite
+    applied here: decisions ride hashes and positions, the line text
+    never enters any exchange):
+    1. per-doc DISTINCT line hashes computed inside the row
+       (array_distinct over the split array) — the document-frequency
+       aggregate receives one (id, lkey) row per distinct line with NO
+       per-(lkey, id) pre-shuffle (pre-r16 this was a two-level
+       (lkey, id) -> lkey aggregate: two occurrence-sized exchanges).
+       Map-side combine still absorbs the billion-copy footer.
+    2. corpus size joins on as a broadcast 1-row bound (cf. the
        histogram bounds pattern), so the threshold needs no collect.
-    4. boilerplate keys are few by construction (each needs >= pct% of
-       all docs) -> ``left_anti`` join broadcasts them against the
-       lines; survivors reassemble per doc (sorted-struct array_join,
-       bounded by document size).
+    3. boilerplate keys are few by construction (each needs >= pct% of
+       all docs) -> ``left_anti`` broadcast join against the exploded
+       (id, pos, lkey) rows; the surviving POSITIONS regroup per doc
+       (longs only) into a sorted keep-plan.
+    4. reassembly IN the document row: the keep-plan left-joins back on
+       id and ``text_clean`` is rebuilt by ``element_at`` lookups into
+       the row's own split array (pre-r16 the reassembly
+       ``collect_list(struct(pos, line))`` shuffled every surviving
+       line's text by doc id; ``n_lines`` cost a fourth, per-id
+       exchange — both gone).
 
     Collision wager: a 64-bit line-hash collision removes an innocent
     line with the boilerplate one (~2^-64/pair, the MinHash-family
@@ -533,7 +541,8 @@ def remove_boilerplate_lines(
 
     Output: (id_col, n_lines, n_kept, text_clean) — fully-boilerplate
     documents surface with ``n_kept = 0`` and empty text, auditable via
-    ``sum(n_lines - n_kept)``.
+    ``sum(n_lines - n_kept)``. Assumes ``id_col`` is unique per row
+    (reassembly is keyed on it, as in paragraph_dedup).
     """
     if min_docs < 1 or not (0 < max_doc_ratio_pct <= 100):
         raise ValueError("min_docs >= 1 and 0 < max_doc_ratio_pct <= 100 required")
@@ -544,19 +553,24 @@ def remove_boilerplate_lines(
     # accepts as literal escapes unconditionally
     import re as _re
 
-    lines = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
-                "pos", "raw"
-            ),
-        )
-        .select("id", "pos", F.trim(F.col("raw")).alias("line"))
-        .filter(F.col("line") != "")
-        .withColumn("lkey", F.xxhash64(F.col("line")))
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), _re.escape(sep)).alias("__segs"),
     )
-    per_doc = lines.groupBy("lkey", "id").agg(F.count(F.lit(1)).alias("_c"))
-    line_df = per_doc.groupBy("lkey").agg(F.count(F.lit(1)).alias("df_docs"))
+    # per-doc DISTINCT line hashes, computed in the row: empty-after-
+    # trim segments are dropped exactly as the exploded form did
+    line_hashes = F.array_distinct(
+        F.transform(
+            F.filter(F.col("__segs"), lambda s: F.trim(s) != ""),
+            lambda s: F.xxhash64(F.trim(s)),
+        )
+    )
+    distinct_pairs = segs.select(
+        "id", F.explode(line_hashes).alias("lkey")
+    )
+    line_df = distinct_pairs.groupBy("lkey").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     boiler = (
         line_df.join(F.broadcast(n_docs))
@@ -566,27 +580,47 @@ def remove_boilerplate_lines(
         )
         .select("lkey")
     )
-    kept = lines.join(F.broadcast(boiler), "lkey", "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            sep,
-        ).alias("text_clean"),
-        F.count(F.lit(1)).alias("n_kept"),
+    lines = (
+        segs.select("id", F.posexplode("__segs").alias("pos", "raw"))
+        .select(
+            "id",
+            "pos",
+            F.xxhash64(F.trim(F.col("raw"))).alias("lkey"),
+            (F.trim(F.col("raw")) != "").alias("__ne"),
+        )
+        .filter(F.col("__ne"))
     )
-    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
-    base = df.select(F.col(id_col).alias("id"))
+    keep_plan = (
+        lines.join(F.broadcast(boiler), "lkey", "left_anti")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("__kp"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    n_lines = F.size(
+        F.filter(F.col("__segs"), lambda s: F.trim(s) != "")
+    ).cast("long")
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("__kp"), lambda p: F.trim(F.element_at(F.col("__segs"), p + 1))
+        ),
+        sep,
+    )
     return (
-        base.join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
+        segs.join(keep_plan, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            # isNull guard: NULL text stays 0 under either size(NULL)
+            # convention; coalesce keeps the non-nullable schema
+            F.coalesce(
+                F.when(F.col("__segs").isNull(), F.lit(0).cast("long")).otherwise(
+                    n_lines
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_lines"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce(rebuilt, F.lit("")).alias("text_clean"),
         )
     )
 
